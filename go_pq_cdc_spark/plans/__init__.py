@@ -1,0 +1,4 @@
+from .registry import QuerySpec, REGISTRY, register, all_queries, all_oracles  # noqa: F401
+
+# Importing these modules populates REGISTRY via @register decorators.
+from . import relational  # noqa: F401,E402

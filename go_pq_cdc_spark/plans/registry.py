@@ -1,0 +1,71 @@
+"""Query registry — the contract between the engine and the correctness gate.
+
+Every operator the engine claims (SURVEY.md §2) registers here as a
+``QuerySpec``: a Spark plan builder ``(spark, sf_dir) -> DataFrame`` and,
+where ANSI-SQL-expressible, the equivalent DuckDB oracle SQL over the same
+parquet tables. The driver hash-compares the two at sf0.01.
+
+Determinism rules (both sides MUST follow, or hashes diverge):
+  * Alias every computed column identically in Spark and SQL.
+  * Aggregate floating columns via exact arithmetic: cast each value to
+    DECIMAL before SUM (order-independent), cast the final sum to DOUBLE
+    (exact for |x| < 2^53). Never hash a raw SUM(double).
+  * AVG = CAST(exact decimal sum AS DOUBLE) / count — one IEEE division,
+    identical on both engines.
+  * Timestamps leave as epoch micros (Spark unix_micros / DuckDB epoch_us)
+    or DATE — never engine-formatted strings.
+  * Rank/top-k ties broken by a unique key column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark_fn: SparkFn
+    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    *,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[SparkFn], SparkFn]:
+    def deco(fn: SparkFn) -> SparkFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            spark_fn=fn,
+            oracle=oracle,
+            doc=(fn.__doc__ or "").strip(),
+            tags=tags,
+            bench=bench,
+        )
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, SparkFn]:
+    return {name: spec.spark_fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
