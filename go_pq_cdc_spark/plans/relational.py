@@ -258,19 +258,26 @@ def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_parts_never_ordered",
+    "q_parts_not_shipped_1995",
     oracle="""
     SELECT p_brand, COUNT(*) AS n_parts
     FROM part
-    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_partkey = p_partkey AND l_shipdate < TIMESTAMP '1996-01-01'
+    )
     GROUP BY p_brand
     """,
     tags=("relational", "antijoin"),
 )
-def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS → left-anti join."""
+def q_parts_not_shipped_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (parts with no 1995 shipment)."""
     part = load_table(spark, sf_dir, "part")
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select("l_partkey")
+    )
     return (
         part.join(li, part.p_partkey == li.l_partkey, "left_anti")
         .groupBy("p_brand")
