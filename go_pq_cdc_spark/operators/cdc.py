@@ -1,0 +1,120 @@
+"""CDC semantic operators over the change-event envelope.
+
+These are the engine's Spark-native replacements for the reference's
+ordered-callback semantics (SURVEY.md §2.1 O6-O8, O17, O28-O29), expressed
+as DataFrame transforms that work identically on the batch changelog and on
+micro-batches of the streaming source.
+
+Scale notes: every operator partitions by the replica-identity key (`pk`)
+or by `xid` — both naturally high-cardinality, shuffle-friendly keys. No
+global windows, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def filter_heartbeat(df: DataFrame, heartbeat_table: str = "cdc_heartbeat") -> DataFrame:
+    """O17/O27: heartbeat-table events are auto-acked and hidden from the
+    consumer (stream.go:515-520, 543-561)."""
+    return df.filter(F.col("tbl") != heartbeat_table)
+
+
+def filter_ops(df: DataFrame, ops: tuple[str, ...]) -> DataFrame:
+    """O18: operation-subset routing (publication `publish=` filter,
+    publication/operation.go:10-57)."""
+    return df.filter(F.col("op").isin(list(ops)))
+
+
+def assemble_committed(df: DataFrame, aborted: Column) -> DataFrame:
+    """O7/O8 txn assembly: drop events of aborted transactions. With the
+    real stream source this happens in per-XID state (StreamAbort discards
+    the buffer, stream.go:263-278); batch-side it is a predicate."""
+    return df.filter(~aborted)
+
+
+def toast_fill(df: DataFrame, value_col: str = "after_val") -> DataFrame:
+    """O6 TOAST repair generalized to a stream: a NULL new-image value means
+    'unchanged' (tuple tag 'u', tuple/data.go:10-15), so carry forward the
+    last non-null image for the same key in LSN order — but NOT across a
+    DELETE: after the key is deleted there is no old image to repair from,
+    so the carry-forward epoch resets (`del_epoch` = running count of 'D').
+
+    Two per-key windows, both shuffle once on pk; no global state."""
+    w = Window.partitionBy("pk").orderBy("lsn")
+    df = df.withColumn(
+        "del_epoch",
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).over(w).cast("long"),
+    )
+    w2 = Window.partitionBy("pk", "del_epoch").orderBy("lsn")
+    return df.withColumn(
+        "filled_val", F.last(F.col(value_col), ignorenulls=True).over(w2)
+    )
+
+
+def latest_state(df: DataFrame) -> DataFrame:
+    """O29 + SURVEY §2.2 'CDC-merge idiom': the queryable current state of a
+    table from its change stream — max-LSN-wins per key, DELETE removes the
+    key. This is what `foreachBatch` MERGE does incrementally; expressed
+    relationally it is row_number()=1 over (pk ORDER BY lsn DESC)."""
+    df = toast_fill(df)
+    w = Window.partitionBy("pk").orderBy(F.desc("lsn"))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "pk",
+            F.col("filled_val").alias("last_val"),
+            F.col("lsn").alias("last_lsn"),
+            F.col("op").alias("last_op"),
+        )
+    )
+
+
+def snapshot_handoff(df: DataFrame, snapshot_lsn: int) -> DataFrame:
+    """O28 snapshot→CDC handoff: rows with lsn <= snapshot_lsn arrive via
+    the chunked snapshot (collapsed to current-state rows, op='R'), later
+    ones via the stream. Union, TOAST-fill (the snapshot image is the old
+    image for post-handoff TOAST updates), then max-LSN-wins. The result
+    must equal `latest_state` over the whole log — the reference's
+    no-gap-no-duplicate invariant
+    (integration_test/snapshot_consistency_test.go:18-26)."""
+    snap = df.filter(F.col("lsn") <= snapshot_lsn)
+    stream = df.filter(F.col("lsn") > snapshot_lsn)
+    snap_rows = latest_state(snap).select(
+        "pk",
+        F.col("last_lsn").alias("lsn"),
+        F.lit("R").alias("op"),
+        F.col("last_val").alias("after_val"),
+    )
+    stream_rows = stream.select("pk", "lsn", "op", "after_val")
+    unioned = snap_rows.unionByName(stream_rows)
+    filled = toast_fill(unioned)
+    w = Window.partitionBy("pk").orderBy(F.desc("lsn"))
+    return (
+        filled.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "pk",
+            F.col("filled_val").alias("last_val"),
+            F.col("lsn").alias("last_lsn"),
+            F.when(F.col("op") == "R", "snapshot").otherwise("stream").alias("src"),
+        )
+    )
+
+
+def commit_order(df: DataFrame) -> DataFrame:
+    """O7's commit-LSN rewrite, relationally: each event is attributed its
+    transaction's end LSN (the reference rewrites the last DML's WAL
+    position to the Commit's TransactionEndLSN, stream.go:444-480), plus its
+    position within the transaction. Downstream ordering by
+    (commit_lsn, txn_seq) reproduces the reference's emission order
+    (concurrent_tx_ordering_test.go:18-21) without a global sort."""
+    w_txn = Window.partitionBy("xid")
+    w_seq = Window.partitionBy("xid").orderBy("lsn")
+    return df.withColumn("commit_lsn", F.max("lsn").over(w_txn)).withColumn(
+        "txn_seq", F.row_number().over(w_seq).cast("long")
+    )

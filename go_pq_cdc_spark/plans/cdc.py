@@ -1,0 +1,209 @@
+"""CDC operator queries — the oracle-gated parity checks for the
+reference's streaming semantics (SURVEY.md §2.1 O6-O8, O10-O18, O27-O29).
+
+Each query runs the engine's CDC operators over the deterministic synthetic
+changelog (`sources/changelog.py`) and is paired with a DuckDB oracle that
+re-derives the same semantics in pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import cdc as ops
+from ..snapshot import plan_integer_range
+from ..snapshot.planner import snapshot_with_chunks
+from ..sources.changelog import DUCKDB_CHANGELOG_CTE, committed_changelog
+from .registry import register
+
+_BASE = f"WITH {DUCKDB_CHANGELOG_CTE}"
+
+# Delete-epoch-aware TOAST fill over a relation named `base`
+# (pk, lsn, op, after_val) — textual twin of operators.cdc.toast_fill.
+_FILL_SQL = """
+epoched AS (
+    SELECT *,
+           CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY pk ORDER BY lsn) AS BIGINT) AS del_epoch
+    FROM base
+),
+filled AS (
+    SELECT *,
+           LAST_VALUE(after_val IGNORE NULLS)
+               OVER (PARTITION BY pk, del_epoch ORDER BY lsn) AS filled_val
+    FROM epoched
+)
+"""
+
+
+@register(
+    "cdc_op_route_counts",
+    oracle=f"""
+    {_BASE}
+    SELECT op, COUNT(*) AS n_events,
+           CAST(SUM(CAST(after_val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+    FROM committed
+    WHERE tbl <> 'cdc_heartbeat'
+    GROUP BY op
+    """,
+    tags=("cdc", "routing"),
+)
+def cdc_op_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7/O8 txn assembly + O17 heartbeat drop + O18 op routing: per-op
+    delivered-event counts, aborted txns and heartbeat rows excluded."""
+    df = ops.filter_heartbeat(committed_changelog(spark, sf_dir))
+    return df.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("after_val").cast("decimal(18,2)")).cast("double").alias("sum_val"),
+    )
+
+
+@register(
+    "cdc_toast_fill",
+    oracle=f"""
+    {_BASE},
+    base AS (SELECT * FROM committed WHERE tbl <> 'cdc_heartbeat'),
+    {_FILL_SQL}
+    SELECT lsn, pk, del_epoch, filled_val FROM filled
+    """,
+    tags=("cdc", "toast"),
+)
+def cdc_toast_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 TOAST repair: per-event repaired value (carry-forward of the last
+    non-null image per key, reset at DELETE)."""
+    df = ops.toast_fill(ops.filter_heartbeat(committed_changelog(spark, sf_dir)))
+    return df.select("lsn", "pk", "del_epoch", "filled_val")
+
+
+@register(
+    "cdc_latest_state",
+    oracle=f"""
+    {_BASE},
+    base AS (SELECT * FROM committed WHERE tbl <> 'cdc_heartbeat'),
+    {_FILL_SQL},
+    ranked AS (
+        SELECT pk, filled_val, lsn, op,
+               ROW_NUMBER() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+        FROM filled
+    )
+    SELECT pk, filled_val AS last_val, lsn AS last_lsn, op AS last_op
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    tags=("cdc", "merge"),
+    bench=True,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O29/merge idiom: queryable current state from the change stream —
+    max-LSN-wins per key, DELETE removes the key."""
+    return ops.latest_state(ops.filter_heartbeat(committed_changelog(spark, sf_dir)))
+
+
+@register(
+    "cdc_commit_order",
+    oracle=f"""
+    {_BASE}
+    SELECT lsn, xid,
+           MAX(lsn) OVER (PARTITION BY xid) AS commit_lsn,
+           CAST(ROW_NUMBER() OVER (PARTITION BY xid ORDER BY lsn) AS BIGINT) AS txn_seq
+    FROM committed
+    """,
+    tags=("cdc", "ordering"),
+)
+def cdc_commit_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 commit-LSN rewrite: every delivered event attributed its txn's
+    end-LSN + within-txn sequence; (commit_lsn, txn_seq) is the reference's
+    emission order."""
+    df = ops.commit_order(committed_changelog(spark, sf_dir))
+    return df.select("lsn", "xid", "commit_lsn", "txn_seq")
+
+
+def _handoff_oracle() -> str:
+    return f"""
+    {_BASE},
+    cbase AS (SELECT * FROM committed WHERE tbl <> 'cdc_heartbeat'),
+    snap_lsn AS (SELECT CAST(FLOOR(MAX(lsn) / 2) AS BIGINT) AS v FROM changelog),
+    -- snapshot side: collapse history <= snapshot_lsn to current state
+    sbase AS (SELECT * FROM cbase WHERE lsn <= (SELECT v FROM snap_lsn)),
+    sepoch AS (
+        SELECT *,
+               CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY pk ORDER BY lsn) AS BIGINT) AS del_epoch
+        FROM sbase
+    ),
+    sfilled AS (
+        SELECT *,
+               LAST_VALUE(after_val IGNORE NULLS)
+                   OVER (PARTITION BY pk, del_epoch ORDER BY lsn) AS filled_val
+        FROM sepoch
+    ),
+    sranked AS (
+        SELECT pk, filled_val, lsn, op,
+               ROW_NUMBER() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+        FROM sfilled
+    ),
+    snap_rows AS (
+        SELECT pk, lsn, 'R' AS op, filled_val AS after_val
+        FROM sranked WHERE rn = 1 AND op <> 'D'
+    ),
+    stream_rows AS (
+        SELECT pk, lsn, op, after_val
+        FROM cbase WHERE lsn > (SELECT v FROM snap_lsn)
+    ),
+    base AS (SELECT * FROM snap_rows UNION ALL SELECT * FROM stream_rows),
+    {_FILL_SQL},
+    ranked AS (
+        SELECT pk, filled_val, lsn, op,
+               ROW_NUMBER() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+        FROM filled
+    )
+    SELECT pk, filled_val AS last_val, lsn AS last_lsn,
+           CASE WHEN op = 'R' THEN 'snapshot' ELSE 'stream' END AS src
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+
+
+@register(
+    "cdc_snapshot_handoff",
+    oracle=_handoff_oracle(),
+    tags=("cdc", "handoff"),
+)
+def cdc_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O28 snapshot→CDC handoff: backfill ∪ stream with max-LSN dedup.
+    snapshot_lsn is captured at plan time (the analogue of reading
+    pg_current_wal_lsn after slot creation, connector.go:350-379)."""
+    df = ops.filter_heartbeat(committed_changelog(spark, sf_dir))
+    max_lsn = df.agg(F.max("lsn")).collect()[0][0]
+    return ops.snapshot_handoff(df, max_lsn // 2)
+
+
+@register(
+    "snapshot_chunk_stats",
+    oracle="""
+    SELECT CAST(FLOOR((o_orderkey - (SELECT MIN(o_orderkey) FROM orders)) / 8000) AS INT) AS chunk_id,
+           COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_pk,
+           MAX(o_orderkey) AS max_pk
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("snapshot", "planner"),
+)
+def snapshot_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10/O13 integer-range chunk planner: MIN/MAX captured at plan time
+    (coordinator.go:1028-1059), fixed-width chunks, per-chunk row stats.
+    With a JDBC transport each chunk becomes one partition predicate; here
+    the same plan is verified against the parquet transport."""
+    orders = load_table(spark, sf_dir, "orders")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    plan = plan_integer_range("o_orderkey", int(lo), int(hi))
+    return (
+        snapshot_with_chunks(orders, plan)
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_pk"),
+            F.max("o_orderkey").alias("max_pk"),
+        )
+    )

@@ -38,6 +38,9 @@ def get_spark(app_name: str = "go-pq-cdc-spark", *, cpus: int | None = None) -> 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # TESTDATA events.parquet carries TIMESTAMP(NANOS); Spark reads it as
+        # long with this flag, and the catalog converts to micros timestamps.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     active = SparkSession.getActiveSession()
@@ -53,6 +56,7 @@ def apply_session_defaults(spark: SparkSession) -> SparkSession:
     session (the driver hands us one in ``__spark_entry__.entry``)."""
     for k, v in [
         ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),

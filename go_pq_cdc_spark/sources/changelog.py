@@ -1,0 +1,74 @@
+"""Deterministic synthetic WAL changelog over the TESTDATA `events` table.
+
+In production the changelog comes from the logical-replication stream source
+(`go_pq_cdc_spark.streaming`); for correctness gating we derive an
+equivalent change-event stream from the driver's `events` parquet with PURE
+SQL-expressible transforms, so every CDC operator (txn assembly, TOAST
+merge, latest-state merge, snapshot handoff) has a DuckDB oracle.
+
+Mapping (mirrors the reference's event model, SURVEY.md §1.1):
+  lsn        = event_id                    — WAL position (unique, ordered)
+  xid        = floor(event_id / 7)         — 7 events per transaction
+  op         = signup→I, error→D, else U   — tag bytes of message.go:42-73
+  pk         = user_id                     — replica-identity key
+  tbl        = 'cdc_heartbeat' if user_id % 50 = 0 else 'public.users'
+               — heartbeat rows to be filtered+auto-acked (O17/O27,
+               stream.go:515-520)
+  after_val  = NULL for view/error         — 'view' models an unchanged
+               TOAST column in the new image (tag 'u', tuple/data.go:10-15);
+               'error' is a DELETE (no new image)
+  aborted    = xid % 11 = 3                — streamed-txn StreamAbort (O8,
+               stream.go:217-278): events of aborted txns must never surface
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# Keep this CTE textually in sync with `changelog()` below — tests compare
+# the two engines row-for-row.
+DUCKDB_CHANGELOG_CTE = """
+changelog AS (
+    SELECT event_id AS lsn,
+           CAST(FLOOR(event_id / 7) AS BIGINT) AS xid,
+           ts AS commit_ts,
+           user_id AS pk,
+           CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+           CASE WHEN user_id % 50 = 0 THEN 'cdc_heartbeat' ELSE 'public.users' END AS tbl,
+           CASE WHEN event_type IN ('view', 'error') THEN NULL ELSE value END AS after_val
+    FROM events
+),
+committed AS (
+    SELECT * FROM changelog WHERE xid % 11 <> 3
+)
+"""
+
+
+def changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.floor(F.col("event_id") / 7).cast("long").alias("xid"),
+        F.col("ts").alias("commit_ts"),
+        F.col("user_id").alias("pk"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.when(F.col("user_id") % 50 == 0, "cdc_heartbeat")
+        .otherwise("public.users")
+        .alias("tbl"),
+        F.when(F.col("event_type").isin("view", "error"), F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("after_val"),
+    )
+
+
+def committed_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Txn-assembly output: only events of committed transactions (O7/O8 —
+    aborted streamed txns are discarded before delivery,
+    stream.go:452-467)."""
+    return changelog(spark, sf_dir).filter(F.col("xid") % 11 != 3)
