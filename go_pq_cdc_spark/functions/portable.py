@@ -1,0 +1,127 @@
+"""Portable expression fragments — each primitive is emitted BOTH as Spark
+SQL (for `F.expr`) and as DuckDB SQL (for the oracle), guaranteeing the two
+engines compute bit-identical values.
+
+Why a portable hash: Spark's xxhash64/murmur3 and DuckDB's hash() disagree,
+so oracle-checkable fingerprinting/minhashing needs an arithmetic hash both
+engines evaluate exactly — a base-31 polynomial over code points mod
+2^31-1, folded left-to-right in int64 (no overflow: acc < 2^31, acc*31+255
+< 2^36). All of it stays inside whole-stage codegen on the Spark side (no
+Python UDFs).
+
+Production note (100 TB): swap POLY_HASH for xxhash64(...) when oracle
+parity is not required — same pipeline shape, cheaper per byte. The
+operators accept a `portable=` flag for this.
+"""
+
+from __future__ import annotations
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1
+KNUTH = 2_654_435_761  # Knuth multiplicative constant (fits signed 32-bit math)
+
+
+def tokens(col: str) -> dict[str, str]:
+    """Whitespace tokenization."""
+    return {
+        "spark": f"split(trim({col}), '\\\\s+')",
+        "duck": f"regexp_split_to_array(trim({col}), '\\s+')",
+    }
+
+
+def n_tokens(col: str) -> dict[str, str]:
+    t = tokens(col)
+    return {"spark": f"size({t['spark']})", "duck": f"len({t['duck']})"}
+
+
+def poly_hash(s: dict[str, str] | str) -> dict[str, str]:
+    """Base-31 polynomial hash of a string expression, mod 2^31-1."""
+    if isinstance(s, str):
+        s = {"spark": s, "duck": s}
+    return {
+        "spark": (
+            f"aggregate(transform(split({s['spark']}, ''), chx -> ascii(chx)), 0L, "
+            f"(acc, xx) -> (acc * 31 + xx) % {MERSENNE31})"
+        ),
+        "duck": (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split({s['duck']}, ''), chx -> CAST(ascii(chx) AS BIGINT))), "
+            f"(acc, xx) -> (acc * 31 + xx) % {MERSENNE31})"
+        ),
+    }
+
+
+def token_shingles(tok: dict[str, str], n: int = 3) -> dict[str, str]:
+    """n-token shingles (space-joined). Callers must restrict to rows with
+    size(tokens) >= n — Spark's sequence() runs backwards on start>stop."""
+    sp_parts = ", ' ', ".join(f"element_at({tok['spark']}, i + {j})" for j in range(n))
+    du_parts = " || ' ' || ".join(f"({tok['duck']})[i + {j}]" for j in range(n))
+    return {
+        "spark": f"transform(sequence(1, size({tok['spark']}) - {n - 1}), i -> concat({sp_parts}))",
+        "duck": f"[{du_parts} FOR i IN range(1, len({tok['duck']}) - {n - 2})]",
+    }
+
+
+def shingle_hashes(col: str, n: int = 3) -> dict[str, str]:
+    """Distinct polynomial hashes of the n-token shingles of a text column —
+    the MinHash input set."""
+    tok = tokens(col)
+    sh = token_shingles(tok, n)
+    ph_sp = poly_hash({"spark": "sh", "duck": "sh"})
+    return {
+        "spark": f"array_distinct(transform({sh['spark']}, sh -> {ph_sp['spark']}))",
+        "duck": f"list_distinct([{ph_sp['duck']} FOR sh IN {sh['duck']}])",
+    }
+
+
+def minhash_signature(hashes: dict[str, str], k: int = 16) -> dict[str, str]:
+    """k-permutation MinHash over a set of int64 hashes: for each seed k,
+    min over h of ((a_k*h + b_k) mod P), a_k/b_k derived from the seed with
+    pure int64 arithmetic (identical across engines)."""
+    a = f"((k * {KNUTH} + 1) % {MERSENNE31})"
+    b = f"((k * 40503 + 7) % {MERSENNE31})"
+    body = f"(({a}) * h + {b}) % {MERSENNE31}"
+    return {
+        "spark": (
+            f"transform(sequence(0, {k - 1}), k -> "
+            f"array_min(transform({hashes['spark']}, h -> {body})))"
+        ),
+        "duck": f"[list_min([{body} FOR h IN {hashes['duck']}]) FOR k IN range(0, {k})]",
+    }
+
+
+def simhash(hashes: dict[str, str], bits: int = 32) -> dict[str, str]:
+    """SimHash fingerprint: for each bit position, sum +1/-1 over the token
+    hashes' bits; fingerprint sets the bit where the sum is positive.
+    `hashes` should reference a precomputed int64-array column (the inner
+    vote re-evaluates it per bit)."""
+    sp = (
+        f"aggregate(sequence(0, {bits - 1}), 0L, (fac, b) -> fac + "
+        f"CASE WHEN aggregate({hashes['spark']}, 0L, (vac, h) -> vac + "
+        f"(CASE WHEN FLOOR(h / power(2, b)) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST(power(2, b) AS BIGINT) ELSE 0L END)"
+    )
+    du = (
+        f"CAST(list_sum([CASE WHEN list_sum([CASE WHEN CAST(FLOOR(h / (2 ** b)) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END FOR h IN {hashes['duck']}]) > 0 "
+        f"THEN CAST(2 ** b AS BIGINT) ELSE 0 END FOR b IN range(0, {bits})]) AS BIGINT)"
+    )
+    return {"spark": sp, "duck": du}
+
+
+def scaled_dot(a: str, b: str, dim_of: str, scale: int = 1_000_000) -> dict[str, str]:
+    """Exact integer dot product of two float vectors: each component is
+    rounded to `scale` fixed-point (deterministic: both engines round
+    half-away-from-zero on doubles), products and sums stay in int64
+    (|x|<~2^17 scaled -> product < 2^34, 64-dim sum < 2^40)."""
+    cast = f"CAST(round(CAST({{v}} AS DOUBLE) * {scale}) AS BIGINT)"
+    ax = cast.format(v=f"element_at({a}, i)")
+    bx = cast.format(v=f"element_at({b}, i)")
+    axd = cast.format(v=f"({a})[i]")
+    bxd = cast.format(v=f"({b})[i]")
+    return {
+        "spark": (
+            f"aggregate(transform(sequence(1, size({dim_of})), i -> {ax} * {bx}), "
+            f"0L, (acc, x) -> acc + x)"
+        ),
+        "duck": f"CAST(list_sum([{axd} * {bxd} FOR i IN range(1, len({dim_of}) + 1)]) AS BIGINT)",
+    }

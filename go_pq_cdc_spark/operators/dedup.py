@@ -1,0 +1,177 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families (SURVEY.md/BASELINE.json north-star):
+  exact            — hash-groupBy on a canonicalized key (1 shuffle)
+  minhash_lsh      — shingle → MinHash signature → banded LSH bucket join →
+                     exact-Jaccard verify on candidates only (the 100 TB
+                     path: candidate generation is an equi-join on
+                     (band, key), never an all-pairs product)
+  ngram_jaccard    — exact pairwise Jaccard inside blocks (ground truth /
+                     small-block path)
+  embedding cosine — near-dup by cosine over embedding vectors, blocked
+
+All candidate generation uses equi-joins so Catalyst shuffles on the
+bucket/block key; only verified candidates pay the O(set) Jaccard cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+MINHASH_K = 16
+LSH_BANDS = 4
+ROWS_PER_BAND = MINHASH_K // LSH_BANDS
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 of the raw text, min-id canonical representative.
+    Returns (key_hash, canonical_id, n_copies). One shuffle on the hash."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("key_hash"), F.col(id_col))
+        .groupBy("key_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def band_key_fragments(sig: str, band_var: str = "b") -> dict[str, str]:
+    """Comma-joined signature slice for LSH band `b` (0-based)."""
+    sp = ", ".join(
+        f"element_at({sig}, {band_var} * {ROWS_PER_BAND} + {j + 1})"
+        for j in range(ROWS_PER_BAND)
+    )
+    du = " || ',' || ".join(
+        f"CAST({sig}[{band_var} * {ROWS_PER_BAND} + {j + 1}] AS VARCHAR)"
+        for j in range(ROWS_PER_BAND)
+    )
+    return {"spark": f"concat_ws(',', {sp})", "duck": du}
+
+
+def shingle_doc(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, sh) with sh = distinct polynomial 3-token-shingle hashes; rows
+    with <3 tokens dropped (can't shingle)."""
+    ntok = P.n_tokens(text_col)["spark"]
+    sh = P.shingle_hashes(text_col)["spark"]
+    return (
+        df.filter(F.expr(f"{ntok} >= 3"))
+        .select(F.col(id_col).alias("id"), F.expr(sh).alias("sh"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash+LSH with exact-Jaccard verification.
+
+    Pipeline: shingle-hash sets → 16-hash MinHash signature → 4 bands of 4 →
+    self-equi-join on (band, band_key) → distinct candidate pairs → exact
+    Jaccard on the shingle sets → filter >= threshold.
+
+    Scale: the only joins are equi-joins on band buckets (shuffle on
+    band_key — high cardinality) and on doc id to fetch shingle sets; cost
+    is O(candidates), not O(n^2)."""
+    docs = shingle_doc(df, id_col, text_col).cache()
+    sig_sql = P.minhash_signature({"spark": "sh", "duck": "sh"}, MINHASH_K)["spark"]
+    sigs = docs.withColumn("sig", F.expr(sig_sql))
+    bk = band_key_fragments("sig")["spark"]
+    bands = sigs.select(
+        "id",
+        F.expr(
+            f"explode(transform(sequence(0, {LSH_BANDS - 1}), "
+            f"b -> struct(b AS band, {bk} AS band_key)))"
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("n_inter", F.expr("size(array_intersect(sh_a, sh_b))").cast("long"))
+        .withColumn(
+            "jaccard",
+            F.expr("CAST(n_inter AS DOUBLE) / (size(sh_a) + size(sh_b) - n_inter)"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise shingle-Jaccard inside blocks (all-pairs within a
+    block key — ground truth for LSH recall; use only with bounded blocks)."""
+    docs = shingle_doc(df, id_col, text_col)
+    if block_col is not None:
+        docs = docs.join(
+            df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk")), "id"
+        )
+        cond = (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+    else:
+        cond = F.col("a.id") < F.col("b.id")
+    return (
+        docs.alias("a")
+        .join(docs.alias("b"), cond)
+        .withColumn("n_inter", F.expr("size(array_intersect(a.sh, b.sh))").cast("long"))
+        .withColumn(
+            "jaccard",
+            F.expr("CAST(n_inter AS DOUBLE) / (size(a.sh) + size(b.sh) - n_inter)"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"), "jaccard")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Near-duplicate vectors by exact fixed-point cosine within blocks.
+    Blocking bounds the pair count; at scale replace the block key with an
+    LSH bucket (`similarity.lsh_bucket`) for sub-quadratic candidates."""
+    dot = P.scaled_dot("a.v", "b.v", "a.v")["spark"]
+    norm = P.scaled_dot("v", "v", "v")["spark"]
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(block_col).alias("blk")
+    ).withColumn("nrm", F.expr(norm))
+    return (
+        vecs.alias("a")
+        .join(
+            vecs.alias("b"),
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("dot", F.expr(dot))
+        .withColumn(
+            "cos_sim",
+            F.expr(
+                "CAST(dot AS DOUBLE) / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
+    )

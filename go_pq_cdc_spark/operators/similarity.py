@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k (broadcast the query set, scan the
+corpus once — at 100 TB this is a single narrow pass, no shuffle until the
+per-query top-k aggregation). Scale path: random-hyperplane LSH bucketing so
+candidates come from an equi-join on the bucket id instead of a full scan.
+
+Cosine is computed in exact fixed-point int64 (see
+`functions.portable.scaled_dot`) so results are bit-identical to the DuckDB
+oracle; the float end result differs from true float cosine by < 1e-5,
+irrelevant for ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import portable as P
+
+LSH_PLANES = 8
+# Pseudo-random hyperplane component for plane k, dim j: centered int in
+# (-2^20, 2^20), derived with pure int64 arithmetic — portable to DuckDB.
+_PLANE = "((((k * 64 + j) * " + str(P.KNUTH) + ") % 2097152) - 1048576)"
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine. Query side is broadcast;
+    ranking is a per-query window (shuffle on query id only)."""
+    norm = P.scaled_dot("v", "v", "v")["spark"]
+    corpus = df.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("v")).withColumn(
+        "c_nrm", F.expr(norm)
+    )
+    qset = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    ).withColumn("q_nrm", F.expr(P.scaled_dot("qv", "qv", "qv")["spark"]))
+    dot = P.scaled_dot("qv", "v", "qv")["spark"]
+    pairs = (
+        corpus.join(F.broadcast(qset), F.col("q_id") != F.col("c_id"))
+        .withColumn("dot", F.expr(dot))
+        .withColumn(
+            "cos_sim",
+            F.expr(
+                "CAST(dot AS DOUBLE) / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c_nrm AS DOUBLE)))"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("c_id").alias("neighbor_id"), "rank", "cos_sim")
+    )
+
+
+def lsh_bucket_fragments(vec: str, planes: int = LSH_PLANES) -> dict[str, str]:
+    """Bucket id = sign-bit string of `planes` pseudo-random hyperplane dot
+    products, packed into an int. Fixed-point arithmetic keeps every product
+    in int64: |component| < 2^17 scaled, |plane| < 2^20, 64 dims -> < 2^43."""
+    comp_sp = f"CAST(round(CAST(element_at({vec}, j) AS DOUBLE) * 1000000) AS BIGINT)"
+    comp_du = f"CAST(round(CAST(({vec})[j] AS DOUBLE) * 1000000) AS BIGINT)"
+    dot_sp = (
+        f"aggregate(transform(sequence(1, size({vec})), j -> {comp_sp} * "
+        f"{_PLANE.replace('j', '(j - 1)')}), 0L, (acc, x) -> acc + x)"
+    )
+    dot_du = (
+        f"CAST(list_sum([{comp_du} * {_PLANE.replace('j', '(j - 1)')} "
+        f"FOR j IN range(1, len({vec}) + 1)]) AS BIGINT)"
+    )
+    sp = (
+        f"aggregate(sequence(0, {planes - 1}), 0L, (bac, k) -> bac + "
+        f"CASE WHEN ({dot_sp}) > 0 THEN CAST(power(2, k) AS BIGINT) ELSE 0L END)"
+    )
+    du = (
+        f"CAST(list_sum([CASE WHEN ({dot_du}) > 0 THEN CAST(2 ** k AS BIGINT) ELSE 0 END "
+        f"FOR k IN range(0, {planes})]) AS BIGINT)"
+    )
+    return {"spark": sp, "duck": du}
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", planes: int = LSH_PLANES
+) -> DataFrame:
+    """Assign each vector its LSH bucket — candidate generation for ANN is
+    then an equi-join on `bucket` (optionally multi-probe neighbors)."""
+    return df.withColumn("bucket", F.expr(lsh_bucket_fragments(vec_col, planes)["spark"]))
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Approximate top-k: exact cosine only within the query's LSH bucket.
+    Same output shape as `cosine_topk`; recall depends on bucket balance."""
+    corpus = with_lsh_bucket(
+        df.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("v")), "v", planes
+    ).withColumn("c_nrm", F.expr(P.scaled_dot("v", "v", "v")["spark"]))
+    qset = with_lsh_bucket(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")), "qv", planes
+    ).withColumnRenamed("bucket", "q_bucket").withColumn(
+        "q_nrm", F.expr(P.scaled_dot("qv", "qv", "qv")["spark"])
+    )
+    dot = P.scaled_dot("qv", "v", "qv")["spark"]
+    pairs = (
+        corpus.join(
+            F.broadcast(qset),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("q_id") != F.col("c_id")),
+        )
+        .withColumn("dot", F.expr(dot))
+        .withColumn(
+            "cos_sim",
+            F.expr(
+                "CAST(dot AS DOUBLE) / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c_nrm AS DOUBLE)))"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("c_id").alias("neighbor_id"), "rank", "cos_sim")
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines: token stats,
+quality signals, language-ID heuristic, document fingerprinting.
+
+All pure Catalyst expressions (whole-stage codegen; no Python UDFs):
+embarrassingly parallel per-row maps — at 100 TB these scale linearly with
+no shuffle at all until the final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+# Priority-ordered stopword sets for the language-ID heuristic. The CASE
+# chain below resolves ties by this order (deterministic, oracle-matchable).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "y"),
+    "fr": ("le", "les", "des", "est", "et"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens, alpha char count, avg token length, stopword ratio."""
+    tok = P.tokens(text_col)["spark"]
+    stop = LANG_STOPWORDS["en"]
+    stop_list = ", ".join(f"'{w}'" for w in stop)
+    return (
+        df.withColumn("n_tokens", F.expr(f"size({tok})").cast("long"))
+        .withColumn(
+            "n_alpha",
+            F.expr(f"length(replace(trim({text_col}), ' ', ''))").cast("long"),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.expr("CAST(n_alpha AS DOUBLE) / n_tokens"),
+        )
+        .withColumn(
+            "stop_ratio",
+            F.expr(
+                f"CAST(size(filter({tok}, x -> x IN ({stop_list}))) AS DOUBLE) / size({tok})"
+            ),
+        )
+    )
+
+
+def stop_count_fragments(text_col: str, words: tuple[str, ...]) -> dict[str, str]:
+    tok = P.tokens(text_col)
+    lst = ", ".join(f"'{w}'" for w in words)
+    return {
+        "spark": f"size(filter({tok['spark']}, x -> x IN ({lst})))",
+        "duck": f"len(list_filter({tok['duck']}, x -> x IN ({lst})))",
+    }
+
+
+def lang_id_fragments(text_col: str = "text") -> dict[str, str]:
+    """Argmax-by-stopword-hits language classifier as a single CASE chain,
+    tie-broken by LANG_STOPWORDS order — emitted for both engines from one
+    builder so the oracle can't drift."""
+    out = {}
+    for engine in ("spark", "duck"):
+        hit = {
+            lang: stop_count_fragments(text_col, words)[engine]
+            for lang, words in LANG_STOPWORDS.items()
+        }
+        langs = list(LANG_STOPWORDS)
+        case = "CASE "
+        for i, lang in enumerate(langs):
+            geq = " AND ".join(f"{hit[lang]} >= {hit[o]}" for o in langs[i + 1 :])
+            case += f"WHEN {geq or 'TRUE'} THEN '{lang}' "
+        case += "END"
+        out[engine] = case
+    return out
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword language-ID heuristic: hit count per language's
+    stopword set, argmax with deterministic priority-order tie-break."""
+    return df.withColumn("pred_lang", F.expr(lang_id_fragments(text_col)["spark"]))
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", prefix_len: int = 64, *, portable: bool = True
+) -> DataFrame:
+    """Rolling polynomial fingerprint of the document prefix. With
+    portable=False uses xxhash64 (cheaper, production path)."""
+    prefix = f"substr({text_col}, 1, {prefix_len})"
+    if portable:
+        expr = P.poly_hash({"spark": prefix, "duck": prefix})["spark"]
+    else:
+        expr = f"xxhash64({prefix})"
+    return df.withColumn("fingerprint", F.expr(expr))
+
+
+def token_hashes_fragments(text_col: str = "text") -> dict[str, str]:
+    """Polynomial hash per whitespace token — shared by SimHash and tests."""
+    tok = P.tokens(text_col)
+    return {
+        "spark": f"transform({tok['spark']}, sh -> {P.poly_hash('sh')['spark']})",
+        "duck": f"[{P.poly_hash('sh')['duck']} FOR sh IN {tok['duck']}]",
+    }
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash over token polynomial hashes — near-duplicate fingerprint
+    where small text edits flip few bits. Token hashes are materialized to
+    a column first so the per-bit vote doesn't re-hash the text."""
+    df = df.withColumn("_th", F.expr(token_hashes_fragments(text_col)["spark"]))
+    sim = P.simhash({"spark": "_th", "duck": "_th"}, bits)["spark"]
+    return df.withColumn("simhash", F.expr(sim)).drop("_th")

@@ -3,3 +3,4 @@ from .registry import QuerySpec, REGISTRY, register, all_queries, all_oracles  #
 # Importing these modules populates REGISTRY via @register decorators.
 from . import relational  # noqa: F401,E402
 from . import cdc  # noqa: F401,E402
+from . import pipeline  # noqa: F401,E402

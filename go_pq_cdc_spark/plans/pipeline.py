@@ -1,0 +1,307 @@
+"""Training-data pipeline queries (dedup / similarity / text analysis) with
+DuckDB oracles.
+
+Every oracle is generated from the SAME portable fragment builders the
+Spark operators use (`functions.portable`, `operators.text/dedup/
+similarity`), so both engines evaluate structurally identical arithmetic —
+the comparisons are exact, including the MinHash-LSH pipeline end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions import portable as P
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as TX
+from .registry import register
+
+_TOK = P.tokens("text")
+_NTOK = P.n_tokens("text")
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM({_NTOK['duck']}) AS BIGINT) AS sum_tokens,
+           CAST(SUM({_NTOK['duck']}) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text",),
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting, aggregated per language tag."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.expr(_NTOK["spark"]).cast("long")
+    return (
+        docs.withColumn("nt", nt)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("sum_tokens"),
+            (F.sum("nt").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+    )
+
+
+_STOP_EN = TX.stop_count_fragments("text", TX.LANG_STOPWORDS["en"])
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_NTOK['duck']} AS BIGINT) AS n_tokens,
+           CAST(length(replace(trim(text), ' ', '')) AS BIGINT) AS n_alpha,
+           CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / {_NTOK['duck']} AS avg_token_len,
+           CAST({_STOP_EN['duck']} AS DOUBLE) / {_NTOK['duck']} AS stop_ratio
+    FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, alpha mass, average token
+    length, stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_alpha", "avg_token_len", "stop_ratio"
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, {TX.lang_id_fragments('text')['duck']} AS pred_lang,
+           CASE WHEN {TX.lang_id_fragments('text')['duck']} = lang THEN 1 ELSE 0 END AS is_match
+    FROM documents
+    """,
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID + agreement flag with the source tag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.with_lang_id(docs).select(
+        "doc_id",
+        "pred_lang",
+        F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0).alias("is_match"),
+    )
+
+
+_FP = P.poly_hash({"spark": "substr(text, 1, 64)", "duck": "substr(text, 1, 64)"})
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"SELECT doc_id, {_FP['duck']} AS fingerprint FROM documents",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint of the 64-char document prefix."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+_TH = TX.token_hashes_fragments("text")
+_SIMHASH_DUCK = P.simhash({"spark": "_th", "duck": "_th"}, 32)["duck"]
+
+
+@register(
+    "text_simhash",
+    oracle=f"""
+    WITH th AS (SELECT doc_id, {_TH['duck']} AS _th FROM documents)
+    SELECT doc_id, {_SIMHASH_DUCK} AS simhash FROM th
+    """,
+    tags=("text", "dedup"),
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints over token polynomial hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.with_simhash(docs).select("doc_id", "simhash")
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT md5(text) AS key_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM u GROUP BY md5(text)
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hash dedup over a corpus with injected duplicates (each doc
+    unioned once under a shifted id): every group must collapse to the
+    original id with n_copies=2."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return D.exact_dedup(docs.unionByName(dup), "doc_id")
+
+
+def _minhash_oracle(threshold: float = 0.5) -> str:
+    sh = P.shingle_hashes("text")["duck"]
+    sig = P.minhash_signature({"spark": "sh", "duck": "sh"}, D.MINHASH_K)["duck"]
+    bk = D.band_key_fragments("sig")["duck"]
+    return f"""
+    WITH docs AS (
+        SELECT doc_id AS id, {sh} AS sh
+        FROM documents WHERE {_NTOK['duck']} >= 3
+    ),
+    sigs AS (SELECT id, sh, {sig} AS sig FROM docs),
+    bands AS (
+        SELECT id, b AS band, {bk} AS band_key
+        FROM sigs, range(0, {D.LSH_BANDS}) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    pairs AS (
+        SELECT id_a, id_b,
+               len(list_intersect(da.sh, db.sh)) AS n_inter,
+               len(da.sh) AS la, len(db.sh) AS lb
+        FROM cand
+        JOIN docs da ON cand.id_a = da.id
+        JOIN docs db ON cand.id_b = db.id
+    )
+    SELECT id_a AS doc_a, id_b AS doc_b,
+           CAST(n_inter AS DOUBLE) / (la + lb - n_inter) AS jaccard
+    FROM pairs
+    WHERE CAST(n_inter AS DOUBLE) / (la + lb - n_inter) >= {threshold}
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (16 hashes, 4 bands of 4), verified with
+    exact Jaccard on candidates — the sub-quadratic dedup path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id")
+
+
+def _jaccard_oracle(threshold: float = 0.5) -> str:
+    sh = P.shingle_hashes("text")["duck"]
+    return f"""
+    WITH docs AS (
+        SELECT doc_id AS id, lang AS blk, {sh} AS sh
+        FROM documents WHERE {_NTOK['duck']} >= 3
+    )
+    SELECT a.id AS doc_a, b.id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM docs a JOIN docs b ON a.blk = b.blk AND a.id < b.id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {threshold}
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_jaccard_oracle(),
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blocked (by lang) pairwise 3-token-shingle Jaccard — ground
+    truth for the LSH recall test."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", block_col="lang")
+
+
+_NRM = P.scaled_dot("embedding", "embedding", "embedding")
+_QDOT_DUCK = P.scaled_dot("qv", "v", "qv")["duck"]
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH nrm AS (
+        SELECT vec_id, embedding, {_NRM['duck']} AS n2 FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, n2 AS q_n2 FROM nrm WHERE vec_id < 8),
+    c AS (SELECT vec_id AS c_id, embedding AS v, n2 AS c_n2 FROM nrm),
+    pairs AS (
+        SELECT q_id, c_id,
+               CAST({_QDOT_DUCK} AS DOUBLE)
+                   / (sqrt(CAST(q_n2 AS DOUBLE)) * sqrt(CAST(c_n2 AS DOUBLE))) AS cos_sim
+        FROM q, c WHERE q_id <> c_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id AS neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk
+        FROM pairs
+    )
+    SELECT q_id, neighbor_id, rnk, cos_sim FROM ranked WHERE rnk <= 5
+    """,
+    tags=("similarity", "topk"),
+    bench=True,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors (broadcast queries,
+    single corpus scan, per-query window)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+_BUCKET = S.lsh_bucket_fragments("embedding")
+
+
+@register(
+    "sim_lsh_buckets",
+    oracle=f"""
+    SELECT {_BUCKET['duck']} AS bucket, COUNT(*) AS n_vecs
+    FROM embeddings GROUP BY 1
+    """,
+    tags=("similarity", "lsh"),
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram — the ANN candidate
+    partitioning (8 planes -> 256 buckets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        S.with_lsh_bucket(emb)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+_ABDOT_DUCK = P.scaled_dot("a.v", "b.v", "a.v")["duck"]
+
+
+@register(
+    "emb_near_dup",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id AS id, embedding AS v, label AS blk, {_NRM['duck'].replace('embedding', 'embedding')} AS n2
+        FROM embeddings
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST({_ABDOT_DUCK} AS DOUBLE)
+               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+    FROM vecs a JOIN vecs b ON a.blk = b.blk AND a.id < b.id
+    WHERE CAST({_ABDOT_DUCK} AS DOUBLE)
+              / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4
+    """,
+    tags=("dedup", "embedding"),
+)
+def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup(emb, threshold=0.4)
