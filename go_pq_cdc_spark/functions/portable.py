@@ -50,6 +50,47 @@ def poly_hash(s: dict[str, str] | str) -> dict[str, str]:
     }
 
 
+def md5_hash(s: dict[str, str] | str) -> dict[str, str]:
+    """int64 hash from the first 15 hex chars of md5 (both engines share
+    md5 and evaluate it natively — unlike xxhash64/murmur3 which disagree
+    across engines). Range [0, 2^60)."""
+    if isinstance(s, str):
+        s = {"spark": s, "duck": s}
+    return {
+        "spark": f"CAST(conv(substr(md5({s['spark']}), 1, 15), 16, 10) AS BIGINT)",
+        "duck": f"CAST('0x' || substr(md5({s['duck']}), 1, 15) AS BIGINT)",
+    }
+
+
+def md5_hash_m31(s: dict[str, str] | str) -> dict[str, str]:
+    """md5-derived hash reduced mod 2^31-1 — safe as MinHash input
+    (a*h + b stays inside int64)."""
+    h = md5_hash(s)
+    return {
+        "spark": f"({h['spark']} % {MERSENNE31})",
+        "duck": f"({h['duck']} % {MERSENNE31})",
+    }
+
+
+def minhash_coeffs(k: int) -> tuple[int, int]:
+    """(a_k, b_k) for the k-th MinHash permutation — same formula the SQL
+    fragments inline, for use as Python-side literals."""
+    return (k * KNUTH + 1) % MERSENNE31, (k * 40503 + 7) % MERSENNE31
+
+
+def token_shingles_col(tok_col: str, n: int = 3) -> dict[str, str]:
+    """n-token shingles over a MATERIALIZED token-array column. Use this on
+    the Spark side: inlining the tokenizer into the lambda re-evaluates
+    split() for every element_at — O(tokens^2) per document. Callers must
+    restrict to rows with size(tokens) >= n."""
+    sp_parts = ", ' ', ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
+    du_parts = " || ' ' || ".join(f"{tok_col}[i + {j}]" for j in range(n))
+    return {
+        "spark": f"transform(sequence(1, size({tok_col}) - {n - 1}), i -> concat({sp_parts}))",
+        "duck": f"[{du_parts} FOR i IN range(1, len({tok_col}) - {n - 2})]",
+    }
+
+
 def token_shingles(tok: dict[str, str], n: int = 3) -> dict[str, str]:
     """n-token shingles (space-joined). Callers must restrict to rows with
     size(tokens) >= n — Spark's sequence() runs backwards on start>stop."""
@@ -62,14 +103,14 @@ def token_shingles(tok: dict[str, str], n: int = 3) -> dict[str, str]:
 
 
 def shingle_hashes(col: str, n: int = 3) -> dict[str, str]:
-    """Distinct polynomial hashes of the n-token shingles of a text column —
-    the MinHash input set."""
+    """Distinct md5-derived hashes (mod 2^31-1) of the n-token shingles of
+    a text column — the MinHash input set."""
     tok = tokens(col)
     sh = token_shingles(tok, n)
-    ph_sp = poly_hash({"spark": "sh", "duck": "sh"})
+    h = md5_hash_m31({"spark": "sh", "duck": "sh"})
     return {
-        "spark": f"array_distinct(transform({sh['spark']}, sh -> {ph_sp['spark']}))",
-        "duck": f"list_distinct([{ph_sp['duck']} FOR sh IN {sh['duck']}])",
+        "spark": f"array_distinct(transform({sh['spark']}, sh -> {h['spark']}))",
+        "duck": f"list_distinct([{h['duck']} FOR sh IN {sh['duck']}])",
     }
 
 

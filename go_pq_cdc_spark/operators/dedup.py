@@ -53,13 +53,22 @@ def band_key_fragments(sig: str, band_var: str = "b") -> dict[str, str]:
 
 
 def shingle_doc(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """(id, sh) with sh = distinct polynomial 3-token-shingle hashes; rows
-    with <3 tokens dropped (can't shingle)."""
-    ntok = P.n_tokens(text_col)["spark"]
-    sh = P.shingle_hashes(text_col)["spark"]
+    """(id, sh) with sh = distinct 3-token-shingle hashes; rows with <3
+    tokens dropped (can't shingle). Tokens are materialized to a column
+    first (see token_shingles_col) and the input repartitioned so a
+    single-file table still parallelizes the hashing."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok = P.tokens(text_col)["spark"]
+    sh = P.token_shingles_col("toks")["spark"]
+    h = P.md5_hash_m31("sh")["spark"]
     return (
-        df.filter(F.expr(f"{ntok} >= 3"))
-        .select(F.col(id_col).alias("id"), F.expr(sh).alias("sh"))
+        df.repartition(par, F.col(id_col))
+        .withColumn("toks", F.expr(tok))
+        .filter(F.expr("size(toks) >= 3"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.expr(f"array_distinct(transform({sh}, sh -> {h}))").alias("sh"),
+        )
     )
 
 
@@ -71,23 +80,44 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash+LSH with exact-Jaccard verification.
 
-    Pipeline: shingle-hash sets → 16-hash MinHash signature → 4 bands of 4 →
+    Pipeline: explode shingles → md5 hash per shingle (native, codegen) →
+    one groupBy(doc) computing all 16 permutation minima as plain MIN
+    aggregates + collect_set of the shingle hashes → 4 bands of 4 →
     self-equi-join on (band, band_key) → distinct candidate pairs → exact
     Jaccard on the shingle sets → filter >= threshold.
 
-    Scale: the only joins are equi-joins on band buckets (shuffle on
-    band_key — high cardinality) and on doc id to fetch shingle sets; cost
-    is O(candidates), not O(n^2)."""
-    docs = shingle_doc(df, id_col, text_col).cache()
-    sig_sql = P.minhash_signature({"spark": "sh", "duck": "sh"}, MINHASH_K)["spark"]
-    sigs = docs.withColumn("sig", F.expr(sig_sql))
-    bk = band_key_fragments("sig")["spark"]
-    bands = sigs.select(
-        "id",
-        F.expr(
-            f"explode(transform(sequence(0, {LSH_BANDS - 1}), "
-            f"b -> struct(b AS band, {bk} AS band_key)))"
-        ).alias("bb"),
+    Scale: explode is narrow; signatures are ONE shuffle on doc id with
+    map-side partial MIN; candidates come from an equi-join on band buckets
+    (high-cardinality key) — cost is O(candidates), not O(n^2)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok = P.tokens(text_col)["spark"]
+    sh_strings = P.token_shingles_col("toks")["spark"]
+    h = P.md5_hash_m31("sh")["spark"]
+    exploded = (
+        df.repartition(par, F.col(id_col))
+        .withColumn("toks", F.expr(tok))
+        .filter(F.expr("size(toks) >= 3"))
+        .select(F.col(id_col).alias("id"), F.explode(F.expr(sh_strings)).alias("sh"))
+        .select("id", F.expr(h).alias("h"))
+        .distinct()
+    )
+    aggs = []
+    for k in range(MINHASH_K):
+        a_k, b_k = P.minhash_coeffs(k)
+        aggs.append(
+            F.min((F.lit(a_k) * F.col("h") + F.lit(b_k)) % P.MERSENNE31).alias(f"m{k}")
+        )
+    per_doc = exploded.groupBy("id").agg(*aggs, F.collect_set("h").alias("sh")).cache()
+    docs = per_doc.select("id", "sh")
+    band_structs = ", ".join(
+        "struct({b} AS band, concat_ws(',', {ms}) AS band_key)".format(
+            b=b,
+            ms=", ".join(f"m{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)),
+        )
+        for b in range(LSH_BANDS)
+    )
+    bands = per_doc.select(
+        "id", F.expr(f"explode(array({band_structs}))").alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
     cand = (
         bands.alias("a")

@@ -34,9 +34,12 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine. Query side is broadcast;
     ranking is a per-query window (shuffle on query id only)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
     norm = P.scaled_dot("v", "v", "v")["spark"]
-    corpus = df.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("v")).withColumn(
-        "c_nrm", F.expr(norm)
+    corpus = (
+        df.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("v"))
+        .repartition(par, F.col("c_id"))
+        .withColumn("c_nrm", F.expr(norm))
     )
     qset = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")

@@ -25,12 +25,14 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """n_tokens, alpha char count, avg token length, stopword ratio."""
+    """n_tokens, alpha char count, avg token length, stopword ratio.
+    Tokens materialized once per row (split is the expensive part)."""
     tok = P.tokens(text_col)["spark"]
     stop = LANG_STOPWORDS["en"]
     stop_list = ", ".join(f"'{w}'" for w in stop)
     return (
-        df.withColumn("n_tokens", F.expr(f"size({tok})").cast("long"))
+        df.withColumn("_toks", F.expr(tok))
+        .withColumn("n_tokens", F.expr("size(_toks)").cast("long"))
         .withColumn(
             "n_alpha",
             F.expr(f"length(replace(trim({text_col}), ' ', ''))").cast("long"),
@@ -42,9 +44,10 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn(
             "stop_ratio",
             F.expr(
-                f"CAST(size(filter({tok}, x -> x IN ({stop_list}))) AS DOUBLE) / size({tok})"
+                f"CAST(size(filter(_toks, x -> x IN ({stop_list}))) AS DOUBLE) / size(_toks)"
             ),
         )
+        .drop("_toks")
     )
 
 
@@ -97,11 +100,12 @@ def with_fingerprint(
 
 
 def token_hashes_fragments(text_col: str = "text") -> dict[str, str]:
-    """Polynomial hash per whitespace token — shared by SimHash and tests."""
+    """md5-derived hash per whitespace token — shared by SimHash and tests."""
     tok = P.tokens(text_col)
+    h = P.md5_hash_m31("sh")
     return {
-        "spark": f"transform({tok['spark']}, sh -> {P.poly_hash('sh')['spark']})",
-        "duck": f"[{P.poly_hash('sh')['duck']} FOR sh IN {tok['duck']}]",
+        "spark": f"transform({tok['spark']}, sh -> {h['spark']})",
+        "duck": f"[{h['duck']} FOR sh IN {tok['duck']}]",
     }
 
 
@@ -109,6 +113,10 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataF
     """SimHash over token polynomial hashes — near-duplicate fingerprint
     where small text edits flip few bits. Token hashes are materialized to
     a column first so the per-bit vote doesn't re-hash the text."""
-    df = df.withColumn("_th", F.expr(token_hashes_fragments(text_col)["spark"]))
+    tok = P.tokens(text_col)["spark"]
+    h = P.md5_hash_m31("sh")["spark"]
+    df = df.withColumn("_toks", F.expr(tok)).withColumn(
+        "_th", F.expr(f"transform(_toks, sh -> {h})")
+    )
     sim = P.simhash({"spark": "_th", "duck": "_th"}, bits)["spark"]
-    return df.withColumn("simhash", F.expr(sim)).drop("_th")
+    return df.withColumn("simhash", F.expr(sim)).drop("_th", "_toks")
