@@ -1,0 +1,93 @@
+"""Structured Streaming surface of the engine (SURVEY.md §7 M2/M3).
+
+Transport: the stream source reads change-event batches from a directory
+(parquet/json files) — the transport-agnostic seam the reference fills with
+its replication socket (O1-O3). In production the same DataFrame shape
+comes from a Kafka topic fed by wal2json/pgoutput, or from the
+`sources.postgres` poll reader; every operator downstream is identical.
+
+Apply idiom (M3): `mirror_sink` maintains a queryable current-state mirror
+of the captured table via foreachBatch + max-LSN-wins merge — the
+Spark-native replacement for the reference's ordered callback delivery
+(O21), giving effectively-once semantics on top of at-least-once delivery
+because the merge is idempotent (SURVEY.md §2.2 'Exactly-once').
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+# Flat envelope used by the streaming tests/fixtures (a typed projection of
+# envelope.CHANGE_EVENT_SCHEMA for a single table).
+FLAT_CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("xid", T.LongType(), True),
+        T.StructField("commit_ts", T.TimestampType(), True),
+        T.StructField("pk", T.LongType(), False),
+        T.StructField("after_val", T.DoubleType(), True),
+    ]
+)
+
+
+def changelog_stream(
+    spark: SparkSession, path: str, schema: T.StructType = FLAT_CHANGE_SCHEMA
+) -> DataFrame:
+    """File-transport change stream; one file = one WAL segment's worth of
+    events. maxFilesPerTrigger bounds batch size (the analogue of the
+    reference's 1000-message channel backpressure, stream.go:93)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+
+
+def merge_mirror_batch(batch_df: DataFrame, state_dir: str) -> None:
+    """Idempotent max-LSN-wins merge of one micro-batch into the parquet
+    mirror (Delta MERGE stand-in; same keyed upsert semantics).
+
+    Reads the current mirror, unions the batch, keeps the max-LSN row per
+    pk, drops deleted keys, atomically swaps the directory. At scale this
+    is a Delta/Iceberg MERGE (file-pruned, partitioned by pk bucket);
+    parquet-overwrite keeps the same semantics for the test harness."""
+    spark = batch_df.sparkSession
+    cur_path = os.path.join(state_dir, "current")
+    incoming = batch_df.select("pk", "lsn", "op", "after_val")
+    if os.path.exists(cur_path):
+        existing = spark.read.parquet(cur_path).select("pk", "lsn", "op", "after_val")
+        merged = existing.unionByName(incoming)
+    else:
+        merged = incoming
+    w = Window.partitionBy("pk").orderBy(F.desc("lsn"))
+    state = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .drop("rn")
+    )
+    tmp_path = os.path.join(state_dir, "next")
+    state.write.mode("overwrite").parquet(tmp_path)
+    # Re-point 'current' at the new snapshot (atomic rename swap).
+    old_path = os.path.join(state_dir, "old")
+    if os.path.exists(old_path):
+        __import__("shutil").rmtree(old_path)
+    if os.path.exists(cur_path):
+        os.rename(cur_path, old_path)
+    os.rename(tmp_path, cur_path)
+
+
+def mirror_sink(stream_df: DataFrame, state_dir: str, checkpoint_dir: str):
+    """Attach the mirror-maintenance sink to a change stream. Returns the
+    StreamingQuery; call processAllAvailable() to drain in tests."""
+    return (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda batch_df, _epoch: merge_mirror_batch(batch_df, state_dir))
+        .start()
+    )

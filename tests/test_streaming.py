@@ -1,0 +1,176 @@
+"""Streaming-layer tests: file-transport change stream -> stateful txn
+buffering and mirror maintenance, driven synchronously with
+processAllAvailable() (the reference's integration scenarios, SURVEY.md §5,
+minus the real Postgres)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from go_pq_cdc_spark.streaming import (
+    buffer_streamed_txns,
+    changelog_stream,
+    merge_mirror_batch,
+    mirror_sink,
+)
+from go_pq_cdc_spark.streaming.changelog_stream import FLAT_CHANGE_SCHEMA
+
+import datetime
+
+
+def _ev(op, lsn, xid, pk, val):
+    return Row(
+        op=op,
+        lsn=lsn,
+        xid=xid,
+        commit_ts=datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=lsn),
+        pk=pk,
+        after_val=val,
+    )
+
+
+@pytest.fixture()
+def tmpdirs():
+    base = tempfile.mkdtemp(prefix="gpcs_stream_")
+    yield {
+        "in": os.path.join(base, "in"),
+        "state": os.path.join(base, "state"),
+        "ckpt": os.path.join(base, "ckpt"),
+        "ckpt2": os.path.join(base, "ckpt2"),
+    }
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _write_batch(spark, path, rows, batch_id):
+    df = spark.createDataFrame(rows, FLAT_CHANGE_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, f"b{batch_id}"))
+
+
+def test_mirror_sink_latest_state(spark, tmpdirs):
+    """basic_functionality_test.go roundtrip: insert/update/delete stream
+    maintained as a queryable mirror with max-LSN-wins."""
+    os.makedirs(tmpdirs["in"], exist_ok=True)
+    _write_batch(
+        spark,
+        tmpdirs["in"],
+        [_ev("I", 1, 10, 1, 1.0), _ev("I", 2, 10, 2, 2.0), _ev("U", 3, 11, 1, 1.5)],
+        0,
+    )
+    stream = changelog_stream(spark, tmpdirs["in"] + "/*")
+    q = mirror_sink(stream, tmpdirs["state"], tmpdirs["ckpt"])
+    try:
+        q.processAllAvailable()
+        state = {
+            r["pk"]: r["after_val"]
+            for r in spark.read.parquet(os.path.join(tmpdirs["state"], "current")).collect()
+        }
+        assert state == {1: 1.5, 2: 2.0}
+
+        _write_batch(
+            spark, tmpdirs["in"], [_ev("D", 4, 12, 2, None), _ev("I", 5, 12, 3, 3.0)], 1
+        )
+        q.processAllAvailable()
+        state = {
+            r["pk"]: r["after_val"]
+            for r in spark.read.parquet(os.path.join(tmpdirs["state"], "current")).collect()
+        }
+        assert state == {1: 1.5, 3: 3.0}
+    finally:
+        q.stop()
+
+
+def test_mirror_merge_idempotent(spark, tmpdirs):
+    """At-least-once delivery: replaying the same batch must not change the
+    mirror (idempotent MERGE => effectively-once)."""
+    rows = [_ev("I", 1, 10, 1, 1.0), _ev("U", 2, 10, 1, 2.0)]
+    batch = spark.createDataFrame(rows, FLAT_CHANGE_SCHEMA)
+    os.makedirs(tmpdirs["state"], exist_ok=True)
+    merge_mirror_batch(batch, tmpdirs["state"])
+    first = sorted(
+        spark.read.parquet(os.path.join(tmpdirs["state"], "current")).collect()
+    )
+    merge_mirror_batch(batch, tmpdirs["state"])
+    second = sorted(
+        spark.read.parquet(os.path.join(tmpdirs["state"], "current")).collect()
+    )
+    assert first == second
+
+
+def test_streamed_txn_commit_and_abort(spark, tmpdirs):
+    """streaming_transaction_test.go + streaming_rollback_test.go: events
+    surface only after their txn's commit marker, in LSN order, stamped
+    with the commit LSN; aborted txns deliver nothing."""
+    os.makedirs(tmpdirs["in"], exist_ok=True)
+    # Batch 0: xid 100 starts (2 events, no commit); xid 200 starts.
+    _write_batch(
+        spark,
+        tmpdirs["in"],
+        [_ev("I", 10, 100, 1, 1.0), _ev("U", 12, 100, 1, 1.1), _ev("I", 11, 200, 9, 9.0)],
+        0,
+    )
+    stream = changelog_stream(spark, tmpdirs["in"] + "/*")
+    out = buffer_streamed_txns(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("txn_out")
+        .option("checkpointLocation", tmpdirs["ckpt2"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM txn_out").count() == 0  # nothing committed yet
+
+        # Batch 1: xid 100 commits (commit LSN 20); xid 200 aborts.
+        _write_batch(
+            spark,
+            tmpdirs["in"],
+            [_ev("C", 20, 100, 0, None), _ev("A", 21, 200, 0, None)],
+            1,
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM txn_out ORDER BY lsn").collect()
+        assert [(r["xid"], r["lsn"], r["commit_lsn"]) for r in rows] == [
+            (100, 10, 20),
+            (100, 12, 20),
+        ]
+        assert not [r for r in rows if r["xid"] == 200], "aborted txn leaked"
+    finally:
+        q.stop()
+
+
+def test_windowed_agg_with_watermark(spark, tmpdirs):
+    """Streaming windows + watermark over commit_ts (SURVEY §2.2 streaming
+    rows): tumbling 10s counts per op."""
+    os.makedirs(tmpdirs["in"], exist_ok=True)
+    _write_batch(
+        spark,
+        tmpdirs["in"],
+        [_ev("I", i, 1, i, float(i)) for i in range(25)],
+        0,
+    )
+    stream = changelog_stream(spark, tmpdirs["in"] + "/*")
+    agg = (
+        stream.withWatermark("commit_ts", "30 seconds")
+        .groupBy(F.window("commit_ts", "10 seconds"), "op")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT n FROM win_out").collect()
+        assert sum(r["n"] for r in rows) == 25
+        assert len(rows) == 3  # lsn 0..24 -> 3 tumbling windows
+    finally:
+        q.stop()
