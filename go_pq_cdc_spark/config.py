@@ -1,0 +1,139 @@
+"""Engine configuration + validation (reference O34, `config/config.go`).
+
+Mirrors the reference's defaulting and cross-validation rules
+(config/config.go:69-129 defaults, :146-277 validation, :306-378
+per-table precedence):
+  * snapshot chunk size default 8000 (config.go:113-114)
+  * pgoutput protocol version default 2, allowed {1, 2}
+  * default schema 'public'
+  * snapshot tables must be a subset of publication tables
+  * heartbeat table must be inside the publication (config.go:206-228)
+  * REPLICA IDENTITY FULL is incompatible with a column list
+    (publication/table.go:57-59)
+  * queryCondition keyword blocklist (publication/query_condition.go:9-33)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+DEFAULT_CHUNK_SIZE = 8000
+DEFAULT_SCHEMA = "public"
+DEFAULT_PROTO_VERSION = 2
+
+SNAPSHOT_MODES = ("initial", "never", "snapshot_only")
+SNAPSHOT_STRATEGIES = ("auto", "integer_range", "ctid_block", "offset")
+REPLICA_IDENTITIES = ("DEFAULT", "FULL", "NOTHING", "INDEX")
+
+# The reference blocks obviously-dangerous constructs in user row filters
+# (query_condition.go:9-33). We additionally parse-check at plan time.
+_FORBIDDEN_CONDITION = re.compile(
+    r"(;|--|\b(insert|update|delete|drop|alter|create|grant|truncate)\b)", re.IGNORECASE
+)
+
+
+class ConfigError(ValueError):
+    pass
+
+
+@dataclass
+class TableConfig:
+    """Per-table capture config (`pq/publication/table.go:33-46`)."""
+
+    name: str
+    schema: str = DEFAULT_SCHEMA
+    columns: list[str] | None = None  # None = all columns (O15)
+    query_condition: str | None = None  # snapshot row filter (O16)
+    replica_identity: str = "DEFAULT"
+    snapshot_strategy: str = "auto"  # O13 override
+    partitioned: bool = False  # publish_via_partition_root (O32)
+
+    @property
+    def qualified(self) -> str:
+        return f"{self.schema}.{self.name}"
+
+    def validate(self) -> None:
+        if not self.name:
+            raise ConfigError("table name required")
+        if self.replica_identity not in REPLICA_IDENTITIES:
+            raise ConfigError(
+                f"{self.qualified}: replica identity {self.replica_identity!r} "
+                f"not in {REPLICA_IDENTITIES}"
+            )
+        if self.replica_identity == "FULL" and self.columns:
+            # reference: column list forbidden with FULL (table.go:57-59)
+            raise ConfigError(
+                f"{self.qualified}: column list cannot be combined with REPLICA IDENTITY FULL"
+            )
+        if self.snapshot_strategy not in SNAPSHOT_STRATEGIES:
+            raise ConfigError(
+                f"{self.qualified}: snapshot strategy {self.snapshot_strategy!r} "
+                f"not in {SNAPSHOT_STRATEGIES}"
+            )
+        if self.query_condition:
+            validate_query_condition(self.query_condition)
+
+
+def validate_query_condition(cond: str) -> None:
+    """queryCondition blocklist (`publication/query_condition.go:9-33`)."""
+    m = _FORBIDDEN_CONDITION.search(cond)
+    if m:
+        raise ConfigError(f"forbidden token {m.group(0)!r} in query condition {cond!r}")
+
+
+@dataclass
+class EngineConfig:
+    """Top-level engine config (`config/config.go:19-33`)."""
+
+    publication_name: str = "cdc_publication"
+    slot_name: str = "cdc_slot"
+    tables: list[TableConfig] = field(default_factory=list)
+    publish_ops: tuple[str, ...] = ("insert", "update", "delete", "truncate")
+    proto_version: int = DEFAULT_PROTO_VERSION
+    snapshot_mode: str = "initial"
+    snapshot_tables: list[str] | None = None  # None = all published tables
+    chunk_size: int = DEFAULT_CHUNK_SIZE
+    heartbeat_enabled: bool = True
+    heartbeat_table: str = "cdc_heartbeat"
+    heartbeat_schema: str = DEFAULT_SCHEMA
+    global_query_condition: str | None = None
+
+    def table_query_condition(self, table: TableConfig) -> str | None:
+        """Per-table condition wins over global (config.go:193-199)."""
+        return table.query_condition or self.global_query_condition
+
+    def validate(self) -> None:
+        if not self.publication_name or not self.slot_name:
+            raise ConfigError("publication_name and slot_name are required")
+        if self.proto_version not in (1, 2):
+            raise ConfigError(f"proto_version must be 1 or 2, got {self.proto_version}")
+        if self.snapshot_mode not in SNAPSHOT_MODES:
+            raise ConfigError(
+                f"snapshot_mode {self.snapshot_mode!r} not in {SNAPSHOT_MODES}"
+            )
+        if self.chunk_size < 1:
+            raise ConfigError("chunk_size must be positive")
+        bad_ops = set(self.publish_ops) - {"insert", "update", "delete", "truncate"}
+        if bad_ops:
+            raise ConfigError(f"unknown publish ops: {sorted(bad_ops)}")
+        for t in self.tables:
+            t.validate()
+        published = {t.qualified for t in self.tables}
+        if self.snapshot_tables is not None:
+            missing = set(self.snapshot_tables) - published
+            if missing:
+                # reference: snapshot tables must be published (config.go)
+                raise ConfigError(
+                    f"snapshot tables not in publication: {sorted(missing)}"
+                )
+        if self.heartbeat_enabled and self.tables:
+            hb = f"{self.heartbeat_schema}.{self.heartbeat_table}"
+            if hb not in published:
+                # reference: heartbeat must be captured or its events can't
+                # advance the confirmed LSN (config.go:206-228)
+                raise ConfigError(
+                    f"heartbeat table {hb} must be included in the publication"
+                )
+        if self.global_query_condition:
+            validate_query_condition(self.global_query_condition)

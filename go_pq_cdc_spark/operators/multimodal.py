@@ -1,0 +1,119 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines.
+
+Media payloads are opaque `binary` columns + typed metadata struct; all
+transforms run as Arrow-batched `mapInPandas` so each task processes
+columnar batches without JVM<->Python per-row cost. The actual codec work
+(decode/resize/frame-sample) needs PIL/ffmpeg etc. which are NOT in this
+container — those kernels are stubbed deterministically (env-gated), while
+the Spark-side plumbing (schema, batching, partitioning, UDF signatures)
+is real and tested.
+
+Scale notes: media rows are large — `repartition` by id before mapInPandas
+so batches stay under the Arrow batch target, and keep
+spark.sql.execution.arrow.maxRecordsPerBatch modest (e.g. 64) for >MB
+payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _decode_kernel(payload: bytes, kind: str) -> list[float]:
+    """STUB: real implementation decodes the media and extracts features
+    (PIL/torchvision for images, torchaudio/ffmpeg for audio/video — not
+    available in this container). The deterministic fake derives an
+    8-float vector from the payload digest so pipelines are testable
+    end-to-end with stable outputs."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+def extract_features(df: DataFrame, batch_size_hint: int = 64) -> DataFrame:
+    """payload -> (size, content hash, feature vector) via mapInPandas.
+
+    The per-batch loop is vectorized where it can be (sizes, hashes) and
+    delegates per-item work to the decode kernel; swapping the stub for a
+    real codec does not change the Spark plan."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(lambda p: len(p) if p is not None else 0),
+                    "content_hash": payloads.map(
+                        lambda p: hashlib.sha256(p or b"").hexdigest()
+                    ),
+                    "feature": [
+                        _decode_kernel(p, k)
+                        for p, k in zip(payloads, pdf["kind"])
+                    ],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(par, F.col("media_id"))
+        .select("media_id", "kind", "payload")
+        .mapInPandas(op, schema=FEATURE_SCHEMA)
+    )
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB surface for image resize: raises until a codec is installed;
+    the signature/schema is the stable contract."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image resize needs PIL/opencv (not in this container); "
+            "plug the kernel into extract_features-style mapInPandas"
+        )
+
+    return df.mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+def media_dedup(features: DataFrame) -> DataFrame:
+    """Exact media dedup on content hash (same shape as text exact dedup)."""
+    return features.groupBy("content_hash").agg(
+        F.min("media_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

@@ -1,0 +1,198 @@
+"""PostgreSQL transport: partitioned JDBC snapshot reads + logical-slot /
+publication / heartbeat management DDL + a poll-based change reader.
+
+This is the production seam of the engine (reference O1, O9-O16, O25-O27).
+The container has no PostgreSQL server and no JDBC driver jar, so these
+functions are exercised by SQL-generation unit tests; the DataFrame surface
+they produce is byte-identical to the parquet transport used by the
+correctness gate (SURVEY.md §7: planner abstracts partition spec from
+transport).
+
+Consistency note (SURVEY.md §7 'hard parts'): Spark JDBC opens one
+connection per partition. `snapshot_jdbc_options` therefore emits a
+`sessionInitStatement` running `SET TRANSACTION SNAPSHOT '<id>'` so every
+partition reads the SAME exported snapshot — the Spark equivalent of the
+reference's worker setup (`pq/snapshot/transaction_snapshot.go:44-54`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..config import EngineConfig, TableConfig
+from ..snapshot.planner import SnapshotPlan, Strategy
+
+
+@dataclass
+class PostgresConnection:
+    host: str
+    port: int
+    database: str
+    user: str
+    password: str
+
+    @property
+    def jdbc_url(self) -> str:
+        return f"jdbc:postgresql://{self.host}:{self.port}/{self.database}"
+
+
+# --- O25: replication-slot lifecycle (pq/slot/slot.go) ---------------------
+
+
+def create_slot_sql(slot_name: str) -> str:
+    """`pq/slot/slot.go:94-114` — created BEFORE the snapshot so WAL from
+    that point is pinned (O28 ordering, connector.go:352-357)."""
+    return (
+        f"SELECT pg_create_logical_replication_slot('{slot_name}', 'pgoutput') "
+        f"WHERE NOT EXISTS (SELECT 1 FROM pg_replication_slots WHERE slot_name = '{slot_name}')"
+    )
+
+
+def slot_status_sql(slot_name: str) -> str:
+    """Lag/retained-WAL metrics by LSN subtraction (slot.go:127-148)."""
+    return (
+        "SELECT slot_name, active, restart_lsn, confirmed_flush_lsn, "
+        "pg_current_wal_lsn() AS current_lsn, "
+        "pg_wal_lsn_diff(pg_current_wal_lsn(), confirmed_flush_lsn) AS lag_bytes, "
+        "pg_wal_lsn_diff(pg_current_wal_lsn(), restart_lsn) AS retained_wal_bytes "
+        f"FROM pg_replication_slots WHERE slot_name = '{slot_name}'"
+    )
+
+
+def current_wal_lsn_sql() -> str:
+    return "SELECT pg_current_wal_lsn()"
+
+
+# --- O26: publication management (pq/publication/) -------------------------
+
+
+def create_publication_sql(cfg: EngineConfig) -> str:
+    """`publication/config.go:40-61`: FOR TABLE list with optional column
+    lists, publish= op subset, publish_via_partition_root."""
+    parts = []
+    for t in cfg.tables:
+        cols = f" ({', '.join(t.columns)})" if t.columns else ""
+        parts.append(f"{t.qualified}{cols}")
+    via_root = "true" if any(t.partitioned for t in cfg.tables) else "false"
+    return (
+        f"CREATE PUBLICATION {cfg.publication_name} FOR TABLE {', '.join(parts)} "
+        f"WITH (publish = '{', '.join(cfg.publish_ops)}', "
+        f"publish_via_partition_root = {via_root})"
+    )
+
+
+def replica_identity_sql(table: TableConfig) -> str:
+    """`publication/replica_identity.go:33-141` reconciliation DDL."""
+    ri = table.replica_identity
+    if ri == "INDEX":
+        raise NotImplementedError("USING INDEX requires the index name at call site")
+    return f"ALTER TABLE {table.qualified} REPLICA IDENTITY {ri}"
+
+
+# --- O27: heartbeat (pq/heartbeat/heartbeat.go) ----------------------------
+
+
+def heartbeat_ensure_sql(cfg: EngineConfig) -> list[str]:
+    """Single-row heartbeat table (heartbeat.go:40-93)."""
+    tbl = f"{cfg.heartbeat_schema}.{cfg.heartbeat_table}"
+    return [
+        f"CREATE TABLE IF NOT EXISTS {tbl} ("
+        "id int PRIMARY KEY CHECK (id = 1), last_heartbeat timestamptz)",
+        f"INSERT INTO {tbl} (id, last_heartbeat) VALUES (1, NOW()) ON CONFLICT (id) DO NOTHING",
+    ]
+
+
+def heartbeat_tick_sql(cfg: EngineConfig) -> str:
+    """Periodic WAL-advancing write (heartbeat.go:96-171)."""
+    tbl = f"{cfg.heartbeat_schema}.{cfg.heartbeat_table}"
+    return f"UPDATE {tbl} SET last_heartbeat = NOW() WHERE id = 1 RETURNING 1"
+
+
+# --- O9-O16: chunked snapshot over JDBC ------------------------------------
+
+
+def snapshot_export_sql() -> list[str]:
+    """Coordinator: hold a REPEATABLE READ txn open and export its snapshot
+    (`pq/snapshot/coordinator.go:105-180`)."""
+    return [
+        "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ",
+        "SELECT pg_export_snapshot()",
+    ]
+
+
+def chunk_query(
+    table: TableConfig,
+    chunk_where: str,
+    condition: str | None = None,
+) -> str:
+    """SELECT for one chunk: column projection (O15) + chunk predicate
+    (O10-O12) + queryCondition (O16, `coordinator.go:460-490`)."""
+    cols = ", ".join(table.columns) if table.columns else "*"
+    where = chunk_where
+    if condition:
+        where = f"({where}) AND ({condition})"
+    return f"SELECT {cols} FROM {table.qualified} WHERE {where}"
+
+
+def snapshot_jdbc_options(
+    conn: PostgresConnection,
+    table: TableConfig,
+    plan: SnapshotPlan,
+    snapshot_id: str | None = None,
+    condition: str | None = None,
+) -> dict:
+    """Options for ``spark.read.format('jdbc').options(**...)`` with one
+    partition per planner chunk.
+
+    integer-range plans use partitionColumn bounds (Spark generates the
+    same BETWEEN predicates the reference builds); ctid/offset plans use
+    the explicit predicates list. `sessionInitStatement` pins every
+    partition connection to the exported snapshot."""
+    opts = {
+        "url": conn.jdbc_url,
+        "user": conn.user,
+        "password": conn.password,
+        "fetchsize": "10000",
+    }
+    if snapshot_id:
+        opts["sessionInitStatement"] = (
+            "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; "
+            f"SET TRANSACTION SNAPSHOT '{snapshot_id}'"
+        )
+    cols = ", ".join(table.columns) if table.columns else "*"
+    base = f"SELECT {cols} FROM {table.qualified}"
+    if condition:
+        base += f" WHERE {condition}"
+    opts["dbtable"] = f"({base}) AS snapshot_src"
+    if plan.strategy is Strategy.INTEGER_RANGE and plan.chunks:
+        opts.update(
+            partitionColumn=plan.pk_column,
+            lowerBound=str(plan.chunks[0].range_start),
+            upperBound=str(plan.chunks[-1].range_end),
+            numPartitions=str(len(plan.chunks)),
+        )
+    return opts
+
+
+def snapshot_predicates(plan: SnapshotPlan) -> list[str]:
+    """Predicate-per-partition form (``spark.read.jdbc(..., predicates=)``)
+    for ctid/offset strategies whose chunks aren't expressible as a single
+    partition column range."""
+    return plan.predicates
+
+
+# --- O1 pragmatic transport: poll the slot through SQL ---------------------
+
+
+def poll_changes_sql(slot_name: str, publication: str, upto_lsn: str | None = None, limit: int = 10000) -> str:
+    """Poll-based change transport: `pg_logical_slot_get_changes` consumes
+    and returns decoded changes; with wal2json plugin the payload is JSON
+    ready for `from_json`. (The true START_REPLICATION socket client is the
+    reference's O1; polling gives the same at-least-once LSN-ordered feed
+    with latency = poll interval.)"""
+    upto = f"'{upto_lsn}'::pg_lsn" if upto_lsn else "NULL"
+    return (
+        f"SELECT lsn, xid, data FROM pg_logical_slot_get_changes("
+        f"'{slot_name}', {upto}, {limit}, 'proto_version', '1', "
+        f"'publication_names', '{publication}')"
+    )
