@@ -4,3 +4,4 @@ from .registry import QuerySpec, REGISTRY, register, all_queries, all_oracles  #
 from . import relational  # noqa: F401,E402
 from . import cdc  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402
+from . import advanced  # noqa: F401,E402

@@ -1,0 +1,361 @@
+"""Coverage for the remaining SURVEY §2.2 relational categories: set ops,
+scalar/JSON functions, rollup, sessionization, as-of join, pivot, exact
+distinct, percentile — plus two further CDC semantics (before-image
+derivation, TRUNCATE) over the synthetic changelog."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..sources.changelog import DUCKDB_CHANGELOG_CTE, committed_changelog
+from .registry import register
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _active_custs(spark, sf_dir, y0, y1):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{y0}-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{y1}-01-01").cast("timestamp"))
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .select("c_custkey")
+        .distinct()
+    )
+
+
+@register(
+    "q_set_intersect",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_cust
+    FROM (
+        SELECT DISTINCT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        INTERSECT
+        SELECT DISTINCT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    ) t
+    JOIN customer USING (c_custkey)
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("relational", "setops"),
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both 1996 and 1997, counted by nation."""
+    both = _active_custs(spark, sf_dir, 1996, 1997).intersect(
+        _active_custs(spark, sf_dir, 1997, 1998)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        both.join(cust, "c_custkey")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+@register(
+    "q_set_except",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_cust
+    FROM (
+        SELECT DISTINCT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        EXCEPT
+        SELECT DISTINCT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    ) t
+    JOIN customer USING (c_custkey)
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("relational", "setops"),
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers active in 1996 but not 1997."""
+    churned = _active_custs(spark, sf_dir, 1996, 1997).exceptAll(
+        _active_custs(spark, sf_dir, 1997, 1998)
+    ).distinct()
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        churned.join(cust, "c_custkey")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("relational", "json", "scalar_fn"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the events props payload (§1.3 json maps
+    to string + from_json/get_json_object on demand)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_rollup_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "rollup"),
+)
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total with NULL markers)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM e GROUP BY user_id
+    """,
+    tags=("relational", "sessionize", "window"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 1h starts a new session (lag + conditional
+    count — the batch twin of streaming session_window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 3_600_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("long").alias("n_sessions"))
+    )
+
+
+@register(
+    "q_asof_last_click",
+    oracle="""
+    SELECT event_id, user_id, value AS purchase_val, last_click_val
+    FROM (
+        SELECT event_id, user_id, event_type, value,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_val
+        FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+    tags=("relational", "asof"),
+)
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): each purchase joined to the
+    user's most recent prior click via ignore-nulls last over a trailing
+    window — the composition-of-built-ins strategy (guide §'As-of')."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn(
+            "last_click_val",
+            F.last(
+                F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", F.col("value").alias("purchase_val"), "last_click_val"
+        )
+    )
+
+
+@register(
+    "q_pivot_event_counts",
+    oracle=f"""
+    SELECT user_id % 10 AS cohort,
+           {', '.join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id % 10
+    """,
+    tags=("relational", "pivot"),
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-cohort event-type counts as columns."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+    return out
+
+
+@register(
+    "q_distinct_custs",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("relational", "distinct"),
+)
+def q_distinct_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase partial agg under the hood)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "percentile"),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use the same linear
+    interpolation on sorted values)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5D)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.9D)").alias("p90_qty"),
+    )
+
+
+_BASE = f"WITH {DUCKDB_CHANGELOG_CTE}"
+
+
+@register(
+    "cdc_before_image",
+    oracle=f"""
+    {_BASE},
+    base AS (SELECT * FROM committed WHERE tbl <> 'cdc_heartbeat'),
+    epoched AS (
+        SELECT *,
+               CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY pk ORDER BY lsn) AS BIGINT) AS del_epoch
+        FROM base
+    ),
+    with_before AS (
+        -- window BEFORE the op filter: the old image comes from any prior
+        -- event, not just prior UPDATEs
+        SELECT lsn, pk, op,
+               LAST_VALUE(after_val IGNORE NULLS)
+                   OVER (PARTITION BY pk, del_epoch ORDER BY lsn
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_val
+        FROM epoched
+    )
+    SELECT lsn, pk, before_val FROM with_before WHERE op = 'U'
+    """,
+    tags=("cdc", "before_image"),
+)
+def cdc_before_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/O6: reconstruct each UPDATE's old image (REPLICA IDENTITY FULL
+    analogue) — last non-null value strictly before the event, not crossing
+    a DELETE."""
+    from ..operators.cdc import filter_heartbeat
+
+    df = filter_heartbeat(committed_changelog(spark, sf_dir))
+    w = Window.partitionBy("pk").orderBy("lsn")
+    df = df.withColumn(
+        "del_epoch",
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).over(w).cast("long"),
+    )
+    w2 = (
+        Window.partitionBy("pk", "del_epoch")
+        .orderBy("lsn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("before_val", F.last("after_val", ignorenulls=True).over(w2))
+        .filter(F.col("op") == "U")
+        .select("lsn", "pk", "before_val")
+    )
+
+
+@register(
+    "cdc_truncate_state",
+    oracle=f"""
+    {_BASE},
+    base AS (SELECT * FROM committed WHERE tbl <> 'cdc_heartbeat'),
+    trunc AS (SELECT COALESCE(MAX(lsn), -1) AS t_lsn FROM base WHERE lsn % 977 = 0),
+    survivors AS (
+        SELECT pk, lsn, op,
+               ROW_NUMBER() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+        FROM base WHERE lsn > (SELECT t_lsn FROM trunc)
+    )
+    SELECT pk, lsn AS last_lsn FROM survivors WHERE rn = 1 AND op <> 'D'
+    """,
+    tags=("cdc", "truncate"),
+)
+def cdc_truncate_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 TRUNCATE semantics: a table-wide clear at the truncate LSN —
+    current state is rebuilt only from events after the last truncate
+    (batch mirror: overwrite, SURVEY §1.1)."""
+    from ..operators.cdc import filter_heartbeat
+
+    df = filter_heartbeat(committed_changelog(spark, sf_dir))
+    t_lsn = (
+        df.filter(F.col("lsn") % 977 == 0).agg(F.coalesce(F.max("lsn"), F.lit(-1))).collect()[0][0]
+    )
+    w = Window.partitionBy("pk").orderBy(F.desc("lsn"))
+    return (
+        df.filter(F.col("lsn") > t_lsn)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("pk", F.col("lsn").alias("last_lsn"))
+    )
