@@ -1,0 +1,92 @@
+"""M0 envelope unit tests: type mapping fidelity (SURVEY §1.3) + typed
+projection + TOAST map coalesce — the golden decode layer the reference
+covers with pq/message/format/*_test.go."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from go_pq_cdc_spark.envelope import (
+    CHANGE_EVENT_SCHEMA,
+    pg_type_to_spark,
+    table_struct,
+    toast_coalesce,
+    typed_projection,
+)
+
+
+def test_pg_type_mapping():
+    cases = {
+        "int2": T.ShortType(),
+        "int4": T.IntegerType(),
+        "int8": T.LongType(),
+        "bigint": T.LongType(),
+        "float4": T.FloatType(),
+        "double precision": T.DoubleType(),
+        "bool": T.BooleanType(),
+        "text": T.StringType(),
+        "uuid": T.StringType(),
+        "bytea": T.BinaryType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampNTZType(),
+        "timestamptz": T.TimestampType(),
+        "numeric": T.DecimalType(38, 18),
+        "numeric(10,2)": T.DecimalType(10, 2),
+        "varchar(255)": T.StringType(),
+        "jsonb": T.StringType(),
+    }
+    for pg, expected in cases.items():
+        assert pg_type_to_spark(pg) == expected, pg
+
+
+def test_array_and_unknown_types():
+    assert pg_type_to_spark("_int4") == T.ArrayType(T.IntegerType())
+    assert pg_type_to_spark("int8[]") == T.ArrayType(T.LongType())
+    # unknown OIDs degrade to string (reference tuple/data.go:100-101)
+    assert pg_type_to_spark("some_composite_type") == T.StringType()
+
+
+def test_typed_projection_and_toast(spark):
+    rows = [
+        Row(
+            op="U",
+            lsn=10,
+            xid=1,
+            commit_ts=None,
+            message_ts=None,
+            schema="public",
+            table="users",
+            before={"id": "1", "name": "alice", "bio": "long-toast-text"},
+            after={"id": "1", "name": "alice2", "bio": None},  # TOAST unchanged
+        ),
+        Row(
+            op="I",
+            lsn=11,
+            xid=1,
+            commit_ts=None,
+            message_ts=None,
+            schema="public",
+            table="users",
+            before=None,
+            after={"id": "2", "name": "bob", "bio": "hi"},
+        ),
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    # O6: repaired new image = after coalesced with before per key
+    repaired = df.withColumn(
+        "after_fixed",
+        F.when(
+            F.col("before").isNotNull(), toast_coalesce(F.col("after"), F.col("before"))
+        ).otherwise(F.col("after")),
+    )
+    struct = table_struct([("id", "int8"), ("name", "text"), ("bio", "text")])
+    typed = typed_projection(
+        repaired.withColumn("after", F.col("after_fixed")), "after", struct
+    )
+    out = {r["id"]: r for r in typed.collect()}
+    assert out[1]["bio"] == "long-toast-text"  # TOAST repaired from old image
+    assert out[1]["name"] == "alice2"  # real update kept
+    assert out[2]["bio"] == "hi"
+    assert isinstance(out[1]["id"], int)

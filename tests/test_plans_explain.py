@@ -1,0 +1,110 @@
+"""Physical-plan quality gates: the properties that matter at 100 TB.
+
+These assert on the formatted plan text, so a regression that silently
+drops a pushdown or broadcasts the wrong side fails CI, not the cluster."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from go_pq_cdc_spark import plans
+from go_pq_cdc_spark.catalog import load_table
+
+from .conftest import SF_DIR
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _plan(spark, name: str) -> str:
+    return _explain(plans.REGISTRY[name].spark_fn(spark, SF_DIR))
+
+
+def test_q6_filter_pushdown(spark):
+    """Q6's filters must reach the parquet scan as PushedFilters, and the
+    scan must read only the 4 referenced columns."""
+    plan = _plan(spark, "q6_revenue_forecast")
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_comment" not in read_schema
+    assert all(c in read_schema for c in ("l_extendedprice", "l_discount", "l_quantity"))
+
+
+def test_q1_partial_aggregation(spark):
+    """Q1 must plan partial (map-side) + final hash aggregation."""
+    plan = _plan(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "Partial" in plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    """nation/region (and supplier at test scale) must broadcast — never
+    shuffle a 25-row dim at any SF."""
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q1_wholestage_codegen(spark):
+    """The aggregate pipeline must be inside WholeStageCodegen (codegen
+    explain can't descend into AdaptiveSparkPlan, so plan with AQE off)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = plans.REGISTRY["q1_pricing_summary"].spark_fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("codegen")
+        out = buf.getvalue()
+        n = int(out.split("Found ")[1].split(" WholeStageCodegen")[0])
+        assert n >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_semi_anti_join_strategies(spark):
+    assert "LeftSemi" in _plan(spark, "q_order_priority_count")
+    assert "LeftAnti" in _plan(spark, "q_parts_not_shipped_1995")
+
+
+def test_topk_no_global_sort_before_limit(spark):
+    """q3's top-10 must use TakeOrderedAndProject (per-partition top-k +
+    merge), not a full global Sort+Limit."""
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pipeline_queries_have_no_python_udfs(spark):
+    """Dedup/similarity/text operators must stay JVM-side (no BatchEvalPython
+    / ArrowEvalPython stages) — Python appears only in explicitly-stubbed
+    multimodal kernels."""
+    for name in (
+        "dedup_minhash_lsh",
+        "sim_cosine_topk",
+        "text_simhash",
+        "text_token_stats",
+        "dedup_ngram_jaccard",
+    ):
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
+
+
+def test_cdc_latest_state_single_shuffle_per_window_key(spark):
+    """latest_state partitions by pk for both the fill and the rank — the
+    planner must reuse one Exchange on pk, not shuffle twice."""
+    plan = _plan(spark, "cdc_latest_state")
+    # fill window shuffles on pk; rank window must reuse that partitioning
+    assert plan.count("Exchange hashpartitioning(pk") <= 1
+
+
+def test_projection_prunes_unused_columns(spark):
+    """Column pruning: reading 2 cols of lineitem scans only those."""
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _explain(li)
+    rs = plan.split("ReadSchema")[1]
+    assert "l_extendedprice" not in rs and "l_orderkey" in rs
