@@ -1,0 +1,110 @@
+"""User-facing engine facade — the Spark-native equivalent of the
+reference's `cdc.NewConnector(ctx, cfg, handler) / connector.Start(ctx)`
+(`connector.go:57-142`, SURVEY.md §3).
+
+Where the reference delivers events to a callback, this engine delivers
+DataFrames: the snapshot is a partitioned batch read, the change feed is a
+Structured Streaming DataFrame, and the 'handler' becomes either normal
+DataFrame code over those or a maintained current-state mirror table.
+
+    cfg = EngineConfig(tables=[TableConfig("users"), TableConfig("cdc_heartbeat")])
+    eng = CdcEngine(cfg, spark)
+
+    eng.setup_sql()                  # DDL to run against Postgres once
+    df  = eng.snapshot_df(...)       # consistent chunk-parallel snapshot
+    st  = eng.changes(dir)           # streaming change events
+    q   = eng.mirror(st, state, ck)  # maintained queryable mirror
+    cur = eng.current_state(state)   # the mirror as a DataFrame
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .config import EngineConfig, TableConfig
+from .snapshot.planner import SnapshotPlan, plan_auto
+from .sources import postgres as pg
+from .streaming.changelog_stream import changelog_stream, mirror_sink
+
+
+class CdcEngine:
+    def __init__(self, config: EngineConfig, spark: SparkSession):
+        config.validate()
+        self.config = config
+        self.spark = spark
+
+    # -- management plane (O25-O27): DDL the operator executes against PG --
+
+    def setup_sql(self) -> list[str]:
+        """Ordered setup statements: heartbeat ensure → publication create →
+        replica-identity reconciliation → slot create (slot LAST here, but
+        BEFORE any snapshot — O28's WAL-pinning order)."""
+        stmts: list[str] = []
+        if self.config.heartbeat_enabled:
+            stmts += pg.heartbeat_ensure_sql(self.config)
+        stmts.append(pg.create_publication_sql(self.config))
+        for t in self.config.tables:
+            if t.replica_identity != "DEFAULT":
+                stmts.append(pg.replica_identity_sql(t))
+        stmts.append(pg.create_slot_sql(self.config.slot_name))
+        return stmts
+
+    # -- snapshot plane (O9-O16) -------------------------------------------
+
+    def plan_snapshot(
+        self,
+        table: TableConfig,
+        *,
+        integer_pk: str | None = None,
+        min_val: int | None = None,
+        max_val: int | None = None,
+        relpages: int | None = None,
+        reltuples: float | None = None,
+        total_rows: int | None = None,
+    ) -> SnapshotPlan:
+        """O13 auto-detection over caller-supplied stats (against a live PG
+        the stats queries come from `sources.postgres`)."""
+        return plan_auto(
+            integer_pk=integer_pk,
+            min_val=min_val,
+            max_val=max_val,
+            relpages=relpages,
+            reltuples=reltuples,
+            total_rows=total_rows,
+            chunk_size=self.config.chunk_size,
+        )
+
+    def snapshot_jdbc(
+        self,
+        conn: pg.PostgresConnection,
+        table: TableConfig,
+        plan: SnapshotPlan,
+        snapshot_id: str | None = None,
+    ) -> DataFrame:
+        """Chunk-parallel JDBC snapshot read, every partition pinned to one
+        exported snapshot. Untestable without a PG server + JDBC jar; the
+        parquet transport below exercises the same planner."""
+        opts = pg.snapshot_jdbc_options(
+            conn, table, plan, snapshot_id, self.config.table_query_condition(table)
+        )
+        return self.spark.read.format("jdbc").options(**opts).load()
+
+    def snapshot_parquet(self, path: str, columns: list[str] | None = None) -> DataFrame:
+        """Parquet-transport snapshot (test harness / lakehouse re-read)."""
+        df = self.spark.read.parquet(path)
+        return df.select(*columns) if columns else df
+
+    # -- streaming plane (O1-O8, O17-O21) ----------------------------------
+
+    def changes(self, transport_dir: str) -> DataFrame:
+        """Change-event stream from the file/Kafka transport directory."""
+        return changelog_stream(self.spark, transport_dir)
+
+    def mirror(self, stream_df: DataFrame, state_dir: str, checkpoint_dir: str):
+        """Maintain a queryable current-state mirror (M3 apply idiom)."""
+        return mirror_sink(stream_df, state_dir, checkpoint_dir)
+
+    def current_state(self, state_dir: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(state_dir, "current"))

@@ -1,0 +1,43 @@
+"""CdcEngine facade test: setup DDL ordering (O28) + parquet-transport
+snapshot + plan wiring."""
+
+from __future__ import annotations
+
+from go_pq_cdc_spark.config import EngineConfig, TableConfig
+from go_pq_cdc_spark.engine import CdcEngine
+from go_pq_cdc_spark.snapshot.planner import Strategy
+
+from .conftest import SF_DIR
+
+
+def _engine(spark):
+    cfg = EngineConfig(
+        tables=[
+            TableConfig("users", replica_identity="FULL"),
+            TableConfig("cdc_heartbeat"),
+        ]
+    )
+    return CdcEngine(cfg, spark)
+
+
+def test_setup_sql_order(spark):
+    eng = _engine(spark)
+    stmts = eng.setup_sql()
+    joined = "\n".join(stmts)
+    # heartbeat table before publication, publication before slot —
+    # slot creation pins WAL before any snapshot (connector.go:350-379)
+    assert joined.index("CREATE TABLE IF NOT EXISTS") < joined.index("CREATE PUBLICATION")
+    assert joined.index("CREATE PUBLICATION") < joined.index(
+        "pg_create_logical_replication_slot"
+    )
+    assert "ALTER TABLE public.users REPLICA IDENTITY FULL" in stmts
+
+
+def test_snapshot_plan_and_parquet_transport(spark):
+    eng = _engine(spark)
+    plan = eng.plan_snapshot(eng.config.tables[0], integer_pk="id", min_val=0, max_val=99_999)
+    assert plan.strategy is Strategy.INTEGER_RANGE
+    assert len(plan.chunks) == 13  # ceil(100000/8000)
+    df = eng.snapshot_parquet(f"{SF_DIR}/orders.parquet", ["o_orderkey", "o_totalprice"])
+    assert df.columns == ["o_orderkey", "o_totalprice"]
+    assert df.count() > 0
