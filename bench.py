@@ -37,6 +37,8 @@ def main() -> None:
         spec.spark_fn(spark, sf_dir).count()
         times[spec.name] = round(time.perf_counter() - t0, 3)
 
+    rates = throughput_benches(spark, sf_dir)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -45,10 +47,57 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "throughput_rows_per_sec": rates,
                 "sf": sf,
             }
         )
     )
+
+
+def throughput_benches(spark, sf_dir: str) -> dict[str, int]:
+    """Ingestion-shaped rates comparable to BASELINE.md:
+    - snapshot_scan: full-width materialized scan of lineitem (the engine's
+      snapshot read path; baseline 167k rows/s single instance)
+    - cdc_apply: changelog -> committed -> latest-state merge written to a
+      parquet mirror (the end-to-end CDC apply path; baseline 66.7k rows/s)
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.operators.cdc import filter_heartbeat, latest_state
+    from go_pq_cdc_spark.sources.changelog import committed_changelog
+
+    rates: dict[str, int] = {}
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    t0 = time.perf_counter()
+    # touch every column so the scan actually materializes full rows
+    li.agg(*[F.count(c) for c in li.columns]).collect()
+    rates["snapshot_scan"] = int(n / (time.perf_counter() - t0))
+
+    # Amplify the changelog ~10x (disjoint LSN/pk ranges) so the rate
+    # reflects steady-state throughput, not per-job startup overhead —
+    # BASELINE's CDC number is measured over a 10M-row run.
+    AMP = 10
+    base = filter_heartbeat(committed_changelog(spark, sf_dir))
+    n = base.count() * AMP
+    batch = None
+    for i in range(AMP):
+        d = base.withColumn("lsn", F.col("lsn") + F.lit(i * 10_000_000)).withColumn(
+            "pk", F.col("pk") + F.lit((i % 3) * 1_000_000)
+        )
+        batch = d if batch is None else batch.unionByName(d)
+    out = tempfile.mkdtemp(prefix="bench_mirror_")
+    try:
+        t0 = time.perf_counter()
+        latest_state(batch).write.mode("overwrite").parquet(out)
+        rates["cdc_apply"] = int(n / (time.perf_counter() - t0))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return rates
 
 
 if __name__ == "__main__":

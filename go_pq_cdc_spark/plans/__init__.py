@@ -5,3 +5,4 @@ from . import relational  # noqa: F401,E402
 from . import cdc  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
+from . import cdc_extras  # noqa: F401,E402
