@@ -1,0 +1,138 @@
+"""O1/O19 — a real Structured Streaming source with LSN offsets, built on
+the PySpark Python Data Source API (SURVEY.md §2.1 O1: 'custom
+DataSourceStreamReader whose offset = LSN').
+
+The reference opens a replication socket and tracks two WAL positions:
+last-received and confirmed/acked, flushing standby-status updates so the
+slot advances (`pq/replication/stream.go:302-348, 605-633, 718-733`). This
+source reproduces that contract on Spark's offset model:
+
+  * WAL transport = a directory of `wal_<startlsn>_<endlsn>.parquet`
+    segment files (written by the poll reader or a wal2json shipper; the
+    same layout a Kafka topic partition would give us)
+  * `latestOffset()`  -> max end-LSN present (last-received position)
+  * `partitions(a,b)` -> the segment files in (a, b] — each segment is one
+    input partition, read in parallel on executors via Arrow
+  * `commit(offset)`  -> persists the confirmed LSN to `<dir>/_confirmed`
+    — the standby-status-update analogue; an external slot keeper reads it
+    and advances `confirmed_flush_lsn` on the server (at-least-once ack,
+    exactly the reference's semantics)
+
+Restart resumes from the checkpointed offset: Spark's offset log plays the
+role of the reference's in-memory `confirmedXLogPos` + final flush.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+SEGMENT_RE = re.compile(r"wal_(\d+)_(\d+)\.parquet$")
+
+# Keep in sync with streaming.changelog_stream.FLAT_CHANGE_SCHEMA.
+WAL_SCHEMA_DDL = (
+    "op string, lsn bigint, xid bigint, commit_ts timestamp, pk bigint, after_val double"
+)
+
+
+def segment_path(dir_path: str, start_lsn: int, end_lsn: int) -> str:
+    return os.path.join(dir_path, f"wal_{start_lsn}_{end_lsn}.parquet")
+
+
+def list_segments(dir_path: str) -> list[tuple[int, int, str]]:
+    out = []
+    if not os.path.isdir(dir_path):
+        return out
+    for name in os.listdir(dir_path):
+        m = SEGMENT_RE.search(name)
+        if m:
+            out.append((int(m.group(1)), int(m.group(2)), os.path.join(dir_path, name)))
+    out.sort()
+    return out
+
+
+class WalSegmentPartition(InputPartition):
+    def __init__(self, path: str, start_lsn: int, end_lsn: int):
+        self.path = path
+        self.start_lsn = start_lsn
+        self.end_lsn = end_lsn
+
+
+class LsnStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("pq_cdc_wal requires option 'path' (WAL segment dir)")
+        self.start_lsn = int(options.get("startlsn", -1))
+
+    def initialOffset(self) -> dict:
+        # Snapshot→CDC handoff (O28): start from the recorded snapshot LSN.
+        return {"lsn": self.start_lsn}
+
+    def latestOffset(self) -> dict:
+        segs = list_segments(self.dir)
+        latest = max((end for _s, end, _p in segs), default=self.start_lsn)
+        return {"lsn": latest}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["lsn"], end["lsn"]
+        return [
+            WalSegmentPartition(path, s, e)
+            for s, e, path in list_segments(self.dir)
+            if s > lo and e <= hi
+        ]
+
+    def read(self, partition: WalSegmentPartition) -> Iterator:
+        # Executor-side Arrow read of one WAL segment (columnar batches —
+        # the vectorized decode path the reference lacks, SURVEY §1.2).
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        # Spark's Arrow bridge rejects nanosecond timestamps — coerce to us.
+        fields = [
+            pa.field(f.name, pa.timestamp("us"))
+            if pa.types.is_timestamp(f.type)
+            else f
+            for f in table.schema
+        ]
+        yield from table.cast(pa.schema(fields)).to_batches()
+
+    def commit(self, end: dict) -> None:
+        # Standby-status-update analogue: persist the confirmed LSN for the
+        # external slot keeper (stream.go:718-733).
+        tmp = os.path.join(self.dir, "_confirmed.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"confirmed_lsn": end["lsn"]}, f)
+        os.replace(tmp, os.path.join(self.dir, "_confirmed"))
+
+
+class LsnStreamDataSource(DataSource):
+    """spark.readStream.format("pq_cdc_wal").option("path", dir).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pq_cdc_wal"
+
+    def schema(self) -> str:
+        return WAL_SCHEMA_DDL
+
+    def streamReader(self, schema) -> LsnStreamReader:
+        return LsnStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(LsnStreamDataSource)
+
+
+def confirmed_lsn(dir_path: str) -> int | None:
+    """What the slot keeper would flush to the server."""
+    p = os.path.join(dir_path, "_confirmed")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["confirmed_lsn"]
