@@ -1,0 +1,107 @@
+"""O33 — observability surface.
+
+The reference exports Prometheus counters/gauges + HTTP status endpoints
+(`internal/metric/metric.go:15-39`, `internal/http/server.go:36-60`). On
+Spark the equivalents are:
+  * per-op counters / batch latency → a StreamingQueryListener aggregating
+    StreamingQueryProgress (this module)
+  * slot activity/lag              → `sources.postgres.slot_status_sql`
+  * /status                        → `StreamingQuery.status` + `get_status()`
+
+`CdcMetricsListener` keeps a process-local registry shaped like the
+reference's metric families; `prometheus_text()` renders the exposition
+format so any scraper-side HTTP shim can serve it.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+@dataclass
+class CdcMetrics:
+    """Counter families mirroring README.md:430-450 of the reference."""
+
+    total_input_rows: int = 0
+    ops: dict[str, int] = field(default_factory=dict)  # insert/update/delete totals
+    batches: int = 0
+    last_batch_duration_ms: float = 0.0
+    last_event_time: str | None = None
+    confirmed_lsn: int | None = None
+
+
+class CdcMetricsListener(StreamingQueryListener):
+    """Attach with spark.streams.addListener(listener). foreachBatch sinks
+    additionally call `record_ops(batch_df)` for per-op counts (progress
+    events don't see post-source columns)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.metrics = CdcMetrics()
+
+    # -- listener callbacks -------------------------------------------------
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        with self._lock:
+            m = self.metrics
+            m.batches += 1
+            m.total_input_rows += int(p.numInputRows or 0)
+            m.last_batch_duration_ms = float(
+                (p.durationMs or {}).get("triggerExecution", 0)
+            )
+            m.last_event_time = p.timestamp
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    # -- sink-side hooks ----------------------------------------------------
+
+    def record_ops(self, batch_df) -> None:
+        """Per-op counters (insert/update/delete totals, metric.go)."""
+        counts = {r["op"]: r["n"] for r in batch_df.groupBy("op").count().withColumnRenamed("count", "n").collect()}
+        with self._lock:
+            for op, n in counts.items():
+                self.metrics.ops[op] = self.metrics.ops.get(op, 0) + n
+
+    def record_confirmed_lsn(self, lsn: int) -> None:
+        with self._lock:
+            self.metrics.confirmed_lsn = lsn
+
+    # -- exposition ---------------------------------------------------------
+
+    def get_status(self) -> dict:
+        with self._lock:
+            m = self.metrics
+            return {
+                "batches": m.batches,
+                "total_input_rows": m.total_input_rows,
+                "ops": dict(m.ops),
+                "last_batch_duration_ms": m.last_batch_duration_ms,
+                "confirmed_lsn": m.confirmed_lsn,
+            }
+
+    def prometheus_text(self) -> str:
+        s = self.get_status()
+        lines = [
+            "# TYPE go_pq_cdc_spark_total_input_rows counter",
+            f"go_pq_cdc_spark_total_input_rows {s['total_input_rows']}",
+            "# TYPE go_pq_cdc_spark_batches_total counter",
+            f"go_pq_cdc_spark_batches_total {s['batches']}",
+            "# TYPE go_pq_cdc_spark_process_latency_ms gauge",
+            f"go_pq_cdc_spark_process_latency_ms {s['last_batch_duration_ms']}",
+        ]
+        for op, n in sorted(s["ops"].items()):
+            lines.append(f'go_pq_cdc_spark_ops_total{{op="{op}"}} {n}')
+        if s["confirmed_lsn"] is not None:
+            lines.append(f"go_pq_cdc_spark_confirmed_lsn {s['confirmed_lsn']}")
+        return "\n".join(lines) + "\n"

@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) — beyond the reference's test strategy
+(SURVEY §5 notes it has no randomized testing). Pure-Python properties run
+per-example; Spark-backed properties run on a few drawn examples against an
+independent Python model."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from go_pq_cdc_spark.functions import portable as P
+from go_pq_cdc_spark.snapshot import plan_ctid_blocks, plan_integer_range, plan_offset
+
+
+@given(
+    lo=st.integers(-(10**9), 10**9),
+    span=st.integers(0, 50_000),
+    chunk=st.integers(10, 10**5),
+)
+@settings(max_examples=150, deadline=None)
+def test_integer_range_plan_partitions_exactly(lo, span, chunk):
+    """Chunks tile [lo, hi] exactly: no gap, no overlap, width <= chunk."""
+    hi = lo + span
+    plan = plan_integer_range("id", lo, hi, chunk)
+    assert plan.chunks[0].range_start == lo
+    assert plan.chunks[-1].range_end == hi
+    for a, b in zip(plan.chunks, plan.chunks[1:]):
+        assert b.range_start == a.range_end + 1
+    assert all(c.range_end - c.range_start + 1 <= chunk for c in plan.chunks)
+    total = sum(c.range_end - c.range_start + 1 for c in plan.chunks)
+    assert total == span + 1
+
+
+@given(
+    relpages=st.integers(1, 20_000),
+    reltuples=st.floats(0, 10**8, allow_nan=False),
+    chunk=st.integers(10, 10**5),
+)
+@settings(max_examples=150, deadline=None)
+def test_ctid_plan_covers_all_blocks(relpages, reltuples, chunk):
+    """Block ranges tile [0, relpages) and the tail chunk is unbounded (the
+    late-row guard, coordinator.go:797-892)."""
+    plan = plan_ctid_blocks(relpages, reltuples, chunk)
+    assert plan.chunks[0].block_start == 0
+    assert plan.chunks[-1].block_end is None
+    for a, b in zip(plan.chunks, plan.chunks[1:]):
+        assert b.block_start == a.block_end
+    assert plan.chunks[-1].block_start < max(relpages, 1)
+
+
+@given(total=st.integers(0, 200_000), chunk=st.integers(10, 10**5))
+@settings(max_examples=150, deadline=None)
+def test_offset_plan_covers_count(total, chunk):
+    plan = plan_offset(total, "ctid", chunk)
+    covered = sum(c.limit for c in plan.chunks)
+    assert covered >= max(total, 1)
+    assert plan.chunks[-1].offset < max(total, 1)
+
+
+def _model_latest_state(events):
+    """Independent Python model of latest_state: delete-epoch TOAST fill +
+    max-LSN-wins + delete removes key."""
+    by_pk: dict[int, list] = {}
+    for lsn, pk, op, val in sorted(events):
+        by_pk.setdefault(pk, []).append((lsn, op, val))
+    out = {}
+    for pk, evs in by_pk.items():
+        filled = None
+        for _lsn, op, val in evs:
+            if op == "D":
+                filled = None
+            elif val is not None:
+                filled = val
+        last_lsn, last_op, _ = evs[-1]
+        if last_op != "D":
+            out[pk] = (filled, last_lsn)
+    return out
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 50),  # pk
+            st.sampled_from(["I", "U", "D"]),
+            st.one_of(st.none(), st.floats(0, 100, allow_nan=False, width=32)),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=3, deadline=None)
+def test_latest_state_matches_model(spark_session_holder, data):
+    """Spark latest_state == the Python model for random changelogs."""
+    spark = spark_session_holder
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.operators.cdc import latest_state
+
+    events = [
+        (lsn, pk, op, float(val) if val is not None else None)
+        for lsn, (pk, op, val) in enumerate(data)
+    ]
+    rows = [
+        Row(lsn=lsn, pk=pk, op=op, after_val=val, xid=0, tbl="t")
+        for lsn, pk, op, val in events
+    ]
+    df = spark.createDataFrame(
+        rows, "lsn long, pk long, op string, after_val double, xid long, tbl string"
+    )
+    got = {
+        r["pk"]: (r["last_val"], r["last_lsn"]) for r in latest_state(df).collect()
+    }
+    want = _model_latest_state(events)
+    assert got == want
+
+
+# session-scoped spark via a holder fixture (hypothesis forbids function-
+# scoped fixtures that would re-run per example)
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark_session_holder(spark):
+    return spark
