@@ -305,3 +305,62 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label."""
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_near_dup(emb, threshold=0.4)
+
+
+_BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+           CAST({_NTOK['duck']} AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex lexer
+    (letter runs / digit runs / single punctuation — the GPT-2 pattern
+    family reduced to an engine-portable regex)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text, '{_BPE_PATTERN}', 0))")
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.expr(_NTOK["spark"]).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "text_top_tokens",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOK['duck']}) AS token FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ),
+    ranked AS (
+        SELECT token, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk
+        FROM counts
+    )
+    SELECT token, n, rnk FROM ranked WHERE rnk <= 20
+    """,
+    tags=("text", "vocab"),
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: explode tokens -> count -> deterministic
+    top-20 (map-side partial counts; the global top-k is tiny)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        docs.select(F.explode(F.expr(_TOK["spark"])).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+    )
