@@ -93,13 +93,15 @@ def minhash_lsh_pairs(
     tok = P.tokens(text_col)["spark"]
     sh_strings = P.token_shingles_col("toks")["spark"]
     h = P.md5_hash_m31("sh")["spark"]
+    # No pre-distinct: MIN permutation aggregates and collect_set are both
+    # duplicate-insensitive, so duplicate shingles cost nothing and we save
+    # a full (id, h) shuffle.
     exploded = (
         df.repartition(par, F.col(id_col))
         .withColumn("toks", F.expr(tok))
         .filter(F.expr("size(toks) >= 3"))
         .select(F.col(id_col).alias("id"), F.explode(F.expr(sh_strings)).alias("sh"))
         .select("id", F.expr(h).alias("h"))
-        .distinct()
     )
     aggs = []
     for k in range(MINHASH_K):

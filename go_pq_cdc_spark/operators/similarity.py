@@ -134,3 +134,70 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("c_id").alias("neighbor_id"), "rank", "cos_sim")
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    by (exact fixed-point) inner product — broadcast the centroid table,
+    one narrow pass over the corpus, argmax via per-vector window.
+
+    Centroids are a supplied DataFrame (cent_id, cv): at scale they come
+    from offline k-means; tests use a deterministic subset of the corpus."""
+    dot = P.scaled_dot("v", "cv", "v")["spark"]
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = centroids.select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cdot"), F.asc("cent_id"))
+    return (
+        vecs.join(F.broadcast(cents))
+        .withColumn("cdot", F.expr(dot))
+        .withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") == 1)
+        .select("id", "v", "cent_id")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: exact cosine only inside the query's centroid cell (probe=1).
+    Same output shape as cosine_topk; recall grows with probe count."""
+    corpus = ivf_assign(df, centroids, id_col, vec_col).withColumnRenamed("id", "c_id")
+    corpus = corpus.withColumn("c_nrm", F.expr(P.scaled_dot("v", "v", "v")["spark"]))
+    qset = (
+        ivf_assign(queries, centroids, id_col, vec_col)
+        .withColumnRenamed("id", "q_id")
+        .withColumnRenamed("v", "qv")
+        .withColumn("q_nrm", F.expr(P.scaled_dot("qv", "qv", "qv")["spark"]))
+    )
+    dot = P.scaled_dot("qv", "v", "qv")["spark"]
+    pairs = (
+        corpus.join(
+            F.broadcast(qset.withColumnRenamed("cent_id", "q_cent")),
+            (F.col("cent_id") == F.col("q_cent")) & (F.col("q_id") != F.col("c_id")),
+        )
+        .withColumn("dot", F.expr(dot))
+        .withColumn(
+            "cos_sim",
+            F.expr(
+                "CAST(dot AS DOUBLE) / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c_nrm AS DOUBLE)))"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", F.col("c_id").alias("neighbor_id"), "rnk", "cos_sim")
+    )

@@ -364,3 +364,51 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 20)
     )
+
+
+def _ivf_oracle() -> str:
+    nrm = P.scaled_dot("embedding", "embedding", "embedding")["duck"]
+    dot_nc = P.scaled_dot("n.embedding", "c.cv", "n.embedding")["duck"]
+    dot_qc = P.scaled_dot("qv", "cvv", "qv")["duck"]
+    return f"""
+    WITH nrm AS (SELECT vec_id, embedding, {nrm} AS n2 FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    assign_raw AS (
+        SELECT n.vec_id AS id, n.embedding AS v, n.n2, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {dot_nc} DESC, c.cent_id) AS crn
+        FROM nrm n, cents c
+    ),
+    assigned AS (SELECT id, v, n2, cent_id FROM assign_raw WHERE crn = 1),
+    q AS (SELECT id AS q_id, v AS qv, n2 AS q_n2, cent_id AS q_cent
+          FROM assigned WHERE id >= 8 AND id < 16),
+    c AS (SELECT id AS c_id, v AS cvv, n2 AS c_n2, cent_id FROM assigned),
+    pairs AS (
+        SELECT q_id, c_id,
+               CAST({dot_qc} AS DOUBLE)
+                   / (sqrt(CAST(q_n2 AS DOUBLE)) * sqrt(CAST(c_n2 AS DOUBLE))) AS cos_sim
+        FROM q JOIN c ON cent_id = q_cent AND q_id <> c_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id AS neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk
+        FROM pairs
+    )
+    SELECT q_id, neighbor_id, rnk, cos_sim FROM ranked WHERE rnk <= 5
+    """
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=_ivf_oracle(),
+    tags=("similarity", "ivf", "ann"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (probe=1): vectors coarse-quantized to their nearest of 8
+    deterministic centroids; top-5 by exact cosine within the query's cell.
+    The sub-linear scale path next to brute-force `sim_cosine_topk`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    return S.ivf_topk(emb, cents, queries, k=5)
