@@ -359,3 +359,83 @@ def cdc_truncate_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("pk", F.col("lsn").alias("last_lsn"))
     )
+
+
+@register(
+    "cdc_scd2_intervals",
+    oracle=f"""
+    {_BASE},
+    base AS (SELECT * FROM committed WHERE tbl <> 'cdc_heartbeat'),
+    epoched AS (
+        SELECT *,
+               CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY pk ORDER BY lsn) AS BIGINT) AS del_epoch
+        FROM base
+    ),
+    filled AS (
+        SELECT *,
+               LAST_VALUE(after_val IGNORE NULLS)
+                   OVER (PARTITION BY pk, del_epoch ORDER BY lsn) AS filled_val
+        FROM epoched
+    ),
+    versions AS (
+        SELECT pk, lsn AS valid_from_lsn, op, filled_val,
+               LEAD(lsn) OVER (PARTITION BY pk ORDER BY lsn) AS valid_to_lsn
+        FROM filled
+    )
+    SELECT pk, valid_from_lsn, valid_to_lsn, filled_val AS val
+    FROM versions WHERE op <> 'D'
+    """,
+    tags=("cdc", "scd2"),
+)
+def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history materialization: every non-delete event opens a version
+    valid [its LSN, next event's LSN); NULL valid_to = current version.
+    The 'emulate MERGE with window' idiom from the guide, as a product
+    surface (queryable full history instead of just latest state)."""
+    from ..operators.cdc import filter_heartbeat, toast_fill
+
+    df = toast_fill(filter_heartbeat(committed_changelog(spark, sf_dir)))
+    w = Window.partitionBy("pk").orderBy("lsn")
+    return (
+        df.withColumn("valid_to_lsn", F.lead("lsn").over(w))
+        .filter(F.col("op") != "D")
+        .select(
+            "pk",
+            F.col("lsn").alias("valid_from_lsn"),
+            "valid_to_lsn",
+            F.col("filled_val").alias("val"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    tags=("relational", "correlated_subquery"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery — Catalyst decorrelates
+    it into an aggregate+join (l_quantity is integral-valued, so AVG is
+    exact on both engines)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (
+              SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
