@@ -1,0 +1,56 @@
+"""Scale techniques as reusable operators: bucketed co-located joins,
+salted skew aggregation, at-least-once stream dedup.
+
+These are the knobs SURVEY §4 and the 100 TB design notes call for:
+bucketing removes the shuffle from repeated big-big joins; salting breaks
+hot keys across reducers; dropDuplicatesWithinWatermark absorbs transport
+retries before the mirror merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 32
+) -> None:
+    """Persist as a bucketed table: later equi-joins/aggregations on
+    `bucket_col` between tables bucketed the same way run shuffle-free
+    (SortMergeJoin reads co-located buckets directly)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def salted_agg_counts(
+    df: DataFrame, key_col: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: partial count on
+    (key, salt) — spreading one hot key over `salt_buckets` reducers —
+    then final combine on key. Result identical to a plain groupBy count;
+    the shuffle profile is what changes."""
+    salted = df.withColumn(
+        "_salt", (F.monotonically_increasing_id() % salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(key_col, "_salt").agg(F.count(F.lit(1)).alias("_pc"))
+    return partial.groupBy(key_col).agg(F.sum("_pc").cast("long").alias("n"))
+
+
+def dedup_within_watermark(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "commit_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Absorb at-least-once transport duplicates (same lsn re-delivered
+    after a retry) before the mirror merge. State is bounded by the
+    watermark horizon."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -1,0 +1,104 @@
+"""Scale-technique operators: bucketed joins plan shuffle-free, salted
+aggregation is exact, streaming dedup absorbs re-delivery."""
+
+from __future__ import annotations
+
+import contextlib
+import datetime
+import io
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from go_pq_cdc_spark.catalog import load_table
+from go_pq_cdc_spark.operators.scale import (
+    dedup_within_watermark,
+    salted_agg_counts,
+    write_bucketed,
+)
+from go_pq_cdc_spark.streaming.changelog_stream import FLAT_CHANGE_SCHEMA, changelog_stream
+
+from .conftest import SF_DIR
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Both sides bucketed by the join key -> SortMergeJoin with NO
+    Exchange (the repeated-join amortization story at 100 TB)."""
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(orders.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 8)
+    write_bucketed(li.select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey", 8)
+    # at test scale the tables fit the auto-broadcast threshold; force the
+    # big-big plan shape the technique exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # and it computes the right thing
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_agg_matches_plain(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    plain = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n")).collect()}
+    salted = {r["event_type"]: r["n"] for r in salted_agg_counts(ev, "event_type").collect()}
+    assert salted == plain
+
+
+def test_stream_dedup_absorbs_redelivery(spark):
+    base = tempfile.mkdtemp(prefix="gpcs_dedup_")
+    try:
+        ind = os.path.join(base, "in")
+        os.makedirs(ind)
+
+        def ev(lsn):
+            return Row(
+                op="I",
+                lsn=lsn,
+                xid=1,
+                commit_ts=datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=lsn),
+                pk=lsn,
+                after_val=float(lsn),
+            )
+
+        # batch 0 delivers lsn 1..5; batch 1 re-delivers 4,5 (retry) + 6,7
+        spark.createDataFrame([ev(i) for i in range(1, 6)], FLAT_CHANGE_SCHEMA).coalesce(
+            1
+        ).write.parquet(os.path.join(ind, "b0"))
+        stream = changelog_stream(spark, ind + "/*")
+        deduped = dedup_within_watermark(stream, ["lsn"])
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_out")
+            .option("checkpointLocation", os.path.join(base, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(
+                [ev(i) for i in (4, 5, 6, 7)], FLAT_CHANGE_SCHEMA
+            ).coalesce(1).write.parquet(os.path.join(ind, "b1"))
+            q.processAllAvailable()
+            lsns = sorted(r["lsn"] for r in spark.sql("SELECT lsn FROM dedup_out").collect())
+            assert lsns == [1, 2, 3, 4, 5, 6, 7], f"duplicates leaked or lost: {lsns}"
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
