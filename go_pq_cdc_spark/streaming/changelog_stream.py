@@ -50,13 +50,17 @@ def changelog_stream(
 
 
 def merge_mirror_batch(batch_df: DataFrame, state_dir: str) -> None:
-    """Idempotent max-LSN-wins merge of one micro-batch into the parquet
-    mirror (Delta MERGE stand-in; same keyed upsert semantics).
+    """Idempotent TOAST-aware max-LSN-wins merge of one micro-batch into
+    the parquet mirror (Delta MERGE stand-in; same keyed upsert semantics).
 
-    Reads the current mirror, unions the batch, keeps the max-LSN row per
-    pk, drops deleted keys, atomically swaps the directory. At scale this
-    is a Delta/Iceberg MERGE (file-pruned, partitioned by pk bucket);
-    parquet-overwrite keeps the same semantics for the test harness."""
+    The mirror row is the old image for TOAST repair: a NULL new-image
+    value in the batch inherits the stored value (unless a DELETE
+    intervenes) — the same `operators.cdc.toast_fill` epoch logic used
+    batch-side, so stream-maintained state equals batch `latest_state`
+    over the full log. Atomic directory swap; at scale this is a
+    Delta/Iceberg MERGE partitioned by pk bucket."""
+    from ..operators.cdc import toast_fill
+
     spark = batch_df.sparkSession
     cur_path = os.path.join(state_dir, "current")
     incoming = batch_df.select("pk", "lsn", "op", "after_val")
@@ -65,11 +69,17 @@ def merge_mirror_batch(batch_df: DataFrame, state_dir: str) -> None:
         merged = existing.unionByName(incoming)
     else:
         merged = incoming
+    filled = toast_fill(merged)
     w = Window.partitionBy("pk").orderBy(F.desc("lsn"))
     state = (
-        merged.withColumn("rn", F.row_number().over(w))
+        filled.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
-        .drop("rn")
+        .select(
+            "pk",
+            "lsn",
+            F.lit("R").alias("op"),
+            F.col("filled_val").alias("after_val"),
+        )
     )
     tmp_path = os.path.join(state_dir, "next")
     state.write.mode("overwrite").parquet(tmp_path)

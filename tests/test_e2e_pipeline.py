@@ -1,0 +1,94 @@
+"""End-to-end lifecycle test (the reference's §3.2 snapshot-then-CDC flow):
+
+  1. chunk-parallel 'snapshot' of table state at LSN L0 seeds the mirror
+  2. post-L0 changes land as WAL segments
+  3. the pq_cdc_wal LSN source streams them from startlsn=L0
+  4. the TOAST-aware mirror merge maintains current state
+
+Invariant (snapshot_consistency_test.go): the stream-maintained mirror
+equals batch latest_state over the FULL changelog — no gap, no duplicate,
+TOAST repaired across the handoff seam.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from go_pq_cdc_spark.operators.cdc import filter_heartbeat, latest_state
+from go_pq_cdc_spark.sources import lsn_stream
+from go_pq_cdc_spark.sources.changelog import committed_changelog
+from go_pq_cdc_spark.streaming.changelog_stream import merge_mirror_batch, mirror_sink
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture()
+def dirs():
+    base = tempfile.mkdtemp(prefix="gpcs_e2e_")
+    yield {
+        "wal": os.path.join(base, "wal"),
+        "state": os.path.join(base, "state"),
+        "ckpt": os.path.join(base, "ckpt"),
+    }
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_snapshot_then_cdc_equals_batch_state(spark, dirs):
+    log = filter_heartbeat(committed_changelog(spark, SF_DIR)).select(
+        "op", "lsn", "xid", "commit_ts", "pk", "after_val"
+    )
+    max_lsn = log.agg(F.max("lsn")).collect()[0][0]
+    l0 = max_lsn // 2
+
+    # 1) snapshot at L0: current state rows become the mirror seed (op='R')
+    snap_state = latest_state(log.filter(F.col("lsn") <= l0)).select(
+        "pk",
+        F.col("last_lsn").alias("lsn"),
+        F.lit("R").alias("op"),
+        F.col("last_val").alias("after_val"),
+    )
+    os.makedirs(dirs["state"], exist_ok=True)
+    merge_mirror_batch(snap_state, dirs["state"])
+
+    # 2) post-snapshot WAL, segmented into 3 files
+    os.makedirs(dirs["wal"], exist_ok=True)
+    stream_rows = log.filter(F.col("lsn") > l0).orderBy("lsn").toPandas()
+    thirds = max(1, len(stream_rows) // 3)
+    for i in range(0, len(stream_rows), thirds):
+        seg = stream_rows.iloc[i : i + thirds]
+        if seg.empty:
+            continue
+        lo, hi = int(seg["lsn"].min()), int(seg["lsn"].max())
+        tbl = pa.Table.from_pandas(seg, preserve_index=False)
+        pq.write_table(tbl, lsn_stream.segment_path(dirs["wal"], lo, hi))
+
+    # 3) stream from startlsn=L0 into the mirror
+    lsn_stream.register(spark)
+    stream = (
+        spark.readStream.format("pq_cdc_wal")
+        .option("path", dirs["wal"])
+        .option("startlsn", l0)
+        .load()
+    )
+    q = mirror_sink(stream, dirs["state"], dirs["ckpt"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # 4) invariant: mirror == batch latest_state over the whole log
+    mirror = {
+        r["pk"]: (r["after_val"], r["lsn"])
+        for r in spark.read.parquet(os.path.join(dirs["state"], "current")).collect()
+    }
+    direct = {
+        r["pk"]: (r["last_val"], r["last_lsn"]) for r in latest_state(log).collect()
+    }
+    assert mirror == direct
