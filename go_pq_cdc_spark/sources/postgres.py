@@ -196,3 +196,34 @@ def poll_changes_sql(slot_name: str, publication: str, upto_lsn: str | None = No
         f"'{slot_name}', {upto}, {limit}, 'proto_version', '1', "
         f"'publication_names', '{publication}')"
     )
+
+
+# --- O25 active/passive failover: slot capture ------------------------------
+
+
+def capture_slot(
+    status_fn,
+    poll_interval_s: float = 1.0,
+    timeout_s: float | None = None,
+    sleep=None,
+) -> dict:
+    """Block until the replication slot is inactive, then return its status
+    — the reference's passive-instance takeover loop (`connector.go:631-652`
+    polls pg_replication_slots once a second until `active` is false, then
+    this instance starts replication; a crash of the active instance frees
+    the slot and the passive one takes over).
+
+    `status_fn` runs `slot_status_sql` against the server and returns a
+    dict with at least {'active': bool}. Raises TimeoutError on timeout."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    waited = 0.0
+    while True:
+        status = status_fn()
+        if not status.get("active"):
+            return status
+        if timeout_s is not None and waited >= timeout_s:
+            raise TimeoutError(f"slot still active after {timeout_s}s")
+        sleep(poll_interval_s)
+        waited += poll_interval_s

@@ -101,3 +101,30 @@ def mirror_sink(stream_df: DataFrame, state_dir: str, checkpoint_dir: str):
         .foreachBatch(lambda batch_df, _epoch: merge_mirror_batch(batch_df, state_dir))
         .start()
     )
+
+
+def multi_mirror_sink(
+    stream_df: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    table_col: str = "tbl",
+):
+    """O17 fan-out apply: one slot carries every published table's events;
+    each micro-batch is split by table and merged into that table's mirror.
+    The per-table loop is driver-side control flow only — each merge is a
+    distributed job (tables per batch are few; rows are many)."""
+
+    def apply(batch_df: DataFrame, _epoch: int) -> None:
+        tables = [r[0] for r in batch_df.select(table_col).distinct().collect()]
+        for t in tables:
+            merge_mirror_batch(
+                batch_df.filter(F.col(table_col) == t).drop(table_col),
+                os.path.join(state_root, t.replace(".", "__")),
+            )
+
+    return (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(apply)
+        .start()
+    )

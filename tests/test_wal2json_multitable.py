@@ -1,0 +1,126 @@
+"""wal2json decode (O4/O5 over the poll transport), multi-table mirror
+fan-out (O17), and slot-capture failover loop (O25)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from go_pq_cdc_spark.sources.postgres import capture_slot
+from go_pq_cdc_spark.sources.wal2json import decode_wal2json, route_tables
+from go_pq_cdc_spark.streaming.changelog_stream import multi_mirror_sink
+
+
+def test_decode_wal2json(spark):
+    raw = spark.createDataFrame(
+        [
+            Row(
+                lsn=10,
+                xid=1,
+                data='{"action":"I","schema":"public","table":"users",'
+                '"timestamp":"2024-01-01 00:00:01",'
+                '"columns":[{"name":"id","type":"integer","value":"1"},'
+                '{"name":"name","type":"text","value":"alice"}]}',
+            ),
+            Row(
+                lsn=11,
+                xid=1,
+                data='{"action":"U","schema":"public","table":"users",'
+                '"timestamp":"2024-01-01 00:00:02",'
+                '"columns":[{"name":"id","type":"integer","value":"1"},'
+                '{"name":"name","type":"text","value":"alice2"}],'
+                '"identity":[{"name":"id","type":"integer","value":"1"},'
+                '{"name":"name","type":"text","value":"alice"}]}',
+            ),
+            Row(lsn=12, xid=1, data='{"action":"C"}'),  # commit marker dropped
+            Row(
+                lsn=13,
+                xid=2,
+                data='{"action":"D","schema":"public","table":"orders",'
+                '"timestamp":"2024-01-01 00:00:03",'
+                '"identity":[{"name":"id","type":"integer","value":"7"}]}',
+            ),
+        ]
+    )
+    env = decode_wal2json(raw)
+    rows = {r["lsn"]: r for r in env.collect()}
+    assert set(rows) == {10, 11, 13}
+    assert rows[10]["op"] == "I" and rows[10]["after"]["name"] == "alice"
+    assert rows[11]["before"]["name"] == "alice" and rows[11]["after"]["name"] == "alice2"
+    assert rows[13]["op"] == "D" and rows[13]["table"] == "orders"
+    assert rows[13]["before"]["id"] == "7"
+    routed = route_tables(env)
+    assert set(routed) == {"public.users", "public.orders"}
+    assert routed["public.users"].count() == 2
+
+
+MULTI_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("xid", T.LongType()),
+        T.StructField("commit_ts", T.TimestampType()),
+        T.StructField("pk", T.LongType()),
+        T.StructField("after_val", T.DoubleType()),
+        T.StructField("tbl", T.StringType()),
+    ]
+)
+
+
+def test_multi_table_mirror(spark):
+    base = tempfile.mkdtemp(prefix="gpcs_multi_")
+    try:
+        ind = os.path.join(base, "in")
+        os.makedirs(ind)
+        ts = datetime.datetime(2024, 1, 1)
+        rows = [
+            Row(op="I", lsn=1, xid=1, commit_ts=ts, pk=1, after_val=1.0, tbl="public.users"),
+            Row(op="I", lsn=2, xid=1, commit_ts=ts, pk=1, after_val=9.0, tbl="public.orders"),
+            Row(op="U", lsn=3, xid=2, commit_ts=ts, pk=1, after_val=1.5, tbl="public.users"),
+            Row(op="D", lsn=4, xid=2, commit_ts=ts, pk=1, after_val=None, tbl="public.orders"),
+        ]
+        spark.createDataFrame(rows, MULTI_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(ind, "b0")
+        )
+        stream = (
+            spark.readStream.schema(MULTI_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(ind + "/*")
+        )
+        q = multi_mirror_sink(stream, os.path.join(base, "state"), os.path.join(base, "ck"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        users = spark.read.parquet(
+            os.path.join(base, "state", "public__users", "current")
+        ).collect()
+        assert [(r["pk"], r["after_val"]) for r in users] == [(1, 1.5)]
+        orders_dir = os.path.join(base, "state", "public__orders", "current")
+        assert spark.read.parquet(orders_dir).count() == 0  # deleted key gone
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_capture_slot_takeover():
+    statuses = [{"active": True}, {"active": True}, {"active": False, "restart_lsn": "0/1"}]
+    calls = {"n": 0}
+
+    def status_fn():
+        s = statuses[min(calls["n"], len(statuses) - 1)]
+        calls["n"] += 1
+        return s
+
+    slept = []
+    out = capture_slot(status_fn, poll_interval_s=1.0, sleep=slept.append)
+    assert out["restart_lsn"] == "0/1"
+    assert len(slept) == 2  # polled while active, took over when freed
+
+    with pytest.raises(TimeoutError):
+        capture_slot(lambda: {"active": True}, poll_interval_s=1.0, timeout_s=3.0, sleep=lambda _: None)
