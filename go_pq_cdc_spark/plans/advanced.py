@@ -439,3 +439,100 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           )
         """
     )
+
+
+_SCALAR_GAUNTLET_SQL = """
+    SELECT o_orderkey,
+           upper(o_orderpriority)                                   AS up,
+           lower(o_orderstatus)                                     AS lo,
+           substr(o_orderpriority, 1, 1)                            AS pri_code,
+           lpad(CAST(o_orderkey AS VARCHAR(20)), 12, '0')           AS padded_key,
+           concat(o_orderstatus, '-', o_orderpriority)              AS tag,
+           CAST(length(o_orderpriority) AS BIGINT)                  AS pri_len,
+           replace(o_orderpriority, '-', '_')                       AS pri_u,
+           reverse(o_orderstatus)                                   AS rev_status,
+           CAST(date_trunc('month', o_orderdate) AS DATE)           AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)           AS y,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT)          AS m,
+           CAST(EXTRACT(day FROM o_orderdate) AS BIGINT)            AS d,
+           CAST(abs(o_totalprice - 100000.0) AS DOUBLE)             AS dist_100k,
+           CAST(floor(o_totalprice) AS BIGINT)                      AS price_floor,
+           CAST(ceil(o_totalprice) AS BIGINT)                       AS price_ceil,
+           CAST(sqrt(CAST(o_totalprice AS DOUBLE)) AS DOUBLE)       AS price_sqrt,
+           CAST(power(2.0, CAST(o_orderkey % 10 AS DOUBLE)) AS DOUBLE) AS pow2,
+           greatest(o_orderkey % 7, o_orderkey % 5)                 AS g,
+           least(o_orderkey % 7, o_orderkey % 5)                    AS l,
+           coalesce(nullif(o_orderstatus, 'O'), 'open')             AS status_or_open
+    FROM orders
+"""
+
+
+@register(
+    "q_scalar_gauntlet",
+    oracle=_SCALAR_GAUNTLET_SQL,
+    tags=("relational", "scalar_fn"),
+)
+def q_scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface parity in one pass: string (upper/lower/
+    substr/lpad/concat/length/replace/reverse), date (date_trunc/extract),
+    math (abs/floor/ceil/sqrt/power), conditional (greatest/least/
+    coalesce/nullif) — identical ANSI text on both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SCALAR_GAUNTLET_SQL)
+
+
+@register(
+    "q_cube_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "cube"),
+)
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 grouping combinations)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_range_join_bursts",
+    oracle="""
+    SELECT a.user_id,
+           COUNT(*) AS n_burst_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id <> a.event_id
+     AND b.ts >= a.ts
+     AND b.ts < a.ts + INTERVAL 5 MINUTE
+     AND (b.ts > a.ts OR b.event_id > a.event_id)
+    GROUP BY a.user_id
+    """,
+    tags=("relational", "range_join"),
+)
+def q_range_join_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: event pairs of the same user within a 5-minute window —
+    equi-join on the user key carries the shuffle; the range predicate
+    filters within the block (the bucketize-then-filter strategy for range
+    joins, guide §'As-of / range')."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.event_id") != F.col("a.event_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") < F.col("a.ts") + F.expr("INTERVAL 5 MINUTE"))
+            & ((F.col("b.ts") > F.col("a.ts")) | (F.col("b.event_id") > F.col("a.event_id"))),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_burst_pairs"))
+    )
