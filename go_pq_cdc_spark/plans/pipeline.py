@@ -412,3 +412,44 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
     return S.ivf_topk(emb, cents, queries, k=5)
+
+
+@register(
+    "sim_ann_lsh_topk",
+    oracle=None,  # approximate by construction: rows-only gate; recall
+    # sanity-tested against exact top-k in tests/test_ann_quality.py
+    tags=("similarity", "lsh", "ann"),
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 for 8 queries (candidates only from the
+    query's hyperplane bucket — the sub-linear path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=5).withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # mapInPandas kernel (stubbed codecs) — rows-only gate
+    tags=("multimodal",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end on synthesized media: document text
+    bytes become binary payloads; mapInPandas extracts size/hash/feature
+    (deterministic stub kernel standing in for image/audio codecs)."""
+    from ..operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None)
+        .cast("struct<mime:string,width:int,height:int,duration_ms:int>")
+        .alias("meta"),
+    )
+    return extract_features(media)
