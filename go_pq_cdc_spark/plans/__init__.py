@@ -6,3 +6,4 @@ from . import cdc  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
 from . import cdc_extras  # noqa: F401,E402
+from . import tpch_extra  # noqa: F401,E402
