@@ -108,3 +108,16 @@ class CdcEngine:
 
     def current_state(self, state_dir: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(state_dir, "current"))
+
+
+def snapshot_only(df, out_dir: str, mode: str = "error_if_exists") -> bool:
+    """§3.3 snapshot-only mode: one-shot export with resume — if the output
+    is already committed (Spark's _SUCCESS marker), skip the work (the
+    reference resumes via its pseudo-slot job row, connector.go:406-444).
+    Returns True if a snapshot was written, False if resumed/skipped."""
+    import os as _os
+
+    if _os.path.exists(_os.path.join(out_dir, "_SUCCESS")):
+        return False
+    df.write.mode("overwrite" if mode == "overwrite" else "errorifexists").parquet(out_dir)
+    return True

@@ -81,3 +81,21 @@ def cdc_hypertable_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hypertable", "chunk_name")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "q_salted_event_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("relational", "skew"),
+)
+def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: partial counts on (key, salt)
+    spread a hot key over 16 reducers, final combine on key — provably
+    identical to the plain GROUP BY the oracle runs."""
+    from ..catalog import load_table
+    from ..operators.scale import salted_agg_counts
+
+    return salted_agg_counts(load_table(spark, sf_dir, "events"), "event_type")

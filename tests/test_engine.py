@@ -41,3 +41,14 @@ def test_snapshot_plan_and_parquet_transport(spark):
     df = eng.snapshot_parquet(f"{SF_DIR}/orders.parquet", ["o_orderkey", "o_totalprice"])
     assert df.columns == ["o_orderkey", "o_totalprice"]
     assert df.count() > 0
+
+
+def test_snapshot_only_resume(spark, tmp_path):
+    from go_pq_cdc_spark.engine import snapshot_only
+
+    out = str(tmp_path / "snap")
+    df = _engine(spark).snapshot_parquet(f"{SF_DIR}/region.parquet")
+    assert snapshot_only(df, out) is True
+    # second run resumes: committed output is not rewritten
+    assert snapshot_only(df, out) is False
+    assert spark.read.parquet(out).count() == df.count()
