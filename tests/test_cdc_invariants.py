@@ -80,3 +80,23 @@ def test_planner_chunks_cover_and_partition():
     assert plan_auto(integer_pk="id", min_val=0, max_val=9).strategy is Strategy.INTEGER_RANGE
     assert plan_auto(integer_pk=None, relpages=10, reltuples=100.0).strategy is Strategy.CTID_BLOCK
     assert plan_auto(integer_pk=None, total_rows=50).strategy is Strategy.OFFSET
+
+
+def test_chunk_predicates_cover_table_exactly(spark):
+    """Data-level planner check: reading the table chunk-by-chunk (each
+    planner range applied as a filter) reconstructs the full table exactly
+    — no missing rows, no duplicates (snapshot_chunks_test.go analogue)."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.catalog import load_table
+    from go_pq_cdc_spark.snapshot import plan_integer_range
+
+    orders = load_table(spark, SF_DIR, "orders")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    plan = plan_integer_range("o_orderkey", int(lo), int(hi), chunk_size=1000)
+    total = 0
+    for c in plan.chunks:
+        total += orders.filter(
+            (F.col("o_orderkey") >= c.range_start) & (F.col("o_orderkey") <= c.range_end)
+        ).count()
+    assert total == orders.count()
