@@ -38,12 +38,18 @@ def register_duckdb_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
 
 def _norm(v):
     """Normalize a cell for cross-engine comparison (mirrors the driver's
-    order-insensitive value hash: exact equality, no float tolerance)."""
+    order-insensitive value hash: exact equality, no float tolerance).
+    Type families are part of the identity: Decimal('4.0') must NOT pass
+    for float 4.0 — a value-hash would stringify them differently."""
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
-    return v
+        return ("f", v)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    return (type(v).__name__, v) if v is not None else None
 
 
 def assert_frames_match(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?"):
