@@ -61,10 +61,14 @@ def latest_state(df: DataFrame) -> DataFrame:
     key. This is what `foreachBatch` MERGE does incrementally; expressed
     relationally it is row_number()=1 over (pk ORDER BY lsn DESC)."""
     df = toast_fill(df)
-    w = Window.partitionBy("pk").orderBy(F.desc("lsn"))
+    # max-LSN-wins via an order-free MAX window: lsn is unique per key, so
+    # lsn == max(lsn) selects exactly the latest row — and unlike a DESC
+    # row_number it needs no third sort (the fill's (pk, ...) sort already
+    # satisfies the partition-only requirement).
+    w = Window.partitionBy("pk")
     return (
-        df.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        df.withColumn("max_lsn", F.max("lsn").over(w))
+        .filter((F.col("lsn") == F.col("max_lsn")) & (F.col("op") != "D"))
         .select(
             "pk",
             F.col("filled_val").alias("last_val"),
