@@ -97,10 +97,10 @@ def snapshot_handoff(df: DataFrame, snapshot_lsn: int) -> DataFrame:
     stream_rows = stream.select("pk", "lsn", "op", "after_val")
     unioned = snap_rows.unionByName(stream_rows)
     filled = toast_fill(unioned)
-    w = Window.partitionBy("pk").orderBy(F.desc("lsn"))
+    w = Window.partitionBy("pk")
     return (
-        filled.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        filled.withColumn("max_lsn", F.max("lsn").over(w))
+        .filter((F.col("lsn") == F.col("max_lsn")) & (F.col("op") != "D"))
         .select(
             "pk",
             F.col("filled_val").alias("last_val"),

@@ -69,11 +69,23 @@ def merge_mirror_batch(batch_df: DataFrame, state_dir: str) -> None:
         merged = existing.unionByName(incoming)
     else:
         merged = incoming
+    # At-least-once replay can re-deliver the event whose LSN equals the
+    # stored mirror row's — dedupe (pk, lsn) preferring the stored 'R' row
+    # (it already carries the TOAST-repaired value) so the fill window
+    # never sees an ambiguous tie.
+    w_dup = Window.partitionBy("pk", "lsn").orderBy(
+        F.desc(F.col("op") == "R")
+    )
+    merged = (
+        merged.withColumn("dup_rn", F.row_number().over(w_dup))
+        .filter(F.col("dup_rn") == 1)
+        .drop("dup_rn")
+    )
     filled = toast_fill(merged)
-    w = Window.partitionBy("pk").orderBy(F.desc("lsn"))
+    w = Window.partitionBy("pk")
     state = (
-        filled.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        filled.withColumn("max_lsn", F.max("lsn").over(w))
+        .filter((F.col("lsn") == F.col("max_lsn")) & (F.col("op") != "D"))
         .select(
             "pk",
             "lsn",

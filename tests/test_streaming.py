@@ -174,3 +174,22 @@ def test_windowed_agg_with_watermark(spark, tmpdirs):
         assert len(rows) == 3  # lsn 0..24 -> 3 tumbling windows
     finally:
         q.stop()
+
+
+def test_mirror_replay_with_toast_null(spark, tmpdirs):
+    """At-least-once replay edge: the replayed event has the same LSN as
+    the stored mirror row but a NULL (TOAST-unchanged) value — the stored
+    repaired value must win deterministically."""
+    os.makedirs(tmpdirs["state"], exist_ok=True)
+    b1 = spark.createDataFrame(
+        [_ev("I", 1, 1, 7, 42.0), _ev("U", 2, 1, 7, None)], FLAT_CHANGE_SCHEMA
+    )
+    merge_mirror_batch(b1, tmpdirs["state"])
+    cur = spark.read.parquet(os.path.join(tmpdirs["state"], "current")).collect()
+    assert [(r["pk"], r["after_val"], r["lsn"]) for r in cur] == [(7, 42.0, 2)]
+
+    # replay just the TOAST-null update (same lsn as the stored row)
+    b2 = spark.createDataFrame([_ev("U", 2, 1, 7, None)], FLAT_CHANGE_SCHEMA)
+    merge_mirror_batch(b2, tmpdirs["state"])
+    cur = spark.read.parquet(os.path.join(tmpdirs["state"], "current")).collect()
+    assert [(r["pk"], r["after_val"], r["lsn"]) for r in cur] == [(7, 42.0, 2)]
