@@ -97,6 +97,46 @@ def throughput_benches(spark, sf_dir: str) -> dict[str, int]:
         rates["cdc_apply"] = int(n / (time.perf_counter() - t0))
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+    # End-to-end streaming CDC: changelog as WAL segments -> pq_cdc_wal
+    # custom source -> TOAST-aware mirror merge (the closest shape to the
+    # reference's 10M-insert CDC benchmark).
+    from go_pq_cdc_spark.sources import lsn_stream
+    from go_pq_cdc_spark.streaming import mirror_sink
+
+    wal_base = tempfile.mkdtemp(prefix="bench_wal_")
+    try:
+        wal_dir = os.path.join(wal_base, "wal")
+        os.makedirs(wal_dir)
+        import glob as _glob
+
+        ordered = base.select("op", "lsn", "xid", "commit_ts", "pk", "after_val")
+        lo, hi = ordered.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+        span = int(hi) - int(lo) + 1
+        ev_total = 0
+        # AMP segments with disjoint LSN ranges ≈ the reference's 10M-row
+        # sustained CDC run scaled to local size.
+        for i in range(AMP):
+            seg = ordered.withColumn("lsn", F.col("lsn") + F.lit(i * span)).withColumn(
+                "pk", F.col("pk") + F.lit((i % 3) * 1_000_000)
+            )
+            seg.coalesce(1).write.mode("overwrite").parquet(os.path.join(wal_base, "tmp"))
+            src = _glob.glob(os.path.join(wal_base, "tmp", "part-*.parquet"))[0]
+            os.replace(
+                src,
+                lsn_stream.segment_path(wal_dir, int(lo) + i * span, int(hi) + i * span),
+            )
+            ev_total += n // AMP
+
+        lsn_stream.register(spark)
+        stream = spark.readStream.format("pq_cdc_wal").option("path", wal_dir).load()
+        t0 = time.perf_counter()
+        q = mirror_sink(stream, os.path.join(wal_base, "state"), os.path.join(wal_base, "ck"))
+        q.processAllAvailable()
+        q.stop()
+        rates["cdc_stream_e2e"] = int(ev_total / (time.perf_counter() - t0))
+    finally:
+        shutil.rmtree(wal_base, ignore_errors=True)
     return rates
 
 

@@ -69,6 +69,11 @@ def merge_mirror_batch(batch_df: DataFrame, state_dir: str) -> None:
         merged = existing.unionByName(incoming)
     else:
         merged = incoming
+    # One explicit shuffle on pk up front: hash(pk) satisfies the clustering
+    # requirement of ALL the windows below (incl. the (pk,lsn) dedup —
+    # subset rule), so the whole merge runs on a single exchange.
+    par = spark.sparkContext.defaultParallelism
+    merged = merged.repartition(par, F.col("pk"))
     # At-least-once replay can re-deliver the event whose LSN equals the
     # stored mirror row's — dedupe (pk, lsn) preferring the stored 'R' row
     # (it already carries the TOAST-repaired value) so the fill window

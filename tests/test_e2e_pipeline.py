@@ -92,3 +92,57 @@ def test_snapshot_then_cdc_equals_batch_state(spark, dirs):
         r["pk"]: (r["last_val"], r["last_lsn"]) for r in latest_state(log).collect()
     }
     assert mirror == direct
+
+
+def test_wal_source_through_txn_buffer_to_mirror(spark, dirs):
+    """Full O1+O8+O21 path: WAL segments carrying interleaved streamed-txn
+    chunks with C/A markers -> pq_cdc_wal source -> per-XID stateful buffer
+    -> mirror. Only committed txns' effects reach the mirror."""
+    import datetime
+
+    import pandas as pd
+
+    from go_pq_cdc_spark.streaming import buffer_streamed_txns, merge_mirror_batch
+
+    def seg(rows, lo, hi):
+        pdf = pd.DataFrame(
+            rows, columns=["op", "lsn", "xid", "commit_ts", "pk", "after_val"]
+        )
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(tbl, lsn_stream.segment_path(dirs["wal"], lo, hi))
+
+    ts = datetime.datetime(2024, 1, 1)
+    os.makedirs(dirs["wal"], exist_ok=True)
+    # segment 1: txn 1 starts (2 events), txn 2 starts (1 event)
+    seg(
+        [("I", 1, 1, ts, 10, 1.0), ("I", 2, 2, ts, 20, 2.0), ("U", 3, 1, ts, 10, 1.5)],
+        1,
+        3,
+    )
+    # segment 2: txn 1 commits at lsn 5, txn 2 aborts
+    seg([("C", 5, 1, ts, 0, None), ("A", 6, 2, ts, 0, None)], 4, 6)
+
+    lsn_stream.register(spark)
+    stream = spark.readStream.format("pq_cdc_wal").option("path", dirs["wal"]).load()
+    committed = buffer_streamed_txns(stream)
+    q = (
+        committed.writeStream.outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"])
+        .foreachBatch(
+            lambda b, _e: merge_mirror_batch(
+                b.select("pk", "lsn", "op", "after_val"), dirs["state"]
+            )
+            if b.count()
+            else None
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = {
+        r["pk"]: r["after_val"]
+        for r in spark.read.parquet(os.path.join(dirs["state"], "current")).collect()
+    }
+    assert state == {10: 1.5}, f"committed txn applied, aborted invisible: {state}"
