@@ -453,3 +453,74 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("meta"),
     )
     return extract_features(media)
+
+
+def _simhash_pairs_oracle(max_hamming: int = 1) -> str:
+    return f"""
+    WITH th AS (SELECT doc_id, {_TH['duck']} AS _th FROM documents),
+    sh AS (SELECT doc_id, {_SIMHASH_DUCK} AS simhash FROM th),
+    bands AS (
+        SELECT doc_id, simhash, b AS band,
+               CAST(FLOOR(simhash / (2 ** (b * 8))) AS BIGINT) % 256 AS band_key
+        FROM sh, range(0, 4) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sim_a, b.simhash AS sim_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+    """
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_simhash_pairs_oracle(),
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit fingerprints banded into 4 bytes —
+    near-identical docs share at least one byte band (pigeonhole: with
+    hamming <= 1 at least 3 of 4 bands are equal) — candidates verified by
+    exact Hamming distance. Threshold 1 because this corpus's shared
+    vocabulary makes bag-of-words SimHash collide aggressively.
+    Same equi-join-on-band scale shape as MinHash LSH."""
+    from ..operators.text import with_simhash
+
+    par = spark.sparkContext.defaultParallelism
+    docs = with_simhash(
+        load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    ).select("doc_id", "simhash")
+    bands = docs.select(
+        "doc_id",
+        "simhash",
+        F.expr(
+            "explode(transform(sequence(0, 3), b -> "
+            "struct(b AS band, CAST(FLOOR(simhash / power(2, b * 8)) AS BIGINT) % 256 AS band_key)))"
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+        .filter(F.col("hamming") <= 1)
+        .select("doc_a", "doc_b", "hamming")
+    )
