@@ -254,3 +254,106 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         """
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    tags=("relational", "outer_join"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an extra join predicate, then
+    a distribution over per-customer counts (customers with zero orders
+    must appear — the outer-join correctness case)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120
+    """,
+    tags=("relational", "having"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over an exact-decimal aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"))
+        .filter(F.col("_sq") > 120)
+        .select("c_custkey", "o_orderkey", F.col("_sq").cast("double").alias("total_qty"))
+    )
+
+
+@register(
+    "q_full_outer_activity",
+    oracle="""
+    WITH clickers AS (
+        SELECT user_id, COUNT(*) AS n_clicks FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    buyers AS (
+        SELECT user_id, COUNT(*) AS n_buys FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+           COALESCE(n_clicks, 0) AS n_clicks,
+           COALESCE(n_buys, 0) AS n_buys
+    FROM clickers c FULL OUTER JOIN buyers b ON c.user_id = b.user_id
+    """,
+    tags=("relational", "full_outer"),
+)
+def q_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-user click/purchase counts, either side may be
+    absent."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("b_user_id"))
+        .agg(F.count(F.lit(1)).alias("n_buys"))
+    )
+    return (
+        clickers.join(buyers, clickers.user_id == buyers.b_user_id, "full_outer")
+        .select(
+            F.coalesce(F.col("user_id"), F.col("b_user_id")).alias("user_id"),
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("n_buys"), F.lit(0)).alias("n_buys"),
+        )
+    )
