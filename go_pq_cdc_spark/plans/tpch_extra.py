@@ -357,3 +357,42 @@ def q_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_buys"), F.lit(0)).alias("n_buys"),
         )
     )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT v FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("relational", "antijoin", "scalar_subquery"),
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders —
+    scalar aggregate subquery (exact decimal avg) + anti join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    s, c = pos.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"),
+        F.count(F.lit(1)),
+    ).collect()[0]
+    avg_bal = s / c
+    return (
+        cust.filter(F.col("c_acctbal") > avg_bal)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+        )
+    )
