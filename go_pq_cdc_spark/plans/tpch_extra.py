@@ -371,16 +371,28 @@ def q_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT v FROM avg_bal)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+            AND o_orderdate >= TIMESTAMP '1997-01-01'
+      )
     GROUP BY c_mktsegment
     """,
     tags=("relational", "antijoin", "scalar_subquery"),
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: above-average-balance customers with no orders —
-    scalar aggregate subquery (exact decimal avg) + anti join."""
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    1997+ orders — scalar aggregate subquery (exact decimal avg) + anti
+    join."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_custkey")
+    )
     pos = cust.filter(F.col("c_acctbal") > 0.0)
     s, c = pos.agg(
         F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"),
