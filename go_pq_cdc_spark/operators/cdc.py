@@ -50,9 +50,11 @@ def toast_fill(df: DataFrame, value_col: str = "after_val") -> DataFrame:
         F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).over(w).cast("long"),
     )
     w2 = Window.partitionBy("pk", "del_epoch").orderBy("lsn")
-    return df.withColumn(
-        "filled_val", F.last(F.col(value_col), ignorenulls=True).over(w2)
-    )
+    # A DELETE has no new image — even if the transport ships one
+    # (replica-identity-full old image in after_val), it must never be
+    # carried forward: the key is gone (update.go:102-109 semantics).
+    img = F.when(F.col("op") == "D", F.lit(None)).otherwise(F.col(value_col))
+    return df.withColumn("filled_val", F.last(img, ignorenulls=True).over(w2))
 
 
 def latest_state(df: DataFrame) -> DataFrame:

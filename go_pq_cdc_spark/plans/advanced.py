@@ -294,7 +294,7 @@ _BASE = f"WITH {DUCKDB_CHANGELOG_CTE}"
         -- window BEFORE the op filter: the old image comes from any prior
         -- event, not just prior UPDATEs
         SELECT lsn, pk, op,
-               LAST_VALUE(after_val IGNORE NULLS)
+               LAST_VALUE(CASE WHEN op = 'D' THEN NULL ELSE after_val END IGNORE NULLS)
                    OVER (PARTITION BY pk, del_epoch ORDER BY lsn
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_val
         FROM epoched
@@ -374,7 +374,7 @@ def cdc_truncate_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     filled AS (
         SELECT *,
-               LAST_VALUE(after_val IGNORE NULLS)
+               LAST_VALUE(CASE WHEN op = 'D' THEN NULL ELSE after_val END IGNORE NULLS)
                    OVER (PARTITION BY pk, del_epoch ORDER BY lsn) AS filled_val
         FROM epoched
     ),

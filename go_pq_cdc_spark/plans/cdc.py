@@ -31,7 +31,7 @@ epoched AS (
 ),
 filled AS (
     SELECT *,
-           LAST_VALUE(after_val IGNORE NULLS)
+           LAST_VALUE(CASE WHEN op = 'D' THEN NULL ELSE after_val END IGNORE NULLS)
                OVER (PARTITION BY pk, del_epoch ORDER BY lsn) AS filled_val
     FROM epoched
 )
@@ -134,7 +134,7 @@ def _handoff_oracle() -> str:
     ),
     sfilled AS (
         SELECT *,
-               LAST_VALUE(after_val IGNORE NULLS)
+               LAST_VALUE(CASE WHEN op = 'D' THEN NULL ELSE after_val END IGNORE NULLS)
                    OVER (PARTITION BY pk, del_epoch ORDER BY lsn) AS filled_val
         FROM sepoch
     ),
