@@ -57,6 +57,26 @@ def toast_fill(df: DataFrame, value_col: str = "after_val") -> DataFrame:
     return df.withColumn("filled_val", F.last(img, ignorenulls=True).over(w2))
 
 
+def before_image(df: DataFrame, value_col: str = "after_val") -> DataFrame:
+    """O5/O6: reconstruct each UPDATE's old image (REPLICA IDENTITY FULL
+    analogue) — the last non-null image strictly before the event, never
+    crossing a DELETE, and never taking a DELETE's own shipped image (a
+    replica-identity-full D carries the OLD row in its payload; it is not a
+    surviving image to inherit — update.go:102-109 semantics)."""
+    w = Window.partitionBy("pk").orderBy("lsn")
+    df = df.withColumn(
+        "del_epoch",
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).over(w).cast("long"),
+    )
+    w2 = (
+        Window.partitionBy("pk", "del_epoch")
+        .orderBy("lsn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    masked = F.when(F.col("op") == "D", F.lit(None)).otherwise(F.col(value_col))
+    return df.withColumn("before_val", F.last(masked, ignorenulls=True).over(w2))
+
+
 def latest_state(df: DataFrame) -> DataFrame:
     """O29 + SURVEY §2.2 'CDC-merge idiom': the queryable current state of a
     table from its change stream — max-LSN-wins per key, DELETE removes the

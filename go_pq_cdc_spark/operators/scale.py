@@ -34,9 +34,15 @@ def salted_agg_counts(
     """Two-phase aggregation for skewed keys: partial count on
     (key, salt) — spreading one hot key over `salt_buckets` reducers —
     then final combine on key. Result identical to a plain groupBy count;
-    the shuffle profile is what changes."""
+    the shuffle profile is what changes.
+
+    The salt is DETERMINISTIC (hash of the full row): a nondeterministic
+    salt (rand/monotonically_increasing_id) as a shuffle key re-salts rows
+    when a failed map task is recomputed, double-counting or losing rows.
+    Hashing all columns still spreads a hot key because its rows differ in
+    the non-key attributes."""
     salted = df.withColumn(
-        "_salt", (F.monotonically_increasing_id() % salt_buckets).cast("int")
+        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets)).cast("int")
     )
     partial = salted.groupBy(key_col, "_salt").agg(F.count(F.lit(1)).alias("_pc"))
     return partial.groupBy(key_col).agg(F.sum("_pc").cast("long").alias("n"))

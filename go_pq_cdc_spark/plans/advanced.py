@@ -80,9 +80,9 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT: customers active in 1996 but not 1997."""
-    churned = _active_custs(spark, sf_dir, 1996, 1997).exceptAll(
+    churned = _active_custs(spark, sf_dir, 1996, 1997).subtract(
         _active_custs(spark, sf_dir, 1997, 1998)
-    ).distinct()
+    )
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     return (
@@ -307,21 +307,11 @@ def cdc_before_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5/O6: reconstruct each UPDATE's old image (REPLICA IDENTITY FULL
     analogue) — last non-null value strictly before the event, not crossing
     a DELETE."""
-    from ..operators.cdc import filter_heartbeat
+    from ..operators.cdc import before_image, filter_heartbeat
 
     df = filter_heartbeat(committed_changelog(spark, sf_dir))
-    w = Window.partitionBy("pk").orderBy("lsn")
-    df = df.withColumn(
-        "del_epoch",
-        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).over(w).cast("long"),
-    )
-    w2 = (
-        Window.partitionBy("pk", "del_epoch")
-        .orderBy("lsn")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     return (
-        df.withColumn("before_val", F.last("after_val", ignorenulls=True).over(w2))
+        before_image(df)
         .filter(F.col("op") == "U")
         .select("lsn", "pk", "before_val")
     )

@@ -356,14 +356,15 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: explode tokens -> count -> deterministic
     top-20 (map-side partial counts; the global top-k is tiny)."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return (
+    top = (
         docs.select(F.explode(F.expr(_TOK["spark"])).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 20)
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)  # TakeOrderedAndProject — no global window over the vocab
     )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))  # 20 rows only
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 def _ivf_oracle() -> str:

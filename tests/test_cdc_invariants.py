@@ -100,3 +100,27 @@ def test_chunk_predicates_cover_table_exactly(spark):
             (F.col("o_orderkey") >= c.range_start) & (F.col("o_orderkey") <= c.range_end)
         ).count()
     assert total == orders.count()
+
+
+def test_before_image_never_inherits_delete_image(spark):
+    """A replica-identity-full DELETE ships the OLD row in its payload; that
+    image must not leak into any later event's before_val (ADVICE r2: the
+    synthetic changelog always nulls D images, which hid this path)."""
+    rows = [
+        # pk=1: I(10, v=1.0), U(20, v=2.0), D(30, image=9.9!), I(40, v=4.0), U(50, NULL toast)
+        ("I", 10, 1, 1, 1.0),
+        ("U", 20, 1, 1, 2.0),
+        ("D", 30, 1, 1, 9.9),
+        ("I", 40, 1, 1, 4.0),
+        ("U", 50, 1, 1, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, lsn bigint, xid bigint, pk bigint, after_val double"
+    )
+    out = {r["lsn"]: r["before_val"] for r in ops.before_image(df).collect()}
+    assert out[20] == 1.0
+    # the D opens its own del_epoch, so its trailing frame is empty — same
+    # NULL the DuckDB oracle produces (only op='U' rows surface downstream)
+    assert out[30] is None
+    assert out[40] is None  # nothing survives a DELETE — 9.9 must not leak
+    assert out[50] == 4.0  # post-delete epoch restarts from the re-insert

@@ -102,3 +102,17 @@ def test_stream_dedup_absorbs_redelivery(spark):
             q.stop()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_salted_agg_salt_is_deterministic(spark):
+    """The salt must be a deterministic function of row content: a
+    nondeterministic shuffle key (rand / monotonically_increasing_id)
+    double-counts or loses rows when a map task is recomputed on retry."""
+    ev = load_table(spark, SF_DIR, "events")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        salted_agg_counts(ev, "event_type").explain(True)
+    plan = buf.getvalue()
+    assert "monotonically_increasing_id" not in plan
+    assert "rand(" not in plan
+    assert "xxhash64" in plan
