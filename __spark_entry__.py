@@ -23,6 +23,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return plans.REGISTRY["q1_pricing_summary"].spark_fn(spark, SF0001)
 
 
+# Gate scheduling: rounds 1-2 the correctness runner only reached the first
+# 50 of 60 registry entries, so entries that have never had a CORRECTNESS
+# row run FIRST; the tail holds queries already hash-verified green in BOTH
+# earlier rounds with code untouched since.
+_GATE_HEAD = [
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_bracketed_revenue",
+    "q22_idle_rich_customers",
+    "q_grouping_sets",
+    "q_full_outer_activity",
+    "multimodal_features",
+    "sim_ann_lsh_topk",
+]
+_GATE_TAIL = [
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_simhash",
+    "dedup_exact",
+    "q_json_extract",
+    "q_pivot_event_counts",
+    "q_distinct_custs",
+    "q_percentiles",
+    "q_scalar_gauntlet",
+]
+
+
+def _gate_order() -> list[str]:
+    names = list(plans.REGISTRY)
+    missing = (set(_GATE_HEAD) | set(_GATE_TAIL)) - set(names)
+    assert not missing, f"gate order references unknown queries: {sorted(missing)}"
+    middle = [n for n in names if n not in _GATE_HEAD and n not in _GATE_TAIL]
+    return _GATE_HEAD + middle + _GATE_TAIL
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,8 +71,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(fn) for name, fn in plans.all_queries().items()}
+    qs = plans.all_queries()
+    return {name: wrap(qs[name]) for name in _gate_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return plans.all_oracles()
+    oracles = plans.all_oracles()
+    return {name: oracles[name] for name in _gate_order() if name in oracles}

@@ -415,30 +415,91 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, cents, queries, k=5)
 
 
+def _ann_lsh_oracle() -> str:
+    """DuckDB oracle for the LSH ANN path: the bucket assignment is the
+    SAME fixed-point int64 arithmetic on both engines (lsh_bucket_fragments),
+    so 'approximate' is still deterministic — candidates, ranks and cosines
+    hash-compare exactly (same construction as `_ivf_oracle`)."""
+    nrm = P.scaled_dot("embedding", "embedding", "embedding")["duck"]
+    dot = P.scaled_dot("qv", "v", "qv")["duck"]
+    bucket = S.lsh_bucket_fragments("embedding")["duck"]
+    return f"""
+    WITH nrm AS (
+        SELECT vec_id, embedding, {nrm} AS n2, {bucket} AS bucket FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, n2 AS q_n2, bucket AS q_bucket
+          FROM nrm WHERE vec_id < 8),
+    c AS (SELECT vec_id AS c_id, embedding AS v, n2 AS c_n2, bucket FROM nrm),
+    pairs AS (
+        SELECT q_id, c_id,
+               CAST({dot} AS DOUBLE)
+                   / (sqrt(CAST(q_n2 AS DOUBLE)) * sqrt(CAST(c_n2 AS DOUBLE))) AS cos_sim
+        FROM q JOIN c ON bucket = q_bucket AND q_id <> c_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id AS neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk
+        FROM pairs
+    )
+    SELECT q_id, neighbor_id, rnk, cos_sim FROM ranked WHERE rnk <= 5
+    """
+
+
 @register(
     "sim_ann_lsh_topk",
-    oracle=None,  # approximate by construction: rows-only gate; recall
-    # sanity-tested against exact top-k in tests/test_ann_quality.py
+    oracle=_ann_lsh_oracle(),
     tags=("similarity", "lsh", "ann"),
 )
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-5 for 8 queries (candidates only from the
-    query's hyperplane bucket — the sub-linear path)."""
+    query's hyperplane bucket — the sub-linear path); recall vs exact
+    top-k sanity-tested in tests/test_ann_quality.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=5).withColumnRenamed(
         "rank", "rnk"
     )
 
 
+def _multimodal_oracle() -> str:
+    """DuckDB oracle for the mapInPandas multimodal kernel: the stub
+    feature is bytes 0..7 of sha256(payload)/255 as float32 — rebuilt in
+    SQL by slicing the hex digest (hex pair -> int via strpos) and matching
+    the float32 quantization (CAST AS FLOAT) before %.6f formatting, so
+    the Arrow kernel and the oracle print identical strings."""
+    hexv = "0123456789abcdef"
+    feats = ", ".join(
+        f"printf('%.6f', CAST(CAST(((strpos('{hexv}', substr(h, {2 * k + 1}, 1)) - 1) * 16"
+        f" + strpos('{hexv}', substr(h, {2 * k + 2}, 1)) - 1) / 255.0 AS FLOAT) AS DOUBLE))"
+        for k in range(8)
+    )
+    return f"""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS h
+        FROM documents
+    )
+    SELECT media_id, kind, n_bytes, h AS content_hash,
+           concat_ws(',', {feats}) AS feature_str
+    FROM media
+    """
+
+
 @register(
     "multimodal_features",
-    oracle=None,  # mapInPandas kernel (stubbed codecs) — rows-only gate
+    oracle=_multimodal_oracle(),
     tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end on synthesized media: document text
     bytes become binary payloads; mapInPandas extracts size/hash/feature
-    (deterministic stub kernel standing in for image/audio codecs)."""
+    (deterministic stub kernel standing in for image/audio codecs). The
+    gated projection renders the float32 feature vector as a fixed-precision
+    string so it is hashable and engine-comparable; the array<float> API
+    surface is exercised in tests/test_e2e_pipeline.py."""
     from ..operators.multimodal import extract_features
 
     docs = load_table(spark, sf_dir, "documents")
@@ -453,7 +514,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("struct<mime:string,width:int,height:int,duration_ms:int>")
         .alias("meta"),
     )
-    return extract_features(media)
+    return extract_features(media).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "content_hash",
+        F.expr(
+            "array_join(transform(feature, x -> format_string('%.6f', CAST(x AS DOUBLE))), ',')"
+        ).alias("feature_str"),
+    )
 
 
 def _simhash_pairs_oracle(max_hamming: int = 1) -> str:
