@@ -73,18 +73,53 @@ class LsnStreamReader(DataSourceStreamReader):
         # Snapshot→CDC handoff (O28): start from the recorded snapshot LSN.
         return {"lsn": self.start_lsn}
 
+    def _anchor(self, segs) -> int:
+        # startlsn = -1 means "wherever the WAL begins": anchor at the lowest
+        # segment present. An explicit startlsn is a hard chain origin.
+        if self.start_lsn == -1 and segs:
+            return segs[0][0] - 1
+        return self.start_lsn
+
     def latestOffset(self) -> dict:
+        # Advance only along a CONTIGUOUS segment chain (the reference tracks
+        # received WAL positions the same way, stream.go:605-633). A segment
+        # landing out of order leaves the offset parked before the gap, so it
+        # is still read once the gap fills — never silently skipped.
         segs = list_segments(self.dir)
-        latest = max((end for _s, end, _p in segs), default=self.start_lsn)
-        return {"lsn": latest}
+        cur = self._anchor(segs)
+        for s, e, _p in segs:
+            if e <= cur:
+                continue  # already covered
+            if s != cur + 1:
+                break  # gap: do not advance past it
+            cur = e
+        return {"lsn": cur}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["lsn"], end["lsn"]
-        return [
+        parts = [
             WalSegmentPartition(path, s, e)
             for s, e, path in list_segments(self.dir)
             if s > lo and e <= hi
         ]
+        # Defense in depth: the (lo, hi] range must be exactly tiled by the
+        # selected segments. A hole here means WAL loss (a segment vanished
+        # or offsets were corrupted) — fail the batch loudly rather than
+        # deliver a stream with a silent gap.
+        cur = lo
+        for p in parts:
+            if p.start_lsn != cur + 1:
+                raise ValueError(
+                    f"WAL gap in {self.dir}: expected segment starting at "
+                    f"{cur + 1}, found {p.start_lsn} (range ({lo}, {hi}])"
+                )
+            cur = p.end_lsn
+        if cur != hi:
+            raise ValueError(
+                f"WAL gap in {self.dir}: segments end at {cur}, offset "
+                f"range requires {hi}"
+            )
+        return parts
 
     def read(self, partition: WalSegmentPartition) -> Iterator:
         # Executor-side Arrow read of one WAL segment (columnar batches —

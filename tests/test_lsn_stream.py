@@ -133,3 +133,47 @@ def test_start_lsn_skips_backfilled_range(spark, wal):
         assert (rows["lo"], rows["c"]) == (10, 10)
     finally:
         q.stop()
+
+
+def test_out_of_order_segment_is_not_skipped(spark, wal):
+    """A segment landing AFTER a later one must still be delivered: the
+    offset parks before the gap instead of advancing past it (r2 verdict:
+    the old `s > lo` filter silently dropped such segments — data loss)."""
+    _write_segment(spark, wal, 0, 9)
+    _write_segment(spark, wal, 20, 24)  # out of order: 10-19 missing
+    stream = spark.readStream.format("pq_cdc_wal").option("path", wal).load()
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wal_gap")
+        .option("checkpointLocation", os.path.join(wal, "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r["lsn"] for r in spark.sql("SELECT lsn FROM wal_gap").collect())
+        assert got == list(range(10)), "must park before the gap, not jump it"
+
+        _write_segment(spark, wal, 10, 19)  # gap fills late
+        q.processAllAvailable()
+        got = sorted(r["lsn"] for r in spark.sql("SELECT lsn FROM wal_gap").collect())
+        assert got == list(range(25)), "late segment must be delivered"
+    finally:
+        q.stop()
+
+
+def test_partitions_raise_on_wal_hole():
+    """If an offset range cannot be tiled by segments (segment deleted,
+    offsets corrupted), the batch fails loudly instead of skipping data."""
+    import pytest as _pytest
+
+    base = tempfile.mkdtemp(prefix="gpcs_walhole_")
+    try:
+        reader = lsn_stream.LsnStreamReader({"path": base})
+        open(os.path.join(base, "wal_0_9.parquet"), "w").close()
+        open(os.path.join(base, "wal_20_24.parquet"), "w").close()
+        with _pytest.raises(ValueError, match="WAL gap"):
+            reader.partitions({"lsn": -1}, {"lsn": 24})
+        assert reader.latestOffset() == {"lsn": 9}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
