@@ -107,7 +107,9 @@ class CdcEngine:
         return mirror_sink(stream_df, state_dir, checkpoint_dir)
 
     def current_state(self, state_dir: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(state_dir, "current"))
+        from .streaming import read_mirror
+
+        return read_mirror(self.spark, state_dir)
 
 
 def snapshot_only(df, out_dir: str, mode: str = "error_if_exists") -> bool:

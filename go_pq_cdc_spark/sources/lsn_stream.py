@@ -107,6 +107,10 @@ class LsnStreamReader(DataSourceStreamReader):
         # or offsets were corrupted) — fail the batch loudly rather than
         # deliver a stream with a silent gap.
         cur = lo
+        if lo == self.start_lsn == -1 and parts:
+            # first-ever batch with no explicit origin: the WAL begins at
+            # the lowest segment present (same anchor rule as latestOffset)
+            cur = parts[0].start_lsn - 1
         for p in parts:
             if p.start_lsn != cur + 1:
                 raise ValueError(

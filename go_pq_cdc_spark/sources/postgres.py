@@ -39,11 +39,13 @@ class PostgresConnection:
 # --- O25: replication-slot lifecycle (pq/slot/slot.go) ---------------------
 
 
-def create_slot_sql(slot_name: str) -> str:
+def create_slot_sql(slot_name: str, plugin: str = "pgoutput") -> str:
     """`pq/slot/slot.go:94-114` — created BEFORE the snapshot so WAL from
-    that point is pinned (O28 ordering, connector.go:352-357)."""
+    that point is pinned (O28 ordering, connector.go:352-357). The polling
+    transport (`slot_keeper`) uses plugin='wal2json' (text-mode JSON);
+    pgoutput is binary and only usable over START_REPLICATION."""
     return (
-        f"SELECT pg_create_logical_replication_slot('{slot_name}', 'pgoutput') "
+        f"SELECT pg_create_logical_replication_slot('{slot_name}', '{plugin}') "
         f"WHERE NOT EXISTS (SELECT 1 FROM pg_replication_slots WHERE slot_name = '{slot_name}')"
     )
 
@@ -184,18 +186,43 @@ def snapshot_predicates(plan: SnapshotPlan) -> list[str]:
 # --- O1 pragmatic transport: poll the slot through SQL ---------------------
 
 
-def poll_changes_sql(slot_name: str, publication: str, upto_lsn: str | None = None, limit: int = 10000) -> str:
-    """Poll-based change transport: `pg_logical_slot_get_changes` consumes
-    and returns decoded changes; with wal2json plugin the payload is JSON
-    ready for `from_json`. (The true START_REPLICATION socket client is the
-    reference's O1; polling gives the same at-least-once LSN-ordered feed
-    with latency = poll interval.)"""
+def poll_changes_sql(
+    slot_name: str,
+    tables: list[str] | None = None,
+    upto_lsn: str | None = None,
+    limit: int = 10000,
+) -> str:
+    """Poll-based change transport over a WAL2JSON slot (text-mode — the
+    pgoutput plugin is binary and cannot go through the text `get/peek`
+    functions, and `proto_version`/`publication_names` are pgoutput options
+    that wal2json rejects). PEEK, not GET: the poll must not consume —
+    `confirmed_flush_lsn` advances only after the segment is durably
+    written (`advance_slot_sql`), the reference's ack-after-delivery
+    contract (stream.go:718-733) on polling transport.
+
+    wal2json options: format-version 2 (one JSON doc per action with
+    B/C txn markers), include-xids, include-timestamp; `tables` maps to
+    wal2json's add-tables filter (wal2json has no publication awareness)."""
     upto = f"'{upto_lsn}'::pg_lsn" if upto_lsn else "NULL"
+    opts = [
+        "'format-version', '2'",
+        "'include-xids', '1'",
+        "'include-timestamp', '1'",
+    ]
+    if tables:
+        opts.append(f"'add-tables', '{','.join(tables)}'")
     return (
-        f"SELECT lsn, xid, data FROM pg_logical_slot_get_changes("
-        f"'{slot_name}', {upto}, {limit}, 'proto_version', '1', "
-        f"'publication_names', '{publication}')"
+        f"SELECT lsn, xid, data FROM pg_logical_slot_peek_changes("
+        f"'{slot_name}', {upto}, {limit}, {', '.join(opts)})"
     )
+
+
+def advance_slot_sql(slot_name: str, upto_lsn: str) -> str:
+    """Move `confirmed_flush_lsn` forward once polled changes are durably
+    in the segment log — the standby-status-update analogue for the polling
+    transport (peek + explicit advance = at-least-once; a keeper crash
+    between peek and advance only re-reads)."""
+    return f"SELECT pg_replication_slot_advance('{slot_name}', '{upto_lsn}'::pg_lsn)"
 
 
 # --- O25 active/passive failover: slot capture ------------------------------

@@ -1,0 +1,209 @@
+"""The production transport loop: slot → WAL segment log → slot advance.
+
+This is the engine's analogue of the reference's replication loop
+(`pq/replication/stream.go:121-143` connect+start, `:302-348` message loop,
+`:372-393` keepalive ticker, `:718-733` final LSN flush). The reference
+holds a START_REPLICATION socket; this keeper drives the text-mode polling
+transport instead — same at-least-once, LSN-ordered contract:
+
+  poll (PEEK, non-consuming)  ->  write wal_<a>_<b>.parquet segment
+      (durable, atomic rename)  ->  ADVANCE confirmed_flush_lsn to <b>
+
+The segment directory is the durable log the `pq_cdc_wal` stream source
+reads (sources/lsn_stream.py); Spark tracks its own consumer position in
+its checkpoint + the `_confirmed` file. Because the slot is advanced only
+AFTER the segment rename, every crash window replays instead of losing
+data; the frontier filter makes the replay idempotent:
+
+  * crash after peek, before write  -> nothing advanced; re-peek re-reads
+  * crash after write, before advance -> frontier recovers from the segment
+    files on disk; the next advance self-heals; peeked rows <= frontier are
+    dropped before writing
+
+Retention: segments at or below Spark's confirmed LSN can be deleted
+(`gc_segments`) — the two-tier ack (slot advance at durable-write, segment
+GC at consumer-confirm) bounds both server WAL retention and local disk.
+
+All SQL goes through one injected `run_sql(sql) -> list[tuple]` seam — the
+container has no PostgreSQL, so tests drive the loop with a fake; the SQL
+text itself is unit-tested in sources/postgres.py tests.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from collections.abc import Callable, Sequence
+
+from ..retry import Backoff, with_backoff
+from . import lsn_stream
+from .postgres import advance_slot_sql, poll_changes_sql
+
+RunSql = Callable[[str], Sequence[tuple]]
+
+# Raw segment schema (decode happens JVM-side via wal2json.decode_wal2json).
+RAW_WAL_SCHEMA_DDL = "lsn bigint, xid bigint, data string"
+
+
+def lsn_to_int(lsn: str | int) -> int:
+    """'X/Y' pg_lsn text -> 64-bit int (hi<<32 | lo)."""
+    if isinstance(lsn, int):
+        return lsn
+    hi, lo = lsn.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
+def int_to_lsn(v: int) -> str:
+    return f"{v >> 32:X}/{v & 0xFFFFFFFF:X}"
+
+
+def write_raw_segment(wal_dir: str, start_lsn: int, rows: list[tuple]) -> int:
+    """Write one (lsn, xid, data) segment covering [start_lsn, max lsn],
+    atomically (tmp + rename — the stream source must never list a partial
+    file). Returns the segment end LSN."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    end_lsn = max(lsn_to_int(r[0]) for r in rows)
+    table = pa.table(
+        {
+            "lsn": pa.array([lsn_to_int(r[0]) for r in rows], pa.int64()),
+            "xid": pa.array(
+                [None if r[1] is None else int(r[1]) for r in rows], pa.int64()
+            ),
+            "data": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    final = lsn_stream.segment_path(wal_dir, start_lsn, end_lsn)
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+    return end_lsn
+
+
+def gc_segments(wal_dir: str) -> list[str]:
+    """Delete segments wholly at or below the consumer-confirmed LSN (the
+    `_confirmed` file written by the stream source's commit())."""
+    confirmed = lsn_stream.confirmed_lsn(wal_dir)
+    if confirmed is None:
+        return []
+    removed = []
+    for _s, e, path in lsn_stream.list_segments(wal_dir):
+        if e <= confirmed:
+            os.remove(path)
+            removed.append(path)
+    return removed
+
+
+class SlotKeeper:
+    """Single-writer loop owning one replication slot (the reference runs
+    exactly one active replication connection per slot; passive instances
+    wait in `capture_slot`)."""
+
+    def __init__(
+        self,
+        run_sql: RunSql,
+        wal_dir: str,
+        slot_name: str,
+        tables: list[str] | None = None,
+        start_lsn: int = 0,
+        poll_limit: int = 10000,
+        poll_interval_s: float = 1.0,
+        keepalive_interval_s: float = 10.0,
+        heartbeat_sql: str | None = None,
+        backoff: Backoff | None = None,
+        sleep: Callable[[float], None] = time.sleep,
+        clock: Callable[[], float] = time.monotonic,
+    ):
+        self.run_sql = run_sql
+        self.wal_dir = wal_dir
+        self.slot_name = slot_name
+        self.tables = tables
+        self.poll_limit = poll_limit
+        self.poll_interval_s = poll_interval_s
+        self.keepalive_interval_s = keepalive_interval_s
+        self.heartbeat_sql = heartbeat_sql
+        self.backoff = backoff or Backoff()
+        self._sleep = sleep
+        self._clock = clock
+        self._stop = threading.Event()
+        os.makedirs(wal_dir, exist_ok=True)
+        # Frontier recovery (crash between write and advance): the durable
+        # segment log is authoritative for what has been received.
+        segs = lsn_stream.list_segments(wal_dir)
+        self.frontier = max((e for _s, e, _p in segs), default=start_lsn)
+        self._advanced = -1
+        self._last_activity = self._clock()
+
+    # -- one protocol step each ---------------------------------------------
+
+    def poll_once(self) -> int:
+        """PEEK new changes; write them as the next contiguous segment.
+        Returns the number of NEW rows shipped."""
+        sql = poll_changes_sql(self.slot_name, self.tables, limit=self.poll_limit)
+        rows = with_backoff(
+            lambda: self.run_sql(sql), self.backoff, sleep=self._sleep
+        )
+        fresh = [r for r in rows if lsn_to_int(r[0]) > self.frontier]
+        if not fresh:
+            return 0
+        end = write_raw_segment(self.wal_dir, self.frontier + 1, fresh)
+        self.frontier = end
+        self._last_activity = self._clock()
+        return len(fresh)
+
+    def advance_once(self) -> bool:
+        """Ack the durably-written frontier on the server (idempotent)."""
+        if self.frontier <= self._advanced:
+            return False
+        target = self.frontier
+        with_backoff(
+            lambda: self.run_sql(advance_slot_sql(self.slot_name, int_to_lsn(target))),
+            self.backoff,
+            sleep=self._sleep,
+        )
+        self._advanced = target
+        return True
+
+    def keepalive_once(self) -> bool:
+        """Idle keepalive (stream.go:372-393 ticker): a heartbeat write
+        generates WAL so the slot's restart_lsn keeps moving on an
+        otherwise-quiet database, and proves the connection is alive."""
+        if self._clock() - self._last_activity < self.keepalive_interval_s:
+            return False
+        if self.heartbeat_sql:
+            with_backoff(
+                lambda: self.run_sql(self.heartbeat_sql), self.backoff, sleep=self._sleep
+            )
+        self._last_activity = self._clock()
+        return True
+
+    def final_flush(self) -> None:
+        """Shutdown path (stream.go:718-733 + sigterm_lsn_flush_test.go):
+        one last advance so a clean stop never leaves the server behind the
+        durable segment log."""
+        self.advance_once()
+
+    # -- the loop -----------------------------------------------------------
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def run(self, max_iterations: int | None = None) -> None:
+        """Poll → advance → keepalive until stop() (or max_iterations, for
+        tests/cron-style invocation). Always final-flushes on exit."""
+        it = 0
+        try:
+            while not self._stop.is_set():
+                if max_iterations is not None and it >= max_iterations:
+                    break
+                it += 1
+                shipped = self.poll_once()
+                self.advance_once()
+                self.keepalive_once()
+                gc_segments(self.wal_dir)
+                if shipped == 0 and not self._stop.is_set():
+                    self._sleep(self.poll_interval_s)
+        finally:
+            self.final_flush()

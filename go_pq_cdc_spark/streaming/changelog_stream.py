@@ -11,11 +11,21 @@ of the captured table via foreachBatch + max-LSN-wins merge — the
 Spark-native replacement for the reference's ordered callback delivery
 (O21), giving effectively-once semantics on top of at-least-once delivery
 because the merge is idempotent (SURVEY.md §2.2 'Exactly-once').
+
+Mirror layout (the scale-critical part): state is hash-bucketed by pk into
+`MIRROR_BUCKETS` buckets; a micro-batch rewrites ONLY the buckets whose
+keys appear in the batch, so per-batch IO scales with batch size, not with
+total state size (the Delta/Iceberg `MERGE INTO` access pattern expressed
+on plain parquet). A manifest file maps bucket -> current data directory
+and is swapped atomically (`os.replace`), so a crash at any point leaves
+the previous consistent snapshot readable — no rename pair to die between.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,38 +59,121 @@ def changelog_stream(
     )
 
 
-def merge_mirror_batch(batch_df: DataFrame, state_dir: str) -> None:
-    """Idempotent TOAST-aware max-LSN-wins merge of one micro-batch into
-    the parquet mirror (Delta MERGE stand-in; same keyed upsert semantics).
+MIRROR_BUCKETS = 32
+_MANIFEST = "manifest.json"
 
-    The mirror row is the old image for TOAST repair: a NULL new-image
-    value in the batch inherits the stored value (unless a DELETE
-    intervenes) — the same `operators.cdc.toast_fill` epoch logic used
-    batch-side, so stream-maintained state equals batch `latest_state`
-    over the full log. Atomic directory swap; at scale this is a
-    Delta/Iceberg MERGE partitioned by pk bucket."""
+
+def _bucket_col(pk: str = "pk", n_buckets: int = MIRROR_BUCKETS):
+    # Deterministic content hash — NEVER a nondeterministic salt — so stage
+    # retries land every row in the same bucket.
+    return F.pmod(F.xxhash64(F.col(pk)), F.lit(n_buckets)).cast("int")
+
+
+def _read_manifest(state_dir: str) -> dict:
+    p = os.path.join(state_dir, _MANIFEST)
+    if not os.path.exists(p):
+        return {"epoch": -1, "buckets": {}}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(state_dir: str, manifest: dict) -> None:
+    tmp = os.path.join(state_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(state_dir, _MANIFEST))  # atomic commit point
+
+
+def read_mirror(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The queryable current state: union of every bucket's live directory
+    as recorded by the manifest (consistent at the last merge commit)."""
+    manifest = _read_manifest(state_dir)
+    paths = [os.path.join(state_dir, rel) for rel in manifest["buckets"].values()]
+    if not paths:
+        return spark.createDataFrame(
+            [], "pk bigint, lsn bigint, op string, after_val double"
+        )
+    return spark.read.parquet(*paths).select("pk", "lsn", "op", "after_val")
+
+
+def _gc_epochs(state_dir: str, manifest: dict) -> None:
+    """Remove bucket dirs no manifest entry references (superseded state).
+    Safe after the manifest swap: a crash mid-GC only leaves garbage, never
+    dangling references."""
+    live = {manifest["buckets"][b] for b in manifest["buckets"]}
+    eroot = os.path.join(state_dir, "epochs")
+    if not os.path.isdir(eroot):
+        return
+    for epoch in os.listdir(eroot):
+        edir = os.path.join(eroot, epoch)
+        for bdir in os.listdir(edir):
+            rel = os.path.join("epochs", epoch, bdir)
+            if bdir.startswith("pb=") and rel not in live:
+                shutil.rmtree(os.path.join(edir, bdir), ignore_errors=True)
+        if not os.listdir(edir):
+            os.rmdir(edir)
+
+
+def merge_mirror_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    epoch: int | None = None,
+    n_buckets: int = MIRROR_BUCKETS,
+) -> None:
+    """Idempotent TOAST-aware max-LSN-wins merge of one micro-batch into
+    the pk-bucketed parquet mirror (Delta/Iceberg `MERGE INTO` stand-in).
+
+    Only the buckets whose keys appear in the batch are read and rewritten
+    — per-batch IO is O(batch ∪ touched-bucket state), independent of total
+    mirror size. The stored mirror row is the old image for TOAST repair: a
+    NULL new-image value inherits the stored value (unless a DELETE
+    intervenes) — `operators.cdc.toast_fill` applied batch-side, so
+    stream-maintained state equals batch `latest_state` over the full log.
+
+    Commit protocol: write new bucket dirs under `epochs/e<epoch>/`, then
+    atomically swap the manifest. A crash before the swap leaves the old
+    manifest (and every directory it references) intact; replaying the same
+    epoch overwrites the orphan and converges because the merge is
+    idempotent."""
     from ..operators.cdc import toast_fill
 
     spark = batch_df.sparkSession
-    cur_path = os.path.join(state_dir, "current")
-    incoming = batch_df.select("pk", "lsn", "op", "after_val")
-    if os.path.exists(cur_path):
-        existing = spark.read.parquet(cur_path).select("pk", "lsn", "op", "after_val")
-        merged = existing.unionByName(incoming)
+    manifest = _read_manifest(state_dir)
+    if epoch is None:
+        epoch = manifest["epoch"] + 1
+
+    incoming = batch_df.select("pk", "lsn", "op", "after_val").withColumn(
+        "pb", _bucket_col(n_buckets=n_buckets)
+    )
+    # Driver-side bucket routing (<= n_buckets ints — a plan-time scalar,
+    # like the reference's per-batch table routing).
+    affected = sorted(
+        r["pb"] for r in incoming.select("pb").distinct().collect()
+    )
+    if not affected:
+        return
+    old_paths = [
+        os.path.join(state_dir, manifest["buckets"][str(b)])
+        for b in affected
+        if str(b) in manifest["buckets"]
+    ]
+    if old_paths:
+        existing = spark.read.parquet(*old_paths).select(
+            "pk", "lsn", "op", "after_val"
+        )
+        merged = existing.unionByName(incoming.drop("pb"))
     else:
-        merged = incoming
+        merged = incoming.drop("pb")
     # One explicit shuffle on pk up front: hash(pk) satisfies the clustering
     # requirement of ALL the windows below (incl. the (pk,lsn) dedup —
-    # subset rule), so the whole merge runs on a single exchange.
+    # subset rule), so the merge body runs on a single exchange.
     par = spark.sparkContext.defaultParallelism
-    merged = merged.repartition(par, F.col("pk"))
+    merged = merged.repartition(min(par, max(len(affected), 1)), F.col("pk"))
     # At-least-once replay can re-deliver the event whose LSN equals the
     # stored mirror row's — dedupe (pk, lsn) preferring the stored 'R' row
     # (it already carries the TOAST-repaired value) so the fill window
     # never sees an ambiguous tie.
-    w_dup = Window.partitionBy("pk", "lsn").orderBy(
-        F.desc(F.col("op") == "R")
-    )
+    w_dup = Window.partitionBy("pk", "lsn").orderBy(F.desc(F.col("op") == "R"))
     merged = (
         merged.withColumn("dup_rn", F.row_number().over(w_dup))
         .filter(F.col("dup_rn") == 1)
@@ -97,16 +190,32 @@ def merge_mirror_batch(batch_df: DataFrame, state_dir: str) -> None:
             F.lit("R").alias("op"),
             F.col("filled_val").alias("after_val"),
         )
+        .withColumn("pb", _bucket_col(n_buckets=n_buckets))
     )
-    tmp_path = os.path.join(state_dir, "next")
-    state.write.mode("overwrite").parquet(tmp_path)
-    # Re-point 'current' at the new snapshot (atomic rename swap).
-    old_path = os.path.join(state_dir, "old")
-    if os.path.exists(old_path):
-        __import__("shutil").rmtree(old_path)
-    if os.path.exists(cur_path):
-        os.rename(cur_path, old_path)
-    os.rename(tmp_path, cur_path)
+    epoch_rel = os.path.join("epochs", f"e{epoch:09d}")
+    epoch_dir = os.path.join(state_dir, epoch_rel)
+    # ~1 writer task per bucket -> ~1 file per bucket dir (not tasks*buckets)
+    (
+        state.repartition(len(affected), "pb")
+        .write.mode("overwrite")
+        .partitionBy("pb")
+        .parquet(epoch_dir)
+    )
+    written = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(epoch_dir)
+        if d.startswith("pb=")
+    }
+    for b in affected:
+        if b in written:
+            manifest["buckets"][str(b)] = os.path.join(epoch_rel, f"pb={b}")
+        else:
+            # every key in the bucket was deleted
+            manifest["buckets"].pop(str(b), None)
+    manifest["epoch"] = epoch
+    os.makedirs(state_dir, exist_ok=True)
+    _write_manifest(state_dir, manifest)
+    _gc_epochs(state_dir, manifest)
 
 
 def mirror_sink(stream_df: DataFrame, state_dir: str, checkpoint_dir: str):
@@ -115,7 +224,7 @@ def mirror_sink(stream_df: DataFrame, state_dir: str, checkpoint_dir: str):
     return (
         stream_df.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda batch_df, _epoch: merge_mirror_batch(batch_df, state_dir))
+        .foreachBatch(lambda batch_df, epoch: merge_mirror_batch(batch_df, state_dir, epoch))
         .start()
     )
 
@@ -131,12 +240,13 @@ def multi_mirror_sink(
     The per-table loop is driver-side control flow only — each merge is a
     distributed job (tables per batch are few; rows are many)."""
 
-    def apply(batch_df: DataFrame, _epoch: int) -> None:
+    def apply(batch_df: DataFrame, epoch: int) -> None:
         tables = [r[0] for r in batch_df.select(table_col).distinct().collect()]
         for t in tables:
             merge_mirror_batch(
                 batch_df.filter(F.col(table_col) == t).drop(table_col),
                 os.path.join(state_root, t.replace(".", "__")),
+                epoch,
             )
 
     return (

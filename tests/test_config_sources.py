@@ -88,9 +88,18 @@ class TestPostgresSQL:
         assert preds[-1] == "ctid >= '(80,0)'::tid"  # unbounded tail chunk
 
     def test_poll_changes_sql(self):
-        sql = PG.poll_changes_sql("s1", "pub1")
-        assert "pg_logical_slot_get_changes" in sql
-        assert "'publication_names', 'pub1'" in sql
+        """wal2json polling must PEEK (non-consuming) with wal2json options
+        — pgoutput options (proto_version/publication_names) would error on
+        a real server, and get_changes would ack before delivery."""
+        sql = PG.poll_changes_sql("s1", ["public.users", "public.orders"])
+        assert "pg_logical_slot_peek_changes" in sql
+        assert "'format-version', '2'" in sql
+        assert "'add-tables', 'public.users,public.orders'" in sql
+        assert "proto_version" not in sql and "publication_names" not in sql
+
+    def test_advance_slot_sql(self):
+        sql = PG.advance_slot_sql("s1", "0/16B3748")
+        assert "pg_replication_slot_advance" in sql and "'0/16B3748'::pg_lsn" in sql
 
 
 class TestMultimodal:

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from go_pq_cdc_spark.operators.cdc import filter_heartbeat, latest_state
 from go_pq_cdc_spark.sources import lsn_stream
 from go_pq_cdc_spark.sources.changelog import committed_changelog
-from go_pq_cdc_spark.streaming.changelog_stream import merge_mirror_batch, mirror_sink
+from go_pq_cdc_spark.streaming.changelog_stream import merge_mirror_batch, mirror_sink, read_mirror
 
 from .conftest import SF_DIR
 
@@ -86,7 +86,7 @@ def test_snapshot_then_cdc_equals_batch_state(spark, dirs):
     # 4) invariant: mirror == batch latest_state over the whole log
     mirror = {
         r["pk"]: (r["after_val"], r["lsn"])
-        for r in spark.read.parquet(os.path.join(dirs["state"], "current")).collect()
+        for r in read_mirror(spark, dirs["state"]).collect()
     }
     direct = {
         r["pk"]: (r["last_val"], r["last_lsn"]) for r in latest_state(log).collect()
@@ -143,6 +143,6 @@ def test_wal_source_through_txn_buffer_to_mirror(spark, dirs):
         q.stop()
     state = {
         r["pk"]: r["after_val"]
-        for r in spark.read.parquet(os.path.join(dirs["state"], "current")).collect()
+        for r in read_mirror(spark, dirs["state"]).collect()
     }
     assert state == {10: 1.5}, f"committed txn applied, aborted invisible: {state}"

@@ -18,6 +18,7 @@ from go_pq_cdc_spark.streaming import (
     changelog_stream,
     merge_mirror_batch,
     mirror_sink,
+    read_mirror,
 )
 from go_pq_cdc_spark.streaming.changelog_stream import FLAT_CHANGE_SCHEMA
 
@@ -68,7 +69,7 @@ def test_mirror_sink_latest_state(spark, tmpdirs):
         q.processAllAvailable()
         state = {
             r["pk"]: r["after_val"]
-            for r in spark.read.parquet(os.path.join(tmpdirs["state"], "current")).collect()
+            for r in read_mirror(spark, tmpdirs["state"]).collect()
         }
         assert state == {1: 1.5, 2: 2.0}
 
@@ -78,7 +79,7 @@ def test_mirror_sink_latest_state(spark, tmpdirs):
         q.processAllAvailable()
         state = {
             r["pk"]: r["after_val"]
-            for r in spark.read.parquet(os.path.join(tmpdirs["state"], "current")).collect()
+            for r in read_mirror(spark, tmpdirs["state"]).collect()
         }
         assert state == {1: 1.5, 3: 3.0}
     finally:
@@ -93,11 +94,11 @@ def test_mirror_merge_idempotent(spark, tmpdirs):
     os.makedirs(tmpdirs["state"], exist_ok=True)
     merge_mirror_batch(batch, tmpdirs["state"])
     first = sorted(
-        spark.read.parquet(os.path.join(tmpdirs["state"], "current")).collect()
+        read_mirror(spark, tmpdirs["state"]).collect()
     )
     merge_mirror_batch(batch, tmpdirs["state"])
     second = sorted(
-        spark.read.parquet(os.path.join(tmpdirs["state"], "current")).collect()
+        read_mirror(spark, tmpdirs["state"]).collect()
     )
     assert first == second
 
@@ -185,11 +186,60 @@ def test_mirror_replay_with_toast_null(spark, tmpdirs):
         [_ev("I", 1, 1, 7, 42.0), _ev("U", 2, 1, 7, None)], FLAT_CHANGE_SCHEMA
     )
     merge_mirror_batch(b1, tmpdirs["state"])
-    cur = spark.read.parquet(os.path.join(tmpdirs["state"], "current")).collect()
+    cur = read_mirror(spark, tmpdirs["state"]).collect()
     assert [(r["pk"], r["after_val"], r["lsn"]) for r in cur] == [(7, 42.0, 2)]
 
     # replay just the TOAST-null update (same lsn as the stored row)
     b2 = spark.createDataFrame([_ev("U", 2, 1, 7, None)], FLAT_CHANGE_SCHEMA)
     merge_mirror_batch(b2, tmpdirs["state"])
-    cur = spark.read.parquet(os.path.join(tmpdirs["state"], "current")).collect()
+    cur = read_mirror(spark, tmpdirs["state"]).collect()
     assert [(r["pk"], r["after_val"], r["lsn"]) for r in cur] == [(7, 42.0, 2)]
+
+
+def test_mirror_merge_rewrites_only_touched_buckets(spark, tmpdirs):
+    """The scale gate: a micro-batch must rewrite ONLY the pk-buckets its
+    keys hash into — per-batch IO scales with batch size, not state size
+    (r2 verdict scale-killer #1: the old merge rewrote the entire mirror
+    every batch)."""
+    import json as _json
+
+    os.makedirs(tmpdirs["state"], exist_ok=True)
+    big = spark.createDataFrame(
+        [_ev("I", pk, 1, pk, float(pk)) for pk in range(1, 201)], FLAT_CHANGE_SCHEMA
+    )
+    merge_mirror_batch(big, tmpdirs["state"])
+    with open(os.path.join(tmpdirs["state"], "manifest.json")) as f:
+        before = _json.load(f)["buckets"]
+
+    one = spark.createDataFrame([_ev("U", 1000, 2, 7, 7.5)], FLAT_CHANGE_SCHEMA)
+    merge_mirror_batch(one, tmpdirs["state"])
+    with open(os.path.join(tmpdirs["state"], "manifest.json")) as f:
+        after = _json.load(f)["buckets"]
+
+    changed = {b for b in set(before) | set(after) if before.get(b) != after.get(b)}
+    assert len(changed) == 1, f"single-key batch must touch 1 bucket, got {changed}"
+    # untouched buckets keep pointing at the SAME files (no rewrite)
+    for b in set(before) - changed:
+        assert after[b] == before[b]
+    # and the merged value is correct
+    state = {r["pk"]: r["after_val"] for r in read_mirror(spark, tmpdirs["state"]).collect()}
+    assert state[7] == 7.5 and state[8] == 8.0 and len(state) == 200
+
+
+def test_mirror_crash_before_manifest_swap_keeps_old_state(spark, tmpdirs):
+    """Crash-safety: new epoch data written but manifest not swapped (the
+    crash window) -> the mirror still reads the previous consistent state;
+    replaying the same batch converges."""
+    os.makedirs(tmpdirs["state"], exist_ok=True)
+    b1 = spark.createDataFrame([_ev("I", 1, 1, 1, 1.0)], FLAT_CHANGE_SCHEMA)
+    merge_mirror_batch(b1, tmpdirs["state"], epoch=0)
+    # simulate a crashed epoch-1 write: orphan dir exists, manifest untouched
+    orphan = os.path.join(tmpdirs["state"], "epochs", "e000000001", "pb=99")
+    os.makedirs(orphan)
+    state = {r["pk"]: r["after_val"] for r in read_mirror(spark, tmpdirs["state"]).collect()}
+    assert state == {1: 1.0}
+    # replay of epoch 1 overwrites the orphan and commits
+    b2 = spark.createDataFrame([_ev("U", 2, 2, 1, 2.0)], FLAT_CHANGE_SCHEMA)
+    merge_mirror_batch(b2, tmpdirs["state"], epoch=1)
+    state = {r["pk"]: r["after_val"] for r in read_mirror(spark, tmpdirs["state"]).collect()}
+    assert state == {1: 2.0}

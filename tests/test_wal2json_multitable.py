@@ -14,7 +14,7 @@ from pyspark.sql import types as T
 
 from go_pq_cdc_spark.sources.postgres import capture_slot
 from go_pq_cdc_spark.sources.wal2json import decode_wal2json, route_tables
-from go_pq_cdc_spark.streaming.changelog_stream import multi_mirror_sink
+from go_pq_cdc_spark.streaming.changelog_stream import multi_mirror_sink, read_mirror
 
 
 def test_decode_wal2json(spark):
@@ -98,12 +98,10 @@ def test_multi_table_mirror(spark):
             q.processAllAvailable()
         finally:
             q.stop()
-        users = spark.read.parquet(
-            os.path.join(base, "state", "public__users", "current")
-        ).collect()
+        users = read_mirror(spark, os.path.join(base, "state", "public__users")).collect()
         assert [(r["pk"], r["after_val"]) for r in users] == [(1, 1.5)]
-        orders_dir = os.path.join(base, "state", "public__orders", "current")
-        assert spark.read.parquet(orders_dir).count() == 0  # deleted key gone
+        orders = read_mirror(spark, os.path.join(base, "state", "public__orders"))
+        assert orders.count() == 0  # deleted key gone
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
