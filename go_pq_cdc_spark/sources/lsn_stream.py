@@ -38,6 +38,10 @@ WAL_SCHEMA_DDL = (
     "op string, lsn bigint, xid bigint, commit_ts timestamp, pk bigint, after_val double"
 )
 
+# Raw transport segments as written by sources.slot_keeper: undecoded
+# wal2json documents; decode happens JVM-side (sources.wal2json).
+RAW_WAL_SCHEMA_DDL = "lsn bigint, xid bigint, data string"
+
 
 def segment_path(dir_path: str, start_lsn: int, end_lsn: int) -> str:
     return os.path.join(dir_path, f"wal_{start_lsn}_{end_lsn}.parquet")
@@ -151,13 +155,17 @@ class LsnStreamReader(DataSourceStreamReader):
 
 
 class LsnStreamDataSource(DataSource):
-    """spark.readStream.format("pq_cdc_wal").option("path", dir).load()"""
+    """spark.readStream.format("pq_cdc_wal").option("path", dir).load();
+    option("raw", "true") reads undecoded slot-keeper segments
+    (lsn, xid, data) for JVM-side wal2json decoding."""
 
     @classmethod
     def name(cls) -> str:
         return "pq_cdc_wal"
 
     def schema(self) -> str:
+        if str(self.options.get("raw", "")).lower() in ("1", "true"):
+            return RAW_WAL_SCHEMA_DDL
         return WAL_SCHEMA_DDL
 
     def streamReader(self, schema) -> LsnStreamReader:

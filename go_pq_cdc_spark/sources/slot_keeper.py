@@ -43,7 +43,7 @@ from .postgres import advance_slot_sql, poll_changes_sql
 RunSql = Callable[[str], Sequence[tuple]]
 
 # Raw segment schema (decode happens JVM-side via wal2json.decode_wal2json).
-RAW_WAL_SCHEMA_DDL = "lsn bigint, xid bigint, data string"
+RAW_WAL_SCHEMA_DDL = lsn_stream.RAW_WAL_SCHEMA_DDL
 
 
 def lsn_to_int(lsn: str | int) -> int:

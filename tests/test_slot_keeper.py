@@ -1,0 +1,266 @@
+"""The production transport loop (reference stream.go:121-143, 302-393,
+718-733) driven against a fake PostgreSQL: peek → durable segment →
+advance, keepalive on idle, final flush on shutdown, crash recovery from
+the segment log, retention GC — plus the retry/backoff fabric (O30)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from go_pq_cdc_spark.retry import Backoff, FatalError, is_transient, with_backoff
+from go_pq_cdc_spark.sources import lsn_stream
+from go_pq_cdc_spark.sources.slot_keeper import (
+    SlotKeeper,
+    gc_segments,
+    int_to_lsn,
+    lsn_to_int,
+    write_raw_segment,
+)
+
+
+class FakePg:
+    """A minimal wal2json slot: peek returns pending changes without
+    consuming; advance drops everything at or below the LSN."""
+
+    def __init__(self):
+        self.changes: list[tuple[int, int, str]] = []  # (lsn, xid, data)
+        self.confirmed_flush = 0
+        self.heartbeats = 0
+        self.fail_next: list[Exception] = []
+        self.log: list[str] = []
+
+    def add_change(self, lsn, xid, action="I", pk=None, val=None):
+        # wal2json v2 shape: I/U carry "columns" (new image, null for NULL
+        # values); D carries only "identity" (the replica-identity key).
+        doc = {"action": action, "schema": "public", "table": "users",
+               "timestamp": "2024-01-01 00:00:00"}
+        ident = [{"name": "pk", "type": "bigint", "value": str(pk)}]
+        if action == "D":
+            doc["identity"] = ident
+        else:
+            doc["columns"] = ident + [
+                {"name": "val", "type": "double",
+                 "value": None if val is None else str(val)}
+            ]
+        self.changes.append((lsn, xid, json.dumps(doc)))
+
+    def run_sql(self, sql):
+        if self.fail_next:
+            raise self.fail_next.pop(0)
+        self.log.append(sql)
+        if "pg_logical_slot_peek_changes" in sql:
+            return [
+                (int_to_lsn(lsn), xid, data)
+                for lsn, xid, data in self.changes
+                if lsn > self.confirmed_flush
+            ]
+        if "pg_replication_slot_advance" in sql:
+            target = lsn_to_int(sql.split("'")[3])
+            self.confirmed_flush = max(self.confirmed_flush, target)
+            self.changes = [c for c in self.changes if c[0] > self.confirmed_flush]
+            return [(int_to_lsn(self.confirmed_flush),)]
+        if "UPDATE" in sql and "heartbeat" in sql:
+            self.heartbeats += 1
+            return [(1,)]
+        return []
+
+
+@pytest.fixture()
+def wal_dir():
+    base = tempfile.mkdtemp(prefix="gpcs_keeper_")
+    yield base
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_lsn_text_roundtrip():
+    for v in (0, 1, 0xFFFFFFFF, 0x1_0000_0000, 0x16B3748, 2**63 - 1):
+        assert lsn_to_int(int_to_lsn(v)) == v
+    assert lsn_to_int("0/16B3748") == 0x16B3748
+
+
+def _keeper(pg, wal_dir, **kw):
+    kw.setdefault("sleep", lambda _s: None)
+    kw.setdefault("heartbeat_sql", "UPDATE public.cdc_heartbeat SET last_heartbeat = NOW() WHERE id = 1")
+    return SlotKeeper(pg.run_sql, wal_dir, "s1", tables=["public.users"], **kw)
+
+
+def test_poll_write_advance(wal_dir):
+    pg = FakePg()
+    for i in range(1, 6):
+        pg.add_change(100 + i, 7, pk=i, val=float(i))
+    k = _keeper(pg, wal_dir)
+    assert k.poll_once() == 5
+    segs = lsn_stream.list_segments(wal_dir)
+    assert [(s, e) for s, e, _ in segs] == [(1, 105)]  # frontier 0 -> [1, 105]
+    assert k.advance_once()
+    assert pg.confirmed_flush == 105  # acked only after the durable write
+
+    # idle poll: nothing new, no new segment, advance is a no-op
+    assert k.poll_once() == 0
+    assert not k.advance_once()
+
+    # next batch chains contiguously
+    pg.add_change(200, 8, pk=9, val=9.0)
+    assert k.poll_once() == 1
+    segs = lsn_stream.list_segments(wal_dir)
+    assert [(s, e) for s, e, _ in segs] == [(1, 105), (106, 200)]
+
+
+def test_crash_between_write_and_advance_recovers(wal_dir):
+    """Segment durably written but advance never ran: a restarted keeper
+    recovers the frontier from disk, re-peeked rows are dropped (no
+    duplicate segment), and the advance self-heals."""
+    pg = FakePg()
+    pg.add_change(50, 1, pk=1, val=1.0)
+    k1 = _keeper(pg, wal_dir)
+    assert k1.poll_once() == 1  # crash here: no advance_once()
+    assert pg.confirmed_flush == 0
+
+    k2 = _keeper(pg, wal_dir)
+    assert k2.frontier == 50  # recovered from the segment log
+    assert k2.poll_once() == 0  # re-peeked row filtered, not re-written
+    assert k2.advance_once()
+    assert pg.confirmed_flush == 50
+    assert len(lsn_stream.list_segments(wal_dir)) == 1
+
+
+def test_keepalive_ticks_on_idle(wal_dir):
+    pg = FakePg()
+    t = [0.0]
+    k = _keeper(pg, wal_dir, keepalive_interval_s=10.0, clock=lambda: t[0])
+    assert not k.keepalive_once()  # fresh start, not idle yet
+    t[0] = 11.0
+    assert k.keepalive_once()
+    assert pg.heartbeats == 1
+    assert not k.keepalive_once()  # timer reset
+    t[0] = 22.0
+    assert k.keepalive_once()
+    assert pg.heartbeats == 2
+
+
+def test_run_loop_final_flush_on_stop(wal_dir):
+    """sigterm_lsn_flush analogue: the run loop's exit path flushes the ack
+    for everything durably written, retrying through a transient outage."""
+    pg = FakePg()
+    pg.add_change(10, 1, pk=1, val=1.0)
+    k = _keeper(pg, wal_dir)
+    k.poll_once()
+    assert pg.confirmed_flush == 0
+    pg.fail_next = [ConnectionError("connection reset")]  # transient: retried
+    k.stop()
+    k.run()  # already stopped -> loop body skipped, final_flush still runs
+    assert pg.confirmed_flush == 10
+
+
+def test_gc_removes_consumer_confirmed_segments(wal_dir):
+    write_raw_segment(wal_dir, 1, [(5, 1, "{}"), (9, 1, "{}")])
+    write_raw_segment(wal_dir, 10, [(15, 2, "{}")])
+    assert gc_segments(wal_dir) == []  # consumer has confirmed nothing
+    with open(os.path.join(wal_dir, "_confirmed"), "w") as f:
+        json.dump({"confirmed_lsn": 9}, f)
+    removed = gc_segments(wal_dir)
+    assert len(removed) == 1 and "wal_1_9" in removed[0]
+    assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [(10, 15)]
+
+
+# -- retry fabric (O30) -----------------------------------------------------
+
+
+def test_with_backoff_retries_transient_then_succeeds():
+    attempts = {"n": 0}
+    delays = []
+
+    def flaky():
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise ConnectionError("connection reset by peer")
+        return "ok"
+
+    assert (
+        with_backoff(flaky, Backoff(base_delay_s=1, factor=2), sleep=delays.append)
+        == "ok"
+    )
+    assert attempts["n"] == 3
+    assert delays == [1, 2]  # exponential
+
+
+def test_with_backoff_fatal_on_non_transient():
+    def boom():
+        raise ValueError("syntax error at or near SELECT")
+
+    with pytest.raises(FatalError, match="non-retryable"):
+        with_backoff(boom, sleep=lambda _d: None)
+
+
+def test_with_backoff_exhaustion():
+    def always():
+        raise TimeoutError("timeout expired")
+
+    with pytest.raises(FatalError, match="retries exhausted"):
+        with_backoff(always, Backoff(max_tries=3), sleep=lambda _d: None)
+
+
+def test_transient_classification():
+    assert is_transient(ConnectionError("x"))
+    assert is_transient(RuntimeError("FATAL: terminating connection due to administrator command"))
+    assert is_transient(RuntimeError("ERROR: deadlock detected"))
+    assert not is_transient(RuntimeError("ERROR: relation \"nope\" does not exist"))
+
+
+def test_e2e_fake_pg_to_mirror(spark, wal_dir):
+    """The whole production path on a fake server: keeper polls wal2json
+    changes -> raw segments -> pq_cdc_wal (raw) stream -> JVM-side
+    decode_wal2json -> TOAST-aware bucketed mirror. The reference's
+    basic_functionality_test.go roundtrip, transport and all."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.sources.wal2json import decode_wal2json
+    from go_pq_cdc_spark.streaming import merge_mirror_batch, read_mirror
+
+    pg = FakePg()
+    pg.add_change(101, 7, "I", pk=1, val=1.0)
+    pg.add_change(102, 7, "U", pk=1, val=1.5)
+    pg.add_change(103, 8, "I", pk=2, val=2.0)
+    k = _keeper(pg, wal_dir)
+    k.run(max_iterations=1)
+    assert pg.confirmed_flush == 103  # advanced after durable write
+
+    # second poll cycle lands more changes (contiguous segment chain)
+    pg.add_change(104, 9, "D", pk=2, val=None)
+    pg.add_change(105, 9, "I", pk=3, val=3.0)
+    k.run(max_iterations=1)
+
+    lsn_stream.register(spark)
+    raw = (
+        spark.readStream.format("pq_cdc_wal")
+        .option("path", wal_dir)
+        .option("raw", "true")
+        .load()
+    )
+    flat = decode_wal2json(raw).select(
+        "op",
+        "lsn",
+        "xid",
+        "commit_ts",
+        # D rows have no new image: the key comes from the identity map
+        F.coalesce(F.col("after.pk"), F.col("before.pk")).cast("bigint").alias("pk"),
+        F.col("after.val").cast("double").alias("after_val"),
+    )
+    state_dir = os.path.join(wal_dir, "state")
+    q = (
+        flat.writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(wal_dir, "ck"))
+        .foreachBatch(lambda b, e: merge_mirror_batch(b, state_dir, e))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = {r["pk"]: r["after_val"] for r in read_mirror(spark, state_dir).collect()}
+    assert state == {1: 1.5, 3: 3.0}  # U applied, D removed pk=2
