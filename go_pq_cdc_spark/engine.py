@@ -64,8 +64,8 @@ class CdcEngine:
         reltuples: float | None = None,
         total_rows: int | None = None,
     ) -> SnapshotPlan:
-        """O13 auto-detection over caller-supplied stats (against a live PG
-        the stats queries come from `sources.postgres`)."""
+        """O13 auto-detection over caller-supplied stats (offline planning
+        path; `plan_snapshot_auto` resolves them from a connection)."""
         return plan_auto(
             integer_pk=integer_pk,
             min_val=min_val,
@@ -73,6 +73,19 @@ class CdcEngine:
             relpages=relpages,
             reltuples=reltuples,
             total_rows=total_rows,
+            chunk_size=self.config.chunk_size,
+        )
+
+    def plan_snapshot_auto(self, run_sql, table: TableConfig) -> SnapshotPlan:
+        """O13+O14: resolve PK/MIN-MAX/relpages stats from the server
+        catalogs (`catalog_stats`) and auto-detect the chunk strategy —
+        `run_sql(sql) -> list[tuple]` is any live connection."""
+        from .catalog_stats import plan_from_connection
+
+        return plan_from_connection(
+            run_sql,
+            table,
+            condition=self.config.table_query_condition(table),
             chunk_size=self.config.chunk_size,
         )
 

@@ -105,3 +105,52 @@ class CdcMetricsListener(StreamingQueryListener):
         if s["confirmed_lsn"] is not None:
             lines.append(f"go_pq_cdc_spark_confirmed_lsn {s['confirmed_lsn']}")
         return "\n".join(lines) + "\n"
+
+
+class StatusServer:
+    """O33 HTTP surface (`internal/http/server.go:36-60`): /status JSON and
+    /metrics Prometheus text, served from a daemon thread over stdlib
+    http.server — no framework dependency on the driver."""
+
+    def __init__(self, listener: CdcMetricsListener, host: str = "127.0.0.1", port: int = 0):
+        import http.server
+        import json as _json
+
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib API)
+                if self.path == "/status":
+                    body = _json.dumps(outer.listener.get_status()).encode()
+                    ctype = "application/json"
+                elif self.path == "/metrics":
+                    body = outer.listener.prometheus_text().encode()
+                    ctype = "text/plain; version=0.0.4"
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *_args):  # quiet
+                pass
+
+        self.listener = listener
+        self._server = http.server.ThreadingHTTPServer((host, port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "StatusServer":
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="cdc-status-http", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
