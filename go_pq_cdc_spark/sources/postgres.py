@@ -149,7 +149,16 @@ def snapshot_jdbc_options(
     integer-range plans use partitionColumn bounds (Spark generates the
     same BETWEEN predicates the reference builds); ctid/offset plans use
     the explicit predicates list. `sessionInitStatement` pins every
-    partition connection to the exported snapshot."""
+    partition connection to the exported snapshot.
+
+    CAVEAT (unverifiable in this container — no PG server/JDBC jar): the
+    JDBC driver may toggle autocommit around `sessionInitStatement`, which
+    would silently void `SET TRANSACTION SNAPSHOT` (a pin outside an open
+    transaction is a no-op WARNING, not an error) and break the
+    no-gap-no-dup handoff invariant with no signal. Deployments MUST run
+    `snapshot_pin_probe_options` through the same JDBC read path first and
+    assert the probe sees the exported snapshot before trusting a
+    production snapshot read."""
     opts = {
         "url": conn.jdbc_url,
         "user": conn.user,
@@ -174,6 +183,40 @@ def snapshot_jdbc_options(
             numPartitions=str(len(plan.chunks)),
         )
     return opts
+
+
+def snapshot_pin_probe_options(
+    conn: PostgresConnection, snapshot_id: str, n_partitions: int = 4
+) -> dict:
+    """Preflight check for the snapshot-pinning caveat above: a tiny JDBC
+    read whose rows report each partition connection's actual snapshot
+    (`pg_current_snapshot()`, PG13+) and backend pid. Run it with the SAME
+    sessionInitStatement as the real read; if any row's snapshot differs
+    from the coordinator's exported one, the driver voided the pin — abort
+    the snapshot rather than read an inconsistent image.
+
+        probe = spark.read.format("jdbc").options(
+            **snapshot_pin_probe_options(conn, sid)).load()
+        assert probe.select("cur_snapshot").distinct().count() == 1
+    """
+    return {
+        "url": conn.jdbc_url,
+        "user": conn.user,
+        "password": conn.password,
+        "sessionInitStatement": (
+            "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; "
+            f"SET TRANSACTION SNAPSHOT '{snapshot_id}'"
+        ),
+        "dbtable": (
+            "(SELECT g AS probe_id, CAST(pg_current_snapshot() AS text) AS cur_snapshot, "
+            "pg_backend_pid() AS backend_pid FROM generate_series(1, "
+            f"{n_partitions}) g) AS pin_probe"
+        ),
+        "partitionColumn": "probe_id",
+        "lowerBound": "1",
+        "upperBound": str(n_partitions),
+        "numPartitions": str(n_partitions),
+    }
 
 
 def snapshot_predicates(plan: SnapshotPlan) -> list[str]:

@@ -123,3 +123,19 @@ class TestMultimodal:
         dups = media_dedup(extract_features(df)).collect()
         grp = {r["canonical_id"]: r["n_copies"] for r in dups}
         assert grp[1] == 2  # ids 1,2 collapse
+
+
+def test_snapshot_pin_probe_options():
+    """What's-wrong r2 #6: the pin-verification probe must use the SAME
+    sessionInitStatement as the real snapshot read and fan out one probe
+    row per partition connection."""
+    from go_pq_cdc_spark.sources.postgres import (
+        PostgresConnection,
+        snapshot_pin_probe_options,
+    )
+
+    conn = PostgresConnection("h", 5432, "db", "u", "p")
+    opts = snapshot_pin_probe_options(conn, "00000003-00000002-1", n_partitions=4)
+    assert "SET TRANSACTION SNAPSHOT '00000003-00000002-1'" in opts["sessionInitStatement"]
+    assert "pg_current_snapshot()" in opts["dbtable"]
+    assert opts["numPartitions"] == "4" and opts["partitionColumn"] == "probe_id"

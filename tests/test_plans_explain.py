@@ -108,3 +108,11 @@ def test_projection_prunes_unused_columns(spark):
     plan = _explain(li)
     rs = plan.split("ReadSchema")[1]
     assert "l_extendedprice" not in rs and "l_orderkey" in rs
+
+
+def test_top_tokens_uses_take_ordered(spark):
+    """r2 verdict scale-killer #2: the vocabulary top-20 must plan as
+    TakeOrderedAndProject (per-partition top-k + merge), never a global
+    unpartitioned window over the whole vocabulary."""
+    plan = _plan(spark, "text_top_tokens")
+    assert "TakeOrderedAndProject" in plan
