@@ -1,0 +1,333 @@
+"""O2-O4 — replication frame demux + binary pgoutput decode.
+
+The reference's replication client splits the COPY-BOTH byte stream into
+XLogData / PrimaryKeepalive frames (`pq/replication/stream.go:302-348`)
+and decodes pgoutput logical messages into typed change events
+(`pq/message/message.go:10-73`, tuple decode `pq/message/tuple/data.go:
+40-95`). This module implements the same two layers from the PUBLIC
+PostgreSQL protocol documentation ("Logical Streaming Replication
+Protocol" / "Logical Replication Message Formats"):
+
+  frame layer   : parse_copy_data(bytes)  -> XLogData | PrimaryKeepalive
+  message layer : PgOutputDecoder.decode(payload) -> Begin/Commit/Relation/
+                  Insert/Update/Delete/Truncate/Stream* dataclasses, with a
+                  relation registry resolving column names and a tuple
+                  decoder that distinguishes NULL from unchanged-TOAST
+
+The decoder is driver/keeper-side transport code (pure Python over bytes,
+like the Go original); bulk decode in the engine's hot path stays JVM-side
+(wal2json `from_json`). A future START_REPLICATION socket client plugs its
+frames straight into this module; everything downstream (envelope, merge,
+mirror) is already transport-agnostic.
+
+`UNCHANGED_TOAST` sentinel maps to the envelope's NULL-means-unchanged
+convention consumed by `operators.cdc.toast_fill` (tuple tag 'u',
+tuple/data.go:10-15).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+# Microseconds between PostgreSQL epoch (2000-01-01) and Unix epoch.
+PG_EPOCH_OFFSET_US = 946_684_800_000_000
+
+
+class UnchangedToast:
+    """Singleton marker: column present but not re-sent (TOAST 'u' tag)."""
+
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self) -> str:
+        return "<unchanged-toast>"
+
+
+UNCHANGED_TOAST = UnchangedToast()
+
+
+# -- O2: COPY-BOTH frame demux ----------------------------------------------
+
+
+@dataclass
+class XLogData:
+    wal_start: int
+    wal_end: int
+    server_clock_us: int  # since PG epoch
+    payload: bytes
+
+
+@dataclass
+class PrimaryKeepalive:
+    wal_end: int
+    server_clock_us: int
+    reply_requested: bool
+
+
+def parse_copy_data(frame: bytes) -> XLogData | PrimaryKeepalive:
+    """One CopyData payload -> XLogData ('w') or keepalive ('k')
+    (stream.go:302-348 demux; format from the PG docs §55.4)."""
+    tag = frame[0:1]
+    if tag == b"w":
+        wal_start, wal_end, clock = struct.unpack_from(">QQq", frame, 1)
+        return XLogData(wal_start, wal_end, clock, frame[25:])
+    if tag == b"k":
+        wal_end, clock, reply = struct.unpack_from(">Qqb", frame, 1)
+        return PrimaryKeepalive(wal_end, clock, bool(reply))
+    raise ValueError(f"unknown replication frame tag {tag!r}")
+
+
+def standby_status_update(
+    received_lsn: int, flushed_lsn: int, applied_lsn: int, clock_us: int, reply: bool = False
+) -> bytes:
+    """The 'r' frame the client sends to ack (stream.go:718-733 writes the
+    same triple; +1 per the protocol's next-expected-byte convention is the
+    caller's choice)."""
+    return b"r" + struct.pack(
+        ">QQQqb", received_lsn, flushed_lsn, applied_lsn, clock_us, 1 if reply else 0
+    )
+
+
+# -- O4: pgoutput logical message decode ------------------------------------
+
+
+@dataclass
+class Begin:
+    final_lsn: int
+    commit_ts_us: int  # unix micros
+    xid: int
+
+
+@dataclass
+class Commit:
+    commit_lsn: int
+    end_lsn: int
+    commit_ts_us: int
+
+
+@dataclass
+class Column:
+    name: str
+    type_oid: int
+    type_mod: int
+    is_key: bool
+
+
+@dataclass
+class Relation:
+    oid: int
+    namespace: str
+    name: str
+    replica_identity: str  # 'd'/'n'/'f'/'i'
+    columns: list[Column]
+
+
+@dataclass
+class Insert:
+    relation_oid: int
+    new: dict[str, object]
+    xid: int | None = None  # set for streamed-txn messages
+
+
+@dataclass
+class Update:
+    relation_oid: int
+    old: dict[str, object] | None  # replica identity K/O image, if sent
+    new: dict[str, object]
+    xid: int | None = None
+
+
+@dataclass
+class Delete:
+    relation_oid: int
+    old: dict[str, object]
+    xid: int | None = None
+
+
+@dataclass
+class Truncate:
+    relation_oids: list[int]
+    cascade: bool
+    restart_identity: bool
+    xid: int | None = None
+
+
+@dataclass
+class StreamStart:
+    xid: int
+    first_segment: bool
+
+
+@dataclass
+class StreamStop:
+    pass
+
+
+@dataclass
+class StreamCommit:
+    xid: int
+    commit_lsn: int
+    end_lsn: int
+    commit_ts_us: int
+
+
+@dataclass
+class StreamAbort:
+    xid: int
+    subxid: int
+
+
+def _cstring(buf: bytes, pos: int) -> tuple[str, int]:
+    end = buf.index(b"\x00", pos)
+    return buf[pos:end].decode(), end + 1
+
+
+def _pg_ts_to_unix_us(pg_us: int) -> int:
+    return pg_us + PG_EPOCH_OFFSET_US
+
+
+@dataclass
+class PgOutputDecoder:
+    """Stateful decoder: Relation messages register column metadata that
+    later DML messages resolve (message.go keeps the same oid->relation
+    map). Streamed-txn ('S'...'c'/'A') payloads carry the xid inline; the
+    decoder stamps it on each DML so the txn buffer can route by xid (O8)."""
+
+    protocol_version: int = 2
+    relations: dict[int, Relation] = field(default_factory=dict)
+    _stream_xid: int | None = None
+
+    # tuple decode (tuple/data.go:40-95): n=NULL, u=unchanged TOAST,
+    # t=text value (len+bytes); binary ('b') appears only when the
+    # subscription requests binary mode — decoded as raw bytes.
+    def _tuple(self, buf: bytes, pos: int) -> tuple[list[object], int]:
+        (ncols,) = struct.unpack_from(">H", buf, pos)
+        pos += 2
+        vals: list[object] = []
+        for _ in range(ncols):
+            kind = buf[pos : pos + 1]
+            pos += 1
+            if kind == b"n":
+                vals.append(None)
+            elif kind == b"u":
+                vals.append(UNCHANGED_TOAST)
+            elif kind in (b"t", b"b"):
+                (ln,) = struct.unpack_from(">i", buf, pos)
+                pos += 4
+                raw = buf[pos : pos + ln]
+                pos += ln
+                vals.append(raw.decode() if kind == b"t" else raw)
+            else:
+                raise ValueError(f"unknown tuple column tag {kind!r}")
+        return vals, pos
+
+    def _named(self, oid: int, vals: list[object]) -> dict[str, object]:
+        rel = self.relations.get(oid)
+        if rel is None:
+            raise ValueError(f"DML for unregistered relation oid {oid}")
+        if len(vals) != len(rel.columns):
+            raise ValueError(
+                f"{rel.namespace}.{rel.name}: {len(vals)} values for "
+                f"{len(rel.columns)} columns"
+            )
+        return {c.name: v for c, v in zip(rel.columns, vals)}
+
+    def decode(self, payload: bytes):
+        """One pgoutput message (an XLogData payload) -> typed event."""
+        tag = payload[0:1]
+        pos = 1
+        xid = self._stream_xid
+        # Protocol >= 2: messages INSIDE a stream (between 'S' and 'E')
+        # carry an inline Int32 xid after the tag (PG docs: "only present
+        # for streamed transactions").
+        if xid is not None and tag in (b"I", b"U", b"D", b"R", b"T", b"Y"):
+            (xid,) = struct.unpack_from(">I", payload, pos)
+            pos += 4
+        if tag == b"B":
+            final_lsn, ts, bxid = struct.unpack_from(">QqI", payload, pos)
+            return Begin(final_lsn, _pg_ts_to_unix_us(ts), bxid)
+        if tag == b"C":
+            _flags, commit_lsn, end_lsn, ts = struct.unpack_from(">bQQq", payload, pos)
+            return Commit(commit_lsn, end_lsn, _pg_ts_to_unix_us(ts))
+        if tag == b"R":
+            (oid,) = struct.unpack_from(">I", payload, pos)
+            pos += 4
+            ns, pos = _cstring(payload, pos)
+            name, pos = _cstring(payload, pos)
+            replident = payload[pos : pos + 1].decode()
+            pos += 1
+            (ncols,) = struct.unpack_from(">H", payload, pos)
+            pos += 2
+            cols = []
+            for _ in range(ncols):
+                flags = payload[pos]
+                pos += 1
+                cname, pos = _cstring(payload, pos)
+                toid, tmod = struct.unpack_from(">Ii", payload, pos)
+                pos += 8
+                cols.append(Column(cname, toid, tmod, bool(flags & 1)))
+            rel = Relation(oid, ns or "public", name, replident, cols)
+            self.relations[oid] = rel
+            return rel
+        if tag == b"I":
+            (oid,) = struct.unpack_from(">I", payload, pos)
+            pos += 4
+            marker = payload[pos : pos + 1]
+            pos += 1
+            if marker != b"N":
+                raise ValueError(f"Insert expects 'N' tuple, got {marker!r}")
+            vals, pos = self._tuple(payload, pos)
+            return Insert(oid, self._named(oid, vals), xid=xid)
+        if tag == b"U":
+            (oid,) = struct.unpack_from(">I", payload, pos)
+            pos += 4
+            old = None
+            marker = payload[pos : pos + 1]
+            pos += 1
+            if marker in (b"K", b"O"):
+                vals, pos = self._tuple(payload, pos)
+                old = self._named(oid, vals)
+                marker = payload[pos : pos + 1]
+                pos += 1
+            if marker != b"N":
+                raise ValueError(f"Update expects 'N' tuple, got {marker!r}")
+            vals, pos = self._tuple(payload, pos)
+            return Update(oid, old, self._named(oid, vals), xid=xid)
+        if tag == b"D":
+            (oid,) = struct.unpack_from(">I", payload, pos)
+            pos += 4
+            marker = payload[pos : pos + 1]
+            pos += 1
+            if marker not in (b"K", b"O"):
+                raise ValueError(f"Delete expects 'K'/'O' tuple, got {marker!r}")
+            vals, pos = self._tuple(payload, pos)
+            return Delete(oid, self._named(oid, vals), xid=xid)
+        if tag == b"T":
+            nrels, flags = struct.unpack_from(">Ib", payload, pos)
+            pos += 5
+            oids = list(struct.unpack_from(f">{nrels}I", payload, pos))
+            return Truncate(oids, bool(flags & 1), bool(flags & 2), xid=xid)
+        # streamed large transactions (protocol v2, O8 / stream.go:217-278)
+        if tag == b"S":
+            sxid, first = struct.unpack_from(">Ib", payload, pos)
+            self._stream_xid = sxid
+            return StreamStart(sxid, bool(first))
+        if tag == b"E":
+            self._stream_xid = None
+            return StreamStop()
+        if tag == b"c":
+            sxid, _flags, commit_lsn, end_lsn, ts = struct.unpack_from(
+                ">IbQQq", payload, pos
+            )
+            self._stream_xid = None
+            return StreamCommit(sxid, commit_lsn, end_lsn, _pg_ts_to_unix_us(ts))
+        if tag == b"A":
+            sxid, subxid = struct.unpack_from(">II", payload, pos)
+            self._stream_xid = None
+            return StreamAbort(sxid, subxid)
+        raise ValueError(f"unknown pgoutput message tag {tag!r}")

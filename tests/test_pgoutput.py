@@ -1,0 +1,203 @@
+"""O2-O4: XLogData frame demux + binary pgoutput decode, against
+hand-built protocol fixtures (the byte layouts come from the public
+PostgreSQL docs; the reference parses the same bytes in
+pq/message/message.go:10-73 and pq/message/tuple/data.go:40-95)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from go_pq_cdc_spark.sources.pgoutput import (
+    PG_EPOCH_OFFSET_US,
+    UNCHANGED_TOAST,
+    Begin,
+    Commit,
+    Delete,
+    Insert,
+    PgOutputDecoder,
+    PrimaryKeepalive,
+    Relation,
+    StreamAbort,
+    StreamCommit,
+    StreamStart,
+    StreamStop,
+    Truncate,
+    Update,
+    XLogData,
+    parse_copy_data,
+    standby_status_update,
+)
+
+# -- fixture builders (protocol byte layouts) --------------------------------
+
+
+def c(s: str) -> bytes:
+    return s.encode() + b"\x00"
+
+
+def tup(*vals) -> bytes:
+    out = struct.pack(">H", len(vals))
+    for v in vals:
+        if v is None:
+            out += b"n"
+        elif v is UNCHANGED_TOAST:
+            out += b"u"
+        else:
+            b = str(v).encode()
+            out += b"t" + struct.pack(">i", len(b)) + b
+    return out
+
+
+def relation_msg(oid=16384, ns="public", name="users", cols=(("id", 20, True), ("val", 701, False))) -> bytes:
+    body = struct.pack(">I", oid) + c(ns) + c(name) + b"d" + struct.pack(">H", len(cols))
+    for cname, toid, is_key in cols:
+        body += struct.pack(">b", 1 if is_key else 0) + c(cname) + struct.pack(">Ii", toid, -1)
+    return b"R" + body
+
+
+def insert_msg(oid=16384, vals=("1", "1.5")) -> bytes:
+    return b"I" + struct.pack(">I", oid) + b"N" + tup(*vals)
+
+
+# -- frame layer (O2) --------------------------------------------------------
+
+
+def test_xlogdata_frame():
+    payload = b"hello-pgoutput"
+    frame = b"w" + struct.pack(">QQq", 100, 200, 12345) + payload
+    msg = parse_copy_data(frame)
+    assert isinstance(msg, XLogData)
+    assert (msg.wal_start, msg.wal_end, msg.server_clock_us) == (100, 200, 12345)
+    assert msg.payload == payload
+
+
+def test_keepalive_frame_and_status_update():
+    frame = b"k" + struct.pack(">Qqb", 500, 99, 1)
+    msg = parse_copy_data(frame)
+    assert isinstance(msg, PrimaryKeepalive)
+    assert msg.wal_end == 500 and msg.reply_requested
+
+    r = standby_status_update(501, 501, 501, 77)
+    assert r[0:1] == b"r"
+    assert struct.unpack_from(">QQQqb", r, 1) == (501, 501, 501, 77, 0)
+
+
+def test_unknown_frame_rejected():
+    with pytest.raises(ValueError, match="unknown replication frame"):
+        parse_copy_data(b"z123")
+
+
+# -- message layer (O4) ------------------------------------------------------
+
+
+def test_begin_commit_timestamps_are_unix_micros():
+    d = PgOutputDecoder()
+    b = d.decode(b"B" + struct.pack(">QqI", 1000, 0, 42))
+    assert isinstance(b, Begin)
+    assert b.final_lsn == 1000 and b.xid == 42
+    assert b.commit_ts_us == PG_EPOCH_OFFSET_US  # PG epoch 0 == 2000-01-01
+
+    cmsg = d.decode(b"C" + struct.pack(">bQQq", 0, 1000, 1001, 10))
+    assert isinstance(cmsg, Commit)
+    assert (cmsg.commit_lsn, cmsg.end_lsn) == (1000, 1001)
+    assert cmsg.commit_ts_us == PG_EPOCH_OFFSET_US + 10
+
+
+def test_relation_then_dml_resolves_column_names():
+    d = PgOutputDecoder()
+    rel = d.decode(relation_msg())
+    assert isinstance(rel, Relation)
+    assert [(col.name, col.is_key) for col in rel.columns] == [("id", True), ("val", False)]
+
+    ins = d.decode(insert_msg())
+    assert isinstance(ins, Insert)
+    assert ins.new == {"id": "1", "val": "1.5"} and ins.xid is None
+
+
+def test_dml_before_relation_fails_loudly():
+    with pytest.raises(ValueError, match="unregistered relation"):
+        PgOutputDecoder().decode(insert_msg())
+
+
+def test_update_with_key_image_and_unchanged_toast():
+    d = PgOutputDecoder()
+    d.decode(relation_msg())
+    # old key image ('K') + new tuple whose val is unchanged TOAST ('u')
+    msg = (
+        b"U"
+        + struct.pack(">I", 16384)
+        + b"K"
+        + tup("1", None)
+        + b"N"
+        + struct.pack(">H", 2)
+        + b"t" + struct.pack(">i", 1) + b"1"
+        + b"u"
+    )
+    upd = d.decode(msg)
+    assert isinstance(upd, Update)
+    assert upd.old == {"id": "1", "val": None}
+    assert upd.new["id"] == "1"
+    assert upd.new["val"] is UNCHANGED_TOAST  # NOT None: unchanged, not NULL
+
+
+def test_delete_key_image():
+    d = PgOutputDecoder()
+    d.decode(relation_msg())
+    msg = b"D" + struct.pack(">I", 16384) + b"K" + tup("7", None)
+    dele = d.decode(msg)
+    assert isinstance(dele, Delete)
+    assert dele.old == {"id": "7", "val": None}
+
+
+def test_truncate_flags():
+    d = PgOutputDecoder()
+    msg = b"T" + struct.pack(">Ib", 2, 3) + struct.pack(">2I", 16384, 16385)
+    t = d.decode(msg)
+    assert isinstance(t, Truncate)
+    assert t.relation_oids == [16384, 16385]
+    assert t.cascade and t.restart_identity
+
+
+def test_streamed_txn_inline_xid_routing():
+    """Protocol v2 streamed txns (O8, stream.go:217-278): messages between
+    S and E carry an inline xid the decoder must strip and stamp."""
+    d = PgOutputDecoder()
+    d.decode(relation_msg())  # registered outside the stream
+
+    s = d.decode(b"S" + struct.pack(">Ib", 777, 1))
+    assert isinstance(s, StreamStart) and s.xid == 777 and s.first_segment
+
+    # streamed insert: tag + INLINE XID + oid + 'N' + tuple
+    ins = d.decode(b"I" + struct.pack(">II", 777, 16384) + b"N" + tup("9", "9.5"))
+    assert isinstance(ins, Insert)
+    assert ins.xid == 777 and ins.new == {"id": "9", "val": "9.5"}
+
+    assert isinstance(d.decode(b"E"), StreamStop)
+
+    # after stream stop, plain messages have no inline xid again
+    ins2 = d.decode(insert_msg(vals=("2", "2.5")))
+    assert ins2.xid is None
+
+    sc = d.decode(b"c" + struct.pack(">IbQQq", 777, 0, 5000, 5001, 0))
+    assert isinstance(sc, StreamCommit) and sc.xid == 777
+
+    d.decode(b"S" + struct.pack(">Ib", 888, 1))
+    ab = d.decode(b"A" + struct.pack(">II", 888, 888))
+    assert isinstance(ab, StreamAbort) and ab.xid == 888
+
+
+def test_streamed_relation_inline_xid():
+    d = PgOutputDecoder()
+    d.decode(b"S" + struct.pack(">Ib", 55, 1))
+    rel = d.decode(b"R" + struct.pack(">I", 55) + relation_msg()[1:])
+    assert isinstance(rel, Relation)
+    assert rel.name == "users"
+
+
+def test_column_count_mismatch_fails():
+    d = PgOutputDecoder()
+    d.decode(relation_msg())
+    with pytest.raises(ValueError, match="values for"):
+        d.decode(b"I" + struct.pack(">I", 16384) + b"N" + tup("1"))
