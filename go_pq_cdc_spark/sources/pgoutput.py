@@ -331,3 +331,55 @@ class PgOutputDecoder:
             self._stream_xid = None
             return StreamAbort(sxid, subxid)
         raise ValueError(f"unknown pgoutput message tag {tag!r}")
+
+
+# -- bridge to the change envelope ------------------------------------------
+
+_OPS = {Insert: "I", Update: "U", Delete: "D"}
+
+
+def frames_to_envelope(frames):
+    """XLogData frames -> envelope-shaped dicts, the same rows
+    `wal2json.decode_wal2json` produces JVM-side:
+        {op, lsn, xid, commit_ts_us, schema, table, before, after}
+    UNCHANGED_TOAST collapses to the envelope's NULL-means-unchanged
+    convention (repaired downstream by `operators.cdc.toast_fill`); B/C
+    markers stamp xid + commit timestamp on the txn's DMLs (txn assembly /
+    commit-LSN rewrite stays in `operators.cdc.commit_order`). Keepalive
+    frames are skipped — the caller answers them with
+    `standby_status_update`."""
+    dec = PgOutputDecoder()
+    xid = None
+    commit_ts_us = None
+    for frame in frames:
+        if isinstance(frame, PrimaryKeepalive):
+            continue
+        msg = dec.decode(frame.payload)
+        if isinstance(msg, Begin):
+            xid, commit_ts_us = msg.xid, msg.commit_ts_us
+            continue
+        if isinstance(msg, Commit):
+            xid, commit_ts_us = None, None
+            continue
+        op = _OPS.get(type(msg))
+        if op is None:
+            continue  # Relation/Truncate/Stream* are control flow here
+        rel = dec.relations[msg.relation_oid]
+
+        def clean(img):
+            if img is None:
+                return None
+            return {
+                k: (None if v is UNCHANGED_TOAST else v) for k, v in img.items()
+            }
+
+        yield {
+            "op": op,
+            "lsn": frame.wal_start,
+            "xid": msg.xid if msg.xid is not None else xid,
+            "commit_ts_us": commit_ts_us,
+            "schema": rel.namespace,
+            "table": rel.name,
+            "before": clean(getattr(msg, "old", None)),
+            "after": clean(getattr(msg, "new", None)),
+        }

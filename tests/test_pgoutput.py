@@ -201,3 +201,39 @@ def test_column_count_mismatch_fails():
     d.decode(relation_msg())
     with pytest.raises(ValueError, match="values for"):
         d.decode(b"I" + struct.pack(">I", 16384) + b"N" + tup("1"))
+
+
+def test_frames_to_envelope_roundtrip():
+    """XLogData frames -> envelope dicts shaped like decode_wal2json's
+    output: txn stamps from B/C, TOAST-unchanged collapses to None."""
+    from go_pq_cdc_spark.sources.pgoutput import frames_to_envelope
+
+    def xlog(lsn, payload):
+        return XLogData(lsn, lsn, 0, payload)
+
+    frames = [
+        xlog(10, relation_msg()),
+        xlog(11, b"B" + struct.pack(">QqI", 20, 5, 900)),
+        xlog(12, insert_msg(vals=("1", "1.5"))),
+        xlog(
+            13,
+            b"U" + struct.pack(">I", 16384) + b"N"
+            + struct.pack(">H", 2)
+            + b"t" + struct.pack(">i", 1) + b"1"
+            + b"u",
+        ),
+        PrimaryKeepalive(13, 0, True),
+        xlog(20, b"C" + struct.pack(">bQQq", 0, 20, 21, 5)),
+        xlog(30, b"D" + struct.pack(">I", 16384) + b"K" + tup("1", None)),
+    ]
+    rows = list(frames_to_envelope(frames))
+    assert [(r["op"], r["lsn"], r["xid"]) for r in rows] == [
+        ("I", 12, 900),
+        ("U", 13, 900),
+        ("D", 30, None),  # no enclosing Begin in this fixture slice
+    ]
+    assert rows[0]["after"] == {"id": "1", "val": "1.5"}
+    assert rows[0]["commit_ts_us"] == PG_EPOCH_OFFSET_US + 5
+    assert rows[1]["after"] == {"id": "1", "val": None}  # TOAST 'u' -> None
+    assert rows[2]["before"] == {"id": "1", "val": None}
+    assert all(r["schema"] == "public" and r["table"] == "users" for r in rows)
