@@ -121,3 +121,71 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def spark_session_holder(spark):
     return spark
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 20),  # pk
+            st.sampled_from(["I", "U", "D"]),
+            st.one_of(st.none(), st.floats(0, 100, allow_nan=False, width=32)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    cuts=st.lists(st.integers(1, 39), max_size=3, unique=True),
+)
+@settings(max_examples=3, deadline=None)
+def test_incremental_mirror_equals_batch_state(spark_session_holder, data, cuts):
+    """The bucketed incremental merge, fed the changelog in ANY sequential
+    batch split, must equal batch latest_state over the full log — the
+    reference's no-gap-no-dup consistency invariant for the mirror layout
+    (snapshot_consistency_test.go:18-26 generalized to every cut set)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.operators.cdc import latest_state
+    from go_pq_cdc_spark.streaming.changelog_stream import (
+        merge_mirror_batch,
+        read_mirror,
+    )
+
+    spark = spark_session_holder
+    events = [
+        (lsn, pk, op, float(val) if val is not None else None)
+        for lsn, (pk, op, val) in enumerate(data)
+    ]
+    rows = [
+        Row(lsn=lsn, pk=pk, op=op, after_val=val, xid=0, tbl="t")
+        for lsn, pk, op, val in events
+    ]
+    full = spark.createDataFrame(
+        rows, "lsn long, pk long, op string, after_val double, xid long, tbl string"
+    )
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    slices = []
+    prev = 0
+    for b in [*bounds, len(rows)]:
+        if b > prev:
+            slices.append(rows[prev:b])
+            prev = b
+    state_dir = tempfile.mkdtemp(prefix="gpcs_prop_mirror_")
+    try:
+        for i, chunk in enumerate(slices):
+            batch = spark.createDataFrame(
+                chunk,
+                "lsn long, pk long, op string, after_val double, xid long, tbl string",
+            )
+            merge_mirror_batch(batch, state_dir, epoch=i, n_buckets=8)
+        got = {
+            r["pk"]: (r["after_val"], r["lsn"])
+            for r in read_mirror(spark, state_dir).collect()
+        }
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    want = {
+        r["pk"]: (r["last_val"], r["last_lsn"]) for r in latest_state(full).collect()
+    }
+    assert got == want
