@@ -146,6 +146,77 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into connected-component CLUSTERS — the step
+    between 'minhash_lsh_pairs found a~b, b~c' and 'keep one of {a,b,c}'.
+    Returns (id, cluster_id) with cluster_id = min doc id in the component
+    (the canonical survivor).
+
+    Algorithm: hash-min label propagation — every node repeatedly adopts
+    the smallest label among itself and its neighbors until a fixpoint.
+    Each iteration is one equi-join + one groupBy MIN (both shuffle on the
+    node id, no global state); iterations ~ graph diameter, and near-dup
+    graphs are overwhelmingly tiny star/clique components, so 3-5 rounds
+    converge in practice. The convergence check is a single driver-side
+    count per round (a plan-time scalar, not a data collect). Caching +
+    unpersist per round truncates the iterative lineage."""
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def canonical_survivors(pairs: DataFrame, corpus: DataFrame, id_col: str) -> DataFrame:
+    """The dedup pipeline's end product: the corpus with near-dup clusters
+    collapsed to their canonical (min-id) member. Docs in no pair survive
+    untouched (left anti join against non-canonical cluster members)."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return corpus.join(losers, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -146,3 +146,44 @@ def test_wal_source_through_txn_buffer_to_mirror(spark, dirs):
         for r in read_mirror(spark, dirs["state"]).collect()
     }
     assert state == {10: 1.5}, f"committed txn applied, aborted invisible: {state}"
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Pairs -> components via hash-min propagation: a chain, a triangle,
+    and a disjoint pair resolve to min-id clusters in few rounds."""
+    from go_pq_cdc_spark.operators.dedup import canonical_survivors, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12 (one edge redundant), pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    corpus = spark.createDataFrame(
+        [(i, f"text-{i}") for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in canonical_survivors(pairs, corpus, "doc_id").collect()
+    )
+    assert kept == [1, 10, 20, 99]  # one survivor per cluster + untouched doc
+
+
+def test_dedup_clusters_over_minhash_pairs(spark):
+    """End-to-end: minhash pairs over the real corpus (with injected exact
+    dups) cluster so every injected copy collapses onto its original."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.catalog import load_table
+    from go_pq_cdc_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(50)
+    dup = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    pairs = minhash_lsh_pairs(docs.unionByName(dup), "doc_id")
+    clusters = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    for doc_id, cluster in clusters.items():
+        if doc_id >= 1000000:
+            # every injected copy is clustered with (at least) its original
+            assert cluster <= doc_id - 1000000
