@@ -103,9 +103,18 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = LSH_PLANES,
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact cosine only within the query's LSH bucket.
-    Same output shape as `cosine_topk`; recall depends on bucket balance."""
+    Same output shape as `cosine_topk`; recall depends on bucket balance.
+
+    `probes` > 1 is the multi-probe refinement: each query additionally
+    searches the buckets at Hamming distance 1 (one hyperplane sign
+    flipped — the likeliest buckets to hide a near neighbor), probing
+    min(probes, planes+1) buckets total. Candidates are a superset of the
+    single-probe set, so recall is monotone in `probes` while cost stays
+    O(probes * bucket) — still sub-linear, no new shuffle shape (the join
+    key is unchanged; only the broadcast query side fans out)."""
     corpus = with_lsh_bucket(
         df.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("v")), "v", planes
     ).withColumn("c_nrm", F.expr(P.scaled_dot("v", "v", "v")["spark"]))
@@ -114,19 +123,31 @@ def ann_topk_lsh(
     ).withColumnRenamed("bucket", "q_bucket").withColumn(
         "q_nrm", F.expr(P.scaled_dot("qv", "qv", "qv")["spark"])
     )
-    dot = P.scaled_dot("qv", "v", "qv")["spark"]
-    pairs = (
-        corpus.join(
-            F.broadcast(qset),
-            (F.col("bucket") == F.col("q_bucket")) & (F.col("q_id") != F.col("c_id")),
-        )
-        .withColumn("dot", F.expr(dot))
-        .withColumn(
-            "cos_sim",
-            F.expr(
-                "CAST(dot AS DOUBLE) / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c_nrm AS DOUBLE)))"
+    n_probes = max(1, min(probes, planes + 1))
+    if n_probes > 1:
+        # probe list: own bucket, then flip bit 0, bit 1, ... (xor 2^i)
+        qset = qset.withColumn(
+            "q_bucket",
+            F.explode(
+                F.expr(
+                    "concat(array(q_bucket), transform(sequence(0, "
+                    f"{n_probes - 2}), i -> CAST(q_bucket ^ CAST(power(2, i) AS BIGINT) AS BIGINT)))"
+                )
             ),
         )
+    dot = P.scaled_dot("qv", "v", "qv")["spark"]
+    pairs = corpus.join(
+        F.broadcast(qset),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("q_id") != F.col("c_id")),
+    )
+    if n_probes > 1:
+        # a candidate can surface through several probe buckets
+        pairs = pairs.dropDuplicates(["q_id", "c_id"])
+    pairs = pairs.withColumn("dot", F.expr(dot)).withColumn(
+        "cos_sim",
+        F.expr(
+            "CAST(dot AS DOUBLE) / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c_nrm AS DOUBLE)))"
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (

@@ -40,3 +40,23 @@ def test_ann_variants_are_valid_rankings(spark):
             # order of common elements must be consistent with exact order
             exact_pos = {n: i for i, n in enumerate(exact[q])}
             assert inter == sorted(inter, key=lambda n: exact_pos[n])
+
+
+def test_multiprobe_recall_is_monotone(spark):
+    """Multi-probe LSH: probing Hamming-1 buckets yields a candidate
+    SUPERSET, so per-query recall vs exact top-k never decreases."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = _topk_map(S.cosine_topk(emb, queries, k=5).withColumnRenamed("rank", "rnk"))
+    one = _topk_map(S.ann_topk_lsh(emb, queries, k=5, probes=1))
+    multi = _topk_map(S.ann_topk_lsh(emb, queries, k=5, probes=9))
+
+    def recall(approx):
+        hits = sum(len(set(approx.get(q, [])) & set(exact[q])) for q in exact)
+        return hits / sum(len(exact[q]) for q in exact)
+
+    r1, r9 = recall(one), recall(multi)
+    assert r9 >= r1, f"multi-probe recall regressed: {r9} < {r1}"
+    for q, neighbors in multi.items():
+        assert q not in neighbors
+        assert len(neighbors) == len(set(neighbors)) <= 5
