@@ -162,10 +162,15 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_assign: int = 1,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid
     by (exact fixed-point) inner product — broadcast the centroid table,
     one narrow pass over the corpus, argmax via per-vector window.
+
+    `n_assign` > 1 keeps the n nearest centroids per vector — used on the
+    QUERY side as the nprobe knob (corpus stays single-assigned so the
+    index size is unchanged; queries search their nprobe nearest cells).
 
     Centroids are a supplied DataFrame (cent_id, cv): at scale they come
     from offline k-means; tests use a deterministic subset of the corpus."""
@@ -179,7 +184,7 @@ def ivf_assign(
         vecs.join(F.broadcast(cents))
         .withColumn("cdot", F.expr(dot))
         .withColumn("crn", F.row_number().over(w))
-        .filter(F.col("crn") == 1)
+        .filter(F.col("crn") <= n_assign)
         .select("id", "v", "cent_id")
     )
 
@@ -191,30 +196,32 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN: exact cosine only inside the query's centroid cell (probe=1).
-    Same output shape as cosine_topk; recall grows with probe count."""
+    """IVF ANN: exact cosine only inside the query's nearest `nprobe`
+    centroid cells. Same output shape as cosine_topk; recall is monotone in
+    nprobe (candidates are a superset) while cost stays O(nprobe * cell).
+    The corpus index is unchanged — only the broadcast query side fans out."""
     corpus = ivf_assign(df, centroids, id_col, vec_col).withColumnRenamed("id", "c_id")
     corpus = corpus.withColumn("c_nrm", F.expr(P.scaled_dot("v", "v", "v")["spark"]))
     qset = (
-        ivf_assign(queries, centroids, id_col, vec_col)
+        ivf_assign(queries, centroids, id_col, vec_col, n_assign=nprobe)
         .withColumnRenamed("id", "q_id")
         .withColumnRenamed("v", "qv")
         .withColumn("q_nrm", F.expr(P.scaled_dot("qv", "qv", "qv")["spark"]))
     )
     dot = P.scaled_dot("qv", "v", "qv")["spark"]
-    pairs = (
-        corpus.join(
-            F.broadcast(qset.withColumnRenamed("cent_id", "q_cent")),
-            (F.col("cent_id") == F.col("q_cent")) & (F.col("q_id") != F.col("c_id")),
-        )
-        .withColumn("dot", F.expr(dot))
-        .withColumn(
-            "cos_sim",
-            F.expr(
-                "CAST(dot AS DOUBLE) / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c_nrm AS DOUBLE)))"
-            ),
-        )
+    pairs = corpus.join(
+        F.broadcast(qset.withColumnRenamed("cent_id", "q_cent")),
+        (F.col("cent_id") == F.col("q_cent")) & (F.col("q_id") != F.col("c_id")),
+    )
+    # corpus vectors are single-assigned, so (q_id, c_id) pairs are unique
+    # even with nprobe > 1 — no dedupe needed (unlike multi-probe LSH)
+    pairs = pairs.withColumn("dot", F.expr(dot)).withColumn(
+        "cos_sim",
+        F.expr(
+            "CAST(dot AS DOUBLE) / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c_nrm AS DOUBLE)))"
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (

@@ -60,3 +60,23 @@ def test_multiprobe_recall_is_monotone(spark):
     for q, neighbors in multi.items():
         assert q not in neighbors
         assert len(neighbors) == len(set(neighbors)) <= 5
+
+
+def test_ivf_nprobe_recall_is_monotone(spark):
+    """IVF nprobe: searching the query's n nearest cells is a candidate
+    superset of probe=1 — recall vs exact top-k never decreases."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = _topk_map(S.cosine_topk(emb, queries, k=5).withColumnRenamed("rank", "rnk"))
+    one = _topk_map(S.ivf_topk(emb, cents, queries, k=5, nprobe=1))
+    multi = _topk_map(S.ivf_topk(emb, cents, queries, k=5, nprobe=3))
+
+    def recall(approx):
+        hits = sum(len(set(approx.get(q, [])) & set(exact[q])) for q in exact)
+        return hits / sum(len(exact[q]) for q in exact)
+
+    assert recall(multi) >= recall(one)
+    for q, neighbors in multi.items():
+        assert q not in neighbors
+        assert len(neighbors) == len(set(neighbors)) <= 5
