@@ -115,6 +115,39 @@ class CdcEngine:
         """Change-event stream from the file/Kafka transport directory."""
         return changelog_stream(self.spark, transport_dir)
 
+    def slot_keeper(self, run_sql, wal_dir: str, **kw):
+        """The production transport loop for this config: polls the slot
+        with wal2json, ships durable WAL segments to `wal_dir`, advances
+        `confirmed_flush_lsn`, heartbeats when idle (the reference's
+        replication goroutine, `connector.Start` -> stream.go loop)."""
+        from .sources.postgres import heartbeat_tick_sql
+        from .sources.slot_keeper import SlotKeeper
+
+        hb = heartbeat_tick_sql(self.config) if self.config.heartbeat_enabled else None
+        return SlotKeeper(
+            run_sql,
+            wal_dir,
+            self.config.slot_name,
+            tables=[t.qualified for t in self.config.tables] or None,
+            heartbeat_sql=hb,
+            **kw,
+        )
+
+    def raw_changes(self, wal_dir: str) -> DataFrame:
+        """Streaming change envelope from slot-keeper segments: raw
+        (lsn, xid, data) rows decoded JVM-side with wal2json `from_json`."""
+        from .sources import lsn_stream
+        from .sources.wal2json import decode_wal2json
+
+        lsn_stream.register(self.spark)
+        raw = (
+            self.spark.readStream.format("pq_cdc_wal")
+            .option("path", wal_dir)
+            .option("raw", "true")
+            .load()
+        )
+        return decode_wal2json(raw)
+
     def mirror(self, stream_df: DataFrame, state_dir: str, checkpoint_dir: str):
         """Maintain a queryable current-state mirror (M3 apply idiom)."""
         return mirror_sink(stream_df, state_dir, checkpoint_dir)
