@@ -221,9 +221,42 @@ def snapshot_pin_probe_options(
 
 def snapshot_predicates(plan: SnapshotPlan) -> list[str]:
     """Predicate-per-partition form (``spark.read.jdbc(..., predicates=)``)
-    for ctid/offset strategies whose chunks aren't expressible as a single
-    partition column range."""
+    for ctid-strategy chunks, which are plain WHERE ranges. OFFSET-strategy
+    chunks are NOT predicates (LIMIT/OFFSET can't live in a WHERE clause) —
+    use `snapshot_offset_dbtables` for those."""
+    if plan.strategy is Strategy.OFFSET:
+        raise ValueError(
+            "offset chunks are LIMIT/OFFSET subqueries, not WHERE predicates; "
+            "use snapshot_offset_dbtables()"
+        )
     return plan.predicates
+
+
+def snapshot_offset_dbtables(
+    table: TableConfig, plan: SnapshotPlan, condition: str | None = None
+) -> list[str]:
+    """One JDBC `dbtable` subquery per OFFSET chunk (the reference's
+    `createOffsetChunksWithConn` SELECT shape, coordinator.go:922-969):
+
+        (SELECT cols FROM t [WHERE cond] ORDER BY ctid LIMIT n OFFSET m) AS chunk_i
+
+    The caller issues one single-partition JDBC read per entry and unions
+    them (each read is lazy; the loop is plan metadata, not data). The
+    deterministic ORDER BY is what makes disjoint OFFSET windows a
+    partition of the table — all inside ONE pinned snapshot, or rows could
+    migrate between windows."""
+    if plan.strategy is not Strategy.OFFSET:
+        raise ValueError("snapshot_offset_dbtables requires an OFFSET plan")
+    cols = ", ".join(table.columns) if table.columns else "*"
+    where = f" WHERE {condition}" if condition else ""
+    out = []
+    for c in plan.chunks:
+        order_by = c.where.split(" ORDER BY ", 1)[1].split(" LIMIT ", 1)[0]
+        out.append(
+            f"(SELECT {cols} FROM {table.qualified}{where} ORDER BY {order_by} "
+            f"LIMIT {c.limit} OFFSET {c.offset}) AS chunk_{c.index}"
+        )
+    return out
 
 
 # --- O1 pragmatic transport: poll the slot through SQL ---------------------

@@ -139,3 +139,21 @@ def test_snapshot_pin_probe_options():
     assert "SET TRANSACTION SNAPSHOT '00000003-00000002-1'" in opts["sessionInitStatement"]
     assert "pg_current_snapshot()" in opts["dbtable"]
     assert opts["numPartitions"] == "4" and opts["partitionColumn"] == "probe_id"
+
+
+def test_snapshot_offset_dbtables():
+    """OFFSET chunks render as ordered LIMIT/OFFSET dbtable subqueries, and
+    must never be passed as WHERE predicates."""
+    from go_pq_cdc_spark.snapshot import plan_offset
+
+    plan = plan_offset(20_000, "ctid", chunk_size=8000)
+    t = TableConfig("users", columns=["id", "name"], query_condition="id > 0")
+    subqs = PG.snapshot_offset_dbtables(t, plan, t.query_condition)
+    assert len(subqs) == 3
+    assert subqs[0] == (
+        "(SELECT id, name FROM public.users WHERE id > 0 "
+        "ORDER BY ctid LIMIT 8000 OFFSET 0) AS chunk_0"
+    )
+    assert subqs[-1].endswith("OFFSET 16000) AS chunk_2")
+    with pytest.raises(ValueError, match="not WHERE predicates"):
+        PG.snapshot_predicates(plan)
