@@ -237,3 +237,51 @@ def test_frames_to_envelope_roundtrip():
     assert rows[1]["after"] == {"id": "1", "val": None}  # TOAST 'u' -> None
     assert rows[2]["before"] == {"id": "1", "val": None}
     assert all(r["schema"] == "public" and r["table"] == "users" for r in rows)
+
+
+# -- property: encode/decode round-trip --------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_val = st.one_of(
+    st.none(),
+    st.just(UNCHANGED_TOAST),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=20
+    ),
+)
+
+
+@given(
+    cols=st.lists(
+        st.tuples(
+            st.text(
+                alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=10
+            ),
+            st.integers(16, 3000),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda c: c[0],
+    ),
+    data=st.data(),
+)
+@settings(max_examples=50, deadline=None)
+def test_insert_roundtrip_any_tuple(cols, data):
+    """Any relation schema + any tuple of NULL / unchanged-TOAST / unicode
+    text survives encode->decode exactly (tuple/data.go:40-95 semantics)."""
+    vals = [data.draw(_val) for _ in cols]
+    d = PgOutputDecoder()
+    rel = d.decode(relation_msg(cols=cols))
+    assert [col.name for col in rel.columns] == [c[0] for c in cols]
+    ins = d.decode(b"I" + struct.pack(">I", 16384) + b"N" + tup(*vals))
+    for (name, _oid, _k), v in zip(cols, vals):
+        got = ins.new[name]
+        if v is None:
+            assert got is None
+        elif v is UNCHANGED_TOAST:
+            assert got is UNCHANGED_TOAST
+        else:
+            assert got == v

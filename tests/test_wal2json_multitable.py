@@ -122,3 +122,43 @@ def test_capture_slot_takeover():
 
     with pytest.raises(TimeoutError):
         capture_slot(lambda: {"active": True}, poll_interval_s=1.0, timeout_s=3.0, sleep=lambda _: None)
+
+
+def test_new_table_appears_mid_stream(spark):
+    """A table added to the publication mid-stream just starts producing
+    events; the fan-out sink must create its mirror on the fly without
+    disturbing existing mirrors (schema-evolution-proof routing)."""
+    base = tempfile.mkdtemp(prefix="gpcs_newtbl_")
+    try:
+        ind = os.path.join(base, "in")
+        os.makedirs(ind)
+        ts = datetime.datetime(2024, 1, 1)
+        spark.createDataFrame(
+            [Row(op="I", lsn=1, xid=1, commit_ts=ts, pk=1, after_val=1.0, tbl="public.users")],
+            MULTI_SCHEMA,
+        ).coalesce(1).write.parquet(os.path.join(ind, "b0"))
+        stream = (
+            spark.readStream.schema(MULTI_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ind + "/*")
+        )
+        q = multi_mirror_sink(stream, os.path.join(base, "state"), os.path.join(base, "ck"))
+        try:
+            q.processAllAvailable()
+            # the new table's first-ever events arrive in a later batch
+            spark.createDataFrame(
+                [
+                    Row(op="I", lsn=2, xid=2, commit_ts=ts, pk=5, after_val=5.0, tbl="public.invoices"),
+                    Row(op="U", lsn=3, xid=2, commit_ts=ts, pk=1, after_val=1.5, tbl="public.users"),
+                ],
+                MULTI_SCHEMA,
+            ).coalesce(1).write.parquet(os.path.join(ind, "b1"))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        inv = read_mirror(spark, os.path.join(base, "state", "public__invoices")).collect()
+        assert [(r["pk"], r["after_val"]) for r in inv] == [(5, 5.0)]
+        users = read_mirror(spark, os.path.join(base, "state", "public__users")).collect()
+        assert [(r["pk"], r["after_val"]) for r in users] == [(1, 1.5)]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
