@@ -1,0 +1,194 @@
+"""O1 socket client vs an in-process fake PostgreSQL: startup dialogue,
+md5 + SCRAM-SHA-256 auth (RFC 5802 both sides), START_REPLICATION into
+COPY-BOTH, XLogData framing into the pgoutput decoder, standby-status
+acks (the container has no PG server; the wire grammar is what is
+tested — same seam strategy as the slot-keeper suite)."""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import socket
+import struct
+import threading
+from base64 import b64decode, b64encode
+
+import pytest
+
+from go_pq_cdc_spark.sources.pgoutput import PgOutputDecoder, Insert, PrimaryKeepalive
+from go_pq_cdc_spark.sources.replication_client import (
+    ReplicationConnection,
+    ReplicationError,
+)
+
+from .test_pgoutput import insert_msg, relation_msg
+
+
+def _msg(tag: bytes, body: bytes = b"") -> bytes:
+    return tag + struct.pack(">i", len(body) + 4) + body
+
+
+class FakePgServer(threading.Thread):
+    """Speaks just enough backend protocol for one replication session."""
+
+    def __init__(self, auth="trust", password="secret", user="repl"):
+        super().__init__(daemon=True)
+        self.auth, self.password, self.user = auth, password, user
+        self.listener = socket.socket()
+        self.listener.bind(("127.0.0.1", 0))
+        self.listener.listen(1)
+        self.port = self.listener.getsockname()[1]
+        self.received_status: list[tuple] = []
+        self.startup_params: dict = {}
+        self._rbuf = b""
+        self.start_replication_sql = ""
+        self.errors: list[str] = []
+
+    # -- helpers -------------------------------------------------------------
+
+    def _read_startup(self, conn):
+        (ln,) = struct.unpack(">i", self._exact(conn, 4))
+        body = self._exact(conn, ln - 4)
+        (ver,) = struct.unpack_from(">i", body)
+        assert ver == 196608
+        fields = body[4:].rstrip(b"\x00").split(b"\x00")
+        self.startup_params = {
+            fields[i].decode(): fields[i + 1].decode() for i in range(0, len(fields), 2)
+        }
+
+    def _exact(self, conn, n):
+        while len(self._rbuf) < n:
+            chunk = conn.recv(65536)
+            if not chunk:
+                raise ConnectionError("client gone")
+            self._rbuf += chunk
+        out, self._rbuf = self._rbuf[:n], self._rbuf[n:]
+        return out
+
+    def _read_msg(self, conn):
+        tag = self._exact(conn, 1)
+        (ln,) = struct.unpack(">i", self._exact(conn, 4))
+        return tag, self._exact(conn, ln - 4)
+
+    def _do_auth(self, conn):
+        if self.auth == "trust":
+            conn.sendall(_msg(b"R", struct.pack(">i", 0)))
+        elif self.auth == "md5":
+            salt = b"\x01\x02\x03\x04"
+            conn.sendall(_msg(b"R", struct.pack(">i", 5) + salt))
+            tag, body = self._read_msg(conn)
+            assert tag == b"p"
+            inner = hashlib.md5((self.password + self.user).encode()).hexdigest()
+            want = b"md5" + hashlib.md5(inner.encode() + salt).hexdigest().encode()
+            if body.rstrip(b"\x00") != want:
+                conn.sendall(_msg(b"E", b"SFATAL\x00Mpassword authentication failed\x00\x00"))
+                raise ConnectionError("bad md5")
+            conn.sendall(_msg(b"R", struct.pack(">i", 0)))
+        elif self.auth == "scram":
+            conn.sendall(_msg(b"R", struct.pack(">i", 10) + b"SCRAM-SHA-256\x00\x00"))
+            tag, body = self._read_msg(conn)
+            assert tag == b"p" and body.startswith(b"SCRAM-SHA-256\x00")
+            (ln,) = struct.unpack_from(">i", body, 14)
+            client_first = body[18 : 18 + ln].decode()
+            client_first_bare = client_first.split(",", 2)[2]
+            client_nonce = dict(
+                p.split("=", 1) for p in client_first_bare.split(",")
+            )["r"]
+            salt, iters = b"saltsalt", 4096
+            server_nonce = client_nonce + "SERVER"
+            server_first = f"r={server_nonce},s={b64encode(salt).decode()},i={iters}"
+            conn.sendall(_msg(b"R", struct.pack(">i", 11) + server_first.encode()))
+            tag, body = self._read_msg(conn)
+            assert tag == b"p"
+            client_final = body.decode()
+            parts = dict(p.split("=", 1) for p in client_final.split(","))
+            assert parts["r"] == server_nonce
+            salted = hashlib.pbkdf2_hmac("sha256", self.password.encode(), salt, iters)
+            client_key = hmac.digest(salted, b"Client Key", "sha256")
+            stored_key = hashlib.sha256(client_key).digest()
+            auth_message = (
+                client_first_bare + "," + server_first + ","
+                + client_final.rsplit(",p=", 1)[0]
+            ).encode()
+            client_sig = hmac.digest(stored_key, auth_message, "sha256")
+            recovered = bytes(
+                a ^ b for a, b in zip(b64decode(parts["p"]), client_sig)
+            )
+            if hashlib.sha256(recovered).digest() != stored_key:
+                conn.sendall(_msg(b"E", b"SFATAL\x00Mscram auth failed\x00\x00"))
+                raise ConnectionError("bad scram proof")
+            server_key = hmac.digest(salted, b"Server Key", "sha256")
+            server_sig = hmac.digest(server_key, auth_message, "sha256")
+            conn.sendall(
+                _msg(b"R", struct.pack(">i", 12) + b"v=" + b64encode(server_sig))
+            )
+            conn.sendall(_msg(b"R", struct.pack(">i", 0)))
+        conn.sendall(_msg(b"S", b"server_version\x0016.3\x00"))
+        conn.sendall(_msg(b"K", struct.pack(">ii", 1234, 5678)))
+        conn.sendall(_msg(b"Z", b"I"))
+
+    def run(self):
+        try:
+            conn, _ = self.listener.accept()
+            self._read_startup(conn)
+            self._do_auth(conn)
+            tag, body = self._read_msg(conn)
+            assert tag == b"Q"
+            self.start_replication_sql = body.rstrip(b"\x00").decode()
+            conn.sendall(_msg(b"W", b"\x00" + struct.pack(">h", 0)))
+            # stream: Relation + Insert as XLogData, then a keepalive
+            for lsn, payload in ((10, relation_msg()), (11, insert_msg())):
+                frame = b"w" + struct.pack(">QQq", lsn, lsn, 0) + payload
+                conn.sendall(_msg(b"d", frame))
+            conn.sendall(_msg(b"d", b"k" + struct.pack(">Qqb", 11, 0, 1)))
+            # expect one standby status update back
+            tag, body = self._read_msg(conn)
+            assert tag == b"d" and body[0:1] == b"r"
+            self.received_status.append(struct.unpack_from(">QQQqb", body, 1))
+            conn.sendall(_msg(b"c"))  # CopyDone
+            conn.close()
+        except Exception as exc:  # surface failures to the test thread
+            self.errors.append(repr(exc))
+
+
+def _session(auth, password="secret"):
+    srv = FakePgServer(auth=auth)
+    srv.start()
+    conn = ReplicationConnection.connect(
+        "127.0.0.1", srv.port, "repl", "app", password
+    )
+    return srv, conn
+
+
+@pytest.mark.parametrize("auth", ["trust", "md5", "scram"])
+def test_full_replication_session(auth):
+    srv, conn = _session(auth)
+    assert srv.startup_params["replication"] == "database"
+    assert conn.parameters["server_version"] == "16.3"
+
+    conn.start_replication("cdc_slot", 0, ["cdc_pub"])
+    assert "START_REPLICATION SLOT cdc_slot LOGICAL 0/0" in srv.start_replication_sql
+    assert "proto_version '2'" in srv.start_replication_sql
+    assert "publication_names 'cdc_pub'" in srv.start_replication_sql
+
+    dec = PgOutputDecoder()
+    events = []
+    for frame in conn.frames():
+        if isinstance(frame, PrimaryKeepalive):
+            if frame.reply_requested:
+                conn.send_standby_status(frame.wal_end + 1, frame.wal_end + 1, frame.wal_end + 1)
+            continue
+        events.append(dec.decode(frame.payload))
+    conn.close()
+    srv.join(timeout=5)
+    assert not srv.errors, srv.errors
+    ins = [e for e in events if isinstance(e, Insert)]
+    assert len(ins) == 1 and ins[0].new == {"id": "1", "val": "1.5"}
+    assert srv.received_status == [(12, 12, 12, 0, 0)]
+
+
+def test_bad_password_raises():
+    srv = FakePgServer(auth="md5")
+    srv.start()
+    with pytest.raises(ReplicationError, match="server error during auth"):
+        ReplicationConnection.connect("127.0.0.1", srv.port, "repl", "app", "wrong")
