@@ -42,6 +42,15 @@ WAL_SCHEMA_DDL = (
 # wal2json documents; decode happens JVM-side (sources.wal2json).
 RAW_WAL_SCHEMA_DDL = "lsn bigint, xid bigint, data string"
 
+# Envelope segments as written by sources.slot_keeper.pump_frames (the
+# socket/pgoutput transport decodes driver-side; columns mirror
+# wal2json.decode_wal2json output).
+ENVELOPE_WAL_SCHEMA_DDL = (
+    "op string, lsn bigint, xid bigint, commit_ts timestamp, "
+    "schema string, table string, "
+    "before map<string,string>, after map<string,string>"
+)
+
 
 def segment_path(dir_path: str, start_lsn: int, end_lsn: int) -> str:
     return os.path.join(dir_path, f"wal_{start_lsn}_{end_lsn}.parquet")
@@ -166,6 +175,8 @@ class LsnStreamDataSource(DataSource):
     def schema(self) -> str:
         if str(self.options.get("raw", "")).lower() in ("1", "true"):
             return RAW_WAL_SCHEMA_DDL
+        if str(self.options.get("envelope", "")).lower() in ("1", "true"):
+            return ENVELOPE_WAL_SCHEMA_DDL
         return WAL_SCHEMA_DDL
 
     def streamReader(self, schema) -> LsnStreamReader:

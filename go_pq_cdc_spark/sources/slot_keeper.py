@@ -96,6 +96,150 @@ def gc_segments(wal_dir: str) -> list[str]:
     return removed
 
 
+def write_envelope_segment(wal_dir: str, start_lsn: int, rows: list[dict]) -> int:
+    """Write one decoded-envelope segment (rows from
+    `pgoutput.frames_to_envelope`) covering [start_lsn, max lsn]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    end_lsn = max(r["lsn"] for r in rows)
+    map_t = pa.map_(pa.string(), pa.string())
+    as_items = lambda m: None if m is None else list(m.items())  # noqa: E731
+    table = pa.table(
+        {
+            "op": pa.array([r["op"] for r in rows], pa.string()),
+            "lsn": pa.array([r["lsn"] for r in rows], pa.int64()),
+            "xid": pa.array([r["xid"] for r in rows], pa.int64()),
+            "commit_ts": pa.array(
+                [r["commit_ts_us"] for r in rows], pa.timestamp("us")
+            ),
+            "schema": pa.array([r["schema"] for r in rows], pa.string()),
+            "table": pa.array([r["table"] for r in rows], pa.string()),
+            "before": pa.array([as_items(r["before"]) for r in rows], map_t),
+            "after": pa.array([as_items(r["after"]) for r in rows], map_t),
+        }
+    )
+    final = lsn_stream.segment_path(wal_dir, start_lsn, end_lsn)
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+    return end_lsn
+
+
+def pump_frames(
+    frames,
+    wal_dir: str,
+    send_status=None,
+    batch_rows: int = 1000,
+    start_lsn: int | None = None,
+) -> int:
+    """The socket-transport pump: COPY-BOTH frames -> decoded envelope
+    segments -> standby-status acks (the reference's message loop,
+    stream.go:302-348 + 718-733, with the durable segment log in place of
+    the in-process handler channel).
+
+    Segments are cut at COMMIT boundaries once `batch_rows` rows have
+    accumulated, so a transaction never spans a segment edge (replay after
+    a crash re-reads whole transactions — at-least-once, idempotent
+    downstream). Keepalives trigger an ack of the durable frontier; a
+    `reply_requested` keepalive acks immediately. Returns the final
+    frontier LSN. `send_status(received, flushed, applied)` is typically
+    `ReplicationConnection.send_standby_status`."""
+    from .pgoutput import PrimaryKeepalive
+
+    segs = lsn_stream.list_segments(wal_dir)
+    frontier = max(
+        (e for _s, e, _p in segs),
+        default=start_lsn if start_lsn is not None else 0,
+    )
+    pending: list[dict] = []
+
+    def ack():
+        if send_status:
+            send_status(frontier + 1, frontier + 1, frontier + 1)
+
+    def flush():
+        nonlocal frontier, pending
+        fresh = [r for r in pending if r["lsn"] > frontier]
+        if fresh:
+            frontier = write_envelope_segment(wal_dir, frontier + 1, fresh)
+        pending = []
+        ack()
+
+    def dml_frames():
+        # envelope decode skips keepalives — tee them here for acking
+        for f in frames:
+            if isinstance(f, PrimaryKeepalive):
+                if f.reply_requested:
+                    ack()
+                continue
+            yield f
+
+    for row in _envelope_with_commit_marks(dml_frames()):
+        if row is _COMMIT_MARK:
+            if len(pending) >= batch_rows:
+                flush()
+            continue
+        pending.append(row)
+    if pending:
+        flush()
+    else:
+        ack()  # shutdown final flush even when idle
+    return frontier
+
+
+_COMMIT_MARK = object()
+
+
+def _envelope_with_commit_marks(frames):
+    """`pgoutput.frames_to_envelope` semantics, plus a _COMMIT_MARK at each
+    transaction boundary so the pump can cut commit-aligned segments."""
+    from .pgoutput import (
+        UNCHANGED_TOAST,
+        Begin,
+        Commit,
+        Delete,
+        Insert,
+        PgOutputDecoder,
+        StreamCommit,
+        Update,
+    )
+
+    dec = PgOutputDecoder()
+    ops = {Insert: "I", Update: "U", Delete: "D"}
+    xid = None
+    commit_ts_us = None
+
+    def clean(img):
+        if img is None:
+            return None
+        return {k: (None if v is UNCHANGED_TOAST else v) for k, v in img.items()}
+
+    for frame in frames:
+        msg = dec.decode(frame.payload)
+        if isinstance(msg, Begin):
+            xid, commit_ts_us = msg.xid, msg.commit_ts_us
+            continue
+        if isinstance(msg, (Commit, StreamCommit)):
+            xid, commit_ts_us = None, None
+            yield _COMMIT_MARK
+            continue
+        op = ops.get(type(msg))
+        if op is None:
+            continue
+        rel = dec.relations[msg.relation_oid]
+        yield {
+            "op": op,
+            "lsn": frame.wal_start,
+            "xid": msg.xid if msg.xid is not None else xid,
+            "commit_ts_us": commit_ts_us,
+            "schema": rel.namespace,
+            "table": rel.name,
+            "before": clean(getattr(msg, "old", None)),
+            "after": clean(getattr(msg, "new", None)),
+        }
+
+
 class SlotKeeper:
     """Single-writer loop owning one replication slot (the reference runs
     exactly one active replication connection per slot; passive instances

@@ -192,3 +192,130 @@ def test_bad_password_raises():
     srv.start()
     with pytest.raises(ReplicationError, match="server error during auth"):
         ReplicationConnection.connect("127.0.0.1", srv.port, "repl", "app", "wrong")
+
+
+def test_pump_frames_to_envelope_segments(tmp_path):
+    """pump_frames: frames -> commit-aligned envelope segments + acks;
+    restart resumes from the durable frontier without duplicating."""
+    from go_pq_cdc_spark.sources.pgoutput import XLogData
+    from go_pq_cdc_spark.sources.slot_keeper import pump_frames
+    from go_pq_cdc_spark.sources import lsn_stream
+
+    wal_dir = str(tmp_path / "wal")
+    import os as _os
+
+    _os.makedirs(wal_dir)
+
+    def xlog(lsn, payload):
+        return XLogData(lsn, lsn, 0, payload)
+
+    def txn(begin_lsn, *dml):
+        out = [xlog(begin_lsn, b"B" + struct.pack(">QqI", begin_lsn + len(dml) + 1, 0, begin_lsn))]
+        out += [xlog(begin_lsn + 1 + i, p) for i, p in enumerate(dml)]
+        out.append(
+            xlog(
+                begin_lsn + len(dml) + 1,
+                b"C" + struct.pack(">bQQq", 0, begin_lsn + len(dml) + 1, begin_lsn + len(dml) + 2, 0),
+            )
+        )
+        return out
+
+    acks = []
+    frames = [
+        xlog(5, relation_msg()),
+        *txn(10, insert_msg(vals=("1", "1.0")), insert_msg(vals=("2", "2.0"))),
+        *txn(20, insert_msg(vals=("3", "3.0"))),
+        PrimaryKeepalive(25, 0, True),
+    ]
+    frontier = pump_frames(
+        frames, wal_dir, send_status=lambda r, f, a: acks.append(f), batch_rows=1
+    )
+    segs = lsn_stream.list_segments(wal_dir)
+    # commit-aligned: txn1 DMLs (lsn 11,12) then txn2 DML (lsn 21)
+    assert [(s, e) for s, e, _ in segs] == [(1, 12), (13, 21)]
+    assert frontier == 21
+    # acks track the durable frontier: after seg1, after seg2, keepalive,
+    # and the shutdown final flush
+    assert acks == [13, 22, 22, 22]
+
+    # restart with the same WAL dir: replayed frames are deduped by the
+    # recovered frontier — no duplicate segments, final flush still acked
+    acks2 = []
+    f2 = pump_frames(
+        frames, wal_dir, send_status=lambda r, f, a: acks2.append(f), batch_rows=1
+    )
+    assert f2 == 21
+    assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [
+        (1, 12),
+        (13, 21),
+    ]
+    assert acks2[-1] == 22
+
+
+def test_envelope_segments_through_spark_to_mirror(spark, tmp_path):
+    """The socket transport end to end: pump-written envelope segments ->
+    pq_cdc_wal (envelope schema) stream -> flat projection -> bucketed
+    mirror. Closes the last simulated link of the O1 chain."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.sources import lsn_stream
+    from go_pq_cdc_spark.sources.pgoutput import XLogData
+    from go_pq_cdc_spark.sources.slot_keeper import pump_frames
+    from go_pq_cdc_spark.streaming import merge_mirror_batch, read_mirror
+
+    wal_dir = str(tmp_path / "wal")
+    _os.makedirs(wal_dir)
+
+    def xlog(lsn, payload):
+        return XLogData(lsn, lsn, 0, payload)
+
+    upd = (
+        b"U" + struct.pack(">I", 16384) + b"N"
+        + struct.pack(">H", 2)
+        + b"t" + struct.pack(">i", 1) + b"1"
+        + b"t" + struct.pack(">i", 3) + b"1.5"
+    )
+    delete = b"D" + struct.pack(">I", 16384) + b"K" + (
+        struct.pack(">H", 2) + b"t" + struct.pack(">i", 1) + b"2" + b"n"
+    )
+    frames = [
+        xlog(5, relation_msg()),
+        xlog(9, b"B" + struct.pack(">QqI", 14, 0, 50)),
+        xlog(10, insert_msg(vals=("1", "1.0"))),
+        xlog(11, insert_msg(vals=("2", "2.0"))),
+        xlog(12, upd),
+        xlog(13, delete),
+        xlog(14, b"C" + struct.pack(">bQQq", 0, 14, 15, 0)),
+    ]
+    pump_frames(frames, wal_dir)
+
+    lsn_stream.register(spark)
+    env = (
+        spark.readStream.format("pq_cdc_wal")
+        .option("path", wal_dir)
+        .option("envelope", "true")
+        .load()
+    )
+    flat = env.select(
+        "op",
+        "lsn",
+        "xid",
+        "commit_ts",
+        F.coalesce(F.col("after.id"), F.col("before.id")).cast("bigint").alias("pk"),
+        F.col("after.val").cast("double").alias("after_val"),
+    )
+    state_dir = str(tmp_path / "state")
+    q = (
+        flat.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(lambda b, e: merge_mirror_batch(b, state_dir, e))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = {r["pk"]: r["after_val"] for r in read_mirror(spark, state_dir).collect()}
+    assert state == {1: 1.5}  # pk1 updated, pk2 deleted
