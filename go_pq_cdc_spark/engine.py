@@ -133,6 +133,49 @@ class CdcEngine:
             **kw,
         )
 
+    def replicate(
+        self,
+        wal_dir: str,
+        *,
+        host: str,
+        port: int,
+        user: str,
+        database: str,
+        password: str | None = None,
+        **kw,
+    ) -> int:
+        """The socket transport loop for this config: START_REPLICATION on
+        the slot over a raw socket, pump pgoutput frames into commit-aligned
+        envelope segments under `wal_dir`, ack via standby-status. Blocks
+        until the server ends the stream; resumes from the durable segment
+        log on restart. Pair with `envelope_changes(wal_dir)`."""
+        from .sources.slot_keeper import run_replication
+
+        return run_replication(
+            host,
+            port,
+            user,
+            database,
+            self.config.slot_name,
+            [self.config.publication_name],
+            wal_dir,
+            password=password,
+            **kw,
+        )
+
+    def envelope_changes(self, wal_dir: str) -> DataFrame:
+        """Streaming change envelope from socket-transport segments (already
+        decoded driver-side by the pgoutput pump — no JVM decode step)."""
+        from .sources import lsn_stream
+
+        lsn_stream.register(self.spark)
+        return (
+            self.spark.readStream.format("pq_cdc_wal")
+            .option("path", wal_dir)
+            .option("envelope", "true")
+            .load()
+        )
+
     def raw_changes(self, wal_dir: str) -> DataFrame:
         """Streaming change envelope from slot-keeper segments: raw
         (lsn, xid, data) rows decoded JVM-side with wal2json `from_json`."""

@@ -188,6 +188,47 @@ def pump_frames(
     return frontier
 
 
+def run_replication(
+    host: str,
+    port: int,
+    user: str,
+    database: str,
+    slot: str,
+    publications: list[str],
+    wal_dir: str,
+    password: str | None = None,
+    start_lsn: int = 0,
+    batch_rows: int = 1000,
+    proto_version: int = 2,
+) -> int:
+    """The socket transport in one call (the reference's `connector.Start`
+    replication path, stream.go:121-143 connect/start + :302-348 loop):
+    dial with replication=database, START_REPLICATION the slot, pump the
+    COPY-BOTH stream into commit-aligned envelope segments under `wal_dir`,
+    acking each durable write via standby-status. Resumes from the durable
+    segment log (the frontier overrides `start_lsn` when segments exist),
+    so a crashed pump restarts exactly where its last rename landed.
+    Returns the final frontier LSN when the server ends the stream."""
+    from .replication_client import ReplicationConnection
+
+    os.makedirs(wal_dir, exist_ok=True)
+    frontier = max(
+        (e for _s, e, _p in lsn_stream.list_segments(wal_dir)), default=start_lsn
+    )
+    conn = ReplicationConnection.connect(host, port, user, database, password)
+    try:
+        conn.start_replication(slot, frontier, publications, proto_version)
+        return pump_frames(
+            conn.frames(),
+            wal_dir,
+            send_status=conn.send_standby_status,
+            batch_rows=batch_rows,
+            start_lsn=frontier,
+        )
+    finally:
+        conn.close()
+
+
 _COMMIT_MARK = object()
 
 

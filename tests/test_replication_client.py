@@ -31,9 +31,10 @@ def _msg(tag: bytes, body: bytes = b"") -> bytes:
 class FakePgServer(threading.Thread):
     """Speaks just enough backend protocol for one replication session."""
 
-    def __init__(self, auth="trust", password="secret", user="repl"):
+    def __init__(self, auth="trust", password="secret", user="repl", stream=None, expect_acks=1):
         super().__init__(daemon=True)
         self.auth, self.password, self.user = auth, password, user
+        self.stream, self.expect_acks = stream, expect_acks
         self.listener = socket.socket()
         self.listener.bind(("127.0.0.1", 0))
         self.listener.listen(1)
@@ -136,16 +137,29 @@ class FakePgServer(threading.Thread):
             assert tag == b"Q"
             self.start_replication_sql = body.rstrip(b"\x00").decode()
             conn.sendall(_msg(b"W", b"\x00" + struct.pack(">h", 0)))
-            # stream: Relation + Insert as XLogData, then a keepalive
-            for lsn, payload in ((10, relation_msg()), (11, insert_msg())):
-                frame = b"w" + struct.pack(">QQq", lsn, lsn, 0) + payload
-                conn.sendall(_msg(b"d", frame))
-            conn.sendall(_msg(b"d", b"k" + struct.pack(">Qqb", 11, 0, 1)))
-            # expect one standby status update back
-            tag, body = self._read_msg(conn)
-            assert tag == b"d" and body[0:1] == b"r"
-            self.received_status.append(struct.unpack_from(">QQQqb", body, 1))
+            frames = self.stream
+            if frames is None:
+                # default: Relation + Insert as XLogData, then a keepalive
+                frames = [
+                    b"w" + struct.pack(">QQq", lsn, lsn, 0) + payload
+                    for lsn, payload in ((10, relation_msg()), (11, insert_msg()))
+                ] + [b"k" + struct.pack(">Qqb", 11, 0, 1)]
+            for raw in frames:
+                conn.sendall(_msg(b"d", raw))
+            for _ in range(self.expect_acks):
+                tag, body = self._read_msg(conn)
+                assert tag == b"d" and body[0:1] == b"r"
+                self.received_status.append(struct.unpack_from(">QQQqb", body, 1))
             conn.sendall(_msg(b"c"))  # CopyDone
+            # absorb trailing acks (e.g. the pump's shutdown flush) until the
+            # client hangs up
+            try:
+                while True:
+                    tag, body = self._read_msg(conn)
+                    if tag == b"d" and body[0:1] == b"r":
+                        self.received_status.append(struct.unpack_from(">QQQqb", body, 1))
+            except (ConnectionError, OSError):
+                pass
             conn.close()
         except Exception as exc:  # surface failures to the test thread
             self.errors.append(repr(exc))
@@ -319,3 +333,50 @@ def test_envelope_segments_through_spark_to_mirror(spark, tmp_path):
         q.stop()
     state = {r["pk"]: r["after_val"] for r in read_mirror(spark, state_dir).collect()}
     assert state == {1: 1.5}  # pk1 updated, pk2 deleted
+
+
+def test_run_replication_end_to_end(tmp_path):
+    """run_replication: socket connect -> START_REPLICATION -> pump -> acks,
+    then a second run against a fresh server resumes from the durable
+    segment log (replayed rows deduped, start LSN advanced)."""
+    from go_pq_cdc_spark.sources import lsn_stream
+    from go_pq_cdc_spark.sources.slot_keeper import run_replication
+
+    def xlog(lsn, payload):
+        return b"w" + struct.pack(">QQq", lsn, lsn, 0) + payload
+
+    stream = [
+        xlog(5, relation_msg()),
+        xlog(9, b"B" + struct.pack(">QqI", 12, 0, 42)),
+        xlog(10, insert_msg(vals=("1", "1.0"))),
+        xlog(11, insert_msg(vals=("2", "2.0"))),
+        xlog(12, b"C" + struct.pack(">bQQq", 0, 12, 13, 0)),
+        b"k" + struct.pack(">Qqb", 12, 0, 1),
+    ]
+    wal_dir = str(tmp_path / "wal")
+
+    srv = FakePgServer(auth="scram", stream=stream, expect_acks=2)
+    srv.start()
+    frontier = run_replication(
+        "127.0.0.1", srv.port, "repl", "app", "cdc_slot", ["cdc_pub"],
+        wal_dir, password="secret", batch_rows=1,
+    )
+    srv.join(timeout=5)
+    assert not srv.errors, srv.errors
+    assert frontier == 11
+    assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [(1, 11)]
+    assert "SLOT cdc_slot LOGICAL 0/0" in srv.start_replication_sql
+    # every ack reports the durable frontier + 1
+    assert srv.received_status and all(st[:3] == (12, 12, 12) for st in srv.received_status)
+
+    srv2 = FakePgServer(stream=stream, expect_acks=2)
+    srv2.start()
+    f2 = run_replication(
+        "127.0.0.1", srv2.port, "repl", "app", "cdc_slot", ["cdc_pub"],
+        wal_dir, password="secret", batch_rows=1,
+    )
+    srv2.join(timeout=5)
+    assert not srv2.errors, srv2.errors
+    assert f2 == 11
+    assert "SLOT cdc_slot LOGICAL 0/B" in srv2.start_replication_sql
+    assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [(1, 11)]
