@@ -43,18 +43,24 @@ def toast_fill(df: DataFrame, value_col: str = "after_val") -> DataFrame:
     DELETE: after the key is deleted there is no old image to repair from,
     so the carry-forward epoch resets (`del_epoch` = running count of 'D').
 
-    Two per-key windows, both shuffle once on pk; no global state."""
+    One window pass (single shuffle + single sort on (pk, lsn)): instead of
+    partitioning a second window by del_epoch, each row carries a marker —
+    a DELETE is a 'reset' marker (its shipped image, if any, must never be
+    carried forward: replica-identity-full Ds carry the OLD row —
+    update.go:102-109), a non-null image is a value marker. The fill is the
+    last marker's value, nulled when that marker is a reset. del_epoch is a
+    running sum over the same window spec, so Catalyst evaluates both in
+    one WindowExec."""
     w = Window.partitionBy("pk").orderBy("lsn")
-    df = df.withColumn(
+    marker = F.when(
+        (F.col("op") == "D") | F.col(value_col).isNotNull(),
+        F.struct((F.col("op") == "D").alias("reset"), F.col(value_col).alias("v")),
+    )
+    last_m = F.last(marker, ignorenulls=True).over(w)
+    return df.withColumn(
         "del_epoch",
         F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).over(w).cast("long"),
-    )
-    w2 = Window.partitionBy("pk", "del_epoch").orderBy("lsn")
-    # A DELETE has no new image — even if the transport ships one
-    # (replica-identity-full old image in after_val), it must never be
-    # carried forward: the key is gone (update.go:102-109 semantics).
-    img = F.when(F.col("op") == "D", F.lit(None)).otherwise(F.col(value_col))
-    return df.withColumn("filled_val", F.last(img, ignorenulls=True).over(w2))
+    ).withColumn("filled_val", F.when(~last_m["reset"], last_m["v"]))
 
 
 def before_image(df: DataFrame, value_col: str = "after_val") -> DataFrame:

@@ -80,36 +80,24 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash+LSH with exact-Jaccard verification.
 
-    Pipeline: explode shingles → md5 hash per shingle (native, codegen) →
-    one groupBy(doc) computing all 16 permutation minima as plain MIN
-    aggregates + collect_set of the shingle hashes → 4 bands of 4 →
-    self-equi-join on (band, band_key) → distinct candidate pairs → exact
-    Jaccard on the shingle sets → filter >= threshold.
+    Pipeline: shingle-hash array per doc (md5, native codegen) → all 16
+    permutation minima as narrow `array_min(transform(...))` expressions
+    (NO shuffle — the shingle set never leaves its partition) → 4 bands of
+    4 → self-equi-join on (band, band_key) → distinct candidate pairs →
+    exact Jaccard on the shingle sets → filter >= threshold.
 
-    Scale: explode is narrow; signatures are ONE shuffle on doc id with
-    map-side partial MIN; candidates come from an equi-join on band buckets
-    (high-cardinality key) — cost is O(candidates), not O(n^2)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    tok = P.tokens(text_col)["spark"]
-    sh_strings = P.token_shingles_col("toks")["spark"]
-    h = P.md5_hash_m31("sh")["spark"]
-    # No pre-distinct: MIN permutation aggregates and collect_set are both
-    # duplicate-insensitive, so duplicate shingles cost nothing and we save
-    # a full (id, h) shuffle.
-    exploded = (
-        df.repartition(par, F.col(id_col))
-        .withColumn("toks", F.expr(tok))
-        .filter(F.expr("size(toks) >= 3"))
-        .select(F.col(id_col).alias("id"), F.explode(F.expr(sh_strings)).alias("sh"))
-        .select("id", F.expr(h).alias("h"))
-    )
-    aggs = []
+    Scale: signature computation is embarrassingly parallel over docs;
+    candidates come from an equi-join on band buckets (high-cardinality
+    key) — cost is O(candidates), not O(n^2)."""
+    mh = []
     for k in range(MINHASH_K):
         a_k, b_k = P.minhash_coeffs(k)
-        aggs.append(
-            F.min((F.lit(a_k) * F.col("h") + F.lit(b_k)) % P.MERSENNE31).alias(f"m{k}")
+        mh.append(
+            F.expr(
+                f"array_min(transform(sh, h -> ({a_k}L * h + {b_k}L) % {P.MERSENNE31}L))"
+            ).alias(f"m{k}")
         )
-    per_doc = exploded.groupBy("id").agg(*aggs, F.collect_set("h").alias("sh")).cache()
+    per_doc = shingle_doc(df, id_col, text_col).select("id", "sh", *mh).cache()
     docs = per_doc.select("id", "sh")
     band_structs = ", ".join(
         "struct({b} AS band, concat_ws(',', {ms}) AS band_key)".format(
