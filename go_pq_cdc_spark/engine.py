@@ -147,11 +147,12 @@ class CdcEngine:
         """The socket transport loop for this config: START_REPLICATION on
         the slot over a raw socket, pump pgoutput frames into commit-aligned
         envelope segments under `wal_dir`, ack via standby-status. Blocks
-        until the server ends the stream; resumes from the durable segment
-        log on restart. Pair with `envelope_changes(wal_dir)`."""
-        from .sources.slot_keeper import run_replication
+        until the server ends the stream; transient drops redial with
+        backoff (connector.go:446-559) and resume from the durable segment
+        log. Pair with `envelope_changes(wal_dir)`."""
+        from .sources.slot_keeper import run_replication_resilient
 
-        return run_replication(
+        return run_replication_resilient(
             host,
             port,
             user,

@@ -36,7 +36,7 @@ import threading
 import time
 from collections.abc import Callable, Sequence
 
-from ..retry import Backoff, with_backoff
+from ..retry import Backoff, FatalError, is_transient, with_backoff
 from . import lsn_stream
 from .postgres import advance_slot_sql, poll_changes_sql
 
@@ -227,6 +227,73 @@ def run_replication(
         )
     finally:
         conn.close()
+
+
+def _segment_frontier(wal_dir: str, floor: int = 0) -> int:
+    if not os.path.isdir(wal_dir):
+        return floor
+    return max((e for _s, e, _p in lsn_stream.list_segments(wal_dir)), default=floor)
+
+
+def run_replication_resilient(
+    host: str,
+    port: int,
+    user: str,
+    database: str,
+    slot: str,
+    publications: list[str],
+    wal_dir: str,
+    password: str | None = None,
+    start_lsn: int = 0,
+    batch_rows: int = 1000,
+    proto_version: int = 2,
+    backoff: Backoff | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+    on_retry: Callable[[int, BaseException], None] | None = None,
+) -> int:
+    """`run_replication` under the reconnect policy of the reference's
+    connector (connector.go:446-559): a transient failure — dropped socket,
+    server restart, connection refused — backs off and redials instead of
+    crashing the pipeline, and any durable progress (a segment landed
+    before the drop) resets the retry budget, so only a *stalled* endpoint
+    exhausts it. Resume is free: each attempt restarts from the segment-log
+    frontier and replayed rows are deduped there. Non-transient errors
+    (auth failure, bad slot name) and exhausted budgets raise FatalError —
+    failing loudly beats silently wedging a slot that pins server WAL."""
+    backoff = backoff or Backoff()
+    delays = list(backoff.delays())
+    attempt = 0
+    while True:
+        before = _segment_frontier(wal_dir, start_lsn)
+        try:
+            return run_replication(
+                host,
+                port,
+                user,
+                database,
+                slot,
+                publications,
+                wal_dir,
+                password=password,
+                start_lsn=start_lsn,
+                batch_rows=batch_rows,
+                proto_version=proto_version,
+            )
+        except FatalError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — classified below
+            if not is_transient(exc):
+                raise FatalError(f"non-retryable: {exc}") from exc
+            if _segment_frontier(wal_dir, start_lsn) > before:
+                attempt = 0
+            if attempt >= len(delays):
+                raise FatalError(
+                    f"reconnect budget exhausted after {attempt + 1} stalled attempts: {exc}"
+                ) from exc
+            if on_retry:
+                on_retry(attempt + 1, exc)
+            sleep(delays[attempt])
+            attempt += 1
 
 
 _COMMIT_MARK = object()

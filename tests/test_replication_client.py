@@ -380,3 +380,148 @@ def test_run_replication_end_to_end(tmp_path):
     assert f2 == 11
     assert "SLOT cdc_slot LOGICAL 0/B" in srv2.start_replication_sql
     assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [(1, 11)]
+
+
+class FlakyPgServer(FakePgServer):
+    """Serves several replication sessions in sequence. Each session sends
+    its frames, reads `expect_acks` standby-status messages, then either
+    drops the socket with no CopyDone ("drop") or ends cleanly ("done")."""
+
+    def __init__(self, sessions):
+        super().__init__(auth="trust")
+        self.sessions = sessions
+        self.start_replication_sqls: list[str] = []
+
+    def run(self):
+        try:
+            for frames, expect_acks, end in self.sessions:
+                conn, _ = self.listener.accept()
+                self._rbuf = b""
+                self._read_startup(conn)
+                self._do_auth(conn)
+                tag, body = self._read_msg(conn)
+                assert tag == b"Q"
+                self.start_replication_sqls.append(body.rstrip(b"\x00").decode())
+                conn.sendall(_msg(b"W", b"\x00" + struct.pack(">h", 0)))
+                for raw in frames:
+                    conn.sendall(_msg(b"d", raw))
+                for _ in range(expect_acks):
+                    tag, body = self._read_msg(conn)
+                    assert tag == b"d" and body[0:1] == b"r"
+                    self.received_status.append(struct.unpack_from(">QQQqb", body, 1))
+                if end == "drop":
+                    conn.close()
+                    continue
+                conn.sendall(_msg(b"c"))
+                try:
+                    while True:
+                        tag, body = self._read_msg(conn)
+                        if tag == b"d" and body[0:1] == b"r":
+                            self.received_status.append(
+                                struct.unpack_from(">QQQqb", body, 1)
+                            )
+                except (ConnectionError, OSError):
+                    pass
+                conn.close()
+        except Exception as exc:  # surface failures to the test thread
+            self.errors.append(repr(exc))
+
+
+def test_run_replication_resilient_survives_mid_txn_drop(tmp_path):
+    """Server drops the socket mid-transaction (after txn 1 committed, txn 2
+    half-sent): the resilient loop redials, resumes from the durable
+    frontier, and the replayed transaction lands exactly once. Durable
+    progress resets the retry budget."""
+    from go_pq_cdc_spark.sources import lsn_stream
+    from go_pq_cdc_spark.sources.slot_keeper import run_replication_resilient
+    from go_pq_cdc_spark.retry import Backoff
+
+    def xlog(lsn, payload):
+        return b"w" + struct.pack(">QQq", lsn, lsn, 0) + payload
+
+    session1 = [
+        xlog(5, relation_msg()),
+        xlog(9, b"B" + struct.pack(">QqI", 12, 0, 42)),
+        xlog(10, insert_msg(vals=("1", "1.0"))),
+        xlog(12, b"C" + struct.pack(">bQQq", 0, 12, 13, 0)),
+        xlog(20, b"B" + struct.pack(">QqI", 22, 0, 43)),
+        xlog(21, insert_msg(vals=("2", "2.0"))),  # no commit -> dropped txn
+    ]
+    session2 = [
+        xlog(5, relation_msg()),  # real PG re-sends Relation on a new session
+        xlog(20, b"B" + struct.pack(">QqI", 22, 0, 43)),
+        xlog(21, insert_msg(vals=("2", "2.0"))),
+        xlog(22, b"C" + struct.pack(">bQQq", 0, 22, 23, 0)),
+        b"k" + struct.pack(">Qqb", 22, 0, 1),
+    ]
+    srv = FlakyPgServer([(session1, 1, "drop"), (session2, 1, "done")])
+    srv.start()
+    wal_dir = str(tmp_path / "wal")
+    sleeps: list[float] = []
+    retries: list[int] = []
+    frontier = run_replication_resilient(
+        "127.0.0.1", srv.port, "repl", "app", "cdc_slot", ["cdc_pub"],
+        wal_dir, batch_rows=1, backoff=Backoff(base_delay_s=0.01, max_tries=3),
+        sleep=sleeps.append, on_retry=lambda n, exc: retries.append(n),
+    )
+    srv.join(timeout=5)
+    assert not srv.errors, srv.errors
+    assert frontier == 21
+    # two segments, contiguous, txn2 exactly once despite the replay
+    assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [
+        (1, 10),
+        (11, 21),
+    ]
+    import duckdb
+
+    lsns = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT lsn FROM read_parquet('{wal_dir}/*.parquet') ORDER BY lsn"
+        ).fetchall()
+    ]
+    assert lsns == [10, 21]
+    # the redial resumed from the durable frontier, not from scratch
+    assert "SLOT cdc_slot LOGICAL 0/0" in srv.start_replication_sqls[0]
+    assert "SLOT cdc_slot LOGICAL 0/A" in srv.start_replication_sqls[1]
+    # one reconnect, and progress before the drop reset the budget to delay[0]
+    assert retries == [1]
+    assert sleeps == [0.01]
+
+
+def test_run_replication_resilient_auth_failure_is_fatal(tmp_path):
+    """A non-transient error (bad password) must NOT be retried — it raises
+    FatalError on the first attempt with no backoff sleep."""
+    from go_pq_cdc_spark.retry import Backoff, FatalError
+    from go_pq_cdc_spark.sources.slot_keeper import run_replication_resilient
+
+    srv = FakePgServer(auth="md5", password="right")
+    srv.start()
+    sleeps: list[float] = []
+    with pytest.raises(FatalError, match="non-retryable"):
+        run_replication_resilient(
+            "127.0.0.1", srv.port, "repl", "app", "cdc_slot", ["cdc_pub"],
+            str(tmp_path / "wal"), password="wrong",
+            backoff=Backoff(base_delay_s=0.01, max_tries=4), sleep=sleeps.append,
+        )
+    assert sleeps == []
+
+
+def test_run_replication_resilient_exhausts_budget_without_progress(tmp_path):
+    """A dead endpoint (connection refused, no progress ever) exhausts the
+    retry budget and raises FatalError after max_tries attempts."""
+    from go_pq_cdc_spark.retry import Backoff, FatalError
+    from go_pq_cdc_spark.sources.slot_keeper import run_replication_resilient
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    dead_port = probe.getsockname()[1]
+    probe.close()
+    sleeps: list[float] = []
+    with pytest.raises(FatalError, match="reconnect budget exhausted"):
+        run_replication_resilient(
+            "127.0.0.1", dead_port, "repl", "app", "cdc_slot", ["cdc_pub"],
+            str(tmp_path / "wal"),
+            backoff=Backoff(base_delay_s=0.01, max_tries=3), sleep=sleeps.append,
+        )
+    assert sleeps == [0.01, 0.02]
