@@ -24,10 +24,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Gate scheduling: rounds 1-2 the correctness runner only reached the first
-# 50 of 60 registry entries, so entries that have never had a CORRECTNESS
-# row run FIRST; the tail holds queries already hash-verified green in BOTH
-# earlier rounds with code untouched since.
+# 50 of 62 registry entries, so entries that have never had a CORRECTNESS
+# row run FIRST (including the two queries new in round 3); the tail holds
+# queries already hash-verified green in BOTH earlier rounds with code
+# untouched since.
 _GATE_HEAD = [
+    "dedup_cluster_assign",
+    "emb_near_dup_lsh",
     "q7_nation_volume",
     "q8_market_share",
     "q10_returned_items",

@@ -235,6 +235,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    planes: int = 8,
+) -> DataFrame:
+    """The scale path for embedding near-dup: block by random-hyperplane
+    LSH bucket instead of a metadata column, so candidates come from a
+    self-equi-join on `bucket` (2^planes buckets) — sub-quadratic, no
+    attribute column needed. Same exact fixed-point cosine verification as
+    `embedding_near_dup`; pairs split across buckets are the (tunable)
+    recall loss."""
+    from .similarity import with_lsh_bucket
+
+    dot = P.scaled_dot("a.v", "b.v", "a.v")["spark"]
+    norm = P.scaled_dot("v", "v", "v")["spark"]
+    vecs = with_lsh_bucket(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", planes
+    ).withColumn("nrm", F.expr(norm))
+    return (
+        vecs.alias("a")
+        .join(
+            vecs.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("dot", F.expr(dot))
+        .withColumn(
+            "cos_sim",
+            F.expr(
+                "CAST(dot AS DOUBLE) / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -243,8 +281,9 @@ def embedding_near_dup(
     threshold: float = 0.4,
 ) -> DataFrame:
     """Near-duplicate vectors by exact fixed-point cosine within blocks.
-    Blocking bounds the pair count; at scale replace the block key with an
-    LSH bucket (`similarity.lsh_bucket`) for sub-quadratic candidates."""
+    Blocking bounds the pair count; at scale use `embedding_near_dup_lsh`
+    (LSH-bucket blocking) for sub-quadratic candidates without relying on
+    a metadata column."""
     dot = P.scaled_dot("a.v", "b.v", "a.v")["spark"]
     norm = P.scaled_dot("v", "v", "v")["spark"]
     vecs = df.select(

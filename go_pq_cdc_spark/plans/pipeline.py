@@ -196,6 +196,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, "doc_id")
 
 
+@register(
+    "dedup_cluster_assign",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    comp(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, c.label FROM edges e JOIN comp c ON e.dst = c.id
+    )
+    SELECT id, MIN(label) AS cluster_id FROM comp GROUP BY id
+    """,
+    tags=("dedup", "clusters"),
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph resolved into connected-component clusters
+    (hash-min label propagation; cluster_id = min doc id in the component
+    — the canonical survivor). The step between 'LSH found a~b, b~c' and
+    'keep one of {a,b,c}'. Oracle: recursive-CTE reachability over the
+    same pair graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_clusters(D.minhash_lsh_pairs(docs, "doc_id"))
+
+
 def _jaccard_oracle(threshold: float = 0.5) -> str:
     sh = P.shingle_hashes("text")["duck"]
     return f"""
@@ -305,6 +333,35 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label."""
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_near_dup(emb, threshold=0.4)
+
+
+_EMB_BUCKET_DUCK = S.lsh_bucket_fragments("embedding")["duck"]
+
+
+@register(
+    "emb_near_dup_lsh",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id AS id, embedding AS v,
+               {_EMB_BUCKET_DUCK} AS bucket,
+               {_NRM['duck']} AS nrm
+        FROM embeddings
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST({_ABDOT_DUCK} AS DOUBLE)
+               / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos_sim
+    FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.id < b.id
+    WHERE CAST({_ABDOT_DUCK} AS DOUBLE)
+              / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.4
+    """,
+    tags=("dedup", "embedding", "lsh"),
+)
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with LSH-bucket blocking — the 100 TB path:
+    candidates from a self-equi-join on the 2^8-bucket hyperplane hash
+    instead of a metadata block column; exact fixed-point cosine verify."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_lsh(emb, threshold=0.4)
 
 
 _BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"

@@ -187,3 +187,34 @@ def test_dedup_clusters_over_minhash_pairs(spark):
         if doc_id >= 1000000:
             # every injected copy is clustered with (at least) its original
             assert cluster <= doc_id - 1000000
+
+
+def test_embedding_near_dup_lsh_blocks_by_bucket(spark):
+    """LSH-blocked near-dup: every reported pair is a true >=threshold pair
+    (verification is exact), identical vectors are always found (same
+    bucket by construction), and orthogonal vectors never pair."""
+    from go_pq_cdc_spark.operators.dedup import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+    )
+
+    dim = 8
+    base = [1.0] * dim
+    near = [1.0] * (dim - 1) + [0.9]
+    ortho = [1.0, -1.0] * (dim // 2)
+    rows = [(1, base, "x"), (2, list(base), "x"), (3, near, "x"), (4, ortho, "x")]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string"
+    )
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_lsh(df, threshold=0.9).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup(df, threshold=0.9).collect()
+    }
+    assert (1, 2) in lsh  # identical vectors share every hyperplane sign
+    assert set(lsh) <= set(exact)  # no false positives — verify is exact
+    assert all(abs(lsh[k] - exact[k]) < 1e-12 for k in lsh)
+    assert not any(4 in k for k in lsh)  # orthogonal vector pairs with nobody
