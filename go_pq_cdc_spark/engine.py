@@ -196,6 +196,72 @@ class CdcEngine:
         """Maintain a queryable current-state mirror (M3 apply idiom)."""
         return mirror_sink(stream_df, state_dir, checkpoint_dir)
 
+    # -- lifecycle orchestration (connector.Start, SURVEY §3.1-3.3) --------
+
+    def start(
+        self,
+        run_sql,
+        wal_dir: str,
+        state_dir: str,
+        checkpoint_dir: str,
+        snapshot_reader=None,
+    ):
+        """The reference's `connector.Start(ctx)` in one call
+        (connector.go:57-142 sequencing; SURVEY §3.1-3.3):
+
+        1. management DDL via `run_sql` — heartbeat, publication, replica
+           identities, slot LAST-but-before-snapshot, so the slot pins WAL
+           from before any snapshot row is read (O28 ordering)
+        2. record the snapshot LSN (`pg_current_wal_lsn`) with the slot in
+           place — the handoff watermark
+        3. `initial` / `snapshot_only`: bulk-load each captured table
+           (`snapshot_reader(table) -> DataFrame` with (pk, after_val),
+           e.g. a `snapshot_jdbc`/`snapshot_parquet` read) into the
+           bucketed mirror as op='R' rows at the snapshot LSN
+        4. `snapshot_only`: done. `initial`/`never`: start the changelog
+           stream from `wal_dir`, dropping events at or below the snapshot
+           LSN (O28 — no gap, no duplicate) and merging into the mirror.
+
+        The transport runs separately (`slot_keeper` / `replicate` fill
+        `wal_dir` with segments); this sequences control plane + data
+        plane. Returns (snapshot_lsn, streaming_query_or_None)."""
+        from pyspark.sql import functions as F
+
+        from .sources.slot_keeper import lsn_to_int
+        from .streaming.changelog_stream import merge_mirror_batch
+
+        for stmt in self.setup_sql():
+            run_sql(stmt)
+        (row,) = run_sql(pg.current_wal_lsn_sql())
+        snapshot_lsn = lsn_to_int(row[0])
+
+        if self.config.snapshot_mode in ("initial", "snapshot_only"):
+            if snapshot_reader is None:
+                raise ValueError(
+                    f"snapshot_mode={self.config.snapshot_mode!r} needs a snapshot_reader"
+                )
+            wanted = set(
+                self.config.snapshot_tables
+                or [t.qualified for t in self.config.tables]
+            )
+            for table in self.config.tables:
+                if table.qualified not in wanted:
+                    continue
+                rows = snapshot_reader(table).select(
+                    "pk",
+                    F.lit(snapshot_lsn).cast("long").alias("lsn"),
+                    F.lit("R").alias("op"),
+                    "after_val",
+                )
+                merge_mirror_batch(rows, state_dir)
+        if self.config.snapshot_mode == "snapshot_only":
+            return snapshot_lsn, None
+
+        changes = changelog_stream(self.spark, wal_dir).filter(
+            F.col("lsn") > snapshot_lsn
+        )
+        return snapshot_lsn, mirror_sink(changes, state_dir, checkpoint_dir)
+
     def current_state(self, state_dir: str) -> DataFrame:
         from .streaming import read_mirror
 

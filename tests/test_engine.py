@@ -106,3 +106,101 @@ def test_engine_slot_keeper_and_raw_changes(spark, tmp_path):
         assert [(r["op"], r["lsn"], r["xid"], r["pk"]) for r in rows] == [("I", 10, 5, "1")]
     finally:
         q.stop()
+
+
+def test_start_initial_lifecycle(spark, tmp_path):
+    """connector.Start sequencing end-to-end: DDL (slot last, before the
+    snapshot LSN is read) -> snapshot seeds the mirror at the handoff LSN
+    -> stream applies only post-handoff events -> mirror equals the
+    no-gap-no-dup state."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    eng = _engine(spark)
+    executed: list[str] = []
+
+    def run_sql(sql):
+        executed.append(sql)
+        if "pg_current_wal_lsn" in sql:
+            return [("0/14",)]  # snapshot LSN = 20
+        return []
+
+    def snapshot_reader(table):
+        assert table.qualified == "public.users"
+        return spark.createDataFrame(
+            [Row(pk=10, after_val=1.0), Row(pk=20, after_val=2.0)]
+        )
+
+    wal_dir = tmp_path / "wal"
+    wal_dir.mkdir()
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    events = [
+        ("U", 15, 1, ts, 10, 9.9),  # pre-handoff: already in the snapshot image
+        ("U", 25, 2, ts, 10, 1.5),
+        ("I", 30, 3, ts, 30, 3.0),
+        ("D", 35, 4, ts, 20, None),
+    ]
+    pdf = pd.DataFrame(events, columns=["op", "lsn", "xid", "commit_ts", "pk", "after_val"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(wal_dir / "seg.parquet"),
+        coerce_timestamps="us",
+    )
+
+    # snapshot tables default to all configured tables; restrict to users
+    eng.config.snapshot_tables = ["public.users"]
+    snapshot_lsn, q = eng.start(
+        run_sql,
+        str(wal_dir),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        snapshot_reader=snapshot_reader,
+    )
+    assert snapshot_lsn == 20
+    # slot is created after the publication and before the LSN read
+    slot_i = next(i for i, s in enumerate(executed) if "pg_create_logical_replication_slot" in s)
+    pub_i = next(i for i, s in enumerate(executed) if "CREATE PUBLICATION" in s)
+    lsn_i = next(i for i, s in enumerate(executed) if "pg_current_wal_lsn" in s)
+    assert pub_i < slot_i < lsn_i
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = {
+        r["pk"]: (r["after_val"], r["lsn"])
+        for r in read_mirror(spark, str(tmp_path / "state")).collect()
+    }
+    # pk10: snapshot 1.0@20 then U 1.5@25 (the 9.9@15 pre-handoff event is
+    # dropped); pk20: snapshot then deleted @35; pk30: inserted @30
+    assert state == {10: (1.5, 25), 30: (3.0, 30)}
+
+
+def test_start_snapshot_only(spark, tmp_path):
+    """snapshot_only mode seeds the mirror and starts no stream."""
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    eng = _engine(spark)
+    eng.config.snapshot_mode = "snapshot_only"
+    eng.config.snapshot_tables = ["public.users"]
+
+    def run_sql(sql):
+        return [("0/A",)] if "pg_current_wal_lsn" in sql else []
+
+    snapshot_lsn, q = eng.start(
+        run_sql,
+        str(tmp_path / "wal"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        snapshot_reader=lambda t: spark.createDataFrame([Row(pk=1, after_val=0.5)]),
+    )
+    assert (snapshot_lsn, q) == (10, None)
+    state = {r["pk"]: r["after_val"] for r in read_mirror(spark, str(tmp_path / "state")).collect()}
+    assert state == {1: 0.5}
