@@ -15,6 +15,16 @@ DataFrame code over those or a maintained current-state mirror table.
     st  = eng.changes(dir)           # streaming change events
     q   = eng.mirror(st, state, ck)  # maintained queryable mirror
     cur = eng.current_state(state)   # the mirror as a DataFrame
+
+One-call lifecycle (the reference's `connector.Start`):
+
+    eng.replicate(wal_dir, host=..., port=5432, user=..., database=...)
+        # transport: START_REPLICATION socket -> envelope segments,
+        # reconnect-with-backoff, durable-log resume  (own thread/process)
+    lsn, q = eng.start(run_sql, wal_dir, state_dir, ckpt_dir,
+                       snapshot_reader=...)
+        # DDL -> snapshot seeds the mirror at the handoff LSN ->
+        # post-handoff changes stream into the same mirror
 """
 
 from __future__ import annotations
