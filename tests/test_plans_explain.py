@@ -116,3 +116,14 @@ def test_top_tokens_uses_take_ordered(spark):
     unpartitioned window over the whole vocabulary."""
     plan = _plan(spark, "text_top_tokens")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_emb_near_dup_lsh_is_equi_join(spark):
+    """The LSH-blocked near-dup must join on the bucket key (shuffle or
+    broadcast HASH join) — never a nested-loop/cartesian candidate scan."""
+    from go_pq_cdc_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["emb_near_dup_lsh"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan  # an actual equi-join on the bucket

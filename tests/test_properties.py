@@ -189,3 +189,39 @@ def test_incremental_mirror_equals_batch_state(spark_session_holder, data, cuts)
         r["pk"]: (r["last_val"], r["last_lsn"]) for r in latest_state(full).collect()
     }
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=3, deadline=None)
+def test_dedup_clusters_match_union_find(spark_session_holder, edges):
+    """Hash-min label propagation == a Python union-find on random pair
+    graphs: every node labeled with the min id of its component."""
+    spark = spark_session_holder
+    from go_pq_cdc_spark.operators.dedup import dedup_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a bigint, doc_b bigint"
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == expected
