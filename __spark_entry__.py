@@ -31,6 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_HEAD = [
     "dedup_cluster_assign",
     "emb_near_dup_lsh",
+    "curation_pipeline",
     "q7_nation_volume",
     "q8_market_share",
     "q10_returned_items",

@@ -149,14 +149,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(docs.unionByName(dup), "doc_id")
 
 
-def _minhash_oracle(threshold: float = 0.5) -> str:
+def _minhash_oracle(threshold: float = 0.5, source: str = "documents") -> str:
     sh = P.shingle_hashes("text")["duck"]
     sig = P.minhash_signature({"spark": "sh", "duck": "sh"}, D.MINHASH_K)["duck"]
     bk = D.band_key_fragments("sig")["duck"]
     return f"""
     WITH docs AS (
         SELECT doc_id AS id, {sh} AS sh
-        FROM documents WHERE {_NTOK['duck']} >= 3
+        FROM {source} WHERE {_NTOK['duck']} >= 3
     ),
     sigs AS (SELECT id, sh, {sig} AS sig FROM docs),
     bands AS (
@@ -333,6 +333,62 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label."""
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_near_dup(emb, threshold=0.4)
+
+
+_LANG_DUCK = TX.lang_id_fragments("text")["duck"]
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE kept AS (
+        SELECT doc_id, text,
+               CAST({_NTOK['duck']} AS BIGINT) AS n_tokens,
+               CAST({_STOP_EN['duck']} AS DOUBLE) / {_NTOK['duck']} AS stop_ratio
+        FROM documents
+        WHERE {_NTOK['duck']} >= 10
+          AND CAST({_STOP_EN['duck']} AS DOUBLE) / {_NTOK['duck']} >= 0.10
+          AND {_LANG_DUCK} = 'en'
+    ),
+    ndpairs AS ({_minhash_oracle(source="kept")}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ndpairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM ndpairs
+    ),
+    comp(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, c.label FROM edges e JOIN comp c ON e.dst = c.id
+    ),
+    losers AS (
+        SELECT id
+        FROM (SELECT id, MIN(label) AS cluster_id FROM comp GROUP BY id)
+        WHERE id <> cluster_id
+    )
+    SELECT doc_id, n_tokens, stop_ratio FROM kept
+    WHERE doc_id NOT IN (SELECT id FROM losers)
+    """,
+    tags=("pipeline", "curation", "dedup"),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in ONE declarative plan — the
+    composition a 100 TB corpus job runs nightly: quality gate (token
+    count + stopword ratio) -> language gate (predicted 'en') -> MinHash
+    LSH near-dup clustering on the survivors -> canonical (min-id)
+    survivor per cluster, with quality stats attached. Every stage is the
+    already-gated operator; the composition itself is what's verified
+    here (oracle: same gates + recursive-CTE cluster resolution)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = TX.with_lang_id(TX.with_token_stats(docs))
+    kept = scored.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("stop_ratio") >= 0.10)
+        & (F.col("pred_lang") == "en")
+    )
+    pairs = D.minhash_lsh_pairs(kept, "doc_id")
+    surv = D.canonical_survivors(pairs, kept, "doc_id")
+    return surv.select("doc_id", "n_tokens", "stop_ratio")
 
 
 _EMB_BUCKET_DUCK = S.lsh_bucket_fragments("embedding")["duck"]
