@@ -29,6 +29,11 @@ TRANSIENT_MARKERS = (
     "too many connections",
     "timeout expired",
     "temporarily unavailable",
+    # slot held by the active instance — the reference's passive standby
+    # keeps retrying until it captures the slot (pq/slot/slot.go takeover;
+    # connector.go:446-559): backing off here makes the resilient
+    # replication loop double as that wait-for-takeover loop.
+    "is active for pid",
 )
 
 

@@ -525,3 +525,61 @@ def test_run_replication_resilient_exhausts_budget_without_progress(tmp_path):
             backoff=Backoff(base_delay_s=0.01, max_tries=3), sleep=sleeps.append,
         )
     assert sleeps == [0.01, 0.02]
+
+
+def test_run_replication_resilient_waits_out_busy_slot(tmp_path):
+    """A slot held by the active instance ('replication slot is active for
+    PID n') is retryable: the passive standby backs off and captures the
+    slot when the holder releases it — the reference's takeover loop."""
+    from go_pq_cdc_spark.retry import Backoff
+    from go_pq_cdc_spark.sources import lsn_stream
+    from go_pq_cdc_spark.sources.slot_keeper import run_replication_resilient
+
+    def xlog(lsn, payload):
+        return b"w" + struct.pack(">QQq", lsn, lsn, 0) + payload
+
+    stream = [
+        xlog(5, relation_msg()),
+        xlog(9, b"B" + struct.pack(">QqI", 12, 0, 42)),
+        xlog(10, insert_msg(vals=("1", "1.0"))),
+        xlog(12, b"C" + struct.pack(">bQQq", 0, 12, 13, 0)),
+        b"k" + struct.pack(">Qqb", 12, 0, 1),
+    ]
+
+    class BusyThenFreeServer(FlakyPgServer):
+        def run(self):
+            try:
+                # session 1: reject START_REPLICATION — slot busy
+                conn, _ = self.listener.accept()
+                self._rbuf = b""
+                self._read_startup(conn)
+                self._do_auth(conn)
+                tag, _body = self._read_msg(conn)
+                assert tag == b"Q"
+                conn.sendall(
+                    _msg(
+                        b"E",
+                        b"SERROR\x00C55006\x00Mreplication slot \"cdc_slot\" "
+                        b"is active for PID 4242\x00\x00",
+                    )
+                )
+                conn.close()
+                # session 2: holder released the slot — serve the stream
+                FlakyPgServer.run(self)
+            except Exception as exc:
+                self.errors.append(repr(exc))
+
+    srv = BusyThenFreeServer([(stream, 1, "done")])
+    srv.start()
+    wal_dir = str(tmp_path / "wal")
+    sleeps: list[float] = []
+    frontier = run_replication_resilient(
+        "127.0.0.1", srv.port, "repl", "app", "cdc_slot", ["cdc_pub"],
+        wal_dir, batch_rows=1,
+        backoff=Backoff(base_delay_s=0.01, max_tries=4), sleep=sleeps.append,
+    )
+    srv.join(timeout=5)
+    assert not srv.errors, srv.errors
+    assert frontier == 10
+    assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [(1, 10)]
+    assert sleeps == [0.01]  # one busy rejection, then takeover
