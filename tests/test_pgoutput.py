@@ -285,3 +285,21 @@ def test_insert_roundtrip_any_tuple(cols, data):
             assert got is UNCHANGED_TOAST
         else:
             assert got == v
+
+
+def test_relation_replacement_changes_decode_mid_stream():
+    """ALTER TABLE mid-stream: PG re-sends Relation for the same oid with
+    the new column set; subsequent tuples decode against it (and the old
+    arity becomes a loud error, never silent misalignment)."""
+    d = PgOutputDecoder()
+    d.decode(relation_msg())  # (id, val)
+    first = d.decode(insert_msg(vals=("1", "1.5")))
+    assert first.new == {"id": "1", "val": "1.5"}
+
+    d.decode(
+        relation_msg(cols=(("id", 20, True), ("val", 701, False), ("score", 701, False)))
+    )
+    second = d.decode(b"I" + struct.pack(">I", 16384) + b"N" + tup("2", "2.5", "9.9"))
+    assert second.new == {"id": "2", "val": "2.5", "score": "9.9"}
+    with pytest.raises(ValueError, match="values for"):
+        d.decode(insert_msg(vals=("3", "3.5")))  # stale two-column tuple
