@@ -5,7 +5,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..operators.cdc import commit_order
 from ..sources.changelog import DUCKDB_CHANGELOG_CTE, committed_changelog
