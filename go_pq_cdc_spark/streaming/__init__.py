@@ -5,4 +5,5 @@ from .changelog_stream import (  # noqa: F401
     multi_mirror_sink,
     read_mirror,
 )
+from .kafka_sink import kafka_sink, kafka_sink_options, to_kafka_frames  # noqa: F401
 from .txn_buffer import buffer_streamed_txns  # noqa: F401

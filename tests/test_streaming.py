@@ -243,3 +243,41 @@ def test_mirror_crash_before_manifest_swap_keeps_old_state(spark, tmpdirs):
     merge_mirror_batch(b2, tmpdirs["state"], epoch=1)
     state = {r["pk"]: r["after_val"] for r in read_mirror(spark, tmpdirs["state"]).collect()}
     assert state == {1: 2.0}
+
+
+def test_kafka_frames_serialization(spark):
+    """Envelope -> Kafka frames: DELETE keys come from the before-image,
+    key bytes are stable across non-key updates of the same row (per-key
+    ordering), and the value JSON round-trips the envelope."""
+    import json
+
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.envelope import CHANGE_EVENT_SCHEMA
+    from go_pq_cdc_spark.streaming.kafka_sink import to_kafka_frames
+
+    rows = [
+        Row(op="I", lsn=1, xid=1, commit_ts=None, message_ts=None,
+            schema="public", table="users",
+            before=None, after={"id": "7", "name": "a"}),
+        Row(op="U", lsn=2, xid=2, commit_ts=None, message_ts=None,
+            schema="public", table="users",
+            before=None, after={"id": "7", "name": "b"}),
+        Row(op="D", lsn=3, xid=3, commit_ts=None, message_ts=None,
+            schema="public", table="users",
+            before={"id": "7", "name": "b"}, after=None),
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    frames = to_kafka_frames(df, "cdc.users", pk_keys=["id"]).collect()
+    assert [f["topic"] for f in frames] == ["cdc.users"] * 3
+    keys = [bytes(f["key"]).decode() for f in frames]
+    # one row identity -> one key, including the DELETE (before-image)
+    assert len(set(keys)) == 1
+    parsed_key = json.loads(keys[0])
+    assert parsed_key == {
+        "schema": "public", "table": "users", "identity": {"id": "7"},
+    }
+    vals = [json.loads(bytes(f["value"]).decode()) for f in frames]
+    assert [v["op"] for v in vals] == ["I", "U", "D"]
+    assert vals[2]["before"] == {"id": "7", "name": "b"} and "after" not in vals[2]
+    assert vals[0]["after"] == {"id": "7", "name": "a"}
