@@ -40,13 +40,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), read as long nanos under
-        # spark.sql.legacy.parquet.nanosAsLong; convert to a micros
-        # timestamp with exact integer division (DuckDB sees TIMESTAMP_NS
-        # and epoch_us() truncates identically).
+        # events.ts is parquet TIMESTAMP(NANOS). How it loads depends on the
+        # Spark major version, so branch on the observed dtype rather than a
+        # config flag:
+        #   - Spark 3 + spark.sql.legacy.parquet.nanosAsLong=true: long nanos;
+        #     convert with exact integer division (DuckDB's epoch_us()
+        #     truncates identically).
+        #   - Spark 4: the legacy flag was removed; NANOS loads natively as
+        #     TIMESTAMP_NTZ truncated to micros. Cast to session-tz TIMESTAMP
+        #     (session tz is pinned UTC) so the schema matches the Spark-3
+        #     path and DuckDB's CAST(ts AS TIMESTAMP) to the microsecond.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type.startswith("timestamp") and ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -17,6 +17,15 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _spark_major_version() -> int:
+    import pyspark
+
+    try:
+        return int(pyspark.__version__.split(".", 1)[0])
+    except (ValueError, AttributeError):
+        return 4
+
+
 def get_spark(app_name: str = "go-pq-cdc-spark", *, cpus: int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
@@ -38,11 +47,13 @@ def get_spark(app_name: str = "go-pq-cdc-spark", *, cpus: int | None = None) -> 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # TESTDATA events.parquet carries TIMESTAMP(NANOS); Spark reads it as
-        # long with this flag, and the catalog converts to micros timestamps.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
+    if _spark_major_version() < 4:
+        # Spark 3 only: read parquet TIMESTAMP(NANOS) as long nanos (the
+        # catalog converts to micros timestamps). Removed in Spark 4, where
+        # NANOS loads natively as TIMESTAMP_NTZ and the catalog casts it.
+        builder = builder.config("spark.sql.legacy.parquet.nanosAsLong", "true")
     active = SparkSession.getActiveSession()
     if active is None:
         builder = builder.master(f"local[{n}]").config("spark.driver.memory", "16g")
@@ -54,14 +65,16 @@ def get_spark(app_name: str = "go-pq-cdc-spark", *, cpus: int | None = None) -> 
 def apply_session_defaults(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable engine defaults to an externally provided
     session (the driver hands us one in ``__spark_entry__.entry``)."""
-    for k, v in [
+    confs = [
         ("spark.sql.session.timeZone", "UTC"),
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
-    ]:
+    ]
+    if _spark_major_version() < 4:
+        confs.append(("spark.sql.legacy.parquet.nanosAsLong", "true"))
+    for k, v in confs:
         try:
             spark.conf.set(k, v)
         except Exception:
