@@ -30,65 +30,46 @@ def _active_custs(spark, sf_dir, y0, y1):
 
 
 @register(
-    "q_set_intersect",
+    "q_set_ops",
     oracle="""
-    SELECT n_name, COUNT(*) AS n_cust
-    FROM (
+    WITH y96 AS (
         SELECT DISTINCT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-        INTERSECT
+    ),
+    y97 AS (
         SELECT DISTINCT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
         WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
-    ) t
+    ),
+    tagged AS (
+        SELECT 'intersect' AS setop, c_custkey FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+        UNION ALL
+        SELECT 'except' AS setop, c_custkey FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+    )
+    SELECT setop, n_name, COUNT(*) AS n_cust
+    FROM tagged
     JOIN customer USING (c_custkey)
     JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY n_name
+    GROUP BY setop, n_name
     """,
     tags=("relational", "setops"),
 )
-def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT: customers active in both 1996 and 1997, counted by nation."""
-    both = _active_custs(spark, sf_dir, 1996, 1997).intersect(
-        _active_custs(spark, sf_dir, 1997, 1998)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT in one gate row (folds the former q_set_intersect /
+    q_set_except): customers active in both 1996 and 1997 vs churned after
+    1996, counted by nation, tagged by set operation."""
+    y96 = _active_custs(spark, sf_dir, 1996, 1997)
+    y97 = _active_custs(spark, sf_dir, 1997, 1998)
+    tagged = (
+        y96.intersect(y97)
+        .withColumn("setop", F.lit("intersect"))
+        .unionByName(y96.subtract(y97).withColumn("setop", F.lit("except")))
     )
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        both.join(cust, "c_custkey")
+        tagged.join(cust, "c_custkey")
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("n_name")
-        .agg(F.count(F.lit(1)).alias("n_cust"))
-    )
-
-
-@register(
-    "q_set_except",
-    oracle="""
-    SELECT n_name, COUNT(*) AS n_cust
-    FROM (
-        SELECT DISTINCT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
-        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-        EXCEPT
-        SELECT DISTINCT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
-        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
-    ) t
-    JOIN customer USING (c_custkey)
-    JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY n_name
-    """,
-    tags=("relational", "setops"),
-)
-def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: customers active in 1996 but not 1997."""
-    churned = _active_custs(spark, sf_dir, 1996, 1997).subtract(
-        _active_custs(spark, sf_dir, 1997, 1998)
-    )
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    return (
-        churned.join(cust, "c_custkey")
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("n_name")
+        .groupBy("setop", "n_name")
         .agg(F.count(F.lit(1)).alias("n_cust"))
     )
 
@@ -116,23 +97,36 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_rollup_pricing",
+    "q_rollup_cube",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'rollup' AS gset, l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS gset, l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
-    tags=("relational", "rollup"),
+    tags=("relational", "rollup", "cube"),
 )
-def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (subtotals + grand total with NULL markers)."""
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE grouping sets in one gate row (folds the former
+    q_rollup_pricing / q_cube_pricing): subtotals, grand totals, and all
+    grouping combinations with NULL markers, tagged by flavor."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    aggs = [
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
+    ]
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus").agg(*aggs).withColumn("gset", F.lit("rollup"))
     )
+    cube = li.cube("l_returnflag", "l_linestatus").agg(*aggs).withColumn("gset", F.lit("cube"))
+    return rollup.unionByName(cube).select("gset", "l_returnflag", "l_linestatus", "sum_qty", "n")
 
 
 @register(
@@ -469,26 +463,6 @@ def q_scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce/nullif) — identical ANSI text on both engines."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SCALAR_GAUNTLET_SQL)
-
-
-@register(
-    "q_cube_pricing",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    tags=("relational", "cube"),
-)
-def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (all 4 grouping combinations)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
-        F.count(F.lit(1)).alias("n"),
-    )
 
 
 @register(

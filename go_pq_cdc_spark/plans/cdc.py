@@ -181,24 +181,37 @@ def cdc_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "snapshot_chunk_stats",
     oracle="""
-    SELECT CAST(FLOOR((o_orderkey - (SELECT MIN(o_orderkey) FROM orders)) / 8000) AS INT) AS chunk_id,
-           COUNT(*) AS n_rows,
-           MIN(o_orderkey) AS min_pk,
-           MAX(o_orderkey) AS max_pk
-    FROM orders
-    GROUP BY 1
+    WITH stats AS (
+        SELECT CAST(FLOOR((o_orderkey - (SELECT MIN(o_orderkey) FROM orders)) / 8000) AS INT) AS chunk_id,
+               COUNT(*) AS n_rows,
+               MIN(o_orderkey) AS min_pk,
+               MAX(o_orderkey) AS max_pk
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT 'B' AS marker, chunk_id, CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS BIGINT) AS min_pk, CAST(NULL AS BIGINT) AS max_pk FROM stats
+    UNION ALL
+    SELECT 'D' AS marker, chunk_id, n_rows, min_pk, max_pk FROM stats
+    UNION ALL
+    SELECT 'E' AS marker, chunk_id, CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS BIGINT) AS min_pk, CAST(NULL AS BIGINT) AS max_pk FROM stats
     """,
-    tags=("snapshot", "planner"),
+    tags=("snapshot", "planner", "markers"),
 )
 def snapshot_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O10/O13 integer-range chunk planner: MIN/MAX captured at plan time
-    (coordinator.go:1028-1059), fixed-width chunks, per-chunk row stats.
-    With a JDBC transport each chunk becomes one partition predicate; here
-    the same plan is verified against the parquet transport."""
+    """O10/O13 integer-range chunk planner + O22 snapshot envelope in one
+    gate row (folds the former snapshot_markers query): MIN/MAX captured at
+    plan time (coordinator.go:1028-1059), fixed-width chunks, per-chunk row
+    stats carried on 'D' rows, and the BEGIN/DATA/END protocol markers the
+    reference wraps every chunk in (pq/snapshot executeWorker:101-124 /
+    finalizeSnapshot:146-173) as 'B'/'E' rows. With a JDBC transport each
+    chunk becomes one partition predicate; here the same plan is verified
+    against the parquet transport."""
     orders = load_table(spark, sf_dir, "orders")
     lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
     plan = plan_integer_range("o_orderkey", int(lo), int(hi))
-    return (
+    stats = (
         snapshot_with_chunks(orders, plan)
         .groupBy("chunk_id")
         .agg(
@@ -207,3 +220,14 @@ def snapshot_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_pk"),
         )
     )
+    null_l = F.lit(None).cast("long")
+    b = stats.select(
+        F.lit("B").alias("marker"), "chunk_id",
+        null_l.alias("n_rows"), null_l.alias("min_pk"), null_l.alias("max_pk"),
+    )
+    d = stats.select(F.lit("D").alias("marker"), "chunk_id", "n_rows", "min_pk", "max_pk")
+    e = stats.select(
+        F.lit("E").alias("marker"), "chunk_id",
+        null_l.alias("n_rows"), null_l.alias("min_pk"), null_l.alias("max_pk"),
+    )
+    return b.unionByName(d).unionByName(e)

@@ -100,40 +100,6 @@ def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_agg_counts(load_table(spark, sf_dir, "events"), "event_type")
 
 
-@register(
-    "snapshot_markers",
-    oracle="""
-    WITH stats AS (
-        SELECT CAST(FLOOR((o_orderkey - (SELECT MIN(o_orderkey) FROM orders)) / 8000) AS INT) AS chunk_id,
-               COUNT(*) AS n_rows, MAX(o_orderkey) AS max_pk
-        FROM orders GROUP BY 1
-    )
-    SELECT 'B' AS marker, chunk_id, CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS max_pk FROM stats
-    UNION ALL
-    SELECT 'D' AS marker, chunk_id, n_rows, max_pk FROM stats
-    UNION ALL
-    SELECT 'E' AS marker, chunk_id, n_rows, max_pk FROM stats
-    """,
-    tags=("cdc", "snapshot", "markers"),
-)
-def snapshot_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O22 snapshot envelope: BEGIN/DATA/END marker rows per chunk (the
-    reference wraps every chunk's rows in a BEGIN/DATA/END protocol,
-    pq/snapshot executeWorker:101-124 / finalizeSnapshot:146-173)."""
-    from ..catalog import load_table
-    from ..snapshot import plan_integer_range
-    from ..snapshot.planner import snapshot_with_chunks
-
-    orders = load_table(spark, sf_dir, "orders")
-    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
-    plan = plan_integer_range("o_orderkey", int(lo), int(hi))
-    stats = (
-        snapshot_with_chunks(orders, plan)
-        .groupBy("chunk_id")
-        .agg(F.count(F.lit(1)).alias("n_rows"), F.max("o_orderkey").alias("max_pk"))
-    )
-    null_l = F.lit(None).cast("long")
-    b = stats.select(F.lit("B").alias("marker"), "chunk_id", null_l.alias("n_rows"), null_l.alias("max_pk"))
-    d = stats.select(F.lit("D").alias("marker"), "chunk_id", "n_rows", "max_pk")
-    e = stats.select(F.lit("E").alias("marker"), "chunk_id", "n_rows", "max_pk")
-    return b.unionByName(d).unionByName(e)
+# O22 snapshot BEGIN/DATA/END markers are gated by `snapshot_chunk_stats`
+# (plans/cdc.py), which folds the former `snapshot_markers` query into the
+# chunk-planner gate row — one registry entry covers both operators.

@@ -53,78 +53,59 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STOP_EN = TX.stop_count_fragments("text", TX.LANG_STOPWORDS["en"])
+_FP = P.poly_hash({"spark": "substr(text, 1, 64)", "duck": "substr(text, 1, 64)"})
+_TH = TX.token_hashes_fragments("text")
+_SIMHASH_DUCK = P.simhash({"spark": "_th", "duck": "_th"}, 32)["duck"]
+_LANGID_DUCK = TX.lang_id_fragments("text")["duck"]
+_BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 
 @register(
-    "text_quality",
+    "text_profile",
     oracle=f"""
+    WITH th AS (SELECT doc_id, lang, text, {_TH['duck']} AS _th FROM documents)
     SELECT doc_id,
            CAST({_NTOK['duck']} AS BIGINT) AS n_tokens,
            CAST(length(replace(trim(text), ' ', '')) AS BIGINT) AS n_alpha,
            CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / {_NTOK['duck']} AS avg_token_len,
-           CAST({_STOP_EN['duck']} AS DOUBLE) / {_NTOK['duck']} AS stop_ratio
-    FROM documents
+           CAST({_STOP_EN['duck']} AS DOUBLE) / {_NTOK['duck']} AS stop_ratio,
+           {_LANGID_DUCK} AS pred_lang,
+           CASE WHEN {_LANGID_DUCK} = lang THEN 1 ELSE 0 END AS is_match,
+           {_FP['duck']} AS fingerprint,
+           {_SIMHASH_DUCK} AS simhash,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+    FROM th
     """,
-    tags=("text", "quality"),
+    tags=("text", "quality", "langid", "fingerprint", "dedup", "tokenize"),
 )
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality signals: token count, alpha mass, average token
-    length, stopword ratio."""
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis profile in ONE corpus pass — folds the
+    former text_quality / text_langid / text_fingerprint / text_simhash /
+    text_bpe_token_count gate queries (identical operator code paths, one
+    registry row): quality signals (token count, alpha mass, avg token
+    length, stopword ratio), stopword-argmax language ID + source-tag
+    agreement, rolling polynomial prefix fingerprint, 32-bit SimHash, and
+    the BPE-ish regex token count. At 100 TB this is also the right shape:
+    every signal is a narrow projection off one scan, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    return TX.with_token_stats(docs).select(
-        "doc_id", "n_tokens", "n_alpha", "avg_token_len", "stop_ratio"
-    )
-
-
-@register(
-    "text_langid",
-    oracle=f"""
-    SELECT doc_id, {TX.lang_id_fragments('text')['duck']} AS pred_lang,
-           CASE WHEN {TX.lang_id_fragments('text')['duck']} = lang THEN 1 ELSE 0 END AS is_match
-    FROM documents
-    """,
-    tags=("text", "langid"),
-)
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit language ID + agreement flag with the source tag."""
-    docs = load_table(spark, sf_dir, "documents")
-    return TX.with_lang_id(docs).select(
+    df = TX.with_token_stats(docs)
+    df = TX.with_lang_id(df)
+    df = TX.with_fingerprint(df)
+    df = TX.with_simhash(df)
+    return df.select(
         "doc_id",
+        "n_tokens",
+        "n_alpha",
+        "avg_token_len",
+        "stop_ratio",
         "pred_lang",
         F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0).alias("is_match"),
+        "fingerprint",
+        "simhash",
+        F.expr(f"size(regexp_extract_all(text, '{_BPE_PATTERN}', 0))")
+        .cast("long")
+        .alias("n_bpe_tokens"),
     )
-
-
-_FP = P.poly_hash({"spark": "substr(text, 1, 64)", "duck": "substr(text, 1, 64)"})
-
-
-@register(
-    "text_fingerprint",
-    oracle=f"SELECT doc_id, {_FP['duck']} AS fingerprint FROM documents",
-    tags=("text", "fingerprint"),
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling polynomial fingerprint of the 64-char document prefix."""
-    docs = load_table(spark, sf_dir, "documents")
-    return TX.with_fingerprint(docs).select("doc_id", "fingerprint")
-
-
-_TH = TX.token_hashes_fragments("text")
-_SIMHASH_DUCK = P.simhash({"spark": "_th", "duck": "_th"}, 32)["duck"]
-
-
-@register(
-    "text_simhash",
-    oracle=f"""
-    WITH th AS (SELECT doc_id, {_TH['duck']} AS _th FROM documents)
-    SELECT doc_id, {_SIMHASH_DUCK} AS simhash FROM th
-    """,
-    tags=("text", "dedup"),
-)
-def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints over token polynomial hashes."""
-    docs = load_table(spark, sf_dir, "documents")
-    return TX.with_simhash(docs).select("doc_id", "simhash")
 
 
 @register(
@@ -418,33 +399,6 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a metadata block column; exact fixed-point cosine verify."""
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_near_dup_lsh(emb, threshold=0.4)
-
-
-_BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
-
-
-@register(
-    "text_bpe_token_count",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
-           CAST({_NTOK['duck']} AS BIGINT) AS n_ws_tokens
-    FROM documents
-    """,
-    tags=("text", "tokenize"),
-)
-def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting two ways: whitespace and a BPE-ish regex lexer
-    (letter runs / digit runs / single punctuation — the GPT-2 pattern
-    family reduced to an engine-portable regex)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.expr(f"size(regexp_extract_all(text, '{_BPE_PATTERN}', 0))")
-        .cast("long")
-        .alias("n_bpe_tokens"),
-        F.expr(_NTOK["spark"]).cast("long").alias("n_ws_tokens"),
-    )
 
 
 @register(

@@ -86,7 +86,7 @@ def test_pipeline_queries_have_no_python_udfs(spark):
     for name in (
         "dedup_minhash_lsh",
         "sim_cosine_topk",
-        "text_simhash",
+        "text_profile",
         "text_token_stats",
         "dedup_ngram_jaccard",
     ):
