@@ -46,8 +46,16 @@ class TableConfig:
     columns: list[str] | None = None  # None = all columns (O15)
     query_condition: str | None = None  # snapshot row filter (O16)
     replica_identity: str = "DEFAULT"
+    replica_identity_index: str | None = None  # required iff identity INDEX
     snapshot_strategy: str = "auto"  # O13 override
     partitioned: bool = False  # publish_via_partition_root (O32)
+
+    def __post_init__(self) -> None:
+        # the reference spells the option "USING INDEX"
+        # (publication/replica_identity.go:19); accept either spelling and
+        # store the canonical short form
+        if self.replica_identity == "USING INDEX":
+            self.replica_identity = "INDEX"
 
     @property
     def qualified(self) -> str:
@@ -65,6 +73,19 @@ class TableConfig:
             # reference: column list forbidden with FULL (table.go:57-59)
             raise ConfigError(
                 f"{self.qualified}: column list cannot be combined with REPLICA IDENTITY FULL"
+            )
+        if self.replica_identity == "INDEX":
+            # reference: index name required with USING INDEX (table.go:62-66)
+            if not (self.replica_identity_index or "").strip():
+                raise ConfigError(
+                    f"{self.qualified}: replica_identity_index is required "
+                    "when replica identity is INDEX"
+                )
+        elif (self.replica_identity_index or "").strip():
+            # reference: index name forbidden otherwise (table.go:67-69)
+            raise ConfigError(
+                f"{self.qualified}: replica_identity_index can only be set "
+                "when replica identity is INDEX"
             )
         if self.snapshot_strategy not in SNAPSHOT_STRATEGIES:
             raise ConfigError(
@@ -89,6 +110,7 @@ class EngineConfig:
     publication_name: str = "cdc_publication"
     slot_name: str = "cdc_slot"
     tables: list[TableConfig] = field(default_factory=list)
+    all_tables: bool = False  # FOR ALL TABLES (publication/config.go:16)
     publish_ops: tuple[str, ...] = ("insert", "update", "delete", "truncate")
     proto_version: int = DEFAULT_PROTO_VERSION
     snapshot_mode: str = "initial"
@@ -119,15 +141,25 @@ class EngineConfig:
             raise ConfigError(f"unknown publish ops: {sorted(bad_ops)}")
         for t in self.tables:
             t.validate()
+        if self.all_tables:
+            # FOR ALL TABLES publishes every table with every column; a
+            # per-table column list is a FOR TABLE-only feature and would be
+            # silently ignored — reject it loudly instead.
+            with_cols = [t.qualified for t in self.tables if t.columns]
+            if with_cols:
+                raise ConfigError(
+                    "per-table column lists cannot be combined with "
+                    f"all_tables (FOR ALL TABLES): {with_cols}"
+                )
         published = {t.qualified for t in self.tables}
-        if self.snapshot_tables is not None:
+        if self.snapshot_tables is not None and not self.all_tables:
             missing = set(self.snapshot_tables) - published
             if missing:
                 # reference: snapshot tables must be published (config.go)
                 raise ConfigError(
                     f"snapshot tables not in publication: {sorted(missing)}"
                 )
-        if self.heartbeat_enabled and self.tables:
+        if self.heartbeat_enabled and self.tables and not self.all_tables:
             hb = f"{self.heartbeat_schema}.{self.heartbeat_table}"
             if hb not in published:
                 # reference: heartbeat must be captured or its events can't

@@ -29,6 +29,7 @@ One-call lifecycle (the reference's `connector.Start`):
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,8 @@ from .config import EngineConfig, TableConfig
 from .snapshot.planner import SnapshotPlan, plan_auto
 from .sources import postgres as pg
 from .streaming.changelog_stream import changelog_stream, mirror_sink
+
+_log = logging.getLogger(__name__)
 
 
 class CdcEngine:
@@ -51,6 +54,18 @@ class CdcEngine:
         """Ordered setup statements: heartbeat ensure → publication create →
         replica-identity reconciliation → slot create (slot LAST here, but
         BEFORE any snapshot — O28's WAL-pinning order)."""
+        if any(op in self.config.publish_ops for op in ("update", "delete")):
+            # reference warns on this foot-gun: NOTHING emits no old image,
+            # so UPDATE/DELETE events cannot be keyed
+            # (replica_identity.go:61-76)
+            for t in self.config.tables:
+                if t.replica_identity == "NOTHING":
+                    _log.warning(
+                        "table %s uses REPLICA IDENTITY NOTHING with "
+                        "update/delete publication ops; NOTHING suits "
+                        "insert-only tables",
+                        t.qualified,
+                    )
         stmts: list[str] = []
         if self.config.heartbeat_enabled:
             stmts += pg.heartbeat_ensure_sql(self.config)
@@ -202,9 +217,18 @@ class CdcEngine:
         )
         return decode_wal2json(raw)
 
-    def mirror(self, stream_df: DataFrame, state_dir: str, checkpoint_dir: str):
-        """Maintain a queryable current-state mirror (M3 apply idiom)."""
-        return mirror_sink(stream_df, state_dir, checkpoint_dir)
+    def mirror(
+        self,
+        stream_df: DataFrame,
+        state_dir: str,
+        checkpoint_dir: str,
+        n_buckets: int | None = None,
+    ):
+        """Maintain a queryable current-state mirror (M3 apply idiom).
+        `n_buckets` sizes a fresh mirror (buckets ~ state_size /
+        target_rewrite_size, `suggest_mirror_buckets`); existing mirrors
+        keep their manifest-pinned count."""
+        return mirror_sink(stream_df, state_dir, checkpoint_dir, n_buckets=n_buckets)
 
     # -- lifecycle orchestration (connector.Start, SURVEY §3.1-3.3) --------
 
@@ -215,6 +239,7 @@ class CdcEngine:
         state_dir: str,
         checkpoint_dir: str,
         snapshot_reader=None,
+        mirror_buckets: int | None = None,
     ):
         """The reference's `connector.Start(ctx)` in one call
         (connector.go:57-142 sequencing; SURVEY §3.1-3.3):
@@ -263,14 +288,16 @@ class CdcEngine:
                     F.lit("R").alias("op"),
                     "after_val",
                 )
-                merge_mirror_batch(rows, state_dir)
+                merge_mirror_batch(rows, state_dir, n_buckets=mirror_buckets)
         if self.config.snapshot_mode == "snapshot_only":
             return snapshot_lsn, None
 
         changes = changelog_stream(self.spark, wal_dir).filter(
             F.col("lsn") > snapshot_lsn
         )
-        return snapshot_lsn, mirror_sink(changes, state_dir, checkpoint_dir)
+        return snapshot_lsn, mirror_sink(
+            changes, state_dir, checkpoint_dir, n_buckets=mirror_buckets
+        )
 
     def current_state(self, state_dir: str) -> DataFrame:
         from .streaming import read_mirror

@@ -15,7 +15,11 @@ from ..catalog import load_table
 from ..operators import cdc as ops
 from ..snapshot import plan_integer_range
 from ..snapshot.planner import snapshot_with_chunks
-from ..sources.changelog import DUCKDB_CHANGELOG_CTE, committed_changelog
+from ..sources.changelog import (
+    DUCKDB_CHANGELOG_CTE,
+    changelog_frontier,
+    committed_changelog,
+)
 from .registry import register
 
 _BASE = f"WITH {DUCKDB_CHANGELOG_CTE}"
@@ -172,10 +176,11 @@ def _handoff_oracle() -> str:
 def cdc_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O28 snapshot→CDC handoff: backfill ∪ stream with max-LSN dedup.
     snapshot_lsn is captured at plan time (the analogue of reading
-    pg_current_wal_lsn after slot creation, connector.go:350-379)."""
+    pg_current_wal_lsn after slot creation, connector.go:350-379) from the
+    transport frontier — parquet footer stats here, the segment log in
+    production — NOT from an extra pass over the changelog data."""
     df = ops.filter_heartbeat(committed_changelog(spark, sf_dir))
-    max_lsn = df.agg(F.max("lsn")).collect()[0][0]
-    return ops.snapshot_handoff(df, max_lsn // 2)
+    return ops.snapshot_handoff(df, changelog_frontier(sf_dir) // 2)
 
 
 @register(

@@ -70,25 +70,79 @@ def current_wal_lsn_sql() -> str:
 
 def create_publication_sql(cfg: EngineConfig) -> str:
     """`publication/config.go:40-61`: FOR TABLE list with optional column
-    lists, publish= op subset, publish_via_partition_root."""
-    parts = []
-    for t in cfg.tables:
-        cols = f" ({', '.join(t.columns)})" if t.columns else ""
-        parts.append(f"{t.qualified}{cols}")
+    lists (or FOR ALL TABLES, `publication/config.go:16` AllTables),
+    publish= op subset, publish_via_partition_root."""
     via_root = "true" if any(t.partitioned for t in cfg.tables) else "false"
+    if cfg.all_tables:
+        scope = "FOR ALL TABLES"
+    else:
+        parts = []
+        for t in cfg.tables:
+            cols = f" ({', '.join(t.columns)})" if t.columns else ""
+            parts.append(f"{t.qualified}{cols}")
+        scope = f"FOR TABLE {', '.join(parts)}"
     return (
-        f"CREATE PUBLICATION {cfg.publication_name} FOR TABLE {', '.join(parts)} "
+        f"CREATE PUBLICATION {cfg.publication_name} {scope} "
         f"WITH (publish = '{', '.join(cfg.publish_ops)}', "
         f"publish_via_partition_root = {via_root})"
     )
 
 
 def replica_identity_sql(table: TableConfig) -> str:
-    """`publication/replica_identity.go:33-141` reconciliation DDL."""
+    """`publication/replica_identity.go:78-99` AlterTableReplicaIdentity:
+    DEFAULT/FULL/NOTHING render directly; INDEX renders USING INDEX with
+    the configured index name."""
     ri = table.replica_identity
     if ri == "INDEX":
-        raise NotImplementedError("USING INDEX requires the index name at call site")
+        return (
+            f"ALTER TABLE {table.qualified} "
+            f"REPLICA IDENTITY USING INDEX {table.replica_identity_index}"
+        )
     return f"ALTER TABLE {table.qualified} REPLICA IDENTITY {ri}"
+
+
+# relreplident codes -> config spelling (replica_identity.go:25-30)
+REPLICA_IDENTITY_CODES = {"d": "DEFAULT", "f": "FULL", "n": "NOTHING", "i": "INDEX"}
+
+
+def replica_identity_state_sql(tables: list[TableConfig]) -> str:
+    """Current-identity catalog probe (`replica_identity.go:101-127`
+    GetReplicaIdentities): relreplident per table plus the replica-identity
+    index name where one is set (pg_index.indisreplident)."""
+    names = ", ".join(f"'{t.qualified}'" for t in tables)
+    return (
+        "SELECT n.nspname AS schema_name, c.relname AS table_name, "
+        "c.relreplident AS replica_identity, idx.relname AS replica_identity_index "
+        "FROM pg_class c "
+        "JOIN pg_namespace n ON c.relnamespace = n.oid "
+        "LEFT JOIN pg_index i ON i.indrelid = c.oid AND i.indisreplident "
+        "LEFT JOIN pg_class idx ON idx.oid = i.indexrelid "
+        f"WHERE concat(n.nspname, '.', c.relname) IN ({names})"
+    )
+
+
+def replica_identity_diff(
+    configured: list[TableConfig],
+    current: dict[str, tuple[str, str | None]],
+) -> list[TableConfig]:
+    """Reconciliation diff (`publication/table.go:115-130` Tables.Diff +
+    replica_identity.go:33-58 SetReplicaIdentities): of the configured
+    tables, return those whose live (identity, index) state — as decoded
+    from `replica_identity_state_sql` via REPLICA_IDENTITY_CODES — differs
+    and therefore needs an ALTER. Unknown tables are included (they error
+    server-side, matching ErrorTablesNotExists visibility)."""
+    out = []
+    for t in configured:
+        live = current.get(t.qualified)
+        want = (t.replica_identity, t.replica_identity_index or None)
+        if live is None:
+            out.append(t)
+            continue
+        ident, index = live
+        ident = REPLICA_IDENTITY_CODES.get(ident, ident)
+        if (ident, index or None) != want:
+            out.append(t)
+    return out
 
 
 # --- O27: heartbeat (pq/heartbeat/heartbeat.go) ----------------------------

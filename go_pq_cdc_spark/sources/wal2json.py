@@ -73,16 +73,23 @@ def decode_wal2json(raw: DataFrame, data_col: str = "data") -> DataFrame:
     )
 
 
-def route_tables(envelope: DataFrame) -> dict[str, DataFrame]:
+def route_tables(
+    envelope: DataFrame, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
     """O17 table routing for batch use: split one envelope stream into
     per-table DataFrames (streaming side uses partitioned foreachBatch —
-    see `streaming.changelog_stream.multi_mirror_sink`)."""
-    tables = [
-        r["t"]
-        for r in envelope.select(
-            F.concat_ws(".", "schema", "table").alias("t")
-        ).distinct().collect()
-    ]
+    see `streaming.changelog_stream.multi_mirror_sink`).
+
+    Pass `tables` (the publication's table list — the engine always knows
+    it from config) to avoid the discovery `distinct().collect()` job; the
+    scan fallback exists for ad-hoc exploration only."""
+    if tables is None:
+        tables = [
+            r["t"]
+            for r in envelope.select(
+                F.concat_ws(".", "schema", "table").alias("t")
+            ).distinct().collect()
+        ]
     return {
         t: envelope.filter(F.concat_ws(".", "schema", "table") == t) for t in tables
     }

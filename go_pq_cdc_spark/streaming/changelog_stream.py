@@ -59,8 +59,26 @@ def changelog_stream(
     )
 
 
+# Default bucket count for a fresh mirror. Sizing rule at scale:
+#   n_buckets ≈ total_state_size / target_rewrite_size
+# where target_rewrite_size is how much a single touched bucket may rewrite
+# per micro-batch (256 MB-1 GB is a good parquet rewrite unit). E.g. a 10 TB
+# mirror at 512 MB/bucket wants ~20k buckets; the 32 default only fits test
+# scale. The count is fixed at mirror creation and persisted in the manifest
+# — rebucketing requires a rebuild, exactly like Hive/Spark bucketed tables.
 MIRROR_BUCKETS = 32
 _MANIFEST = "manifest.json"
+
+
+def suggest_mirror_buckets(
+    state_bytes: int, target_rewrite_bytes: int = 512 << 20
+) -> int:
+    """Apply the sizing rule, rounded up to a power of two (keeps pmod
+    distribution stable under doubling) with the test-scale default floor."""
+    n = MIRROR_BUCKETS
+    while n * target_rewrite_bytes < state_bytes:
+        n *= 2
+    return n
 
 
 def _bucket_col(pk: str = "pk", n_buckets: int = MIRROR_BUCKETS):
@@ -118,7 +136,7 @@ def merge_mirror_batch(
     batch_df: DataFrame,
     state_dir: str,
     epoch: int | None = None,
-    n_buckets: int = MIRROR_BUCKETS,
+    n_buckets: int | None = None,
 ) -> None:
     """Idempotent TOAST-aware max-LSN-wins merge of one micro-batch into
     the pk-bucketed parquet mirror (Delta/Iceberg `MERGE INTO` stand-in).
@@ -141,6 +159,21 @@ def merge_mirror_batch(
     manifest = _read_manifest(state_dir)
     if epoch is None:
         epoch = manifest["epoch"] + 1
+    # Bucket count is a property of the STORED mirror, not of the caller:
+    # first write pins it in the manifest; after that a conflicting request
+    # is a rebuild, not a silent re-hash (keys would land in other buckets
+    # and the touched-bucket invariant would corrupt state).
+    stored_n = manifest.get("n_buckets")
+    if stored_n is None:
+        n_buckets = n_buckets or MIRROR_BUCKETS
+        manifest["n_buckets"] = n_buckets
+    elif n_buckets is not None and n_buckets != stored_n:
+        raise ValueError(
+            f"mirror at {state_dir} was created with n_buckets={stored_n}; "
+            f"re-bucketing to {n_buckets} requires a rebuild"
+        )
+    else:
+        n_buckets = stored_n
 
     incoming = batch_df.select("pk", "lsn", "op", "after_val").withColumn(
         "pb", _bucket_col(n_buckets=n_buckets)
@@ -218,13 +251,25 @@ def merge_mirror_batch(
     _gc_epochs(state_dir, manifest)
 
 
-def mirror_sink(stream_df: DataFrame, state_dir: str, checkpoint_dir: str):
+def mirror_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int | None = None,
+):
     """Attach the mirror-maintenance sink to a change stream. Returns the
-    StreamingQuery; call processAllAvailable() to drain in tests."""
+    StreamingQuery; call processAllAvailable() to drain in tests.
+    `n_buckets` sizes a FRESH mirror (see sizing rule at MIRROR_BUCKETS /
+    `suggest_mirror_buckets`); an existing mirror keeps its manifest-pinned
+    count."""
     return (
         stream_df.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda batch_df, epoch: merge_mirror_batch(batch_df, state_dir, epoch))
+        .foreachBatch(
+            lambda batch_df, epoch: merge_mirror_batch(
+                batch_df, state_dir, epoch, n_buckets=n_buckets
+            )
+        )
         .start()
     )
 
@@ -234,6 +279,7 @@ def multi_mirror_sink(
     state_root: str,
     checkpoint_dir: str,
     table_col: str = "tbl",
+    n_buckets: int | None = None,
 ):
     """O17 fan-out apply: one slot carries every published table's events;
     each micro-batch is split by table and merged into that table's mirror.
@@ -247,6 +293,7 @@ def multi_mirror_sink(
                 batch_df.filter(F.col(table_col) == t).drop(table_col),
                 os.path.join(state_root, t.replace(".", "__")),
                 epoch,
+                n_buckets=n_buckets,
             )
 
     return (

@@ -52,6 +52,66 @@ class TestConfig:
         TableConfig("users", query_condition="deleted_at IS NULL").validate()
 
 
+class TestReplicaIdentity:
+    """O26 replica-identity management incl. USING INDEX
+    (publication/replica_identity.go:33-141, table.go:48-77)."""
+
+    def test_render_default_full_nothing(self):
+        for ri in ("DEFAULT", "FULL", "NOTHING"):
+            sql = PG.replica_identity_sql(TableConfig("users", replica_identity=ri))
+            assert sql == f"ALTER TABLE public.users REPLICA IDENTITY {ri}"
+
+    def test_render_using_index(self):
+        t = TableConfig("users", replica_identity="INDEX", replica_identity_index="users_ux")
+        assert (
+            PG.replica_identity_sql(t)
+            == "ALTER TABLE public.users REPLICA IDENTITY USING INDEX users_ux"
+        )
+
+    def test_reference_spelling_accepted(self):
+        t = TableConfig(
+            "users", replica_identity="USING INDEX", replica_identity_index="users_ux"
+        )
+        t.validate()
+        assert t.replica_identity == "INDEX"
+
+    def test_index_requires_index_name(self):
+        with pytest.raises(ConfigError, match="replica_identity_index is required"):
+            TableConfig("users", replica_identity="INDEX").validate()
+
+    def test_index_name_forbidden_without_index_identity(self):
+        with pytest.raises(ConfigError, match="only be set"):
+            TableConfig("users", replica_identity_index="users_ux").validate()
+
+    def test_state_probe_sql(self):
+        sql = PG.replica_identity_state_sql([TableConfig("users"), TableConfig("orders")])
+        assert "c.relreplident" in sql
+        assert "i.indisreplident" in sql
+        assert "IN ('public.users', 'public.orders')" in sql
+
+    def test_reconciliation_diff(self):
+        """Mirror of Tables.Diff (table.go:115-130): only tables whose live
+        (identity, index) differs from config need an ALTER."""
+        configured = [
+            TableConfig("a", replica_identity="FULL"),
+            TableConfig("b", replica_identity="INDEX", replica_identity_index="b_ux"),
+            TableConfig("c"),  # DEFAULT
+            TableConfig("d", replica_identity="INDEX", replica_identity_index="d_new"),
+            TableConfig("e", replica_identity="NOTHING"),
+        ]
+        live = {
+            "public.a": ("f", None),  # already FULL -> skip
+            "public.b": ("i", "b_ux"),  # already on the right index -> skip
+            "public.c": ("f", None),  # FULL but config wants DEFAULT -> alter
+            "public.d": ("i", "d_old"),  # wrong index -> alter
+            # public.e missing from catalog -> surfaced for server-side error
+        }
+        diff = PG.replica_identity_diff(configured, live)
+        assert [t.qualified for t in diff] == ["public.c", "public.d", "public.e"]
+        stmts = [PG.replica_identity_sql(t) for t in diff]
+        assert stmts[1] == "ALTER TABLE public.d REPLICA IDENTITY USING INDEX d_new"
+
+
 class TestPostgresSQL:
     def test_publication_sql(self):
         cfg = _cfg()
@@ -59,6 +119,28 @@ class TestPostgresSQL:
         sql = PG.create_publication_sql(cfg)
         assert "FOR TABLE public.users (id, name), public.cdc_heartbeat" in sql
         assert "publish = 'insert, update, delete, truncate'" in sql
+
+    def test_publication_sql_all_tables(self):
+        """FOR ALL TABLES (publication/config.go:16 AllTables)."""
+        cfg = _cfg(all_tables=True)
+        cfg.validate()  # heartbeat/snapshot subset checks don't apply
+        sql = PG.create_publication_sql(cfg)
+        assert "FOR ALL TABLES WITH" in sql
+        assert "FOR TABLE " not in sql
+
+    def test_all_tables_rejects_column_lists(self):
+        cfg = _cfg(all_tables=True)
+        cfg.tables[0].columns = ["id"]
+        with pytest.raises(ConfigError, match="column lists"):
+            cfg.validate()
+
+    def test_all_tables_skips_heartbeat_membership_check(self):
+        # without all_tables this exact config is invalid (heartbeat not
+        # published) — with it, every table is implicitly published
+        cfg = EngineConfig(tables=[TableConfig("users")], all_tables=True)
+        cfg.validate()
+        with pytest.raises(ConfigError, match="heartbeat"):
+            EngineConfig(tables=[TableConfig("users")]).validate()
 
     def test_slot_sql(self):
         assert "pg_create_logical_replication_slot('s1', 'pgoutput')" in PG.create_slot_sql("s1")

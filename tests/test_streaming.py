@@ -196,18 +196,19 @@ def test_mirror_replay_with_toast_null(spark, tmpdirs):
     assert [(r["pk"], r["after_val"], r["lsn"]) for r in cur] == [(7, 42.0, 2)]
 
 
-def test_mirror_merge_rewrites_only_touched_buckets(spark, tmpdirs):
+@pytest.mark.parametrize("n_buckets", [None, 256])
+def test_mirror_merge_rewrites_only_touched_buckets(spark, tmpdirs, n_buckets):
     """The scale gate: a micro-batch must rewrite ONLY the pk-buckets its
     keys hash into — per-batch IO scales with batch size, not state size
     (r2 verdict scale-killer #1: the old merge rewrote the entire mirror
-    every batch)."""
+    every batch). Parameterized over the configurable bucket count."""
     import json as _json
 
     os.makedirs(tmpdirs["state"], exist_ok=True)
     big = spark.createDataFrame(
         [_ev("I", pk, 1, pk, float(pk)) for pk in range(1, 201)], FLAT_CHANGE_SCHEMA
     )
-    merge_mirror_batch(big, tmpdirs["state"])
+    merge_mirror_batch(big, tmpdirs["state"], n_buckets=n_buckets)
     with open(os.path.join(tmpdirs["state"], "manifest.json")) as f:
         before = _json.load(f)["buckets"]
 
@@ -224,6 +225,48 @@ def test_mirror_merge_rewrites_only_touched_buckets(spark, tmpdirs):
     # and the merged value is correct
     state = {r["pk"]: r["after_val"] for r in read_mirror(spark, tmpdirs["state"]).collect()}
     assert state[7] == 7.5 and state[8] == 8.0 and len(state) == 200
+
+
+def test_mirror_bucket_count_equivalence_and_pinning(spark, tmpdirs):
+    """VERDICT r3 item 6: a 256-bucket mirror must hold exactly the same
+    latest_state as the default 32-bucket mirror over the same change
+    stream, the chosen count is pinned in the manifest, and a conflicting
+    re-bucket request is refused (silent re-hash would corrupt the
+    touched-bucket invariant)."""
+    import json as _json
+
+    from go_pq_cdc_spark.streaming.changelog_stream import suggest_mirror_buckets
+
+    batches = [
+        [_ev("I", pk, 1, pk, float(pk)) for pk in range(1, 101)],
+        [_ev("U", 200 + pk, 2, pk, pk * 10.0) for pk in range(1, 50, 3)],
+        [_ev("D", 400 + pk, 3, pk, None) for pk in range(2, 30, 5)],
+    ]
+    s32 = os.path.join(tmpdirs["state"], "m32")
+    s256 = os.path.join(tmpdirs["state"], "m256")
+    os.makedirs(s32), os.makedirs(s256)
+    for rows in batches:
+        df = spark.createDataFrame(rows, FLAT_CHANGE_SCHEMA)
+        merge_mirror_batch(df, s32)
+        merge_mirror_batch(df, s256, n_buckets=256)
+
+    as_map = lambda d: {
+        r["pk"]: (r["lsn"], r["after_val"]) for r in read_mirror(spark, d).collect()
+    }
+    assert as_map(s32) == as_map(s256)
+
+    with open(os.path.join(s256, "manifest.json")) as f:
+        assert _json.load(f)["n_buckets"] == 256
+    with pytest.raises(ValueError, match="rebuild"):
+        merge_mirror_batch(
+            spark.createDataFrame([_ev("I", 999, 9, 999, 1.0)], FLAT_CHANGE_SCHEMA),
+            s256,
+            n_buckets=64,
+        )
+
+    # sizing rule: buckets ~ state_size / target_rewrite_size, pow2-rounded
+    assert suggest_mirror_buckets(0) == 32
+    assert suggest_mirror_buckets(10 << 40, 512 << 20) == 32768
 
 
 def test_mirror_crash_before_manifest_swap_keeps_old_state(spark, tmpdirs):
