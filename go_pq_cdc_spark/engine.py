@@ -304,6 +304,22 @@ class CdcEngine:
 
         return read_mirror(self.spark, state_dir)
 
+    # -- observability (O33) ------------------------------------------------
+
+    def status_server(self, wal_dir: str | None = None, host: str = "127.0.0.1", port: int = 0):
+        """Start the /status + /metrics + /slot HTTP surface
+        (`internal/http/server.go:36-60`). The listener is registered with
+        this session's stream manager; pass `wal_dir` so /slot serves live
+        confirmed/current LSNs from the segment log. Returns the started
+        `StatusServer` (`.port`, `.listener`, `.stop()`)."""
+        from .observability import CdcMetricsListener, StatusServer
+
+        listener = CdcMetricsListener()
+        self.spark.streams.addListener(listener)
+        if wal_dir is not None:
+            listener.attach_wal_dir(wal_dir, self.config.slot_name)
+        return StatusServer(listener, host=host, port=port).start()
+
 
 def snapshot_only(df, out_dir: str, mode: str = "error_if_exists") -> bool:
     """§3.3 snapshot-only mode: one-shot export with resume — if the output

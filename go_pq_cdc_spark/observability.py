@@ -31,6 +31,8 @@ class CdcMetrics:
     last_batch_duration_ms: float = 0.0
     last_event_time: str | None = None
     confirmed_lsn: int | None = None
+    latest_lsn: int | None = None  # transport frontier (slot.go CurrentLSN)
+    slot_name: str | None = None
 
 
 class CdcMetricsListener(StreamingQueryListener):
@@ -41,6 +43,18 @@ class CdcMetricsListener(StreamingQueryListener):
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self.metrics = CdcMetrics()
+        self._wal_dir: str | None = None
+
+    def attach_wal_dir(self, wal_dir: str, slot_name: str | None = None) -> None:
+        """Serve live LSNs from the segment log: each /slot request re-reads
+        the transport frontier (segment filenames) and the consumer-ack
+        `_confirmed` file — filesystem-cheap, no Spark job, always current
+        (the reference polls pg_replication_slots the same way,
+        `pq/slot/slot.go:127-148`)."""
+        with self._lock:
+            self._wal_dir = wal_dir
+            if slot_name is not None:
+                self.metrics.slot_name = slot_name
 
     # -- listener callbacks -------------------------------------------------
 
@@ -77,6 +91,14 @@ class CdcMetricsListener(StreamingQueryListener):
         with self._lock:
             self.metrics.confirmed_lsn = lsn
 
+    def record_frontier(self, lsn: int, slot_name: str | None = None) -> None:
+        """Latest transport LSN (the segment-log frontier the slot keeper
+        tracks; `pq/slot/slot.go:127-148` CurrentLSN analogue)."""
+        with self._lock:
+            self.metrics.latest_lsn = lsn
+            if slot_name is not None:
+                self.metrics.slot_name = slot_name
+
     # -- exposition ---------------------------------------------------------
 
     def get_status(self) -> dict:
@@ -88,6 +110,37 @@ class CdcMetricsListener(StreamingQueryListener):
                 "ops": dict(m.ops),
                 "last_batch_duration_ms": m.last_batch_duration_ms,
                 "confirmed_lsn": m.confirmed_lsn,
+            }
+
+    def get_slot(self) -> dict:
+        """`/slot` payload (`internal/http/server.go:36-60` serves the slot
+        struct of `pq/slot/slot.go:127-148`): confirmed vs latest LSN and the
+        retained-WAL estimate (bytes the server must keep until we ack)."""
+        with self._lock:
+            wal_dir = self._wal_dir
+        if wal_dir is not None:
+            from .sources import lsn_stream
+            from .sources.slot_keeper import _segment_frontier
+
+            frontier = _segment_frontier(wal_dir, -1)
+            if frontier >= 0:
+                self.record_frontier(frontier)
+            acked = lsn_stream.confirmed_lsn(wal_dir)
+            if acked is not None:
+                self.record_confirmed_lsn(acked)
+        with self._lock:
+            m = self.metrics
+            retained = (
+                m.latest_lsn - m.confirmed_lsn
+                if m.latest_lsn is not None and m.confirmed_lsn is not None
+                else None
+            )
+            return {
+                "slot_name": m.slot_name,
+                "confirmed_flush_lsn": m.confirmed_lsn,
+                "current_lsn": m.latest_lsn,
+                "retained_wal_bytes": retained,
+                "active": m.batches > 0,
             }
 
     def prometheus_text(self) -> str:
@@ -104,13 +157,21 @@ class CdcMetricsListener(StreamingQueryListener):
             lines.append(f'go_pq_cdc_spark_ops_total{{op="{op}"}} {n}')
         if s["confirmed_lsn"] is not None:
             lines.append(f"go_pq_cdc_spark_confirmed_lsn {s['confirmed_lsn']}")
+        slot = self.get_slot()
+        if slot["current_lsn"] is not None:
+            lines.append(f"go_pq_cdc_spark_current_lsn {slot['current_lsn']}")
+        if slot["retained_wal_bytes"] is not None:
+            lines.append(
+                f"go_pq_cdc_spark_retained_wal_bytes {slot['retained_wal_bytes']}"
+            )
         return "\n".join(lines) + "\n"
 
 
 class StatusServer:
-    """O33 HTTP surface (`internal/http/server.go:36-60`): /status JSON and
-    /metrics Prometheus text, served from a daemon thread over stdlib
-    http.server — no framework dependency on the driver."""
+    """O33 HTTP surface (`internal/http/server.go:36-60`): /status JSON,
+    /metrics Prometheus text, and /slot (confirmed/current LSN + retained-WAL
+    estimate), served from a daemon thread over stdlib http.server — no
+    framework dependency on the driver."""
 
     def __init__(self, listener: CdcMetricsListener, host: str = "127.0.0.1", port: int = 0):
         import http.server
@@ -126,6 +187,9 @@ class StatusServer:
                 elif self.path == "/metrics":
                     body = outer.listener.prometheus_text().encode()
                     ctype = "text/plain; version=0.0.4"
+                elif self.path == "/slot":
+                    body = _json.dumps(outer.listener.get_slot()).encode()
+                    ctype = "application/json"
                 else:
                     self.send_response(404)
                     self.end_headers()

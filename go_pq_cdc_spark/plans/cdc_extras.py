@@ -67,6 +67,8 @@ def cdc_hypertable_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical hypertable via a broadcast-joined catalog map
     (`pq/timescaledb/hypertable.go:35-116` polls the catalog; here the map
     is derived deterministically so the oracle can rebuild it)."""
+    from ..operators.timescale import remap_hypertables
+
     df = committed_changelog(spark, sf_dir).filter(F.col("tbl") != "cdc_heartbeat")
     physical = df.withColumn(
         "chunk_name",
@@ -76,7 +78,7 @@ def cdc_hypertable_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         physical.select("chunk_name").distinct().withColumn("hypertable", F.lit("public.metrics"))
     )
     return (
-        physical.join(F.broadcast(chunk_map), "chunk_name")
+        remap_hypertables(physical, chunk_map, chunk_col="chunk_name")
         .groupBy("hypertable", "chunk_name")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )

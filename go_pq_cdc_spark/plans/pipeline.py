@@ -517,6 +517,7 @@ def _ann_lsh_oracle() -> str:
     "sim_ann_lsh_topk",
     oracle=_ann_lsh_oracle(),
     tags=("similarity", "lsh", "ann"),
+    bench=True,
 )
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-5 for 8 queries (candidates only from the

@@ -234,6 +234,55 @@ class TestStatusServer:
         finally:
             srv.stop()
 
+    def test_slot_endpoint(self):
+        """/slot mirrors internal/http/server.go:36-60 serving the slot
+        struct of pq/slot/slot.go:127-148: confirmed vs current LSN and the
+        retained-WAL estimate."""
+        listener = CdcMetricsListener()
+        listener.record_confirmed_lsn(105)
+        listener.record_frontier(250, slot_name="cdc_slot")
+        srv = StatusServer(listener).start()
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/slot"
+            ) as resp:
+                slot = json.loads(resp.read())
+            assert slot["slot_name"] == "cdc_slot"
+            assert slot["confirmed_flush_lsn"] == 105
+            assert slot["current_lsn"] == 250
+            assert slot["retained_wal_bytes"] == 145
+            text = listener.prometheus_text()
+            assert "go_pq_cdc_spark_current_lsn 250" in text
+            assert "go_pq_cdc_spark_retained_wal_bytes 145" in text
+        finally:
+            srv.stop()
+
+    def test_slot_endpoint_live_from_wal_dir(self, tmp_path):
+        """With a wal_dir attached, /slot re-reads the segment-log frontier
+        and the consumer-ack file per request — no stale cached values."""
+        from go_pq_cdc_spark.sources import lsn_stream
+
+        wal = tmp_path / "wal"
+        wal.mkdir()
+        open(lsn_stream.segment_path(str(wal), 100, 400), "wb").close()
+        (wal / "_confirmed").write_text('{"confirmed_lsn": 150}')
+
+        listener = CdcMetricsListener()
+        listener.attach_wal_dir(str(wal), slot_name="cdc_slot")
+        slot = listener.get_slot()
+        assert slot["slot_name"] == "cdc_slot"
+        assert slot["current_lsn"] == 400
+        assert slot["confirmed_flush_lsn"] == 150
+        assert slot["retained_wal_bytes"] == 250
+
+        # transport advances + consumer acks -> next request sees it
+        open(lsn_stream.segment_path(str(wal), 401, 900), "wb").close()
+        (wal / "_confirmed").write_text('{"confirmed_lsn": 400}')
+        slot = listener.get_slot()
+        assert slot["current_lsn"] == 900
+        assert slot["confirmed_flush_lsn"] == 400
+        assert slot["retained_wal_bytes"] == 500
+
 
 def test_engine_plan_snapshot_auto_wiring():
     """CdcEngine.plan_snapshot_auto: connection -> catalog stats -> plan,
