@@ -252,9 +252,13 @@ def embedding_near_dup_lsh(
 
     dot = P.scaled_dot("a.v", "b.v", "a.v")["spark"]
     norm = P.scaled_dot("v", "v", "v")["spark"]
+    # nrm is coalesced non-nullable: the cos_sim threshold filter would
+    # otherwise infer isnotnull(nrm) and push it to both join sides, and HOF
+    # aggregates are CodegenFallback (no CSE) — the null-check would
+    # re-evaluate the whole 64-dim aggregate per row (r4 perf-gate test).
     vecs = with_lsh_bucket(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", planes
-    ).withColumn("nrm", F.expr(norm))
+    ).withColumn("nrm", F.coalesce(F.expr(norm), F.lit(0).cast("long")))
     return (
         vecs.alias("a")
         .join(
@@ -286,9 +290,11 @@ def embedding_near_dup(
     a metadata column."""
     dot = P.scaled_dot("a.v", "b.v", "a.v")["spark"]
     norm = P.scaled_dot("v", "v", "v")["spark"]
+    # coalesce: see embedding_near_dup_lsh — keeps the inferred null-check
+    # from re-evaluating the norm aggregate on both join sides
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(block_col).alias("blk")
-    ).withColumn("nrm", F.expr(norm))
+    ).withColumn("nrm", F.coalesce(F.expr(norm), F.lit(0).cast("long")))
     return (
         vecs.alias("a")
         .join(

@@ -92,8 +92,17 @@ def with_lsh_bucket(
     df: DataFrame, vec_col: str = "embedding", planes: int = LSH_PLANES
 ) -> DataFrame:
     """Assign each vector its LSH bucket — candidate generation for ANN is
-    then an equi-join on `bucket` (optionally multi-probe neighbors)."""
-    return df.withColumn("bucket", F.expr(lsh_bucket_fragments(vec_col, planes)["spark"]))
+    then an equi-join on `bucket` (optionally multi-probe neighbors).
+
+    The bucket is coalesced to -1 (NULL embedding sentinel) so the column is
+    non-nullable: when it becomes a join key, Catalyst then does NOT infer an
+    `isnotnull(bucket)` filter — which matters because the HOF expression is
+    CodegenFallback (no common-subexpression elimination), so an inferred
+    null-check would re-evaluate the full planes×dims aggregate per row."""
+    expr = F.coalesce(
+        F.expr(lsh_bucket_fragments(vec_col, planes)["spark"]), F.lit(-1).cast("long")
+    )
+    return df.withColumn("bucket", expr)
 
 
 def ann_topk_lsh(
@@ -114,9 +123,21 @@ def ann_topk_lsh(
     min(probes, planes+1) buckets total. Candidates are a superset of the
     single-probe set, so recall is monotone in `probes` while cost stays
     O(probes * bucket) — still sub-linear, no new shuffle shape (the join
-    key is unchanged; only the broadcast query side fans out)."""
+    key is unchanged; only the broadcast query side fans out).
+
+    The corpus is repartitioned to the session parallelism before the
+    bucket/norm projection: the interpreted HOF bucket expression is the
+    dominant cost, and a small input (few parquet row-groups) would
+    otherwise evaluate it in a handful of tasks while the rest of the
+    cluster idles. At scale the input already has enough splits and AQE
+    coalesces the exchange; locally this is the difference between 1 core
+    and all of them."""
+    par = df.sparkSession.sparkContext.defaultParallelism
     corpus = with_lsh_bucket(
-        df.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("v")), "v", planes
+        df.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("v"))
+        .repartition(par, F.col("c_id")),
+        "v",
+        planes,
     ).withColumn("c_nrm", F.expr(P.scaled_dot("v", "v", "v")["spark"]))
     qset = with_lsh_bucket(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")), "qv", planes

@@ -127,3 +127,26 @@ def test_emb_near_dup_lsh_is_equi_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Join" in plan  # an actual equi-join on the bucket
+
+
+def test_lsh_bucket_not_reevaluated_by_null_filters(spark):
+    """r4 perf fix gate: the HOF bucket expression is CodegenFallback (no
+    common-subexpression elimination), so a join-inferred isnotnull(bucket)
+    would silently RE-EVALUATE the whole planes×dims aggregate per row on
+    both join sides. The bucket is coalesced non-nullable precisely so no
+    such filter is inferred — assert no Filter node contains the aggregate."""
+    import re
+
+    from go_pq_cdc_spark.plans.registry import REGISTRY
+
+    for name in ("sim_ann_lsh_topk", "emb_near_dup_lsh"):
+        plan = (
+            REGISTRY[name].spark_fn(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for m in re.finditer(r"\+- Filter (.*)", plan):
+            assert "aggregate(transform(" not in m.group(1), (
+                f"{name}: a Filter re-evaluates the LSH bucket aggregate"
+            )
+        # and the candidate join is still the hash equi-join on the bucket
+        assert "HashJoin" in plan
