@@ -119,6 +119,10 @@ class EngineConfig:
     heartbeat_enabled: bool = True
     heartbeat_table: str = "cdc_heartbeat"
     heartbeat_schema: str = DEFAULT_SCHEMA
+    heartbeat_interval_s: float = 10.0  # HeartbeatConfig.Interval (config.go:48-51)
+    slot_create_if_not_exists: bool = True  # slot.Config (slot/config.go:16)
+    slot_activity_checker_interval_s: float = 1.0  # slot/config.go:11
+    enable_timescaledb: bool = False  # ExtensionSupport (config.go:44-46)
     global_query_condition: str | None = None
 
     def table_query_condition(self, table: TableConfig) -> str | None:
@@ -139,6 +143,10 @@ class EngineConfig:
         bad_ops = set(self.publish_ops) - {"insert", "update", "delete", "truncate"}
         if bad_ops:
             raise ConfigError(f"unknown publish ops: {sorted(bad_ops)}")
+        if self.heartbeat_interval_s <= 0:
+            raise ConfigError("heartbeat_interval_s must be positive")
+        if self.slot_activity_checker_interval_s <= 0:
+            raise ConfigError("slot_activity_checker_interval_s must be positive")
         for t in self.tables:
             t.validate()
         if self.all_tables:

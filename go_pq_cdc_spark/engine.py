@@ -73,7 +73,11 @@ class CdcEngine:
         for t in self.config.tables:
             if t.replica_identity != "DEFAULT":
                 stmts.append(pg.replica_identity_sql(t))
-        stmts.append(pg.create_slot_sql(self.config.slot_name))
+        if self.config.slot_create_if_not_exists:
+            # slot.Config.CreateIfNotExists (slot/config.go:16): when false
+            # the slot must pre-exist (e.g. a takeover deployment) and no
+            # create statement is emitted
+            stmts.append(pg.create_slot_sql(self.config.slot_name))
         return stmts
 
     # -- snapshot plane (O9-O16) -------------------------------------------
@@ -149,6 +153,7 @@ class CdcEngine:
         from .sources.slot_keeper import SlotKeeper
 
         hb = heartbeat_tick_sql(self.config) if self.config.heartbeat_enabled else None
+        kw.setdefault("keepalive_interval_s", self.config.heartbeat_interval_s)
         return SlotKeeper(
             run_sql,
             wal_dir,
@@ -157,6 +162,46 @@ class CdcEngine:
             heartbeat_sql=hb,
             **kw,
         )
+
+    def heartbeat_runner(self, run_sql, **kw):
+        """Standalone heartbeat ticker at the configured interval
+        (HeartbeatConfig.Interval, config.go:48-51)."""
+        from .heartbeat import HeartbeatRunner
+
+        kw.setdefault("interval_s", self.config.heartbeat_interval_s)
+        return HeartbeatRunner(run_sql, self.config, **kw)
+
+    def capture_slot(self, run_sql, timeout_s: float | None = None, **kw):
+        """Passive-takeover wait at the configured slot-activity-checker
+        interval (slot/config.go:11; connector.go:631-652). `run_sql` is any
+        live connection; its `slot_status_sql` row is adapted to the status
+        dict `capture_slot` polls. A missing slot returns inactive (the
+        passive instance may start before the slot exists)."""
+        kw.setdefault("poll_interval_s", self.config.slot_activity_checker_interval_s)
+        sql = pg.slot_status_sql(self.config.slot_name)
+        cols = (
+            "slot_name", "active", "restart_lsn", "confirmed_flush_lsn",
+            "current_lsn", "lag_bytes", "retained_wal_bytes",
+        )
+
+        def status_fn() -> dict:
+            rows = run_sql(sql)
+            if not rows:
+                return {"active": False}
+            return dict(zip(cols, rows[0]))
+
+        return pg.capture_slot(status_fn, timeout_s=timeout_s, **kw)
+
+    def hypertable_mapper(self, run_sql, **kw):
+        """Chunk→hypertable remapper, only when the TimescaleDB extension
+        support is enabled (ExtensionSupport.EnableTimeScaleDB,
+        config.go:44-46) — returns None otherwise, as the reference skips
+        hypertable sync entirely without the flag."""
+        if not self.config.enable_timescaledb:
+            return None
+        from .operators.timescale import HypertableMapper
+
+        return HypertableMapper(self.spark, run_sql, **kw)
 
     def replicate(
         self,
@@ -303,6 +348,13 @@ class CdcEngine:
         from .streaming import read_mirror
 
         return read_mirror(self.spark, state_dir)
+
+    def lookup(self, state_dir: str, pks: list[int]) -> DataFrame:
+        """Bucket-pruned point lookup in the mirror: reads only the bucket
+        files the keys hash into (~len(pks)/n_buckets of the state)."""
+        from .streaming import lookup_mirror
+
+        return lookup_mirror(self.spark, state_dir, pks)
 
     # -- observability (O33) ------------------------------------------------
 

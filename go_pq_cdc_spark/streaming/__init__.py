@@ -1,5 +1,6 @@
 from .changelog_stream import (  # noqa: F401
     changelog_stream,
+    lookup_mirror,
     merge_mirror_batch,
     mirror_sink,
     multi_mirror_sink,

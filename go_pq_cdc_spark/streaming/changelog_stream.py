@@ -114,6 +114,37 @@ def read_mirror(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(*paths).select("pk", "lsn", "op", "after_val")
 
 
+def lookup_mirror(spark: SparkSession, state_dir: str, pks: list[int]) -> DataFrame:
+    """Point lookup with bucket pruning: each pk hashes to exactly one
+    bucket (`_bucket_col`, the same deterministic expression the merge
+    uses), so a point query reads ~len(pks)/n_buckets of the state
+    regardless of total mirror size — the read-side counterpart of the
+    merge's touched-buckets-only write guarantee. At 100 TB this is the
+    difference between scanning the table and opening a few files.
+
+    The bucket ids are resolved with a len(pks)-row local job (the hash must
+    be Spark's xxhash64 — recomputing it driver-side would risk drift)."""
+    manifest = _read_manifest(state_dir)
+    n = int(manifest.get("n_buckets") or MIRROR_BUCKETS)
+    empty = spark.createDataFrame([], "pk bigint, lsn bigint, op string, after_val double")
+    if not pks or not manifest["buckets"]:
+        return empty
+    keys = spark.createDataFrame([(int(p),) for p in pks], "pk bigint")
+    wanted = {r["b"] for r in keys.select(_bucket_col("pk", n).alias("b")).collect()}
+    paths = [
+        os.path.join(state_dir, rel)
+        for b, rel in manifest["buckets"].items()
+        if int(b) in wanted
+    ]
+    if not paths:
+        return empty
+    return (
+        spark.read.parquet(*paths)
+        .filter(F.col("pk").isin([int(p) for p in pks]))
+        .select("pk", "lsn", "op", "after_val")
+    )
+
+
 def _gc_epochs(state_dir: str, manifest: dict) -> None:
     """Remove bucket dirs no manifest entry references (superseded state).
     Safe after the manifest swap: a crash mid-GC only leaves garbage, never

@@ -46,6 +46,64 @@ class TestConfig:
         with pytest.raises(ConfigError, match="heartbeat"):
             EngineConfig(tables=[TableConfig("users")]).validate()
 
+    def test_interval_knobs_validated(self):
+        """HeartbeatConfig.Interval / slot activity checker interval
+        (config.go:48-51, slot/config.go:11)."""
+        _cfg(heartbeat_interval_s=2.5, slot_activity_checker_interval_s=0.2).validate()
+        with pytest.raises(ConfigError, match="heartbeat_interval_s"):
+            _cfg(heartbeat_interval_s=0).validate()
+        with pytest.raises(ConfigError, match="slot_activity_checker_interval_s"):
+            _cfg(slot_activity_checker_interval_s=-1).validate()
+
+    def test_slot_create_if_not_exists_gates_setup_sql(self):
+        """slot.Config.CreateIfNotExists (slot/config.go:16): when false the
+        slot must pre-exist and setup_sql emits no slot creation."""
+        from unittest.mock import MagicMock
+
+        from go_pq_cdc_spark.engine import CdcEngine
+
+        on = CdcEngine(_cfg(), spark=MagicMock()).setup_sql()
+        assert any("pg_create_logical_replication_slot" in s for s in on)
+        off = CdcEngine(
+            _cfg(slot_create_if_not_exists=False), spark=MagicMock()
+        ).setup_sql()
+        assert not any("pg_create_logical_replication_slot" in s for s in off)
+
+    def test_timescale_gate_and_capture_slot_wiring(self):
+        """ExtensionSupport.EnableTimeScaleDB gates the mapper
+        (config.go:44-46); capture_slot polls at the configured interval and
+        adapts the slot_status_sql row."""
+        from unittest.mock import MagicMock
+
+        from go_pq_cdc_spark.engine import CdcEngine
+
+        eng = CdcEngine(_cfg(), spark=MagicMock())
+        assert eng.hypertable_mapper(lambda _s: []) is None
+        eng_ts = CdcEngine(_cfg(enable_timescaledb=True), spark=MagicMock())
+        assert eng_ts.hypertable_mapper(lambda _s: []) is not None
+
+        rows = [[("cdc_slot", True, "0/10", "0/8", "0/20", 24, 16)],
+                [("cdc_slot", False, "0/10", "0/8", "0/20", 24, 16)]]
+        slept = []
+        status = eng.capture_slot(
+            lambda _sql: rows.pop(0), sleep=slept.append
+        )
+        assert status["active"] is False and status["slot_name"] == "cdc_slot"
+        assert slept == [1.0]  # default slot_activity_checker_interval_s
+        # missing slot row -> inactive immediately (pre-creation start)
+        assert eng.capture_slot(lambda _sql: [])["active"] is False
+
+    def test_heartbeat_runner_uses_configured_interval(self):
+        eng_cfg = _cfg(heartbeat_interval_s=42.0)
+        from unittest.mock import MagicMock
+
+        from go_pq_cdc_spark.engine import CdcEngine
+
+        hb = CdcEngine(eng_cfg, spark=MagicMock()).heartbeat_runner(
+            lambda _s: [(1,)], sleep=lambda _s: None
+        )
+        assert hb.interval_s == 42.0
+
     def test_query_condition_blocklist(self):
         with pytest.raises(ConfigError, match="forbidden"):
             TableConfig("users", query_condition="id > 5; DROP TABLE x").validate()

@@ -269,6 +269,35 @@ def test_mirror_bucket_count_equivalence_and_pinning(spark, tmpdirs):
     assert suggest_mirror_buckets(10 << 40, 512 << 20) == 32768
 
 
+def test_lookup_mirror_prunes_to_hashed_buckets(spark, tmpdirs):
+    """Read-side counterpart of the touched-buckets write gate: a point
+    lookup must return exactly the filtered full-read rows while reading
+    ONLY the bucket files its keys hash into — point-query IO is
+    ~len(pks)/n_buckets of the state, independent of mirror size."""
+    from go_pq_cdc_spark.streaming.changelog_stream import lookup_mirror
+
+    os.makedirs(tmpdirs["state"], exist_ok=True)
+    big = spark.createDataFrame(
+        [_ev("I", pk, 1, pk, float(pk)) for pk in range(1, 201)], FLAT_CHANGE_SCHEMA
+    )
+    merge_mirror_batch(big, tmpdirs["state"])
+
+    got = lookup_mirror(spark, tmpdirs["state"], [7, 8])
+    rows = {(r["pk"], r["after_val"]) for r in got.collect()}
+    assert rows == {(7, 7.0), (8, 8.0)}
+
+    full_files = set(read_mirror(spark, tmpdirs["state"]).inputFiles())
+    lookup_files = set(got.inputFiles())
+    assert lookup_files and lookup_files < full_files  # strictly pruned
+    assert len(lookup_files) <= 2 * max(
+        1, len(full_files) // 16
+    )  # ~2 buckets of 32, not the table
+
+    # empty key set and missing keys degrade cleanly
+    assert lookup_mirror(spark, tmpdirs["state"], []).count() == 0
+    assert lookup_mirror(spark, tmpdirs["state"], [10_000]).count() == 0
+
+
 def test_mirror_crash_before_manifest_swap_keeps_old_state(spark, tmpdirs):
     """Crash-safety: new epoch data written but manifest not swapped (the
     crash window) -> the mirror still reads the previous consistent state;
