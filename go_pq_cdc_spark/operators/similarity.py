@@ -194,9 +194,18 @@ def ivf_assign(
     index size is unchanged; queries search their nprobe nearest cells).
 
     Centroids are a supplied DataFrame (cent_id, cv): at scale they come
-    from offline k-means; tests use a deterministic subset of the corpus."""
+    from offline k-means; tests use a deterministic subset of the corpus.
+
+    The corpus is repartitioned on `id` BEFORE the broadcast join: the
+    argmax window shuffles on id anyway, so hoisting the exchange above the
+    scan costs no extra shuffle while moving the expensive fixed-point dot
+    evaluation (interpreted HOF) into a fully parallel stage — and the
+    window's ENSURE_REQUIREMENTS exchange collapses into this one."""
+    par = df.sparkSession.sparkContext.defaultParallelism
     dot = P.scaled_dot("v", "cv", "v")["spark"]
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).repartition(
+        par, F.col("id")
+    )
     cents = centroids.select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
     )
