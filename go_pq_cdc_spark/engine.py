@@ -356,6 +356,15 @@ class CdcEngine:
 
         return lookup_mirror(self.spark, state_dir, pks)
 
+    def register_view(self, state_dir: str, name: str) -> DataFrame:
+        """Expose the mirror to SQL: `spark.sql(f"SELECT ... FROM {name}")`
+        resolves to the current state (SURVEY §7's catalog-resolution
+        nice-to-have, done the Spark-first way — a temp view over
+        `current_state`, re-resolved against the manifest at call time)."""
+        df = self.current_state(state_dir)
+        df.createOrReplaceTempView(name)
+        return df
+
     # -- observability (O33) ------------------------------------------------
 
     def status_server(self, wal_dir: str | None = None, host: str = "127.0.0.1", port: int = 0):

@@ -471,6 +471,7 @@ def _ivf_oracle() -> str:
     "sim_ivf_topk",
     oracle=_ivf_oracle(),
     tags=("similarity", "ivf", "ann"),
+    bench=True,
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (probe=1): vectors coarse-quantized to their nearest of 8

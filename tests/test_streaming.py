@@ -298,6 +298,28 @@ def test_lookup_mirror_prunes_to_hashed_buckets(spark, tmpdirs):
     assert lookup_mirror(spark, tmpdirs["state"], [10_000]).count() == 0
 
 
+def test_register_view_resolves_in_sql(spark, tmpdirs):
+    """SURVEY §7 catalog nice-to-have: the mirror is queryable through
+    spark.sql by name, reflecting the state at registration."""
+    from go_pq_cdc_spark.config import EngineConfig
+    from go_pq_cdc_spark.engine import CdcEngine
+
+    os.makedirs(tmpdirs["state"], exist_ok=True)
+    merge_mirror_batch(
+        spark.createDataFrame(
+            [_ev("I", 1, 1, 1, 1.0), _ev("I", 2, 1, 2, 2.0)], FLAT_CHANGE_SCHEMA
+        ),
+        tmpdirs["state"],
+    )
+    eng = CdcEngine(EngineConfig(tables=[], heartbeat_enabled=False), spark)
+    eng.register_view(tmpdirs["state"], "users_mirror")
+    got = spark.sql(
+        "SELECT pk, after_val FROM users_mirror ORDER BY pk"
+    ).collect()
+    assert [(r["pk"], r["after_val"]) for r in got] == [(1, 1.0), (2, 2.0)]
+    spark.catalog.dropTempView("users_mirror")
+
+
 def test_mirror_crash_before_manifest_swap_keeps_old_state(spark, tmpdirs):
     """Crash-safety: new epoch data written but manifest not swapped (the
     crash window) -> the mirror still reads the previous consistent state;
