@@ -61,6 +61,9 @@ _GATE_HEAD = [
     "q_set_ops",
     "q_rollup_cube",
     "snapshot_chunk_stats",
+    # new operators this round — first driver signal needed
+    "dedup_decontaminate",
+    "text_repetition",
 ]
 _GATE_TAIL = [
     # rotated out r4: all driver-green in CORRECTNESS_r03, code untouched
@@ -70,6 +73,8 @@ _GATE_TAIL = [
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q18_large_volume_customers",
+    "q19_bracketed_revenue",
+    "q22_idle_rich_customers",
 ]
 
 

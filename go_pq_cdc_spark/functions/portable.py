@@ -81,23 +81,39 @@ def minhash_coeffs(k: int) -> tuple[int, int]:
 def token_shingles_col(tok_col: str, n: int = 3) -> dict[str, str]:
     """n-token shingles over a MATERIALIZED token-array column. Use this on
     the Spark side: inlining the tokenizer into the lambda re-evaluates
-    split() for every element_at — O(tokens^2) per document. Callers must
-    restrict to rows with size(tokens) >= n."""
+    split() for every element_at — O(tokens^2) per document. TOTAL like
+    `token_shingles`: short docs yield an empty list (Spark's sequence()
+    runs backwards on start>stop and ANSI element_at throws)."""
     sp_parts = ", ' ', ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
     du_parts = " || ' ' || ".join(f"{tok_col}[i + {j}]" for j in range(n))
     return {
-        "spark": f"transform(sequence(1, size({tok_col}) - {n - 1}), i -> concat({sp_parts}))",
+        "spark": (
+            f"CASE WHEN size({tok_col}) < {n} THEN array() "
+            f"ELSE transform(sequence(1, size({tok_col}) - {n - 1}), "
+            f"i -> concat({sp_parts})) END"
+        ),
         "duck": f"[{du_parts} FOR i IN range(1, len({tok_col}) - {n - 2})]",
     }
 
 
 def token_shingles(tok: dict[str, str], n: int = 3) -> dict[str, str]:
-    """n-token shingles (space-joined). Callers must restrict to rows with
-    size(tokens) >= n — Spark's sequence() runs backwards on start>stop."""
+    """n-token shingles (space-joined). TOTAL on both engines: a doc with
+    fewer than n tokens yields an empty list. The Spark guard matters
+    beyond semantics — `sequence(1, size-{n-1})` runs BACKWARDS on
+    start>stop ([1,0] for 2 tokens), and under Spark 4's default ANSI mode
+    the resulting out-of-range element_at THROWS; optimizer-inferred
+    predicates (e.g. InferFiltersFromGenerate's `size(sh) > 0` below an
+    explode) can evaluate this expression on rows a caller-side
+    `size(tokens) >= n` filter would have dropped, so the expression itself
+    must be safe. DuckDB's range() is already empty on start>stop."""
     sp_parts = ", ' ', ".join(f"element_at({tok['spark']}, i + {j})" for j in range(n))
     du_parts = " || ' ' || ".join(f"({tok['duck']})[i + {j}]" for j in range(n))
     return {
-        "spark": f"transform(sequence(1, size({tok['spark']}) - {n - 1}), i -> concat({sp_parts}))",
+        "spark": (
+            f"CASE WHEN size({tok['spark']}) < {n} THEN array() "
+            f"ELSE transform(sequence(1, size({tok['spark']}) - {n - 1}), "
+            f"i -> concat({sp_parts})) END"
+        ),
         "duck": f"[{du_parts} FOR i IN range(1, len({tok['duck']}) - {n - 2})]",
     }
 

@@ -134,6 +134,37 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 3,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >= `min_shared`
+    distinct n-token shingles with ANY benchmark/eval document (the
+    standard n-gram-overlap test-set leakage check in LLM training-data
+    pipelines). Returns (id, n_shared) for contaminated docs.
+
+    Scale shape: the benchmark side is an eval set — tiny relative to the
+    corpus — so its distinct shingle hashes broadcast; the corpus pays one
+    shingle pass + one broadcast hash join + one groupBy on doc id. The
+    corpus NEVER self-joins and never shuffles on shingles."""
+    c = shingle_doc(corpus, id_col, text_col)
+    b = shingle_doc(benchmark, id_col, text_col)
+    bench_hashes = b.select(F.explode("sh").alias("h")).distinct()
+    return (
+        c.select("id", F.explode("sh").alias("h"))
+        .join(F.broadcast(bench_hashes), "h")
+        # sh is array_distinct per doc, so (id, h) rows are unique — a plain
+        # count IS the distinct shared-shingle count (no countDistinct state)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -99,6 +99,52 @@ def with_fingerprint(
     return df.withColumn("fingerprint", F.expr(expr))
 
 
+def repetition_fragments(text_col: str = "text", n: int = 3) -> dict[str, str]:
+    """Internal n-gram repetition ratio — the Gopher/MassiveText-style
+    quality signal: 1 - distinct_ngrams/total_ngrams, 0.0 for docs too
+    short to shingle. Highly repetitive (template/boilerplate) docs score
+    near 1. Pure expression in both dialects; the division is exact-int ->
+    IEEE double, so Spark and DuckDB print identical values."""
+    tok = P.tokens(text_col)
+    sh = P.token_shingles(tok, n)
+    return {
+        "spark": (
+            f"CASE WHEN size({tok['spark']}) < {n} THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE 1.0 - CAST(size(array_distinct({sh['spark']})) AS DOUBLE)"
+            f" / size({sh['spark']}) END"
+        ),
+        "duck": (
+            f"CASE WHEN len({tok['duck']}) < {n} THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE 1.0 - CAST(len(list_distinct({sh['duck']})) AS DOUBLE)"
+            f" / len({sh['duck']}) END"
+        ),
+    }
+
+
+def with_repetition_ratio(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Spark-side evaluation materializes tokens and shingles to columns
+    first (CollapseProject keeps multiply-referenced non-cheap aliases in
+    their own projection), so the text is split once per row — the inline
+    `repetition_fragments` spelling would re-split per array element."""
+    tok = P.tokens(text_col)["spark"]
+    shc = P.token_shingles_col("_rtoks", n)["spark"]
+    return (
+        df.withColumn("_rtoks", F.expr(tok))
+        .withColumn("_rsh", F.expr(shc))  # fragment is total: [] when short
+        .withColumn(
+            "repetition_ratio",
+            F.expr(
+                "CASE WHEN size(_rsh) = 0 THEN CAST(0.0 AS DOUBLE) "
+                "ELSE 1.0 - CAST(size(array_distinct(_rsh)) AS DOUBLE)"
+                " / size(_rsh) END"
+            ),
+        )
+        .drop("_rtoks", "_rsh")
+    )
+
+
 def token_hashes_fragments(text_col: str = "text") -> dict[str, str]:
     """md5-derived hash per whitespace token — shared by SimHash and tests."""
     tok = P.tokens(text_col)

@@ -663,3 +663,72 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 1)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def _decontaminate_oracle(min_shared: int = 3) -> str:
+    """DuckDB oracle: same shingle-hash sets (`P.shingle_hashes`), benchmark
+    = every 97th doc id (a deterministic pseudo-eval set), corpus = the
+    rest; a corpus doc is contaminated when it shares >= min_shared distinct
+    shingle hashes with the benchmark's union set."""
+    sh = P.shingle_hashes("text")["duck"]
+    return f"""
+    WITH shingled AS (
+        SELECT doc_id, {sh} AS sh FROM documents WHERE {_NTOK['duck']} >= 3
+    ),
+    bench AS (
+        SELECT DISTINCT h
+        FROM (SELECT unnest(sh) AS h FROM shingled WHERE doc_id % 97 = 0)
+    ),
+    hits AS (
+        SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM (SELECT doc_id, unnest(sh) AS h FROM shingled WHERE doc_id % 97 <> 0) c
+        JOIN bench USING (h)
+        GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_shared FROM hits WHERE n_shared >= {min_shared}
+    """
+
+
+@register(
+    "dedup_decontaminate",
+    oracle=_decontaminate_oracle(),
+    tags=("dedup", "decontamination"),
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (n-gram test-set-leakage check): corpus
+    docs sharing >= 3 distinct 3-token shingles with the pseudo-eval set
+    (doc_id % 97 = 0). Broadcast the eval shingle hashes; the corpus never
+    self-joins — the scale shape of every production decontamination pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    out = D.decontaminate(corpus, bench, "doc_id", min_shared=3)
+    return out.select(F.col("id").alias("doc_id"), "n_shared")
+
+
+def _repetition_oracle() -> str:
+    from ..operators.text import repetition_fragments
+
+    rep = repetition_fragments("text")["duck"]
+    return f"""
+    SELECT doc_id, {rep} AS repetition_ratio
+    FROM documents
+    WHERE {rep} > 0.0
+    """
+
+
+@register(
+    "text_repetition",
+    oracle=_repetition_oracle(),
+    tags=("text", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal n-gram repetition ratio (Gopher/MassiveText-style quality
+    signal): docs with any repeated 3-token shingle, with the ratio.
+    Pure expression — one scan, no shuffle before the filter."""
+    from ..operators.text import with_repetition_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_repetition_ratio(docs).filter(
+        F.col("repetition_ratio") > 0.0
+    ).select("doc_id", "repetition_ratio")

@@ -1,0 +1,101 @@
+"""Decontamination (n-gram test-set-leakage check) and repetition-ratio
+quality signal — operator-level semantics on hand-built corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pq_cdc_spark.operators.dedup import decontaminate
+from go_pq_cdc_spark.operators.text import with_repetition_ratio
+
+
+def test_decontaminate_flags_overlap_not_clean_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            # verbatim copy of the benchmark doc -> all shingles shared
+            (1, "the quick brown fox jumps over the lazy dog"),
+            # partial overlap: shares exactly the benchmark's first shingles
+            (2, "the quick brown fox sat still today ok fine"),
+            # no 3-gram overlap at all
+            (3, "completely unrelated words about spark plans here"),
+            # too short to shingle -> never flagged
+            (4, "two words"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r["n_shared"]
+        for r in decontaminate(corpus, bench, min_shared=2).collect()
+    }
+    assert out[1] == 7  # 9 tokens -> 7 shingles, all shared
+    assert out[2] == 2  # "the quick brown", "quick brown fox"
+    assert 3 not in out and 4 not in out
+
+    # threshold monotonicity: raising min_shared can only drop docs
+    strict = {r["id"] for r in decontaminate(corpus, bench, min_shared=5).collect()}
+    assert strict == {1}
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = corpus.limit(2)
+    plan = (
+        decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # eval set broadcast, corpus streams
+
+
+def test_shingle_paths_total_on_short_docs(spark):
+    """ANSI regression gate: docs with < n tokens must flow through every
+    shingle-based path as empty sets, never as an out-of-range element_at
+    (Spark's sequence() runs backwards on start>stop; optimizer-inferred
+    predicates can evaluate the shingle expression on rows the caller's
+    size-guard filter would drop)."""
+    from go_pq_cdc_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the quick brown fox jumps over the lazy dog"),
+            (2, "en", "the quick brown fox jumps over the lazy dog"),
+            (3, "en", "two words"),
+            (4, "en", "one"),
+            (5, "en", ""),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, "doc_id").collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+    jac = ngram_jaccard_pairs(docs, "doc_id", block_col="lang").collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in jac} == {(1, 2)}
+
+
+def test_repetition_ratio_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 7 shingles, 3 distinct
+            (2, "one two three four five"),  # all distinct -> 0.0
+            (3, "x y"),  # too short -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["repetition_ratio"]
+        for r in with_repetition_ratio(docs).collect()
+    }
+    assert abs(out[1] - (1.0 - 3.0 / 7.0)) < 1e-12
+    assert out[2] == 0.0 and out[3] == 0.0
+
+    # expression-only: no shuffle in the plan (narrow projection off the scan)
+    plan = (
+        with_repetition_ratio(docs)
+        .filter(F.col("repetition_ratio") > 0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
