@@ -27,8 +27,11 @@ tuple/data.go:10-15).
 
 from __future__ import annotations
 
+import logging
 import struct
 from dataclasses import dataclass, field
+
+_log = logging.getLogger(__name__)
 
 # Microseconds between PostgreSQL epoch (2000-01-01) and Unix epoch.
 PG_EPOCH_OFFSET_US = 946_684_800_000_000
@@ -330,6 +333,15 @@ class PgOutputDecoder:
             sxid, subxid = struct.unpack_from(">II", payload, pos)
             self._stream_xid = None
             return StreamAbort(sxid, subxid)
+        if tag in (b"O", b"Y", b"M"):
+            # Origin / Type / logical-decoding Message: valid protocol bytes
+            # the engine does not consume. The reference logs-and-skips any
+            # byte outside its switch (`pq/message/message.go:70-72`,
+            # `replication/stream.go:414-418` debug-log + return) — a live
+            # stream with a replication origin or a custom column type must
+            # keep flowing, not die. Returning None skips the frame.
+            _log.debug("skipping pgoutput message %r (not consumed)", tag)
+            return None
         raise ValueError(f"unknown pgoutput message tag {tag!r}")
 
 

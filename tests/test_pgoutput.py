@@ -121,6 +121,24 @@ def test_dml_before_relation_fails_loudly():
         PgOutputDecoder().decode(insert_msg())
 
 
+def test_origin_type_logical_messages_skipped_not_fatal():
+    """Origin ('O'), Type ('Y'), and logical-decoding Message ('M') are
+    valid protocol bytes the engine does not consume; the reference
+    debug-logs and skips them (message.go:70-72, stream.go:414-418) — a
+    live stream with a replication origin or custom column types must keep
+    flowing. A decoder kill here would be a stream-fatal parity bug."""
+    d = PgOutputDecoder()
+    assert d.decode(b"O" + struct.pack(">Q", 123) + b"origin_name\x00") is None
+    assert d.decode(b"Y" + struct.pack(">I", 600001) + b"public\x00hstore\x00") is None
+    assert d.decode(b"M" + b"\x00" + struct.pack(">Q", 9) + b"pfx\x00" + b"\x00\x00\x00\x02hi") is None
+    # the stream continues normally afterwards
+    assert isinstance(d.decode(relation_msg()), Relation)
+    assert isinstance(d.decode(insert_msg()), Insert)
+    # truly unknown bytes still fail loudly (malformed stream)
+    with pytest.raises(ValueError, match="unknown pgoutput"):
+        d.decode(b"Q\x00")
+
+
 def test_update_with_key_image_and_unchanged_toast():
     d = PgOutputDecoder()
     d.decode(relation_msg())
