@@ -111,6 +111,70 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(op, schema=MEDIA_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("frame_hash", T.StringType(), True),
+    ]
+)
+
+
+def _frame_kernel(payload: bytes, ts_ms: int, duration_ms: int) -> bytes:
+    """STUB: the real kernel seeks to `ts_ms` and decodes one frame
+    (ffmpeg/pyav — not in this container). The deterministic fake slices a
+    64-byte window whose offset is proportional to ts/duration, so outputs
+    are stable, distinct per timestamp, and pipeline-testable."""
+    if not payload:
+        return b""
+    off = int((ts_ms / max(1, duration_ms)) * max(0, len(payload) - 64))
+    return payload[off : off + 64]
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Uniform temporal frame sampling for video rows: one output row per
+    (video, frame), timestamps at the midpoints of `n_frames` equal spans
+    (ts_i = (i + 0.5)/n * duration — the standard uniform clip-sampling
+    policy). The sampling policy, video filter, per-frame fan-out, Arrow
+    batching, and output schema are real; only the decode-at-timestamp
+    kernel is stubbed (`_frame_kernel`). Swapping in a real codec does not
+    change the Spark plan.
+
+    Scale: output is n_frames× the video row count but each frame row is
+    small; repartition by media_id keeps a video's frames in one task
+    without shuffling payloads twice."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "ts_ms": [], "frame": [],
+                "frame_hash": [],
+            }
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                dur = int(dur) if dur is not None and dur > 0 else 1
+                for i in range(n_frames):
+                    ts = int((i + 0.5) * dur / n_frames)
+                    frame = _frame_kernel(payload, ts, dur)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(ts)
+                    out["frame"].append(frame)
+                    out["frame_hash"].append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", "payload", F.col("meta.duration_ms").alias("duration_ms"))
+        .repartition(par, F.col("media_id"))
+        .mapInPandas(op, schema=FRAME_SCHEMA)
+    )
+
+
 def media_dedup(features: DataFrame) -> DataFrame:
     """Exact media dedup on content hash (same shape as text exact dedup)."""
     return features.groupBy("content_hash").agg(

@@ -264,6 +264,31 @@ class TestMultimodal:
         grp = {r["canonical_id"]: r["n_copies"] for r in dups}
         assert grp[1] == 2  # ids 1,2 collapse
 
+    def test_sample_frames_uniform_policy(self, spark):
+        """Frame sampling: one row per (video, frame), timestamps at the
+        midpoints of n equal spans, deterministic frames, non-video rows
+        excluded. The codec is the documented stub; the policy, fan-out,
+        and schema are the real contract."""
+        from go_pq_cdc_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+        rows = [
+            Row(media_id=1, kind="video", payload=bytes(range(256)) * 4,
+                meta=Row(mime="video/mp4", width=0, height=0, duration_ms=8000)),
+            Row(media_id=2, kind="image", payload=b"img",
+                meta=Row(mime="image/png", width=1, height=1, duration_ms=None)),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = sample_frames(df, n_frames=4).collect()
+        assert {r["media_id"] for r in out} == {1}  # image rows excluded
+        frames = sorted(out, key=lambda r: r["frame_idx"])
+        assert [r["ts_ms"] for r in frames] == [1000, 3000, 5000, 7000]
+        assert all(len(r["frame"]) == 64 for r in frames)
+        # distinct timestamps sample distinct windows; re-run is identical
+        assert len({r["frame_hash"] for r in frames}) == 4
+        again = sorted(sample_frames(df, n_frames=4).collect(),
+                       key=lambda r: r["frame_idx"])
+        assert [r["frame_hash"] for r in again] == [r["frame_hash"] for r in frames]
+
 
 def test_snapshot_pin_probe_options():
     """What's-wrong r2 #6: the pin-verification probe must use the SAME
