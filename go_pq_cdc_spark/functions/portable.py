@@ -120,7 +120,14 @@ def token_shingles(tok: dict[str, str], n: int = 3) -> dict[str, str]:
 
 def shingle_hashes(col: str, n: int = 3) -> dict[str, str]:
     """Distinct md5-derived hashes (mod 2^31-1) of the n-token shingles of
-    a text column — the MinHash input set."""
+    a text column — the MinHash input set.
+
+    Cross-engine contract: SET equality, not list equality — Spark's
+    array_distinct keeps first-occurrence order while DuckDB's
+    list_distinct does not guarantee one. Every consumer is
+    order-insensitive (array_min/list_min for MinHash, array_intersect/
+    list_intersect + size/len for Jaccard), which
+    tests/test_portable_fragments.py pins."""
     tok = tokens(col)
     sh = token_shingles(tok, n)
     h = md5_hash_m31({"spark": "sh", "duck": "sh"})
