@@ -219,6 +219,82 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Offline k-means for the IVF coarse quantizer (Lloyd's iterations,
+    Spark-first): seeds are the k lowest-id vectors (deterministic — no
+    RNG, reproducible plans), each iteration is assign (broadcast
+    centroids, exact fixed-point argmax inner product — the same metric
+    `ivf_assign` serves with) then recompute means elementwise.
+
+    Scale shape per iteration: one narrow corpus pass for assignment + one
+    shuffle keyed on (cluster, dim) for the means — dimension fan-out keeps
+    the aggregation wide rather than deep, so no reducer sees more than one
+    (cluster, dim) slice. Centroids are k×dims floats — driver-size by
+    construction. Returns (id_col, vec_col) ready to drop into `ivf_topk`'s
+    centroids argument."""
+    sess = df.sparkSession
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # Deterministic farthest-point seeding (k-means++ without RNG): seed 0
+    # is the lowest id; each next seed is the vector whose best inner
+    # product against the chosen seeds is LOWEST (ties by id). Naive
+    # lowest-k-ids seeding collapses when input order correlates with
+    # cluster structure — all seeds land in one cluster and Lloyd's cannot
+    # recover the rest. k-1 extra narrow passes, each with broadcast seeds.
+    dot = P.scaled_dot("v", "cv", "v")["spark"]
+    seeds = [(0, vecs.orderBy("id").limit(1).collect()[0]["v"])]
+    for i in range(1, k):
+        seed_df = sess.createDataFrame(seeds, "cent_id long, cv array<float>")
+        far = (
+            vecs.join(F.broadcast(seed_df))
+            .withColumn("cdot", F.expr(dot))
+            .groupBy("id")
+            .agg(F.max("cdot").alias("best"))
+            .orderBy(F.asc("best"), F.asc("id"))
+            .limit(1)
+            .collect()[0]["id"]
+        )
+        seeds.append((i, vecs.filter(F.col("id") == far).collect()[0]["v"]))
+    cents = sess.createDataFrame(seeds, "cent_id long, cv array<float>")
+    for _ in range(iters):
+        assigned = ivf_assign(
+            vecs.withColumnRenamed("id", id_col).withColumnRenamed("v", vec_col),
+            cents.select(F.col("cent_id").alias(id_col), F.col("cv").alias(vec_col)),
+            id_col,
+            vec_col,
+        )
+        means = (
+            assigned.select("cent_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cent_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("dims")
+            )
+            .select(
+                "cent_id",
+                F.expr("transform(dims, d -> CAST(d.m AS FLOAT))").alias("cv"),
+            )
+        )
+        # empty clusters keep their previous centroid (standard Lloyd's fix)
+        new_rows = {r["cent_id"]: r["cv"] for r in means.collect()}
+        prev = {r["cent_id"]: r["cv"] for r in cents.collect()}
+        merged = [(cid, new_rows.get(cid, cv)) for cid, cv in prev.items()]
+        cents = sess.createDataFrame(merged, "cent_id long, cv array<float>")
+    # (id_col, vec_col)-shaped so the result drops straight into ivf_topk's
+    # centroids argument
+    return cents.select(
+        F.col("cent_id").alias(id_col), F.col("cv").alias(vec_col)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: DataFrame,

@@ -80,3 +80,41 @@ def test_ivf_nprobe_recall_is_monotone(spark):
     for q, neighbors in multi.items():
         assert q not in neighbors
         assert len(neighbors) == len(set(neighbors)) <= 5
+
+
+def test_kmeans_centroids_separate_clusters(spark):
+    """Lloyd's on three well-separated direction clusters: every cluster
+    ends up represented (empty seeds inherit their previous centroid), the
+    trained centroids drop into ivf_topk unchanged, and cell-local search
+    keeps neighbors inside the query's own cluster."""
+    import math
+
+    def vec(base, jitter):
+        raw = [b + jitter * 0.01 for b in base]
+        n = math.sqrt(sum(x * x for x in raw))
+        return [float(x / n) for x in raw]
+
+    bases = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0],
+    }
+    rows = [
+        (cluster * 100 + j, vec(bases[cluster], j))
+        for cluster in bases
+        for j in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = S.kmeans_centroids(df, k=3, iters=4)
+    got = {r["vec_id"]: r["embedding"] for r in cents.collect()}
+    assert set(got) == {0, 1, 2}
+    # each trained centroid points dominantly along exactly one base axis,
+    # and all three axes are covered
+    axes = sorted(max(range(4), key=lambda d: c[d]) for c in got.values())
+    assert axes == [0, 1, 2]
+
+    queries = df.filter(F.col("vec_id").isin([5, 105, 205]))
+    top = _topk_map(S.ivf_topk(df, cents, queries, k=3))
+    for q, neigh in top.items():
+        assert all(n // 100 == q // 100 for n in neigh)  # same-cluster only
