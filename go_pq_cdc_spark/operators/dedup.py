@@ -55,14 +55,16 @@ def band_key_fragments(sig: str, band_var: str = "b") -> dict[str, str]:
 def shingle_doc(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """(id, sh) with sh = distinct 3-token-shingle hashes; rows with <3
     tokens dropped (can't shingle). Tokens are materialized to a column
-    first (see token_shingles_col) and the input repartitioned so a
-    single-file table still parallelizes the hashing."""
-    par = df.sparkSession.sparkContext.defaultParallelism
+    first (see token_shingles_col) and a NARROW input widened so a
+    single-file table still parallelizes the hashing — already-wide inputs
+    are left untouched (no shuffle at scale; see scale.spread_small_input)."""
+    from .scale import spread_small_input
+
     tok = P.tokens(text_col)["spark"]
     sh = P.token_shingles_col("toks")["spark"]
     h = P.md5_hash_m31("sh")["spark"]
     return (
-        df.repartition(par, F.col(id_col))
+        spread_small_input(df, F.col(id_col))
         .withColumn("toks", F.expr(tok))
         .filter(F.expr("size(toks) >= 3"))
         .select(

@@ -13,6 +13,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_small_input(df: DataFrame, *keys) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than the
+    session's default parallelism.
+
+    Why conditional (r4 verdict): several operators repartitioned their
+    input unconditionally so a small local table (one parquet row-group)
+    would still evaluate expensive interpreted HOF projections on every
+    core. At 100 TB the scan already has thousands of splits, and an
+    unconditional `repartition()` is a full shuffle of the dataset bought
+    for nothing. This helper keeps the local-parallelism benefit and makes
+    the at-scale path a structural no-op: no Exchange is injected when the
+    input is already wide (plan-gated in tests/test_plans_explain.py).
+
+    `df.rdd.getNumPartitions()` materializes the physical plan but does
+    not launch a job.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *keys)
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 32
 ) -> None:

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import portable as P
+from .scale import spread_small_input
 
 LSH_PLANES = 8
 # Pseudo-random hyperplane component for plane k, dim j: centered int in
@@ -33,14 +34,14 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine. Query side is broadcast;
-    ranking is a per-query window (shuffle on query id only)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
+    ranking is a per-query window (shuffle on query id only). The corpus is
+    widened only when the input is narrower than the session parallelism
+    (see `spread_small_input`) — at scale there is no injected shuffle."""
     norm = P.scaled_dot("v", "v", "v")["spark"]
-    corpus = (
-        df.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("v"))
-        .repartition(par, F.col("c_id"))
-        .withColumn("c_nrm", F.expr(norm))
-    )
+    corpus = spread_small_input(
+        df.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("v")),
+        F.col("c_id"),
+    ).withColumn("c_nrm", F.expr(norm))
     qset = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
     ).withColumn("q_nrm", F.expr(P.scaled_dot("qv", "qv", "qv")["spark"]))
@@ -94,13 +95,26 @@ def with_lsh_bucket(
     """Assign each vector its LSH bucket — candidate generation for ANN is
     then an equi-join on `bucket` (optionally multi-probe neighbors).
 
-    The bucket is coalesced to -1 (NULL embedding sentinel) so the column is
-    non-nullable: when it becomes a join key, Catalyst then does NOT infer an
-    `isnotnull(bucket)` filter — which matters because the HOF expression is
-    CodegenFallback (no common-subexpression elimination), so an inferred
-    null-check would re-evaluate the full planes×dims aggregate per row."""
+    The bucket is coalesced non-nullable: when it becomes a join key,
+    Catalyst then does NOT infer an `isnotnull(bucket)` filter — which
+    matters because the HOF expression is CodegenFallback (no
+    common-subexpression elimination), so an inferred null-check would
+    re-evaluate the full planes×dims aggregate per row.
+
+    NULL embeddings get a PER-ROW-UNIQUE negative sentinel
+    (-1 - monotonically_increasing_id, disjoint from the real bucket range
+    [0, 2^planes)). Without the explicit null-route, a NULL vector FOLDS TO
+    BUCKET 0 (each plane's `CASE dot > 0 … ELSE 0` swallows the NULL dot),
+    colliding with real bucket-0 vectors and emitting NULL-cosine neighbor
+    rows (ADVICE r4). Unique sentinels can never equi-join anything, so
+    NULL vectors drop out of ANN candidate generation while the column
+    stays non-nullable (the coalesce's final branch is non-nullable)."""
     expr = F.coalesce(
-        F.expr(lsh_bucket_fragments(vec_col, planes)["spark"]), F.lit(-1).cast("long")
+        F.when(
+            F.col(vec_col).isNotNull(),
+            F.expr(lsh_bucket_fragments(vec_col, planes)["spark"]),
+        ),
+        F.lit(-1).cast("long") - F.monotonically_increasing_id(),
     )
     return df.withColumn("bucket", expr)
 
@@ -125,17 +139,17 @@ def ann_topk_lsh(
     O(probes * bucket) — still sub-linear, no new shuffle shape (the join
     key is unchanged; only the broadcast query side fans out).
 
-    The corpus is repartitioned to the session parallelism before the
-    bucket/norm projection: the interpreted HOF bucket expression is the
-    dominant cost, and a small input (few parquet row-groups) would
-    otherwise evaluate it in a handful of tasks while the rest of the
-    cluster idles. At scale the input already has enough splits and AQE
-    coalesces the exchange; locally this is the difference between 1 core
-    and all of them."""
-    par = df.sparkSession.sparkContext.defaultParallelism
+    The corpus is widened to the session parallelism before the bucket/norm
+    projection ONLY when the input is narrow (see `spread_small_input`):
+    the interpreted HOF bucket expression is the dominant cost, and a small
+    input (few parquet row-groups) would otherwise evaluate it in a handful
+    of tasks — while at scale the scan already has thousands of splits and
+    no Exchange is injected."""
     corpus = with_lsh_bucket(
-        df.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("v"))
-        .repartition(par, F.col("c_id")),
+        spread_small_input(
+            df.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("v")),
+            F.col("c_id"),
+        ),
         "v",
         planes,
     ).withColumn("c_nrm", F.expr(P.scaled_dot("v", "v", "v")["spark"]))
@@ -185,9 +199,24 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_assign: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest centroid
-    by (exact fixed-point) inner product — broadcast the centroid table,
-    one narrow pass over the corpus, argmax via per-vector window.
+    """IVF coarse quantization: assign every vector to its nearest `n_assign`
+    centroids by (exact fixed-point) inner product — ZERO-SHUFFLE.
+
+    The centroid table is driver-size by construction (k×dims floats), so
+    it is folded into a single `array<struct<cent_id, cv>>` row (one tiny
+    collect_list aggregate) that is broadcast to every task; the argmax is
+    then a pure Catalyst expression over that array — sort the
+    (neg-dot, cent_id) structs (lexicographic = dot DESC, cent_id ASC,
+    identical tie-break to the reference ordering), slice the first
+    n_assign, explode. One narrow pass over the corpus, no join fan-out,
+    no window.
+
+    Why not the r4 shape (broadcast-join × k + row_number window): that
+    plan materialized corpus×k rows and then SHUFFLED them all on `id` for
+    the window — at 100 TB that shuffle is the whole job. This plan's only
+    exchanges are the single-row broadcast and the k-row partial aggregate
+    (plan-gated: tests/test_plans_explain.py asserts no hash-partition
+    Exchange in the assignment stage).
 
     `n_assign` > 1 keeps the n nearest centroids per vector — used on the
     QUERY side as the nprobe knob (corpus stays single-assigned so the
@@ -195,27 +224,26 @@ def ivf_assign(
 
     Centroids are a supplied DataFrame (cent_id, cv): at scale they come
     from offline k-means; tests use a deterministic subset of the corpus.
-
-    The corpus is repartitioned on `id` BEFORE the broadcast join: the
-    argmax window shuffles on id anyway, so hoisting the exchange above the
-    scan costs no extra shuffle while moving the expensive fixed-point dot
-    evaluation (interpreted HOF) into a fully parallel stage — and the
-    window's ENSURE_REQUIREMENTS exchange collapses into this one."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    dot = P.scaled_dot("v", "cv", "v")["spark"]
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).repartition(
-        par, F.col("id")
+    A NULL dot (NULL vector or centroid) sorts last — same as the old
+    window's DESC NULLS LAST — via a max-int64 coalesce."""
+    dot = P.scaled_dot("v", "c.cv", "v")["spark"]
+    vecs = spread_small_input(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), F.col("id")
     )
-    cents = centroids.select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    cent_row = centroids.select(
+        F.struct(
+            F.col(id_col).cast("long").alias("cent_id"), F.col(vec_col).alias("cv")
+        ).alias("c")
+    ).agg(F.collect_list("c").alias("cents"))
+    ranked = (
+        f"slice(array_sort(transform(cents, c -> struct("
+        f"coalesce(-({dot}), 9223372036854775807L) AS nd, c.cent_id AS cent_id))), "
+        f"1, {int(n_assign)})"
     )
-    w = Window.partitionBy("id").orderBy(F.desc("cdot"), F.asc("cent_id"))
     return (
-        vecs.join(F.broadcast(cents))
-        .withColumn("cdot", F.expr(dot))
-        .withColumn("crn", F.row_number().over(w))
-        .filter(F.col("crn") <= n_assign)
-        .select("id", "v", "cent_id")
+        vecs.crossJoin(F.broadcast(cent_row))  # single-row build side
+        .withColumn("asn", F.explode(F.expr(ranked)))
+        .select("id", "v", F.col("asn.cent_id").alias("cent_id"))
     )
 
 
@@ -227,10 +255,24 @@ def kmeans_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Offline k-means for the IVF coarse quantizer (Lloyd's iterations,
-    Spark-first): seeds are the k lowest-id vectors (deterministic — no
-    RNG, reproducible plans), each iteration is assign (broadcast
-    centroids, exact fixed-point argmax inner product — the same metric
-    `ivf_assign` serves with) then recompute means elementwise.
+    Spark-first): deterministic kmeans‖-style seeding in ONE corpus pass,
+    then each iteration is assign (expression argmax over broadcast
+    centroids — the same metric `ivf_assign` serves with) and an
+    elementwise mean recompute.
+
+    Seeding (r4 verdict item 6): draw `k*oversample` candidates by ranking
+    on an md5-derived pseudo-random key — a TakeOrderedAndProject
+    (per-partition top-k + merge, no global sort, ONE pass) — then run
+    greedy farthest-point selection DRIVER-SIDE over that candidate set
+    (k*oversample rows × dims floats: driver-size). r4's seeding made k-1
+    full corpus passes with a collect() each. The pseudo-random draw keeps
+    the farthest-point property kmeans++ needs (candidates land in every
+    sizeable cluster w.h.p.) while staying RNG-free and reproducible.
+
+    Guards (ADVICE r4): an empty corpus returns an empty centroid frame
+    (no IndexError); already-chosen seeds are excluded from re-selection;
+    k is clamped to the candidate count so seeds are always distinct rows;
+    NULL vectors are filtered before seeding and assignment.
 
     Scale shape per iteration: one narrow corpus pass for assignment + one
     shuffle keyed on (cluster, dim) for the means — dimension fan-out keeps
@@ -239,27 +281,35 @@ def kmeans_centroids(
     construction. Returns (id_col, vec_col) ready to drop into `ivf_topk`'s
     centroids argument."""
     sess = df.sparkSession
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # Deterministic farthest-point seeding (k-means++ without RNG): seed 0
-    # is the lowest id; each next seed is the vector whose best inner
-    # product against the chosen seeds is LOWEST (ties by id). Naive
-    # lowest-k-ids seeding collapses when input order correlates with
-    # cluster structure — all seeds land in one cluster and Lloyd's cannot
-    # recover the rest. k-1 extra narrow passes, each with broadcast seeds.
-    dot = P.scaled_dot("v", "cv", "v")["spark"]
-    seeds = [(0, vecs.orderBy("id").limit(1).collect()[0]["v"])]
-    for i in range(1, k):
-        seed_df = sess.createDataFrame(seeds, "cent_id long, cv array<float>")
-        far = (
-            vecs.join(F.broadcast(seed_df))
-            .withColumn("cdot", F.expr(dot))
-            .groupBy("id")
-            .agg(F.max("cdot").alias("best"))
-            .orderBy(F.asc("best"), F.asc("id"))
-            .limit(1)
-            .collect()[0]["id"]
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    oversample = 8
+    n_cand = max(k * oversample, k)
+    rkey = P.md5_hash("CAST(id AS STRING)")["spark"]
+    cand = (
+        vecs.withColumn("rk", F.expr(rkey)).orderBy("rk", "id").limit(n_cand).collect()
+    )
+    if not cand:
+        return sess.createDataFrame([], "cent_id long, cv array<float>").select(
+            F.col("cent_id").alias(id_col), F.col("cv").alias(vec_col)
         )
-        seeds.append((i, vecs.filter(F.col("id") == far).collect()[0]["v"]))
+
+    def fdot(a, b):  # driver-side mirror of portable.scaled_dot
+        return sum(round(x * 1e6) * round(y * 1e6) for x, y in zip(a, b))
+
+    by_id = sorted(cand, key=lambda r: r["id"])
+    chosen, chosen_ids = [by_id[0]], {by_id[0]["id"]}
+    while len(chosen) < min(k, len(by_id)):
+        # next seed: the unchosen candidate whose best (max) inner product
+        # against the chosen seeds is LOWEST — ties by id
+        nxt = min(
+            (r for r in by_id if r["id"] not in chosen_ids),
+            key=lambda r: (max(fdot(r["v"], s["v"]) for s in chosen), r["id"]),
+        )
+        chosen.append(nxt)
+        chosen_ids.add(nxt["id"])
+    seeds = [(i, r["v"]) for i, r in enumerate(chosen)]
     cents = sess.createDataFrame(seeds, "cent_id long, cv array<float>")
     for _ in range(iters):
         assigned = ivf_assign(

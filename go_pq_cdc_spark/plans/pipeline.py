@@ -628,11 +628,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Hamming distance. Threshold 1 because this corpus's shared
     vocabulary makes bag-of-words SimHash collide aggressively.
     Same equi-join-on-band scale shape as MinHash LSH."""
+    from ..operators.scale import spread_small_input
     from ..operators.text import with_simhash
 
-    par = spark.sparkContext.defaultParallelism
     docs = with_simhash(
-        load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+        spread_small_input(load_table(spark, sf_dir, "documents"), F.col("doc_id"))
     ).select("doc_id", "simhash")
     bands = docs.select(
         "doc_id",

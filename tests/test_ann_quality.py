@@ -82,6 +82,35 @@ def test_ivf_nprobe_recall_is_monotone(spark):
         assert len(neighbors) == len(set(neighbors)) <= 5
 
 
+def test_kmeans_empty_corpus_and_oversized_k(spark):
+    """ADVICE r4 guards: an empty corpus yields an empty centroid frame
+    (no IndexError), and k greater than the corpus size is clamped with
+    distinct seeds (the old farthest-point loop re-selected seeded rows)."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert S.kmeans_centroids(empty, k=3, iters=2).count() == 0
+
+    small = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    rows = S.kmeans_centroids(small, k=5, iters=2).collect()
+    assert len(rows) == 2  # clamped to corpus size
+    vecs = [tuple(r["embedding"]) for r in rows]
+    assert len(set(vecs)) == 2  # distinct seeds, no duplicate centroids
+
+
+def test_null_embeddings_never_match_each_other(spark):
+    """ADVICE r4: NULL-embedding rows get per-row-unique bucket sentinels,
+    so a NULL query can never 'match' another NULL corpus row and emit
+    NULL-cosine neighbors (the shared -1 sentinel did exactly that)."""
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, [1.0, 0.0]), (3, [0.9, 0.1]), (4, [0.8, 0.2])],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.ann_topk_lsh(df, df, k=5).collect()
+    assert all(r["cos_sim"] is not None for r in out)
+    assert all(r["q_id"] not in (0, 1) and r["neighbor_id"] not in (0, 1) for r in out)
+
+
 def test_kmeans_centroids_separate_clusters(spark):
     """Lloyd's on three well-separated direction clusters: every cluster
     ends up represented (empty seeds inherit their previous centroid), the

@@ -129,6 +129,30 @@ def test_emb_near_dup_lsh_is_equi_join(spark):
     assert "Join" in plan  # an actual equi-join on the bucket
 
 
+def test_ivf_assign_zero_shuffle_on_wide_input(spark):
+    """r5 gate (r4 verdict item 1): ivf_assign must be a pure expression
+    argmax over a broadcast centroid array — the r4 shape (broadcast join
+    fan-out ×k + row_number window) shuffled corpus×k rows, which at 100 TB
+    is the whole job. On a corpus already at session parallelism the plan
+    must contain NO Window and NO corpus-side hash-partition Exchange: the
+    only allowed exchanges are the test's own input widening, the k-row
+    centroid fold (single partition) and its broadcast."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.operators import similarity as S
+
+    emb = load_table(spark, SF_DIR, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    df = S.ivf_assign(emb, emb.filter(F.col("vec_id") < 8))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "ivf_assign regressed to the window-argmax shape"
+    # the test's explicit repartition appears once per side it feeds
+    # (corpus + centroid fold); spread_small_input must add NOTHING
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 2, f"unexpected shuffle in ivf_assign:\n{plan}"
+
+
 def test_lsh_bucket_not_reevaluated_by_null_filters(spark):
     """r4 perf fix gate: the HOF bucket expression is CodegenFallback (no
     common-subexpression elimination), so a join-inferred isnotnull(bucket)

@@ -17,11 +17,26 @@ from go_pq_cdc_spark.catalog import load_table
 from go_pq_cdc_spark.operators.scale import (
     dedup_within_watermark,
     salted_agg_counts,
+    spread_small_input,
     write_bucketed,
 )
 from go_pq_cdc_spark.streaming.changelog_stream import FLAT_CHANGE_SCHEMA, changelog_stream
 
 from .conftest import SF_DIR
+
+
+def test_spread_small_input_adaptive(spark):
+    """r5 gate (r4 verdict item 2): widening is conditional — an input
+    already at/above session parallelism is returned STRUCTURALLY UNTOUCHED
+    (no injected Exchange at 100 TB), while a narrow input is repartitioned
+    to the session parallelism."""
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000).repartition(par, "id")
+    assert spread_small_input(wide, F.col("id")) is wide
+    narrow = spark.range(0, 1000).coalesce(1)
+    out = spread_small_input(narrow, F.col("id"))
+    assert out.rdd.getNumPartitions() == par
+    assert out.count() == 1000
 
 
 def test_bucketed_join_is_shuffle_free(spark):
