@@ -25,48 +25,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Gate scheduling: the correctness runner caps at 50 of the registry's
 # entries per round, so rows that NEED a fresh driver-green signal run
-# FIRST. For round 4 that is: the 13 queries that erred in r3 (all via the
-# single catalog.py Spark-4 regression, now fixed), the 8 rows r3 never
-# reached, and the 4 entries whose shape changed this round by folding
-# redundant variants (text_profile, q_set_ops, q_rollup_cube,
-# snapshot_chunk_stats+markers). The tail holds rows rotated OUT this
-# round — every one hash-green in the r3 driver run with its code
-# untouched since (named in NOTES_r4.md).
+# FIRST. For round 5 that is: the 8 TPC-H rows that rode on an r3 signal
+# through r4 (r4 verdict item 3), then every query whose plan changed this
+# round (the similarity family's ivf/LSH/repartition rewrite, the dedup
+# shingle widening, q22's broadcast scalar subquery). The tail holds rows
+# rotated OUT — each green in the r4 driver run with code untouched since,
+# and re-verified locally against DuckDB at sf0.01 this round
+# (NOTES_r5.md).
 _GATE_HEAD = [
-    # r3 err(env) — regression fix must re-green these
-    "cdc_toast_fill",
-    "cdc_commit_order",
-    "cdc_op_route_counts",
-    "cdc_ack_watermark",
-    "cdc_snapshot_handoff",
-    "cdc_latest_state",
-    "cdc_before_image",
-    "cdc_truncate_state",
-    "cdc_scd2_intervals",
-    "q_sessionize",
-    "q_asof_last_click",
-    "q_range_join_bursts",
-    "q_full_outer_activity",
-    # untested in r3 (driver cap)
-    "q_json_extract",
-    "q_pivot_event_counts",
-    "q_distinct_custs",
-    "q_percentiles",
-    "q_scalar_gauntlet",
-    "dedup_exact",
-    "q_salted_event_counts",
-    "cdc_hypertable_mapping",
-    # folded/reshaped this round
-    "text_profile",
-    "q_set_ops",
-    "q_rollup_cube",
-    "snapshot_chunk_stats",
-    # new operators this round — first driver signal needed
-    "dedup_decontaminate",
-    "text_repetition",
-]
-_GATE_TAIL = [
-    # rotated out r4: all driver-green in CORRECTNESS_r03, code untouched
+    # r3-green only (rotated out in r4) — need a fresh driver row
     "q7_nation_volume",
     "q8_market_share",
     "q10_returned_items",
@@ -74,7 +41,32 @@ _GATE_TAIL = [
     "q14_promo_revenue",
     "q18_large_volume_customers",
     "q19_bracketed_revenue",
-    "q22_idle_rich_customers",
+    "q22_idle_rich_customers",  # also reshaped: broadcast scalar subquery
+    # plans reshaped in r5 — ivf expression argmax, adaptive widening,
+    # NULL-bucket sentinel, one-pass kmeans seeding
+    "sim_ivf_topk",
+    "sim_ann_lsh_topk",
+    "sim_cosine_topk",
+    "sim_lsh_buckets",
+    "emb_near_dup_lsh",
+    "dedup_simhash_pairs",
+    # shingle_doc widening feeds these
+    "dedup_minhash_lsh",
+    "dedup_cluster_assign",
+    "dedup_decontaminate",
+    "curation_pipeline",
+]
+_GATE_TAIL = [
+    # rotated out r5: all driver-green in CORRECTNESS_r04, code untouched,
+    # locally re-matched vs DuckDB at sf0.01 this session
+    "q_json_extract",
+    "q_pivot_event_counts",
+    "q_distinct_custs",
+    "q_percentiles",
+    "q_scalar_gauntlet",
+    "q_set_ops",
+    "q_rollup_cube",
+    "q_grouping_sets",
 ]
 
 
