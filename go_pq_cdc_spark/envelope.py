@@ -114,17 +114,35 @@ def table_struct(columns: list[tuple[str, str]]) -> T.StructType:
     return T.StructType([T.StructField(n, pg_type_to_spark(t), True) for n, t in columns])
 
 
+def _as_string_leaves(dt: T.DataType) -> T.DataType:
+    """Mirror an (arbitrarily nested) ArrayType with StringType leaves —
+    the parse schema for the transport's JSON-encoded array text."""
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_as_string_leaves(dt.elementType), True)
+    return T.StringType()
+
+
 def typed_projection(df: DataFrame, image: str, schema: T.StructType) -> DataFrame:
     """Project a string-map change image (`before`/`after`) to typed columns.
 
     Transport keeps maps for schema-evolution safety; consumers get typed
     columns via per-field cast — the engine-side analogue of the reference's
     OID decode step (`pq/message/tuple/data.go:52-95`).
-    """
-    cols = [
-        F.element_at(F.col(image), field.name).cast(field.dataType).alias(field.name)
-        for field in schema.fields
-    ]
+
+    Array-typed fields arrive as JSON text — the socket path re-encodes PG
+    `{1,2,3}` literals via `pgoutput.pg_array_text_to_json`, and wal2json
+    emits JSON arrays natively (Spark's map<string,string> from_json keeps
+    nested values as their raw JSON text) — so one `from_json` to a
+    string-leaf array + an elementwise cast types both transports. Stays
+    fully JVM-side: from_json + cast, no Python in the hot path."""
+    cols = []
+    for fld in schema.fields:
+        raw = F.element_at(F.col(image), fld.name)
+        if isinstance(fld.dataType, T.ArrayType):
+            typed = F.from_json(raw, _as_string_leaves(fld.dataType)).cast(fld.dataType)
+        else:
+            typed = raw.cast(fld.dataType)
+        cols.append(typed.alias(fld.name))
     return df.select(*df.columns, *cols)
 
 

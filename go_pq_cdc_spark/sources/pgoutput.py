@@ -27,6 +27,7 @@ tuple/data.go:10-15).
 
 from __future__ import annotations
 
+import json
 import logging
 import struct
 from dataclasses import dataclass, field
@@ -35,6 +36,130 @@ _log = logging.getLogger(__name__)
 
 # Microseconds between PostgreSQL epoch (2000-01-01) and Unix epoch.
 PG_EPOCH_OFFSET_US = 946_684_800_000_000
+
+# Stable pg_type catalog OIDs (public PostgreSQL catalog; the reference
+# resolves the same OIDs through pgtype's registry so numeric/array/json
+# columns arrive typed, `pq/message/tuple/data.go:97-102`). `_x` names are
+# the catalog's array-type spelling that `envelope.pg_type_to_spark`
+# already maps to ArrayType.
+PG_OID_TO_NAME: dict[int, str] = {
+    16: "bool",
+    17: "bytea",
+    18: "char",
+    19: "name",
+    20: "int8",
+    21: "int2",
+    23: "int4",
+    25: "text",
+    26: "oid",
+    114: "json",
+    142: "xml",
+    700: "float4",
+    701: "float8",
+    790: "money",
+    1042: "bpchar",
+    1043: "varchar",
+    1082: "date",
+    1083: "time",
+    1114: "timestamp",
+    1184: "timestamptz",
+    1186: "interval",
+    1700: "numeric",
+    2950: "uuid",
+    3802: "jsonb",
+    # array types
+    199: "_json",
+    1000: "_bool",
+    1001: "_bytea",
+    1005: "_int2",
+    1007: "_int4",
+    1009: "_text",
+    1014: "_bpchar",
+    1015: "_varchar",
+    1016: "_int8",
+    1021: "_float4",
+    1022: "_float8",
+    1115: "_timestamp",
+    1182: "_date",
+    1183: "_time",
+    1185: "_timestamptz",
+    1231: "_numeric",
+    2951: "_uuid",
+    3807: "_jsonb",
+}
+
+ARRAY_OIDS = frozenset(oid for oid, name in PG_OID_TO_NAME.items() if name.startswith("_"))
+
+
+def pg_type_name(oid: int) -> str:
+    """OID -> catalog type name; unknown OIDs degrade to text, mirroring the
+    reference's decode fallback (`pq/message/tuple/data.go:100-101`)."""
+    return PG_OID_TO_NAME.get(oid, "text")
+
+
+def pg_array_text_to_json(text: str) -> str:
+    """PostgreSQL text-format array literal -> JSON text.
+
+    '{1,2,3}' -> '["1", "2", "3"]';  '{"a b",NULL}' -> '["a b", null]';
+    nested '{{1},{2}}' -> '[["1"], ["2"]]'. Elements stay STRINGS (JSON
+    strings) — element typing happens in `envelope.typed_projection` via
+    from_json + elementwise cast, so one canonical transport encoding
+    serves every element type. Handles double-quote escaping (\\" and \\\\),
+    unquoted NULL, empty arrays, and the dimension prefix ('[1:3]={...}').
+    This is the socket-path analogue of pgtype's array decode
+    (`pq/message/tuple/data.go:97-102`); the wal2json path already delivers
+    JSON arrays, so the two transports converge on the same envelope text.
+    """
+    s = text.strip()
+    if s.startswith("["):  # explicit dimension bounds prefix
+        eq = s.find("=")
+        if eq == -1:
+            raise ValueError(f"malformed PG array literal: {text!r}")
+        s = s[eq + 1 :]
+    if not s.startswith("{"):
+        raise ValueError(f"not a PG array literal: {text!r}")
+
+    def parse(i: int) -> tuple[list, int]:
+        i += 1  # past '{'
+        out: list = []
+        if i < len(s) and s[i] == "}":
+            return out, i + 1
+        while i < len(s):
+            ch = s[i]
+            if ch == "{":
+                sub, i = parse(i)
+                out.append(sub)
+            elif ch == '"':
+                i += 1
+                buf = []
+                while i < len(s) and s[i] != '"':
+                    if s[i] == "\\":
+                        i += 1
+                    buf.append(s[i])
+                    i += 1
+                if i >= len(s):
+                    raise ValueError(f"unterminated quote in PG array: {text!r}")
+                i += 1
+                out.append("".join(buf))
+            else:
+                j = i
+                while j < len(s) and s[j] not in ",}":
+                    j += 1
+                tok = s[i:j]
+                out.append(None if tok.upper() == "NULL" else tok)
+                i = j
+            if i < len(s) and s[i] == ",":
+                i += 1
+                continue
+            if i < len(s) and s[i] == "}":
+                return out, i + 1
+            break
+        raise ValueError(f"malformed PG array literal: {text!r}")
+
+    out, end = parse(0)
+    if s[end:].strip():
+        raise ValueError(f"trailing garbage in PG array literal: {text!r}")
+    return json.dumps(out)
 
 
 class UnchangedToast:
@@ -350,6 +475,16 @@ class PgOutputDecoder:
 _OPS = {Insert: "I", Update: "U", Delete: "D"}
 
 
+def relation_table_struct(rel: Relation):
+    """Typed Spark schema for a live Relation message — OID -> catalog name
+    -> Spark type. Feed the result to `envelope.typed_projection` for the
+    socket path's per-table typed columns (the reference's analogue is the
+    Relation-driven pgtype decode, `pq/message/format/relation.go:68-87`)."""
+    from ..envelope import table_struct
+
+    return table_struct([(col.name, pg_type_name(col.type_oid)) for col in rel.columns])
+
+
 def frames_to_envelope(frames):
     """XLogData frames -> envelope-shaped dicts, the same rows
     `wal2json.decode_wal2json` produces JVM-side:
@@ -359,7 +494,13 @@ def frames_to_envelope(frames):
     markers stamp xid + commit timestamp on the txn's DMLs (txn assembly /
     commit-LSN rewrite stays in `operators.cdc.commit_order`). Keepalive
     frames are skipped — the caller answers them with
-    `standby_status_update`."""
+    `standby_status_update`.
+
+    Array-typed columns (Relation OID in ARRAY_OIDS) are re-encoded from
+    PG text-array format to JSON text so the envelope carries the SAME
+    encoding the wal2json path does — `envelope.typed_projection` turns
+    either into a typed array column (pgtype-parity,
+    `pq/message/tuple/data.go:97-102`)."""
     dec = PgOutputDecoder()
     xid = None
     commit_ts_us = None
@@ -377,13 +518,20 @@ def frames_to_envelope(frames):
         if op is None:
             continue  # Relation/Truncate/Stream* are control flow here
         rel = dec.relations[msg.relation_oid]
+        array_cols = {c.name for c in rel.columns if c.type_oid in ARRAY_OIDS}
 
         def clean(img):
             if img is None:
                 return None
-            return {
-                k: (None if v is UNCHANGED_TOAST else v) for k, v in img.items()
-            }
+            out = {}
+            for k, v in img.items():
+                if v is UNCHANGED_TOAST:
+                    out[k] = None
+                elif k in array_cols and isinstance(v, str):
+                    out[k] = pg_array_text_to_json(v)
+                else:
+                    out[k] = v
+            return out
 
         yield {
             "op": op,

@@ -257,6 +257,55 @@ def test_frames_to_envelope_roundtrip():
     assert all(r["schema"] == "public" and r["table"] == "users" for r in rows)
 
 
+# -- typed value decode: PG text arrays -> JSON (r4 verdict item 4) ----------
+
+
+def test_pg_array_text_to_json_forms():
+    """The socket path's pgtype analogue: every documented text-array form
+    converts to canonical JSON text (elements stay strings; typing happens
+    in envelope.typed_projection)."""
+    import json
+
+    from go_pq_cdc_spark.sources.pgoutput import pg_array_text_to_json as f
+
+    assert json.loads(f("{1,2,3}")) == ["1", "2", "3"]
+    assert json.loads(f("{}")) == []
+    assert json.loads(f('{"a b","c,d",NULL,bare}')) == ["a b", "c,d", None, "bare"]
+    assert json.loads(f('{"he said \\"hi\\"","back\\\\slash"}')) == [
+        'he said "hi"',
+        "back\\slash",
+    ]
+    assert json.loads(f("{{1,2},{3,4}}")) == [["1", "2"], ["3", "4"]]
+    assert json.loads(f("[0:1]={5,6}")) == ["5", "6"]
+    # quoted "NULL" is the literal string, bare NULL is SQL NULL
+    assert json.loads(f('{"NULL",NULL}')) == ["NULL", None]
+    assert json.loads(f('{"{brace,comma}"}')) == ["{brace,comma}"]
+    for bad in ("1,2", "{1,2", "{1}x", "[1:2]"):
+        with pytest.raises(ValueError):
+            f(bad)
+
+
+def test_frames_to_envelope_recodes_array_columns_as_json():
+    """Columns whose Relation OID is an array type arrive in the envelope
+    map as JSON text (same encoding the wal2json path produces) — scalar
+    columns keep their wire text."""
+    import json
+
+    from go_pq_cdc_spark.sources.pgoutput import frames_to_envelope
+
+    cols = (("id", 20, True), ("tags", 1009, False), ("nums", 1007, False))
+    frames = [
+        XLogData(10, 10, 0, relation_msg(cols=cols)),
+        XLogData(11, 11, 0, b"B" + struct.pack(">QqI", 20, 5, 900)),
+        XLogData(12, 12, 0, insert_msg(vals=("7", '{a,"b c"}', "{1,2,NULL}"))),
+        XLogData(20, 20, 0, b"C" + struct.pack(">bQQq", 0, 20, 21, 5)),
+    ]
+    (row,) = list(frames_to_envelope(frames))
+    assert row["after"]["id"] == "7"
+    assert json.loads(row["after"]["tags"]) == ["a", "b c"]
+    assert json.loads(row["after"]["nums"]) == ["1", "2", None]
+
+
 # -- property: encode/decode round-trip --------------------------------------
 
 from hypothesis import given, settings
