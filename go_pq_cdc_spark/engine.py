@@ -358,28 +358,52 @@ class CdcEngine:
 
     def register_view(self, state_dir: str, name: str) -> DataFrame:
         """Expose the mirror to SQL: `spark.sql(f"SELECT ... FROM {name}")`
-        resolves to the current state (SURVEY §7's catalog-resolution
-        nice-to-have, done the Spark-first way — a temp view over
-        `current_state`, re-resolved against the manifest at call time)."""
-        df = self.current_state(state_dir)
-        df.createOrReplaceTempView(name)
-        return df
+        resolves to the state at the LAST MERGE COMMIT (SURVEY §7's
+        catalog-resolution nice-to-have, done the Spark-first way).
+
+        The view binds the bucket paths of the manifest snapshot, and GC
+        deletes superseded bucket dirs — so the view is KEPT CURRENT by the
+        merge itself: `merge_mirror_batch` re-registers every view recorded
+        for this state_dir right after the manifest swap and before GC
+        (ADVICE r4). A query planned concurrently with a merge can still
+        race file deletion — the same exposure any non-MVCC file source
+        has; use a table format (Delta/Iceberg) when snapshot-isolated
+        readers are required."""
+        from .streaming.changelog_stream import register_mirror_view
+
+        return register_mirror_view(self.spark, state_dir, name)
 
     # -- observability (O33) ------------------------------------------------
 
     def status_server(self, wal_dir: str | None = None, host: str = "127.0.0.1", port: int = 0):
         """Start the /status + /metrics + /slot HTTP surface
-        (`internal/http/server.go:36-60`). The listener is registered with
-        this session's stream manager; pass `wal_dir` so /slot serves live
-        confirmed/current LSNs from the segment log. Returns the started
-        `StatusServer` (`.port`, `.listener`, `.stop()`)."""
+        (`internal/http/server.go:36-60`). ONE listener per engine is
+        registered with the session's stream manager (repeated start/stop
+        cycles used to leak a listener each — ADVICE r4) and `stop()`
+        detaches it. Pass `wal_dir` so /slot serves live confirmed/current
+        LSNs from the segment log. Returns the started `StatusServer`
+        (`.port`, `.listener`, `.stop()`)."""
         from .observability import CdcMetricsListener, StatusServer
 
-        listener = CdcMetricsListener()
-        self.spark.streams.addListener(listener)
+        listener = getattr(self, "_status_listener", None)
+        if listener is None:
+            listener = CdcMetricsListener()
+            self._status_listener = listener
+            self.spark.streams.addListener(listener)
         if wal_dir is not None:
             listener.attach_wal_dir(wal_dir, self.config.slot_name)
-        return StatusServer(listener, host=host, port=port).start()
+        server = StatusServer(listener, host=host, port=port, spark=self.spark).start()
+        # stop() detaches the listener from the session; drop our cache so a
+        # later status_server() re-registers a fresh one
+        orig_stop = server.stop
+
+        def stop_and_clear() -> None:
+            orig_stop()
+            if getattr(self, "_status_listener", None) is listener:
+                self._status_listener = None
+
+        server.stop = stop_and_clear
+        return server
 
 
 def snapshot_only(df, out_dir: str, mode: str = "error_if_exists") -> bool:

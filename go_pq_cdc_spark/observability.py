@@ -44,6 +44,7 @@ class CdcMetricsListener(StreamingQueryListener):
         self._lock = threading.Lock()
         self.metrics = CdcMetrics()
         self._wal_dir: str | None = None
+        self._active_queries: set[str] = set()
 
     def attach_wal_dir(self, wal_dir: str, slot_name: str | None = None) -> None:
         """Serve live LSNs from the segment log: each /slot request re-reads
@@ -59,7 +60,8 @@ class CdcMetricsListener(StreamingQueryListener):
     # -- listener callbacks -------------------------------------------------
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
-        pass
+        with self._lock:
+            self._active_queries.add(str(event.id))
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
@@ -73,7 +75,8 @@ class CdcMetricsListener(StreamingQueryListener):
             m.last_event_time = p.timestamp
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
-        pass
+        with self._lock:
+            self._active_queries.discard(str(event.id))
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
@@ -140,7 +143,11 @@ class CdcMetricsListener(StreamingQueryListener):
                 "confirmed_flush_lsn": m.confirmed_lsn,
                 "current_lsn": m.latest_lsn,
                 "retained_wal_bytes": retained,
-                "active": m.batches > 0,
+                # live stream state, not a cumulative counter (ADVICE r4):
+                # the reference's slot.Info.Active reflects
+                # pg_replication_slots per request — here a query is active
+                # from onQueryStarted until onQueryTerminated
+                "active": len(self._active_queries) > 0,
             }
 
     def prometheus_text(self) -> str:
@@ -173,7 +180,17 @@ class StatusServer:
     estimate), served from a daemon thread over stdlib http.server — no
     framework dependency on the driver."""
 
-    def __init__(self, listener: CdcMetricsListener, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        listener: CdcMetricsListener,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        spark=None,
+    ):
+        """`spark` (optional SparkSession): when given, `stop()` also
+        detaches the listener from the session's stream manager — without
+        it, repeated start/stop cycles leak listeners that keep receiving
+        callbacks (ADVICE r4)."""
         import http.server
         import json as _json
 
@@ -204,6 +221,7 @@ class StatusServer:
                 pass
 
         self.listener = listener
+        self._spark = spark
         self._server = http.server.ThreadingHTTPServer((host, port), Handler)
         self.port = self._server.server_address[1]
         self._thread: threading.Thread | None = None
@@ -218,3 +236,9 @@ class StatusServer:
     def stop(self) -> None:
         self._server.shutdown()
         self._server.server_close()
+        if self._spark is not None:
+            try:
+                self._spark.streams.removeListener(self.listener)
+            except Exception:  # already removed / session gone — best effort
+                pass
+            self._spark = None

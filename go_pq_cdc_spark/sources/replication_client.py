@@ -95,14 +95,20 @@ class ReplicationConnection:
         database: str,
         password: str | None = None,
         timeout_s: float | None = 10.0,
+        replication: bool = True,
     ) -> "ReplicationConnection":
+        """`replication=True` opens a logical-replication session
+        (START_REPLICATION capable); `replication=False` opens a plain SQL
+        session over the same wire machinery — used by the live-server
+        integration harness to drive DDL/DML without any driver
+        dependency."""
         sock = socket.create_connection((host, port), timeout=timeout_s)
         conn = cls(sock)
-        params = (
-            f"user\x00{user}\x00database\x00{database}\x00"
-            "replication\x00database\x00\x00"
-        ).encode()
-        body = struct.pack(">i", PROTOCOL_VERSION) + params
+        params = f"user\x00{user}\x00database\x00{database}\x00"
+        if replication:
+            params += "replication\x00database\x00"
+        params += "\x00"
+        body = struct.pack(">i", PROTOCOL_VERSION) + params.encode()
         sock.sendall(struct.pack(">i", len(body) + 4) + body)
         conn._authenticate(user, password)
         return conn
@@ -156,6 +162,41 @@ class ReplicationConnection:
                 return  # ReadyForQuery
             else:
                 raise ReplicationError(f"unexpected message {tag!r} during startup")
+
+    # -- simple query protocol ----------------------------------------------
+
+    def simple_query(self, sql: str) -> list[tuple]:
+        """Run one statement via the simple-query protocol ('Q' message,
+        PG docs §55.2.2) and return DataRows as tuples of str|None (text
+        format — callers cast). Replication sessions accept this for the
+        walsender grammar (IDENTIFY_SYSTEM, CREATE_REPLICATION_SLOT…);
+        non-replication sessions (`connect(replication=False)`) accept
+        arbitrary SQL — the integration harness's driver-free SQL path."""
+        self._send(b"Q", sql.encode() + b"\x00")
+        rows: list[tuple] = []
+        error: bytes | None = None
+        while True:
+            tag, body = self._read_message()
+            if tag == b"D":
+                (ncols,) = struct.unpack_from(">H", body)
+                pos, vals = 2, []
+                for _ in range(ncols):
+                    (ln,) = struct.unpack_from(">i", body, pos)
+                    pos += 4
+                    if ln < 0:
+                        vals.append(None)
+                    else:
+                        vals.append(body[pos : pos + ln].decode())
+                        pos += ln
+                rows.append(tuple(vals))
+            elif tag == b"E":
+                error = body
+            elif tag == b"Z":  # ReadyForQuery — statement finished
+                if error is not None:
+                    raise ReplicationError(f"query failed: {error!r} ({sql[:120]})")
+                return rows
+            # ignore T (RowDescription), C (CommandComplete), N (Notice),
+            # S (ParameterStatus), I (EmptyQueryResponse)
 
     # -- replication --------------------------------------------------------
 

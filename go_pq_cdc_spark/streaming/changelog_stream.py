@@ -114,6 +114,20 @@ def read_mirror(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(*paths).select("pk", "lsn", "op", "after_val")
 
 
+_MIRROR_VIEWS: dict[str, set[str]] = {}  # abspath(state_dir) -> view names
+
+
+def register_mirror_view(spark: SparkSession, state_dir: str, name: str) -> DataFrame:
+    """Temp view over the mirror's current manifest, KEPT CURRENT across
+    merges: `merge_mirror_batch` re-registers every view recorded here
+    right after its manifest swap (and before GC deletes the superseded
+    bucket dirs the old view plan referenced — ADVICE r4)."""
+    _MIRROR_VIEWS.setdefault(os.path.abspath(state_dir), set()).add(name)
+    df = read_mirror(spark, state_dir)
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def lookup_mirror(spark: SparkSession, state_dir: str, pks: list[int]) -> DataFrame:
     """Point lookup with bucket pruning: each pk hashes to exactly one
     bucket (`_bucket_col`, the same deterministic expression the merge
@@ -279,6 +293,10 @@ def merge_mirror_batch(
     manifest["epoch"] = epoch
     os.makedirs(state_dir, exist_ok=True)
     _write_manifest(state_dir, manifest)
+    # refresh registered SQL views BEFORE GC deletes the bucket dirs their
+    # old plans reference (register_mirror_view / ADVICE r4)
+    for view_name in _MIRROR_VIEWS.get(os.path.abspath(state_dir), ()):
+        read_mirror(batch_df.sparkSession, state_dir).createOrReplaceTempView(view_name)
     _gc_epochs(state_dir, manifest)
 
 

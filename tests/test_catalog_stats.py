@@ -284,6 +284,31 @@ class TestStatusServer:
         assert slot["retained_wal_bytes"] == 500
 
 
+    def test_slot_active_tracks_stream_liveness(self):
+        """ADVICE r4: /slot 'active' mirrors live stream state (started and
+        not yet terminated) — not a forever-true cumulative batch count."""
+        from types import SimpleNamespace
+
+        listener = CdcMetricsListener()
+        assert listener.get_slot()["active"] is False
+        listener.onQueryStarted(SimpleNamespace(id="q1"))
+        assert listener.get_slot()["active"] is True
+        listener.onQueryTerminated(SimpleNamespace(id="q1"))
+        assert listener.get_slot()["active"] is False
+
+    def test_stop_detaches_listener_from_session(self):
+        """ADVICE r4: StatusServer.stop() must remove the listener from the
+        stream manager — repeated start/stop cycles used to leak one per
+        call."""
+        from unittest.mock import MagicMock
+
+        listener = CdcMetricsListener()
+        fake_spark = MagicMock()
+        srv = StatusServer(listener, spark=fake_spark).start()
+        srv.stop()
+        fake_spark.streams.removeListener.assert_called_once_with(listener)
+
+
 def test_engine_plan_snapshot_auto_wiring():
     """CdcEngine.plan_snapshot_auto: connection -> catalog stats -> plan,
     honoring the table's query condition and the configured chunk size."""

@@ -174,6 +174,72 @@ def _session(auth, password="secret"):
     return srv, conn
 
 
+class FakeSqlServer(threading.Thread):
+    """Startup + trust auth, then answers simple-query 'Q' messages with a
+    canned RowDescription/DataRow/CommandComplete/ReadyForQuery sequence —
+    enough to pin the non-replication session + simple_query wire path."""
+
+    def __init__(self):
+        super().__init__(daemon=True)
+        self.listener = socket.socket()
+        self.listener.bind(("127.0.0.1", 0))
+        self.listener.listen(1)
+        self.port = self.listener.getsockname()[1]
+        self.startup_params: dict = {}
+        self.queries: list[str] = []
+        self._rbuf = b""
+        self.errors: list[str] = []
+
+    _exact = FakePgServer._exact
+    _read_msg = FakePgServer._read_msg
+    _read_startup = FakePgServer._read_startup
+
+    def run(self):
+        try:
+            conn, _ = self.listener.accept()
+            self._read_startup(conn)
+            conn.sendall(_msg(b"R", struct.pack(">i", 0)))
+            conn.sendall(_msg(b"Z", b"I"))
+            for _ in range(2):
+                tag, body = self._read_msg(conn)
+                assert tag == b"Q"
+                self.queries.append(body.rstrip(b"\x00").decode())
+                if "boom" in self.queries[-1]:
+                    conn.sendall(_msg(b"E", b"SERROR\x00Mno such table\x00\x00"))
+                else:
+                    # T: one text column named n; two rows: '42', NULL
+                    rowdesc = struct.pack(">H", 1) + b"n\x00" + struct.pack(
+                        ">IhIhih", 0, 0, 25, -1, -1, 0
+                    )
+                    conn.sendall(_msg(b"T", rowdesc))
+                    conn.sendall(_msg(b"D", struct.pack(">H", 1) + struct.pack(">i", 2) + b"42"))
+                    conn.sendall(_msg(b"D", struct.pack(">H", 1) + struct.pack(">i", -1)))
+                    conn.sendall(_msg(b"C", b"SELECT 2\x00"))
+                conn.sendall(_msg(b"Z", b"I"))
+            conn.close()
+        except Exception as exc:
+            self.errors.append(repr(exc))
+
+
+def test_simple_query_session():
+    """connect(replication=False) omits the replication startup param and
+    simple_query returns text-format DataRows (NULL -> None); an
+    ErrorResponse surfaces as ReplicationError after ReadyForQuery."""
+    srv = FakeSqlServer()
+    srv.start()
+    conn = ReplicationConnection.connect(
+        "127.0.0.1", srv.port, "app_user", "appdb", replication=False
+    )
+    assert conn.simple_query("SELECT n FROM t") == [("42",), (None,)]
+    with pytest.raises(Exception, match="query failed"):
+        conn.simple_query("SELECT boom")
+    conn.close()
+    srv.join(timeout=5)
+    assert not srv.errors
+    assert "replication" not in srv.startup_params
+    assert srv.queries == ["SELECT n FROM t", "SELECT boom"]
+
+
 @pytest.mark.parametrize("auth", ["trust", "md5", "scram"])
 def test_full_replication_session(auth):
     srv, conn = _session(auth)

@@ -317,6 +317,19 @@ def test_register_view_resolves_in_sql(spark, tmpdirs):
         "SELECT pk, after_val FROM users_mirror ORDER BY pk"
     ).collect()
     assert [(r["pk"], r["after_val"]) for r in got] == [(1, 1.0), (2, 2.0)]
+
+    # ADVICE r4: later merges GC the bucket dirs the registered view plan
+    # referenced — the merge must re-register the view so spark.sql keeps
+    # working AND serves the post-merge state, not stale/missing files.
+    merge_mirror_batch(
+        spark.createDataFrame([_ev("U", 3, 2, 1, 9.0)], FLAT_CHANGE_SCHEMA),
+        tmpdirs["state"],
+        epoch=1,
+    )
+    got = spark.sql(
+        "SELECT pk, after_val FROM users_mirror ORDER BY pk"
+    ).collect()
+    assert [(r["pk"], r["after_val"]) for r in got] == [(1, 9.0), (2, 2.0)]
     spark.catalog.dropTempView("users_mirror")
 
 
