@@ -55,6 +55,9 @@ _GATE_HEAD = [
     "dedup_cluster_assign",
     "dedup_decontaminate",
     "curation_pipeline",
+    # new operators this round — first driver signal needed
+    "pack_token_sequences",
+    "sample_stratified_mix",
 ]
 _GATE_TAIL = [
     # rotated out r5: all driver-green in CORRECTNESS_r04, code untouched,
@@ -67,6 +70,8 @@ _GATE_TAIL = [
     "q_set_ops",
     "q_rollup_cube",
     "q_grouping_sets",
+    "q_top_orders_per_segment",
+    "q_order_priority_count",
 ]
 
 

@@ -1,0 +1,151 @@
+"""Training-data assembly operators: GPT-style sequence packing and
+deterministic (stratified) sampling.
+
+These are the last-mile ops of an LLM data pipeline — after curation
+(dedup/quality in `operators.dedup` / `operators.text`) the surviving
+documents are (a) sampled into a mixture and (b) concatenated into
+fixed-token-budget training sequences. Both are pure Catalyst expressions
+/ window plans with exact DuckDB oracles (no RNG: sampling is hash-based,
+packing is a deterministic prefix sum), so they hash-compare cross-engine
+like every other operator here.
+
+Scale notes are inline; the headline one: the packing prefix sum is a
+DISTRIBUTED two-level cumsum (range partition -> per-partition window ->
+broadcast partition offsets), never a single-partition global window —
+the classic `Window.orderBy(...)`-without-partitionBy scale-killer is
+exactly what this module exists to avoid at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import portable as P
+
+SAMPLE_BASIS = 10_000  # hash-sampling resolution: fractions quantize to 1e-4
+
+
+def sample_fragments(id_col: str, rate_expr: str) -> dict[str, str]:
+    """Keep-predicate fragments: md5-derived hash of the id, mod BASIS,
+    compared against rate*BASIS. Deterministic, reproducible, and
+    engine-portable — the pipeline answer to `TABLESAMPLE` (which is
+    neither deterministic nor consistent across engines/runs)."""
+    h = P.md5_hash({"spark": f"CAST({id_col} AS STRING)", "duck": f"CAST({id_col} AS VARCHAR)"})
+    return {
+        "spark": f"(({h['spark']}) % {SAMPLE_BASIS}) < CAST(round(({rate_expr}) * {SAMPLE_BASIS}) AS BIGINT)",
+        "duck": f"(({h['duck']}) % {SAMPLE_BASIS}) < CAST(round(({rate_expr}) * {SAMPLE_BASIS}) AS BIGINT)",
+    }
+
+
+def sample_deterministic(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Uniform deterministic sample: a pure narrow filter (no shuffle, no
+    RNG, stable across runs/retries — a recomputed task keeps the same
+    rows, unlike `df.sample`, whose per-task RNG makes retried partitions
+    diverge under speculative execution)."""
+    return df.filter(F.expr(sample_fragments(id_col, repr(float(fraction)))["spark"]))
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata: dict[str, float],
+    strata_col: str,
+    id_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the mixture-weights step of a
+    training-data pipeline ('keep 100% of lang A, 25% of lang B…').
+
+    The strata->rate map is driver-size by definition; it is inlined as a
+    CASE expression so the plan stays a single narrow filter over the
+    corpus — no join, no shuffle, and the parquet scan still prunes on any
+    upstream predicates."""
+    branches = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN CAST({float(v)!r} AS DOUBLE)"
+        for k, v in sorted(strata.items())
+    )
+    rate = f"CASE {branches} ELSE CAST({float(default_fraction)!r} AS DOUBLE) END"
+    return df.filter(F.expr(sample_fragments(id_col, rate)["spark"]))
+
+
+def with_prefix_offsets(
+    df: DataFrame, id_col: str, weight_col: str, out_col: str = "cum_before"
+) -> DataFrame:
+    """Exclusive prefix sum of `weight_col` in `id_col` order — DISTRIBUTED.
+
+    A naive `SUM() OVER (ORDER BY id)` plans as a single-partition window:
+    every row through one task — the canonical 100 TB scale-killer. This is
+    the standard two-level scan instead:
+
+      1. `repartitionByRange(id)` — contiguous id runs per partition;
+      2. per-partition exclusive cumsum (window PARTITIONED by
+         spark_partition_id, so the window shuffle is key-spread, not
+         single-reducer);
+      3. per-partition subtotals (a #partitions-row frame) get their own
+         exclusive cumsum — driver-size, the only serial step — and
+         broadcast-join back as offsets.
+
+    The result is independent of where the range boundaries land, so the
+    output is deterministic even though the range sampler isn't.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(par, F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = parted.withColumn(
+        "_cum_in", F.coalesce(F.sum(weight_col).over(w_in), F.lit(0)).cast("long")
+    )
+    subtot = parted.groupBy("_pid").agg(F.sum(weight_col).alias("_pt"))
+    w_p = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = subtot.withColumn(
+        "_off", F.coalesce(F.sum("_pt").over(w_p), F.lit(0)).cast("long")
+    ).select("_pid", "_off")
+    return (
+        within.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_cum_in") + F.col("_off")).cast("long"))
+        .drop("_pid", "_cum_in", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in id order into a
+    token stream and cut it every `budget` tokens. Each document's
+    placement is fully determined by its exclusive prefix token count:
+
+        seq_first = cum_before        // budget
+        seq_last  = (cum_before + n_tok - 1) // budget   (n_tok > 0)
+
+    so the assignment is a pure expression over the distributed prefix sum
+    (`with_prefix_offsets`) — no sequential state, no driver loop, and a
+    document spanning a boundary is visible as seq_last > seq_first
+    (training pipelines either split it there or mask across the seam).
+    Empty documents pin seq_last = seq_first. Output: one row per doc with
+    (id, n_tok, cum_before, seq_first, seq_last)."""
+    ntok = P.n_tokens(text_col)["spark"]
+    base = df.select(
+        F.col(id_col), F.expr(ntok).cast("long").alias("n_tok")
+    )
+    off = with_prefix_offsets(base, id_col, "n_tok")
+    b = int(budget)
+    # integer division (DIV), not double `/` + cast — bit-exact at any size
+    return off.select(
+        F.col(id_col),
+        "n_tok",
+        "cum_before",
+        F.expr(f"cum_before DIV {b}").alias("seq_first"),
+        F.expr(
+            f"CASE WHEN n_tok > 0 THEN (cum_before + n_tok - 1) DIV {b} "
+            f"ELSE cum_before DIV {b} END"
+        ).alias("seq_last"),
+    )

@@ -732,3 +732,84 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_repetition_ratio(docs).filter(
         F.col("repetition_ratio") > 0.0
     ).select("doc_id", "repetition_ratio")
+
+
+def _pack_oracle(budget: int = 2048) -> str:
+    """DuckDB oracle for sequence packing: ONE global window cumsum — fine
+    for an oracle at sf0.01, exactly the plan the Spark side must NOT use
+    (see training.with_prefix_offsets for the distributed two-level sum)."""
+    return f"""
+    WITH t AS (
+        SELECT doc_id, CAST({_NTOK['duck']} AS BIGINT) AS n_tok FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS cum_before
+        FROM t
+    )
+    SELECT doc_id, n_tok, cum_before,
+           cum_before // {budget} AS seq_first,
+           CASE WHEN n_tok > 0 THEN (cum_before + n_tok - 1) // {budget}
+                ELSE cum_before // {budget} END AS seq_last
+    FROM c
+    """
+
+
+@register(
+    "pack_token_sequences",
+    oracle=_pack_oracle(),
+    tags=("training", "packing"),
+)
+def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents concatenated in id order, cut
+    every 2048 tokens; each doc's (seq_first, seq_last) span from a
+    DISTRIBUTED prefix sum (range partition -> per-partition window ->
+    broadcast offsets) — never the oracle's single-partition global
+    window."""
+    from ..operators.training import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=2048)
+
+
+def _stratified_oracle() -> str:
+    from ..operators.training import sample_fragments
+
+    rate = (
+        "CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) "
+        "WHEN lang = 'de' THEN CAST(0.5 AS DOUBLE) "
+        "WHEN lang = 'fr' THEN CAST(0.25 AS DOUBLE) "
+        "ELSE CAST(0.1 AS DOUBLE) END"
+    )
+    keep = sample_fragments("doc_id", rate)["duck"]
+    return f"""
+    SELECT lang, COUNT(*) AS n_kept
+    FROM documents
+    WHERE {keep}
+    GROUP BY lang
+    """
+
+
+@register(
+    "sample_stratified_mix",
+    oracle=_stratified_oracle(),
+    tags=("training", "sampling"),
+)
+def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (mixture weights per language:
+    en 100%, de 50%, fr 25%, rest 10%): hash-threshold keep predicate, a
+    single narrow filter — no RNG (retry-stable), no shuffle before the
+    count."""
+    from ..operators.training import sample_stratified
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sample_stratified(
+        docs,
+        {"en": 1.0, "de": 0.5, "fr": 0.25},
+        strata_col="lang",
+        id_col="doc_id",
+        default_fraction=0.1,
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))

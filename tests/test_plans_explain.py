@@ -153,6 +153,29 @@ def test_ivf_assign_zero_shuffle_on_wide_input(spark):
     assert n_hash_exchanges <= 2, f"unexpected shuffle in ivf_assign:\n{plan}"
 
 
+def test_pack_sequences_distributed_prefix_sum(spark):
+    """The packing prefix sum must be the two-level distributed shape: the
+    corpus cumsum windows PARTITIONED by spark_partition_id (a key-spread
+    hashpartitioning exchange), and the ONLY single-partition exchange is
+    the #partitions-row subtotal frame — never the whole corpus through
+    one task (the global-ordered-window scale-killer)."""
+    df = plans.REGISTRY["pack_token_sequences"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_pid" in plan, "corpus window lost its partition key"
+    assert plan.count("Exchange SinglePartition") <= 1, (
+        "corpus-side single-partition exchange:\n" + plan
+    )
+
+
+def test_stratified_sample_is_narrow_filter(spark):
+    """Stratified sampling must stay a pure filter over the scan — the
+    strata map inlines as CASE, so no join/shuffle before the count's
+    partial aggregation."""
+    plan = _plan(spark, "sample_stratified_mix")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final count only
+
+
 def test_lsh_bucket_not_reevaluated_by_null_filters(spark):
     """r4 perf fix gate: the HOF bucket expression is CodegenFallback (no
     common-subexpression elimination), so a join-inferred isnotnull(bucket)

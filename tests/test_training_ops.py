@@ -1,0 +1,83 @@
+"""Training-data assembly operators: sequence packing (distributed prefix
+sum correctness incl. empty docs and boundary spans) and deterministic
+sampling (retry-stability, stratified rates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pq_cdc_spark.operators.training import (
+    pack_sequences,
+    sample_deterministic,
+    sample_stratified,
+    with_prefix_offsets,
+)
+
+
+def test_prefix_offsets_match_serial_cumsum(spark):
+    """The two-level distributed sum must equal the serial exclusive
+    cumsum for any id order/weights — including ids far apart and zero
+    weights."""
+    rows = [(i * 7, (i * 13) % 5) for i in range(200)]  # some zero weights
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = {
+        r["id"]: r["cum_before"]
+        for r in with_prefix_offsets(df, "id", "w").collect()
+    }
+    acc = 0
+    for i, w in sorted(rows):
+        assert got[i] == acc, f"id {i}: {got[i]} != {acc}"
+        acc += w
+
+
+def test_pack_sequences_spans_and_boundaries(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # 4 tokens -> seq 0
+            (2, "e f g"),          # tokens 4..6 -> seq 0, crosses at 8? no
+            (3, "h i j k l m"),    # tokens 7..12 -> spans seq 0 -> 1 (budget 8)
+            (4, ""),               # empty doc pins to its boundary seq
+            (5, "n o p"),          # tokens 14..16 -> spans seq 1 -> 2
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tok"], r["cum_before"], r["seq_first"], r["seq_last"])
+        for r in pack_sequences(docs, budget=8).collect()
+    }
+    assert out[1] == (4, 0, 0, 0)
+    assert out[2] == (3, 4, 0, 0)
+    assert out[3] == (6, 7, 0, 1)  # crosses the 8-token boundary
+    # split('') on empty text yields one empty token on Spark AND DuckDB —
+    # the portable n_tokens contract counts it as 1
+    assert out[4][0] == 1
+    assert out[5] == (3, 14, 1, 2)  # tokens 14..16 cross the 16 boundary
+
+
+def test_sample_deterministic_stable_and_monotone(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in sample_deterministic(df, "doc_id", 0.3).collect()}
+    b = {r["doc_id"] for r in sample_deterministic(df, "doc_id", 0.3).collect()}
+    assert a == b  # retry-stable: same rows every run
+    assert 0.2 < len(a) / 2000 < 0.4
+    bigger = {r["doc_id"] for r in sample_deterministic(df, "doc_id", 0.6).collect()}
+    assert a <= bigger  # threshold sampling nests: rate up, superset out
+
+
+def test_sample_stratified_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = sample_stratified(
+        df, {"en": 1.0, "de": 0.2}, strata_col="lang", id_col="doc_id"
+    )
+    counts = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["en"] == 1000  # rate 1.0 keeps everything
+    assert 100 < counts.get("de", 0) < 300  # ~20%
+    # unknown stratum with default 0.0 drops out entirely
+    df2 = spark.createDataFrame([(1, "xx")], "doc_id long, lang string")
+    assert sample_stratified(
+        df2, {"en": 1.0}, strata_col="lang", id_col="doc_id"
+    ).count() == 0
