@@ -392,7 +392,9 @@ class CdcEngine:
             self.spark.streams.addListener(listener)
         if wal_dir is not None:
             listener.attach_wal_dir(wal_dir, self.config.slot_name)
-        server = StatusServer(listener, host=host, port=port, spark=self.spark).start()
+        server = StatusServer(
+            listener, host=host, port=port, spark=self.spark, config=self.config
+        ).start()
         # stop() detaches the listener from the session; drop our cache so a
         # later status_server() re-registers a fresh one
         orig_stop = server.stop

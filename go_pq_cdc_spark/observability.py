@@ -186,11 +186,15 @@ class StatusServer:
         host: str = "127.0.0.1",
         port: int = 0,
         spark=None,
+        config=None,
     ):
         """`spark` (optional SparkSession): when given, `stop()` also
         detaches the listener from the session's stream manager — without
         it, repeated start/stop cycles leak listeners that keep receiving
-        callbacks (ADVICE r4)."""
+        callbacks (ADVICE r4). `config` (optional EngineConfig) enables
+        /debug/config. /debug/threads dumps every Python thread's stack —
+        the driver-side analogue of the reference's pprof goroutine
+        endpoint (`internal/http/server.go`)."""
         import http.server
         import json as _json
 
@@ -207,6 +211,16 @@ class StatusServer:
                 elif self.path == "/slot":
                     body = _json.dumps(outer.listener.get_slot()).encode()
                     ctype = "application/json"
+                elif self.path == "/debug/threads":
+                    body = outer._thread_dump().encode()
+                    ctype = "text/plain"
+                elif self.path == "/debug/config" and outer._config is not None:
+                    import dataclasses
+
+                    body = _json.dumps(
+                        dataclasses.asdict(outer._config), default=str
+                    ).encode()
+                    ctype = "application/json"
                 else:
                     self.send_response(404)
                     self.end_headers()
@@ -222,9 +236,24 @@ class StatusServer:
 
         self.listener = listener
         self._spark = spark
+        self._config = config
         self._server = http.server.ThreadingHTTPServer((host, port), Handler)
         self.port = self._server.server_address[1]
         self._thread: threading.Thread | None = None
+
+    @staticmethod
+    def _thread_dump() -> str:
+        """All live Python threads with stacks — pprof-goroutine analogue
+        for diagnosing a wedged keeper/pump/heartbeat thread."""
+        import sys
+        import traceback
+
+        names = {t.ident: t.name for t in threading.enumerate()}
+        out = []
+        for ident, frame in sys._current_frames().items():
+            out.append(f"--- thread {names.get(ident, '?')} ({ident}) ---")
+            out.extend(line.rstrip() for line in traceback.format_stack(frame))
+        return "\n".join(out) + "\n"
 
     def start(self) -> "StatusServer":
         self._thread = threading.Thread(

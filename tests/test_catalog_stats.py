@@ -296,6 +296,37 @@ class TestStatusServer:
         listener.onQueryTerminated(SimpleNamespace(id="q1"))
         assert listener.get_slot()["active"] is False
 
+    def test_debug_endpoints(self):
+        """/debug/threads dumps every Python thread's stack (pprof-goroutine
+        analogue); /debug/config serves the engine config when provided and
+        404s when not."""
+        import urllib.error
+
+        from go_pq_cdc_spark.config import EngineConfig
+
+        listener = CdcMetricsListener()
+        srv = StatusServer(listener, config=EngineConfig(slot_name="dbg_slot")).start()
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/debug/threads"
+            ) as resp:
+                dump = resp.read().decode()
+            assert "--- thread" in dump and "MainThread" in dump
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/debug/config"
+            ) as resp:
+                cfg = json.loads(resp.read())
+            assert cfg["slot_name"] == "dbg_slot"
+        finally:
+            srv.stop()
+
+        bare = StatusServer(CdcMetricsListener()).start()
+        try:
+            with pytest.raises(urllib.error.HTTPError):
+                urllib.request.urlopen(f"http://127.0.0.1:{bare.port}/debug/config")
+        finally:
+            bare.stop()
+
     def test_stop_detaches_listener_from_session(self):
         """ADVICE r4: StatusServer.stop() must remove the listener from the
         stream manager — repeated start/stop cycles used to leak one per

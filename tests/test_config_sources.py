@@ -322,3 +322,30 @@ def test_snapshot_offset_dbtables():
     assert subqs[-1].endswith("OFFSET 16000) AS chunk_2")
     with pytest.raises(ValueError, match="not WHERE predicates"):
         PG.snapshot_predicates(plan)
+
+
+def test_example_configs_all_load_and_validate():
+    """Every shipped example scenario (examples/*.json — the reference's
+    example/ analogues) must load through config_file.load_config without
+    error, with the scenario's distinguishing knob actually set."""
+    import glob
+    import os
+
+    from go_pq_cdc_spark.config_file import load_config
+
+    ex_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+    paths = sorted(glob.glob(os.path.join(ex_dir, "*.json")))
+    assert len(paths) >= 11, f"missing example configs: {paths}"
+    cfgs = {os.path.basename(p): load_config(p) for p in paths}
+
+    assert cfgs["column-filtering.json"].tables[0].columns == ["id", "name", "email"]
+    assert cfgs["query-condition.json"].global_query_condition
+    assert cfgs["snapshot-only.json"].snapshot_mode == "snapshot_only"
+    assert cfgs["ctid-partitioning.json"].tables[0].snapshot_strategy == "ctid_block"
+    assert cfgs["replica-identity-index.json"].tables[0].replica_identity == "INDEX"
+    assert cfgs["replica-identity-nothing.json"].publish_ops == ("insert",)
+    assert cfgs["partitioned-root.json"].tables[0].partitioned
+    assert cfgs["heartbeat.json"].heartbeat_enabled
+    assert cfgs["streaming-transactions.json"].proto_version == 2
+    assert cfgs["all-tables-timescale.json"].all_tables
+    assert cfgs["all-tables-timescale.json"].enable_timescaledb
