@@ -140,6 +140,15 @@ def typed_projection(df: DataFrame, image: str, schema: T.StructType) -> DataFra
         raw = F.element_at(F.col(image), fld.name)
         if isinstance(fld.dataType, T.ArrayType):
             typed = F.from_json(raw, _as_string_leaves(fld.dataType)).cast(fld.dataType)
+        elif isinstance(fld.dataType, T.BinaryType):
+            # PG sends bytea as hex text ('\xDEADBEEF', the default output
+            # since PG 9.0; both pgoutput wire text and wal2json use it). A
+            # plain string->binary cast would keep the literal characters'
+            # UTF-8 bytes — decode the hex payload instead; non-hex values
+            # (already-raw binary mode) fall through to the cast.
+            typed = F.when(
+                raw.startswith("\\x"), F.unhex(F.substring(raw, 3, 2_147_483_647))
+            ).otherwise(raw.cast(fld.dataType))
         else:
             typed = raw.cast(fld.dataType)
         cols.append(typed.alias(fld.name))

@@ -92,6 +92,20 @@ def test_typed_projection_and_toast(spark):
     assert isinstance(out[1]["id"], int)
 
 
+def test_typed_projection_bytea_hex_decode(spark):
+    """bytea wire text is PG hex format ('\\xDEADBEEF'): the typed
+    projection must decode the hex payload, not keep the literal string's
+    UTF-8 bytes (which a plain cast does)."""
+    df = spark.createDataFrame(
+        [Row(after={"payload": r"\x68656c6c6f", "raw": "already-binary"})],
+        "after map<string,string>",
+    )
+    schema = table_struct([("payload", "bytea"), ("raw", "bytea")])
+    out = typed_projection(df, "after", schema).collect()[0]
+    assert bytes(out["payload"]) == b"hello"
+    assert bytes(out["raw"]) == b"already-binary"  # non-hex falls through
+
+
 def test_socket_typed_decode_arrays_numeric_jsonb(spark, ddb):
     """r4 verdict item 4: _int4 / _text / numeric / jsonb columns survive
     socket -> envelope -> typed projection end-to-end, with values equal to

@@ -56,3 +56,32 @@ def test_metrics_listener_and_op_counters(spark):
         spark.streams.removeListener(listener)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_grafana_dashboard_matches_exposition():
+    """grafana/dashboard.json (the reference's dashboard analogue) must
+    reference only metric names the /metrics exposition actually emits —
+    a rename in prometheus_text() breaks this, not a user's dashboard."""
+    import json
+    import os
+    import re
+
+    from go_pq_cdc_spark.observability import CdcMetricsListener
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "grafana", "dashboard.json"
+    )
+    dash = json.load(open(path))
+    exprs = " ".join(
+        t["expr"] for p in dash["panels"] for t in p.get("targets", [])
+    ) + " " + " ".join(v.get("query", "") for v in dash["templating"]["list"])
+    wanted = set(re.findall(r"go_pq_cdc_spark_[a-z_]+", exprs))
+    assert wanted, "dashboard references no engine metrics"
+
+    listener = CdcMetricsListener()
+    listener.record_confirmed_lsn(10)
+    listener.record_frontier(20)
+    listener.metrics.batches = 1
+    listener.metrics.ops["I"] = 1
+    emitted = set(re.findall(r"go_pq_cdc_spark_[a-z_]+", listener.prometheus_text()))
+    assert wanted <= emitted, f"dashboard references unknown metrics: {wanted - emitted}"
