@@ -90,9 +90,12 @@ def extract_features(df: DataFrame, batch_size_hint: int = 64) -> DataFrame:
                 }
             )
 
-    par = df.sparkSession.sparkContext.defaultParallelism
+    from .scale import spread_small_input
+
+    # adaptive widening only — media payloads are the most expensive bytes
+    # to shuffle, so a wide input must NOT pay a repartition for this
     return (
-        df.repartition(par, F.col("media_id"))
+        spread_small_input(df, F.col("media_id"))
         .select("media_id", "kind", "payload")
         .mapInPandas(op, schema=FEATURE_SCHEMA)
     )
@@ -143,8 +146,9 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     change the Spark plan.
 
     Scale: output is n_frames× the video row count but each frame row is
-    small; repartition by media_id keeps a video's frames in one task
-    without shuffling payloads twice."""
+    small; a NARROW input is widened by media_id so one video's frames stay
+    in one task — wide inputs are untouched (payload bytes never shuffle
+    for nothing; see scale.spread_small_input)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -166,11 +170,15 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                     out["frame_hash"].append(hashlib.sha256(frame).hexdigest())
             yield pd.DataFrame(out)
 
-    par = df.sparkSession.sparkContext.defaultParallelism
+    from .scale import spread_small_input
+
     return (
-        df.filter(F.col("kind") == "video")
-        .select("media_id", "payload", F.col("meta.duration_ms").alias("duration_ms"))
-        .repartition(par, F.col("media_id"))
+        spread_small_input(
+            df.filter(F.col("kind") == "video").select(
+                "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+            ),
+            F.col("media_id"),
+        )
         .mapInPandas(op, schema=FRAME_SCHEMA)
     )
 
