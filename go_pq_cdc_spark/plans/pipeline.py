@@ -761,6 +761,7 @@ def _pack_oracle(budget: int = 2048) -> str:
     "pack_token_sequences",
     oracle=_pack_oracle(),
     tags=("training", "packing"),
+    bench=True,  # new plan family (distributed prefix sum) — track regressions
 )
 def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: documents concatenated in id order, cut

@@ -225,3 +225,61 @@ def test_dedup_clusters_match_union_find(spark_session_holder, edges):
     )
     got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == expected
+
+
+# -- PG text-array literal parser round-trip ---------------------------------
+
+
+def _pg_array_literal(value) -> str:
+    """Serialize a nested list the way PostgreSQL prints array output:
+    quote any element containing specials (or empty, or literal NULL),
+    escape backslash/quote, bare NULL for SQL NULL."""
+    if isinstance(value, list):
+        return "{" + ",".join(_pg_array_literal(v) for v in value) + "}"
+    if value is None:
+        return "NULL"
+    s = str(value)
+    needs_quote = (
+        s == ""
+        or s.upper() == "NULL"
+        or any(c in s for c in ',{}"\\ \t')
+    )
+    if needs_quote:
+        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return s
+
+
+_ELEMENT = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+        max_size=12,
+    ),
+)
+
+
+@given(st.lists(_ELEMENT, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_pg_array_parser_roundtrip_flat(elems):
+    """parse(serialize(x)) == x for any flat string array, including
+    elements with commas, quotes, backslashes, braces, empty strings, the
+    literal string 'NULL', and SQL NULLs."""
+    import json
+
+    from go_pq_cdc_spark.sources.pgoutput import pg_array_text_to_json
+
+    lit = _pg_array_literal(elems)
+    assert json.loads(pg_array_text_to_json(lit)) == elems
+
+
+@given(st.lists(st.lists(_ELEMENT, min_size=1, max_size=4), min_size=1, max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_pg_array_parser_roundtrip_nested(rows):
+    """Two-dimensional arrays round-trip too (PG prints them as nested
+    braces)."""
+    import json
+
+    from go_pq_cdc_spark.sources.pgoutput import pg_array_text_to_json
+
+    lit = _pg_array_literal(rows)
+    assert json.loads(pg_array_text_to_json(lit)) == rows
