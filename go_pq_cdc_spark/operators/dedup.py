@@ -52,17 +52,28 @@ def band_key_fragments(sig: str, band_var: str = "b") -> dict[str, str]:
     return {"spark": f"concat_ws(',', {sp})", "duck": du}
 
 
-def shingle_doc(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def shingle_doc(
+    df: DataFrame, id_col: str, text_col: str = "text", *, portable: bool = True
+) -> DataFrame:
     """(id, sh) with sh = distinct 3-token-shingle hashes; rows with <3
     tokens dropped (can't shingle). Tokens are materialized to a column
     first (see token_shingles_col) and a NARROW input widened so a
     single-file table still parallelizes the hashing — already-wide inputs
-    are left untouched (no shuffle at scale; see scale.spread_small_input)."""
+    are left untouched (no shuffle at scale; see scale.spread_small_input).
+
+    portable=True (default) hashes shingles with the md5-derived portable
+    hash so results are DuckDB-oracle-comparable. portable=False is the
+    production path: xxhash64 (JVM intrinsic, much cheaper per byte) folded
+    into the same [0, 2^31-1) range — identical pipeline shape and
+    candidate semantics, not cross-engine comparable."""
     from .scale import spread_small_input
 
     tok = P.tokens(text_col)["spark"]
     sh = P.token_shingles_col("toks")["spark"]
-    h = P.md5_hash_m31("sh")["spark"]
+    if portable:
+        h = P.md5_hash_m31("sh")["spark"]
+    else:
+        h = f"pmod(xxhash64(sh), {P.MERSENNE31})"
     return (
         spread_small_input(df, F.col(id_col))
         .withColumn("toks", F.expr(tok))
@@ -79,6 +90,8 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str = "text",
     threshold: float = 0.5,
+    *,
+    portable: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash+LSH with exact-Jaccard verification.
 
@@ -90,7 +103,12 @@ def minhash_lsh_pairs(
 
     Scale: signature computation is embarrassingly parallel over docs;
     candidates come from an equi-join on band buckets (high-cardinality
-    key) — cost is O(candidates), not O(n^2)."""
+    key) — cost is O(candidates), not O(n^2). At 100 TB pass
+    portable=False: shingle hashing switches from the md5-derived
+    oracle-portable hash to xxhash64 (JVM intrinsic) — same minhash
+    permutations, bands, verification, and near-dup semantics, ~the
+    per-byte hashing cost removed; only cross-engine comparability is
+    given up."""
     mh = []
     for k in range(MINHASH_K):
         a_k, b_k = P.minhash_coeffs(k)
@@ -99,7 +117,11 @@ def minhash_lsh_pairs(
                 f"array_min(transform(sh, h -> ({a_k}L * h + {b_k}L) % {P.MERSENNE31}L))"
             ).alias(f"m{k}")
         )
-    per_doc = shingle_doc(df, id_col, text_col).select("id", "sh", *mh).cache()
+    per_doc = (
+        shingle_doc(df, id_col, text_col, portable=portable)
+        .select("id", "sh", *mh)
+        .cache()
+    )
     docs = per_doc.select("id", "sh")
     band_structs = ", ".join(
         "struct({b} AS band, concat_ws(',', {ms}) AS band_key)".format(

@@ -218,3 +218,30 @@ def test_embedding_near_dup_lsh_blocks_by_bucket(spark):
     assert set(lsh) <= set(exact)  # no false positives — verify is exact
     assert all(abs(lsh[k] - exact[k]) < 1e-12 for k in lsh)
     assert not any(4 in k for k in lsh)  # orthogonal vector pairs with nobody
+
+
+def test_minhash_production_hash_path(spark):
+    """portable=False (xxhash64 shingle hashing — the 100 TB path) keeps
+    the pipeline's semantics: every injected exact duplicate is found with
+    jaccard 1.0 (identical shingle sets collide in all bands under ANY
+    hash), and timing-path parity with the portable hash is not required."""
+    from go_pq_cdc_spark.catalog import load_table
+    from go_pq_cdc_spark.operators.dedup import minhash_lsh_pairs
+
+    from .conftest import SF_DIR
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.unionByName(dup)
+    pairs = minhash_lsh_pairs(corpus, "doc_id", portable=False).collect()
+    exact = {(r["doc_a"], r["doc_b"]) for r in pairs if r["jaccard"] == 1.0}
+    # every shingle-able doc must pair with its injected duplicate
+    n_shingleable = (
+        docs.filter(F.expr("size(split(trim(text), '\\\\s+')) >= 3")).count()
+    )
+    injected = {p for p in exact if p[1] - p[0] == 100000}
+    assert len(injected) >= n_shingleable
