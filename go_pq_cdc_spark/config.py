@@ -123,6 +123,10 @@ class EngineConfig:
     slot_create_if_not_exists: bool = True  # slot.Config (slot/config.go:16)
     slot_activity_checker_interval_s: float = 1.0  # slot/config.go:11
     enable_timescaledb: bool = False  # ExtensionSupport (config.go:44-46)
+    # Force a fresh snapshot: clear the completed-job marker so the seed
+    # reprocesses ALL data (reference config.go:328 `Resnapshot`;
+    # integration_test/snapshot_force_resnapshot_test.go)
+    resnapshot: bool = False
     global_query_condition: str | None = None
 
     def table_query_condition(self, table: TableConfig) -> str | None:

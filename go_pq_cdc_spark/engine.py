@@ -320,20 +320,33 @@ class CdcEngine:
                 raise ValueError(
                     f"snapshot_mode={self.config.snapshot_mode!r} needs a snapshot_reader"
                 )
-            wanted = set(
-                self.config.snapshot_tables
-                or [t.qualified for t in self.config.tables]
-            )
-            for table in self.config.tables:
-                if table.qualified not in wanted:
-                    continue
-                rows = snapshot_reader(table).select(
-                    "pk",
-                    F.lit(snapshot_lsn).cast("long").alias("lsn"),
-                    F.lit("R").alias("op"),
-                    "after_val",
+            # Snapshot-job doc (connector.go:406-444 pseudo-slot resume +
+            # worker.go claim queue at app granularity): a completed seed is
+            # SKIPPED on restart; `resnapshot=True` clears the marker so
+            # everything reprocesses (config.go:328, force_resnapshot
+            # integration tests); a live peer app holding the claim means
+            # the seed is theirs — we proceed to streaming either way.
+            from .snapshot import job_claim
+
+            if self.config.resnapshot:
+                job_claim.reset(state_dir)
+            claim = job_claim.acquire(state_dir)
+            if claim.acquired:
+                wanted = set(
+                    self.config.snapshot_tables
+                    or [t.qualified for t in self.config.tables]
                 )
-                merge_mirror_batch(rows, state_dir, n_buckets=mirror_buckets)
+                for table in self.config.tables:
+                    if table.qualified not in wanted:
+                        continue
+                    rows = snapshot_reader(table).select(
+                        "pk",
+                        F.lit(snapshot_lsn).cast("long").alias("lsn"),
+                        F.lit("R").alias("op"),
+                        "after_val",
+                    )
+                    merge_mirror_batch(rows, state_dir, n_buckets=mirror_buckets)
+                claim.mark_completed()
         if self.config.snapshot_mode == "snapshot_only":
             return snapshot_lsn, None
 
@@ -408,14 +421,20 @@ class CdcEngine:
         return server
 
 
-def snapshot_only(df, out_dir: str, mode: str = "error_if_exists") -> bool:
+def snapshot_only(
+    df, out_dir: str, mode: str = "error_if_exists", resnapshot: bool = False
+) -> bool:
     """§3.3 snapshot-only mode: one-shot export with resume — if the output
     is already committed (Spark's _SUCCESS marker), skip the work (the
     reference resumes via its pseudo-slot job row, connector.go:406-444).
+    `resnapshot=True` ignores the marker and rewrites everything
+    (config.go:328; TestForceResnapshotOnlyMode).
     Returns True if a snapshot was written, False if resumed/skipped."""
     import os as _os
 
-    if _os.path.exists(_os.path.join(out_dir, "_SUCCESS")):
+    if not resnapshot and _os.path.exists(_os.path.join(out_dir, "_SUCCESS")):
         return False
-    df.write.mode("overwrite" if mode == "overwrite" else "errorifexists").parquet(out_dir)
+    df.write.mode(
+        "overwrite" if (resnapshot or mode == "overwrite") else "errorifexists"
+    ).parquet(out_dir)
     return True

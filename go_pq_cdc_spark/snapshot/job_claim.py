@@ -98,6 +98,19 @@ class SnapshotJobClaim:
                 pass
 
 
+def reset(state_dir: str) -> None:
+    """Force-resnapshot support (reference config.go:328 `Resnapshot`,
+    snapshot_force_resnapshot_test.go): clear the completion marker AND any
+    stale claim so the next `acquire` wins and the snapshot reprocesses all
+    data. Scoped to this state_dir — other slots/state dirs are untouched
+    (TestForceResnapshotDoesNotAffectOtherSlots)."""
+    for name in (DONE_FILE, JOB_FILE):
+        try:
+            os.remove(os.path.join(state_dir, name))
+        except FileNotFoundError:
+            pass
+
+
 def read_job(state_dir: str) -> dict | None:
     try:
         with open(_job_path(state_dir)) as f:

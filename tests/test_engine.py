@@ -204,3 +204,60 @@ def test_start_snapshot_only(spark, tmp_path):
     assert (snapshot_lsn, q) == (10, None)
     state = {r["pk"]: r["after_val"] for r in read_mirror(spark, str(tmp_path / "state")).collect()}
     assert state == {1: 0.5}
+
+
+def test_start_snapshot_resume_and_force_resnapshot(spark, tmp_path):
+    """connector.go:406-444 resume + config.go:328 resnapshot: a completed
+    seed is SKIPPED on restart (the reader is not called again); with
+    resnapshot=True the marker is cleared and the seed reprocesses all
+    data, including rows added since (snapshot_force_resnapshot_test.go)."""
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    eng = _engine(spark)
+    eng.config.snapshot_mode = "snapshot_only"
+    eng.config.snapshot_tables = ["public.users"]
+
+    def run_sql(sql):
+        return [("0/A",)] if "pg_current_wal_lsn" in sql else []
+
+    calls = {"n": 0}
+    data = [Row(pk=1, after_val=0.5)]
+
+    def reader(t):
+        calls["n"] += 1
+        return spark.createDataFrame(data)
+
+    args = (run_sql, str(tmp_path / "wal"), str(tmp_path / "state"), str(tmp_path / "ckpt"))
+    eng.start(*args, snapshot_reader=reader)
+    assert calls["n"] == 1
+
+    # restart: completed marker -> seed skipped, reader untouched
+    eng.start(*args, snapshot_reader=reader)
+    assert calls["n"] == 1
+
+    # new data + resnapshot=True -> reprocess everything
+    data.append(Row(pk=2, after_val=2.5))
+    eng.config.resnapshot = True
+    eng.start(*args, snapshot_reader=reader)
+    assert calls["n"] == 2
+    state = {
+        r["pk"]: r["after_val"]
+        for r in read_mirror(spark, str(tmp_path / "state")).collect()
+    }
+    assert state == {1: 0.5, 2: 2.5}
+
+
+def test_snapshot_only_force_resnapshot(spark, tmp_path):
+    """snapshot_only(resnapshot=True) ignores the _SUCCESS marker and
+    rewrites (TestForceResnapshotOnlyMode)."""
+    from go_pq_cdc_spark.engine import snapshot_only
+
+    out = str(tmp_path / "snap")
+    df1 = spark.range(0, 3)
+    assert snapshot_only(df1, out) is True
+    assert snapshot_only(df1, out) is False  # resume skips
+    df2 = spark.range(0, 5)
+    assert snapshot_only(df2, out, resnapshot=True) is True
+    assert spark.read.parquet(out).count() == 5
