@@ -58,6 +58,8 @@ _GATE_HEAD = [
     # new operators this round — first driver signal needed
     "pack_token_sequences",
     "sample_stratified_mix",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
 ]
 _GATE_TAIL = [
     # rotated out r5: all driver-green in CORRECTNESS_r04, code untouched,
@@ -72,6 +74,8 @@ _GATE_TAIL = [
     "q_grouping_sets",
     "q_top_orders_per_segment",
     "q_order_priority_count",
+    "q_parts_not_shipped_1995",
+    "q17_small_quantity_revenue",
 ]
 
 

@@ -70,6 +70,11 @@ def test_q1_wholestage_codegen(spark):
 def test_semi_anti_join_strategies(spark):
     assert "LeftSemi" in _plan(spark, "q_order_priority_count")
     assert "LeftAnti" in _plan(spark, "q_parts_not_shipped_1995")
+    # Q21's correlated EXISTS / NOT EXISTS must BOTH plan as equi-joins on
+    # l_orderkey — never a nested-loop subquery per row
+    q21 = _plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    assert "NestedLoop" not in q21 and "Cartesian" not in q21
 
 
 def test_topk_no_global_sort_before_limit(spark):
