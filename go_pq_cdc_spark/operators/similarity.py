@@ -345,6 +345,83 @@ def kmeans_centroids(
     )
 
 
+def ivf_index_write(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: vectors + precomputed norms, PARTITIONED BY
+    their coarse cell (`cent_id`). This is the serving layout for 100 TB —
+    a query touching `nprobe` cells reads ONLY those partitions' files
+    (Hive partition pruning on the directory layout), never the corpus.
+    Build cost: the zero-shuffle `ivf_assign` pass + one partitioned write."""
+    idx = ivf_assign(df, centroids, id_col, vec_col).withColumnRenamed("id", "c_id")
+    idx = idx.withColumn("c_nrm", F.expr(P.scaled_dot("v", "v", "v")["spark"]))
+    idx.write.mode("overwrite").partitionBy("cent_id").parquet(path)
+
+
+# The persisted-index schema is part of the layout contract: readers declare
+# it instead of inferring (schema inference samples parquet FOOTERS across
+# partitions at analysis time — an all-partitions touch that defeats the
+# point of pruning, and at 100 TB a listing+footer storm).
+IVF_INDEX_SCHEMA = "c_id bigint, v array<float>, c_nrm bigint, cent_id bigint"
+
+
+def ivf_topk_index(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Serve IVF ANN from a persisted index (`ivf_index_write`): quantize
+    the queries (expression argmax over broadcast centroids), collect the
+    touched cell ids (queries×nprobe values — driver-size by definition),
+    and scan ONLY those partitions via an `isin` filter that Hive partition
+    pruning turns into a directory-level skip (plan-gated: PartitionFilters
+    on cent_id, no full-index scan). Same output shape and ranking as
+    `ivf_topk`."""
+    qset = (
+        ivf_assign(queries, centroids, id_col, vec_col, n_assign=nprobe)
+        .withColumnRenamed("id", "q_id")
+        .withColumnRenamed("v", "qv")
+        .withColumnRenamed("cent_id", "q_cent")
+        .withColumn("q_nrm", F.expr(P.scaled_dot("qv", "qv", "qv")["spark"]))
+    )
+    cells = [r["q_cent"] for r in qset.select("q_cent").distinct().collect()]
+    if not cells:
+        return spark.createDataFrame(
+            [], "q_id long, neighbor_id long, rnk long, cos_sim double"
+        )
+    corpus = (
+        spark.read.schema(IVF_INDEX_SCHEMA)  # declared: no footer sampling
+        .parquet(path)
+        .filter(F.col("cent_id").isin(cells))
+    )
+    dot = P.scaled_dot("qv", "v", "qv")["spark"]
+    pairs = corpus.join(
+        F.broadcast(qset),
+        (F.col("cent_id") == F.col("q_cent")) & (F.col("q_id") != F.col("c_id")),
+    )
+    pairs = pairs.withColumn("dot", F.expr(dot)).withColumn(
+        "cos_sim",
+        F.expr(
+            "CAST(dot AS DOUBLE) / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c_nrm AS DOUBLE)))"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", F.col("c_id").alias("neighbor_id"), "rnk", "cos_sim")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: DataFrame,

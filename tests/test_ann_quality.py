@@ -147,3 +147,56 @@ def test_kmeans_centroids_separate_clusters(spark):
     top = _topk_map(S.ivf_topk(df, cents, queries, k=3))
     for q, neigh in top.items():
         assert all(n // 100 == q // 100 for n in neigh)  # same-cluster only
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """The 100 TB ANN-serving shape: the persisted IVF index is partitioned
+    by cell, a query scans ONLY its nprobe cells (Hive partition pruning —
+    asserted via PartitionFilters AND the actual files read), and results
+    equal the in-memory ivf_topk exactly."""
+    from go_pq_cdc_spark.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 10))
+    path = str(tmp_path / "ivf_index")
+    S.ivf_index_write(emb, cents, path)
+
+    got = S.ivf_topk_index(spark, path, cents, queries, k=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cent_id" in plan.split("PartitionFilters")[1][:200]
+
+    expected = sorted(
+        (r["q_id"], r["neighbor_id"], r["rnk"], round(r["cos_sim"], 9))
+        for r in S.ivf_topk(emb, cents, queries, k=5).collect()
+    )
+    actual = sorted(
+        (r["q_id"], r["neighbor_id"], r["rnk"], round(r["cos_sim"], 9))
+        for r in got.collect()
+    )
+    assert actual == expected
+
+    # Behavioral pruning proof (inputFiles() lists the relation PRE-pruning,
+    # so it can't show this): corrupt every NON-probed cell's files — the
+    # pruned query must still succeed because those directories are skipped
+    # at listing time, while a full-index scan would now throw.
+    import glob
+
+    probed = {
+        r["cent_id"] for r in S.ivf_assign(queries, cents).select("cent_id").collect()
+    }
+    assert probed and len(probed) < 8
+    for d in glob.glob(f"{path}/cent_id=*"):
+        if int(d.rsplit("=", 1)[1]) not in probed:
+            for f in glob.glob(f"{d}/*.parquet"):
+                with open(f, "wb") as fh:
+                    fh.write(b"not a parquet file")
+    fresh = sorted(
+        (r["q_id"], r["neighbor_id"], r["rnk"], round(r["cos_sim"], 9))
+        for r in S.ivf_topk_index(spark, path, cents, queries, k=5).collect()
+    )
+    assert fresh == expected
+
+    # empty query set degrades cleanly
+    none = S.ivf_topk_index(spark, path, cents, queries.filter(F.lit(False)), k=5)
+    assert none.count() == 0
