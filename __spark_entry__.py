@@ -60,6 +60,8 @@ _GATE_HEAD = [
     "sample_stratified_mix",
     "q15_top_supplier",
     "q21_waiting_suppliers",
+    "q12_late_shipment_priority",
+    "dedup_incremental",
 ]
 _GATE_TAIL = [
     # rotated out r5: all driver-green in CORRECTNESS_r04, code untouched,

@@ -85,6 +85,34 @@ def shingle_doc(
     )
 
 
+def minhash_per_doc(
+    df: DataFrame, id_col: str, text_col: str = "text", *, portable: bool = True
+) -> DataFrame:
+    """Per-document MinHash state: (id, sh, m0..m{K-1}) — the shingle-hash
+    set plus all K permutation minima, each an `array_min(transform(...))`
+    narrow expression (the shingle set never leaves its partition)."""
+    mh = []
+    for k in range(MINHASH_K):
+        a_k, b_k = P.minhash_coeffs(k)
+        mh.append(
+            F.expr(
+                f"array_min(transform(sh, h -> ({a_k}L * h + {b_k}L) % {P.MERSENNE31}L))"
+            ).alias(f"m{k}")
+        )
+    return shingle_doc(df, id_col, text_col, portable=portable).select("id", "sh", *mh)
+
+
+def _band_structs_sql() -> str:
+    """SQL array of (band, band_key) structs over the m0..m{K-1} columns."""
+    return ", ".join(
+        "struct({b} AS band, concat_ws(',', {ms}) AS band_key)".format(
+            b=b,
+            ms=", ".join(f"m{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)),
+        )
+        for b in range(LSH_BANDS)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -109,29 +137,10 @@ def minhash_lsh_pairs(
     permutations, bands, verification, and near-dup semantics, ~the
     per-byte hashing cost removed; only cross-engine comparability is
     given up."""
-    mh = []
-    for k in range(MINHASH_K):
-        a_k, b_k = P.minhash_coeffs(k)
-        mh.append(
-            F.expr(
-                f"array_min(transform(sh, h -> ({a_k}L * h + {b_k}L) % {P.MERSENNE31}L))"
-            ).alias(f"m{k}")
-        )
-    per_doc = (
-        shingle_doc(df, id_col, text_col, portable=portable)
-        .select("id", "sh", *mh)
-        .cache()
-    )
+    per_doc = minhash_per_doc(df, id_col, text_col, portable=portable).cache()
     docs = per_doc.select("id", "sh")
-    band_structs = ", ".join(
-        "struct({b} AS band, concat_ws(',', {ms}) AS band_key)".format(
-            b=b,
-            ms=", ".join(f"m{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)),
-        )
-        for b in range(LSH_BANDS)
-    )
     bands = per_doc.select(
-        "id", F.expr(f"explode(array({band_structs}))").alias("bb")
+        "id", F.expr(f"explode(array({_band_structs_sql()}))").alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
     cand = (
         bands.alias("a")
@@ -186,6 +195,130 @@ def decontaminate(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+MINHASH_INDEX_BUCKETS = 64
+# Declared reader schema for the persisted index: no parquet-footer
+# sampling at analysis time (schema inference would touch every bucket
+# partition — a listing+footer storm at 100 TB). `bucket` is the Hive
+# partition column.
+MINHASH_INDEX_SCHEMA = (
+    "id bigint, band int, band_key string, sh array<bigint>, bucket int"
+)
+
+
+def _bucket_expr(n_buckets: int):
+    """Routing bucket for a (band, band_key) pair. xxhash64 (JVM intrinsic)
+    — NOT oracle-portable, and doesn't need to be: the bucket only routes
+    rows to partitions; both writer and reader compute it in Spark."""
+    return F.expr(f"pmod(xxhash64(band, band_key), {int(n_buckets)})").cast("int")
+
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    portable: bool = True,
+    n_buckets: int = MINHASH_INDEX_BUCKETS,
+) -> None:
+    """Persist the corpus's MinHash-LSH state as a SERVING INDEX for
+    incremental dedup: one row per (doc, band) carrying the band key AND
+    the doc's full shingle-hash set, PARTITIONED BY a hash bucket of the
+    band key (reference parity: the persisted-state role of
+    go-pq-cdc's slot/offset docs, applied to the dedup domain; analogous
+    to `similarity.ivf_index_write` for ANN).
+
+    Layout contract: `bucket = pmod(xxhash64(band, band_key), n_buckets)`.
+    A new-document batch computes the same buckets for its own band keys,
+    so candidate lookup scans ONLY the touched bucket directories (Hive
+    partition pruning) — never the whole index.
+
+    Carrying `sh` inline duplicates the shingle set ×LSH_BANDS in storage.
+    That is deliberate: exact-Jaccard verification then needs ZERO extra
+    passes (no join back to a doc table, which at 100 TB would be a second
+    full-index shuffle). Storage is cheap; corpus-wide shuffles are not."""
+    bands = minhash_per_doc(df, id_col, text_col, portable=portable).select(
+        "id", "sh", F.expr(f"explode(array({_band_structs_sql()}))").alias("bb")
+    ).select(
+        "id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_key").alias("band_key"),
+        "sh",
+    )
+    bands = bands.withColumn("bucket", _bucket_expr(n_buckets))
+    bands.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def dedup_incremental(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    *,
+    portable: bool = True,
+    n_buckets: int = MINHASH_INDEX_BUCKETS,
+) -> DataFrame:
+    """Near-dup pairs between a NEW document batch and a persisted corpus
+    index (`minhash_index_write`) — the daily-increment shape of a 100 TB
+    training-data pipeline: dedup today's crawl against the whole corpus
+    WITHOUT re-reading, re-shingling, or re-hashing the corpus.
+
+    Plan: the new batch computes its own band rows + buckets (one narrow
+    pass); the distinct touched buckets are collected (≤ n_buckets values
+    — driver-size by construction); the index is read with a declared
+    schema and a `bucket IN (...)` filter that Hive partition pruning
+    turns into a directory-level skip; candidates come from the
+    (band, band_key) equi-join; exact Jaccard verifies candidates only,
+    using the shingle sets BOTH sides already carry (zero extra passes).
+    When the increment is small relative to the index, AQE broadcasts the
+    new side. Returns (doc_a, doc_b, jaccard) with doc_a from the index.
+    A re-ingested id never pairs with itself (id_a != id_b)."""
+    nb = minhash_per_doc(new_docs, id_col, text_col, portable=portable).select(
+        "id", "sh", F.expr(f"explode(array({_band_structs_sql()}))").alias("bb")
+    ).select(
+        "id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_key").alias("band_key"),
+        "sh",
+    ).withColumn("bucket", _bucket_expr(n_buckets)).cache()
+    buckets = sorted(r["bucket"] for r in nb.select("bucket").distinct().collect())
+    if not buckets:
+        return spark.createDataFrame([], "doc_a bigint, doc_b bigint, jaccard double")
+    idx = (
+        spark.read.schema(MINHASH_INDEX_SCHEMA)  # declared: no footer sampling
+        .parquet(index_path)
+        .filter(F.col("bucket").isin(buckets))
+    )
+    cand = (
+        idx.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        # a pair can collide in several bands; sh_* are functions of the id
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("n_inter", F.expr("size(array_intersect(sh_a, sh_b))").cast("long"))
+        .withColumn(
+            "jaccard",
+            F.expr("CAST(n_inter AS DOUBLE) / (size(sh_a) + size(sh_b) - n_inter)"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
     )
 
 

@@ -177,6 +177,87 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, "doc_id")
 
 
+def _incremental_oracle(threshold: float = 0.5) -> str:
+    """Cross-batch MinHash oracle: OLD side = 80% of documents (the
+    persisted index), NEW side = the other 20% plus exact copies of every
+    doc_id % 7 == 0 doc under a shifted id (guaranteed jaccard-1.0
+    cross-batch pairs). Candidates join old bands × new bands only."""
+    sh = P.shingle_hashes("text")["duck"]
+    sig = P.minhash_signature({"spark": "sh", "duck": "sh"}, D.MINHASH_K)["duck"]
+    bk = D.band_key_fragments("sig")["duck"]
+    return f"""
+    WITH old_docs AS (
+        SELECT doc_id AS id, {sh} AS sh
+        FROM documents WHERE doc_id % 10 < 8 AND {_NTOK['duck']} >= 3
+    ),
+    new_src AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    new_docs AS (
+        SELECT doc_id AS id, {sh} AS sh
+        FROM new_src WHERE {_NTOK['duck']} >= 3
+    ),
+    old_sigs AS (SELECT id, sh, {sig} AS sig FROM old_docs),
+    new_sigs AS (SELECT id, sh, {sig} AS sig FROM new_docs),
+    old_bands AS (
+        SELECT id, b AS band, {bk} AS band_key
+        FROM old_sigs, range(0, {D.LSH_BANDS}) t(b)
+    ),
+    new_bands AS (
+        SELECT id, b AS band, {bk} AS band_key
+        FROM new_sigs, range(0, {D.LSH_BANDS}) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM old_bands a JOIN new_bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.id <> b.id
+    ),
+    pairs AS (
+        SELECT id_a, id_b,
+               len(list_intersect(da.sh, db.sh)) AS n_inter,
+               len(da.sh) AS la, len(db.sh) AS lb
+        FROM cand
+        JOIN old_docs da ON cand.id_a = da.id
+        JOIN new_docs db ON cand.id_b = db.id
+    )
+    SELECT id_a AS doc_a, id_b AS doc_b,
+           CAST(n_inter AS DOUBLE) / (la + lb - n_inter) AS jaccard
+    FROM pairs
+    WHERE CAST(n_inter AS DOUBLE) / (la + lb - n_inter) >= {threshold}
+    """
+
+
+@register(
+    "dedup_incremental",
+    oracle=_incremental_oracle(),
+    tags=("dedup", "minhash", "incremental", "index"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED MinHash index — the
+    daily-increment shape: 80% of the corpus is written as a
+    bucket-partitioned serving index (`minhash_index_write`), then a new
+    batch (the other 20% plus injected exact copies of the %7==0 docs
+    under shifted ids) is deduped against it WITHOUT re-reading the
+    indexed corpus text. Candidate lookup scans only the bucket
+    partitions the new batch's band keys touch (Hive partition pruning);
+    exact Jaccard verifies candidates from the shingle sets both sides
+    already carry. Oracle recomputes both sides from scratch in SQL."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 10 < 8)
+    new = docs.filter(F.col("doc_id") % 10 >= 8).unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    path = tempfile.mkdtemp(prefix="mh_index_")
+    D.minhash_index_write(old, path, "doc_id")
+    return D.dedup_incremental(spark, new, path, "doc_id")
+
+
 @register(
     "dedup_cluster_assign",
     oracle=f"""

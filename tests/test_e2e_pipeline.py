@@ -245,3 +245,63 @@ def test_minhash_production_hash_path(spark):
     )
     injected = {p for p in exact if p[1] - p[0] == 100000}
     assert len(injected) >= n_shingleable
+
+
+def test_minhash_incremental_index_prunes_buckets(spark, tmp_path):
+    """The 100 TB incremental-dedup serving shape: the corpus's MinHash
+    state is persisted PARTITIONED BY band-key bucket; a new batch scans
+    only the buckets its own band keys hash to. Proven BEHAVIORALLY: every
+    non-touched bucket's files are corrupted and the pruned lookup still
+    returns the exact same pairs — a full-index scan would throw."""
+    import glob
+
+    from go_pq_cdc_spark.catalog import load_table
+    from go_pq_cdc_spark.operators import dedup as D
+    from pyspark.sql import functions as F2
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    shingleable = docs.filter(F2.expr("size(split(trim(text), '\\\\s+')) >= 3"))
+    new_ids = [r["doc_id"] for r in shingleable.limit(3).collect()]
+    assert len(new_ids) == 3
+    new = docs.filter(F2.col("doc_id").isin(new_ids)).select(
+        (F2.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    path = str(tmp_path / "mh_index")
+    D.minhash_index_write(docs, path, "doc_id")
+
+    got = D.dedup_incremental(spark, new, path, "doc_id")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in got.collect()}
+    # every injected copy pairs with its indexed original at jaccard 1.0
+    for i in new_ids:
+        assert pairs.get((i, i + 1000000)) == 1.0
+
+    # 3 docs touch at most 3*LSH_BANDS buckets — the rest must be skipped
+    touched = {
+        r["bucket"]
+        for r in D.minhash_per_doc(new, "doc_id")
+        .select(
+            "id", F2.expr(f"explode(array({D._band_structs_sql()}))").alias("bb")
+        )
+        .select(F2.col("bb.band").alias("band"), F2.col("bb.band_key").alias("band_key"))
+        .withColumn("bucket", D._bucket_expr(D.MINHASH_INDEX_BUCKETS))
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+    assert touched and len(touched) <= 3 * D.LSH_BANDS
+    corrupted = 0
+    for d in glob.glob(f"{path}/bucket=*"):
+        if int(d.rsplit("=", 1)[1]) not in touched:
+            for f in glob.glob(f"{d}/*.parquet"):
+                with open(f, "wb") as fh:
+                    fh.write(b"not a parquet file")
+                corrupted += 1
+    assert corrupted > 0  # the prune is non-trivial
+    fresh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.dedup_incremental(spark, new, path, "doc_id").collect()
+    }
+    assert fresh == pairs
