@@ -1,0 +1,137 @@
+"""Streaming incremental dedup: micro-batches are deduped against the
+persisted MinHash index and appended to it, so later batches see earlier
+ones — the online ingestion path (drained with processAllAvailable, the
+same harness style as the mirror-sink scenarios)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from go_pq_cdc_spark.catalog import load_table
+from go_pq_cdc_spark.operators import dedup as D
+from go_pq_cdc_spark.streaming.dedup_stream import (
+    dedup_batch_against_index,
+    incremental_dedup_sink,
+)
+
+from .conftest import SF_DIR
+
+DOC_SCHEMA = "doc_id bigint, text string"
+
+
+def _shingleable_docs(spark, n):
+    return (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.expr("size(split(trim(text), '\\\\s+')) >= 3"))
+        .orderBy("doc_id")
+        .limit(n)
+        .collect()
+    )
+
+
+def test_streaming_incremental_dedup_two_batches(spark):
+    base = tempfile.mkdtemp(prefix="gpcs_dstream_")
+    ind = os.path.join(base, "in")
+    index_path = os.path.join(base, "mh_index")
+    pairs_dir = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ck")
+    os.makedirs(ind)
+    try:
+        docs = _shingleable_docs(spark, 3)
+        a, b, c = docs
+        batch1 = [(a["doc_id"], a["text"]), (b["doc_id"], b["text"])]
+        # batch 2: a cross-batch copy of `a`, a fresh doc, and an in-batch
+        # duplicate pair of `c`'s text under two new ids
+        batch2 = [
+            (a["doc_id"] + 1000000, a["text"]),
+            (c["doc_id"] + 2000000, c["text"]),
+            (c["doc_id"] + 3000000, c["text"]),
+        ]
+        spark.createDataFrame(batch1, DOC_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(ind, "b0")
+        )
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ind + "/*")
+        )
+        q = incremental_dedup_sink(stream, index_path, pairs_dir, ckpt)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batch2, DOC_SCHEMA).coalesce(1).write.parquet(
+                os.path.join(ind, "b1")
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        pairs = {
+            (r["doc_a"], r["doc_b"], r["batch_id"]): r["jaccard"]
+            for r in spark.read.parquet(pairs_dir).collect()
+        }
+        later = [k for k in pairs if k[2] >= 1]
+        # cross-batch: the copy of `a` must pair with the INDEXED original
+        assert any(
+            k[0] == a["doc_id"] and k[1] == a["doc_id"] + 1000000 for k in later
+        )
+        # within-batch: the two copies of `c` pair with each other
+        assert any(
+            {k[0], k[1]} == {c["doc_id"] + 2000000, c["doc_id"] + 3000000}
+            for k in later
+        )
+        for v in pairs.values():
+            assert 0.5 <= v <= 1.0
+        # the index now holds band rows for every doc of both batches
+        idx_ids = {
+            r["id"]
+            for r in spark.read.schema(D.MINHASH_INDEX_SCHEMA)
+            .parquet(index_path)
+            .select("id")
+            .distinct()
+            .collect()
+        }
+        assert {r[0] for r in batch1} | {r[0] for r in batch2} <= idx_ids
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_dedup_batch_retry_is_idempotent(spark):
+    """A retried foreachBatch epoch must not double-insert band rows (the
+    marker guard) and must rewrite, not duplicate, its pairs partition
+    (dynamic partition overwrite)."""
+    base = tempfile.mkdtemp(prefix="gpcs_dretry_")
+    index_path = os.path.join(base, "mh_index")
+    pairs_dir = os.path.join(base, "pairs")
+    try:
+        docs = _shingleable_docs(spark, 2)
+        batch = spark.createDataFrame(
+            [(d["doc_id"], d["text"]) for d in docs]
+            + [(docs[0]["doc_id"] + 1000000, docs[0]["text"])],
+            DOC_SCHEMA,
+        )
+        dedup_batch_against_index(batch, 0, index_path, pairs_dir)
+        n_index = spark.read.schema(D.MINHASH_INDEX_SCHEMA).parquet(index_path).count()
+        first = sorted(
+            (r["doc_a"], r["doc_b"], r["batch_id"])
+            for r in spark.read.parquet(pairs_dir).collect()
+        )
+        assert first  # the injected copy paired within the batch
+        assert glob.glob(f"{pairs_dir}/batch_id=0/*.parquet")
+        dedup_batch_against_index(batch, 0, index_path, pairs_dir)  # retry
+        assert (
+            spark.read.schema(D.MINHASH_INDEX_SCHEMA).parquet(index_path).count()
+            == n_index
+        )
+        again = sorted(
+            (r["doc_a"], r["doc_b"], r["batch_id"])
+            for r in spark.read.parquet(pairs_dir).collect()
+        )
+        assert again == first
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
