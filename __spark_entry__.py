@@ -62,6 +62,7 @@ _GATE_HEAD = [
     "q21_waiting_suppliers",
     "q12_late_shipment_priority",
     "dedup_incremental",
+    "q_window_gauntlet",
 ]
 _GATE_TAIL = [
     # rotated out r5: all driver-green in CORRECTNESS_r04, code untouched,

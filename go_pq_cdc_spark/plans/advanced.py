@@ -170,6 +170,65 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_gauntlet",
+    oracle="""
+    SELECT event_id, user_id,
+           lead(event_type) OVER w AS next_type,
+           lag(value) OVER w AS prev_val,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           nth_value(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS run3,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS run1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("relational", "window"),
+)
+def q_window_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window coverage sweep in one pass: lead/lag, ntile,
+    percent_rank, cume_dist, nth_value over an unbounded frame, a
+    3-row-frame running sum, and a time-RANGE (1 hour trailing) frame.
+    The window key is unique (ts, event_id) so ranking functions are
+    deterministic; frame sums run in exact DECIMAL and only the final
+    value casts to double.
+
+    Scale shape: ONE shuffle on user_id serves every ordered spec; the
+    RANGE-interval spec shares the same partitioning (Catalyst groups the
+    specs into sibling Window operators over one Exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    dec_val = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lag("value").over(w).alias("prev_val"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("event_type", 2).over(wfull).alias("second_type"),
+        F.sum(dec_val).over(w3).cast("double").alias("run3"),
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER ("
+            "PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        ).alias("run1h"),
+    )
+
+
+@register(
     "q_asof_last_click",
     oracle="""
     SELECT event_id, user_id, value AS purchase_val, last_click_val

@@ -202,3 +202,18 @@ def test_lsh_bucket_not_reevaluated_by_null_filters(spark):
             )
         # and the candidate join is still the hash equi-join on the bucket
         assert "HashJoin" in plan
+
+
+def test_window_gauntlet_single_exchange(spark):
+    """All analytic specs in q_window_gauntlet key on user_id — the
+    planner must serve every ordered frame (including the time-RANGE one,
+    which orders by ts only) off ONE hashpartitioning Exchange."""
+    plan = (
+        plans.REGISTRY["q_window_gauntlet"]
+        .spark_fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Exchange") == 1
