@@ -63,6 +63,7 @@ _GATE_HEAD = [
     "q12_late_shipment_priority",
     "dedup_incremental",
     "q_window_gauntlet",
+    "text_pii_scrub",
 ]
 _GATE_TAIL = [
     # rotated out r5: all driver-green in CORRECTNESS_r04, code untouched,

@@ -166,3 +166,37 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataF
     )
     sim = P.simhash({"spark": "_th", "duck": "_th"}, bits)["spark"]
     return df.withColumn("simhash", F.expr(sim)).drop("_th", "_toks")
+
+
+# PII scrubbing — the redaction pass a training-data pipeline runs before
+# anything else sees the text. Patterns are written in the common subset of
+# Java regex (Spark) and RE2 (DuckDB oracle): no lookaround, no backrefs.
+# Order matters: emails first (an address can embed an IP-looking host),
+# then bare IPv4s, then international phones (anchored on '+', so they
+# can't eat SSN-style ids), then SSN-style ids.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+    ("id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+)
+
+
+def with_pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Redact PII in place (chained JVM-side regexp_replace — one narrow
+    projection, no UDF, no shuffle; at 100 TB this is a pure map over the
+    scan) and count each category pre-scrub (`n_<name>` columns)."""
+    # Python-API construction (not F.expr): SQL string literals would
+    # re-process the regex backslashes (\b, \.) as escape sequences.
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select("*", *counts, clean.alias(out_col))

@@ -108,6 +108,71 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_oracle() -> str:
+    """Synthesized-PII scrub oracle: both engines append the same
+    deterministic email/phone/IP/SSN block (built from doc_id) to each
+    document, then count and redact with the same pattern table
+    (`operators.text.PII_PATTERNS`). DuckDB needs the 'g' flag for
+    global replacement; standard single-quoted strings keep backslashes
+    literal in both dialects."""
+    clean = "text"
+    for _, pat, repl in TX.PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in TX.PII_PATTERNS
+    )
+    return f"""
+    WITH synth AS (
+        SELECT doc_id,
+               substr(text, 1, 40)
+               || ' reach user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example.com or call +1 (555) 010-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.0.1 id 123-45-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           {counts},
+           {clean} AS clean_text
+    FROM synth
+    """
+
+
+@register(
+    "text_pii_scrub",
+    oracle=_pii_oracle(),
+    tags=("text", "pii", "redaction"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails, IPv4s, international phones and
+    SSN-style ids counted and replaced with typed placeholders — chained
+    JVM-side regexp_replace, one narrow projection (the standard scrub
+    stage before any other pipeline step sees the text). The corpus has
+    no real PII, so a deterministic block built from doc_id is appended
+    to every document; both engines scrub the identical string."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    synth = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" reach user"),
+        sid,
+        F.lit("@mail.example.com or call +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 id 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return TX.with_pii_scrub(docs.select("doc_id", synth.alias("text"))).select(
+        "doc_id",
+        *[f"n_{name}" for name, _, _ in TX.PII_PATTERNS],
+        "clean_text",
+    )
+
+
 @register(
     "dedup_exact",
     oracle="""

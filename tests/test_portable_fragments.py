@@ -92,3 +92,37 @@ def test_minhash_signature_identical(engines):
 def test_tokens_identical(engines):
     s, d = _both(engines, P.tokens("text"))
     assert s == d
+
+
+def test_pii_scrub_edge_cases(spark):
+    """Pattern-order and boundary semantics of the PII scrubber: an
+    address with an IP-literal host is not an email (alphabetic TLD
+    required) but its host IS redacted by the IP pass, phones anchor on
+    '+' so SSN-style ids survive to their own pass, and the scrub is
+    idempotent (placeholders match nothing)."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.operators.text import with_pii_scrub
+
+    rows = [
+        (1, "mail me at a.b+c@10.0.0.1 or x@y.example today"),
+        (2, "call +44 (0) 20-7946 0958 or 555-12-3456 now"),
+        (3, "bare host 192.168.254.3 and nothing else"),
+        (4, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in with_pii_scrub(df).collect()}
+    assert out[1]["clean_text"] == "mail me at a.b+c@<IP> or <EMAIL> today"
+    assert (out[1]["n_email"], out[1]["n_ip"]) == (1, 1)
+    assert out[2]["clean_text"] == "call <PHONE> or <ID> now"
+    assert (out[2]["n_phone"], out[2]["n_id"]) == (1, 1)
+    assert out[3]["clean_text"] == "bare host <IP> and nothing else"
+    assert out[4]["clean_text"] == "no pii here at all"
+    # idempotent: scrubbing scrubbed text changes nothing
+    again = {
+        r["doc_id"]: r["clean_text"]
+        for r in with_pii_scrub(
+            with_pii_scrub(df).select("doc_id", F.col("clean_text").alias("text"))
+        ).collect()
+    }
+    assert again == {k: v["clean_text"] for k, v in out.items()}
