@@ -64,6 +64,7 @@ _GATE_HEAD = [
     "dedup_incremental",
     "q_window_gauntlet",
     "text_pii_scrub",
+    "q_kmv_distinct",
 ]
 _GATE_TAIL = [
     # rotated out r5: all driver-green in CORRECTNESS_r04, code untouched,

@@ -1,0 +1,93 @@
+"""Cardinality sketches for 100 TB group-by-distinct questions.
+
+KMV (k-minimum-values, Beyer et al., SIGMOD'07): keep the k smallest
+hashes of the values seen; the kth smallest hash U(k), normalized to
+(0, 1), gives the unbiased estimate (k-1)/U(k). The partial state ("k
+smallest") is associative — per-partition partials merge by taking the k
+smallest of the union — which is exactly the two-level (partial + final)
+aggregation Spark distributes.
+
+Why KMV next to Spark's built-in HLL (`approx_count_distinct`): the HLL
+estimate depends on engine-internal hashing and register layout, so it can
+never be verified against another engine. KMV over the portable md5 hash
+is DETERMINISTIC — DuckDB computes the bit-identical estimate — so the
+sketch itself sits under the repo's exact cross-engine oracle gate. At
+production scale use whichever fits: HLL is one narrow pass; KMV as built
+here pays one distinct shuffle but stays verifiable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import portable as P
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group distinct-count estimate via a k-minimum-values sketch.
+
+    Plan: hash values with the portable md5 hash (range [0, 2^31-1)),
+    distinct (group, hash) — the cardinality-reducing shuffle — then keep
+    each group's k smallest hashes with a ranked window and fold them to
+    (kth smallest, kept count). Groups with fewer than k distinct hashes
+    are EXACT (the sketch saw everything); otherwise the estimate is
+    (k-1) * M / kth, M = the hash range. Returns
+    (group, est_distinct double, n_kept bigint).
+
+    Expected relative error ~ 1/sqrt(k-2) (~12.6% at k=64); raise k for
+    tighter bounds — state is k int64s per group either way."""
+    h = P.md5_hash_m31(f"CAST({value_col} AS STRING)")["spark"]
+    pairs = df.select(
+        F.col(group_col).alias("grp"), F.expr(h).alias("h")
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    kept = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("grp")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(P.MERSENNE31)) / F.col("kth").cast("double")
+    )
+    return kept.select(
+        F.col("grp").alias(group_col),
+        est.alias("est_distinct"),
+        "n_kept",
+    )
+
+
+def kmv_oracle_sql(
+    source: str, group_col: str, value_col: str, k: int = 64
+) -> str:
+    """DuckDB twin of `kmv_distinct` — same hash, same window, same
+    estimator arithmetic (used by the registry oracle)."""
+    h = P.md5_hash_m31(f"CAST({value_col} AS VARCHAR)")["duck"]
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT {group_col} AS grp, {h} AS h FROM {source}
+    ),
+    ranked AS (
+        SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM pairs
+    ),
+    sk AS (
+        SELECT grp, MAX(h) AS kth, COUNT(*) AS n_kept
+        FROM ranked WHERE rn <= {k} GROUP BY grp
+    )
+    SELECT grp AS {group_col},
+           CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                ELSE CAST({k - 1} AS DOUBLE) * {float(P.MERSENNE31)} / CAST(kth AS DOUBLE)
+           END AS est_distinct,
+           CAST(n_kept AS BIGINT) AS n_kept
+    FROM sk
+    """

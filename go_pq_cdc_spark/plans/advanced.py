@@ -571,3 +571,39 @@ def q_range_join_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_burst_pairs"))
     )
+
+
+def _kmv_oracle() -> str:
+    from ..operators.sketch import kmv_oracle_sql
+
+    return f"""
+    WITH sk AS ({kmv_oracle_sql("orders", "o_orderpriority", "o_custkey")}),
+    ex AS (
+        SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT sk.o_orderpriority, est_distinct, n_kept, n_exact
+    FROM sk JOIN ex USING (o_orderpriority)
+    """
+
+
+@register(
+    "q_kmv_distinct",
+    oracle=_kmv_oracle(),
+    tags=("sketch", "distinct"),
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority two ways: a KMV cardinality
+    sketch (k=64 minimum md5 hashes — deterministic, so the ESTIMATE
+    itself is oracle-verified bit-for-bit, unlike engine-internal HLL)
+    next to the exact count. The sketch's partial state is associative
+    (k smallest of a union), i.e. the same partial/final split Spark's
+    distributed aggregation needs."""
+    from ..operators.sketch import kmv_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = kmv_distinct(orders, "o_orderpriority", "o_custkey")
+    ex = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
+    )
+    return sk.join(ex, "o_orderpriority")

@@ -131,3 +131,26 @@ def test_salted_agg_salt_is_deterministic(spark):
     assert "monotonically_increasing_id" not in plan
     assert "rand(" not in plan
     assert "xxhash64" in plan
+
+
+def test_kmv_sketch_accuracy_and_exact_small_groups(spark):
+    """KMV estimator contract: a group with fewer than k distinct values
+    is EXACT (the sketch saw everything); a large group's estimate lands
+    within the 2-sigma bound (~25% at k=64). Deterministic hash, so this
+    is a fixed property, not a flaky statistical test."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.operators.sketch import kmv_distinct
+
+    big = spark.range(5000).select(
+        F.lit("big").alias("g"), (F.col("id") * 7 + 13).alias("v")
+    )
+    small = spark.range(10).select(
+        F.lit("small").alias("g"), F.col("id").alias("v")
+    )
+    df = big.unionByName(small).unionByName(small)  # duplicates must not count
+    out = {r["g"]: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert out["small"]["est_distinct"] == 10.0
+    assert out["small"]["n_kept"] == 10
+    assert out["big"]["n_kept"] == 64
+    assert abs(out["big"]["est_distinct"] - 5000) / 5000 < 0.25
