@@ -28,10 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST. For round 5 that is: the 8 TPC-H rows that rode on an r3 signal
 # through r4 (r4 verdict item 3), then every query whose plan changed this
 # round (the similarity family's ivf/LSH/repartition rewrite, the dedup
-# shingle widening, q22's broadcast scalar subquery). The tail holds rows
-# rotated OUT — each green in the r4 driver run with code untouched since,
-# and re-verified locally against DuckDB at sf0.01 this round
-# (NOTES_r5.md).
+# shingle widening, q22's broadcast scalar subquery), then the round's 7
+# NEW queries (Q15/Q21/Q12, packing, sampling, incremental dedup, window
+# gauntlet, PII scrub, KMV sketch). The tail holds rows rotated OUT —
+# each green in the r4 driver run with code untouched since, and
+# re-verified locally against DuckDB at sf0.01 after every commit this
+# round (NOTES_r5.md).
 _GATE_HEAD = [
     # r3-green only (rotated out in r4) — need a fresh driver row
     "q7_nation_volume",

@@ -283,3 +283,52 @@ def test_pg_array_parser_roundtrip_nested(rows):
 
     lit = _pg_array_literal(rows)
     assert json.loads(pg_array_text_to_json(lit)) == rows
+
+
+# --- PII scrub: cross-engine property (Spark Java regex vs DuckDB RE2) ---
+# The pattern table is written in the dialects' common subset; this pins
+# that claim on generated text over the printable-ASCII contract, with
+# PII-like snippets spliced in so matches actually occur.
+
+_PII_FRAG = st.text(alphabet=" abcdefgABC0123456789@.+-()_%", max_size=30)
+_PII_SNIPPETS = st.sampled_from(
+    [
+        "bob@x.co",
+        "a.b+c@sub.example.org",
+        "10.1.2.3",
+        "999.999.999.999",
+        "+1 (555) 123-4567",
+        "123-45-6789",
+        "1234-56-7890",
+        "a@b",
+        "1.2.3",
+        "+12",
+        "@.",
+    ]
+)
+_PII_DOC = st.lists(
+    st.one_of(_PII_FRAG, _PII_SNIPPETS), min_size=0, max_size=6
+).map(" ".join)
+
+
+@given(docs=st.lists(_PII_DOC, min_size=1, max_size=60))
+@settings(max_examples=5, deadline=None)
+def test_pii_scrub_cross_engine(spark, ddb, docs):
+    import pandas as pd
+
+    from go_pq_cdc_spark.operators.text import PII_PATTERNS, with_pii_scrub
+
+    sdf = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["clean_text"] for r in with_pii_scrub(sdf).collect()
+    }
+    chain = "text"
+    for _, pat, repl in PII_PATTERNS:
+        chain = f"regexp_replace({chain}, '{pat}', '{repl}', 'g')"
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})  # noqa: F841
+    want = dict(
+        ddb.execute(f"SELECT doc_id, {chain} AS c FROM pdf").fetchall()
+    )
+    assert got == want
