@@ -388,3 +388,41 @@ def test_kafka_frames_serialization(spark):
     assert [v["op"] for v in vals] == ["I", "U", "D"]
     assert vals[2]["before"] == {"id": "7", "name": "b"} and "after" not in vals[2]
     assert vals[0]["after"] == {"id": "7", "name": "a"}
+
+
+def test_streaming_session_window(spark, tmpdirs):
+    """Native streaming session windows (the streaming twin of the
+    oracle-gated batch q_sessionize): events gapped > 10s per key split
+    into separate sessions (complete mode: session merge can't be an
+    in-place update).
+    commit_ts = base + lsn seconds, so lsn runs {0,1,2} and {30,31}
+    form exactly two sessions for pk=1, one for pk=2."""
+    os.makedirs(tmpdirs["in"], exist_ok=True)
+    _write_batch(
+        spark,
+        tmpdirs["in"],
+        [_ev("I", lsn, 1, 1, float(lsn)) for lsn in (0, 1, 2, 30, 31)]
+        + [_ev("I", lsn, 1, 2, float(lsn)) for lsn in (5, 6)],
+        0,
+    )
+    stream = changelog_stream(spark, tmpdirs["in"] + "/*")
+    agg = (
+        stream.withWatermark("commit_ts", "5 minutes")
+        .groupBy(F.session_window("commit_ts", "10 seconds"), "pk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", tmpdirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT pk, session_window.start AS s, n FROM sess_out ORDER BY pk, s"
+        ).collect()
+        assert [(r["pk"], r["n"]) for r in rows] == [(1, 3), (1, 2), (2, 2)]
+    finally:
+        q.stop()
