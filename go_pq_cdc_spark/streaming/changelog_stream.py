@@ -104,14 +104,18 @@ def _write_manifest(state_dir: str, manifest: dict) -> None:
 
 def read_mirror(spark: SparkSession, state_dir: str) -> DataFrame:
     """The queryable current state: union of every bucket's live directory
-    as recorded by the manifest (consistent at the last merge commit)."""
+    as recorded by the manifest (consistent at the last merge commit).
+    Column shape comes from the manifest's pinned value schema (mirrors
+    created before multi-column support default to `after_val double`)."""
     manifest = _read_manifest(state_dir)
+    value_schema = manifest.get("value_schema", "after_val double")
+    value_cols = [f.split(" ", 1)[0] for f in value_schema.split(", ")]
     paths = [os.path.join(state_dir, rel) for rel in manifest["buckets"].values()]
     if not paths:
         return spark.createDataFrame(
-            [], "pk bigint, lsn bigint, op string, after_val double"
+            [], f"pk bigint, lsn bigint, op string, {value_schema}"
         )
-    return spark.read.parquet(*paths).select("pk", "lsn", "op", "after_val")
+    return spark.read.parquet(*paths).select("pk", "lsn", "op", *value_cols)
 
 
 _MIRROR_VIEWS: dict[str, set[str]] = {}  # abspath(state_dir) -> view names
@@ -182,6 +186,7 @@ def merge_mirror_batch(
     state_dir: str,
     epoch: int | None = None,
     n_buckets: int | None = None,
+    value_cols: tuple[str, ...] = ("after_val",),
 ) -> None:
     """Idempotent TOAST-aware max-LSN-wins merge of one micro-batch into
     the pk-bucketed parquet mirror (Delta/Iceberg `MERGE INTO` stand-in).
@@ -198,7 +203,7 @@ def merge_mirror_batch(
     manifest (and every directory it references) intact; replaying the same
     epoch overwrites the orphan and converges because the merge is
     idempotent."""
-    from ..operators.cdc import toast_fill
+    from ..operators.cdc import toast_fill_cols
 
     spark = batch_df.sparkSession
     manifest = _read_manifest(state_dir)
@@ -219,8 +224,23 @@ def merge_mirror_batch(
         )
     else:
         n_buckets = stored_n
+    # The value-column schema is likewise a property of the STORED mirror
+    # (reference parity: a sink table's row shape). Pinned at first write;
+    # a later merge with different columns is a rebuild, not a silent
+    # schema drift.
+    value_schema = ", ".join(
+        f"{c} {batch_df.schema[c].dataType.simpleString()}" for c in value_cols
+    )
+    stored_schema = manifest.get("value_schema")
+    if stored_schema is None:
+        manifest["value_schema"] = value_schema
+    elif [f.split(" ", 1)[0] for f in stored_schema.split(", ")] != list(value_cols):
+        raise ValueError(
+            f"mirror at {state_dir} stores columns [{stored_schema}]; "
+            f"merging {list(value_cols)} requires a rebuild"
+        )
 
-    incoming = batch_df.select("pk", "lsn", "op", "after_val").withColumn(
+    incoming = batch_df.select("pk", "lsn", "op", *value_cols).withColumn(
         "pb", _bucket_col(n_buckets=n_buckets)
     )
     # Driver-side bucket routing (<= n_buckets ints — a plan-time scalar,
@@ -237,7 +257,7 @@ def merge_mirror_batch(
     ]
     if old_paths:
         existing = spark.read.parquet(*old_paths).select(
-            "pk", "lsn", "op", "after_val"
+            "pk", "lsn", "op", *value_cols
         )
         merged = existing.unionByName(incoming.drop("pb"))
     else:
@@ -257,7 +277,7 @@ def merge_mirror_batch(
         .filter(F.col("dup_rn") == 1)
         .drop("dup_rn")
     )
-    filled = toast_fill(merged)
+    filled = toast_fill_cols(merged, value_cols)
     w = Window.partitionBy("pk")
     state = (
         filled.withColumn("max_lsn", F.max("lsn").over(w))
@@ -266,7 +286,7 @@ def merge_mirror_batch(
             "pk",
             "lsn",
             F.lit("R").alias("op"),
-            F.col("filled_val").alias("after_val"),
+            *[F.col(f"filled_{c}").alias(c) for c in value_cols],
         )
         .withColumn("pb", _bucket_col(n_buckets=n_buckets))
     )
@@ -305,6 +325,7 @@ def mirror_sink(
     state_dir: str,
     checkpoint_dir: str,
     n_buckets: int | None = None,
+    value_cols: tuple[str, ...] = ("after_val",),
 ):
     """Attach the mirror-maintenance sink to a change stream. Returns the
     StreamingQuery; call processAllAvailable() to drain in tests.
@@ -316,7 +337,7 @@ def mirror_sink(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             lambda batch_df, epoch: merge_mirror_batch(
-                batch_df, state_dir, epoch, n_buckets=n_buckets
+                batch_df, state_dir, epoch, n_buckets=n_buckets, value_cols=value_cols
             )
         )
         .start()

@@ -426,3 +426,54 @@ def test_streaming_session_window(spark, tmpdirs):
         assert [(r["pk"], r["n"]) for r in rows] == [(1, 3), (1, 2), (2, 2)]
     finally:
         q.stop()
+
+
+def test_multi_column_mirror(spark, tmpdirs):
+    """Whole-row mirror (reference parity: sinks get full-row images):
+    each value column independently TOAST-repairs (a NULL in one column
+    of an update inherits the stored value while the other column
+    changes), DELETE removes the key, and the value schema is pinned in
+    the manifest — a merge with different columns must refuse."""
+    from pyspark.sql import Row as R
+
+    import datetime as dt
+
+    from go_pq_cdc_spark.streaming.changelog_stream import merge_mirror_batch
+
+    ts = dt.datetime(2024, 1, 1)
+    schema = (
+        "op string, lsn bigint, xid bigint, commit_ts timestamp, "
+        "pk bigint, name string, qty bigint"
+    )
+    b1 = spark.createDataFrame(
+        [
+            R("I", 1, 1, ts, 1, "alpha", 10),
+            R("I", 2, 1, ts, 2, "beta", 20),
+        ],
+        schema,
+    )
+    state = tmpdirs["state"]
+    merge_mirror_batch(b1, state, 0, value_cols=("name", "qty"))
+    b2 = spark.createDataFrame(
+        [
+            R("U", 3, 2, ts, 1, None, 11),      # name TOAST-unchanged
+            R("U", 4, 2, ts, 2, "beta2", None),  # qty TOAST-unchanged
+            R("I", 5, 2, ts, 3, "gamma", 30),
+            R("D", 6, 2, ts, 3, None, None),     # inserted then deleted
+        ],
+        schema,
+    )
+    merge_mirror_batch(b2, state, 1, value_cols=("name", "qty"))
+    rows = {
+        r["pk"]: (r["name"], r["qty"])
+        for r in read_mirror(spark, state).collect()
+    }
+    assert rows == {1: ("alpha", 11), 2: ("beta2", 20)}
+    # schema pinned: different columns are a rebuild, not silent drift
+    with pytest.raises(ValueError, match="requires a rebuild"):
+        merge_mirror_batch(b1.withColumnRenamed("qty", "amount"), state, 2,
+                           value_cols=("name", "amount"))
+    # empty-mirror read of a NEW state dir keeps the declared single-col
+    # default (legacy mirrors without value_schema read as after_val)
+    empty = read_mirror(spark, tmpdirs["state"] + "_nonexistent")
+    assert empty.columns == ["pk", "lsn", "op", "after_val"]
