@@ -285,6 +285,7 @@ class CdcEngine:
         checkpoint_dir: str,
         snapshot_reader=None,
         mirror_buckets: int | None = None,
+        value_schema: str = "after_val double",
     ):
         """The reference's `connector.Start(ctx)` in one call
         (connector.go:57-142 sequencing; SURVEY §3.1-3.3):
@@ -304,12 +305,21 @@ class CdcEngine:
 
         The transport runs separately (`slot_keeper` / `replicate` fill
         `wal_dir` with segments); this sequences control plane + data
-        plane. Returns (snapshot_lsn, streaming_query_or_None)."""
+        plane. Returns (snapshot_lsn, streaming_query_or_None).
+
+        `value_schema` is the captured table's VALUE-column DDL (default
+        the single after_val column): the snapshot reader must produce
+        those columns, WAL segments must carry them, and the mirror
+        stores the whole row with per-column TOAST repair (reference
+        parity: sinks receive full-row images)."""
         from pyspark.sql import functions as F
 
         from .sources.slot_keeper import lsn_to_int
         from .streaming.changelog_stream import merge_mirror_batch
 
+        value_cols = tuple(
+            f.strip().split(" ", 1)[0] for f in value_schema.split(",")
+        )
         for stmt in self.setup_sql():
             run_sql(stmt)
         (row,) = run_sql(pg.current_wal_lsn_sql())
@@ -343,18 +353,29 @@ class CdcEngine:
                         "pk",
                         F.lit(snapshot_lsn).cast("long").alias("lsn"),
                         F.lit("R").alias("op"),
-                        "after_val",
+                        *value_cols,
                     )
-                    merge_mirror_batch(rows, state_dir, n_buckets=mirror_buckets)
+                    merge_mirror_batch(
+                        rows, state_dir, n_buckets=mirror_buckets, value_cols=value_cols
+                    )
                 claim.mark_completed()
         if self.config.snapshot_mode == "snapshot_only":
             return snapshot_lsn, None
 
-        changes = changelog_stream(self.spark, wal_dir).filter(
+        stream_schema = self.spark.createDataFrame(
+            [],
+            "op string, lsn bigint, xid bigint, commit_ts timestamp, "
+            f"pk bigint, {value_schema}",
+        ).schema
+        changes = changelog_stream(self.spark, wal_dir, schema=stream_schema).filter(
             F.col("lsn") > snapshot_lsn
         )
         return snapshot_lsn, mirror_sink(
-            changes, state_dir, checkpoint_dir, n_buckets=mirror_buckets
+            changes,
+            state_dir,
+            checkpoint_dir,
+            n_buckets=mirror_buckets,
+            value_cols=value_cols,
         )
 
     def current_state(self, state_dir: str) -> DataFrame:

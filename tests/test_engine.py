@@ -261,3 +261,69 @@ def test_snapshot_only_force_resnapshot(spark, tmp_path):
     df2 = spark.range(0, 5)
     assert snapshot_only(df2, out, resnapshot=True) is True
     assert spark.read.parquet(out).count() == 5
+
+
+def test_start_initial_lifecycle_multi_column(spark, tmp_path):
+    """The start() lifecycle with a whole-row value schema: snapshot rows
+    carry (name, qty), the stream TOAST-repairs each column independently
+    across the handoff seam, and the mirror stores the full row."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    eng = _engine(spark)
+
+    def run_sql(sql):
+        if "pg_current_wal_lsn" in sql:
+            return [("0/14",)]  # snapshot LSN = 20
+        return []
+
+    def snapshot_reader(table):
+        return spark.createDataFrame(
+            [Row(pk=10, name="alpha", qty=1), Row(pk=20, name="beta", qty=2)]
+        )
+
+    wal_dir = tmp_path / "wal"
+    wal_dir.mkdir()
+    ts = datetime.datetime(2024, 1, 1)
+    events = [
+        # post-handoff: qty changes, name TOAST-unchanged (inherits snapshot)
+        ("U", 25, 2, ts, 10, None, 11),
+        # name changes, qty unchanged
+        ("U", 30, 3, ts, 20, "beta2", None),
+        ("I", 35, 4, ts, 30, "gamma", 3),
+        ("D", 40, 5, ts, 30, None, None),
+    ]
+    pdf = pd.DataFrame(
+        events, columns=["op", "lsn", "xid", "commit_ts", "pk", "name", "qty"]
+    )
+    pdf["qty"] = pdf["qty"].astype("Int64")  # keep NULLs without float64 coercion
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(wal_dir / "seg.parquet"),
+        coerce_timestamps="us",
+    )
+    eng.config.snapshot_tables = ["public.users"]
+    snapshot_lsn, q = eng.start(
+        run_sql,
+        str(wal_dir),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        snapshot_reader=snapshot_reader,
+        value_schema="name string, qty bigint",
+    )
+    assert snapshot_lsn == 20
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = {
+        r["pk"]: (r["name"], r["qty"])
+        for r in read_mirror(spark, str(tmp_path / "state")).collect()
+    }
+    assert state == {10: ("alpha", 11), 20: ("beta2", 2)}
