@@ -275,6 +275,58 @@ class CdcEngine:
         keep their manifest-pinned count."""
         return mirror_sink(stream_df, state_dir, checkpoint_dir, n_buckets=n_buckets)
 
+    def typed_mirror(
+        self,
+        changes: DataFrame,
+        state_dir: str,
+        checkpoint_dir: str,
+        table: str,
+        value_schema: str,
+        pk_col: str = "pk",
+        n_buckets: int | None = None,
+    ):
+        """Whole-row TYPED mirror straight from the change envelope — the
+        reference's sink contract (typed full-row events applied in commit
+        order; connector.go sink dispatch + tuple/data.go decode) end to
+        end. `changes` is either transport's envelope stream
+        (`raw_changes` wal2json decode or the socket/pgoutput envelope
+        reader): filter to `table`, type the after-image string map with
+        `envelope.typed_projection` (the pk comes from the BEFORE image
+        for DELETEs — replica identity), and maintain the full row in the
+        bucketed mirror with per-column TOAST repair (a column absent
+        from an update's after map types to NULL and inherits the stored
+        value)."""
+        from pyspark.sql import functions as F
+
+        from .envelope import typed_projection
+        from .streaming.changelog_stream import mirror_sink as _sink
+
+        value_cols = tuple(
+            f.strip().split(" ", 1)[0] for f in value_schema.split(",")
+        )
+        sch, _, tbl = table.rpartition(".")
+        env = changes.filter(
+            (F.col("schema") == (sch or "public")) & (F.col("table") == tbl)
+        ).withColumn(
+            "_img", F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
+        )
+        pk_struct = self.spark.createDataFrame([], f"{pk_col} bigint").schema
+        val_struct = self.spark.createDataFrame([], value_schema).schema
+        typed = typed_projection(
+            typed_projection(env, "_img", pk_struct), "after", val_struct
+        )
+        flat = typed.select(
+            "op",
+            "lsn",
+            "xid",
+            "commit_ts",
+            F.col(pk_col).alias("pk"),
+            *value_cols,
+        )
+        return _sink(
+            flat, state_dir, checkpoint_dir, n_buckets=n_buckets, value_cols=value_cols
+        )
+
     # -- lifecycle orchestration (connector.Start, SURVEY §3.1-3.3) --------
 
     def start(

@@ -327,3 +327,69 @@ def test_start_initial_lifecycle_multi_column(spark, tmp_path):
         for r in read_mirror(spark, str(tmp_path / "state")).collect()
     }
     assert state == {10: ("alpha", 11), 20: ("beta2", 2)}
+
+
+def test_typed_mirror_from_wal2json_envelope(spark, tmp_path):
+    """Envelope transport -> typed whole-row mirror end to end: wal2json
+    docs decode JVM-side, the after image types per the declared schema,
+    a TOAST-absent column inherits the stored value, and a DELETE (pk in
+    the before image only) removes the key."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_pq_cdc_spark.sources.lsn_stream import segment_path
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    eng = _engine(spark)
+    wal_dir = tmp_path / "wal"
+    wal_dir.mkdir()
+
+    def doc(action, pk, cols=None, identity=None):
+        d = {
+            "action": action,
+            "schema": "public",
+            "table": "users",
+            "timestamp": "2024-01-01 00:00:00",
+        }
+        if cols is not None:
+            d["columns"] = [
+                {"name": k, "type": t, "value": v} for k, t, v in cols
+            ]
+        if identity is not None:
+            d["identity"] = [
+                {"name": k, "type": t, "value": v} for k, t, v in identity
+            ]
+        return json.dumps(d)
+
+    rows = [
+        (10, 1, doc("I", 1, cols=[("pk", "bigint", "1"), ("name", "text", "alpha"), ("qty", "bigint", "5")])),
+        (11, 1, doc("I", 2, cols=[("pk", "bigint", "2"), ("name", "text", "beta"), ("qty", "bigint", "7")])),
+        # TOAST: qty absent from the update's columns -> inherits 5
+        (20, 2, doc("U", 1, cols=[("pk", "bigint", "1"), ("name", "text", "alpha2")])),
+        # DELETE: pk only in the identity (before) image
+        (30, 3, doc("D", 2, identity=[("pk", "bigint", "2")])),
+    ]
+    pdf = pd.DataFrame(rows, columns=["lsn", "xid", "data"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        segment_path(str(wal_dir), 10, 30),
+    )
+    q = eng.typed_mirror(
+        eng.raw_changes(str(wal_dir)),
+        str(tmp_path / "state"),
+        str(tmp_path / "ck"),
+        table="public.users",
+        value_schema="name string, qty bigint",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = {
+        r["pk"]: (r["name"], r["qty"])
+        for r in read_mirror(spark, str(tmp_path / "state")).collect()
+    }
+    assert state == {1: ("alpha2", 5)}
