@@ -144,7 +144,11 @@ def lookup_mirror(spark: SparkSession, state_dir: str, pks: list[int]) -> DataFr
     be Spark's xxhash64 — recomputing it driver-side would risk drift)."""
     manifest = _read_manifest(state_dir)
     n = int(manifest.get("n_buckets") or MIRROR_BUCKETS)
-    empty = spark.createDataFrame([], "pk bigint, lsn bigint, op string, after_val double")
+    value_schema = manifest.get("value_schema", "after_val double")
+    value_cols = [f.split(" ", 1)[0] for f in value_schema.split(", ")]
+    empty = spark.createDataFrame(
+        [], f"pk bigint, lsn bigint, op string, {value_schema}"
+    )
     if not pks or not manifest["buckets"]:
         return empty
     keys = spark.createDataFrame([(int(p),) for p in pks], "pk bigint")
@@ -159,7 +163,7 @@ def lookup_mirror(spark: SparkSession, state_dir: str, pks: list[int]) -> DataFr
     return (
         spark.read.parquet(*paths)
         .filter(F.col("pk").isin([int(p) for p in pks]))
-        .select("pk", "lsn", "op", "after_val")
+        .select("pk", "lsn", "op", *value_cols)
     )
 
 

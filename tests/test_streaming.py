@@ -473,6 +473,14 @@ def test_multi_column_mirror(spark, tmpdirs):
     with pytest.raises(ValueError, match="requires a rebuild"):
         merge_mirror_batch(b1.withColumnRenamed("qty", "amount"), state, 2,
                            value_cols=("name", "amount"))
+    # bucket-pruned point lookup follows the pinned multi-column schema
+    from go_pq_cdc_spark.streaming.changelog_stream import lookup_mirror
+
+    hits = {
+        r["pk"]: (r["name"], r["qty"])
+        for r in lookup_mirror(spark, state, [1]).collect()
+    }
+    assert hits == {1: ("alpha", 11)}
     # empty-mirror read of a NEW state dir keeps the declared single-col
     # default (legacy mirrors without value_schema read as after_val)
     empty = read_mirror(spark, tmpdirs["state"] + "_nonexistent")
