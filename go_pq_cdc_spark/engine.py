@@ -296,10 +296,22 @@ class CdcEngine:
         bucketed mirror with per-column TOAST repair (a column absent
         from an update's after map types to NULL and inherits the stored
         value)."""
+        from .streaming.changelog_stream import mirror_sink as _sink
+
+        flat, value_cols = self._typed_flat(changes, table, value_schema, pk_col)
+        return _sink(
+            flat, state_dir, checkpoint_dir, n_buckets=n_buckets, value_cols=value_cols
+        )
+
+    def _typed_flat(self, changes, table: str, value_schema: str, pk_col: str):
+        """Envelope -> typed flat change rows for one table: filter, type
+        the after image per the declared DDL (pk from the before image for
+        DELETEs), project to the mirror's (op, lsn, xid, commit_ts, pk,
+        *values) shape. Pure DataFrame transforms — works identically on a
+        stream and on a foreachBatch micro-batch."""
         from pyspark.sql import functions as F
 
         from .envelope import typed_projection
-        from .streaming.changelog_stream import mirror_sink as _sink
 
         value_cols = tuple(
             f.strip().split(" ", 1)[0] for f in value_schema.split(",")
@@ -323,8 +335,45 @@ class CdcEngine:
             F.col(pk_col).alias("pk"),
             *value_cols,
         )
-        return _sink(
-            flat, state_dir, checkpoint_dir, n_buckets=n_buckets, value_cols=value_cols
+        return flat, value_cols
+
+    def typed_multi_mirror(
+        self,
+        changes: DataFrame,
+        state_root: str,
+        checkpoint_dir: str,
+        tables: dict[str, str],
+        pk_col: str = "pk",
+        n_buckets: int | None = None,
+    ):
+        """O17 typed fan-out: ONE slot's envelope stream feeds every
+        published table's whole-row mirror (the reference runs one
+        replication stream and dispatches per table — connector.go sink
+        dispatch). `tables` maps qualified name -> value-column DDL; each
+        micro-batch is split per table (driver-side control flow only —
+        tables are few, rows are many), typed per that table's schema, and
+        merged into `<state_root>/<schema>__<table>` with per-column TOAST
+        repair."""
+        import os as _os
+
+        from .streaming.changelog_stream import merge_mirror_batch
+
+        def apply(batch_df, epoch: int) -> None:
+            for table, vschema in tables.items():
+                flat, value_cols = self._typed_flat(batch_df, table, vschema, pk_col)
+                merge_mirror_batch(
+                    flat,
+                    _os.path.join(state_root, table.replace(".", "__")),
+                    epoch,
+                    n_buckets=n_buckets,
+                    value_cols=value_cols,
+                )
+
+        return (
+            changes.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(apply)
+            .start()
         )
 
     # -- lifecycle orchestration (connector.Start, SURVEY §3.1-3.3) --------

@@ -393,3 +393,65 @@ def test_typed_mirror_from_wal2json_envelope(spark, tmp_path):
         for r in read_mirror(spark, str(tmp_path / "state")).collect()
     }
     assert state == {1: ("alpha2", 5)}
+
+
+def test_typed_multi_mirror_fanout(spark, tmp_path):
+    """O17 typed fan-out: one envelope stream feeds two tables' whole-row
+    mirrors, each typed per its own declared schema."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_pq_cdc_spark.sources.lsn_stream import segment_path
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    eng = _engine(spark)
+    wal_dir = tmp_path / "wal"
+    wal_dir.mkdir()
+
+    def doc(action, table, cols):
+        return json.dumps(
+            {
+                "action": action,
+                "schema": "public",
+                "table": table,
+                "timestamp": "2024-01-01 00:00:00",
+                "columns": [{"name": k, "type": "text", "value": v} for k, v in cols],
+            }
+        )
+
+    rows = [
+        (10, 1, doc("I", "users", [("pk", "1"), ("name", "ann")])),
+        (11, 1, doc("I", "orders", [("pk", "7"), ("total", "99.5")])),
+        (12, 2, doc("U", "users", [("pk", "1"), ("name", "ann2")])),
+    ]
+    pdf = pd.DataFrame(rows, columns=["lsn", "xid", "data"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        segment_path(str(wal_dir), 10, 12),
+    )
+    q = eng.typed_multi_mirror(
+        eng.raw_changes(str(wal_dir)),
+        str(tmp_path / "state"),
+        str(tmp_path / "ck"),
+        tables={
+            "public.users": "name string",
+            "public.orders": "total double",
+        },
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    users = {
+        r["pk"]: r["name"]
+        for r in read_mirror(spark, str(tmp_path / "state" / "public__users")).collect()
+    }
+    orders = {
+        r["pk"]: r["total"]
+        for r in read_mirror(spark, str(tmp_path / "state" / "public__orders")).collect()
+    }
+    assert users == {1: "ann2"}
+    assert orders == {7: 99.5}
