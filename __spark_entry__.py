@@ -67,6 +67,7 @@ _GATE_HEAD = [
     "q_window_gauntlet",
     "text_pii_scrub",
     "q_kmv_distinct",
+    "emb_quantize",
 ]
 _GATE_TAIL = [
     # rotated out r5: all driver-green in CORRECTNESS_r04, code untouched,

@@ -149,3 +149,45 @@ def pack_sequences(
             f"ELSE cum_before DIV {b} END"
         ).alias("seq_last"),
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector linear quantization of float embeddings to `bits`-bit
+    codes — the standard 4x (float32 -> int8) storage/IO cut for a 100 TB
+    embedding corpus; dequantize is `mn + code * scale` per element.
+
+    Pure elementwise Catalyst expressions (one narrow pass, no shuffle, no
+    UDF): per-vector min/max -> scale = (mx - mn) / (2^bits - 1) -> code =
+    round((x - mn) / scale). A constant vector (scale 0) quantizes to all
+    zeros and reconstructs exactly as mn. NULL vectors are filtered (no
+    codes to emit). Returns (id, q array<int>, mn double, scale double).
+
+    Every output is elementwise (no float accumulation), so the result is
+    oracle-exact cross-engine; reconstruction error is bounded by scale/2
+    per element (asserted in tests, not shipped as a column — an MSE
+    aggregate would hinge on float summation order)."""
+    levels = (1 << bits) - 1
+    d = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.expr(f"array_min({d})").alias("mn"),
+            F.expr(f"(array_max({d}) - array_min({d})) / {levels}.0").alias("scale"),
+            F.expr(d).alias("_d"),
+        )
+        .select(
+            "id",
+            F.expr(
+                "CASE WHEN scale = 0 THEN transform(_d, x -> 0) "
+                "ELSE transform(_d, x -> CAST(round((x - mn) / scale) AS INT)) END"
+            ).alias("q"),
+            "mn",
+            "scale",
+        )
+    )

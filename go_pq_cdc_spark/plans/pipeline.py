@@ -548,6 +548,38 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_quantize",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id AS id, [CAST(x AS DOUBLE) FOR x IN embedding] AS dv
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    s AS (
+        SELECT id, dv, list_min(dv) AS mn,
+               (list_max(dv) - list_min(dv)) / 255.0 AS scale
+        FROM d
+    )
+    SELECT id,
+           CASE WHEN scale = 0 THEN [0 FOR x IN dv]
+                ELSE [CAST(round((x - mn) / scale) AS INT) FOR x IN dv]
+           END AS q,
+           mn, scale
+    FROM s
+    """,
+    tags=("embedding", "quantize"),
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 linear quantization of the embedding corpus — the
+    4x storage/IO cut before anything else touches a 100 TB embedding
+    table. All elementwise expressions (no float accumulation), so the
+    codes, mins and scales are oracle-exact."""
+    from ..operators.training import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+
+
+@register(
     "text_top_tokens",
     oracle=f"""
     WITH tok AS (

@@ -81,3 +81,30 @@ def test_sample_stratified_rates(spark):
     assert sample_stratified(
         df2, {"en": 1.0}, strata_col="lang", id_col="doc_id"
     ).count() == 0
+
+
+def test_quantize_embeddings_reconstruction_bound(spark):
+    """Dequantized values must sit within scale/2 of the originals
+    (linear quantization's error bound), constant vectors reconstruct
+    exactly, and NULL vectors are dropped."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.operators.training import quantize_embeddings
+
+    rows = [
+        (1, [0.0, 1.0, 0.25, -1.0]),
+        (2, [3.5, 3.5, 3.5]),   # constant: scale 0, reconstructs exactly
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["id"]: r for r in quantize_embeddings(df).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    orig = [0.0, 1.0, 0.25, -1.0]
+    for code, x in zip(r1["q"], orig):
+        recon = r1["mn"] + code * r1["scale"]
+        assert abs(recon - x) <= r1["scale"] / 2 + 1e-12
+    assert 0 in r1["q"] and 255 in r1["q"]  # min and max hit the endpoints
+    r2 = out[2]
+    assert r2["scale"] == 0.0 and r2["q"] == [0, 0, 0]
+    assert abs(r2["mn"] - 3.5) < 1e-6  # all elements reconstruct as mn
