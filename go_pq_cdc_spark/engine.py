@@ -441,25 +441,50 @@ class CdcEngine:
 
             if self.config.resnapshot:
                 job_claim.reset(state_dir)
-            claim = job_claim.acquire(state_dir)
-            if claim.acquired:
-                wanted = set(
-                    self.config.snapshot_tables
-                    or [t.qualified for t in self.config.tables]
-                )
-                for table in self.config.tables:
-                    if table.qualified not in wanted:
-                        continue
-                    rows = snapshot_reader(table).select(
-                        "pk",
-                        F.lit(snapshot_lsn).cast("long").alias("lsn"),
-                        F.lit("R").alias("op"),
-                        *value_cols,
+            while True:
+                claim = job_claim.acquire(state_dir)
+                if claim.acquired:
+                    wanted = set(
+                        self.config.snapshot_tables
+                        or [t.qualified for t in self.config.tables]
                     )
-                    merge_mirror_batch(
-                        rows, state_dir, n_buckets=mirror_buckets, value_cols=value_cols
-                    )
-                claim.mark_completed()
+                    for table in self.config.tables:
+                        if table.qualified not in wanted:
+                            continue
+                        rows = snapshot_reader(table).select(
+                            "pk",
+                            F.lit(snapshot_lsn).cast("long").alias("lsn"),
+                            F.lit("R").alias("op"),
+                            *value_cols,
+                        )
+                        merge_mirror_batch(
+                            rows,
+                            state_dir,
+                            n_buckets=mirror_buckets,
+                            value_cols=value_cols,
+                        )
+                    # Persist the seam: a later restart must anchor its
+                    # stream filter HERE, not at a fresh wal_lsn read —
+                    # re-reading the watermark after skipping the seed
+                    # would silently drop every event that landed while
+                    # the app was down.
+                    claim.mark_completed(info={"snapshot_lsn": snapshot_lsn})
+                    break
+                if job_claim.is_completed(state_dir):
+                    stored = job_claim.completed_info(state_dir).get("snapshot_lsn")
+                    # Legacy marker without an LSN: replay the whole WAL
+                    # dir — safe (idempotent max-LSN-wins merge; seeded
+                    # rows sit at the original snapshot LSN and win over
+                    # older replayed events), unlike any guess that could
+                    # skip events.
+                    snapshot_lsn = int(stored) if stored is not None else 0
+                    break
+                # a live peer is seeding this state_dir: streaming now
+                # would read a half-seeded mirror AND anchor at the wrong
+                # LSN — wait for its completion marker (or its crash,
+                # after which acquire() takes over via the TTL arm)
+                if job_claim.wait_completed(state_dir):
+                    continue  # completed: loop reads the stored LSN
         if self.config.snapshot_mode == "snapshot_only":
             return snapshot_lsn, None
 
@@ -512,35 +537,23 @@ class CdcEngine:
 
     def status_server(self, wal_dir: str | None = None, host: str = "127.0.0.1", port: int = 0):
         """Start the /status + /metrics + /slot HTTP surface
-        (`internal/http/server.go:36-60`). ONE listener per engine is
-        registered with the session's stream manager (repeated start/stop
-        cycles used to leak a listener each — ADVICE r4) and `stop()`
-        detaches it. Pass `wal_dir` so /slot serves live confirmed/current
-        LSNs from the segment log. Returns the started `StatusServer`
-        (`.port`, `.listener`, `.stop()`)."""
+        (`internal/http/server.go:36-60`). EACH server registers its OWN
+        CdcMetricsListener and `stop()` detaches exactly that one — a
+        shared cached listener (the first r4-ADVICE fix) froze a second
+        concurrent server's metrics the moment the first was stopped (r5
+        review); per-server listeners keep stop() leak-free without the
+        cross-interference. Pass `wal_dir` so /slot serves live
+        confirmed/current LSNs from the segment log. Returns the started
+        `StatusServer` (`.port`, `.listener`, `.stop()`)."""
         from .observability import CdcMetricsListener, StatusServer
 
-        listener = getattr(self, "_status_listener", None)
-        if listener is None:
-            listener = CdcMetricsListener()
-            self._status_listener = listener
-            self.spark.streams.addListener(listener)
+        listener = CdcMetricsListener()
+        self.spark.streams.addListener(listener)
         if wal_dir is not None:
             listener.attach_wal_dir(wal_dir, self.config.slot_name)
-        server = StatusServer(
+        return StatusServer(
             listener, host=host, port=port, spark=self.spark, config=self.config
         ).start()
-        # stop() detaches the listener from the session; drop our cache so a
-        # later status_server() re-registers a fresh one
-        orig_stop = server.stop
-
-        def stop_and_clear() -> None:
-            orig_stop()
-            if getattr(self, "_status_listener", None) is listener:
-                self._status_listener = None
-
-        server.stop = stop_and_clear
-        return server
 
 
 def snapshot_only(

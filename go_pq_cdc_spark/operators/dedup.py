@@ -215,77 +215,90 @@ def _bucket_expr(n_buckets: int):
     return F.expr(f"pmod(xxhash64(band, band_key), {int(n_buckets)})").cast("int")
 
 
-def minhash_index_write(
+def minhash_band_rows(
     df: DataFrame,
-    path: str,
     id_col: str,
     text_col: str = "text",
-    *,
-    portable: bool = True,
-    n_buckets: int = MINHASH_INDEX_BUCKETS,
-) -> None:
-    """Persist the corpus's MinHash-LSH state as a SERVING INDEX for
-    incremental dedup: one row per (doc, band) carrying the band key AND
-    the doc's full shingle-hash set, PARTITIONED BY a hash bucket of the
-    band key (reference parity: the persisted-state role of
-    go-pq-cdc's slot/offset docs, applied to the dedup domain; analogous
-    to `similarity.ivf_index_write` for ANN).
-
-    Layout contract: `bucket = pmod(xxhash64(band, band_key), n_buckets)`.
-    A new-document batch computes the same buckets for its own band keys,
-    so candidate lookup scans ONLY the touched bucket directories (Hive
-    partition pruning) — never the whole index.
-
-    Carrying `sh` inline duplicates the shingle set ×LSH_BANDS in storage.
-    That is deliberate: exact-Jaccard verification then needs ZERO extra
-    passes (no join back to a doc table, which at 100 TB would be a second
-    full-index shuffle). Storage is cheap; corpus-wide shuffles are not."""
-    bands = minhash_per_doc(df, id_col, text_col, portable=portable).select(
-        "id", "sh", F.expr(f"explode(array({_band_structs_sql()}))").alias("bb")
-    ).select(
-        "id",
-        F.col("bb.band").alias("band"),
-        F.col("bb.band_key").alias("band_key"),
-        "sh",
-    )
-    bands = bands.withColumn("bucket", _bucket_expr(n_buckets))
-    bands.write.mode("overwrite").partitionBy("bucket").parquet(path)
-
-
-def dedup_incremental(
-    spark,
-    new_docs: DataFrame,
-    index_path: str,
-    id_col: str,
-    text_col: str = "text",
-    threshold: float = 0.5,
     *,
     portable: bool = True,
     n_buckets: int = MINHASH_INDEX_BUCKETS,
 ) -> DataFrame:
-    """Near-dup pairs between a NEW document batch and a persisted corpus
-    index (`minhash_index_write`) — the daily-increment shape of a 100 TB
-    training-data pipeline: dedup today's crawl against the whole corpus
-    WITHOUT re-reading, re-shingling, or re-hashing the corpus.
+    """(id, band, band_key, sh, bucket) — the index row shape, computed in
+    one narrow pass. Shared by the index writer, the incremental lookup
+    and the streaming sink (which caches ONE of these per micro-batch and
+    reuses it for lookup, within-batch pairing AND the index append —
+    shingling/minhashing is the dominant per-batch cost and runs once)."""
+    return (
+        minhash_per_doc(df, id_col, text_col, portable=portable)
+        .select(
+            "id", "sh", F.expr(f"explode(array({_band_structs_sql()}))").alias("bb")
+        )
+        .select(
+            "id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.band_key").alias("band_key"),
+            "sh",
+        )
+        .withColumn("bucket", _bucket_expr(n_buckets))
+    )
 
-    Plan: the new batch computes its own band rows + buckets (one narrow
-    pass); the distinct touched buckets are collected (≤ n_buckets values
-    — driver-size by construction); the index is read with a declared
-    schema and a `bucket IN (...)` filter that Hive partition pruning
-    turns into a directory-level skip; candidates come from the
-    (band, band_key) equi-join; exact Jaccard verifies candidates only,
-    using the shingle sets BOTH sides already carry (zero extra passes).
-    When the increment is small relative to the index, AQE broadcasts the
-    new side. Returns (doc_a, doc_b, jaccard) with doc_a from the index.
-    A re-ingested id never pairs with itself (id_a != id_b)."""
-    nb = minhash_per_doc(new_docs, id_col, text_col, portable=portable).select(
-        "id", "sh", F.expr(f"explode(array({_band_structs_sql()}))").alias("bb")
-    ).select(
-        "id",
-        F.col("bb.band").alias("band"),
-        F.col("bb.band_key").alias("band_key"),
-        "sh",
-    ).withColumn("bucket", _bucket_expr(n_buckets)).cache()
+
+def _jaccard_pairs(cand: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, sh_a, id_b, sh_b) candidates -> verified (doc_a, doc_b,
+    jaccard) at >= threshold."""
+    return (
+        cand.withColumn(
+            "n_inter", F.expr("size(array_intersect(sh_a, sh_b))").cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.expr("CAST(n_inter AS DOUBLE) / (size(sh_a) + size(sh_b) - n_inter)"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+    )
+
+
+def within_batch_pairs(nb: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs INSIDE one batch from its precomputed band rows —
+    identical semantics to `minhash_lsh_pairs` (banded candidates, exact
+    Jaccard verify, id_a < id_b) without re-shingling the batch."""
+    cand = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _jaccard_pairs(cand, threshold)
+
+
+def dedup_incremental_from_bands(
+    spark,
+    nb: DataFrame,
+    index_path: str,
+    threshold: float = 0.5,
+    *,
+    n_buckets: int = MINHASH_INDEX_BUCKETS,
+    exclude_identical: bool = False,
+) -> DataFrame:
+    """`dedup_incremental` over precomputed (cached) band rows `nb`.
+
+    `exclude_identical=True` drops index hits that are the batch's OWN
+    content — same id AND same shingle set (a retried batch whose append
+    already landed, or an unchanged re-ingest). A same-id hit with
+    DIFFERENT content survives: the indexed old version of doc X really
+    is a near-dup of new doc Y, and dropping every pair touching X's id
+    would silently admit duplicates (r5 review finding)."""
     buckets = sorted(r["bucket"] for r in nb.select("bucket").distinct().collect())
     if not buckets:
         return spark.createDataFrame([], "doc_a bigint, doc_b bigint, jaccard double")
@@ -311,14 +324,84 @@ def dedup_incremental(
         # a pair can collide in several bands; sh_* are functions of the id
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cand.withColumn("n_inter", F.expr("size(array_intersect(sh_a, sh_b))").cast("long"))
-        .withColumn(
-            "jaccard",
-            F.expr("CAST(n_inter AS DOUBLE) / (size(sh_a) + size(sh_b) - n_inter)"),
+    if exclude_identical:
+        ident = nb.select(
+            F.col("id").alias("_bid"), F.col("sh").alias("_bsh")
+        ).dropDuplicates(["_bid"])
+        cand = cand.join(
+            F.broadcast(ident),
+            (F.col("id_a") == F.col("_bid")) & F.col("sh_a").eqNullSafe(F.col("_bsh")),
+            "left_anti",
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+    return _jaccard_pairs(cand, threshold)
+
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    portable: bool = True,
+    n_buckets: int = MINHASH_INDEX_BUCKETS,
+) -> None:
+    """Persist the corpus's MinHash-LSH state as a SERVING INDEX for
+    incremental dedup: one row per (doc, band) carrying the band key AND
+    the doc's full shingle-hash set, PARTITIONED BY a hash bucket of the
+    band key (reference parity: the persisted-state role of
+    go-pq-cdc's slot/offset docs, applied to the dedup domain; analogous
+    to `similarity.ivf_index_write` for ANN).
+
+    Layout contract: `bucket = pmod(xxhash64(band, band_key), n_buckets)`.
+    A new-document batch computes the same buckets for its own band keys,
+    so candidate lookup scans ONLY the touched bucket directories (Hive
+    partition pruning) — never the whole index.
+
+    Carrying `sh` inline duplicates the shingle set ×LSH_BANDS in storage.
+    That is deliberate: exact-Jaccard verification then needs ZERO extra
+    passes (no join back to a doc table, which at 100 TB would be a second
+    full-index shuffle). Storage is cheap; corpus-wide shuffles are not."""
+    bands = minhash_band_rows(
+        df, id_col, text_col, portable=portable, n_buckets=n_buckets
+    )
+    bands.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def dedup_incremental(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    *,
+    portable: bool = True,
+    n_buckets: int = MINHASH_INDEX_BUCKETS,
+) -> DataFrame:
+    """Near-dup pairs between a NEW document batch and a persisted corpus
+    index (`minhash_index_write`) — the daily-increment shape of a 100 TB
+    training-data pipeline: dedup today's crawl against the whole corpus
+    WITHOUT re-reading, re-shingling, or re-hashing the corpus.
+
+    Plan: the new batch computes its own band rows + buckets (one narrow
+    pass, cached for the lookup's two uses); the distinct touched buckets
+    are collected (<= n_buckets values — driver-size by construction);
+    the index is read with a declared schema and a `bucket IN (...)`
+    filter that Hive partition pruning turns into a directory-level skip;
+    candidates come from the (band, band_key) equi-join; exact Jaccard
+    verifies candidates only, using the shingle sets BOTH sides already
+    carry (zero extra passes). When the increment is small relative to
+    the index, AQE broadcasts the new side. Returns (doc_a, doc_b,
+    jaccard) with doc_a from the index. A re-ingested id never pairs
+    with itself (id_a != id_b). Streaming callers should build the band
+    rows once via `minhash_band_rows` and use
+    `dedup_incremental_from_bands` (reuse + explicit unpersist).
+    """
+    nb = minhash_band_rows(
+        new_docs, id_col, text_col, portable=portable, n_buckets=n_buckets
+    ).cache()
+    return dedup_incremental_from_bands(
+        spark, nb, index_path, threshold, n_buckets=n_buckets
     )
 
 

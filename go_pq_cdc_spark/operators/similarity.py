@@ -101,20 +101,32 @@ def with_lsh_bucket(
     common-subexpression elimination), so an inferred null-check would
     re-evaluate the full planes×dims aggregate per row.
 
-    NULL embeddings get a PER-ROW-UNIQUE negative sentinel
-    (-1 - monotonically_increasing_id, disjoint from the real bucket range
-    [0, 2^planes)). Without the explicit null-route, a NULL vector FOLDS TO
-    BUCKET 0 (each plane's `CASE dot > 0 … ELSE 0` swallows the NULL dot),
-    colliding with real bucket-0 vectors and emitting NULL-cosine neighbor
-    rows (ADVICE r4). Unique sentinels can never equi-join anything, so
-    NULL vectors drop out of ANN candidate generation while the column
-    stays non-nullable (the coalesce's final branch is non-nullable)."""
+    NULL embeddings get a negative sentinel disjoint from the real bucket
+    range [0, 2^planes): -1 - xxhash64 of the row's OTHER columns (id
+    etc.), folded positive. Without the explicit null-route, a NULL
+    vector FOLDS TO BUCKET 0 (each plane's `CASE dot > 0 … ELSE 0`
+    swallows the NULL dot), colliding with real bucket-0 vectors and
+    emitting NULL-cosine neighbor rows (ADVICE r4). The sentinel is a
+    DETERMINISTIC content hash — a nondeterministic one
+    (monotonically_increasing_id, r5 review) changes across stage
+    retries, the same trap `_bucket_col`'s salt comment forbids — and is
+    per-row-unique whenever the accompanying id column is unique, so
+    NULL vectors can never equi-join anything and drop out of ANN
+    candidate generation while the column stays non-nullable."""
+    # bitwiseAND, not pmod: Pmod is nullable in Catalyst's analysis (a
+    # zero divisor yields NULL), which would make the coalesce nullable
+    # again and resurrect the inferred-isnotnull re-evaluation this
+    # docstring exists to prevent
+    others = [c for c in df.columns if c != vec_col] or [vec_col]
+    sentinel = F.lit(-1).cast("long") - F.xxhash64(*others).bitwiseAND(
+        F.lit((1 << 61) - 1)
+    )
     expr = F.coalesce(
         F.when(
             F.col(vec_col).isNotNull(),
             F.expr(lsh_bucket_fragments(vec_col, planes)["spark"]),
         ),
-        F.lit(-1).cast("long") - F.monotonically_increasing_id(),
+        sentinel,
     )
     return df.withColumn("bucket", expr)
 

@@ -101,7 +101,18 @@ def with_prefix_offsets(
     within = parted.withColumn(
         "_cum_in", F.coalesce(F.sum(weight_col).over(w_in), F.lit(0)).cast("long")
     )
-    subtot = parted.groupBy("_pid").agg(F.sum(weight_col).alias("_pt"))
+    # Subtotals derive from `within` ITSELF (inclusive running sum's max —
+    # weights are non-negative token counts, so the last row's inclusive
+    # sum is the partition total), not from a second structurally-equal
+    # branch off `parted`: both consumers now share one lineage through
+    # the SAME range exchange, whose physical reuse
+    # (ReuseExchangeAndSubquery) is additionally plan-gated in
+    # tests/test_plans_explain.py — two independent executions of a range
+    # exchange could sample different partition boundaries and misalign
+    # _cum_in with _off (r5 review finding).
+    subtot = within.groupBy("_pid").agg(
+        F.max(F.col("_cum_in") + F.col(weight_col).cast("long")).alias("_pt")
+    )
     w_p = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = subtot.withColumn(
         "_off", F.coalesce(F.sum("_pt").over(w_p), F.lit(0)).cast("long")

@@ -77,11 +77,19 @@ class SnapshotJobClaim:
             json.dump(cur, f)
         os.replace(tmp, path)
 
-    def mark_completed(self) -> None:
+    def mark_completed(self, info: dict | None = None) -> None:
         """Idempotent terminal marker (`markJobAsCompleted`,
-        worker.go:403-419); releases the claim."""
-        with open(os.path.join(self.state_dir, DONE_FILE), "w") as f:
-            f.write(self.instance_id)
+        worker.go:403-419); releases the claim. `info` persists job facts
+        peers need on resume — above all the SNAPSHOT LSN, so a restart
+        that skips the seed still anchors its stream filter at the seam
+        the mirror was actually seeded at (re-reading a fresh
+        pg_current_wal_lsn would silently drop every event that landed
+        while the app was down). Written atomically (tmp + rename)."""
+        done = os.path.join(self.state_dir, DONE_FILE)
+        tmp = done + f".tmp.{self.instance_id}"
+        with open(tmp, "w") as f:
+            json.dump({"instance_id": self.instance_id, **(info or {})}, f)
+        os.replace(tmp, done)
         try:
             os.remove(_job_path(self.state_dir))
         except FileNotFoundError:
@@ -111,6 +119,36 @@ def reset(state_dir: str) -> None:
             pass
 
 
+def completed_info(state_dir: str) -> dict:
+    """Facts stored by `mark_completed` (empty for a missing or legacy
+    plain-text marker)."""
+    try:
+        with open(os.path.join(state_dir, DONE_FILE)) as f:
+            doc = json.load(f)
+        return doc if isinstance(doc, dict) else {}
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+
+
+def wait_completed(
+    state_dir: str, timeout_s: float = 600.0, poll_s: float = 1.0
+) -> bool:
+    """Block until a peer's snapshot completes (True) or the claim
+    disappears / goes stale so the CALLER should retry acquire (False).
+    Raises TimeoutError at the deadline — streaming against a mirror
+    whose seed is still in flight would read a half-seeded state."""
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if is_completed(state_dir):
+            return True
+        if read_job(state_dir) is None:
+            return False  # owner released/crashed cleanly — caller retries
+        time.sleep(poll_s)
+    raise TimeoutError(
+        f"snapshot seed for {state_dir} still owned by a peer after {timeout_s}s"
+    )
+
+
 def read_job(state_dir: str) -> dict | None:
     try:
         with open(_job_path(state_dir)) as f:
@@ -136,29 +174,37 @@ def acquire(
     protocol; the normal path is contention-free."""
     instance_id = instance_id or f"app-{uuid.uuid4().hex[:12]}"
     os.makedirs(state_dir, exist_ok=True)
-    if is_completed(state_dir):
-        return SnapshotJobClaim(state_dir, instance_id, acquired=False)
     path = _job_path(state_dir)
-    doc = {
-        "instance_id": instance_id,
-        "claimed_at": time.time(),
-        "heartbeat_at": time.time(),
-    }
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
+    for _attempt in range(3):  # bounded: never spins on a torn claim file
+        if is_completed(state_dir):
+            return SnapshotJobClaim(state_dir, instance_id, acquired=False)
+        doc = {
+            "instance_id": instance_id,
+            "claimed_at": time.time(),
+            "heartbeat_at": time.time(),
+        }
+        # Atomic create-WITH-content: write a private tmp then hard-link it
+        # into place (link fails if the claim exists). A peer can never
+        # observe an empty/partial claim file the way O_EXCL-then-write
+        # allowed.
+        tmp = path + f".tmp.{instance_id}"
+        with open(tmp, "w") as f:
             json.dump(doc, f)
-        return SnapshotJobClaim(state_dir, instance_id, acquired=True)
-    except FileExistsError:
-        cur = read_job(state_dir)
-        if cur is None:
-            # owner released between our O_EXCL failure and the read — retry once
-            return acquire(state_dir, instance_id, claim_ttl_s)
-        if time.time() - float(cur.get("heartbeat_at", 0)) > claim_ttl_s:
-            # stale owner: passive takeover (worker.go:459 timeout arm)
-            tmp = path + f".tmp.{instance_id}"
-            with open(tmp, "w") as f:
-                json.dump(doc, f)
-            os.replace(tmp, path)
+        try:
+            os.link(tmp, path)
             return SnapshotJobClaim(state_dir, instance_id, acquired=True)
-        return SnapshotJobClaim(state_dir, instance_id, acquired=False)
+        except FileExistsError:
+            cur = read_job(state_dir)
+            if cur is None:
+                continue  # owner released between link failure and read
+            if time.time() - float(cur.get("heartbeat_at", 0)) > claim_ttl_s:
+                # stale owner: passive takeover (worker.go:459 timeout arm)
+                os.replace(tmp, path)
+                return SnapshotJobClaim(state_dir, instance_id, acquired=True)
+            return SnapshotJobClaim(state_dir, instance_id, acquired=False)
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+    return SnapshotJobClaim(state_dir, instance_id, acquired=False)

@@ -237,11 +237,23 @@ def merge_mirror_batch(
     )
     stored_schema = manifest.get("value_schema")
     if stored_schema is None:
+        if manifest["buckets"] and list(value_cols) != ["after_val"]:
+            # pre-multi-column mirror: its buckets hold (after_val double)
+            # by construction — pinning a different caller schema over
+            # them would mix parquet types across buckets
+            raise ValueError(
+                f"mirror at {state_dir} predates multi-column support "
+                f"(stores after_val double); merging {list(value_cols)} "
+                "requires a rebuild"
+            )
         manifest["value_schema"] = value_schema
-    elif [f.split(" ", 1)[0] for f in stored_schema.split(", ")] != list(value_cols):
+    elif stored_schema != value_schema:
+        # full DDL comparison — same NAMES with different TYPES would
+        # write mixed-type parquet across buckets and break the union at
+        # read time (r5 review finding)
         raise ValueError(
-            f"mirror at {state_dir} stores columns [{stored_schema}]; "
-            f"merging {list(value_cols)} requires a rebuild"
+            f"mirror at {state_dir} stores [{stored_schema}]; merging "
+            f"[{value_schema}] requires a rebuild"
         )
 
     incoming = batch_df.select("pk", "lsn", "op", *value_cols).withColumn(

@@ -65,70 +65,58 @@ def dedup_batch_against_index(
     """One micro-batch: look up near-dups against the index (plus, by
     default, within the batch itself — new duplicates often arrive
     together), write pairs to this batch's partition, then append the
-    batch's band rows to the index exactly once."""
+    batch's band rows to the index exactly once.
+
+    The batch's (id, band, band_key, sh, bucket) rows are computed ONCE
+    (`minhash_band_rows`, cached) and reused by all three steps —
+    index lookup, within-batch pairing, index append — then unpersisted:
+    shingling/minhashing is the dominant per-batch cost, and a leaked
+    cache per micro-batch would grind a long-running stream down.
+
+    Retry semantics: index hits that are the batch's own content (same id
+    AND same shingle set — the retried batch's already-landed append, or
+    an unchanged re-ingest) are excluded; a same-id hit with DIFFERENT
+    content survives, because the indexed old version really can near-dup
+    other new docs and dropping every pair touching that id would
+    silently admit duplicates."""
     spark = batch_df.sparkSession
     batch_df = batch_df.select(
         F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
     )
-    if _index_exists(index_path):
-        pairs = D.dedup_incremental(
-            spark,
-            batch_df,
-            index_path,
-            id_col,
-            text_col,
-            threshold,
-            portable=portable,
-            n_buckets=n_buckets,
-        )
-        # Drop index-side hits that are THIS batch's own ids: after a
-        # mid-batch failure the append may already have landed, and the
-        # retried lookup would otherwise pair the batch against itself.
-        # (Also the right call for same-id re-ingest: a doc pairing with
-        # its own previous version is an update, not a duplicate.)
-        pairs = pairs.join(
-            F.broadcast(batch_df.select(F.col(id_col).alias("doc_a"))),
-            "doc_a",
-            "left_anti",
-        )
-    else:
-        pairs = spark.createDataFrame([], PAIR_SCHEMA)
-    if within_batch:
-        pairs = pairs.unionByName(
-            D.minhash_lsh_pairs(
-                batch_df, id_col, text_col, threshold, portable=portable
+    nb = D.minhash_band_rows(
+        batch_df, id_col, text_col, portable=portable, n_buckets=n_buckets
+    ).cache()
+    try:
+        if _index_exists(index_path):
+            pairs = D.dedup_incremental_from_bands(
+                spark,
+                nb,
+                index_path,
+                threshold,
+                n_buckets=n_buckets,
+                exclude_identical=True,
             )
+        else:
+            pairs = spark.createDataFrame([], PAIR_SCHEMA)
+        if within_batch:
+            pairs = pairs.unionByName(D.within_batch_pairs(nb, threshold))
+        (
+            pairs.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_dir)
         )
-    (
-        pairs.withColumn("batch_id", F.lit(int(batch_id)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(pairs_dir)
-    )
-    marker_dir = os.path.join(index_path, "_batches")
-    marker = os.path.join(marker_dir, str(int(batch_id)))
-    if os.path.exists(marker):
-        return  # retried batch: pairs rewritten above, index already has us
-    bands = (
-        D.minhash_per_doc(batch_df, id_col, text_col, portable=portable)
-        .select(
-            "id",
-            "sh",
-            F.expr(f"explode(array({D._band_structs_sql()}))").alias("bb"),
-        )
-        .select(
-            "id",
-            F.col("bb.band").alias("band"),
-            F.col("bb.band_key").alias("band_key"),
-            "sh",
-        )
-        .withColumn("bucket", D._bucket_expr(n_buckets))
-    )
-    bands.write.mode("append").partitionBy("bucket").parquet(index_path)
-    os.makedirs(marker_dir, exist_ok=True)
-    with open(marker, "w") as fh:
-        fh.write("done")
+        marker_dir = os.path.join(index_path, "_batches")
+        marker = os.path.join(marker_dir, str(int(batch_id)))
+        if os.path.exists(marker):
+            return  # retried batch: pairs rewritten above, index already has us
+        nb.write.mode("append").partitionBy("bucket").parquet(index_path)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("done")
+    finally:
+        nb.unpersist()
 
 
 def incremental_dedup_sink(

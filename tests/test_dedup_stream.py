@@ -135,3 +135,37 @@ def test_dedup_batch_retry_is_idempotent(spark):
         assert again == first
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_same_id_reingest_with_changed_content_still_pairs(spark):
+    """r5 review regression: doc 5 is indexed with text T; a batch arrives
+    with doc 5 REWRITTEN (unrelated text) plus doc 9 whose text equals T.
+    The indexed old version of 5 must still pair with 9 — only identical
+    (id, content) hits (retry artifacts / unchanged re-ingest) are
+    excluded, not every pair touching a batch id."""
+    base = tempfile.mkdtemp(prefix="gpcs_dreingest_")
+    index_path = os.path.join(base, "mh_index")
+    pairs_dir = os.path.join(base, "pairs")
+    try:
+        t = "the quick brown fox jumps over the lazy dog tonight"
+        idx_docs = spark.createDataFrame([(5, t)], DOC_SCHEMA)
+        from go_pq_cdc_spark.operators import dedup as D
+
+        D.minhash_index_write(idx_docs, index_path, "doc_id")
+        batch = spark.createDataFrame(
+            [
+                (5, "completely unrelated replacement words fill this document now"),
+                (9, t),
+            ],
+            DOC_SCHEMA,
+        )
+        dedup_batch_against_index(batch, 0, index_path, pairs_dir)
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in spark.read.parquet(pairs_dir).collect()
+        }
+        assert pairs.get((5, 9)) == 1.0  # old content vs new doc — kept
+        # and the rewritten doc 5 pairs with nothing (content disjoint)
+        assert all({a, b} == {5, 9} for a, b in pairs)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

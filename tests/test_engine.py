@@ -455,3 +455,70 @@ def test_typed_multi_mirror_fanout(spark, tmp_path):
     }
     assert users == {1: "ann2"}
     assert orders == {7: 99.5}
+
+
+def test_resume_anchors_stream_at_stored_snapshot_lsn(spark, tmp_path):
+    """Restart data-loss regression: run 1 snapshots at LSN 20 and
+    completes; events land at LSN 25/30 while the app is down; run 2's
+    fresh pg_current_wal_lsn has advanced to 4096. The resumed stream
+    must anchor at the STORED seam (20), not the fresh watermark — the
+    old behavior silently dropped everything in between."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    eng = _engine(spark)
+    eng.config.snapshot_tables = ["public.users"]
+    state, wal = str(tmp_path / "state"), tmp_path / "wal"
+    wal.mkdir()
+    lsn_now = {"v": "0/14"}  # 20
+
+    def run_sql(sql):
+        if "pg_current_wal_lsn" in sql:
+            return [(lsn_now["v"],)]
+        return []
+
+    reader_calls = []
+
+    def reader(t):
+        reader_calls.append(t.qualified)
+        return spark.createDataFrame([Row(pk=1, after_val=1.0)])
+
+    # run 1: seed + drain an empty stream, then stop
+    _, q = eng.start(run_sql, str(wal), state, str(tmp_path / "ck1"),
+                     snapshot_reader=reader)
+    q.processAllAvailable()
+    q.stop()
+    assert reader_calls == ["public.users"]
+
+    # app down: events 25/30 land in the WAL dir; watermark advances
+    ts = datetime.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        [("U", 25, 1, ts, 1, 2.5), ("I", 30, 2, ts, 2, 3.0)],
+        columns=["op", "lsn", "xid", "commit_ts", "pk", "after_val"],
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(wal / "seg2.parquet"),
+        coerce_timestamps="us",
+    )
+    lsn_now["v"] = "0/1000"  # 4096
+
+    # run 2: seed skipped (completed), stream anchored at stored LSN 20
+    lsn2, q2 = eng.start(run_sql, str(wal), state, str(tmp_path / "ck2"),
+                         snapshot_reader=reader)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert reader_calls == ["public.users"]  # no re-seed
+    assert lsn2 == 20  # the seam, not the fresh watermark
+    state_rows = {
+        r["pk"]: r["after_val"] for r in read_mirror(spark, state).collect()
+    }
+    assert state_rows == {1: 2.5, 2: 3.0}

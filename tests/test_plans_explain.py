@@ -217,3 +217,21 @@ def test_window_gauntlet_single_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_pack_sequences_range_exchange_physically_reused(spark):
+    """Correctness gate, not just perf: the prefix sum's two consumers
+    (per-row cumsum and per-partition subtotals) must execute ONE range
+    exchange — two independent executions could sample different range
+    boundaries and misalign cumsums with offsets. Asserted on the final
+    adaptive plan after execution."""
+    df = plans.REGISTRY["pack_token_sequences"].spark_fn(spark, SF_DIR)
+    df.collect()  # execute THIS plan so AQE finalizes it (count() would
+    # execute a different QueryExecution and leave df's un-finalized)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    n_range = plan.count("Exchange rangepartitioning")
+    assert "ReusedExchange" in plan or n_range <= 1, (
+        f"range exchange executed {n_range}x with no reuse — "
+        "prefix-sum boundary alignment is not guaranteed"
+    )

@@ -473,6 +473,12 @@ def test_multi_column_mirror(spark, tmpdirs):
     with pytest.raises(ValueError, match="requires a rebuild"):
         merge_mirror_batch(b1.withColumnRenamed("qty", "amount"), state, 2,
                            value_cols=("name", "amount"))
+    # ... and so are same-NAMED columns with different TYPES (a string qty
+    # would write mixed-type parquet across buckets)
+    with pytest.raises(ValueError, match="requires a rebuild"):
+        merge_mirror_batch(
+            b1.withColumn("qty", F.col("qty").cast("string")), state, 2,
+            value_cols=("name", "qty"))
     # bucket-pruned point lookup follows the pinned multi-column schema
     from go_pq_cdc_spark.streaming.changelog_stream import lookup_mirror
 
