@@ -387,6 +387,8 @@ class CdcEngine:
         snapshot_reader=None,
         mirror_buckets: int | None = None,
         value_schema: str = "after_val double",
+        transport: str = "flat",
+        table: str | None = None,
     ):
         """The reference's `connector.Start(ctx)` in one call
         (connector.go:57-142 sequencing; SURVEY §3.1-3.3):
@@ -412,7 +414,19 @@ class CdcEngine:
         the single after_val column): the snapshot reader must produce
         those columns, WAL segments must carry them, and the mirror
         stores the whole row with per-column TOAST repair (reference
-        parity: sinks receive full-row images)."""
+        parity: sinks receive full-row images).
+
+        `transport` selects the stream format in `wal_dir`:
+          - "flat": pre-flattened typed segments (op/lsn/.../pk/values) —
+            the test-harness and lakehouse-replay shape;
+          - "envelope": the socket/pgoutput pump's envelope segments
+            (string-map before/after images) typed per `value_schema`;
+          - "wal2json": the slot keeper's raw (lsn, xid, json) segments,
+            decoded JVM-side then typed the same way.
+        The last two need `table` (qualified name) and run the FULL
+        reference lifecycle on the real transport: snapshot seeds typed
+        rows, post-handoff envelope events are typed and merged with
+        per-column TOAST repair."""
         from pyspark.sql import functions as F
 
         from .sources.slot_keeper import lsn_to_int
@@ -448,10 +462,10 @@ class CdcEngine:
                         self.config.snapshot_tables
                         or [t.qualified for t in self.config.tables]
                     )
-                    for table in self.config.tables:
-                        if table.qualified not in wanted:
+                    for tcfg in self.config.tables:
+                        if tcfg.qualified not in wanted:
                             continue
-                        rows = snapshot_reader(table).select(
+                        rows = snapshot_reader(tcfg).select(
                             "pk",
                             F.lit(snapshot_lsn).cast("long").alias("lsn"),
                             F.lit("R").alias("op"),
@@ -488,14 +502,25 @@ class CdcEngine:
         if self.config.snapshot_mode == "snapshot_only":
             return snapshot_lsn, None
 
-        stream_schema = self.spark.createDataFrame(
-            [],
-            "op string, lsn bigint, xid bigint, commit_ts timestamp, "
-            f"pk bigint, {value_schema}",
-        ).schema
-        changes = changelog_stream(self.spark, wal_dir, schema=stream_schema).filter(
-            F.col("lsn") > snapshot_lsn
-        )
+        if transport == "flat":
+            stream_schema = self.spark.createDataFrame(
+                [],
+                "op string, lsn bigint, xid bigint, commit_ts timestamp, "
+                f"pk bigint, {value_schema}",
+            ).schema
+            flat = changelog_stream(self.spark, wal_dir, schema=stream_schema)
+        elif transport in ("envelope", "wal2json"):
+            if table is None:
+                raise ValueError(f"transport={transport!r} requires table=")
+            env = (
+                self.envelope_changes(wal_dir)
+                if transport == "envelope"
+                else self.raw_changes(wal_dir)
+            )
+            flat, _ = self._typed_flat(env, table, value_schema, "pk")
+        else:
+            raise ValueError(f"unknown transport {transport!r}")
+        changes = flat.filter(F.col("lsn") > snapshot_lsn)
         return snapshot_lsn, mirror_sink(
             changes,
             state_dir,

@@ -522,3 +522,80 @@ def test_resume_anchors_stream_at_stored_snapshot_lsn(spark, tmp_path):
         r["pk"]: r["after_val"] for r in read_mirror(spark, state).collect()
     }
     assert state_rows == {1: 2.5, 2: 3.0}
+
+
+def test_start_full_lifecycle_on_wal2json_transport(spark, tmp_path):
+    """connector.Start on the REAL transport shape: snapshot seeds typed
+    full rows at the handoff LSN; post-handoff wal2json documents decode,
+    type, and merge — pre-handoff events drop, TOAST-absent columns
+    inherit, DELETE removes."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.sources.lsn_stream import segment_path
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    eng = _engine(spark)
+    eng.config.snapshot_tables = ["public.users"]
+    wal_dir = tmp_path / "wal"
+    wal_dir.mkdir()
+
+    def run_sql(sql):
+        if "pg_current_wal_lsn" in sql:
+            return [("0/14",)]  # snapshot LSN = 20
+        return []
+
+    def reader(t):
+        return spark.createDataFrame(
+            [Row(pk=1, name="alpha", qty=5), Row(pk=2, name="beta", qty=7)]
+        )
+
+    def doc(action, cols=None, identity=None):
+        d = {
+            "action": action,
+            "schema": "public",
+            "table": "users",
+            "timestamp": "2024-01-01 00:00:00",
+        }
+        if cols is not None:
+            d["columns"] = [{"name": k, "type": t, "value": v} for k, t, v in cols]
+        if identity is not None:
+            d["identity"] = [{"name": k, "type": t, "value": v} for k, t, v in identity]
+        return json.dumps(d)
+
+    rows = [
+        # pre-handoff (lsn 15): must be dropped, snapshot already covers it
+        (15, 1, doc("U", cols=[("pk", "bigint", "1"), ("name", "text", "stale")])),
+        # post-handoff: name updates, qty TOAST-absent -> inherits 5
+        (25, 2, doc("U", cols=[("pk", "bigint", "1"), ("name", "text", "alpha2")])),
+        (30, 3, doc("D", identity=[("pk", "bigint", "2")])),
+    ]
+    pdf = pd.DataFrame(rows, columns=["lsn", "xid", "data"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        segment_path(str(wal_dir), 15, 30),
+    )
+    lsn, q = eng.start(
+        run_sql,
+        str(wal_dir),
+        str(tmp_path / "state"),
+        str(tmp_path / "ck"),
+        snapshot_reader=reader,
+        value_schema="name string, qty bigint",
+        transport="wal2json",
+        table="public.users",
+    )
+    assert lsn == 20
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = {
+        r["pk"]: (r["name"], r["qty"])
+        for r in read_mirror(spark, str(tmp_path / "state")).collect()
+    }
+    assert state == {1: ("alpha2", 5)}
