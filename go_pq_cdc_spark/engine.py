@@ -313,8 +313,10 @@ class CdcEngine:
 
         from .envelope import typed_projection
 
+        # DDL-aware parse — a naive split(',') would shred types that
+        # contain commas (decimal(10,2), map<...>, struct<...>)
         value_cols = tuple(
-            f.strip().split(" ", 1)[0] for f in value_schema.split(",")
+            f.name for f in self.spark.createDataFrame([], value_schema).schema.fields
         )
         sch, _, tbl = table.rpartition(".")
         env = changes.filter(
@@ -432,8 +434,9 @@ class CdcEngine:
         from .sources.slot_keeper import lsn_to_int
         from .streaming.changelog_stream import merge_mirror_batch
 
+        # DDL-aware parse (see _typed_flat: split(',') breaks decimal/map)
         value_cols = tuple(
-            f.strip().split(" ", 1)[0] for f in value_schema.split(",")
+            f.name for f in self.spark.createDataFrame([], value_schema).schema.fields
         )
         for stmt in self.setup_sql():
             run_sql(stmt)
@@ -576,9 +579,15 @@ class CdcEngine:
         self.spark.streams.addListener(listener)
         if wal_dir is not None:
             listener.attach_wal_dir(wal_dir, self.config.slot_name)
-        return StatusServer(
-            listener, host=host, port=port, spark=self.spark, config=self.config
-        ).start()
+        try:
+            return StatusServer(
+                listener, host=host, port=port, spark=self.spark, config=self.config
+            ).start()
+        except Exception:
+            # a bind failure (port taken) must not leak the registered
+            # listener — it would keep receiving callbacks forever
+            self.spark.streams.removeListener(listener)
+            raise
 
 
 def snapshot_only(

@@ -400,9 +400,18 @@ def dedup_incremental(
     nb = minhash_band_rows(
         new_docs, id_col, text_col, portable=portable, n_buckets=n_buckets
     ).cache()
-    return dedup_incremental_from_bands(
-        spark, nb, index_path, threshold, n_buckets=n_buckets
-    )
+    try:
+        return dedup_incremental_from_bands(
+            spark, nb, index_path, threshold, n_buckets=n_buckets
+        )
+    finally:
+        # from_bands' eager bucket collect already ran off the cache; the
+        # returned plan recomputes nb at execution (deterministic — same
+        # buckets), trading one narrow re-pass over the SMALL batch for
+        # not pinning a cache entry per call (r5 review). Streaming
+        # callers wanting the cache across all three uses go through
+        # minhash_band_rows + dedup_incremental_from_bands directly.
+        nb.unpersist()
 
 
 def dedup_clusters(

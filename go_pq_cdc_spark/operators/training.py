@@ -88,8 +88,21 @@ def with_prefix_offsets(
 
     The result is independent of where the range boundaries land, so the
     output is deterministic even though the range sampler isn't.
+
+    Contract: weights are NON-NEGATIVE INTEGERS (token counts). The
+    subtotal derivation (max of the inclusive running sum — see below)
+    is exact only then; the contract is ENFORCED in-pass with an
+    assert_true guard (a per-row expression in the same projection, no
+    extra pass) rather than trusted to a comment (r5 review).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
+    guard = F.assert_true(
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col) >= 0)
+        & (F.col(weight_col).cast("long") == F.col(weight_col)),
+        F.lit(f"with_prefix_offsets: {weight_col} must be a non-negative integer"),
+    )
+    df = df.withColumn("_wguard", guard).drop("_wguard")
     parted = df.repartitionByRange(par, F.col(id_col)).withColumn(
         "_pid", F.spark_partition_id()
     )

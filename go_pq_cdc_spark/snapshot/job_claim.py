@@ -131,18 +131,28 @@ def completed_info(state_dir: str) -> dict:
 
 
 def wait_completed(
-    state_dir: str, timeout_s: float = 600.0, poll_s: float = 1.0
+    state_dir: str,
+    timeout_s: float = 600.0,
+    poll_s: float = 1.0,
+    claim_ttl_s: float = 300.0,
 ) -> bool:
     """Block until a peer's snapshot completes (True) or the claim
-    disappears / goes stale so the CALLER should retry acquire (False).
-    Raises TimeoutError at the deadline — streaming against a mirror
-    whose seed is still in flight would read a half-seeded state."""
+    disappears / goes STALE so the CALLER should retry acquire (False).
+    Staleness uses the same heartbeat TTL as `acquire`'s takeover arm —
+    without it, a hard-crashed owner's intact claim file would be polled
+    until the deadline even though acquire() could already take over
+    (r5 review). Raises TimeoutError at the deadline — streaming against
+    a mirror whose seed is still in flight would read a half-seeded
+    state."""
     deadline = time.time() + timeout_s
     while time.time() < deadline:
         if is_completed(state_dir):
             return True
-        if read_job(state_dir) is None:
+        cur = read_job(state_dir)
+        if cur is None:
             return False  # owner released/crashed cleanly — caller retries
+        if time.time() - float(cur.get("heartbeat_at", 0)) > claim_ttl_s:
+            return False  # stale owner: acquire()'s TTL arm takes over
         time.sleep(poll_s)
     raise TimeoutError(
         f"snapshot seed for {state_dir} still owned by a peer after {timeout_s}s"
@@ -196,6 +206,13 @@ def acquire(
         except FileExistsError:
             cur = read_job(state_dir)
             if cur is None:
+                if os.path.exists(path):
+                    # claim file exists but is unparseable — a torn write
+                    # from a crashed pre-fix owner. Treat as stale and
+                    # replace it; looping would spin forever (the TTL arm
+                    # needs a parseable heartbeat) (r5 review).
+                    os.replace(tmp, path)
+                    return SnapshotJobClaim(state_dir, instance_id, acquired=True)
                 continue  # owner released between link failure and read
             if time.time() - float(cur.get("heartbeat_at", 0)) > claim_ttl_s:
                 # stale owner: passive takeover (worker.go:459 timeout arm)

@@ -237,13 +237,14 @@ def merge_mirror_batch(
     )
     stored_schema = manifest.get("value_schema")
     if stored_schema is None:
-        if manifest["buckets"] and list(value_cols) != ["after_val"]:
+        if manifest["buckets"] and value_schema != "after_val double":
             # pre-multi-column mirror: its buckets hold (after_val double)
-            # by construction — pinning a different caller schema over
-            # them would mix parquet types across buckets
+            # by construction — pinning ANY other schema over them (other
+            # columns OR a differently-typed after_val) would mix parquet
+            # types across buckets
             raise ValueError(
                 f"mirror at {state_dir} predates multi-column support "
-                f"(stores after_val double); merging {list(value_cols)} "
+                f"(stores after_val double); merging [{value_schema}] "
                 "requires a rebuild"
             )
         manifest["value_schema"] = value_schema

@@ -66,3 +66,40 @@ def test_live_claim_blocks_peers(tmp_path):
     a.heartbeat()
     b = job_claim.acquire(d, "app-b", claim_ttl_s=300)
     assert a.acquired and not b.acquired
+
+
+def test_wait_completed_returns_on_stale_heartbeat(tmp_path):
+    """A hard-crashed owner (intact claim file, dead heartbeat) must make
+    wait_completed return False at the TTL so the caller's acquire() can
+    take over — not poll the corpse until the deadline (r5 review)."""
+    import json
+    import os
+
+    from go_pq_cdc_spark.snapshot import job_claim
+
+    d = str(tmp_path)
+    c = job_claim.acquire(d)
+    assert c.acquired
+    # age the heartbeat past the TTL
+    doc = job_claim.read_job(d)
+    doc["heartbeat_at"] = 0.0
+    with open(os.path.join(d, job_claim.JOB_FILE), "w") as f:
+        json.dump(doc, f)
+    assert job_claim.wait_completed(d, timeout_s=5.0, poll_s=0.01) is False
+    # and acquire's TTL arm now takes over
+    assert job_claim.acquire(d).acquired
+
+
+def test_acquire_replaces_torn_claim_file(tmp_path):
+    """An unparseable claim file (torn write from a crashed owner) must be
+    replaced by the next acquire — not spun on forever (r5 review)."""
+    import os
+
+    from go_pq_cdc_spark.snapshot import job_claim
+
+    d = str(tmp_path)
+    with open(os.path.join(d, job_claim.JOB_FILE), "w") as f:
+        f.write("{not json")
+    c = job_claim.acquire(d)
+    assert c.acquired
+    assert job_claim.read_job(d)["instance_id"] == c.instance_id
