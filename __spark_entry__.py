@@ -68,6 +68,7 @@ _GATE_HEAD = [
     "text_pii_scrub",
     "q_kmv_distinct",
     "emb_quantize",
+    "text_line_dedup",
 ]
 _GATE_TAIL = [
     # rotated out r5: all driver-green in CORRECTNESS_r04, code untouched,

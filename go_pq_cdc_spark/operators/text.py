@@ -200,3 +200,60 @@ def with_pii_scrub(
     for _, pat, repl in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, repl)
     return df.select("*", *counts, clean.alias(out_col))
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """C4-style LINE-level dedup: a sentence appearing in >= `min_docs`
+    DISTINCT documents is boilerplate (nav chrome, cookie banners,
+    subscribe prompts) and is removed from every document — the standard
+    intra-corpus cleanup that document-level MinHash cannot do (the
+    documents are not near-dups; they just share furniture).
+
+    Plan: sentence-split with position (posexplode), count distinct docs
+    per line (one shuffle on the line), flag lines at the threshold, and
+    reassemble each doc's surviving sentences in order
+    (collect_list(struct(pos, line)) + array_sort — pos is unique per
+    doc, so the sort is deterministic). At 100 TB the boilerplate set is
+    the interesting scale question: it is small by definition (lines
+    REPEATED across documents), so the flag join broadcasts; the heavy
+    side only shuffles on (doc) for reassembly. Returns
+    (id, n_lines, n_kept, clean_text)."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), r"\.\s+")).alias("pos", "line"),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.length("line") > 0)
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("line", F.lit(True).alias("is_b"))
+    )
+    marked = lines.join(F.broadcast(boiler), "line", "left")
+    kept_struct = F.when(
+        F.col("is_b").isNull(), F.struct(F.col("pos"), F.col("line"))
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.count(kept_struct).cast("long").alias("n_kept"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(filter(collect_list("
+                    "CASE WHEN is_b IS NULL THEN struct(pos, line) END"
+                    "), x -> x IS NOT NULL)), x -> x.line)"
+                ),
+                ". ",
+            ).alias("clean_text"),
+        )
+        .select("id", "n_lines", "n_kept", "clean_text")
+    )

@@ -174,6 +174,60 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_line_dedup",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               text || '. Subscribe to our newsletter today. Unique tail number '
+                    || CAST(doc_id AS VARCHAR) AS text
+        FROM documents
+    ),
+    raw AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\.\\s+') AS arr FROM synth
+    ),
+    lines AS (
+        SELECT doc_id, trim(unnest(arr)) AS line,
+               unnest(range(1, len(arr) + 1)) AS pos
+        FROM raw
+    ),
+    fl AS (SELECT * FROM lines WHERE length(line) > 0),
+    boiler AS (
+        SELECT line FROM fl GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3
+    ),
+    marked AS (
+        SELECT f.doc_id, f.pos, f.line, (b.line IS NOT NULL) AS is_b
+        FROM fl f LEFT JOIN boiler b USING (line)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(
+               string_agg(CASE WHEN NOT is_b THEN line END, '. ' ORDER BY pos),
+               ''
+           ) AS clean_text
+    FROM marked GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "boilerplate"),
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate dedup: sentences appearing in >= 3
+    distinct documents are removed from every document (nav chrome /
+    cookie banners / subscribe prompts — shared furniture that
+    document-level MinHash can't touch). A common boilerplate sentence
+    plus a doc-unique tail are appended to every document so the removal
+    and the keep are both exercised deterministically."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(". Subscribe to our newsletter today. Unique tail number "),
+        F.col("doc_id").cast("string"),
+    )
+    return TX.remove_boilerplate_lines(
+        docs.select("doc_id", synth.alias("text")), "doc_id", min_docs=3
+    ).select(F.col("id").alias("doc_id"), "n_lines", "n_kept", "clean_text")
+
+
+@register(
     "dedup_exact",
     oracle="""
     WITH u AS (

@@ -126,3 +126,28 @@ def test_pii_scrub_edge_cases(spark):
         ).collect()
     }
     assert again == {k: v["clean_text"] for k, v in out.items()}
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    """Line-level dedup contract: a sentence shared by >= min_docs docs is
+    removed from EVERY doc, unique sentences keep their original order,
+    and a doc that is all boilerplate reduces to the empty string."""
+    from go_pq_cdc_spark.operators.text import remove_boilerplate_lines
+
+    rows = [
+        (1, "alpha one. shared banner here. alpha two"),
+        (2, "beta start. shared banner here. beta end"),
+        (3, "gamma only. shared banner here"),
+        (4, "shared banner here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["id"]: r
+        for r in remove_boilerplate_lines(df, "doc_id", min_docs=3).collect()
+    }
+    assert out[1]["clean_text"] == "alpha one. alpha two"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+    assert out[2]["clean_text"] == "beta start. beta end"
+    assert out[3]["clean_text"] == "gamma only"
+    assert out[4]["clean_text"] == ""
+    assert out[4]["n_kept"] == 0
