@@ -235,3 +235,19 @@ def test_pack_sequences_range_exchange_physically_reused(spark):
         f"range exchange executed {n_range}x with no reuse — "
         "prefix-sum boundary alignment is not guaranteed"
     )
+
+
+def test_pure_map_operators_have_zero_exchanges(spark):
+    """PII scrubbing and embedding quantization are elementwise by design
+    — their plans must contain NO Exchange at all (a shuffle appearing
+    here means someone broke the narrow-pass contract)."""
+    for name in ("text_pii_scrub", "emb_quantize"):
+        plan = (
+            plans.REGISTRY[name]
+            .spark_fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan[:500]}"
+        assert "EvalPython" not in plan
