@@ -434,6 +434,256 @@ def ivf_topk_index(
     )
 
 
+# --------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# --------------------------------------------------------------------------
+# The vector is split into PQ_M contiguous subspaces; each subvector is
+# quantized to the nearest of ksub codewords (per-subspace codebook). A
+# corpus vector is then PQ_M bytes instead of dims floats (~64x smaller at
+# 64-dim float32 / m=4), and query-time distance is a table lookup: per
+# query, a LUT[j][c] of exact subspace distances is computed ONCE against
+# the broadcast codebook, and each corpus row costs O(m) integer adds —
+# the FAISS-style scale path for 100 TB embedding tables, next to the
+# IVF/LSH cell-pruning paths above. All arithmetic is fixed-point int64
+# (portable.scaled_dot's scheme), so codes and ADC distances are
+# oracle-exact.
+
+PQ_M = 4  # subspaces
+PQ_KSUB = 16  # codewords per subspace
+
+
+def _fx(e: str) -> str:
+    """Fixed-point int64 of one float element (Spark + DuckDB share it)."""
+    return f"CAST(round(CAST({e} AS DOUBLE) * 1000000) AS BIGINT)"
+
+
+def _sub_dot(a_vec: str, j: str, b_cw: str, dsub: int) -> dict[str, str]:
+    """Exact fixed-point dot of subspace `j` of full vector `a_vec` with a
+    dsub-dim codeword `b_cw`. Indexes the FULL vector directly
+    (element_at(v, j*dsub + i)) rather than slicing — `slice()` inside an
+    aggregate lambda would be re-evaluated per element, turning O(dsub)
+    into O(dsub^2)."""
+    ax_sp = _fx(f"element_at({a_vec}, {j} * {dsub} + i)")
+    bx_sp = _fx(f"element_at({b_cw}, i)")
+    ax_du = _fx(f"({a_vec})[{j} * {dsub} + i]")
+    bx_du = _fx(f"({b_cw})[i]")
+    return {
+        "spark": (
+            f"aggregate(transform(sequence(1, {dsub}), i -> {ax_sp} * {bx_sp}), "
+            f"0L, (acc, x) -> acc + x)"
+        ),
+        "duck": (
+            f"CAST(list_sum([{ax_du} * {bx_du} FOR i IN range(1, {dsub + 1})]) AS BIGINT)"
+        ),
+    }
+
+
+def _sub_norm(a_vec: str, j: str, dsub: int) -> dict[str, str]:
+    """Exact fixed-point squared norm of subspace `j` of full vector
+    `a_vec` (same indexing scheme as `_sub_dot`)."""
+    ax_sp = _fx(f"element_at({a_vec}, {j} * {dsub} + i)")
+    ax_du = _fx(f"({a_vec})[{j} * {dsub} + i]")
+    return {
+        "spark": (
+            f"aggregate(transform(sequence(1, {dsub}), i -> {ax_sp} * {ax_sp}), "
+            f"0L, (acc, x) -> acc + x)"
+        ),
+        "duck": (
+            f"CAST(list_sum([{ax_du} * {ax_du} FOR i IN range(1, {dsub + 1})]) AS BIGINT)"
+        ),
+    }
+
+
+def pq_codebook_sample(
+    df: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic sample codebook: codeword c of subspace j is subvector
+    j of the corpus vector ranked c-th by id among the first `ksub` ids —
+    the PQ analogue of the deterministic IVF test centroids (and the
+    iteration-0 state `pq_train` improves on). Returns (j, c, cw) rows;
+    driver-size by construction (m*ksub rows of dsub floats)."""
+    base = (
+        df.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("rv"))
+        .filter(F.col("rv").isNotNull())
+        .orderBy("rid")
+        .limit(ksub)
+    )
+    w = Window.orderBy("rid")
+    ranked = base.withColumn("c", (F.row_number().over(w) - 1).cast("int"))
+    dsub_expr = f"CAST(size(rv) / {m} AS INT)"
+    return (
+        ranked.crossJoin(
+            F.broadcast(
+                ranked.sparkSession.range(m).select(F.col("id").cast("int").alias("j"))
+            )
+        )
+        .withColumn(
+            "cw", F.expr(f"slice(rv, j * {dsub_expr} + 1, {dsub_expr})")
+        )
+        .select("j", "c", "cw")
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace codebooks with the existing k-means machinery:
+    subspace j's codebook is `kmeans_centroids` over the corpus's j-th
+    subvectors. m small offline jobs (each Lloyd's is one narrow corpus
+    pass + a (cluster, dim)-keyed mean per iteration) — the offline
+    trainer feeding `pq_encode`/`pq_adc_topk`, exactly like
+    `kmeans_centroids` feeds `ivf_topk`. Returns (j, c, cw) rows."""
+    parts = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col).alias(id_col),
+            F.expr(
+                f"slice({vec_col}, {j} * CAST(size({vec_col}) / {m} AS INT) + 1, "
+                f"CAST(size({vec_col}) / {m} AS INT))"
+            ).alias(vec_col),
+        ).filter(F.col(vec_col).isNotNull())
+        cents = kmeans_centroids(sub, k=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
+        parts.append(
+            cents.select(
+                F.lit(j).cast("int").alias("j"),
+                F.col(id_col).cast("int").alias("c"),
+                F.col(vec_col).alias("cw"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _fold_pq_codebook(codebook: DataFrame) -> DataFrame:
+    """Fold (j, c, cw) codebook rows into ONE row
+    `cbs: array<struct<j, words: array<struct<c, cw, cwn2>>>>` (sorted by j,
+    words sorted by c) carrying precomputed fixed-point codeword norms —
+    the broadcast build side for the zero-shuffle encode, same pattern as
+    `ivf_assign`'s centroid fold."""
+    cwn2 = P.scaled_dot("cw", "cw", "cw")["spark"]
+    per_j = (
+        codebook.withColumn("cwn2", F.expr(cwn2))
+        .groupBy("j")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("c", "cw", "cwn2"))).alias("words")
+        )
+    )
+    return per_j.agg(
+        F.array_sort(F.collect_list(F.struct("j", "words"))).alias("cbs")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    m: int = PQ_M,
+    dsub: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode every vector to `m` small codes — ZERO-SHUFFLE, the same
+    shape as `ivf_assign`: the codebook folds to a single broadcast row and
+    the per-subspace argmin is a pure Catalyst expression (sort the
+    (distance, c) structs, take the head). Distance is the exact
+    fixed-point `||x_j - cw||^2` with the constant `||x_j||^2` dropped
+    (same argmin): `cwn2 - 2*dot(x_j, cw)`. NULL vectors are filtered (a
+    NULL subvector has no meaningful code). Returns (id, v, codes).
+
+    At 100 TB the output is the compressed corpus representation —
+    `codes` is m ints per row (write it, drop `v`), read back by
+    `pq_adc_topk` without ever touching the raw vectors."""
+    if dsub is None:
+        first = df.select(F.col(vec_col)).filter(F.col(vec_col).isNotNull()).first()
+        dsub = len(first[0]) // m if first else 0
+    vecs = spread_small_input(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).filter(
+            F.col("v").isNotNull()
+        ),
+        F.col("id"),
+    )
+    cb_row = _fold_pq_codebook(codebook)
+    dot = _sub_dot("v", "j", "w.cw", dsub)["spark"]
+    codes = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"element_at(array_sort(transform(element_at(cbs, j + 1).words, "
+        f"w -> struct(w.cwn2 - 2 * ({dot}) AS d, w.c AS c))), 1).c)"
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cb_row))
+        .withColumn("codes", F.expr(codes))
+        .select("id", "v", "codes")
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    m: int = PQ_M,
+    dsub: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over a PQ-encoded corpus: each query
+    precomputes LUT[j][c] = `||q_j||^2 + ||cw||^2 - 2*dot(q_j, cw)` (the
+    exact squared L2 to every codeword — m*ksub ints, computed ONCE per
+    query on the broadcast side), then every corpus row costs m integer
+    array lookups: `sum_j LUT[j][codes[j]]`. One narrow pass over the
+    codes, no join fan-out; the only shuffle is the per-query top-k window
+    (keyed on q_id — the query count, not the corpus). Ranking ascending
+    by distance, ties by neighbor id. `adc_dist` is the fixed-point value
+    scaled back to float^2 units (/1e12)."""
+    if dsub is None:
+        first = queries.select(F.col(vec_col)).filter(F.col(vec_col).isNotNull()).first()
+        dsub = len(first[0]) // m if first else 0
+    cb_row = _fold_pq_codebook(codebook)
+    qdot = _sub_dot("qv", "j", "w.cw", dsub)["spark"]
+    qn2_sp = _sub_norm("qv", "j", dsub)["spark"]
+    lut = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(element_at(cbs, j + 1).words, "
+        f"w -> ({qn2_sp}) + w.cwn2 - 2 * ({qdot})))"
+    )
+    qset = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+        .filter(F.col("qv").isNotNull())
+        .crossJoin(F.broadcast(cb_row))
+        .withColumn("qlut", F.expr(lut))
+        .select("q_id", "qlut")
+    )
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), 0L, (acc, j) -> "
+        f"acc + element_at(element_at(qlut, j + 1), element_at(codes, j + 1) + 1))"
+    )
+    pairs = (
+        codes_df.join(F.broadcast(qset), F.col("q_id") != F.col("id"))
+        .withColumn("adc", F.expr(adc))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            F.col("id").alias("neighbor_id"),
+            "rnk",
+            (F.col("adc").cast("double") / F.lit(1e12)).alias("adc_dist"),
+        )
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: DataFrame,

@@ -715,6 +715,80 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, cents, queries, k=5)
 
 
+def _pq_adc_oracle() -> str:
+    """DuckDB oracle for the PQ-ADC path: codebook = subvectors of the 16
+    lowest-id vectors (`pq_codebook_sample`), encode = per-subspace argmin
+    of `cwn2 - 2*dot` (exact fixed-point, ties by codeword id — identical
+    to Spark's struct sort), distance = summed exact subspace L2^2 via the
+    joined codewords. Same integer arithmetic as the Spark LUT, so the ADC
+    distances hash-compare exactly."""
+    m, ksub, dsub = S.PQ_M, S.PQ_KSUB, 16
+    cwn2 = P.scaled_dot("cw", "cw", "cw")["duck"]
+    enc_dot = S._sub_dot("e.embedding", "cb.j", "cb.cw", dsub)["duck"]
+    q_dot = S._sub_dot("q.embedding", "cb.j", "cb.cw", dsub)["duck"]
+    qn2 = S._sub_norm("q.embedding", "cb.j", dsub)["duck"]
+    return f"""
+    WITH cb0 AS (
+        SELECT j,
+               CAST(ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS c,
+               list_slice(embedding, j * {dsub} + 1, (j + 1) * {dsub}) AS cw
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {ksub}),
+             (SELECT CAST(range AS INT) AS j FROM range(0, {m}))
+    ),
+    cb AS (SELECT j, c, cw, {cwn2} AS cwn2 FROM cb0),
+    enc_raw AS (
+        SELECT e.vec_id AS id, cb.j, cb.c,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j
+                                  ORDER BY cb.cwn2 - 2 * ({enc_dot}), cb.c) AS rn
+        FROM embeddings e, cb
+        WHERE e.embedding IS NOT NULL
+    ),
+    enc AS (SELECT id, j, c FROM enc_raw WHERE rn = 1),
+    terms AS (
+        SELECT q.vec_id AS q_id, en.id AS c_id,
+               ({qn2}) + cb.cwn2 - 2 * ({q_dot}) AS term
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= {ksub} AND vec_id < {ksub + 8}
+                AND embedding IS NOT NULL) q,
+             enc en JOIN cb ON cb.j = en.j AND cb.c = en.c
+        WHERE en.id <> q.vec_id
+    ),
+    dists AS (SELECT q_id, c_id, CAST(SUM(term) AS BIGINT) AS adc
+              FROM terms GROUP BY q_id, c_id),
+    ranked AS (
+        SELECT q_id, c_id AS neighbor_id, adc,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY adc, c_id) AS BIGINT) AS rnk
+        FROM dists)
+    SELECT q_id, neighbor_id, rnk, CAST(adc AS DOUBLE) / 1e12 AS adc_dist
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=_pq_adc_oracle(),
+    tags=("similarity", "pq", "ann"),
+    bench=True,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k: the corpus is PQ-encoded to 4 codes
+    per vector (zero-shuffle expression argmin over a broadcast codebook);
+    each query precomputes an exact-distance LUT once and every corpus row
+    costs 4 integer lookups — the FAISS-style compressed-domain scan that
+    makes a 100 TB embedding table searchable without reading the raw
+    vectors. Codebook here is the deterministic corpus sample; `pq_train`
+    is the offline k-means trainer for production."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = S.pq_codebook_sample(emb)
+    queries = emb.filter(
+        (F.col("vec_id") >= S.PQ_KSUB) & (F.col("vec_id") < S.PQ_KSUB + 8)
+    )
+    codes = S.pq_encode(emb, cb)
+    return S.pq_adc_topk(codes, queries, cb, k=5)
+
+
 def _ann_lsh_oracle() -> str:
     """DuckDB oracle for the LSH ANN path: the bucket assignment is the
     SAME fixed-point int64 arithmetic on both engines (lsh_bucket_fragments),

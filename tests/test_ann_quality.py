@@ -200,3 +200,63 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     # empty query set degrades cleanly
     none = S.ivf_topk_index(spark, path, cents, queries.filter(F.lit(False)), k=5)
     assert none.count() == 0
+
+
+def test_pq_identical_vectors_share_codes_and_quantization_error(spark):
+    """PQ contracts: (1) exactly-duplicated vectors encode to identical
+    codes; (2) the ADC distance from a query to an exact duplicate of
+    itself equals the query's own total quantization error (sum of
+    subspace L2^2 to its assigned codewords) — the LUT arithmetic is
+    exact, not approximate."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = S.pq_codebook_sample(emb)
+    # duplicate vec 30 under a fresh id
+    dup = emb.filter(F.col("vec_id") == 30).withColumn(
+        "vec_id", F.lit(100000).cast("long")
+    )
+    corpus = emb.unionByName(dup)
+    codes = S.pq_encode(corpus, cb, dsub=16)
+    by_id = {r["id"]: r["codes"] for r in codes.filter(F.col("id").isin(30, 100000)).collect()}
+    assert by_id[30] == by_id[100000]
+
+    queries = emb.filter(F.col("vec_id") == 30)
+    topk = S.pq_adc_topk(codes, queries, cb, k=corpus.count())
+    rows = {r["neighbor_id"]: r["adc_dist"] for r in topk.collect()}
+    # distance to the exact duplicate == own quantization error: recompute
+    # it driver-side from the codebook and codes
+    cbrows = {(r["j"], r["c"]): r["cw"] for r in cb.collect()}
+    qv = queries.collect()[0]["embedding"]
+    fx = lambda x: round(float(x) * 1_000_000)
+    err = 0
+    for j in range(S.PQ_M):
+        cw = cbrows[(j, by_id[30][j])]
+        err += sum(
+            (fx(qv[j * 16 + i]) - fx(cw[i])) ** 2 for i in range(16)
+        )
+    assert abs(rows[100000] - err / 1e12) < 1e-9
+
+
+def test_pq_train_lloyds_error_is_monotone(spark):
+    """pq_train (per-subspace k-means) must not increase total quantization
+    error vs the iteration-0 codebook (Lloyd's monotonicity), measured as
+    the sum of best-codeword distances over the corpus."""
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 128)
+    err_expr = (
+        "aggregate(sequence(0, 3), 0L, (acc, j) -> acc + "
+        "array_min(transform(element_at(cbs, j + 1).words, "
+        "w -> w.cwn2 - 2 * (" + S._sub_dot("v", "j", "w.cw", 16)["spark"] + "))))"
+    )
+
+    def total_err(cb):
+        folded = S._fold_pq_codebook(cb)
+        vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+        return (
+            vecs.crossJoin(F.broadcast(folded))
+            .select(F.expr(err_expr).alias("e"))
+            .agg(F.sum("e").alias("s"))
+            .collect()[0]["s"]
+        )
+
+    seed_err = total_err(S.pq_train(emb, ksub=8, iters=0))
+    trained_err = total_err(S.pq_train(emb, ksub=8, iters=3))
+    assert trained_err <= seed_err, (trained_err, seed_err)

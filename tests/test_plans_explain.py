@@ -251,3 +251,27 @@ def test_pure_map_operators_have_zero_exchanges(spark):
         )
         assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan[:500]}"
         assert "EvalPython" not in plan
+
+
+def test_pq_encode_zero_shuffle_on_wide_input(spark):
+    """PQ encode must be the same zero-shuffle shape as ivf_assign: a pure
+    per-subspace argmin expression over one broadcast codebook row. On a
+    corpus already at session parallelism: no Window, and the only
+    exchanges are the test's own widening plus the tiny codebook fold
+    (m*ksub rows) and its broadcast — never a corpus-side shuffle."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.operators import similarity as S
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = S.pq_codebook_sample(emb)
+    wide = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    df = S.pq_encode(wide, cb, dsub=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the ONLY Window allowed is the codebook sample's ksub-row rank (it
+    # sits under the broadcast side); the corpus itself must never window
+    assert plan.count("Window") <= 1, f"corpus-side window in pq_encode:\n{plan}"
+    # corpus side: the test's own repartition only; codebook side: the
+    # sample's tiny rank window + fold are bounded by ksub rows
+    corpus_hash = plan.count("Exchange hashpartitioning(vec_id")
+    assert corpus_hash <= 1, f"unexpected corpus shuffle in pq_encode:\n{plan}"
