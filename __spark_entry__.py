@@ -25,39 +25,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Gate scheduling: the correctness runner caps at 50 of the registry's
 # entries per round, so rows that NEED a fresh driver-green signal run
-# FIRST. For round 5 that is: the 8 TPC-H rows that rode on an r3 signal
-# through r4 (r4 verdict item 3), then every query whose plan changed this
-# round (the similarity family's ivf/LSH/repartition rewrite, the dedup
-# shingle widening, q22's broadcast scalar subquery), then the round's 7
-# NEW queries (Q15/Q21/Q12, packing, sampling, incremental dedup, window
-# gauntlet, PII scrub, KMV sketch). The tail holds rows rotated OUT —
-# each green in the r4 driver run with code untouched since, and
-# re-verified locally against DuckDB at sf0.01 after every commit this
-# round (NOTES_r5.md).
+# FIRST. Round 5 produced no driver correctness run (no CORRECTNESS_r05),
+# so for round 6 the head is: this round's NEW queries (PQ-ADC, URL
+# dedup, text cleanup, KMV merge), then every r5 addition still waiting
+# for its first driver row, then every plan r5 reshaped, then the 7
+# TPC-H rows whose last driver green is r3. Tail = rows driver-green in
+# r4 with code untouched since, re-verified locally at sf0.01 after
+# every commit (NOTES_r6.md).
 _GATE_HEAD = [
-    # r3-green only (rotated out in r4) — need a fresh driver row
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q19_bracketed_revenue",
-    "q22_idle_rich_customers",  # also reshaped: broadcast scalar subquery
-    # plans reshaped in r5 — ivf expression argmax, adaptive widening,
-    # NULL-bucket sentinel, one-pass kmeans seeding
-    "sim_ivf_topk",
-    "sim_ann_lsh_topk",
-    "sim_cosine_topk",
-    "sim_lsh_buckets",
-    "emb_near_dup_lsh",
-    "dedup_simhash_pairs",
-    # shingle_doc widening feeds these
-    "dedup_minhash_lsh",
-    "dedup_cluster_assign",
-    "dedup_decontaminate",
-    "curation_pipeline",
-    # new operators this round — first driver signal needed
+    # r6 new — first driver signal needed
+    "sim_pq_adc_topk",
+    "text_url_dedup",
+    "text_cleanup",
+    "q_kmv_merge",
+    # r5 new — still no driver row (r5 had no correctness run)
     "pack_token_sequences",
     "sample_stratified_mix",
     "q15_top_supplier",
@@ -69,6 +50,27 @@ _GATE_HEAD = [
     "q_kmv_distinct",
     "emb_quantize",
     "text_line_dedup",
+    # plans reshaped in r5 — ivf expression argmax, adaptive widening,
+    # NULL-bucket sentinel, one-pass kmeans seeding, q22 broadcast scalar
+    "sim_ivf_topk",
+    "sim_ann_lsh_topk",
+    "sim_cosine_topk",
+    "sim_lsh_buckets",
+    "emb_near_dup_lsh",
+    "dedup_simhash_pairs",
+    "dedup_minhash_lsh",
+    "dedup_cluster_assign",
+    "dedup_decontaminate",
+    "curation_pipeline",
+    "q22_idle_rich_customers",
+    # last driver green r3 — rotated out r4, r5 run never happened
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_bracketed_revenue",
 ]
 _GATE_TAIL = [
     # rotated out r5: all driver-green in CORRECTNESS_r04, code untouched,

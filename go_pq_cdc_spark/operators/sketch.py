@@ -91,3 +91,59 @@ def kmv_oracle_sql(
            CAST(n_kept AS BIGINT) AS n_kept
     FROM sk
     """
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Materialize the KMV PARTIAL STATE per group: the sorted array of
+    the k smallest distinct hashes. This is the mergeable form — the 100 TB
+    pattern is to sketch at fine granularity once (per partition / day /
+    source), persist the tiny arrays, and answer coarser distinct-count
+    questions later by MERGING sketches instead of rescanning data.
+    Returns (*group_cols, sketch array<bigint>)."""
+    h = P.md5_hash_m31(f"CAST({value_col} AS STRING)")["spark"]
+    pairs = df.select(
+        *[F.col(c) for c in group_cols], F.expr(h).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("h")).alias("sketch"))
+    )
+
+
+def kmv_merge_estimate(
+    sketches: DataFrame,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Merge KMV sketches up to a coarser grouping and estimate: union the
+    hash arrays, distinct, keep the k smallest (valid because any hash in
+    the global bottom-k is necessarily in its source sketch's bottom-k),
+    then the same (k-1)*M/kth estimator as `kmv_distinct`. The merge is a
+    pure array expression over collect_list — each group's state is at
+    most (#sub-sketches * k) int64s, driver-free and shuffle-light.
+    Cross-engine contract: merging per-(g, extra) sketches to g yields
+    BIT-IDENTICAL estimates to sketching g directly (the registry oracle
+    computes the direct form in DuckDB)."""
+    merged = sketches.groupBy(*group_cols).agg(
+        F.flatten(F.collect_list("sketch")).alias("all_h")
+    )
+    sk = F.expr(f"slice(array_sort(array_distinct(all_h)), 1, {k})")
+    merged = merged.withColumn("sk", sk).select(
+        *group_cols,
+        F.size("sk").cast("long").alias("n_kept"),
+        F.expr("element_at(sk, size(sk))").alias("kth"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(P.MERSENNE31)) / F.col("kth").cast("double")
+    )
+    return merged.select(*group_cols, est.alias("est_distinct"), "n_kept")

@@ -257,3 +257,138 @@ def remove_boilerplate_lines(
         )
         .select("id", "n_lines", "n_kept", "clean_text")
     )
+
+
+# URL canonicalization — web-corpus dedup's first key: most crawl dumps
+# carry the same page under scheme/case/port/tracking-param/fragment
+# variants, and URL-level dedup removes them for the cost of one narrow
+# map + one groupBy (vs MinHash's shingle hashing). Written in the common
+# Java-regex/RE2 subset like PII_PATTERNS; the whole normalization is a
+# pure Catalyst projection (no UDF, no shuffle).
+URL_PARTS_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$"
+URL_TRACKING_RE = r"^(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src)="
+
+
+def with_url_normalized(
+    df: DataFrame, url_col: str = "url", out_col: str = "norm_url"
+) -> DataFrame:
+    """Canonicalize a URL column: lowercase scheme+host, strip a leading
+    `www.`, drop default ports (http:80 / https:443), strip trailing
+    slashes from the path, drop the fragment, remove tracking query params
+    (utm_* / fbclid / gclid / ...) and SORT the survivors so param order
+    never splits a group. Non-URL strings fall back to lower(trim(s)).
+    Idempotent: normalizing a normalized URL is the identity.
+
+    Built with the Python Column API (not F.expr) so regex backslashes
+    reach Java unprocessed — same rule as `with_pii_scrub`."""
+    u = F.trim(F.col(url_col))
+    scheme = F.lower(F.regexp_extract(u, URL_PARTS_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, URL_PARTS_RE, 2))
+    path = F.regexp_extract(u, URL_PARTS_RE, 3)
+    rawq = F.regexp_extract(u, URL_PARTS_RE, 4)
+    host = F.regexp_replace(
+        F.regexp_extract(hostport, r"^([^:]+)", 1), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    portpart = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    cpath = F.regexp_replace(path, r"/+$", "")
+    qstr = F.regexp_replace(rawq, r"^\?", "")
+    params = F.filter(
+        F.split(qstr, "&"),
+        lambda p: (p != "") & ~p.rlike(URL_TRACKING_RE),
+    )
+    q = F.array_join(F.array_sort(params), "&")
+    qpart = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    norm = F.when(scheme == "", F.lower(u)).otherwise(
+        F.concat(scheme, F.lit("://"), host, portpart, cpath, qpart)
+    )
+    return df.withColumn(out_col, norm)
+
+
+def url_normalize_oracle(col: str) -> str:
+    """DuckDB expression computing EXACTLY `with_url_normalized` (RE2 and
+    Java regex agree on this pattern subset; both engines' string sort is
+    binary). Subexpressions repeat — stage the input column in a CTE when
+    row counts matter."""
+    # DuckDB regexp_extract yields NULL (not '') for a non-participating
+    # optional group — Spark yields ''. Coalesce every group.
+    u = f"trim({col})"
+    scheme = f"lower(coalesce(regexp_extract({u}, '{URL_PARTS_RE}', 1), ''))"
+    hostport = f"lower(coalesce(regexp_extract({u}, '{URL_PARTS_RE}', 2), ''))"
+    path = f"coalesce(regexp_extract({u}, '{URL_PARTS_RE}', 3), '')"
+    rawq = f"coalesce(regexp_extract({u}, '{URL_PARTS_RE}', 4), '')"
+    host = (
+        f"regexp_replace(regexp_extract({hostport}, '^([^:]+)', 1), "
+        f"'^www\\.', '')"
+    )
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    portpart = (
+        f"CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443') "
+        f"THEN '' ELSE ':' || {port} END"
+    )
+    cpath = f"regexp_replace({path}, '/+$', '')"
+    qstr = f"regexp_replace({rawq}, '^\\?', '')"
+    params = (
+        f"list_filter(string_split({qstr}, '&'), "
+        f"p -> p != '' AND NOT regexp_matches(p, '{URL_TRACKING_RE}'))"
+    )
+    # array_to_string([]) is NULL in DuckDB; Spark's array_join gives ''
+    q = f"coalesce(array_to_string(list_sort({params}), '&'), '')"
+    qpart = f"CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END"
+    return (
+        f"CASE WHEN {scheme} = '' THEN lower({u}) "
+        f"ELSE {scheme} || '://' || {host} || {portpart} || {cpath} || {qpart} END"
+    )
+
+
+# Text cleanup — the unicode-hygiene pass a web corpus needs before any
+# token/shingle/hash operator sees it: crawl text is full of zero-width
+# characters (which silently split tokens and change every hash), control
+# bytes, typographic quotes/dashes, and whitespace runs. Pure chained
+# regexp_replace/translate in the Java-regex/RE2 common subset (the
+# \x{hhhh} class syntax both engines share) — a zero-shuffle map.
+ZERO_WIDTH_RE = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+CTRL_RE = r"[\x{0000}-\x{0008}\x{000B}-\x{001F}\x{007F}]"  # keeps \n \t
+_PUNCT_FROM = "’‘“”–—"  # ’ ‘ “ ” – —
+_PUNCT_TO = "''\"\"--"
+
+
+def with_text_cleanup(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Normalize a text column: drop zero-width chars, drop control chars
+    (newline/tab survive), fold typographic quotes/dashes to ASCII,
+    collapse space/tab runs to one space, collapse 3+ newlines to 2, and
+    trim. Adds `n_chars_removed` (original minus cleaned length).
+    Idempotent. Column-API construction — same backslash rule as
+    `with_pii_scrub`."""
+    c = F.regexp_replace(F.col(text_col), ZERO_WIDTH_RE, "")
+    c = F.regexp_replace(c, CTRL_RE, "")
+    c = F.translate(c, _PUNCT_FROM, _PUNCT_TO)
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    c = F.trim(c)
+    return df.withColumn(out_col, c).withColumn(
+        "n_chars_removed",
+        (F.length(F.col(text_col)) - F.length(F.col(out_col))).cast("long"),
+    )
+
+
+def text_cleanup_oracle(col: str) -> str:
+    """DuckDB expression computing EXACTLY `with_text_cleanup`'s cleaned
+    text (RE2 'g' flag = Java replace-all). The from-set of the
+    translate() is built with chr() so the oracle SQL stays ASCII."""
+    pfrom = "||".join(f"chr({ord(ch)})" for ch in _PUNCT_FROM)
+    pto = "chr(39)||chr(39)||'\"\"--'"
+    c = f"regexp_replace({col}, '{ZERO_WIDTH_RE}', '', 'g')"
+    c = f"regexp_replace({c}, '{CTRL_RE}', '', 'g')"
+    c = f"translate({c}, {pfrom}, {pto})"
+    c = f"regexp_replace({c}, '[ \\t]+', ' ', 'g')"
+    c = f"regexp_replace({c}, '\\n{{3,}}', chr(10)||chr(10), 'g')"
+    return f"trim({c})"

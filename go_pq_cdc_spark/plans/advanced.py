@@ -607,3 +607,26 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").cast("long").alias("n_exact")
     )
     return sk.join(ex, "o_orderpriority")
+
+
+from ..operators.sketch import kmv_oracle_sql as _kmv_oracle_sql  # noqa: E402
+
+
+@register(
+    "q_kmv_merge",
+    oracle=_kmv_oracle_sql("documents", "lang", "text"),
+    tags=("sketch", "distinct", "merge"),
+)
+def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGEABILITY, proven cross-engine: Spark sketches
+    distinct texts at the FINE granularity (lang, source), persists only
+    the k-minimum-hash arrays, and merges them up to lang; the DuckDB
+    oracle sketches lang DIRECTLY from the raw rows. Bit-identical
+    estimates == the partial state is associative — the property that
+    lets a 100 TB pipeline sketch each ingest batch once and answer
+    coarser distinct questions later without rescanning anything."""
+    from ..operators.sketch import kmv_merge_estimate, kmv_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    fine = kmv_sketch(docs, ["lang", "source"], "text")
+    return kmv_merge_estimate(fine, ["lang"])

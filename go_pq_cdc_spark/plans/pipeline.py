@@ -715,6 +715,95 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, cents, queries, k=5)
 
 
+# Deterministic dirty-text synthesis for the cleanup gate (chr() builds
+# identical junk on both engines): zero-width chars mid-word, control
+# bytes, typographic punctuation, tab/space runs, newline stacks.
+# NOTE: Spark's chr(n) wraps at 256 (ASCII only), so the Spark dialect
+# embeds the actual unicode characters as string literals; DuckDB builds
+# the same characters with chr() to keep the oracle SQL ASCII-clean.
+def _dirty_build(dialect: str) -> str:
+    if dialect == "duck":
+        zw, quo, dash = "chr(8203)", "chr(8217)", "chr(8212)"
+    else:
+        zw, quo, dash = "'​'", "'’'", "'—'"
+    return (
+        f"CASE CAST(doc_id % 3 AS INT) "
+        f"WHEN 0 THEN text || {zw} || 'zw' || chr(1) || '  spaced' "
+        f"WHEN 1 THEN {quo} || 's ' || text || chr(9) || chr(9) || 'tab' "
+        f"ELSE ' ' || text || chr(10) || chr(10) || chr(10) || chr(10) || {dash} || ' end ' END"
+    )
+
+
+@register(
+    "text_cleanup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_dirty_build('duck')} AS dirty FROM documents),
+    c AS (SELECT doc_id, dirty, {TX.text_cleanup_oracle('dirty')} AS clean_text FROM d)
+    SELECT doc_id, clean_text,
+           CAST(length(dirty) - length(clean_text) AS BIGINT) AS n_chars_removed
+    FROM c
+    """,
+    tags=("text", "cleanup"),
+)
+def text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-hygiene normalization (zero-width/control strip, punct
+    folding, whitespace collapse) — the pass that runs BEFORE any
+    token/shingle/hash operator, since an invisible U+200B changes every
+    downstream hash. Zero-shuffle chained regexp_replace; exercised on a
+    deterministic dirty-text construction both engines share."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select("doc_id", F.expr(_dirty_build("spark")).alias("dirty"))
+    return TX.with_text_cleanup(dirty, text_col="dirty").select(
+        "doc_id", "clean_text", "n_chars_removed"
+    )
+
+
+# Deterministic URL synthesis for the URL-dedup gate: documents carry no
+# URL column, so (like text_pii_scrub's appended PII block) both engines
+# construct the same crawl-style variant mix — six surface forms per
+# canonical page key, exercising case folding, default ports, tracking
+# params, param order and fragments.
+def _url_build(cast_str: str) -> str:
+    k = f"CAST(doc_id % 50 AS {cast_str})"
+    return (
+        f"CASE CAST(doc_id % 6 AS INT) "
+        f"WHEN 0 THEN 'https://www.example.com/a/' || {k} "
+        f"WHEN 1 THEN 'HTTPS://EXAMPLE.COM:443/a/' || {k} "
+        f"WHEN 2 THEN 'https://example.com/a/' || {k} || '/?utm_source=feed' "
+        f"WHEN 3 THEN 'https://example.com/a/' || {k} || '#section' "
+        f"WHEN 4 THEN 'https://example.com/a/' || {k} || '?b=2&a=1' "
+        f"ELSE 'https://example.com/a/' || {k} || '?a=1&b=2&gclid=xyz' END"
+    )
+
+
+@register(
+    "text_url_dedup",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_url_build('VARCHAR')} AS url FROM documents),
+    n AS (SELECT doc_id, {TX.url_normalize_oracle('url')} AS norm_url FROM u)
+    SELECT norm_url, COUNT(*) AS n_urls, MIN(doc_id) AS canonical_id
+    FROM n GROUP BY norm_url
+    """,
+    tags=("text", "url", "dedup"),
+)
+def text_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the cheapest web-corpus dedup key: canonicalize
+    each document's URL (case, default ports, www, tracking params, param
+    order, fragments — `with_url_normalized`, a pure Catalyst projection)
+    and group on the canonical form. One narrow map + one shuffle on the
+    normalized URL; at 100 TB this runs before any content-based dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    urled = docs.withColumn("url", F.expr(_url_build("STRING")))
+    return (
+        TX.with_url_normalized(urled)
+        .groupBy("norm_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
 def _pq_adc_oracle() -> str:
     """DuckDB oracle for the PQ-ADC path: codebook = subvectors of the 16
     lowest-id vectors (`pq_codebook_sample`), encode = per-subspace argmin

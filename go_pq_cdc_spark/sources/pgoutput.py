@@ -201,12 +201,15 @@ def parse_copy_data(frame: bytes) -> XLogData | PrimaryKeepalive:
     """One CopyData payload -> XLogData ('w') or keepalive ('k')
     (stream.go:302-348 demux; format from the PG docs §55.4)."""
     tag = frame[0:1]
-    if tag == b"w":
-        wal_start, wal_end, clock = struct.unpack_from(">QQq", frame, 1)
-        return XLogData(wal_start, wal_end, clock, frame[25:])
-    if tag == b"k":
-        wal_end, clock, reply = struct.unpack_from(">Qqb", frame, 1)
-        return PrimaryKeepalive(wal_end, clock, bool(reply))
+    try:
+        if tag == b"w":
+            wal_start, wal_end, clock = struct.unpack_from(">QQq", frame, 1)
+            return XLogData(wal_start, wal_end, clock, frame[25:])
+        if tag == b"k":
+            wal_end, clock, reply = struct.unpack_from(">Qqb", frame, 1)
+            return PrimaryKeepalive(wal_end, clock, bool(reply))
+    except struct.error as e:  # truncated frame — same contract as decode()
+        raise ValueError(f"truncated replication frame: {e}") from e
     raise ValueError(f"unknown replication frame tag {tag!r}")
 
 
@@ -347,6 +350,8 @@ class PgOutputDecoder:
             elif kind in (b"t", b"b"):
                 (ln,) = struct.unpack_from(">i", buf, pos)
                 pos += 4
+                if ln < 0 or pos + ln > len(buf):
+                    raise ValueError(f"tuple value length {ln} overruns buffer")
                 raw = buf[pos : pos + ln]
                 pos += ln
                 vals.append(raw.decode() if kind == b"t" else raw)
@@ -366,7 +371,19 @@ class PgOutputDecoder:
         return {c.name: v for c, v in zip(rel.columns, vals)}
 
     def decode(self, payload: bytes):
-        """One pgoutput message (an XLogData payload) -> typed event."""
+        """One pgoutput message (an XLogData payload) -> typed event.
+
+        Error contract: anything malformed — truncated frames, bad
+        lengths, invalid UTF-8 in a text tuple — raises ValueError, never
+        struct.error / UnicodeDecodeError, so callers (the resilient
+        replication loop's transient classification) see ONE exception
+        family for wire garbage (fuzz-pinned in tests/test_properties.py)."""
+        try:
+            return self._decode(payload)
+        except (struct.error, UnicodeDecodeError) as e:
+            raise ValueError(f"malformed pgoutput message: {e}") from e
+
+    def _decode(self, payload: bytes):
         tag = payload[0:1]
         pos = 1
         xid = self._stream_xid

@@ -241,7 +241,7 @@ def test_pure_map_operators_have_zero_exchanges(spark):
     """PII scrubbing and embedding quantization are elementwise by design
     — their plans must contain NO Exchange at all (a shuffle appearing
     here means someone broke the narrow-pass contract)."""
-    for name in ("text_pii_scrub", "emb_quantize"):
+    for name in ("text_pii_scrub", "emb_quantize", "text_cleanup"):
         plan = (
             plans.REGISTRY[name]
             .spark_fn(spark, SF_DIR)

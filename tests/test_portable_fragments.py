@@ -151,3 +151,75 @@ def test_remove_boilerplate_lines_semantics(spark):
     assert out[3]["clean_text"] == "gamma only"
     assert out[4]["clean_text"] == ""
     assert out[4]["n_kept"] == 0
+
+
+def test_url_normalize_edge_cases(spark):
+    """URL canonicalization semantics, pinned: case folding on scheme+host
+    only (path stays case-sensitive), www and default-port stripping
+    (non-default ports kept), tracking-param removal, param sort,
+    fragment drop, trailing-slash strip, non-URL fallback to
+    lower(trim()), and idempotency."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.operators.text import with_url_normalized
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/Path/Sub/"),
+        (2, "http://host.com:8080/x"),
+        (3, "https://example.com/a?utm_source=f&utm_campaign=c"),
+        (4, "https://example.com/a?z=1&a=2&fbclid=abc#frag"),
+        (5, "  Not A URL  "),
+        (6, "ftp://Files.example.com/pub/"),
+        (7, "https://example.com"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = {r["doc_id"]: r["norm_url"] for r in with_url_normalized(df).collect()}
+    assert out[1] == "https://example.com/Path/Sub"
+    assert out[2] == "http://host.com:8080/x"
+    assert out[3] == "https://example.com/a"
+    assert out[4] == "https://example.com/a?a=2&z=1"
+    assert out[5] == "not a url"
+    assert out[6] == "ftp://files.example.com/pub"
+    assert out[7] == "https://example.com"
+    again = {
+        r["doc_id"]: r["norm_url"]
+        for r in with_url_normalized(
+            with_url_normalized(df).select("doc_id", F.col("norm_url").alias("url"))
+        ).collect()
+    }
+    assert again == out
+
+
+def test_text_cleanup_edge_cases(spark):
+    """Cleanup semantics pinned: zero-width chars vanish, control chars
+    vanish but \n and \t survive (tab then collapses to a space),
+    typographic punctuation folds to ASCII, whitespace runs collapse,
+    3+ newlines become 2, result is trimmed, and the pass is idempotent."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.operators.text import with_text_cleanup
+
+    rows = [
+        (1, "a​b‌c‍d﻿e"),
+        (2, "x\x01y\x1fz\x7fw"),
+        (3, "keep\nnew\tline"),
+        (4, "’s “q” – —"),
+        (5, "  many   spaces\t\t and  tabs  "),
+        (6, "a\n\n\n\n\nb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in with_text_cleanup(df).collect()}
+    assert out[1]["clean_text"] == "abcde"
+    assert out[1]["n_chars_removed"] == 4
+    assert out[2]["clean_text"] == "xyzw"
+    assert out[3]["clean_text"] == "keep\nnew line"
+    assert out[4]["clean_text"] == "'s \"q\" - -"
+    assert out[5]["clean_text"] == "many spaces and tabs"
+    assert out[6]["clean_text"] == "a\n\nb"
+    again = {
+        r["doc_id"]: r["clean_text"]
+        for r in with_text_cleanup(
+            with_text_cleanup(df).select("doc_id", F.col("clean_text").alias("text"))
+        ).collect()
+    }
+    assert again == {k: v["clean_text"] for k, v in out.items()}

@@ -332,3 +332,126 @@ def test_pii_scrub_cross_engine(spark, ddb, docs):
         ddb.execute(f"SELECT doc_id, {chain} AS c FROM pdf").fetchall()
     )
     assert got == want
+
+
+# --- URL normalize: cross-engine property (Java regex vs RE2, HOF sort) ---
+# Generated crawl-style URLs (plus junk) must normalize identically under
+# `with_url_normalized` (Spark) and `url_normalize_oracle` (DuckDB).
+
+_URL_HOSTS = st.sampled_from(
+    ["Example.com", "WWW.Example.com", "sub.host.ORG", "10.0.0.1", "x.y"]
+)
+_URL_SCHEMES = st.sampled_from(["http", "HTTPS", "ftp", "https"])
+_URL_PORTS = st.sampled_from(["", ":80", ":443", ":8080"])
+_URL_PATHS = st.sampled_from(["", "/", "/A/b", "/a/b/", "/a//", "/%20x"])
+_URL_QS = st.sampled_from(
+    ["", "?", "?a=1", "?b=2&a=1", "?utm_source=f", "?a=1&gclid=x&z&", "?a=1&a=0"]
+)
+_URL_FRAGS = st.sampled_from(["", "#f", "#a?b=1"])
+_URL_FULL = st.builds(
+    lambda s, h, po, pa, q, f: f"{s}://{h}{po}{pa}{q}{f}",
+    _URL_SCHEMES, _URL_HOSTS, _URL_PORTS, _URL_PATHS, _URL_QS, _URL_FRAGS,
+)
+_URL_ANY = st.one_of(
+    _URL_FULL, st.sampled_from(["", "   ", "no scheme here", "http//broken", "://x"])
+)
+
+
+@given(urls=st.lists(_URL_ANY, min_size=1, max_size=50))
+@settings(max_examples=5, deadline=None)
+def test_url_normalize_cross_engine(spark, ddb, urls):
+    import pandas as pd
+
+    from go_pq_cdc_spark.operators.text import url_normalize_oracle, with_url_normalized
+
+    sdf = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id bigint, url string"
+    )
+    got = {r["doc_id"]: r["norm_url"] for r in with_url_normalized(sdf).collect()}
+    pdf = pd.DataFrame({"doc_id": range(len(urls)), "url": urls})  # noqa: F841
+    want = dict(
+        ddb.execute(
+            f"SELECT doc_id, {url_normalize_oracle('url')} AS n FROM pdf"
+        ).fetchall()
+    )
+    assert got == want
+
+
+# --- Text cleanup: cross-engine property ---
+
+_CLEAN_CHARS = st.sampled_from(
+    list("ab c\t\n") + ["​", "﻿", "’", "“", "—", "\x01", "\x1f"]
+)
+_CLEAN_DOC = st.lists(_CLEAN_CHARS, min_size=0, max_size=40).map("".join)
+
+
+@given(docs=st.lists(_CLEAN_DOC, min_size=1, max_size=50))
+@settings(max_examples=5, deadline=None)
+def test_text_cleanup_cross_engine(spark, ddb, docs):
+    import pandas as pd
+
+    from go_pq_cdc_spark.operators.text import text_cleanup_oracle, with_text_cleanup
+
+    sdf = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r["clean_text"] for r in with_text_cleanup(sdf).collect()}
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})  # noqa: F841
+    want = dict(
+        ddb.execute(
+            f"SELECT doc_id, {text_cleanup_oracle('text')} AS c FROM pdf"
+        ).fetchall()
+    )
+    assert got == want
+
+
+# --- pgoutput decoder fuzz: malformed bytes never escape ValueError ---
+# A live stream can deliver truncated/garbage frames (broken middlebox,
+# version skew); the decoder's error contract is ValueError for anything
+# malformed — never struct.error / UnicodeDecodeError / IndexError, which
+# callers (slot_keeper's resilient loop) do not classify.
+
+_FUZZ_TAGS = st.sampled_from(
+    [b"w", b"k", b"B", b"C", b"I", b"U", b"D", b"T", b"R", b"S", b"E", b"c",
+     b"A", b"O", b"Y", b"M", b"z", b""]
+)
+_FUZZ_BODY = st.binary(min_size=0, max_size=60)
+
+
+@given(tag=_FUZZ_TAGS, body=_FUZZ_BODY)
+@settings(max_examples=300, deadline=None)
+def test_pgoutput_decode_fuzz_error_contract(tag, body):
+    from go_pq_cdc_spark.sources.pgoutput import PgOutputDecoder, parse_copy_data
+
+    dec = PgOutputDecoder()
+    for fn, data in ((parse_copy_data, tag + body), (dec.decode, tag + body)):
+        try:
+            fn(data)
+        except ValueError:
+            pass  # the contract
+
+
+@given(body=_FUZZ_BODY)
+@settings(max_examples=200, deadline=None)
+def test_pgoutput_decode_fuzz_tuple_payloads(body):
+    """Structured-prefix fuzz: valid message tags with garbage tuple
+    payloads (the case most likely to hit struct/unicode internals)."""
+    import struct as _struct
+
+    from go_pq_cdc_spark.sources.pgoutput import PgOutputDecoder
+
+    dec = PgOutputDecoder()
+    # register a relation so DML reaches the tuple decoder
+    rel = (
+        b"R" + _struct.pack(">I", 7) + b"public\x00t\x00" + b"d"
+        + _struct.pack(">H", 1) + b"\x01" + b"c1\x00" + _struct.pack(">II", 25, 0)
+    )
+    try:
+        dec.decode(rel)
+    except ValueError:
+        pass
+    for tag in (b"I", b"U", b"D"):
+        try:
+            dec.decode(tag + _struct.pack(">I", 7) + body)
+        except ValueError:
+            pass
