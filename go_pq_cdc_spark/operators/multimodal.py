@@ -3,11 +3,14 @@ pipelines.
 
 Media payloads are opaque `binary` columns + typed metadata struct; all
 transforms run as Arrow-batched `mapInPandas` so each task processes
-columnar batches without JVM<->Python per-row cost. The actual codec work
-(decode/resize/frame-sample) needs PIL/ffmpeg etc. which are NOT in this
-container — those kernels are stubbed deterministically (env-gated), while
-the Spark-side plumbing (schema, batching, partitioning, UDF signatures)
-is real and tested.
+columnar batches without JVM<->Python per-row cost. Codec status:
+UNCOMPRESSED formats decode for real with numpy alone — PPM P6 + 24-bit
+BMP images (pixel-stat features, nearest-neighbor resize) and PCM-16 WAV
+audio (duration/RMS/ZCR features). COMPRESSED codecs (JPEG/PNG/MP3/H.264)
+need PIL/ffmpeg, which are NOT in this container: feature extraction
+falls back to a deterministic digest fake (tagged in the vector), resize
+raises. The Spark-side plumbing (schema, batching, partitioning, UDF
+signatures) is identical either way and fully tested.
 
 Scale notes: media rows are large — `repartition` by id before mapInPandas
 so batches stay under the Arrow batch target, and keep
@@ -55,12 +58,140 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# -- real numpy codecs for UNCOMPRESSED formats -----------------------------
+# PPM (P6), 24-bit BMP and PCM-16 WAV need no external library — header
+# parse + numpy frombuffer. Compressed codecs (JPEG/PNG/MP3/H.264) need
+# PIL/ffmpeg, which are NOT in this container: those payloads fall back to
+# the deterministic digest fake (features) or raise (resize), clearly
+# marked. Swapping in a full codec never changes the Spark plan.
+
+
+def decode_image(payload: bytes):
+    """Decode an uncompressed image payload to an (h, w, 3) uint8 array.
+    Supports PPM P6 (maxval 255) and 24-bit uncompressed BMP (the two
+    formats decodable with numpy alone). Returns None for anything else."""
+    import numpy as np
+
+    if not payload:
+        return None
+    if payload[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single ws> data
+        parts, pos, token = [], 2, b""
+        while len(parts) < 3 and pos < len(payload):
+            ch = payload[pos : pos + 1]
+            pos += 1
+            if ch == b"#":  # comment to EOL
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            if ch.isspace():
+                if token:
+                    if not token.isdigit():  # text that merely starts "P6"
+                        return None
+                    parts.append(int(token))
+                    token = b""
+                continue
+            token += ch
+        if len(parts) != 3 or parts[2] != 255:
+            return None
+        w, h = parts[0], parts[1]
+        data = payload[pos : pos + w * h * 3]
+        if len(data) < w * h * 3:
+            return None
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        import struct
+
+        off, hdr_sz, w, h, planes, bpp, comp = struct.unpack_from(
+            "<IIiiHHI", payload, 10
+        )
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        if len(payload) < off + stride * h:
+            return None
+        rows = np.frombuffer(
+            payload[off : off + stride * h], dtype=np.uint8
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        rows = rows[::-1] if flip else rows
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+    return None
+
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 array -> PPM P6 payload."""
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def decode_audio(payload: bytes):
+    """Decode a PCM-16 RIFF/WAVE payload to (samples float64 in [-1, 1),
+    sample_rate). Returns None for anything else."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if not payload or payload[:4] != b"RIFF":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            if wf.getsampwidth() != 2:
+                return None
+            raw = wf.readframes(wf.getnframes())
+            sr = wf.getframerate()
+            nch = wf.getnchannels()
+    except (wave.Error, EOFError):
+        return None
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, sr
+
+
 def _decode_kernel(payload: bytes, kind: str) -> list[float]:
-    """STUB: real implementation decodes the media and extracts features
-    (PIL/torchvision for images, torchaudio/ffmpeg for audio/video — not
-    available in this container). The deterministic fake derives an
-    8-float vector from the payload digest so pipelines are testable
-    end-to-end with stable outputs."""
+    """Feature extraction: REAL for numpy-decodable payloads — images
+    (PPM/BMP): [w, h, aspect, mean R/G/B, luminance std, 1.0] (channel
+    stats scaled to [0,1]); audio (PCM WAV): [duration_s, rms,
+    zero-crossing rate, mean, peak, sample_rate/48k, 0, 2.0]. Compressed
+    codecs (JPEG/PNG/MP3/H.264 — need PIL/ffmpeg, not in this container)
+    fall back to the deterministic sha256-digest fake so pipelines remain
+    testable end to end; the trailing tag float (1.0 real-image / 2.0
+    real-audio / digest bytes otherwise) makes the path visible."""
+    import numpy as np
+
+    img = decode_image(payload or b"") if kind == "image" else None
+    if img is not None:
+        h, w = img.shape[0], img.shape[1]
+        fl = img.astype(np.float64) / 255.0
+        lum = fl.mean(axis=2)
+        return [
+            float(w),
+            float(h),
+            float(w) / float(h),
+            float(fl[:, :, 0].mean()),
+            float(fl[:, :, 1].mean()),
+            float(fl[:, :, 2].mean()),
+            float(lum.std()),
+            1.0,
+        ]
+    aud = decode_audio(payload or b"") if kind == "audio" else None
+    if aud is not None:
+        x, sr = aud
+        dur = len(x) / sr if sr else 0.0
+        zcr = float((np.diff(np.signbit(x)) != 0).mean()) if len(x) > 1 else 0.0
+        return [
+            float(dur),
+            float(np.sqrt((x**2).mean())) if len(x) else 0.0,
+            zcr,
+            float(x.mean()) if len(x) else 0.0,
+            float(np.abs(x).max()) if len(x) else 0.0,
+            sr / 48000.0,
+            0.0,
+            2.0,
+        ]
     digest = hashlib.sha256(payload or b"").digest()
     return [b / 255.0 for b in digest[:8]]
 
@@ -101,15 +232,54 @@ def extract_features(df: DataFrame, batch_size_hint: int = 64) -> DataFrame:
     )
 
 
+def _resize_kernel(arr, width: int, height: int):
+    """Nearest-neighbor resize via numpy index selection (pixel-center
+    mapping, the OpenCV INTER_NEAREST convention) — deterministic, no
+    codec library needed."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    rows = np.minimum(((np.arange(height) + 0.5) * h / height).astype(int), h - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * w / width).astype(int), w - 1)
+    return arr[rows][:, cols]
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB surface for image resize: raises until a codec is installed;
-    the signature/schema is the stable contract."""
+    """Resize image rows to (width, height): REAL nearest-neighbor resize
+    for numpy-decodable payloads (PPM/BMP — output re-encoded as PPM P6,
+    meta dims updated), passthrough for non-image rows, and a clear
+    NotImplementedError for compressed image codecs (JPEG/PNG need
+    PIL/opencv, not in this container). Arrow mapInPandas batches; the
+    Spark plan is identical whichever kernel handles a row."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image resize needs PIL/opencv (not in this container); "
-            "plug the kernel into extract_features-style mapInPandas"
-        )
+        for pdf in batches:
+            payloads, metas = [], []
+            for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                if kind != "image":
+                    payloads.append(payload)
+                    metas.append(meta)
+                    continue
+                arr = decode_image(payload or b"")
+                if arr is None:
+                    raise NotImplementedError(
+                        "compressed image codecs need PIL/opencv (not in this "
+                        "container); PPM/BMP payloads resize natively"
+                    )
+                out = _resize_kernel(arr, width, height)
+                payloads.append(encode_ppm(out))
+                meta = dict(meta) if meta is not None else {}
+                meta.update({"mime": "image/x-portable-pixmap",
+                             "width": width, "height": height})
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
 
     return df.mapInPandas(op, schema=MEDIA_SCHEMA)
 

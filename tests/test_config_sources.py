@@ -349,3 +349,96 @@ def test_example_configs_all_load_and_validate():
     assert cfgs["streaming-transactions.json"].proto_version == 2
     assert cfgs["all-tables-timescale.json"].all_tables
     assert cfgs["all-tables-timescale.json"].enable_timescaledb
+
+
+def _make_ppm(w, h, rgb):
+    body = bytes(rgb) * (w * h)
+    return b"P6\n%d %d\n255\n" % (w, h) + body
+
+
+def _make_bmp24(w, h, bgr):
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    row = (bytes(bgr) * w) + b"\x00" * (stride - w * 3)
+    data = row * h
+    off = 54
+    header = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def _make_wav(sr=8000, n=800, amp=16384):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(
+            b"".join(
+                struct.pack("<h", int(amp * math.sin(2 * math.pi * 440 * i / sr)))
+                for i in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def test_multimodal_real_codecs(spark):
+    """The uncompressed-format codecs are REAL: a PPM and a BMP decode to
+    actual pixel statistics (tagged 1.0), a PCM WAV decodes to actual
+    duration/RMS (tagged 2.0), and arbitrary bytes still take the
+    documented digest-fake path. Resize produces a true nearest-neighbor
+    PPM at the target dimensions; compressed codecs raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        extract_features,
+        resize_images,
+    )
+
+    ppm = _make_ppm(4, 2, (255, 0, 0))  # solid red 4x2
+    bmp = _make_bmp24(3, 3, (0, 0, 255))  # BGR blue-0-0 -> solid red RGB
+    wav = _make_wav()
+    rows = [
+        Row(media_id=1, kind="image", payload=ppm, meta=None),
+        Row(media_id=2, kind="image", payload=bmp, meta=None),
+        Row(media_id=3, kind="audio", payload=wav, meta=None),
+        Row(media_id=4, kind="image", payload=b"\x89PNG fake", meta=None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    by_id = {r["media_id"]: r["feature"] for r in extract_features(df).collect()}
+    # PPM: w=4 h=2 aspect=2, mean RGB = (1, 0, 0), tag 1.0
+    assert by_id[1][:6] == [4.0, 2.0, 2.0, 1.0, 0.0, 0.0] and by_id[1][7] == 1.0
+    # BMP decodes BGR->RGB: solid red too
+    assert by_id[2][:6] == [3.0, 3.0, 1.0, 1.0, 0.0, 0.0] and by_id[2][7] == 1.0
+    # WAV: 800 samples at 8 kHz = 0.1 s; RMS of a half-scale sine ~ 0.354
+    dur, rms, zcr = by_id[3][0], by_id[3][1], by_id[3][2]
+    assert abs(dur - 0.1) < 1e-6 and abs(rms - 0.3536) < 0.01 and zcr > 0.05
+    assert by_id[3][7] == 2.0
+    # compressed codec falls back to digest features (tag byte is digest)
+    assert by_id[4][7] != 1.0
+
+    resized = {
+        r["media_id"]: r
+        for r in resize_images(
+            df.filter(F.col("media_id").isin(1, 2)), width=2, height=2
+        ).collect()
+    }
+    for mid in (1, 2):
+        arr = decode_image(bytes(resized[mid]["payload"]))
+        assert arr.shape == (2, 2, 3)
+        assert (arr[:, :, 0] == 255).all() and (arr[:, :, 1:] == 0).all()
+        assert resized[mid]["meta"]["width"] == 2
+    with _pytest.raises(Exception) as ei:
+        resize_images(df.filter(F.col("media_id") == 4), 2, 2).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
