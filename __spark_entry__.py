@@ -35,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_HEAD = [
     # r6 new — first driver signal needed
     "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     "text_url_dedup",
     "text_cleanup",
     "q_kmv_merge",

@@ -684,6 +684,107 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = PQ_M,
+    dsub: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFPQ shape): coarse-quantize the corpus to IVF
+    cells AND PQ-encode it in the SAME single narrow pass (both are pure
+    expressions over broadcast structures — one crossJoin with the 1-row
+    centroid fold, one with the 1-row codebook fold, zero corpus
+    shuffles). A query probes its `nprobe` nearest cells and ADC-scans
+    only those cells' codes: candidate generation is sub-linear (cell
+    equi-join) and per-candidate cost is m integer LUT lookups — at
+    100 TB the scan reads compressed codes, touches a fraction of the
+    cells, and never shuffles the corpus. Ranking ascending by ADC
+    distance, ties by neighbor id."""
+    if dsub is None:
+        first = queries.select(F.col(vec_col)).filter(F.col(vec_col).isNotNull()).first()
+        dsub = len(first[0]) // m if first else 0
+    cb_row = _fold_pq_codebook(codebook)
+    cent_row = centroids.select(
+        F.struct(
+            F.col(id_col).cast("long").alias("cent_id"), F.col(vec_col).alias("cv")
+        ).alias("c")
+    ).agg(F.collect_list("c").alias("cents"))
+
+    cdot = P.scaled_dot("v", "c.cv", "v")["spark"]
+    cent_expr = (
+        f"element_at(array_sort(transform(cents, c -> struct("
+        f"coalesce(-({cdot}), 9223372036854775807L) AS nd, c.cent_id AS cent_id))), 1).cent_id"
+    )
+    edot = _sub_dot("v", "j", "w.cw", dsub)["spark"]
+    codes_expr = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"element_at(array_sort(transform(element_at(cbs, j + 1).words, "
+        f"w -> struct(w.cwn2 - 2 * ({edot}) AS d, w.c AS c))), 1).c)"
+    )
+    corpus = (
+        spread_small_input(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).filter(
+                F.col("v").isNotNull()
+            ),
+            F.col("id"),
+        )
+        .crossJoin(F.broadcast(cent_row))
+        .crossJoin(F.broadcast(cb_row))
+        .select(
+            "id",
+            F.expr(cent_expr).alias("cent_id"),
+            F.expr(codes_expr).alias("codes"),
+        )
+    )
+
+    qdot = _sub_dot("qv", "j", "w.cw", dsub)["spark"]
+    qn2 = _sub_norm("qv", "j", dsub)["spark"]
+    lut_expr = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(element_at(cbs, j + 1).words, "
+        f"w -> ({qn2}) + w.cwn2 - 2 * ({qdot})))"
+    )
+    probe_expr = (
+        f"slice(array_sort(transform(cents, c -> struct("
+        f"coalesce(-({P.scaled_dot('qv', 'c.cv', 'qv')['spark']}), "
+        f"9223372036854775807L) AS nd, c.cent_id AS cent_id))), 1, {int(nprobe)})"
+    )
+    qset = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+        .filter(F.col("qv").isNotNull())
+        .crossJoin(F.broadcast(cent_row))
+        .crossJoin(F.broadcast(cb_row))
+        .withColumn("qlut", F.expr(lut_expr))
+        .withColumn("probe", F.explode(F.expr(probe_expr)))
+        .select("q_id", "qlut", F.col("probe.cent_id").alias("q_cent"))
+    )
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), 0L, (acc, j) -> "
+        f"acc + element_at(element_at(qlut, j + 1), element_at(codes, j + 1) + 1))"
+    )
+    pairs = corpus.join(
+        F.broadcast(qset),
+        (F.col("cent_id") == F.col("q_cent")) & (F.col("q_id") != F.col("id")),
+    ).withColumn("adc", F.expr(adc))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            F.col("id").alias("neighbor_id"),
+            "rnk",
+            (F.col("adc").cast("double") / F.lit(1e12)).alias("adc_dist"),
+        )
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: DataFrame,

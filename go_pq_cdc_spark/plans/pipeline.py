@@ -878,6 +878,88 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_adc_topk(codes, queries, cb, k=5)
 
 
+def _ivfpq_oracle() -> str:
+    """DuckDB oracle for IVF-PQ: IVF cells from the 8 deterministic
+    centroids (same as `_ivf_oracle`), PQ codes from the 16-vector sample
+    codebook (same as `_pq_adc_oracle`), candidates restricted to the
+    query's cell, distance = summed exact integer subspace L2^2."""
+    m, ksub, dsub = S.PQ_M, S.PQ_KSUB, 16
+    cwn2 = P.scaled_dot("cw", "cw", "cw")["duck"]
+    enc_dot = S._sub_dot("e.embedding", "cb.j", "cb.cw", dsub)["duck"]
+    q_dot = S._sub_dot("q.embedding", "cb.j", "cb.cw", dsub)["duck"]
+    qn2 = S._sub_norm("q.embedding", "cb.j", dsub)["duck"]
+    cell_dot = P.scaled_dot("e.embedding", "c.cv", "e.embedding")["duck"]
+    return f"""
+    WITH cb0 AS (
+        SELECT j,
+               CAST(ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS c,
+               list_slice(embedding, j * {dsub} + 1, (j + 1) * {dsub}) AS cw
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {ksub}),
+             (SELECT CAST(range AS INT) AS j FROM range(0, {m}))
+    ),
+    cb AS (SELECT j, c, cw, {cwn2} AS cwn2 FROM cb0),
+    cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+              WHERE vec_id < 8),
+    arows AS (
+        SELECT e.vec_id AS id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cell_dot} DESC, c.cent_id) AS crn
+        FROM embeddings e, cents c WHERE e.embedding IS NOT NULL
+    ),
+    assigned AS (SELECT id, cent_id FROM arows WHERE crn = 1),
+    enc_raw AS (
+        SELECT e.vec_id AS id, cb.j, cb.c,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j
+                                  ORDER BY cb.cwn2 - 2 * ({enc_dot}), cb.c) AS rn
+        FROM embeddings e, cb
+        WHERE e.embedding IS NOT NULL
+    ),
+    enc AS (SELECT id, j, c FROM enc_raw WHERE rn = 1),
+    terms AS (
+        SELECT q.vec_id AS q_id, en.id AS c_id,
+               ({qn2}) + cb.cwn2 - 2 * ({q_dot}) AS term
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= {ksub} AND vec_id < {ksub + 8}
+                AND embedding IS NOT NULL) q
+             JOIN assigned qa ON qa.id = q.vec_id,
+             enc en
+             JOIN cb ON cb.j = en.j AND cb.c = en.c
+             JOIN assigned ca ON ca.id = en.id
+        WHERE en.id <> q.vec_id AND ca.cent_id = qa.cent_id
+    ),
+    dists AS (SELECT q_id, c_id, CAST(SUM(term) AS BIGINT) AS adc
+              FROM terms GROUP BY q_id, c_id),
+    ranked AS (
+        SELECT q_id, c_id AS neighbor_id, adc,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY adc, c_id) AS BIGINT) AS rnk
+        FROM dists)
+    SELECT q_id, neighbor_id, rnk, CAST(adc AS DOUBLE) / 1e12 AS adc_dist
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "pq", "ivf", "ann"),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (FAISS IVFPQ shape): one narrow corpus pass computes
+    BOTH the coarse cell and the PQ codes as expressions over broadcast
+    folds; queries probe their nearest cell and ADC-scan only that cell's
+    compressed codes. Sub-linear candidates x O(m)-per-candidate cost —
+    the compounding of the two scale paths."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    cb = S.pq_codebook_sample(emb)
+    queries = emb.filter(
+        (F.col("vec_id") >= S.PQ_KSUB) & (F.col("vec_id") < S.PQ_KSUB + 8)
+    )
+    return S.ivf_pq_topk(emb, cents, cb, queries, k=5)
+
+
 def _ann_lsh_oracle() -> str:
     """DuckDB oracle for the LSH ANN path: the bucket assignment is the
     SAME fixed-point int64 arithmetic on both engines (lsh_bucket_fragments),

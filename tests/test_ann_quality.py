@@ -260,3 +260,28 @@ def test_pq_train_lloyds_error_is_monotone(spark):
     seed_err = total_err(S.pq_train(emb, ksub=8, iters=0))
     trained_err = total_err(S.pq_train(emb, ksub=8, iters=3))
     assert trained_err <= seed_err, (trained_err, seed_err)
+
+
+def test_ivfpq_neighbors_come_from_query_cell(spark):
+    """IVF-PQ candidate contract: every reported neighbor shares the
+    query's coarse cell (nprobe=1), and rankings are valid (no self, no
+    dup, ascending distance)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    cb = S.pq_codebook_sample(emb)
+    queries = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 24))
+    out = S.ivf_pq_topk(emb, cents, cb, queries, k=5).collect()
+    cells = {
+        r["id"]: r["cent_id"] for r in S.ivf_assign(emb, cents).collect()
+    }
+    per_q: dict[int, list] = {}
+    for r in out:
+        assert r["neighbor_id"] != r["q_id"]
+        assert cells[r["neighbor_id"]] == cells[r["q_id"]]
+        per_q.setdefault(r["q_id"], []).append((r["rnk"], r["adc_dist"], r["neighbor_id"]))
+    for q, rows in per_q.items():
+        rows.sort()
+        dists = [d for _, d, _ in rows]
+        assert dists == sorted(dists)
+        ids = [n for _, _, n in rows]
+        assert len(ids) == len(set(ids)) <= 5

@@ -275,3 +275,26 @@ def test_pq_encode_zero_shuffle_on_wide_input(spark):
     # sample's tiny rank window + fold are bounded by ksub rows
     corpus_hash = plan.count("Exchange hashpartitioning(vec_id")
     assert corpus_hash <= 1, f"unexpected corpus shuffle in pq_encode:\n{plan}"
+
+
+def test_ivfpq_corpus_zero_shuffle_on_wide_input(spark):
+    """IVF-PQ's corpus side must compute cell AND codes in one narrow pass
+    — broadcast folds only, no corpus hash Exchange beyond the test's own
+    widening, and the only Windows are the ksub-row codebook rank and the
+    per-query top-k."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.operators import similarity as S
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    wide = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    df = S.ivf_pq_topk(
+        wide,
+        emb.filter(F.col("vec_id") < 8),
+        S.pq_codebook_sample(emb),
+        emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 24)),
+        dsub=16,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    corpus_hash = plan.count("Exchange hashpartitioning(vec_id")
+    assert corpus_hash <= 1, f"unexpected corpus shuffle in ivf_pq_topk:\n{plan[:800]}"
