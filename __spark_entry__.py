@@ -39,6 +39,8 @@ _GATE_HEAD = [
     "text_url_dedup",
     "text_cleanup",
     "q_kmv_merge",
+    "sample_cluster_balanced",
+    "text_bag_dedup",
     # r5 new — still no driver row (r5 had no correctness run)
     "pack_token_sequences",
     "sample_stratified_mix",

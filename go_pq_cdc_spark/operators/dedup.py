@@ -120,6 +120,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     *,
     portable: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash+LSH with exact-Jaccard verification.
 
@@ -136,12 +137,32 @@ def minhash_lsh_pairs(
     oracle-portable hash to xxhash64 (JVM intrinsic) — same minhash
     permutations, bands, verification, and near-dup semantics, ~the
     per-byte hashing cost removed; only cross-engine comparability is
-    given up."""
+    given up.
+
+    `max_bucket` is the HOT-BUCKET CAP — the standard guard every
+    at-scale LSH dedup needs: a degenerate band bucket (empty docs,
+    boilerplate templates, adversarial spam) with B members contributes
+    B^2/2 candidate pairs; one million-member bucket is 5e11 pairs and
+    the job never finishes. Buckets larger than the cap are DROPPED from
+    candidate generation (their members are template-grade duplicates a
+    cheaper exact/URL/line-dedup pass already handles; the cluster
+    resolver still sees them through their other, sub-cap bands if any).
+    The size precount groups on the SAME (band, band_key) the self-join
+    shuffles on, so the guard rides the existing exchange. Default None
+    preserves exact oracle semantics."""
     per_doc = minhash_per_doc(df, id_col, text_col, portable=portable).cache()
     docs = per_doc.select("id", "sh")
     bands = per_doc.select(
         "id", F.expr(f"explode(array({_band_structs_sql()}))").alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    if max_bucket is not None:
+        sizes = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+        bands = bands.join(sizes, ["band", "band_key"])
     cand = (
         bands.alias("a")
         .join(

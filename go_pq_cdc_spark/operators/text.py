@@ -392,3 +392,27 @@ def text_cleanup_oracle(col: str) -> str:
     c = f"regexp_replace({c}, '[ \\t]+', ' ', 'g')"
     c = f"regexp_replace({c}, '\\n{{3,}}', chr(10)||chr(10), 'g')"
     return f"trim({c})"
+
+
+def bag_fingerprint_fragments(text_col: str = "text") -> dict[str, str]:
+    """Permutation-invariant document fingerprint: md5 of the SORTED token
+    multiset. Catches reordered duplicates (shuffled list items, moved
+    paragraphs-of-one-line, template field reordering) that positional
+    shingle MinHash scores as distant — the cheap companion pass between
+    exact dedup and near-dup. Both engines sort strings in binary order,
+    so the fingerprint is oracle-exact."""
+    tok = P.tokens(text_col)
+    return P.md5_hash(
+        {
+            "spark": f"array_join(array_sort({tok['spark']}), ' ')",
+            "duck": f"array_to_string(list_sort({tok['duck']}), ' ')",
+        }
+    )
+
+
+def with_bag_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the sorted-token-multiset fingerprint (pure expression, no
+    shuffle)."""
+    return df.withColumn(
+        "bag_fp", F.expr(bag_fingerprint_fragments(text_col)["spark"])
+    )

@@ -215,3 +215,30 @@ def quantize_embeddings(
             "scale",
         )
     )
+
+
+def sample_cluster_balanced(
+    df: DataFrame,
+    centroids: DataFrame,
+    rates: dict[int, float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Diversity-aware corpus subsampling: assign each row to its nearest
+    embedding-space cluster (the zero-shuffle `ivf_assign` expression
+    argmax over broadcast centroids) and keep a per-CLUSTER deterministic
+    fraction — the embedding-space analogue of `sample_stratified` for
+    rebalancing over-represented content modes (boilerplate clusters get
+    a low rate, rare clusters keep 100%). The whole plan is one narrow
+    corpus pass + the hash-threshold filter: no join, no shuffle, retry-
+    stable. Returns the kept rows with their `cent_id`."""
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    branches = " ".join(
+        f"WHEN cent_id = {int(k)} THEN CAST({float(v)!r} AS DOUBLE)"
+        for k, v in sorted(rates.items())
+    )
+    rate = f"CASE {branches} ELSE CAST({float(default_fraction)!r} AS DOUBLE) END"
+    return assigned.filter(F.expr(sample_fragments("id", rate)["spark"]))

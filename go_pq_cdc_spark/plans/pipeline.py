@@ -715,6 +715,35 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, cents, queries, k=5)
 
 
+_BAG_FP = TX.bag_fingerprint_fragments("text")
+
+
+@register(
+    "text_bag_dedup",
+    oracle=f"""
+    SELECT {_BAG_FP['duck']} AS bag_fp,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+    """,
+    tags=("text", "dedup", "fingerprint"),
+)
+def text_bag_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation-invariant dedup key: group documents by the md5 of
+    their SORTED token multiset — reordered duplicates collapse here that
+    positional shingling cannot pair. One narrow fingerprint map + one
+    shuffle on the fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TX.with_bag_fingerprint(docs)
+        .groupBy("bag_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
 # Deterministic dirty-text synthesis for the cleanup gate (chr() builds
 # identical junk on both engines): zero-width chars mid-word, control
 # bytes, typographic punctuation, tab/space runs, newline stacks.
@@ -876,6 +905,55 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes = S.pq_encode(emb, cb)
     return S.pq_adc_topk(codes, queries, cb, k=5)
+
+
+def _cluster_balanced_oracle() -> str:
+    """IVF cell assignment (8 deterministic centroids, same construction
+    as `_ivf_oracle`) + the md5-threshold keep predicate with a per-cell
+    rate CASE + per-cell kept counts."""
+    from ..operators.training import sample_fragments
+
+    cell_dot = P.scaled_dot("e.embedding", "c.cv", "e.embedding")["duck"]
+    rate = (
+        "CASE WHEN cent_id = 0 THEN CAST(1.0 AS DOUBLE) "
+        "WHEN cent_id = 1 THEN CAST(0.5 AS DOUBLE) "
+        "WHEN cent_id = 2 THEN CAST(0.25 AS DOUBLE) "
+        "ELSE CAST(0.1 AS DOUBLE) END"
+    )
+    keep = sample_fragments("id", rate)["duck"]
+    return f"""
+    WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+                   WHERE vec_id < 8),
+    arows AS (
+        SELECT e.vec_id AS id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cell_dot} DESC, c.cent_id) AS crn
+        FROM embeddings e, cents c WHERE e.embedding IS NOT NULL
+    ),
+    assigned AS (SELECT id, cent_id FROM arows WHERE crn = 1),
+    kept AS (SELECT id, cent_id FROM assigned WHERE {keep})
+    SELECT cent_id, COUNT(*) AS n_kept FROM kept GROUP BY cent_id
+    """
+
+
+@register(
+    "sample_cluster_balanced",
+    oracle=_cluster_balanced_oracle(),
+    tags=("training", "sampling", "embedding"),
+)
+def sample_cluster_balanced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster-balanced subsampling: nearest-centroid cell (one
+    zero-shuffle expression pass) + per-cell deterministic keep rates
+    (cell 0: 100%, 1: 50%, 2: 25%, rest 10%) — rebalances over-represented
+    content modes without RNG, joins, or extra shuffles."""
+    from ..operators.training import sample_cluster_balanced
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    kept = sample_cluster_balanced(
+        emb, cents, {0: 1.0, 1: 0.5, 2: 0.25}, default_fraction=0.1
+    )
+    return kept.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
 def _ivfpq_oracle() -> str:

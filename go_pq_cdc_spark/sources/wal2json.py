@@ -73,6 +73,27 @@ def decode_wal2json(raw: DataFrame, data_col: str = "data") -> DataFrame:
     )
 
 
+# All action codes wal2json format-2 emits (B/C consumed upstream for txn
+# boundaries, M = logical message — skipped like the socket path's 'M').
+_WAL2JSON_ACTIONS = ("B", "C", "I", "U", "D", "T", "M")
+
+
+def wal2json_rejects(raw: DataFrame, data_col: str = "data") -> DataFrame:
+    """Dead-letter accessor: rows whose payload is NOT a well-formed
+    wal2json record — unparseable JSON (`from_json` -> NULL struct) or a
+    parsed object without a recognized `action`. `decode_wal2json`'s
+    action filter would silently DROP these; for an at-least-once CDC
+    engine a silently vanishing change is data loss, so callers route
+    this frame to a reject sink / metric and alert on nonzero counts.
+    Disjointness contract (tested): every input row lands in exactly one
+    of decode_wal2json / consumed-marker (B/C/M) / rejects."""
+    parsed = raw.withColumn("j", F.from_json(F.col(data_col), WAL2JSON_SCHEMA))
+    bad = F.col("j").isNull() | F.col("j.action").isNull() | (
+        ~F.col("j.action").isin(*_WAL2JSON_ACTIONS)
+    )
+    return parsed.filter(bad).drop("j")
+
+
 def route_tables(
     envelope: DataFrame, tables: list[str] | None = None
 ) -> dict[str, DataFrame]:

@@ -99,3 +99,42 @@ def test_repetition_ratio_semantics(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """The LSH hot-bucket cap: a degenerate bucket (here, an exact-dup
+    template cluster whose every band bucket exceeds the cap) is dropped
+    from candidate generation, while ordinary near-dup pairs below the
+    cap are untouched; max_bucket=None reproduces the uncapped output
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.operators.dedup import minhash_lsh_pairs
+
+    template = "the quick brown fox jumps over the lazy dog again and again today"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    rows = [(i, template) for i in range(10)] + [(100, near_a), (101, near_b)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(df, "doc_id", threshold=0.5).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(df, "doc_id", threshold=0.5, max_bucket=5).collect()
+    }
+    # uncapped: all template pairs (45) + the near-dup pair
+    assert (100, 101) in uncapped and len(uncapped) == 46
+    # capped: the 10-member template buckets are dropped; the near-dup
+    # pair (bucket size 2) survives
+    assert capped == {(100, 101)}
+    # None-cap is bit-identical to the historical behavior
+    none_cap = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", threshold=0.5, max_bucket=None
+        ).collect()
+    }
+    assert none_cap == uncapped

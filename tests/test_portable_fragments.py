@@ -223,3 +223,20 @@ def test_text_cleanup_edge_cases(spark):
         ).collect()
     }
     assert again == {k: v["clean_text"] for k, v in out.items()}
+
+
+def test_bag_fingerprint_permutation_invariance(spark):
+    """Reordered tokens share a fingerprint; different multisets (extra
+    word, changed multiplicity) do not."""
+    from go_pq_cdc_spark.operators.text import with_bag_fingerprint
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "delta gamma beta alpha"),
+        (3, "alpha beta gamma delta extra"),
+        (4, "alpha alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fp = {r["doc_id"]: r["bag_fp"] for r in with_bag_fingerprint(df).collect()}
+    assert fp[1] == fp[2]
+    assert len({fp[1], fp[3], fp[4]}) == 3

@@ -162,3 +162,53 @@ def test_new_table_appears_mid_stream(spark):
         assert [(r["pk"], r["after_val"]) for r in users] == [(1, 1.5)]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_wal2json_rejects_partition_every_row(spark):
+    """Dead-letter contract: every raw row lands in EXACTLY one of
+    decode_wal2json (I/U/D/T), the consumed-marker set (B/C/M), or
+    wal2json_rejects — corrupt JSON and unknown actions can never vanish
+    silently."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.sources.wal2json import (
+        decode_wal2json,
+        wal2json_rejects,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            Row(lsn=1, xid=1, data='{"action":"B"}'),
+            Row(
+                lsn=2, xid=1,
+                data='{"action":"I","schema":"public","table":"t",'
+                '"timestamp":"2024-01-01 00:00:01",'
+                '"columns":[{"name":"id","type":"integer","value":"1"}]}',
+            ),
+            Row(lsn=3, xid=1, data='{"action":"C"}'),
+            Row(lsn=4, xid=2, data='this is not json at all {{{'),
+            Row(lsn=5, xid=2, data='{"no_action_key": true}'),
+            Row(lsn=6, xid=2, data='{"action":"Z","table":"t"}'),
+            Row(lsn=7, xid=2, data='{"action":"M","prefix":"app"}'),
+        ],
+        "lsn long, xid long, data string",
+    )
+    decoded_lsns = {r["lsn"] for r in decode_wal2json(raw).collect()}
+    reject_rows = wal2json_rejects(raw).collect()
+    reject_lsns = {r["lsn"] for r in reject_rows}
+    consumed = {
+        r["lsn"]
+        for r in raw.withColumn(
+            "a", F.get_json_object("data", "$.action")
+        ).filter(F.col("a").isin("B", "C", "M")).collect()
+    }
+    assert decoded_lsns == {2}
+    assert reject_lsns == {4, 5, 6}
+    assert consumed == {1, 3, 7}
+    assert decoded_lsns | reject_lsns | consumed == {1, 2, 3, 4, 5, 6, 7}
+    # rejects keep the raw payload for forensics
+    assert {r["data"] for r in reject_rows} == {
+        "this is not json at all {{{",
+        '{"no_action_key": true}',
+        '{"action":"Z","table":"t"}',
+    }
