@@ -95,6 +95,8 @@ def decode_image(payload: bytes):
         if len(parts) != 3 or parts[2] != 255:
             return None
         w, h = parts[0], parts[1]
+        if w <= 0 or h <= 0:  # same guard as the BMP branch
+            return None
         data = payload[pos : pos + w * h * 3]
         if len(data) < w * h * 3:
             return None

@@ -494,6 +494,15 @@ def _sub_norm(a_vec: str, j: str, dsub: int) -> dict[str, str]:
     }
 
 
+def _codebook_dsub(codebook) -> int:
+    """Subspace width from the CODEBOOK (m*ksub rows — a bounded tiny job
+    at plan-build), never from a corpus scan: an analysis-time action on
+    the corpus is an unacceptable stall at scale (r6 review finding).
+    Prefer passing dsub explicitly to stay fully lazy."""
+    row = codebook.select("cw").first()
+    return len(row[0]) if row and row[0] is not None else 0
+
+
 def pq_codebook_sample(
     df: DataFrame,
     m: int = PQ_M,
@@ -584,6 +593,39 @@ def _fold_pq_codebook(codebook: DataFrame) -> DataFrame:
     )
 
 
+def _pq_codes_expr(m: int, dsub: int, vec: str = "v") -> str:
+    """Per-subspace argmin codes over the broadcast `cbs` fold — THE one
+    definition of PQ encoding; pq_encode and ivf_pq_topk share it (and
+    the oracles mirror it), so a tie-break/arithmetic fix lands
+    everywhere at once (r6 review)."""
+    dot = _sub_dot(vec, "j", "w.cw", dsub)["spark"]
+    return (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"element_at(array_sort(transform(element_at(cbs, j + 1).words, "
+        f"w -> struct(w.cwn2 - 2 * ({dot}) AS d, w.c AS c))), 1).c)"
+    )
+
+
+def _pq_lut_expr(m: int, dsub: int, vec: str = "qv") -> str:
+    """Per-query exact-distance lookup table over the broadcast fold —
+    LUT[j][c] = ||q_j||^2 + ||cw||^2 - 2*dot(q_j, cw)."""
+    qdot = _sub_dot(vec, "j", "w.cw", dsub)["spark"]
+    qn2 = _sub_norm(vec, "j", dsub)["spark"]
+    return (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(element_at(cbs, j + 1).words, "
+        f"w -> ({qn2}) + w.cwn2 - 2 * ({qdot})))"
+    )
+
+
+def _pq_adc_sum_expr(m: int) -> str:
+    """ADC distance: m integer LUT lookups summed."""
+    return (
+        f"aggregate(sequence(0, {m - 1}), 0L, (acc, j) -> "
+        f"acc + element_at(element_at(qlut, j + 1), element_at(codes, j + 1) + 1))"
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebook: DataFrame,
@@ -604,8 +646,7 @@ def pq_encode(
     `codes` is m ints per row (write it, drop `v`), read back by
     `pq_adc_topk` without ever touching the raw vectors."""
     if dsub is None:
-        first = df.select(F.col(vec_col)).filter(F.col(vec_col).isNotNull()).first()
-        dsub = len(first[0]) // m if first else 0
+        dsub = _codebook_dsub(codebook)
     vecs = spread_small_input(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).filter(
             F.col("v").isNotNull()
@@ -613,15 +654,9 @@ def pq_encode(
         F.col("id"),
     )
     cb_row = _fold_pq_codebook(codebook)
-    dot = _sub_dot("v", "j", "w.cw", dsub)["spark"]
-    codes = (
-        f"transform(sequence(0, {m - 1}), j -> "
-        f"element_at(array_sort(transform(element_at(cbs, j + 1).words, "
-        f"w -> struct(w.cwn2 - 2 * ({dot}) AS d, w.c AS c))), 1).c)"
-    )
     return (
         vecs.crossJoin(F.broadcast(cb_row))
-        .withColumn("codes", F.expr(codes))
+        .withColumn("codes", F.expr(_pq_codes_expr(m, dsub)))
         .select("id", "v", "codes")
     )
 
@@ -646,16 +681,9 @@ def pq_adc_topk(
     by distance, ties by neighbor id. `adc_dist` is the fixed-point value
     scaled back to float^2 units (/1e12)."""
     if dsub is None:
-        first = queries.select(F.col(vec_col)).filter(F.col(vec_col).isNotNull()).first()
-        dsub = len(first[0]) // m if first else 0
+        dsub = _codebook_dsub(codebook)
     cb_row = _fold_pq_codebook(codebook)
-    qdot = _sub_dot("qv", "j", "w.cw", dsub)["spark"]
-    qn2_sp = _sub_norm("qv", "j", dsub)["spark"]
-    lut = (
-        f"transform(sequence(0, {m - 1}), j -> "
-        f"transform(element_at(cbs, j + 1).words, "
-        f"w -> ({qn2_sp}) + w.cwn2 - 2 * ({qdot})))"
-    )
+    lut = _pq_lut_expr(m, dsub)
     qset = (
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
         .filter(F.col("qv").isNotNull())
@@ -663,13 +691,9 @@ def pq_adc_topk(
         .withColumn("qlut", F.expr(lut))
         .select("q_id", "qlut")
     )
-    adc = (
-        f"aggregate(sequence(0, {m - 1}), 0L, (acc, j) -> "
-        f"acc + element_at(element_at(qlut, j + 1), element_at(codes, j + 1) + 1))"
-    )
     pairs = (
         codes_df.join(F.broadcast(qset), F.col("q_id") != F.col("id"))
-        .withColumn("adc", F.expr(adc))
+        .withColumn("adc", F.expr(_pq_adc_sum_expr(m)))
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("id"))
     return (
@@ -707,8 +731,7 @@ def ivf_pq_topk(
     cells, and never shuffles the corpus. Ranking ascending by ADC
     distance, ties by neighbor id."""
     if dsub is None:
-        first = queries.select(F.col(vec_col)).filter(F.col(vec_col).isNotNull()).first()
-        dsub = len(first[0]) // m if first else 0
+        dsub = _codebook_dsub(codebook)
     cb_row = _fold_pq_codebook(codebook)
     cent_row = centroids.select(
         F.struct(
@@ -721,12 +744,7 @@ def ivf_pq_topk(
         f"element_at(array_sort(transform(cents, c -> struct("
         f"coalesce(-({cdot}), 9223372036854775807L) AS nd, c.cent_id AS cent_id))), 1).cent_id"
     )
-    edot = _sub_dot("v", "j", "w.cw", dsub)["spark"]
-    codes_expr = (
-        f"transform(sequence(0, {m - 1}), j -> "
-        f"element_at(array_sort(transform(element_at(cbs, j + 1).words, "
-        f"w -> struct(w.cwn2 - 2 * ({edot}) AS d, w.c AS c))), 1).c)"
-    )
+    codes_expr = _pq_codes_expr(m, dsub)
     corpus = (
         spread_small_input(
             df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).filter(
@@ -743,13 +761,7 @@ def ivf_pq_topk(
         )
     )
 
-    qdot = _sub_dot("qv", "j", "w.cw", dsub)["spark"]
-    qn2 = _sub_norm("qv", "j", dsub)["spark"]
-    lut_expr = (
-        f"transform(sequence(0, {m - 1}), j -> "
-        f"transform(element_at(cbs, j + 1).words, "
-        f"w -> ({qn2}) + w.cwn2 - 2 * ({qdot})))"
-    )
+    lut_expr = _pq_lut_expr(m, dsub)
     probe_expr = (
         f"slice(array_sort(transform(cents, c -> struct("
         f"coalesce(-({P.scaled_dot('qv', 'c.cv', 'qv')['spark']}), "
@@ -764,14 +776,10 @@ def ivf_pq_topk(
         .withColumn("probe", F.explode(F.expr(probe_expr)))
         .select("q_id", "qlut", F.col("probe.cent_id").alias("q_cent"))
     )
-    adc = (
-        f"aggregate(sequence(0, {m - 1}), 0L, (acc, j) -> "
-        f"acc + element_at(element_at(qlut, j + 1), element_at(codes, j + 1) + 1))"
-    )
     pairs = corpus.join(
         F.broadcast(qset),
         (F.col("cent_id") == F.col("q_cent")) & (F.col("q_id") != F.col("id")),
-    ).withColumn("adc", F.expr(adc))
+    ).withColumn("adc", F.expr(_pq_adc_sum_expr(m)))
     w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("id"))
     return (
         pairs.withColumn("rnk", F.row_number().over(w).cast("long"))

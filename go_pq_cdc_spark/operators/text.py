@@ -266,6 +266,7 @@ def remove_boilerplate_lines(
 # Java-regex/RE2 subset like PII_PATTERNS; the whole normalization is a
 # pure Catalyst projection (no UDF, no shuffle).
 URL_PARTS_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$"
+URL_HOST_RE = r"^(\[[^\]]*\]|[^:]+)"  # bracketed IPv6 literal or up-to-colon
 URL_TRACKING_RE = r"^(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src)="
 
 
@@ -286,16 +287,27 @@ def with_url_normalized(
     hostport = F.lower(F.regexp_extract(u, URL_PARTS_RE, 2))
     path = F.regexp_extract(u, URL_PARTS_RE, 3)
     rawq = F.regexp_extract(u, URL_PARTS_RE, 4)
+    # authority split: a bracketed IPv6 literal is ONE host token (its
+    # colons are not port separators); anything after the host that is
+    # not a well-formed ':digits' port is preserved VERBATIM — silently
+    # dropping it would merge distinct origins (r6 review finding)
     host = F.regexp_replace(
-        F.regexp_extract(hostport, r"^([^:]+)", 1), r"^www\.", ""
+        F.regexp_extract(hostport, URL_HOST_RE, 1), r"^www\.", ""
     )
-    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
-    portpart = F.when(
-        (port == "")
-        | ((scheme == "http") & (port == "80"))
-        | ((scheme == "https") & (port == "443")),
-        F.lit(""),
-    ).otherwise(F.concat(F.lit(":"), port))
+    rest = F.regexp_replace(hostport, URL_HOST_RE, "")
+    port = F.regexp_extract(rest, r"^:([0-9]+)$", 1)
+    portpart = (
+        F.when(rest == "", F.lit(""))
+        .when(
+            ~rest.rlike(r"^:[0-9]+$"), rest  # malformed authority tail: keep
+        )
+        .when(
+            ((scheme == "http") & (port == "80"))
+            | ((scheme == "https") & (port == "443")),
+            F.lit(""),
+        )
+        .otherwise(F.concat(F.lit(":"), port))
+    )
     cpath = F.regexp_replace(path, r"/+$", "")
     qstr = F.regexp_replace(rawq, r"^\?", "")
     params = F.filter(
@@ -323,12 +335,15 @@ def url_normalize_oracle(col: str) -> str:
     path = f"coalesce(regexp_extract({u}, '{URL_PARTS_RE}', 3), '')"
     rawq = f"coalesce(regexp_extract({u}, '{URL_PARTS_RE}', 4), '')"
     host = (
-        f"regexp_replace(regexp_extract({hostport}, '^([^:]+)', 1), "
+        f"regexp_replace(coalesce(regexp_extract({hostport}, '{URL_HOST_RE}', 1), ''), "
         f"'^www\\.', '')"
     )
-    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    rest = f"regexp_replace({hostport}, '{URL_HOST_RE}', '')"
+    port = f"coalesce(regexp_extract({rest}, '^:([0-9]+)$', 1), '')"
     portpart = (
-        f"CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = '80') "
+        f"CASE WHEN {rest} = '' THEN '' "
+        f"WHEN NOT regexp_matches({rest}, '^:[0-9]+$') THEN {rest} "
+        f"WHEN ({scheme} = 'http' AND {port} = '80') "
         f"OR ({scheme} = 'https' AND {port} = '443') "
         f"THEN '' ELSE ':' || {port} END"
     )

@@ -235,7 +235,13 @@ def sample_cluster_balanced(
     stable. Returns the kept rows with their `cent_id`."""
     from .similarity import ivf_assign
 
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    # NULL vectors have no meaningful cell — without this filter they'd
+    # coalesce to the sentinel distance, tie-break into cell 0 and be
+    # sampled at cell 0's rate (and diverge from the oracle, which
+    # excludes them)
+    assigned = ivf_assign(
+        df.filter(F.col(vec_col).isNotNull()), centroids, id_col, vec_col
+    )
     branches = " ".join(
         f"WHEN cent_id = {int(k)} THEN CAST({float(v)!r} AS DOUBLE)"
         for k, v in sorted(rates.items())

@@ -833,20 +833,14 @@ def text_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_adc_oracle() -> str:
-    """DuckDB oracle for the PQ-ADC path: codebook = subvectors of the 16
-    lowest-id vectors (`pq_codebook_sample`), encode = per-subspace argmin
-    of `cwn2 - 2*dot` (exact fixed-point, ties by codeword id — identical
-    to Spark's struct sort), distance = summed exact subspace L2^2 via the
-    joined codewords. Same integer arithmetic as the Spark LUT, so the ADC
-    distances hash-compare exactly."""
+def _pq_shared_ctes() -> str:
+    """Codebook + encode CTEs shared VERBATIM by `_pq_adc_oracle` and
+    `_ivfpq_oracle` — one definition of the oracle-side PQ arithmetic,
+    mirroring the single `_pq_codes_expr` on the Spark side (r6 review)."""
     m, ksub, dsub = S.PQ_M, S.PQ_KSUB, 16
     cwn2 = P.scaled_dot("cw", "cw", "cw")["duck"]
     enc_dot = S._sub_dot("e.embedding", "cb.j", "cb.cw", dsub)["duck"]
-    q_dot = S._sub_dot("q.embedding", "cb.j", "cb.cw", dsub)["duck"]
-    qn2 = S._sub_norm("q.embedding", "cb.j", dsub)["duck"]
-    return f"""
-    WITH cb0 AS (
+    return f"""cb0 AS (
         SELECT j,
                CAST(ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS c,
                list_slice(embedding, j * {dsub} + 1, (j + 1) * {dsub}) AS cw
@@ -862,7 +856,21 @@ def _pq_adc_oracle() -> str:
         FROM embeddings e, cb
         WHERE e.embedding IS NOT NULL
     ),
-    enc AS (SELECT id, j, c FROM enc_raw WHERE rn = 1),
+    enc AS (SELECT id, j, c FROM enc_raw WHERE rn = 1)"""
+
+
+def _pq_adc_oracle() -> str:
+    """DuckDB oracle for the PQ-ADC path: codebook = subvectors of the 16
+    lowest-id vectors (`pq_codebook_sample`), encode = per-subspace argmin
+    of `cwn2 - 2*dot` (exact fixed-point, ties by codeword id — identical
+    to Spark's struct sort), distance = summed exact subspace L2^2 via the
+    joined codewords. Same integer arithmetic as the Spark LUT, so the ADC
+    distances hash-compare exactly."""
+    ksub, dsub = S.PQ_KSUB, 16
+    q_dot = S._sub_dot("q.embedding", "cb.j", "cb.cw", dsub)["duck"]
+    qn2 = S._sub_norm("q.embedding", "cb.j", dsub)["duck"]
+    return f"""
+    WITH {_pq_shared_ctes()},
     terms AS (
         SELECT q.vec_id AS q_id, en.id AS c_id,
                ({qn2}) + cb.cwn2 - 2 * ({q_dot}) AS term
@@ -958,25 +966,15 @@ def sample_cluster_balanced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivfpq_oracle() -> str:
     """DuckDB oracle for IVF-PQ: IVF cells from the 8 deterministic
-    centroids (same as `_ivf_oracle`), PQ codes from the 16-vector sample
-    codebook (same as `_pq_adc_oracle`), candidates restricted to the
-    query's cell, distance = summed exact integer subspace L2^2."""
-    m, ksub, dsub = S.PQ_M, S.PQ_KSUB, 16
-    cwn2 = P.scaled_dot("cw", "cw", "cw")["duck"]
-    enc_dot = S._sub_dot("e.embedding", "cb.j", "cb.cw", dsub)["duck"]
+    centroids (same as `_ivf_oracle`), PQ codes from the shared CTEs
+    (`_pq_shared_ctes`), candidates restricted to the query's cell,
+    distance = summed exact integer subspace L2^2."""
+    ksub, dsub = S.PQ_KSUB, 16
     q_dot = S._sub_dot("q.embedding", "cb.j", "cb.cw", dsub)["duck"]
     qn2 = S._sub_norm("q.embedding", "cb.j", dsub)["duck"]
     cell_dot = P.scaled_dot("e.embedding", "c.cv", "e.embedding")["duck"]
     return f"""
-    WITH cb0 AS (
-        SELECT j,
-               CAST(ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS c,
-               list_slice(embedding, j * {dsub} + 1, (j + 1) * {dsub}) AS cw
-        FROM (SELECT vec_id, embedding FROM embeddings
-              WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {ksub}),
-             (SELECT CAST(range AS INT) AS j FROM range(0, {m}))
-    ),
-    cb AS (SELECT j, c, cw, {cwn2} AS cwn2 FROM cb0),
+    WITH {_pq_shared_ctes()},
     cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
               WHERE vec_id < 8),
     arows AS (
@@ -986,14 +984,6 @@ def _ivfpq_oracle() -> str:
         FROM embeddings e, cents c WHERE e.embedding IS NOT NULL
     ),
     assigned AS (SELECT id, cent_id FROM arows WHERE crn = 1),
-    enc_raw AS (
-        SELECT e.vec_id AS id, cb.j, cb.c,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j
-                                  ORDER BY cb.cwn2 - 2 * ({enc_dot}), cb.c) AS rn
-        FROM embeddings e, cb
-        WHERE e.embedding IS NOT NULL
-    ),
-    enc AS (SELECT id, j, c FROM enc_raw WHERE rn = 1),
     terms AS (
         SELECT q.vec_id AS q_id, en.id AS c_id,
                ({qn2}) + cb.cwn2 - 2 * ({q_dot}) AS term
@@ -1102,8 +1092,8 @@ def _multimodal_oracle() -> str:
         SELECT doc_id AS media_id,
                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                                ELSE 'video' END AS kind,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               sha256(text) AS h
+               CAST(octet_length(encode('.' || text)) AS BIGINT) AS n_bytes,
+               sha256('.' || text) AS h
         FROM documents
     )
     SELECT media_id, kind, n_bytes, h AS content_hash,
@@ -1133,7 +1123,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
         .alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        # '.' prefix pins the DIGEST feature path: document text can
+        # never sniff as a PPM/BMP/WAV header, so the oracle's
+        # sha256-stub model stays valid however real the codecs get
+        # (r6 review finding)
+        F.encode(F.concat(F.lit("."), F.col("text")), "UTF-8").alias("payload"),
         F.lit(None)
         .cast("struct<mime:string,width:int,height:int,duration_ms:int>")
         .alias("meta"),

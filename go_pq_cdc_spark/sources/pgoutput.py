@@ -380,7 +380,9 @@ class PgOutputDecoder:
         family for wire garbage (fuzz-pinned in tests/test_properties.py)."""
         try:
             return self._decode(payload)
-        except (struct.error, UnicodeDecodeError) as e:
+        except (struct.error, UnicodeDecodeError, IndexError) as e:
+            # IndexError: truncated frames hit single-byte reads
+            # (payload[pos]) as well as struct.unpack_from
             raise ValueError(f"malformed pgoutput message: {e}") from e
 
     def _decode(self, payload: bytes):

@@ -442,3 +442,15 @@ def test_multimodal_real_codecs(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_zero_dimension_ppm_falls_back_to_digest():
+    """r6 review: crafted zero-dimension PPM headers must not divide by
+    zero — decode_image returns None and the kernel takes the digest
+    path."""
+    from go_pq_cdc_spark.operators.multimodal import _decode_kernel, decode_image
+
+    for payload in (b"P6\n4 0\n255\n", b"P6\n0 5\n255\n" + b"x" * 16):
+        assert decode_image(payload) is None
+        feats = _decode_kernel(payload, "image")
+        assert len(feats) == 8 and feats[7] != 1.0

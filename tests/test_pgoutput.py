@@ -370,3 +370,18 @@ def test_relation_replacement_changes_decode_mid_stream():
     assert second.new == {"id": "2", "val": "2.5", "score": "9.9"}
     with pytest.raises(ValueError, match="values for"):
         d.decode(insert_msg(vals=("3", "3.5")))  # stale two-column tuple
+
+
+def test_truncated_relation_raises_valueerror():
+    """r6 review: a Relation frame truncated right after ncols must raise
+    ValueError (the decode error contract), not IndexError from the
+    single-byte flags read."""
+    import struct
+
+    import pytest
+
+    from go_pq_cdc_spark.sources.pgoutput import PgOutputDecoder
+
+    frame = b"R" + struct.pack(">I", 7) + b"\x00\x00d" + struct.pack(">H", 1)
+    with pytest.raises(ValueError):
+        PgOutputDecoder().decode(frame)

@@ -171,6 +171,10 @@ def test_url_normalize_edge_cases(spark):
         (5, "  Not A URL  "),
         (6, "ftp://Files.example.com/pub/"),
         (7, "https://example.com"),
+        (8, "https://[2001:db8::1]:8080/x"),
+        (9, "https://[2001:db8::2]:8080/x"),
+        (10, "https://[2001:db8::1]:443/x"),
+        (11, "https://example.com:8o80/x"),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, url string")
     out = {r["doc_id"]: r["norm_url"] for r in with_url_normalized(df).collect()}
@@ -181,6 +185,13 @@ def test_url_normalize_edge_cases(spark):
     assert out[5] == "not a url"
     assert out[6] == "ftp://files.example.com/pub"
     assert out[7] == "https://example.com"
+    # IPv6 literals: the bracket group is one host token — distinct
+    # addresses must NOT merge (r6 review), default port still drops
+    assert out[8] == "https://[2001:db8::1]:8080/x"
+    assert out[9] == "https://[2001:db8::2]:8080/x"
+    assert out[10] == "https://[2001:db8::1]/x"
+    # malformed port: preserved verbatim, never silently dropped
+    assert out[11] == "https://example.com:8o80/x"
     again = {
         r["doc_id"]: r["norm_url"]
         for r in with_url_normalized(

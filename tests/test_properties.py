@@ -339,10 +339,11 @@ def test_pii_scrub_cross_engine(spark, ddb, docs):
 # `with_url_normalized` (Spark) and `url_normalize_oracle` (DuckDB).
 
 _URL_HOSTS = st.sampled_from(
-    ["Example.com", "WWW.Example.com", "sub.host.ORG", "10.0.0.1", "x.y"]
+    ["Example.com", "WWW.Example.com", "sub.host.ORG", "10.0.0.1", "x.y",
+     "[2001:DB8::1]", "[::1]"]
 )
 _URL_SCHEMES = st.sampled_from(["http", "HTTPS", "ftp", "https"])
-_URL_PORTS = st.sampled_from(["", ":80", ":443", ":8080"])
+_URL_PORTS = st.sampled_from(["", ":80", ":443", ":8080", ":8o80", ":"])
 _URL_PATHS = st.sampled_from(["", "/", "/A/b", "/a/b/", "/a//", "/%20x"])
 _URL_QS = st.sampled_from(
     ["", "?", "?a=1", "?b=2&a=1", "?utm_source=f", "?a=1&gclid=x&z&", "?a=1&a=0"]

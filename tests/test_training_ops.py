@@ -108,3 +108,28 @@ def test_quantize_embeddings_reconstruction_bound(spark):
     r2 = out[2]
     assert r2["scale"] == 0.0 and r2["q"] == [0, 0, 0]
     assert abs(r2["mn"] - 3.5) < 1e-6  # all elements reconstruct as mn
+
+
+def test_cluster_balanced_sampling_excludes_null_vectors(spark):
+    """r6 review: a NULL embedding has no cell — it must be excluded, not
+    tie-broken into cell 0 and sampled at cell 0's rate."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.catalog import load_table
+    from go_pq_cdc_spark.operators.training import sample_cluster_balanced
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with_null = emb.unionByName(
+        emb.limit(1).select(
+            F.lit(999999).cast("long").alias("vec_id"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+            F.lit(None).cast("int").alias("label"),
+        )
+    )
+    cents = emb.filter(F.col("vec_id") < 8)
+    kept = sample_cluster_balanced(
+        with_null, cents, {0: 1.0, 1: 0.5, 2: 0.25}, default_fraction=0.1
+    )
+    assert kept.filter(F.col("id") == 999999).count() == 0
