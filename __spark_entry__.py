@@ -41,6 +41,7 @@ _GATE_HEAD = [
     "q_kmv_merge",
     "sample_cluster_balanced",
     "text_bag_dedup",
+    "train_epoch_order",
     # r5 new — still no driver row (r5 had no correctness run)
     "pack_token_sequences",
     "sample_stratified_mix",

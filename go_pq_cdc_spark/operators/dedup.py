@@ -199,7 +199,10 @@ def decontaminate(
     """Benchmark decontamination: flag corpus docs sharing >= `min_shared`
     distinct n-token shingles with ANY benchmark/eval document (the
     standard n-gram-overlap test-set leakage check in LLM training-data
-    pipelines). Returns (id, n_shared) for contaminated docs.
+    pipelines). Returns (id, n_shared, n_shingles, contaminated_frac) —
+    the FRACTION is the signal real pipelines act on: n_shared=3 means
+    opposite things for a 10-shingle and a 10,000-shingle document
+    (drop vs trim-the-overlap).
 
     Scale shape: the benchmark side is an eval set — tiny relative to the
     corpus — so its distinct shingle hashes broadcast; the corpus pays one
@@ -209,13 +212,24 @@ def decontaminate(
     b = shingle_doc(benchmark, id_col, text_col)
     bench_hashes = b.select(F.explode("sh").alias("h")).distinct()
     return (
-        c.select("id", F.explode("sh").alias("h"))
+        c.select(
+            "id",
+            F.size("sh").cast("long").alias("n_shingles"),
+            F.explode("sh").alias("h"),
+        )
         .join(F.broadcast(bench_hashes), "h")
         # sh is array_distinct per doc, so (id, h) rows are unique — a plain
-        # count IS the distinct shared-shingle count (no countDistinct state)
-        .groupBy("id")
+        # count IS the distinct shared-shingle count (no countDistinct state).
+        # n_shingles is functionally dependent on id; grouping on both keeps
+        # it without a join back.
+        .groupBy("id", "n_shingles")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn(
+            "contaminated_frac",
+            F.col("n_shared").cast("double") / F.col("n_shingles"),
+        )
         .filter(F.col("n_shared") >= min_shared)
+        .select("id", "n_shared", "n_shingles", "contaminated_frac")
     )
 
 

@@ -248,3 +248,30 @@ def sample_cluster_balanced(
     )
     rate = f"CASE {branches} ELSE CAST({float(default_fraction)!r} AS DOUBLE) END"
     return assigned.filter(F.expr(sample_fragments("id", rate)["spark"]))
+
+
+def epoch_order(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    out_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global training order (epoch shuffling): every row
+    gets a 0-based position in a pseudo-random permutation keyed by
+    `seed` — reproducible across runs/retries (no RNG) and different per
+    seed, which is exactly what dataloader epoch shuffling needs at
+    corpus scale.
+
+    Plan: the shuffle key is the portable md5 hash of (seed, id) —
+    unique per id in practice — and the position is the DISTRIBUTED
+    two-level prefix sum over weight 1 (`with_prefix_offsets`), i.e. a
+    range partition on the key + per-partition window + broadcast
+    offsets. Never the single-partition `ROW_NUMBER() OVER (ORDER BY
+    ...)` global window — the canonical 100 TB scale-killer the DuckDB
+    oracle is allowed to use and this plan is plan-gated NOT to."""
+    key = P.md5_hash(f"concat('{int(seed)}:', CAST({id_col} AS STRING))")["spark"]
+    keyed = df.withColumn("_ek", F.expr(key)).withColumn("_one", F.lit(1))
+    return (
+        with_prefix_offsets(keyed, id_col="_ek", weight_col="_one", out_col=out_col)
+        .drop("_ek", "_one")
+    )

@@ -715,6 +715,31 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, cents, queries, k=5)
 
 
+_EPOCH_KEY_DUCK = P.md5_hash("('1:' || CAST(doc_id AS VARCHAR))")["duck"]
+
+
+@register(
+    "train_epoch_order",
+    oracle=f"""
+    WITH k AS (SELECT doc_id, {_EPOCH_KEY_DUCK} AS ek FROM documents)
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY ek) - 1 AS BIGINT) AS pos
+    FROM k
+    """,
+    tags=("training", "shuffle"),
+)
+def train_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffling: a seed-keyed pseudo-random global
+    position per document, computed as the DISTRIBUTED two-level prefix
+    sum over the md5 shuffle key (range partition -> per-partition window
+    -> broadcast offsets) — the oracle is allowed the single-partition
+    `ROW_NUMBER() OVER (ORDER BY ek)`; the Spark plan is gated NOT to
+    contain it."""
+    from ..operators.training import epoch_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_order(docs, "doc_id", seed=1).select("doc_id", "pos")
+
+
 _BAG_FP = TX.bag_fingerprint_fragments("text")
 
 
@@ -1229,12 +1254,16 @@ def _decontaminate_oracle(min_shared: int = 3) -> str:
         FROM (SELECT unnest(sh) AS h FROM shingled WHERE doc_id % 97 = 0)
     ),
     hits AS (
-        SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-        FROM (SELECT doc_id, unnest(sh) AS h FROM shingled WHERE doc_id % 97 <> 0) c
+        SELECT c.doc_id, c.n_shingles, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+                     unnest(sh) AS h
+              FROM shingled WHERE doc_id % 97 <> 0) c
         JOIN bench USING (h)
-        GROUP BY c.doc_id
+        GROUP BY c.doc_id, c.n_shingles
     )
-    SELECT doc_id, n_shared FROM hits WHERE n_shared >= {min_shared}
+    SELECT doc_id, n_shared, n_shingles,
+           CAST(n_shared AS DOUBLE) / n_shingles AS contaminated_frac
+    FROM hits WHERE n_shared >= {min_shared}
     """
 
 
@@ -1252,7 +1281,9 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     out = D.decontaminate(corpus, bench, "doc_id", min_shared=3)
-    return out.select(F.col("id").alias("doc_id"), "n_shared")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_shared", "n_shingles", "contaminated_frac"
+    )
 
 
 def _repetition_oracle() -> str:

@@ -298,3 +298,16 @@ def test_ivfpq_corpus_zero_shuffle_on_wide_input(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     corpus_hash = plan.count("Exchange hashpartitioning(vec_id")
     assert corpus_hash <= 1, f"unexpected corpus shuffle in ivf_pq_topk:\n{plan[:800]}"
+
+
+def test_epoch_order_distributed_prefix_sum(spark):
+    """Epoch shuffling must keep the two-level shape: corpus windows
+    partitioned by spark_partition_id; the only single-partition exchange
+    is the #partitions-row subtotal frame — never a global ROW_NUMBER
+    window over the corpus."""
+    df = plans.REGISTRY["train_epoch_order"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_pid" in plan, "corpus window lost its partition key"
+    assert plan.count("Exchange SinglePartition") <= 1, (
+        "corpus-side single-partition exchange:\n" + plan
+    )

@@ -133,3 +133,23 @@ def test_cluster_balanced_sampling_excludes_null_vectors(spark):
         with_null, cents, {0: 1.0, 1: 0.5, 2: 0.25}, default_fraction=0.1
     )
     assert kept.filter(F.col("id") == 999999).count() == 0
+
+
+def test_epoch_order_is_a_seeded_permutation(spark):
+    """epoch_order: positions are exactly 0..n-1 (a permutation), stable
+    across re-runs for the same seed, and a different seed yields a
+    different ordering."""
+    from go_pq_cdc_spark.catalog import load_table
+    from go_pq_cdc_spark.operators.training import epoch_order
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    n = docs.count()
+    s1 = {r["doc_id"]: r["pos"] for r in epoch_order(docs, "doc_id", seed=1).collect()}
+    assert sorted(s1.values()) == list(range(n))
+    again = {r["doc_id"]: r["pos"] for r in epoch_order(docs, "doc_id", seed=1).collect()}
+    assert again == s1
+    s2 = {r["doc_id"]: r["pos"] for r in epoch_order(docs, "doc_id", seed=2).collect()}
+    assert sorted(s2.values()) == list(range(n))
+    assert s2 != s1
