@@ -102,6 +102,45 @@ def _write_manifest(state_dir: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(state_dir, _MANIFEST))  # atomic commit point
 
 
+def _snapshot_manifest_path(state_dir: str, epoch: int) -> str:
+    return os.path.join(state_dir, "manifests", f"e{epoch:09d}.json")
+
+
+def _write_manifest_snapshot(state_dir: str, manifest: dict) -> None:
+    """Immutable per-epoch manifest copy — the time-travel commit log
+    (the single-table analogue of a Delta/Iceberg snapshot list). Written
+    BEFORE the live-manifest swap so a retained epoch is always readable."""
+    p = _snapshot_manifest_path(state_dir, manifest["epoch"])
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, p)
+
+
+def read_mirror_as_of(spark: SparkSession, state_dir: str, epoch: int) -> DataFrame:
+    """TIME-TRAVEL read: the mirror exactly as of `epoch`'s commit. Reads
+    the retained immutable manifest snapshot; raises a clear error when
+    the epoch has been garbage-collected (older than the mirror's
+    `keep_epochs` retention) rather than serving partial state."""
+    p = _snapshot_manifest_path(state_dir, epoch)
+    if not os.path.exists(p):
+        raise ValueError(
+            f"mirror epoch {epoch} is not retained at {state_dir} "
+            "(garbage-collected or never written; raise keep_epochs)"
+        )
+    with open(p) as f:
+        manifest = json.load(f)
+    value_schema = manifest.get("value_schema", "after_val double")
+    value_cols = [f.split(" ", 1)[0] for f in value_schema.split(", ")]
+    paths = [os.path.join(state_dir, rel) for rel in manifest["buckets"].values()]
+    if not paths:
+        return spark.createDataFrame(
+            [], f"pk bigint, lsn bigint, op string, {value_schema}"
+        )
+    return spark.read.parquet(*paths).select("pk", "lsn", "op", *value_cols)
+
+
 def read_mirror(spark: SparkSession, state_dir: str) -> DataFrame:
     """The queryable current state: union of every bucket's live directory
     as recorded by the manifest (consistent at the last merge commit).
@@ -167,11 +206,25 @@ def lookup_mirror(spark: SparkSession, state_dir: str, pks: list[int]) -> DataFr
     )
 
 
-def _gc_epochs(state_dir: str, manifest: dict) -> None:
-    """Remove bucket dirs no manifest entry references (superseded state).
-    Safe after the manifest swap: a crash mid-GC only leaves garbage, never
-    dangling references."""
-    live = {manifest["buckets"][b] for b in manifest["buckets"]}
+def _gc_epochs(state_dir: str, manifest: dict, keep_epochs: int = 1) -> None:
+    """Remove bucket dirs referenced by NO retained manifest: the live
+    one plus the last `keep_epochs - 1` snapshot manifests (time-travel
+    retention). Snapshot manifests older than the retention window are
+    deleted first, so a crash mid-GC can never leave a readable snapshot
+    pointing at deleted buckets. Safe after the manifest swap: a crash
+    mid-GC only leaves garbage, never dangling references."""
+    mroot = os.path.join(state_dir, "manifests")
+    retained: list[dict] = [manifest]
+    if os.path.isdir(mroot):
+        snaps = sorted(
+            (f for f in os.listdir(mroot) if f.endswith(".json")), reverse=True
+        )
+        for f in snaps[keep_epochs:]:
+            os.remove(os.path.join(mroot, f))
+        for f in snaps[:keep_epochs]:
+            with open(os.path.join(mroot, f)) as fh:
+                retained.append(json.load(fh))
+    live = {m["buckets"][b] for m in retained for b in m["buckets"]}
     eroot = os.path.join(state_dir, "epochs")
     if not os.path.isdir(eroot):
         return
@@ -191,6 +244,7 @@ def merge_mirror_batch(
     epoch: int | None = None,
     n_buckets: int | None = None,
     value_cols: tuple[str, ...] = ("after_val",),
+    keep_epochs: int = 1,
 ) -> None:
     """Idempotent TOAST-aware max-LSN-wins merge of one micro-batch into
     the pk-bucketed parquet mirror (Delta/Iceberg `MERGE INTO` stand-in).
@@ -329,12 +383,16 @@ def merge_mirror_batch(
             manifest["buckets"].pop(str(b), None)
     manifest["epoch"] = epoch
     os.makedirs(state_dir, exist_ok=True)
+    # snapshot BEFORE the live swap: every epoch the retention window will
+    # keep is readable the moment the swap lands (keep_epochs=1 still
+    # writes it — the snapshot for the CURRENT epoch is always retained)
+    _write_manifest_snapshot(state_dir, manifest)
     _write_manifest(state_dir, manifest)
     # refresh registered SQL views BEFORE GC deletes the bucket dirs their
     # old plans reference (register_mirror_view / ADVICE r4)
     for view_name in _MIRROR_VIEWS.get(os.path.abspath(state_dir), ()):
         read_mirror(batch_df.sparkSession, state_dir).createOrReplaceTempView(view_name)
-    _gc_epochs(state_dir, manifest)
+    _gc_epochs(state_dir, manifest, keep_epochs=keep_epochs)
 
 
 def mirror_sink(
@@ -343,18 +401,21 @@ def mirror_sink(
     checkpoint_dir: str,
     n_buckets: int | None = None,
     value_cols: tuple[str, ...] = ("after_val",),
+    keep_epochs: int = 1,
 ):
     """Attach the mirror-maintenance sink to a change stream. Returns the
     StreamingQuery; call processAllAvailable() to drain in tests.
     `n_buckets` sizes a FRESH mirror (see sizing rule at MIRROR_BUCKETS /
     `suggest_mirror_buckets`); an existing mirror keeps its manifest-pinned
-    count."""
+    count. `keep_epochs` > 1 retains that many epoch snapshots for
+    `read_mirror_as_of` time travel."""
     return (
         stream_df.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             lambda batch_df, epoch: merge_mirror_batch(
-                batch_df, state_dir, epoch, n_buckets=n_buckets, value_cols=value_cols
+                batch_df, state_dir, epoch, n_buckets=n_buckets,
+                value_cols=value_cols, keep_epochs=keep_epochs,
             )
         )
         .start()

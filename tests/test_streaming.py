@@ -491,3 +491,38 @@ def test_multi_column_mirror(spark, tmpdirs):
     # default (legacy mirrors without value_schema read as after_val)
     empty = read_mirror(spark, tmpdirs["state"] + "_nonexistent")
     assert empty.columns == ["pk", "lsn", "op", "after_val"]
+
+
+def test_mirror_time_travel_as_of_epoch(spark, tmp_path):
+    """Time travel: with keep_epochs=2, the previous epoch's state stays
+    readable EXACTLY as committed while older epochs raise a clear
+    retention error; current reads are unaffected; GC still removes
+    out-of-retention bucket dirs."""
+    import pytest
+
+    from go_pq_cdc_spark.streaming.changelog_stream import (
+        merge_mirror_batch,
+        read_mirror,
+        read_mirror_as_of,
+    )
+
+    state = str(tmp_path / "mirror")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "pk bigint, lsn bigint, op string, after_val double"
+        )
+
+    merge_mirror_batch(batch([(1, 10, "I", 1.0)]), state, epoch=0,
+                       n_buckets=4, keep_epochs=2)
+    merge_mirror_batch(batch([(1, 20, "U", 2.0), (2, 21, "I", 5.0)]), state,
+                       epoch=1, keep_epochs=2)
+    merge_mirror_batch(batch([(1, 30, "D", None)]), state,
+                       epoch=2, keep_epochs=2)
+
+    now = {r["pk"]: r["after_val"] for r in read_mirror(spark, state).collect()}
+    assert now == {2: 5.0}
+    e1 = {r["pk"]: r["after_val"] for r in read_mirror_as_of(spark, state, 1).collect()}
+    assert e1 == {1: 2.0, 2: 5.0}
+    with pytest.raises(ValueError, match="not retained"):
+        read_mirror_as_of(spark, state, 0)
