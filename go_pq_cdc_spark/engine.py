@@ -268,12 +268,18 @@ class CdcEngine:
         state_dir: str,
         checkpoint_dir: str,
         n_buckets: int | None = None,
+        keep_epochs: int | None = None,
     ):
         """Maintain a queryable current-state mirror (M3 apply idiom).
         `n_buckets` sizes a fresh mirror (buckets ~ state_size /
         target_rewrite_size, `suggest_mirror_buckets`); existing mirrors
-        keep their manifest-pinned count."""
-        return mirror_sink(stream_df, state_dir, checkpoint_dir, n_buckets=n_buckets)
+        keep their manifest-pinned count. `keep_epochs` > 1 retains epoch
+        snapshots for `state_as_of` time travel (None keeps the mirror's
+        pinned policy)."""
+        return mirror_sink(
+            stream_df, state_dir, checkpoint_dir, n_buckets=n_buckets,
+            keep_epochs=keep_epochs,
+        )
 
     def typed_mirror(
         self,
@@ -531,6 +537,14 @@ class CdcEngine:
             n_buckets=mirror_buckets,
             value_cols=value_cols,
         )
+
+    def state_as_of(self, state_dir: str, epoch: int) -> DataFrame:
+        """Time-travel read of a retained mirror epoch (see
+        `streaming.read_mirror_as_of`; requires the mirror's pinned
+        keep_epochs retention to cover it)."""
+        from .streaming import read_mirror_as_of
+
+        return read_mirror_as_of(self.spark, state_dir, epoch)
 
     def current_state(self, state_dir: str) -> DataFrame:
         from .streaming import read_mirror

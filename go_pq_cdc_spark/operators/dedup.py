@@ -53,10 +53,11 @@ def band_key_fragments(sig: str, band_var: str = "b") -> dict[str, str]:
 
 
 def shingle_doc(
-    df: DataFrame, id_col: str, text_col: str = "text", *, portable: bool = True
+    df: DataFrame, id_col: str, text_col: str = "text", *, portable: bool = True,
+    n: int = 3,
 ) -> DataFrame:
-    """(id, sh) with sh = distinct 3-token-shingle hashes; rows with <3
-    tokens dropped (can't shingle). Tokens are materialized to a column
+    """(id, sh) with sh = distinct n-token-shingle hashes (default 3);
+    rows with < n tokens dropped (can't shingle). Tokens are materialized to a column
     first (see token_shingles_col) and a NARROW input widened so a
     single-file table still parallelizes the hashing — already-wide inputs
     are left untouched (no shuffle at scale; see scale.spread_small_input).
@@ -69,7 +70,7 @@ def shingle_doc(
     from .scale import spread_small_input
 
     tok = P.tokens(text_col)["spark"]
-    sh = P.token_shingles_col("toks")["spark"]
+    sh = P.token_shingles_col("toks", n)["spark"]
     if portable:
         h = P.md5_hash_m31("sh")["spark"]
     else:
@@ -77,7 +78,7 @@ def shingle_doc(
     return (
         spread_small_input(df, F.col(id_col))
         .withColumn("toks", F.expr(tok))
-        .filter(F.expr("size(toks) >= 3"))
+        .filter(F.expr(f"size(toks) >= {int(n)}"))
         .select(
             F.col(id_col).alias("id"),
             F.expr(f"array_distinct(transform({sh}, sh -> {h}))").alias("sh"),
@@ -208,8 +209,8 @@ def decontaminate(
     corpus — so its distinct shingle hashes broadcast; the corpus pays one
     shingle pass + one broadcast hash join + one groupBy on doc id. The
     corpus NEVER self-joins and never shuffles on shingles."""
-    c = shingle_doc(corpus, id_col, text_col)
-    b = shingle_doc(benchmark, id_col, text_col)
+    c = shingle_doc(corpus, id_col, text_col, n=n)
+    b = shingle_doc(benchmark, id_col, text_col, n=n)
     bench_hashes = b.select(F.explode("sh").alias("h")).distinct()
     return (
         c.select(

@@ -5,6 +5,7 @@ from .changelog_stream import (  # noqa: F401
     mirror_sink,
     multi_mirror_sink,
     read_mirror,
+    read_mirror_as_of,
 )
 from .kafka_sink import kafka_sink, kafka_sink_options, to_kafka_frames  # noqa: F401
 from .txn_buffer import buffer_streamed_txns  # noqa: F401

@@ -118,11 +118,32 @@ def _write_manifest_snapshot(state_dir: str, manifest: dict) -> None:
     os.replace(tmp, p)
 
 
+def _manifest_df(spark: SparkSession, state_dir: str, manifest: dict) -> DataFrame:
+    """DataFrame over one manifest's bucket set (shared by current and
+    time-travel reads — one copy of the schema/paths logic)."""
+    value_schema = manifest.get("value_schema", "after_val double")
+    value_cols = [f.split(" ", 1)[0] for f in value_schema.split(", ")]
+    paths = [os.path.join(state_dir, rel) for rel in manifest["buckets"].values()]
+    if not paths:
+        return spark.createDataFrame(
+            [], f"pk bigint, lsn bigint, op string, {value_schema}"
+        )
+    return spark.read.parquet(*paths).select("pk", "lsn", "op", *value_cols)
+
+
 def read_mirror_as_of(spark: SparkSession, state_dir: str, epoch: int) -> DataFrame:
     """TIME-TRAVEL read: the mirror exactly as of `epoch`'s commit. Reads
     the retained immutable manifest snapshot; raises a clear error when
     the epoch has been garbage-collected (older than the mirror's
-    `keep_epochs` retention) rather than serving partial state."""
+    `keep_epochs` retention) rather than serving partial state.
+
+    Concurrency caveat (inherent to any non-MVCC file layout — same class
+    as the register_mirror_view note): the retention check happens at
+    manifest-open time. If the stream keeps committing while this
+    DataFrame is still being consumed and the epoch falls out of the
+    retention window meanwhile, the lazy scan can hit deleted files.
+    Size `keep_epochs` to cover the longest reader, exactly like a Delta
+    VACUUM horizon."""
     p = _snapshot_manifest_path(state_dir, epoch)
     if not os.path.exists(p):
         raise ValueError(
@@ -131,14 +152,7 @@ def read_mirror_as_of(spark: SparkSession, state_dir: str, epoch: int) -> DataFr
         )
     with open(p) as f:
         manifest = json.load(f)
-    value_schema = manifest.get("value_schema", "after_val double")
-    value_cols = [f.split(" ", 1)[0] for f in value_schema.split(", ")]
-    paths = [os.path.join(state_dir, rel) for rel in manifest["buckets"].values()]
-    if not paths:
-        return spark.createDataFrame(
-            [], f"pk bigint, lsn bigint, op string, {value_schema}"
-        )
-    return spark.read.parquet(*paths).select("pk", "lsn", "op", *value_cols)
+    return _manifest_df(spark, state_dir, manifest)
 
 
 def read_mirror(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -147,14 +161,7 @@ def read_mirror(spark: SparkSession, state_dir: str) -> DataFrame:
     Column shape comes from the manifest's pinned value schema (mirrors
     created before multi-column support default to `after_val double`)."""
     manifest = _read_manifest(state_dir)
-    value_schema = manifest.get("value_schema", "after_val double")
-    value_cols = [f.split(" ", 1)[0] for f in value_schema.split(", ")]
-    paths = [os.path.join(state_dir, rel) for rel in manifest["buckets"].values()]
-    if not paths:
-        return spark.createDataFrame(
-            [], f"pk bigint, lsn bigint, op string, {value_schema}"
-        )
-    return spark.read.parquet(*paths).select("pk", "lsn", "op", *value_cols)
+    return _manifest_df(spark, state_dir, manifest)
 
 
 _MIRROR_VIEWS: dict[str, set[str]] = {}  # abspath(state_dir) -> view names
@@ -216,8 +223,12 @@ def _gc_epochs(state_dir: str, manifest: dict, keep_epochs: int = 1) -> None:
     mroot = os.path.join(state_dir, "manifests")
     retained: list[dict] = [manifest]
     if os.path.isdir(mroot):
+        # sort by the PARSED epoch number — a lexicographic filename sort
+        # inverts once the epoch outgrows the zero padding (r6 review)
         snaps = sorted(
-            (f for f in os.listdir(mroot) if f.endswith(".json")), reverse=True
+            (f for f in os.listdir(mroot) if f.endswith(".json")),
+            key=lambda f: int(f[1:-5]),
+            reverse=True,
         )
         for f in snaps[keep_epochs:]:
             os.remove(os.path.join(mroot, f))
@@ -244,7 +255,7 @@ def merge_mirror_batch(
     epoch: int | None = None,
     n_buckets: int | None = None,
     value_cols: tuple[str, ...] = ("after_val",),
-    keep_epochs: int = 1,
+    keep_epochs: int | None = None,
 ) -> None:
     """Idempotent TOAST-aware max-LSN-wins merge of one micro-batch into
     the pk-bucketed parquet mirror (Delta/Iceberg `MERGE INTO` stand-in).
@@ -267,6 +278,15 @@ def merge_mirror_batch(
     manifest = _read_manifest(state_dir)
     if epoch is None:
         epoch = manifest["epoch"] + 1
+    # Retention is a property of the STORED mirror (like n_buckets /
+    # value_schema): pinned in the manifest so a writer using the default
+    # (engine seeding, multi_mirror_sink, an ad-hoc merge) can never
+    # silently destroy another writer's retained time-travel history
+    # (r6 review). Passing an explicit value UPDATES the pin — retention
+    # is an adjustable policy, not a layout invariant.
+    if keep_epochs is None:
+        keep_epochs = int(manifest.get("keep_epochs", 1))
+    manifest["keep_epochs"] = int(keep_epochs)
     # Bucket count is a property of the STORED mirror, not of the caller:
     # first write pins it in the manifest; after that a conflicting request
     # is a rebuild, not a silent re-hash (keys would land in other buckets
@@ -320,6 +340,15 @@ def merge_mirror_batch(
         r["pb"] for r in incoming.select("pb").distinct().collect()
     )
     if not affected:
+        # an EMPTY epoch still committed in the stream's checkpoint — give
+        # it a snapshot (same buckets as the previous epoch) so
+        # read_mirror_as_of(empty_epoch) works and the retention window
+        # counts epochs, not just non-empty ones (r6 review)
+        manifest["epoch"] = epoch
+        os.makedirs(state_dir, exist_ok=True)
+        _write_manifest_snapshot(state_dir, manifest)
+        _write_manifest(state_dir, manifest)
+        _gc_epochs(state_dir, manifest, keep_epochs=keep_epochs)
         return
     old_paths = [
         os.path.join(state_dir, manifest["buckets"][str(b)])
@@ -401,7 +430,7 @@ def mirror_sink(
     checkpoint_dir: str,
     n_buckets: int | None = None,
     value_cols: tuple[str, ...] = ("after_val",),
-    keep_epochs: int = 1,
+    keep_epochs: int | None = None,
 ):
     """Attach the mirror-maintenance sink to a change stream. Returns the
     StreamingQuery; call processAllAvailable() to drain in tests.

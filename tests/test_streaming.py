@@ -526,3 +526,47 @@ def test_mirror_time_travel_as_of_epoch(spark, tmp_path):
     assert e1 == {1: 2.0, 2: 5.0}
     with pytest.raises(ValueError, match="not retained"):
         read_mirror_as_of(spark, state, 0)
+
+
+def test_mirror_retention_is_pinned_and_empty_epochs_snapshot(spark, tmp_path):
+    """r6 review fixes: (1) keep_epochs pins in the manifest — a later
+    merge using the DEFAULT cannot destroy retained history; (2) an empty
+    batch still commits a readable epoch snapshot; (3) an explicit value
+    updates the pin."""
+    from go_pq_cdc_spark.streaming.changelog_stream import (
+        _read_manifest,
+        merge_mirror_batch,
+        read_mirror_as_of,
+    )
+
+    state = str(tmp_path / "mirror")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "pk bigint, lsn bigint, op string, after_val double"
+        )
+
+    empty = batch([])
+    merge_mirror_batch(batch([(1, 10, "I", 1.0)]), state, epoch=0,
+                       n_buckets=4, keep_epochs=3)
+    assert _read_manifest(state)["keep_epochs"] == 3
+    # a default-parameter writer (engine seeding / multi_mirror_sink path)
+    merge_mirror_batch(batch([(1, 20, "U", 2.0)]), state, epoch=1)
+    # an EMPTY epoch — still snapshotted
+    merge_mirror_batch(empty, state, epoch=2)
+    merge_mirror_batch(batch([(2, 30, "I", 9.0)]), state, epoch=3)
+
+    # pinned retention (3) survived the default-parameter merges:
+    # epochs 1..3 readable, epoch 0 aged out
+    assert {r["pk"]: r["after_val"] for r in read_mirror_as_of(spark, state, 1).collect()} == {1: 2.0}
+    assert {r["pk"]: r["after_val"] for r in read_mirror_as_of(spark, state, 2).collect()} == {1: 2.0}
+    assert {r["pk"]: r["after_val"] for r in read_mirror_as_of(spark, state, 3).collect()} == {1: 2.0, 2: 9.0}
+    import pytest
+
+    with pytest.raises(ValueError, match="not retained"):
+        read_mirror_as_of(spark, state, 0)
+    # explicit value updates the pin
+    merge_mirror_batch(batch([(3, 40, "I", 7.0)]), state, epoch=4, keep_epochs=1)
+    assert _read_manifest(state)["keep_epochs"] == 1
+    with pytest.raises(ValueError, match="not retained"):
+        read_mirror_as_of(spark, state, 2)
