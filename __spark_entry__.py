@@ -42,6 +42,8 @@ _GATE_HEAD = [
     "sample_cluster_balanced",
     "text_bag_dedup",
     "train_epoch_order",
+    "q_funnel_steps",
+    "q_cohort_retention",
     # r5 new — still no driver row (r5 had no correctness run)
     "pack_token_sequences",
     "sample_stratified_mix",

@@ -630,3 +630,133 @@ def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fine = kmv_sketch(docs, ["lang", "source"], "text")
     return kmv_merge_estimate(fine, ["lang"])
+
+
+@register(
+    "q_funnel_steps",
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        FROM events GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts > t1.t1
+                        THEN e.ts END) AS t2
+        FROM events e JOIN t1 USING (user_id)
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > t2.t2
+                        THEN e.ts END) AS t3
+        FROM events e JOIN t2 USING (user_id)
+        GROUP BY e.user_id
+    ),
+    flags AS (
+        SELECT t1.user_id, t1.t1, t2.t2, t3.t3
+        FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)
+    )
+    SELECT CAST(COUNT(t1) AS BIGINT) AS n_signup,
+           CAST(COUNT(t2) AS BIGINT) AS n_click_after,
+           CAST(COUNT(t3) AS BIGINT) AS n_purchase_after,
+           CAST(COUNT(t3) AS DOUBLE) / COUNT(t1) AS conversion
+    FROM flags
+    """,
+    tags=("events", "funnel", "window"),
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup -> later click -> later purchase): each
+    step's timestamp is a conditional MIN over the user's events
+    REQUIRING strict ordering after the previous step. The Spark plan
+    chains three window aggregates over ONE hashpartitioning(user_id)
+    exchange (plan-gated) — at 100 TB the funnel costs a single shuffle
+    of the events, vs the oracle's three self-join aggregations."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    stepped = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = stepped.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_click_after"),
+        F.count("t3").alias("n_purchase_after"),
+        (F.count("t3").cast("double") / F.count("t1")).alias("conversion"),
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_wk
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    j AS (
+        SELECT s.user_id, epoch(s.cohort_wk) AS cohort_epoch,
+               CAST((epoch(a.wk) - epoch(s.cohort_wk)) / 604800 AS BIGINT) AS week_offset
+        FROM a JOIN s USING (user_id)
+        WHERE a.wk >= s.cohort_wk
+    )
+    SELECT CAST(cohort_epoch AS BIGINT) AS cohort_epoch, week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM j GROUP BY cohort_epoch, week_offset
+    """,
+    tags=("events", "cohort", "retention"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by signup week, counted as
+    active in each subsequent week they produced ANY event. Cohort weeks
+    leave as epoch seconds (timestamps never cross the oracle boundary
+    engine-formatted). Shuffle profile: user-keyed aggregate + distinct +
+    user-keyed join (AQE-coalesced, same key) + the final small cohort
+    grid aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_wk"))
+    )
+    a = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    j = (
+        a.join(s, "user_id")
+        .filter(F.col("wk") >= F.col("cohort_wk"))
+        .select(
+            "user_id",
+            F.unix_timestamp("cohort_wk").alias("cohort_epoch"),
+            (
+                (F.unix_timestamp("wk") - F.unix_timestamp("cohort_wk")) / 604800
+            ).cast("long").alias("week_offset"),
+        )
+    )
+    return j.groupBy("cohort_epoch", "week_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )

@@ -311,3 +311,12 @@ def test_epoch_order_distributed_prefix_sum(spark):
     assert plan.count("Exchange SinglePartition") <= 1, (
         "corpus-side single-partition exchange:\n" + plan
     )
+
+
+def test_funnel_single_user_exchange(spark):
+    """The 3-step funnel must chain its conditional-min windows over ONE
+    hashpartitioning(user_id) exchange — never one shuffle per step (the
+    oracle's three self-joins are the shape we're avoiding)."""
+    df = plans.REGISTRY["q_funnel_steps"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan[:800]
