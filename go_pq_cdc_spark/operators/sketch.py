@@ -25,6 +25,33 @@ from pyspark.sql.window import Window
 from ..functions import portable as P
 
 
+_KMV_SALTS = 32
+
+
+def _bottom_k(pairs: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """The k smallest `h` per group — TWO-LEVEL: a salted partial top-k
+    (window over (group, pmod(h, S)) — S reducers share each group's
+    distinct hashes) followed by the final top-k over at most S*k rows
+    per group. A single `Window.partitionBy(group)` would funnel EVERY
+    distinct hash of a group through one reducer — with few groups at
+    100 TB that one task is the whole job. Result identical (the global
+    bottom-k is contained in the union of per-salt bottom-ks), so the
+    DuckDB oracle keeps its one-level window."""
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy("h")
+    pre = (
+        pairs.withColumn("_salt", F.pmod(F.col("h"), F.lit(_KMV_SALTS)).cast("int"))
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_salt", "_rn1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        pre.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_col: str,
@@ -47,10 +74,8 @@ def kmv_distinct(
     pairs = df.select(
         F.col(group_col).alias("grp"), F.expr(h).alias("h")
     ).distinct()
-    w = Window.partitionBy("grp").orderBy("h")
     kept = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+        _bottom_k(pairs, ["grp"], k)
         .groupBy("grp")
         .agg(F.max("h").alias("kth"), F.count(F.lit(1)).cast("long").alias("n_kept"))
     )
@@ -109,10 +134,8 @@ def kmv_sketch(
     pairs = df.select(
         *[F.col(c) for c in group_cols], F.expr(h).alias("h")
     ).distinct()
-    w = Window.partitionBy(*group_cols).orderBy("h")
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+        _bottom_k(pairs, list(group_cols), k)
         .groupBy(*group_cols)
         .agg(F.array_sort(F.collect_list("h")).alias("sketch"))
     )
