@@ -72,28 +72,36 @@ def sample_stratified(
 def with_prefix_offsets(
     df: DataFrame, id_col: str, weight_col: str, out_col: str = "cum_before"
 ) -> DataFrame:
-    """Exclusive prefix sum of `weight_col` in `id_col` order — DISTRIBUTED.
+    """Exclusive prefix sum of `weight_col` in `id_col` order — DISTRIBUTED
+    and DETERMINISTIC.
 
     A naive `SUM() OVER (ORDER BY id)` plans as a single-partition window:
     every row through one task — the canonical 100 TB scale-killer. This is
     the standard two-level scan instead:
 
-      1. `repartitionByRange(id)` — contiguous id runs per partition;
-      2. per-partition exclusive cumsum (window PARTITIONED by
-         spark_partition_id, so the window shuffle is key-spread, not
-         single-reducer);
-      3. per-partition subtotals (a #partitions-row frame) get their own
+      1. bucket rows into contiguous `id_col` ranges with boundaries that
+         are DETERMINISTIC LITERALS: approx percentiles of the key,
+         computed ONCE at plan-build (one narrow aggregation job, a
+         driver-size list — the same plan-time-action class as the chunk
+         planner's MIN/MAX). Spark's own `repartitionByRange` samples its
+         boundaries with a per-execution random seed, and this plan's two
+         consumers (per-row cumsum + per-bucket subtotals) each execute
+         the exchange subtree: two executions under sampled boundaries
+         label `_pid` DIFFERENTLY and misalign cumsums with offsets —
+         found as an actual sf0.1 nondeterminism in r6 (AQE exchange
+         reuse, which r5 relied on, is opportunistic, not guaranteed).
+         Literal boundaries make both executions bit-identical, reuse or
+         not.
+      2. per-bucket exclusive cumsum (window PARTITIONED by the bucket id,
+         so the window shuffle is key-spread, not single-reducer);
+      3. per-bucket subtotals (a #buckets-row frame) get their own
          exclusive cumsum — driver-size, the only serial step — and
-         broadcast-join back as offsets.
-
-    The result is independent of where the range boundaries land, so the
-    output is deterministic even though the range sampler isn't.
+         broadcast-join back as offsets on the deterministic bucket id.
 
     Contract: weights are NON-NEGATIVE INTEGERS (token counts). The
-    subtotal derivation (max of the inclusive running sum — see below)
-    is exact only then; the contract is ENFORCED in-pass with an
-    assert_true guard (a per-row expression in the same projection, no
-    extra pass) rather than trusted to a comment (r5 review).
+    subtotal derivation (max of the inclusive running sum) is exact only
+    then; the contract is ENFORCED in-pass with an assert_true guard
+    (a per-row expression in the same projection, no extra pass).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     guard = F.assert_true(
@@ -103,8 +111,27 @@ def with_prefix_offsets(
         F.lit(f"with_prefix_offsets: {weight_col} must be a non-negative integer"),
     )
     df = df.withColumn("_wguard", guard).drop("_wguard")
-    parted = df.repartitionByRange(par, F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    # plan-build action: B-1 deterministic cut points over the key (the
+    # aggregate itself need not be deterministic across RUNS — it is
+    # computed once and inlined, so every subtree of THIS plan shares it)
+    probs = [i / par for i in range(1, par)]
+    cuts = (
+        df.select(
+            F.percentile_approx(F.col(id_col).cast("long"), probs, 10_000).alias("c")
+        ).first()["c"]
+        if probs
+        else None
+    )
+    bounds = sorted(set(int(c) for c in cuts if c is not None)) if cuts else []
+    if bounds:
+        blist = ", ".join(f"{b}L" for b in bounds)
+        pid_expr = (
+            f"CAST(size(filter(array({blist}), b -> b < CAST({id_col} AS LONG))) AS INT)"
+        )
+    else:
+        pid_expr = "0"
+    parted = df.withColumn("_pid", F.expr(pid_expr)).repartition(
+        max(len(bounds) + 1, 1), F.col("_pid")
     )
     w_in = (
         Window.partitionBy("_pid")
@@ -114,15 +141,6 @@ def with_prefix_offsets(
     within = parted.withColumn(
         "_cum_in", F.coalesce(F.sum(weight_col).over(w_in), F.lit(0)).cast("long")
     )
-    # Subtotals derive from `within` ITSELF (inclusive running sum's max —
-    # weights are non-negative token counts, so the last row's inclusive
-    # sum is the partition total), not from a second structurally-equal
-    # branch off `parted`: both consumers now share one lineage through
-    # the SAME range exchange, whose physical reuse
-    # (ReuseExchangeAndSubquery) is additionally plan-gated in
-    # tests/test_plans_explain.py — two independent executions of a range
-    # exchange could sample different partition boundaries and misalign
-    # _cum_in with _off (r5 review finding).
     subtot = within.groupBy("_pid").agg(
         F.max(F.col("_cum_in") + F.col(weight_col).cast("long")).alias("_pt")
     )

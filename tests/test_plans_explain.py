@@ -219,21 +219,21 @@ def test_window_gauntlet_single_exchange(spark):
     assert plan.count("Exchange") == 1
 
 
-def test_pack_sequences_range_exchange_physically_reused(spark):
-    """Correctness gate, not just perf: the prefix sum's two consumers
-    (per-row cumsum and per-partition subtotals) must execute ONE range
-    exchange — two independent executions could sample different range
-    boundaries and misalign cumsums with offsets. Asserted on the final
-    adaptive plan after execution."""
+def test_pack_sequences_no_sampled_range_exchange(spark):
+    """Correctness gate: the prefix sum must contain NO sampled
+    rangepartitioning exchange at all. r5 relied on AQE physically
+    reusing the range exchange between the cumsum and subtotal consumers
+    — but reuse is opportunistic, and when it didn't fire (observed at
+    sf0.1 in r6) the two executions sampled DIFFERENT boundaries and
+    misaligned cumsums with offsets. Bucketing now uses deterministic
+    literal cut points (plan-build percentiles), so both subtrees are
+    bit-identical whether or not the exchange is reused."""
     df = plans.REGISTRY["pack_token_sequences"].spark_fn(spark, SF_DIR)
-    df.collect()  # execute THIS plan so AQE finalizes it (count() would
-    # execute a different QueryExecution and leave df's un-finalized)
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
-    n_range = plan.count("Exchange rangepartitioning")
-    assert "ReusedExchange" in plan or n_range <= 1, (
-        f"range exchange executed {n_range}x with no reuse — "
-        "prefix-sum boundary alignment is not guaranteed"
+    assert "Exchange rangepartitioning" not in plan, (
+        "sampled range exchange reappeared in the prefix sum:\n" + plan[:800]
     )
 
 
