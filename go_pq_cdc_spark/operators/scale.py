@@ -108,6 +108,11 @@ def write_range_clustered(
     strictly fewer FILES than over a hash-scattered layout of the same
     data, with identical results."""
     cols = [F.col(c) for c in cluster_cols]
+    # repartitionByRange's sampled (per-execution-random) boundaries are
+    # SAFE here, unlike in the prefix sum (training.with_prefix_offsets):
+    # the exchange has exactly ONE consumer (the write), so there is no
+    # second execution to misalign with — boundaries only shape the file
+    # layout, never a value.
     (
         df.repartitionByRange(n_files, *cols)
         .sortWithinPartitions(*cols)

@@ -104,13 +104,18 @@ def with_prefix_offsets(
     (a per-row expression in the same projection, no extra pass).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
+    # The guard is FUSED INTO the weight column itself (assert_true yields
+    # NULL on success, so the `when` passes the weight through) — a
+    # withColumn(...).drop(...) guard column is pruned by Catalyst along
+    # with its assert and never evaluates (found dead in r6; pinned by
+    # test_prefix_offsets_rejects_bad_weights).
     guard = F.assert_true(
         F.col(weight_col).isNotNull()
         & (F.col(weight_col) >= 0)
         & (F.col(weight_col).cast("long") == F.col(weight_col)),
         F.lit(f"with_prefix_offsets: {weight_col} must be a non-negative integer"),
     )
-    df = df.withColumn("_wguard", guard).drop("_wguard")
+    df = df.withColumn(weight_col, F.when(guard.isNull(), F.col(weight_col)))
     # plan-build action: B-1 deterministic cut points over the key (the
     # aggregate itself need not be deterministic across RUNS — it is
     # computed once and inlined, so every subtree of THIS plan shares it)

@@ -153,3 +153,24 @@ def test_epoch_order_is_a_seeded_permutation(spark):
     s2 = {r["doc_id"]: r["pos"] for r in epoch_order(docs, "doc_id", seed=2).collect()}
     assert sorted(s2.values()) == list(range(n))
     assert s2 != s1
+
+
+def test_prefix_offsets_rejects_bad_weights(spark):
+    """The non-negative-integer weight contract must actually ENFORCE: the
+    r5 guard lived in a withColumn(...).drop(...) column that Catalyst
+    pruned along with its assert (dead code, found in r6). Now fused into
+    the weight column itself: negative and NULL weights raise; valid
+    weights pass through unchanged."""
+    import pytest
+
+    from go_pq_cdc_spark.operators.training import with_prefix_offsets
+
+    bad = spark.createDataFrame([(1, 5), (2, -3)], "id long, w long")
+    with pytest.raises(Exception, match="non-negative"):
+        with_prefix_offsets(bad, "id", "w").collect()
+    nulls = spark.createDataFrame([(1, 5), (2, None)], "id long, w long")
+    with pytest.raises(Exception, match="non-negative"):
+        with_prefix_offsets(nulls, "id", "w").collect()
+    ok = spark.createDataFrame([(1, 5), (2, 3)], "id long, w long")
+    rows = {r["id"]: r["cum_before"] for r in with_prefix_offsets(ok, "id", "w").collect()}
+    assert rows == {1: 0, 2: 5}
