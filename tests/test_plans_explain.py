@@ -320,3 +320,34 @@ def test_funnel_single_user_exchange(spark):
     df = plans.REGISTRY["q_funnel_steps"].spark_fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan[:800]
+
+
+def test_url_dedup_single_exchange(spark):
+    """URL dedup is one narrow canonicalization map + ONE shuffle on the
+    normalized key — no joins, no extra exchanges."""
+    df = plans.REGISTRY["text_url_dedup"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan[:600]
+    assert "Join" not in plan
+
+
+def test_bag_dedup_single_exchange(spark):
+    """Bag-fingerprint dedup: fingerprint map + one shuffle on it."""
+    df = plans.REGISTRY["text_bag_dedup"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan[:600]
+    assert "Join" not in plan
+
+
+def test_cluster_balanced_sample_no_join_no_window(spark):
+    """Cluster-balanced sampling must stay the zero-shuffle expression
+    shape: broadcast centroid fold + narrow filter, then only the final
+    count aggregate's exchange — no corpus join, no window."""
+    df = plans.REGISTRY["sample_cluster_balanced"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Join cent" not in plan and "SortMergeJoin" not in plan
+    # the adaptive widening of the NARROW test input (spread_small_input,
+    # absent at scale) + the final groupBy count — nothing else
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash <= 2, plan[:800]
