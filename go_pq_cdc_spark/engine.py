@@ -397,6 +397,7 @@ class CdcEngine:
         value_schema: str = "after_val double",
         transport: str = "flat",
         table: str | None = None,
+        keep_epochs: int | None = None,
     ):
         """The reference's `connector.Start(ctx)` in one call
         (connector.go:57-142 sequencing; SURVEY §3.1-3.3):
@@ -536,6 +537,7 @@ class CdcEngine:
             checkpoint_dir,
             n_buckets=mirror_buckets,
             value_cols=value_cols,
+            keep_epochs=keep_epochs,
         )
 
     def state_as_of(self, state_dir: str, epoch: int) -> DataFrame:

@@ -457,6 +457,7 @@ def multi_mirror_sink(
     checkpoint_dir: str,
     table_col: str = "tbl",
     n_buckets: int | None = None,
+    keep_epochs: int | None = None,
 ):
     """O17 fan-out apply: one slot carries every published table's events;
     each micro-batch is split by table and merged into that table's mirror.
@@ -471,6 +472,7 @@ def multi_mirror_sink(
                 os.path.join(state_root, t.replace(".", "__")),
                 epoch,
                 n_buckets=n_buckets,
+                keep_epochs=keep_epochs,
             )
 
     return (
