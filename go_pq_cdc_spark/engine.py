@@ -486,6 +486,10 @@ class CdcEngine:
                             state_dir,
                             n_buckets=mirror_buckets,
                             value_cols=value_cols,
+                            # the seed merge is often the mirror's FIRST
+                            # write — it must pin the caller's retention,
+                            # or snapshot_only mode silently keeps 1
+                            keep_epochs=keep_epochs,
                         )
                     # Persist the seam: a later restart must anchor its
                     # stream filter HERE, not at a fresh wal_lsn read —

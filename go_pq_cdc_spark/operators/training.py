@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..functions import portable as P
@@ -70,7 +71,11 @@ def sample_stratified(
 
 
 def with_prefix_offsets(
-    df: DataFrame, id_col: str, weight_col: str, out_col: str = "cum_before"
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    out_col: str = "cum_before",
+    bounds: list | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum of `weight_col` in `id_col` order — DISTRIBUTED
     and DETERMINISTIC.
@@ -116,27 +121,57 @@ def with_prefix_offsets(
         F.lit(f"with_prefix_offsets: {weight_col} must be a non-negative integer"),
     )
     df = df.withColumn(weight_col, F.when(guard.isNull(), F.col(weight_col)))
-    # plan-build action: B-1 deterministic cut points over the key (the
-    # aggregate itself need not be deterministic across RUNS — it is
-    # computed once and inlined, so every subtree of THIS plan shares it)
-    probs = [i / par for i in range(1, par)]
-    cuts = (
-        df.select(
-            F.percentile_approx(F.col(id_col).cast("long"), probs, 10_000).alias("c")
-        ).first()["c"]
-        if probs
-        else None
-    )
-    bounds = sorted(set(int(c) for c in cuts if c is not None)) if cuts else []
-    if bounds:
-        blist = ", ".join(f"{b}L" for b in bounds)
-        pid_expr = (
-            f"CAST(size(filter(array({blist}), b -> b < CAST({id_col} AS LONG))) AS INT)"
+    # Bucket count: capped so the O(#bounds) per-row bucket lookup stays
+    # cheap even on clusters with huge default parallelism — 1024 buckets
+    # keep every window/subtotal stage wide enough while bounding the
+    # literal array scan (r6 review).
+    n_buckets = max(1, min(par, 1024))
+    if bounds is None:
+        # plan-build action: deterministic cut points over the key. For a
+        # numeric key, approx percentiles (one narrow aggregation job);
+        # otherwise an md5-rank sample (TakeOrderedAndProject — works for
+        # ANY orderable type, e.g. string ids). Either way the cuts are
+        # collected ONCE and inlined as literals, so both plan subtrees
+        # bucket identically (see docstring).
+        numeric = isinstance(
+            df.schema[id_col].dataType,
+            (T.LongType, T.IntegerType, T.ShortType, T.DoubleType, T.FloatType),
         )
+        if numeric:
+            probs = [i / n_buckets for i in range(1, n_buckets)]
+            cuts = (
+                df.select(
+                    F.percentile_approx(
+                        F.col(id_col).cast("double"), probs, 10_000
+                    ).alias("c")
+                ).first()["c"]
+                if probs
+                else None
+            )
+            bounds = sorted(set(cuts)) if cuts and cuts[0] is not None else []
+        else:
+            n_samp = n_buckets * 16
+            rk = P.md5_hash(f"CAST({'`' + id_col + '`'} AS STRING)")["spark"]
+            samp = sorted(
+                r["k"]
+                for r in df.select(F.col(id_col).alias("k"))
+                .withColumn("_rk", F.expr(rk))
+                .orderBy("_rk")
+                .limit(n_samp)
+                .collect()
+            )
+            step = max(1, len(samp) // n_buckets)
+            bounds = sorted(set(samp[step::step]))
+    if bounds:
+        # Column-API bucket id (no SQL-string interpolation: arbitrary
+        # column names and string boundaries are safe): the count of
+        # boundary literals strictly below the key.
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: b < F.col(id_col))).cast("int")
     else:
-        pid_expr = "0"
-    parted = df.withColumn("_pid", F.expr(pid_expr)).repartition(
-        max(len(bounds) + 1, 1), F.col("_pid")
+        pid = F.lit(0).cast("int")
+    parted = df.withColumn("_pid", pid).repartition(
+        max(len(bounds) + 1 if bounds else 1, 1), F.col("_pid")
     )
     w_in = (
         Window.partitionBy("_pid")
@@ -294,7 +329,16 @@ def epoch_order(
     oracle is allowed to use and this plan is plan-gated NOT to."""
     key = P.md5_hash(f"concat('{int(seed)}:', CAST({id_col} AS STRING))")["spark"]
     keyed = df.withColumn("_ek", F.expr(key)).withColumn("_one", F.lit(1))
+    # The shuffle key is uniform in a KNOWN range ([0, 2^60): 15 hex chars
+    # of md5), so equal-width literal bounds are balanced BY CONSTRUCTION —
+    # no plan-build sampling job at all (r6 review: the percentile pass
+    # would have evaluated the md5 keying of the whole corpus twice).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    nb = max(1, min(par, 1024))
+    width = (1 << 60) // nb
+    bounds = [i * width for i in range(1, nb)]
     return (
-        with_prefix_offsets(keyed, id_col="_ek", weight_col="_one", out_col=out_col)
-        .drop("_ek", "_one")
+        with_prefix_offsets(
+            keyed, id_col="_ek", weight_col="_one", out_col=out_col, bounds=bounds
+        ).drop("_ek", "_one")
     )

@@ -661,7 +661,8 @@ def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(t1) AS BIGINT) AS n_signup,
            CAST(COUNT(t2) AS BIGINT) AS n_click_after,
            CAST(COUNT(t3) AS BIGINT) AS n_purchase_after,
-           CAST(COUNT(t3) AS DOUBLE) / COUNT(t1) AS conversion
+           CASE WHEN COUNT(t1) = 0 THEN NULL
+                ELSE CAST(COUNT(t3) AS DOUBLE) / COUNT(t1) END AS conversion
     FROM flags
     """,
     tags=("events", "funnel", "window"),
@@ -702,11 +703,15 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = stepped.groupBy("user_id").agg(
         F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
     )
+    # explicit zero guard: Spark's double division by zero yields NULL
+    # while DuckDB follows IEEE — a degenerate no-signups slice must agree
     return per_user.agg(
         F.count("t1").alias("n_signup"),
         F.count("t2").alias("n_click_after"),
         F.count("t3").alias("n_purchase_after"),
-        (F.count("t3").cast("double") / F.count("t1")).alias("conversion"),
+        F.when(
+            F.count("t1") > 0, F.count("t3").cast("double") / F.count("t1")
+        ).alias("conversion"),
     )
 
 

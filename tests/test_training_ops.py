@@ -174,3 +174,23 @@ def test_prefix_offsets_rejects_bad_weights(spark):
     ok = spark.createDataFrame([(1, 5), (2, 3)], "id long, w long")
     rows = {r["id"]: r["cum_before"] for r in with_prefix_offsets(ok, "id", "w").collect()}
     assert rows == {1: 0, 2: 5}
+
+
+def test_prefix_offsets_string_keys(spark):
+    """r6 review: a STRING order key (e.g. 'doc-<n>' ids) must bucket via
+    the sampled-boundary path — not crash on a long cast (ANSI) or
+    silently collapse to one bucket — and must match the driver-side
+    ground truth. Also covers column names needing quoting."""
+    from go_pq_cdc_spark.operators.training import with_prefix_offsets
+
+    rows = [(f"doc-{i:04d}", i % 7) for i in range(500)]
+    df = spark.createDataFrame(rows, "`my id` string, w long")
+    out = {
+        r["my id"]: r["cum_before"]
+        for r in with_prefix_offsets(df, "my id", "w").collect()
+    }
+    expect, acc = {}, 0
+    for k, w in sorted(rows):
+        expect[k] = acc
+        acc += w
+    assert out == expect
