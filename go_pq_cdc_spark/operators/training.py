@@ -151,7 +151,7 @@ def with_prefix_offsets(
             bounds = sorted(set(cuts)) if cuts and cuts[0] is not None else []
         else:
             n_samp = n_buckets * 16
-            rk = P.md5_hash(f"CAST({'`' + id_col + '`'} AS STRING)")["spark"]
+            rk = P.md5_hash("CAST(k AS STRING)")["spark"]  # over the alias
             samp = sorted(
                 r["k"]
                 for r in df.select(F.col(id_col).alias("k"))
