@@ -456,3 +456,37 @@ def test_pgoutput_decode_fuzz_tuple_payloads(body):
             dec.decode(tag + _struct.pack(">I", 7) + body)
         except ValueError:
             pass
+
+
+# --- prefix sum: property net vs driver-side ground truth ---
+# The machinery produced two real r6 bugs (sampled-boundary misalignment,
+# pruned weight guard); this pins it against a trivially-correct oracle
+# over random ids (sparse/dense/negative), weights (zeros, big), and
+# duplicates-free key sets.
+
+_PFX_IDS = st.lists(
+    st.integers(min_value=-(10**6), max_value=10**6),
+    min_size=1,
+    max_size=80,
+    unique=True,
+)
+
+
+@given(ids=_PFX_IDS, data=st.data())
+@settings(max_examples=5, deadline=None)
+def test_prefix_offsets_matches_ground_truth(spark, ids, data):
+    from go_pq_cdc_spark.operators.training import with_prefix_offsets
+
+    weights = [
+        data.draw(st.integers(min_value=0, max_value=10_000)) for _ in ids
+    ]
+    df = spark.createDataFrame(list(zip(ids, weights)), "id long, w long")
+    got = {
+        r["id"]: r["cum_before"]
+        for r in with_prefix_offsets(df, "id", "w").collect()
+    }
+    acc, want = 0, {}
+    for i, w in sorted(zip(ids, weights)):
+        want[i] = acc
+        acc += w
+    assert got == want
