@@ -44,6 +44,7 @@ _GATE_HEAD = [
     "train_epoch_order",
     "q_funnel_steps",
     "q_cohort_retention",
+    "q_histogram",
     # r5 new — still no driver row (r5 had no correctness run)
     "pack_token_sequences",
     "sample_stratified_mix",

@@ -765,3 +765,35 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("cohort_epoch", "week_offset").agg(
         F.countDistinct("user_id").cast("long").alias("n_active")
     )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 30000), 19) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("relational", "histogram"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width value histogram (20 buckets of 30k, top-clamped) over
+    order totals — the distribution profile every data audit starts with.
+    One narrow bucket expression + one tiny aggregate; decimal-exact sums
+    per the registry's float rules."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "bucket",
+            F.least(F.floor(F.col("o_totalprice") / 30000), F.lit(19)).cast("long"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
