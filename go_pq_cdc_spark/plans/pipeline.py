@@ -614,9 +614,10 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d
     )
     SELECT id,
-           CASE WHEN scale = 0 THEN [0 FOR x IN dv]
-                ELSE [CAST(round((x - mn) / scale) AS INT) FOR x IN dv]
-           END AS q,
+           array_to_string(
+               CASE WHEN scale = 0 THEN [0 FOR x IN dv]
+                    ELSE [CAST(round((x - mn) / scale) AS INT) FOR x IN dv]
+               END, ',') AS q,
            mn, scale
     FROM s
     """,
@@ -626,11 +627,22 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 linear quantization of the embedding corpus — the
     4x storage/IO cut before anything else touches a 100 TB embedding
     table. All elementwise expressions (no float accumulation), so the
-    codes, mins and scales are oracle-exact."""
+    codes, mins and scales are oracle-exact.
+
+    The gated query serializes the code array to a comma-joined string:
+    the driver canonicalizer sorts every output column in pandas, and raw
+    array cells are unhashable there (r6 ERR row). The programmatic
+    operator `training.quantize_embeddings` keeps the typed array<int>."""
     from ..operators.training import quantize_embeddings
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb)
+    q = quantize_embeddings(emb)
+    return q.select(
+        "id",
+        F.concat_ws(",", F.expr("transform(q, x -> CAST(x AS STRING))")).alias("q"),
+        "mn",
+        "scale",
+    )
 
 
 @register(
