@@ -21,9 +21,45 @@ from ..functions import portable as P
 from .scale import spread_small_input
 
 LSH_PLANES = 8
+# Reducer fan-out of the salted partial top-k (see _topk_per_query).
+TOPK_SALTS = 32
 # Pseudo-random hyperplane component for plane k, dim j: centered int in
 # (-2^20, 2^20), derived with pure int64 arithmetic — portable to DuckDB.
 _PLANE = "((((k * 64 + j) * " + str(P.KNUTH) + ") % 2097152) - 1048576)"
+
+
+def _topk_per_query(
+    pairs: DataFrame,
+    order_cols: list,
+    rank_name: str,
+    k: int,
+    cand_col: str,
+    query_col: str = "q_id",
+) -> DataFrame:
+    """Per-query top-k — TWO-LEVEL: a salted partial top-k (window over
+    (q_id, pmod(xxhash64(candidate), S)) — S reducers share each query's
+    candidates) followed by the final ranked top-k over at most S*k rows
+    per query. A single `Window.partitionBy(q_id)` would funnel EVERY
+    scored corpus row for a query through ONE reducer — for the
+    full-corpus scorers (brute-force cosine, PQ-ADC) that one task IS the
+    job at 100 TB. Result identical (every member of the global top-k is
+    in its salt's top-k; the final window re-ranks the union with the
+    same ordering), so the DuckDB oracles keep their one-level windows.
+    Same shape as `sketch._bottom_k` (the KMV partial top-k)."""
+    w1 = Window.partitionBy(query_col, "_salt").orderBy(*order_cols)
+    pre = (
+        pairs.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(cand_col)), F.lit(TOPK_SALTS)).cast("int"),
+        )
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_salt", "_rn1")
+    )
+    w2 = Window.partitionBy(query_col).orderBy(*order_cols)
+    return pre.withColumn(rank_name, F.row_number().over(w2).cast("long")).filter(
+        F.col(rank_name) <= k
+    )
 
 
 def cosine_topk(
@@ -56,12 +92,9 @@ def cosine_topk(
             ),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("q_id", F.col("c_id").alias("neighbor_id"), "rank", "cos_sim")
-    )
+    return _topk_per_query(
+        pairs, [F.desc("cos_sim"), F.asc("c_id")], "rank", k, "c_id"
+    ).select("q_id", F.col("c_id").alias("neighbor_id"), "rank", "cos_sim")
 
 
 def lsh_bucket_fragments(vec: str, planes: int = LSH_PLANES) -> dict[str, str]:
@@ -196,12 +229,9 @@ def ann_topk_lsh(
             "CAST(dot AS DOUBLE) / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c_nrm AS DOUBLE)))"
         ),
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("q_id", F.col("c_id").alias("neighbor_id"), "rank", "cos_sim")
-    )
+    return _topk_per_query(
+        pairs, [F.desc("cos_sim"), F.asc("c_id")], "rank", k, "c_id"
+    ).select("q_id", F.col("c_id").alias("neighbor_id"), "rank", "cos_sim")
 
 
 def ivf_assign(
@@ -426,12 +456,9 @@ def ivf_topk_index(
             "CAST(dot AS DOUBLE) / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c_nrm AS DOUBLE)))"
         ),
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", F.col("c_id").alias("neighbor_id"), "rnk", "cos_sim")
-    )
+    return _topk_per_query(
+        pairs, [F.desc("cos_sim"), F.asc("c_id")], "rnk", k, "c_id"
+    ).select("q_id", F.col("c_id").alias("neighbor_id"), "rnk", "cos_sim")
 
 
 # --------------------------------------------------------------------------
@@ -695,10 +722,8 @@ def pq_adc_topk(
         codes_df.join(F.broadcast(qset), F.col("q_id") != F.col("id"))
         .withColumn("adc", F.expr(_pq_adc_sum_expr(m)))
     )
-    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("id"))
     return (
-        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
+        _topk_per_query(pairs, [F.asc("adc"), F.asc("id")], "rnk", k, "id")
         .select(
             "q_id",
             F.col("id").alias("neighbor_id"),
@@ -780,10 +805,8 @@ def ivf_pq_topk(
         F.broadcast(qset),
         (F.col("cent_id") == F.col("q_cent")) & (F.col("q_id") != F.col("id")),
     ).withColumn("adc", F.expr(_pq_adc_sum_expr(m)))
-    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("id"))
     return (
-        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
+        _topk_per_query(pairs, [F.asc("adc"), F.asc("id")], "rnk", k, "id")
         .select(
             "q_id",
             F.col("id").alias("neighbor_id"),
@@ -827,9 +850,6 @@ def ivf_topk(
             "CAST(dot AS DOUBLE) / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c_nrm AS DOUBLE)))"
         ),
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", F.col("c_id").alias("neighbor_id"), "rnk", "cos_sim")
-    )
+    return _topk_per_query(
+        pairs, [F.desc("cos_sim"), F.asc("c_id")], "rnk", k, "c_id"
+    ).select("q_id", F.col("c_id").alias("neighbor_id"), "rnk", "cos_sim")

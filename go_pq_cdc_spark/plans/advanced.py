@@ -666,6 +666,7 @@ def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM flags
     """,
     tags=("events", "funnel", "window"),
+    bench=True,
 )
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (signup -> later click -> later purchase): each
@@ -736,6 +737,7 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM j GROUP BY cohort_epoch, week_offset
     """,
     tags=("events", "cohort", "retention"),
+    bench=True,
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by signup week, counted as

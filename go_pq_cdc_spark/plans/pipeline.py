@@ -738,6 +738,7 @@ _EPOCH_KEY_DUCK = P.md5_hash("('1:' || CAST(doc_id AS VARCHAR))")["duck"]
     FROM k
     """,
     tags=("training", "shuffle"),
+    bench=True,
 )
 def train_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffling: a seed-keyed pseudo-random global

@@ -158,6 +158,23 @@ def test_ivf_assign_zero_shuffle_on_wide_input(spark):
     assert n_hash_exchanges <= 2, f"unexpected shuffle in ivf_assign:\n{plan}"
 
 
+def test_similarity_topk_two_level_salted(spark):
+    """r6 verdict item 2: the per-query top-k of the two FULL-CORPUS
+    scorers (brute-force cosine, PQ-ADC) must be the two-level salted
+    shape — a partial top-k windowed on (q_id, _salt) so S reducers share
+    each query's candidates, then a final rank over at most S*k rows —
+    never a single Window.partitionBy(q_id) that funnels every scored
+    corpus row for a query through ONE reducer task (at 100 TB that task
+    is the job). Same pattern as sketch._bottom_k."""
+    for name in ("sim_cosine_topk", "sim_pq_adc_topk"):
+        df = plans.REGISTRY[name].spark_fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan, f"{name} lost the salted partial top-k"
+        assert plan.count("Window") >= 2, (
+            f"{name} regressed to a one-level per-query window:\n{plan}"
+        )
+
+
 def test_pack_sequences_distributed_prefix_sum(spark):
     """The packing prefix sum must be the two-level distributed shape: the
     corpus cumsum windows PARTITIONED by spark_partition_id (a key-spread
