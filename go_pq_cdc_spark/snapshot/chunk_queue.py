@@ -1,0 +1,306 @@
+"""O23 — cross-APPLICATION snapshot cooperation at CHUNK granularity.
+
+The reference lets N independent pods share ONE table's snapshot through
+a SKIP-LOCKED chunk queue in PostgreSQL
+(`/root/reference/pq/snapshot/worker.go:421-484`): `claimNextChunk`
+selects the first `pending` chunk — or an `in_progress` chunk whose
+`heartbeat_at` is older than `claimTimeout` — `FOR UPDATE SKIP LOCKED`,
+stamps `claimed_by`/`claimed_at`/`heartbeat_at`, and the worker loop
+processes it, heartbeating (`worker.go:383-399`) until
+`markChunkCompleted` (`worker.go:568-585`) records `status='completed'`
+plus `rows_processed`.
+
+`job_claim` covers the whole-job case (one app seeds, peers wait/skip).
+This module is the per-chunk queue for the case it consciously skipped:
+two or more Spark APPLICATIONS splitting one giant table's chunks. The
+shared medium is the same state_dir the mirror lives in (POSIX/NFS; an
+object store needs a conditional-put analogue of the link-claim):
+
+    state_dir/chunks/_manifest.json   all chunk descriptors (immutable,
+                                      first-writer-wins — the reference's
+                                      insertChunks)
+    state_dir/chunks/claim.<i>.json   in_progress row: instance_id,
+                                      claimed_at, heartbeat_at
+    state_dir/chunks/done.<i>.json    completed row: instance_id,
+                                      rows_processed, finished_at
+
+Atomicity is the `job_claim.acquire` scheme: a claim is a hard LINK of a
+privately-written tmp file (create-with-content; a peer can never see a
+torn claim), takeover is an `os.replace` allowed only once the current
+heartbeat is `claim_ttl_s` stale, and completion markers are tmp+rename.
+The takeover swap is last-writer-wins inside the (rare) window where two
+apps pass the staleness check together — acceptable exactly as in the
+reference, whose chunk work is idempotent (re-reading a chunk re-merges
+the same rows; our mirror merge is max-LSN-wins).
+
+Chunk descriptors are plain dicts from `snapshot.planner` (chunk_index,
+plus range_start/range_end, block_start/block_end or
+chunk_start/chunk_size per strategy) — the same 13-column shape
+`parseClaimedChunk` (worker.go:488-553) round-trips.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+MANIFEST = "_manifest.json"
+
+
+def _qdir(state_dir: str) -> str:
+    return os.path.join(state_dir, "chunks")
+
+
+def _claim_path(state_dir: str, idx: int) -> str:
+    return os.path.join(_qdir(state_dir), f"claim.{idx}.json")
+
+
+def _done_path(state_dir: str, idx: int) -> str:
+    return os.path.join(_qdir(state_dir), f"done.{idx}.json")
+
+
+def _read_json(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        return doc if isinstance(doc, dict) else None
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def _link_create(doc: dict, path: str, tag: str) -> bool:
+    """Atomic create-with-content (job_claim's scheme): private tmp +
+    hard link; False if the target already exists."""
+    tmp = path + f".tmp.{tag}"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
+
+
+def manifest_from_plan(plan) -> list[dict]:
+    """SnapshotPlan → queue chunk dicts: the planner's Chunk dataclass
+    fields (the reference's 13-column chunk row, worker.go:472-475) plus
+    the strategy, keyed by a dense chunk_index."""
+    from dataclasses import asdict
+
+    return [
+        {
+            **asdict(c),
+            "chunk_index": c.index,
+            "partition_strategy": str(plan.strategy.value),
+        }
+        for c in plan.chunks
+    ]
+
+
+def init_chunk_queue(state_dir: str, chunks: list[dict]) -> list[dict]:
+    """Publish the chunk manifest (the reference's insertChunks step).
+    Idempotent and first-writer-wins: every cooperating app calls this
+    with ITS plan; whichever lands first defines the queue and everyone
+    (including later callers with a divergent plan) proceeds against the
+    PUBLISHED manifest — two apps must never claim against different
+    chunk lists. Chunks are normalized to carry a dense `chunk_index`."""
+    qdir = _qdir(state_dir)
+    os.makedirs(qdir, exist_ok=True)
+    norm = [
+        {**c, "chunk_index": int(c.get("chunk_index", i))}
+        for i, c in enumerate(chunks)
+    ]
+    path = os.path.join(qdir, MANIFEST)
+    _link_create({"chunks": norm}, path, uuid.uuid4().hex[:8])
+    return read_manifest(state_dir)
+
+
+def read_manifest(state_dir: str) -> list[dict]:
+    doc = _read_json(os.path.join(_qdir(state_dir), MANIFEST))
+    return list(doc["chunks"]) if doc and "chunks" in doc else []
+
+
+@dataclass
+class ChunkClaim:
+    """A held claim on one chunk (worker.go's in_progress row)."""
+
+    state_dir: str
+    instance_id: str
+    chunk: dict = field(default_factory=dict)
+
+    @property
+    def index(self) -> int:
+        return int(self.chunk["chunk_index"])
+
+    def heartbeat(self) -> None:
+        """Refresh liveness (`updateChunkHeartbeat`, worker.go:556-566).
+        Raises if the claim was taken over — the loser must STOP
+        processing this chunk (its completion would clobber the new
+        owner's) exactly like losing the reference's DB row."""
+        path = _claim_path(self.state_dir, self.index)
+        cur = _read_json(path)
+        if cur is None or cur.get("instance_id") != self.instance_id:
+            raise RuntimeError(
+                f"chunk {self.index} claim lost "
+                f"(now owned by {cur and cur.get('instance_id')})"
+            )
+        cur["heartbeat_at"] = time.time()
+        tmp = path + f".tmp.{self.instance_id}"
+        with open(tmp, "w") as f:
+            json.dump(cur, f)
+        os.replace(tmp, path)
+
+    def complete(self, rows_processed: int = 0, info: dict | None = None) -> None:
+        """Terminal marker (`markChunkCompleted`, worker.go:568-585):
+        records rows_processed, then drops the claim row. Idempotent —
+        a duplicate completion (post-takeover race) keeps the FIRST
+        marker, matching the queue's at-least-once contract."""
+        _link_create(
+            {
+                "instance_id": self.instance_id,
+                "rows_processed": int(rows_processed),
+                "finished_at": time.time(),
+                **(info or {}),
+            },
+            _done_path(self.state_dir, self.index),
+            self.instance_id,
+        )
+        cur = _read_json(_claim_path(self.state_dir, self.index))
+        if cur is not None and cur.get("instance_id") == self.instance_id:
+            try:
+                os.remove(_claim_path(self.state_dir, self.index))
+            except FileNotFoundError:
+                pass
+
+    def release(self) -> None:
+        """Return an unfinished chunk to `pending` (clean shutdown
+        mid-chunk) so a peer claims it immediately, not after the TTL."""
+        cur = _read_json(_claim_path(self.state_dir, self.index))
+        if cur is not None and cur.get("instance_id") == self.instance_id:
+            try:
+                os.remove(_claim_path(self.state_dir, self.index))
+            except FileNotFoundError:
+                pass
+
+
+def claim_next_chunk(
+    state_dir: str,
+    instance_id: str | None = None,
+    claim_ttl_s: float = 300.0,
+) -> ChunkClaim | None:
+    """File analogue of `claimNextChunk` (worker.go:421-484): walk chunks
+    in chunk_index order and take the first that is pending (no claim, no
+    done marker) or in_progress-with-stale-heartbeat (< now - ttl, the
+    `claimTimeout` arm). Returns None when nothing is claimable — either
+    all chunks are done (check `all_chunks_completed`) or live peers hold
+    the remainder (the caller's drain loop polls/waits, like the
+    reference worker idling on an empty SKIP LOCKED result)."""
+    instance_id = instance_id or f"app-{uuid.uuid4().hex[:12]}"
+    for chunk in sorted(read_manifest(state_dir), key=lambda c: c["chunk_index"]):
+        idx = int(chunk["chunk_index"])
+        if os.path.exists(_done_path(state_dir, idx)):
+            continue
+        now = time.time()
+        doc = {
+            "instance_id": instance_id,
+            "chunk_index": idx,
+            "claimed_at": now,
+            "heartbeat_at": now,
+        }
+        path = _claim_path(state_dir, idx)
+        if _link_create(doc, path, instance_id):
+            return ChunkClaim(state_dir, instance_id, chunk)
+        cur = _read_json(path)
+        if cur is None:
+            if not os.path.exists(path):
+                # owner released between link failure and read: retry it
+                if _link_create(doc, path, instance_id):
+                    return ChunkClaim(state_dir, instance_id, chunk)
+                continue
+            # torn claim file (crashed writer): replace, same as
+            # job_claim.acquire's unparseable-claim arm
+            stale = True
+        else:
+            stale = now - float(cur.get("heartbeat_at", 0)) > claim_ttl_s
+        if stale:
+            tmp = path + f".tmp.{instance_id}"
+            with open(tmp, "w") as f:
+                json.dump(doc, f)
+            os.replace(tmp, path)
+            return ChunkClaim(state_dir, instance_id, chunk)
+    return None
+
+
+def chunk_queue_stats(state_dir: str) -> dict:
+    """pending/in_progress/completed counts + total rows_processed (the
+    reference's jobs-table `completed_chunks` / progress metrics)."""
+    chunks = read_manifest(state_dir)
+    done = in_prog = rows = 0
+    for c in chunks:
+        idx = int(c["chunk_index"])
+        d = _read_json(_done_path(state_dir, idx))
+        if d is not None:
+            done += 1
+            rows += int(d.get("rows_processed", 0))
+        elif os.path.exists(_claim_path(state_dir, idx)):
+            in_prog += 1
+    return {
+        "total": len(chunks),
+        "completed": done,
+        "in_progress": in_prog,
+        "pending": len(chunks) - done - in_prog,
+        "rows_processed": rows,
+    }
+
+
+def all_chunks_completed(state_dir: str) -> bool:
+    chunks = read_manifest(state_dir)
+    return bool(chunks) and all(
+        os.path.exists(_done_path(state_dir, int(c["chunk_index"]))) for c in chunks
+    )
+
+
+def drain(
+    state_dir: str,
+    process_chunk,
+    instance_id: str | None = None,
+    claim_ttl_s: float = 300.0,
+    poll_s: float = 0.2,
+    timeout_s: float = 600.0,
+    heartbeat_every_s: float | None = None,
+) -> list[int]:
+    """Worker loop (the reference's `processChunks`, worker.go:150-200):
+    claim → process → complete until every chunk is done. `process_chunk`
+    receives (chunk_dict, claim) and returns rows_processed; it may call
+    `claim.heartbeat()` itself for long chunks (or pass
+    `heartbeat_every_s` to bound the claim's apparent staleness between
+    the queue's own touches). Returns the chunk indexes THIS instance
+    completed. When nothing is claimable but peers still hold chunks,
+    polls until they finish or go stale (bounded by timeout_s)."""
+    instance_id = instance_id or f"app-{uuid.uuid4().hex[:12]}"
+    mine: list[int] = []
+    deadline = time.time() + timeout_s
+    while not all_chunks_completed(state_dir):
+        if time.time() > deadline:
+            raise TimeoutError(
+                f"chunk queue for {state_dir} not drained after {timeout_s}s: "
+                f"{chunk_queue_stats(state_dir)}"
+            )
+        claim = claim_next_chunk(state_dir, instance_id, claim_ttl_s)
+        if claim is None:
+            time.sleep(poll_s)  # live peers own the rest — wait/retry
+            continue
+        if heartbeat_every_s is not None:
+            claim.heartbeat()
+        rows = process_chunk(claim.chunk, claim)
+        claim.complete(rows_processed=int(rows or 0))
+        mine.append(claim.index)
+    return mine
