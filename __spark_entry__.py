@@ -37,6 +37,13 @@ _GATE_HEAD = [
     # r6 red rows, fixed this round — the gate's whole point
     "q12_late_shipment_priority",
     "emb_quantize",
+    # r7 new: the six remaining TPC-H shapes (suite now 22/22)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
     # top-k reshaped to two-level salted window this round
     "sim_cosine_topk",
     "sim_pq_adc_topk",

@@ -7,3 +7,4 @@ from . import pipeline  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
 from . import cdc_extras  # noqa: F401,E402
 from . import tpch_extra  # noqa: F401,E402
+from . import tpch_complete  # noqa: F401,E402
