@@ -6,11 +6,15 @@ transforms run as Arrow-batched `mapInPandas` so each task processes
 columnar batches without JVM<->Python per-row cost. Codec status:
 UNCOMPRESSED formats decode for real with numpy alone — PPM P6 + 24-bit
 BMP images (pixel-stat features, nearest-neighbor resize) and PCM-16 WAV
-audio (duration/RMS/ZCR features). COMPRESSED codecs (JPEG/PNG/MP3/H.264)
-need PIL/ffmpeg, which are NOT in this container: feature extraction
-falls back to a deterministic digest fake (tagged in the vector), resize
-raises. The Spark-side plumbing (schema, batching, partitioning, UDF
-signatures) is identical either way and fully tested.
+audio (duration/RMS/ZCR features). COMPRESSED image codecs (JPEG/PNG/...)
+decode through an IMPORT-GUARDED Pillow arm (`_try_pil_decode`) where
+that library is installed; it is NOT in this container, so there feature
+extraction falls back to a deterministic digest fake (tagged in the
+vector) and resize raises. Audio/video compressed codecs (MP3/H.264)
+would need ffmpeg and remain stubbed. Resized images re-encode as PPM P6
+regardless of the decode arm, so outputs never depend on an encoder
+library's version. The Spark-side plumbing (schema, batching,
+partitioning, UDF signatures) is identical either way and fully tested.
 
 Scale notes: media rows are large — `repartition` by id before mapInPandas
 so batches stay under the Arrow batch target, and keep
@@ -66,10 +70,52 @@ FEATURE_SCHEMA = T.StructType(
 # marked. Swapping in a full codec never changes the Spark plan.
 
 
+def _pil_image_module():
+    """Import-guarded PIL: returns `PIL.Image` where Pillow is installed,
+    None otherwise (it is NOT in this container — the digest-fake /
+    NotImplementedError boundary stays authoritative there). Cached so
+    the per-row kernels never repeat a failed import."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is _UNRESOLVED:
+        try:
+            from PIL import Image  # type: ignore[import-not-found]
+
+            _PIL_IMAGE = Image
+        except ImportError:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+_UNRESOLVED = object()
+_PIL_IMAGE = _UNRESOLVED
+
+
+def _try_pil_decode(payload: bytes):
+    """Compressed-codec arm (JPEG/PNG/WebP/...): decode via Pillow to an
+    (h, w, 3) uint8 RGB array, or None when Pillow is absent or the
+    payload isn't an image it recognizes. NOTE: JPEG decode is only
+    bit-stable within one libjpeg build — environments that enable this
+    arm should pin Pillow for reproducible features."""
+    Image = _pil_image_module()
+    if Image is None:
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except Exception:
+        return None
+
+
 def decode_image(payload: bytes):
-    """Decode an uncompressed image payload to an (h, w, 3) uint8 array.
-    Supports PPM P6 (maxval 255) and 24-bit uncompressed BMP (the two
-    formats decodable with numpy alone). Returns None for anything else."""
+    """Decode an image payload to an (h, w, 3) uint8 array. PPM P6
+    (maxval 255) and 24-bit uncompressed BMP decode with numpy alone;
+    compressed codecs (JPEG/PNG/...) decode through the import-guarded
+    Pillow arm where that library exists. Returns None for anything
+    else."""
     import numpy as np
 
     if not payload:
@@ -119,7 +165,7 @@ def decode_image(payload: bytes):
         ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
         rows = rows[::-1] if flip else rows
         return rows[:, :, ::-1].copy()  # BGR -> RGB
-    return None
+    return _try_pil_decode(payload)
 
 
 def encode_ppm(arr) -> bytes:
@@ -265,8 +311,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 arr = decode_image(payload or b"")
                 if arr is None:
                     raise NotImplementedError(
-                        "compressed image codecs need PIL/opencv (not in this "
-                        "container); PPM/BMP payloads resize natively"
+                        "image payload not decodable: PPM/BMP resize natively; "
+                        "compressed codecs (JPEG/PNG) resize only where the "
+                        "import-guarded Pillow arm is installed (it is not in "
+                        "this container)"
                     )
                 out = _resize_kernel(arr, width, height)
                 payloads.append(encode_ppm(out))

@@ -454,3 +454,83 @@ def test_zero_dimension_ppm_falls_back_to_digest():
         assert decode_image(payload) is None
         feats = _decode_kernel(payload, "image")
         assert len(feats) == 8 and feats[7] != 1.0
+
+
+def test_pil_arm_decodes_compressed_when_available(monkeypatch):
+    """The import-guarded Pillow arm: with a (fake) PIL installed, a
+    compressed payload that PPM/BMP can't parse decodes through
+    `_try_pil_decode` and the feature kernel takes the REAL image path
+    (trailing tag 1.0) — executed coverage of the glue without Pillow in
+    the container."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from go_pq_cdc_spark.operators import multimodal as M
+
+    rgb = np.zeros((3, 5, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200
+
+    class _FakeIm:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return rgb
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_image_mod = types.SimpleNamespace(open=lambda buf: _FakeIm())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setattr(M, "_PIL_IMAGE", M._UNRESOLVED)
+
+    png = b"\x89PNG\r\n\x1a\n" + b"fakebody"
+    arr = M.decode_image(png)
+    assert arr is not None and arr.shape == (3, 5, 3)
+    feats = M._decode_kernel(png, "image")
+    assert feats[7] == 1.0  # real-image tag, not the digest fake
+    assert feats[0] == 5.0 and feats[1] == 3.0  # width, height
+    assert abs(feats[3] - 200 / 255) < 1e-9  # mean R
+    # resize consumes the same decode arm and re-encodes as PPM
+    out = M._resize_kernel(arr, 2, 2)
+    assert M.decode_image(M.encode_ppm(out)).shape == (2, 2, 3)
+
+
+def test_pil_arm_absent_keeps_digest_boundary(monkeypatch):
+    """Without Pillow (this container), compressed payloads keep the
+    documented honest boundary: decode_image -> None, features take the
+    tagged digest fake."""
+    from go_pq_cdc_spark.operators import multimodal as M
+
+    monkeypatch.setattr(M, "_PIL_IMAGE", M._UNRESOLVED)
+    png = b"\x89PNG\r\n\x1a\n" + b"fakebody"
+    if M._pil_image_module() is not None:
+        pytest.skip("Pillow actually installed here")
+    assert M.decode_image(png) is None
+    feats = M._decode_kernel(png, "image")
+    assert len(feats) == 8 and feats[7] != 1.0
+
+
+def test_real_pillow_roundtrip():
+    """Where Pillow IS installed: a real PNG payload decodes, features
+    are real, and resize round-trips through the PPM re-encode."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from go_pq_cdc_spark.operators import multimodal as M
+
+    rgb = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    buf = io.BytesIO()
+    PILImage.fromarray(rgb).save(buf, format="PNG")
+    arr = M.decode_image(buf.getvalue())
+    assert arr is not None and (arr == rgb).all()
+    feats = M._decode_kernel(buf.getvalue(), "image")
+    assert feats[7] == 1.0 and feats[0] == 6.0 and feats[1] == 4.0
