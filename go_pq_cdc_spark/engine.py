@@ -338,6 +338,9 @@ class CdcEngine:
         flat = typed.select(
             "op",
             "lsn",
+            # commit-rewritten envelopes carry the intra-transaction order
+            # key — keep it so the mirror merge orders same-commit events
+            *(["txn_seq"] if "txn_seq" in typed.columns else []),
             "xid",
             "commit_ts",
             F.col(pk_col).alias("pk"),

@@ -17,6 +17,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _order_cols(df: DataFrame) -> list[str]:
+    """Event-order columns: the socket transport envelope carries
+    `(lsn, txn_seq)` — lsn is the COMMIT end LSN (all rows of a
+    transaction share it) and txn_seq the intra-transaction position, so
+    ordering by lsn alone would tie-break arbitrarily WITHIN a
+    transaction. Flat fixtures / wal2json rows without txn_seq keep the
+    legacy unique-lsn ordering."""
+    return ["lsn", "txn_seq"] if "txn_seq" in df.columns else ["lsn"]
+
+
+def _event_key(df: DataFrame) -> Column:
+    """Total event-order key as one comparable struct (for order-free
+    MAX-window winner selection)."""
+    return F.struct(*_order_cols(df))
+
+
 def filter_heartbeat(df: DataFrame, heartbeat_table: str = "cdc_heartbeat") -> DataFrame:
     """O17/O27: heartbeat-table events are auto-acked and hidden from the
     consumer (stream.go:515-520, 543-561)."""
@@ -51,7 +67,7 @@ def toast_fill(df: DataFrame, value_col: str = "after_val") -> DataFrame:
     last marker's value, nulled when that marker is a reset. del_epoch is a
     running sum over the same window spec, so Catalyst evaluates both in
     one WindowExec."""
-    w = Window.partitionBy("pk").orderBy("lsn")
+    w = Window.partitionBy("pk").orderBy(*_order_cols(df))
     marker = F.when(
         (F.col("op") == "D") | F.col(value_col).isNotNull(),
         F.struct((F.col("op") == "D").alias("reset"), F.col(value_col).alias("v")),
@@ -71,7 +87,7 @@ def toast_fill_cols(df: DataFrame, value_cols: tuple[str, ...]) -> DataFrame:
     the SAME (pk, lsn) window spec, so Catalyst evaluates all columns
     plus del_epoch in ONE WindowExec — one shuffle, one sort, regardless
     of column count. Adds `filled_<col>` per value column."""
-    w = Window.partitionBy("pk").orderBy("lsn")
+    w = Window.partitionBy("pk").orderBy(*_order_cols(df))
     out = df.withColumn(
         "del_epoch",
         F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).over(w).cast("long"),
@@ -92,14 +108,14 @@ def before_image(df: DataFrame, value_col: str = "after_val") -> DataFrame:
     crossing a DELETE, and never taking a DELETE's own shipped image (a
     replica-identity-full D carries the OLD row in its payload; it is not a
     surviving image to inherit — update.go:102-109 semantics)."""
-    w = Window.partitionBy("pk").orderBy("lsn")
+    w = Window.partitionBy("pk").orderBy(*_order_cols(df))
     df = df.withColumn(
         "del_epoch",
         F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).over(w).cast("long"),
     )
     w2 = (
         Window.partitionBy("pk", "del_epoch")
-        .orderBy("lsn")
+        .orderBy(*_order_cols(df))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     masked = F.when(F.col("op") == "D", F.lit(None)).otherwise(F.col(value_col))
@@ -111,15 +127,18 @@ def latest_state(df: DataFrame) -> DataFrame:
     table from its change stream — max-LSN-wins per key, DELETE removes the
     key. This is what `foreachBatch` MERGE does incrementally; expressed
     relationally it is row_number()=1 over (pk ORDER BY lsn DESC)."""
+    key = _event_key(df)
     df = toast_fill(df)
-    # max-LSN-wins via an order-free MAX window: lsn is unique per key, so
-    # lsn == max(lsn) selects exactly the latest row — and unlike a DESC
-    # row_number it needs no third sort (the fill's (pk, ...) sort already
-    # satisfies the partition-only requirement).
+    # max-key-wins via an order-free MAX window: (lsn[, txn_seq]) is unique
+    # per key, so key == max(key) selects exactly the latest row — and
+    # unlike a DESC row_number it needs no third sort (the fill's (pk, ...)
+    # sort already satisfies the partition-only requirement). The struct
+    # key matters for commit-rewritten envelopes, where every row of a
+    # transaction shares the commit lsn and only txn_seq splits them.
     w = Window.partitionBy("pk")
     return (
-        df.withColumn("max_lsn", F.max("lsn").over(w))
-        .filter((F.col("lsn") == F.col("max_lsn")) & (F.col("op") != "D"))
+        df.withColumn("max_k", F.max(key).over(w))
+        .filter((key == F.col("max_k")) & (F.col("op") != "D"))
         .select(
             "pk",
             F.col("filled_val").alias("last_val"),
@@ -146,12 +165,19 @@ def snapshot_handoff(df: DataFrame, snapshot_lsn: int) -> DataFrame:
         F.col("last_val").alias("after_val"),
     )
     stream_rows = stream.select("pk", "lsn", "op", "after_val")
+    if "txn_seq" in df.columns:
+        # commit-rewritten envelope: preserve the intra-transaction order
+        # key on the stream side; consolidated snapshot rows sit strictly
+        # below snapshot_lsn, so 0 never ties with a stream event
+        snap_rows = snap_rows.withColumn("txn_seq", F.lit(0).cast("long"))
+        stream_rows = stream.select("pk", "lsn", "txn_seq", "op", "after_val")
     unioned = snap_rows.unionByName(stream_rows)
+    key = _event_key(unioned)
     filled = toast_fill(unioned)
     w = Window.partitionBy("pk")
     return (
-        filled.withColumn("max_lsn", F.max("lsn").over(w))
-        .filter((F.col("lsn") == F.col("max_lsn")) & (F.col("op") != "D"))
+        filled.withColumn("max_k", F.max(key).over(w))
+        .filter((key == F.col("max_k")) & (F.col("op") != "D"))
         .select(
             "pk",
             F.col("filled_val").alias("last_val"),
@@ -167,7 +193,15 @@ def commit_order(df: DataFrame) -> DataFrame:
     position to the Commit's TransactionEndLSN, stream.go:444-480), plus its
     position within the transaction. Downstream ordering by
     (commit_lsn, txn_seq) reproduces the reference's emission order
-    (concurrent_tx_ordering_test.go:18-21) without a global sort."""
+    (concurrent_tx_ordering_test.go:18-21) without a global sort.
+
+    Rows from the socket transport arrive ALREADY rewritten (`lsn` is the
+    commit end LSN, `txn_seq` the intra-transaction position) — for those
+    this is a pure aliasing projection, no window at all. The relational
+    reconstruction below serves flat fixtures whose per-row lsns are raw
+    unique positions."""
+    if "txn_seq" in df.columns:
+        return df.withColumn("commit_lsn", F.col("lsn"))
     w_txn = Window.partitionBy("xid")
     w_seq = Window.partitionBy("xid").orderBy("lsn")
     return df.withColumn("commit_lsn", F.max("lsn").over(w_txn)).withColumn(

@@ -44,9 +44,13 @@ RAW_WAL_SCHEMA_DDL = "lsn bigint, xid bigint, data string"
 
 # Envelope segments as written by sources.slot_keeper.pump_frames (the
 # socket/pgoutput transport decodes driver-side; columns mirror
-# wal2json.decode_wal2json output).
+# wal2json.decode_wal2json output). `lsn` is the transaction's COMMIT
+# end LSN (the reference's TransactionEndLSN rewrite) and `txn_seq` the
+# 1-based position within the transaction — (lsn, txn_seq) totally
+# orders events in commit order. Format v2 (txn_seq added): start new
+# wal_dirs fresh; segments are transient transport state, not storage.
 ENVELOPE_WAL_SCHEMA_DDL = (
-    "op string, lsn bigint, xid bigint, commit_ts timestamp, "
+    "op string, lsn bigint, txn_seq bigint, xid bigint, commit_ts timestamp, "
     "schema string, table string, "
     "before map<string,string>, after map<string,string>"
 )

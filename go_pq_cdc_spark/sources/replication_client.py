@@ -154,8 +154,11 @@ class ReplicationConnection:
                 else:
                     raise ReplicationError(f"unsupported auth request code {code}")
             elif tag == b"S":
-                k, v = body.rstrip(b"\x00").split(b"\x00", 1)
-                self.parameters[k.decode()] = v.decode()
+                # ParameterStatus is name\0value\0 where value may be EMPTY
+                # (live servers send application_name='' by default) — so
+                # partition on the first NUL, never rstrip-then-split.
+                k, _, v = body.partition(b"\x00")
+                self.parameters[k.decode()] = v.rstrip(b"\x00").decode()
             elif tag == b"K":
                 pass  # BackendKeyData — cancellation not used
             elif tag == b"Z":
@@ -261,6 +264,15 @@ class ReplicationConnection:
         )
 
     def close(self) -> None:
+        # shutdown() first: close() alone does NOT wake a recv() blocked in
+        # another thread (the pump), and the un-FINed socket leaves the
+        # server's walsender holding the replication slot — a live-server
+        # finding (pg_drop_replication_slot kept failing with 'slot is
+        # active for PID n' long after close).
+        try:
+            self.sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
         try:
             self.sock.close()
         except OSError:

@@ -96,19 +96,27 @@ def gc_segments(wal_dir: str) -> list[str]:
     return removed
 
 
-def write_envelope_segment(wal_dir: str, start_lsn: int, rows: list[dict]) -> int:
+def write_envelope_segment(
+    wal_dir: str, start_lsn: int, rows: list[dict], end_lsn: int | None = None
+) -> int:
     """Write one decoded-envelope segment (rows from
-    `pgoutput.frames_to_envelope`) covering [start_lsn, max lsn]."""
+    `pgoutput.frames_to_envelope`) covering [start_lsn, end_lsn]. When
+    `end_lsn` is given it should be the last included transaction's
+    COMMIT-record end LSN — with interleaved transactions, individual row
+    LSNs are NOT monotonic in commit order and may fall below the segment
+    range; only commit ends are safe chain boundaries."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    end_lsn = max(r["lsn"] for r in rows)
+    if end_lsn is None:
+        end_lsn = max(r["lsn"] for r in rows)
     map_t = pa.map_(pa.string(), pa.string())
     as_items = lambda m: None if m is None else list(m.items())  # noqa: E731
     table = pa.table(
         {
             "op": pa.array([r["op"] for r in rows], pa.string()),
             "lsn": pa.array([r["lsn"] for r in rows], pa.int64()),
+            "txn_seq": pa.array([r.get("txn_seq", 1) for r in rows], pa.int64()),
             "xid": pa.array([r["xid"] for r in rows], pa.int64()),
             "commit_ts": pa.array(
                 [r["commit_ts_us"] for r in rows], pa.timestamp("us")
@@ -138,12 +146,26 @@ def pump_frames(
     stream.go:302-348 + 718-733, with the durable segment log in place of
     the in-process handler channel).
 
-    Segments are cut at COMMIT boundaries once `batch_rows` rows have
-    accumulated, so a transaction never spans a segment edge (replay after
-    a crash re-reads whole transactions — at-least-once, idempotent
-    downstream). Keepalives trigger an ack of the durable frontier; a
-    `reply_requested` keepalive acks immediately. Returns the final
-    frontier LSN. `send_status(received, flushed, applied)` is typically
+    Transactions are delivered WHOLE (`_committed_txns` buffers per
+    top-level xid, like the reference's per-XID assembly) and segments cut
+    at COMMIT boundaries once `batch_rows` rows have accumulated, so a
+    transaction never spans a segment edge (replay after a crash re-reads
+    whole transactions — at-least-once, idempotent downstream).
+
+    The durable frontier and replay dedup work at TRANSACTION granularity
+    on the COMMIT record's end LSN — the position the server's own
+    confirmed_flush_lsn tracks — never on per-row LSNs: with interleaved
+    transactions, a later-committing transaction's row records sit at
+    LOWER WAL positions than an earlier-committing one's (first live-
+    server run caught exactly that: per-row `lsn > frontier` filtering
+    silently dropped the later transaction), and the first record after
+    slot creation sits exactly AT the consistent point. A stream cut
+    mid-transaction discards the incomplete tail instead of flushing
+    uncommitted rows.
+
+    Keepalives trigger an ack of the durable frontier; a `reply_requested`
+    keepalive acks immediately. Returns the final frontier LSN.
+    `send_status(received, flushed, applied)` is typically
     `ReplicationConnection.send_standby_status`."""
     from .pgoutput import PrimaryKeepalive
 
@@ -153,6 +175,7 @@ def pump_frames(
         default=start_lsn if start_lsn is not None else 0,
     )
     pending: list[dict] = []
+    last_end = frontier
 
     def ack():
         if send_status:
@@ -160,9 +183,9 @@ def pump_frames(
 
     def flush():
         nonlocal frontier, pending
-        fresh = [r for r in pending if r["lsn"] > frontier]
-        if fresh:
-            frontier = write_envelope_segment(wal_dir, frontier + 1, fresh)
+        if pending and last_end > frontier:
+            write_envelope_segment(wal_dir, frontier + 1, pending, end_lsn=last_end)
+            frontier = last_end
         pending = []
         ack()
 
@@ -175,12 +198,20 @@ def pump_frames(
                 continue
             yield f
 
-    for row in _envelope_with_commit_marks(dml_frames()):
-        if row is _COMMIT_MARK:
-            if len(pending) >= batch_rows:
-                flush()
+    for end_lsn, rows in _committed_txns(dml_frames()):
+        if end_lsn <= frontier or not rows:
+            # replayed duplicate after restart, or a transaction with no
+            # rows for the published tables — nothing durable to add (an
+            # empty txn must NOT advance the frontier without a segment,
+            # or the segment chain would show a gap). Still ack the
+            # durable frontier so a replay-heavy resume keeps the slot
+            # advancing instead of going silent until the next keepalive.
+            ack()
             continue
-        pending.append(row)
+        pending.extend(rows)
+        last_end = end_lsn
+        if len(pending) >= batch_rows:
+            flush()
     if pending:
         flush()
     else:
@@ -296,12 +327,53 @@ def run_replication_resilient(
             attempt += 1
 
 
-_COMMIT_MARK = object()
+def _stamp_commit(buffered, end_lsn, commit_ts_us):
+    """Commit-time rewrite: every row of the transaction gets the commit
+    end LSN plus its 1-based intra-transaction sequence; streamed
+    transactions additionally get the commit timestamp only the
+    StreamCommit message carries."""
+    rows = []
+    for i, (_sx, r) in enumerate(buffered):
+        r["lsn"] = end_lsn
+        r["txn_seq"] = i + 1
+        if commit_ts_us is not None:
+            r["commit_ts_us"] = commit_ts_us
+        rows.append(r)
+    return rows
 
 
-def _envelope_with_commit_marks(frames):
-    """`pgoutput.frames_to_envelope` semantics, plus a _COMMIT_MARK at each
-    transaction boundary so the pump can cut commit-aligned segments."""
+def _committed_txns(frames):
+    """`pgoutput.frames_to_envelope` semantics, re-grouped to WHOLE
+    transactions: yields `(commit_end_lsn, rows)` per COMMITTED
+    transaction, in commit order — the reference's per-XID assembly
+    (worker-side txn buffer) done at the transport.
+
+    Emitted rows carry the COMMIT-REWRITTEN position: `lsn` is the
+    transaction's commit-record end LSN (the reference rewrites delivered
+    WAL positions to TransactionEndLSN — stream.go:193-203 regular,
+    :257-267 streamed) and `txn_seq` is the 1-based position within the
+    transaction, so `(lsn, txn_seq)` totally orders events in commit
+    order even when read back from unordered distributed storage. Raw
+    per-record WAL positions are NOT exposed: with interleaved
+    transactions they are not monotonic in commit order, and anything
+    ordering by them (a max-LSN-wins merge, a toast carry-forward
+    window) picks the wrong winner.
+
+    Rows are buffered per top-level xid until the commit arrives, so:
+      * an uncommitted tail (stream cut mid-transaction) is never
+        emitted — the caller can't flush rows that may roll back;
+      * protocol-v2 STREAMED transactions work: blocks of different
+        top-level xids interleave between StreamStart/StreamStop, DML
+        messages carry their (sub)transaction's xid, StreamAbort drops
+        exactly the aborted subtransaction's rows (whole buffer when
+        subxid == toplevel), and StreamCommit releases the survivors
+        with the commit timestamp only IT carries.
+
+    Memory holds one in-flight transaction set, the same bound as the
+    reference's in-process buffer; the server's logical_decoding_work_mem
+    pushes oversized transactions into streamed mode, which buffers here
+    too — spill-to-disk is the documented future hook if that ever
+    bites."""
     from .pgoutput import (
         UNCHANGED_TOAST,
         Begin,
@@ -309,14 +381,19 @@ def _envelope_with_commit_marks(frames):
         Delete,
         Insert,
         PgOutputDecoder,
+        StreamAbort,
         StreamCommit,
+        StreamStart,
+        StreamStop,
         Update,
     )
 
     dec = PgOutputDecoder()
     ops = {Insert: "I", Update: "U", Delete: "D"}
-    xid = None
-    commit_ts_us = None
+    cur_xid = None  # non-streamed: Begin..Commit never interleaves
+    cur_commit_ts_us = None
+    stream_top = None  # inside a StreamStart..StreamStop block
+    bufs: dict[int, list] = {}  # toplevel xid -> [(subxid, row), ...]
 
     def clean(img):
         if img is None:
@@ -326,26 +403,52 @@ def _envelope_with_commit_marks(frames):
     for frame in frames:
         msg = dec.decode(frame.payload)
         if isinstance(msg, Begin):
-            xid, commit_ts_us = msg.xid, msg.commit_ts_us
+            cur_xid, cur_commit_ts_us = msg.xid, msg.commit_ts_us
+            bufs.setdefault(cur_xid, [])
             continue
-        if isinstance(msg, (Commit, StreamCommit)):
-            xid, commit_ts_us = None, None
-            yield _COMMIT_MARK
+        if isinstance(msg, Commit):
+            rows = _stamp_commit(bufs.pop(cur_xid, []), msg.end_lsn, None)
+            cur_xid, cur_commit_ts_us = None, None
+            yield msg.end_lsn, rows
+            continue
+        if isinstance(msg, StreamStart):
+            stream_top = msg.xid
+            bufs.setdefault(stream_top, [])
+            continue
+        if isinstance(msg, StreamStop):
+            stream_top = None
+            continue
+        if isinstance(msg, StreamCommit):
+            rows = _stamp_commit(
+                bufs.pop(msg.xid, []), msg.end_lsn, msg.commit_ts_us
+            )
+            yield msg.end_lsn, rows
+            continue
+        if isinstance(msg, StreamAbort):
+            if msg.subxid == msg.xid:
+                bufs.pop(msg.xid, None)
+            elif msg.xid in bufs:
+                bufs[msg.xid] = [
+                    (sx, r) for sx, r in bufs[msg.xid] if sx != msg.subxid
+                ]
             continue
         op = ops.get(type(msg))
         if op is None:
             continue
+        toplevel = stream_top if stream_top is not None else cur_xid
+        subxid = msg.xid if msg.xid is not None else toplevel
         rel = dec.relations[msg.relation_oid]
-        yield {
+        row = {
             "op": op,
             "lsn": frame.wal_start,
-            "xid": msg.xid if msg.xid is not None else xid,
-            "commit_ts_us": commit_ts_us,
+            "xid": subxid,
+            "commit_ts_us": cur_commit_ts_us if stream_top is None else None,
             "schema": rel.namespace,
             "table": rel.name,
             "before": clean(getattr(msg, "old", None)),
             "after": clean(getattr(msg, "new", None)),
         }
+        bufs.setdefault(toplevel, []).append((subxid, row))
 
 
 class SlotKeeper:

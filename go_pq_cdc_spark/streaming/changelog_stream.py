@@ -67,6 +67,11 @@ def changelog_stream(
 # scale. The count is fixed at mirror creation and persisted in the manifest
 # — rebucketing requires a rebuild, exactly like Hive/Spark bucketed tables.
 MIRROR_BUCKETS = 32
+
+# txn_seq assigned to stored mirror rows inside a merge: consolidated
+# post-transaction state must order AFTER any replayed event of the same
+# commit lsn (real txn_seq values are small positive ints).
+STORED_ROW_SEQ = 1 << 62
 _MANIFEST = "manifest.json"
 
 
@@ -331,9 +336,15 @@ def merge_mirror_batch(
             f"[{value_schema}] requires a rebuild"
         )
 
-    incoming = batch_df.select("pk", "lsn", "op", *value_cols).withColumn(
-        "pb", _bucket_col(n_buckets=n_buckets)
-    )
+    # Event-order key: commit-rewritten envelopes carry (lsn, txn_seq) —
+    # all rows of one transaction share the commit lsn and txn_seq splits
+    # them; flat fixtures without txn_seq get 0 (their lsns are unique).
+    seq_in = (
+        F.col("txn_seq") if "txn_seq" in batch_df.columns else F.lit(0)
+    ).cast("long")
+    incoming = batch_df.select(
+        "pk", "lsn", "op", *value_cols, seq_in.alias("txn_seq")
+    ).withColumn("pb", _bucket_col(n_buckets=n_buckets))
     # Driver-side bucket routing (<= n_buckets ints — a plan-time scalar,
     # like the reference's per-batch table routing).
     affected = sorted(
@@ -356,9 +367,13 @@ def merge_mirror_batch(
         if str(b) in manifest["buckets"]
     ]
     if old_paths:
+        # Stored rows are consolidated post-transaction state: give them a
+        # txn_seq ABOVE any event's so a stored 'R' row wins the
+        # fill/winner ordering against replayed events of the same commit
+        # (bucket files stay (pk, lsn, op, values) — no on-disk change).
         existing = spark.read.parquet(*old_paths).select(
             "pk", "lsn", "op", *value_cols
-        )
+        ).withColumn("txn_seq", F.lit(STORED_ROW_SEQ).cast("long"))
         merged = existing.unionByName(incoming.drop("pb"))
     else:
         merged = incoming.drop("pb")
@@ -367,11 +382,13 @@ def merge_mirror_batch(
     # subset rule), so the merge body runs on a single exchange.
     par = spark.sparkContext.defaultParallelism
     merged = merged.repartition(min(par, max(len(affected), 1)), F.col("pk"))
-    # At-least-once replay can re-deliver the event whose LSN equals the
-    # stored mirror row's — dedupe (pk, lsn) preferring the stored 'R' row
-    # (it already carries the TOAST-repaired value) so the fill window
-    # never sees an ambiguous tie.
-    w_dup = Window.partitionBy("pk", "lsn").orderBy(F.desc(F.col("op") == "R"))
+    # At-least-once replay can re-deliver an event identical to one already
+    # merged — dedupe on the full (pk, lsn, txn_seq) event identity,
+    # preferring the stored 'R' row (it already carries the TOAST-repaired
+    # value) so the fill window never sees an ambiguous tie.
+    w_dup = Window.partitionBy("pk", "lsn", "txn_seq").orderBy(
+        F.desc(F.col("op") == "R")
+    )
     merged = (
         merged.withColumn("dup_rn", F.row_number().over(w_dup))
         .filter(F.col("dup_rn") == 1)
@@ -379,9 +396,10 @@ def merge_mirror_batch(
     )
     filled = toast_fill_cols(merged, value_cols)
     w = Window.partitionBy("pk")
+    ev_key = F.struct("lsn", "txn_seq")
     state = (
-        filled.withColumn("max_lsn", F.max("lsn").over(w))
-        .filter((F.col("lsn") == F.col("max_lsn")) & (F.col("op") != "D"))
+        filled.withColumn("max_k", F.max(ev_key).over(w))
+        .filter((ev_key == F.col("max_k")) & (F.col("op") != "D"))
         .select(
             "pk",
             "lsn",

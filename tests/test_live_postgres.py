@@ -92,12 +92,29 @@ def live(tmp_path):
         yield state
     finally:
         try:
-            q(f"SELECT pg_drop_replication_slot('{SLOT}') "
-              f"WHERE EXISTS (SELECT 1 FROM pg_replication_slots WHERE slot_name = '{SLOT}')")
+            _drop_slot_with_retry(q)
             q(f"DROP PUBLICATION IF EXISTS {PUB}")
             q(f"DROP TABLE IF EXISTS {TABLE}")
         finally:
             sql.close()
+
+
+def _drop_slot_with_retry(q, tries: int = 20, pause_s: float = 0.25) -> None:
+    """The walsender releases the slot shortly AFTER the client's socket
+    close — a live-server finding: an immediate drop races it and fails
+    with 'replication slot ... is active for PID n'. Retry briefly."""
+    from go_pq_cdc_spark.sources.replication_client import ReplicationError
+
+    for i in range(tries):
+        try:
+            q(f"SELECT pg_drop_replication_slot('{SLOT}') "
+              f"WHERE EXISTS (SELECT 1 FROM pg_replication_slots "
+              f"WHERE slot_name = '{SLOT}')")
+            return
+        except ReplicationError as exc:
+            if "is active for" not in str(exc) or i == tries - 1:
+                raise
+            time.sleep(pause_s)
 
 
 def _create_slot_with_snapshot(repl) -> tuple[int, str]:

@@ -311,25 +311,31 @@ def test_pump_frames_to_envelope_segments(tmp_path):
         frames, wal_dir, send_status=lambda r, f, a: acks.append(f), batch_rows=1
     )
     segs = lsn_stream.list_segments(wal_dir)
-    # commit-aligned: txn1 DMLs (lsn 11,12) then txn2 DML (lsn 21)
-    assert [(s, e) for s, e, _ in segs] == [(1, 12), (13, 21)]
-    assert frontier == 21
-    # acks track the durable frontier: after seg1, after seg2, keepalive,
-    # and the shutdown final flush
-    assert acks == [13, 22, 22, 22]
+    # commit-aligned, commit-rewritten: txn1's COMMIT end is 14, txn2's 23
+    # — segments chain on commit ends, never on raw row positions
+    assert [(s, e) for s, e, _ in segs] == [(1, 14), (15, 23)]
+    assert frontier == 23
+    # acks track the durable frontier (commit end + 1): after seg1, after
+    # seg2, keepalive, and the shutdown final flush
+    assert acks == [15, 24, 24, 24]
+    # rows carry the commit lsn + intra-transaction sequence
+    import pyarrow.parquet as _pq
 
-    # restart with the same WAL dir: replayed frames are deduped by the
-    # recovered frontier — no duplicate segments, final flush still acked
+    seg_rows = [r for _s, _e, p in segs for r in _pq.read_table(p).to_pylist()]
+    assert [(r["lsn"], r["txn_seq"]) for r in seg_rows] == [(14, 1), (14, 2), (23, 1)]
+
+    # restart with the same WAL dir: replayed transactions are deduped by
+    # commit end vs the recovered frontier — no duplicate segments
     acks2 = []
     f2 = pump_frames(
         frames, wal_dir, send_status=lambda r, f, a: acks2.append(f), batch_rows=1
     )
-    assert f2 == 21
+    assert f2 == 23
     assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [
-        (1, 12),
-        (13, 21),
+        (1, 14),
+        (15, 23),
     ]
-    assert acks2[-1] == 22
+    assert acks2[-1] == 24
 
 
 def test_envelope_segments_through_spark_to_mirror(spark, tmp_path):
@@ -378,9 +384,12 @@ def test_envelope_segments_through_spark_to_mirror(spark, tmp_path):
         .option("envelope", "true")
         .load()
     )
+    # txn_seq must ride along: all four events share the commit lsn after
+    # the transport's commit rewrite, and only txn_seq orders them
     flat = env.select(
         "op",
         "lsn",
+        "txn_seq",
         "xid",
         "commit_ts",
         F.coalesce(F.col("after.id"), F.col("before.id")).cast("bigint").alias("pk"),
@@ -429,11 +438,12 @@ def test_run_replication_end_to_end(tmp_path):
     )
     srv.join(timeout=5)
     assert not srv.errors, srv.errors
-    assert frontier == 11
-    assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [(1, 11)]
+    # frontier = the transaction's COMMIT end LSN (13), not the last row
+    assert frontier == 13
+    assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [(1, 13)]
     assert "SLOT cdc_slot LOGICAL 0/0" in srv.start_replication_sql
     # every ack reports the durable frontier + 1
-    assert srv.received_status and all(st[:3] == (12, 12, 12) for st in srv.received_status)
+    assert srv.received_status and all(st[:3] == (14, 14, 14) for st in srv.received_status)
 
     srv2 = FakePgServer(stream=stream, expect_acks=2)
     srv2.start()
@@ -443,9 +453,9 @@ def test_run_replication_end_to_end(tmp_path):
     )
     srv2.join(timeout=5)
     assert not srv2.errors, srv2.errors
-    assert f2 == 11
-    assert "SLOT cdc_slot LOGICAL 0/B" in srv2.start_replication_sql
-    assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [(1, 11)]
+    assert f2 == 13
+    assert "SLOT cdc_slot LOGICAL 0/D" in srv2.start_replication_sql
+    assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [(1, 13)]
 
 
 class FlakyPgServer(FakePgServer):
@@ -532,11 +542,13 @@ def test_run_replication_resilient_survives_mid_txn_drop(tmp_path):
     )
     srv.join(timeout=5)
     assert not srv.errors, srv.errors
-    assert frontier == 21
-    # two segments, contiguous, txn2 exactly once despite the replay
+    assert frontier == 23
+    # two segments chained on commit ends, txn2 exactly once despite the
+    # replay — and the DANGLING half-transaction of session 1 (B at 20,
+    # row at 21, socket dropped before its commit) is NEVER flushed
     assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [
-        (1, 10),
-        (11, 21),
+        (1, 13),
+        (14, 23),
     ]
     import duckdb
 
@@ -546,10 +558,10 @@ def test_run_replication_resilient_survives_mid_txn_drop(tmp_path):
             f"SELECT lsn FROM read_parquet('{wal_dir}/*.parquet') ORDER BY lsn"
         ).fetchall()
     ]
-    assert lsns == [10, 21]
+    assert lsns == [13, 23]  # commit-rewritten positions
     # the redial resumed from the durable frontier, not from scratch
     assert "SLOT cdc_slot LOGICAL 0/0" in srv.start_replication_sqls[0]
-    assert "SLOT cdc_slot LOGICAL 0/A" in srv.start_replication_sqls[1]
+    assert "SLOT cdc_slot LOGICAL 0/D" in srv.start_replication_sqls[1]
     # one reconnect, and progress before the drop reset the budget to delay[0]
     assert retries == [1]
     assert sleeps == [0.01]
@@ -646,6 +658,6 @@ def test_run_replication_resilient_waits_out_busy_slot(tmp_path):
     )
     srv.join(timeout=5)
     assert not srv.errors, srv.errors
-    assert frontier == 10
-    assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [(1, 10)]
+    assert frontier == 13
+    assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [(1, 13)]
     assert sleeps == [0.01]  # one busy rejection, then takeover
