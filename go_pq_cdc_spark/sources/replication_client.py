@@ -96,17 +96,22 @@ class ReplicationConnection:
         password: str | None = None,
         timeout_s: float | None = 10.0,
         replication: bool = True,
+        options: str | None = None,
     ) -> "ReplicationConnection":
         """`replication=True` opens a logical-replication session
         (START_REPLICATION capable); `replication=False` opens a plain SQL
         session over the same wire machinery — used by the live-server
         integration harness to drive DDL/DML without any driver
-        dependency."""
+        dependency. `options` passes command-line GUCs to the backend
+        (e.g. '-c logical_decoding_work_mem=64kB' to force protocol-v2
+        streaming of large transactions on the walsender)."""
         sock = socket.create_connection((host, port), timeout=timeout_s)
         conn = cls(sock)
         params = f"user\x00{user}\x00database\x00{database}\x00"
         if replication:
             params += "replication\x00database\x00"
+        if options:
+            params += f"options\x00{options}\x00"
         params += "\x00"
         body = struct.pack(">i", PROTOCOL_VERSION) + params.encode()
         sock.sendall(struct.pack(">i", len(body) + 4) + body)

@@ -129,16 +129,22 @@ def _create_slot_with_snapshot(repl) -> tuple[int, str]:
     return _lsn_to_int(consistent_point), snapshot_name
 
 
-def _stream_rows(wal_dir: str, start_lsn: int, want) -> list[dict]:
+def _stream_rows(wal_dir: str, start_lsn: int, want, options=None) -> list[dict]:
     """Run the real transport chain — START_REPLICATION -> frames() ->
     pump_frames -> envelope segments — in a thread, polling the durable
-    segment log until `want(rows)` is satisfied or WAIT_S elapses."""
+    segment log until `want(rows)` is satisfied or WAIT_S elapses.
+    `options` forwards backend GUCs to the walsender (e.g. a tiny
+    logical_decoding_work_mem to force protocol-v2 streaming)."""
     import pyarrow.parquet as pq
 
     from go_pq_cdc_spark.sources import lsn_stream
+    from go_pq_cdc_spark.sources.replication_client import ReplicationConnection
+
     from go_pq_cdc_spark.sources.slot_keeper import pump_frames
 
-    conn = _repl_conn()
+    conn = ReplicationConnection.connect(
+        **_conn_args(), replication=True, options=options
+    )
     conn.sock.settimeout(None)  # pump blocks on recv; keepalives are sparse
     conn.start_replication(SLOT, start_lsn, [PUB])
 
@@ -268,3 +274,109 @@ def test_rollback_invisible(live):
     ids = {dict(r["after"])["id"] for r in rows if r["op"] == "I"}
     assert "777" in ids
     assert "666" not in ids, "rolled-back row leaked into the stream"
+
+
+def test_streamed_large_transaction_commit(live):
+    """Protocol-v2 STREAMED transaction path against a real walsender: a
+    per-session logical_decoding_work_mem of 64kB forces the server to
+    stream the (still in progress) transaction in StreamStart/StreamStop
+    chunks; the transport must buffer per top-level xid, emit ONLY at
+    StreamCommit, stamp the commit timestamp (only StreamCommit carries
+    it), and commit-rewrite every row to one (lsn, txn_seq 1..n) chain."""
+    q = live["sql"].simple_query
+    repl = _repl_conn()
+    try:
+        consistent_point, _snap = _create_slot_with_snapshot(repl)
+    finally:
+        repl.close()
+
+    n = 800  # ~800 x ~1kB >> 64kB decoding memory -> streamed
+    q(f"INSERT INTO {TABLE} "
+      f"SELECT g, repeat(md5(g::text), 32) FROM generate_series(1, {n}) g")
+
+    rows = _stream_rows(
+        live["wal_dir"],
+        consistent_point,
+        lambda rs: len([r for r in rs if r["op"] == "I"]) >= n,
+        options="-c logical_decoding_work_mem=64kB",
+    )
+    inserts = [r for r in rows if r["op"] == "I"]
+    assert len(inserts) == n
+    ids = sorted(int(dict(r["after"])["id"]) for r in inserts)
+    assert ids == list(range(1, n + 1))
+    # one commit-rewritten chain: single lsn, txn_seq 1..n, one xid
+    assert len({r["lsn"] for r in inserts}) == 1
+    assert sorted(r["txn_seq"] for r in inserts) == list(range(1, n + 1))
+    assert len({r["xid"] for r in inserts}) == 1
+    assert all(r["commit_ts"] is not None for r in inserts)
+
+
+def test_streamed_large_transaction_rollback_invisible(live):
+    """A streamed transaction that ROLLS BACK (the walsender has already
+    shipped its chunks!) must leave nothing in the envelope — the
+    StreamAbort arm against a real server."""
+    q = live["sql"].simple_query
+    repl = _repl_conn()
+    try:
+        consistent_point, _snap = _create_slot_with_snapshot(repl)
+    finally:
+        repl.close()
+
+    q("BEGIN")
+    q(f"INSERT INTO {TABLE} "
+      f"SELECT g, repeat(md5(g::text), 32) FROM generate_series(1, 800) g")
+    q("ROLLBACK")
+    q(f"INSERT INTO {TABLE} VALUES (9001, 'sentinel')")
+
+    rows = _stream_rows(
+        live["wal_dir"],
+        consistent_point,
+        lambda rs: any(
+            r["op"] == "I" and dict(r["after"])["id"] == "9001" for r in rs
+        ),
+        options="-c logical_decoding_work_mem=64kB",
+    )
+    ids = {dict(r["after"])["id"] for r in rows if r["op"] == "I"}
+    assert ids == {"9001"}, "streamed-aborted rows leaked into the envelope"
+
+
+def test_live_update_delete_toast(live):
+    """Live decode of U/D with REPLICA IDENTITY FULL and a TOASTed column:
+    the out-of-line value must arrive as the envelope's NULL-means-
+    unchanged convention when a different column is updated (pgoutput 'u'
+    tag), the before image must carry the old row, and a DELETE's before
+    image must identify the row."""
+    q = live["sql"].simple_query
+    # big enough to TOAST (> ~2kB post-compression: md5 chains don't
+    # compress), stored out of line
+    q(f"ALTER TABLE {TABLE} ADD COLUMN big text")
+    q(f"INSERT INTO {TABLE} (id, val, big) "
+      f"SELECT 1, 'small', string_agg(md5(g::text), '') "
+      f"FROM generate_series(1, 300) g")
+
+    repl = _repl_conn()
+    try:
+        consistent_point, _snap = _create_slot_with_snapshot(repl)
+    finally:
+        repl.close()
+
+    q(f"UPDATE {TABLE} SET val = 'small-2' WHERE id = 1")  # big untouched
+    q(f"DELETE FROM {TABLE} WHERE id = 1")
+
+    rows = _stream_rows(
+        live["wal_dir"],
+        consistent_point,
+        lambda rs: any(r["op"] == "D" for r in rs),
+    )
+    upd = next(r for r in rows if r["op"] == "U")
+    after = dict(upd["after"])
+    assert after["val"] == "small-2"
+    # unchanged TOAST column -> envelope NULL (repaired downstream by
+    # operators.cdc.toast_fill)
+    assert after["big"] is None
+    before = dict(upd["before"])
+    assert before["val"] == "small" and before["id"] == "1"
+    assert before["big"] is not None and len(before["big"]) == 300 * 32
+    dele = next(r for r in rows if r["op"] == "D")
+    assert dict(dele["before"])["id"] == "1"
+    assert dele["after"] is None
