@@ -410,6 +410,22 @@ def merge_mirror_batch(
     )
     epoch_rel = os.path.join("epochs", f"e{epoch:09d}")
     epoch_dir = os.path.join(state_dir, epoch_rel)
+    # An explicit epoch that re-targets a directory whose bucket dirs the
+    # live manifest still references — beyond the buckets this batch
+    # rewrites — would WIPE them via the overwrite below and leave the
+    # manifest dangling (silent data loss; the mirror_sink/seed collision
+    # class). Refuse loudly instead.
+    clobbered = sorted(
+        b
+        for b, rel in manifest["buckets"].items()
+        if rel.startswith(epoch_rel + os.sep) and int(b) not in affected
+    )
+    if clobbered:
+        raise ValueError(
+            f"mirror epoch {epoch} at {state_dir} would overwrite live bucket "
+            f"dirs {clobbered} still referenced by the manifest; epochs must "
+            "be fresh (pass epoch=None to use the manifest counter)"
+        )
     # ~1 writer task per bucket -> ~1 file per bucket dir (not tasks*buckets)
     (
         state.repartition(len(affected), "pb")
@@ -455,13 +471,25 @@ def mirror_sink(
     `n_buckets` sizes a FRESH mirror (see sizing rule at MIRROR_BUCKETS /
     `suggest_mirror_buckets`); an existing mirror keeps its manifest-pinned
     count. `keep_epochs` > 1 retains that many epoch snapshots for
-    `read_mirror_as_of` time travel."""
+    `read_mirror_as_of` time travel.
+
+    Epoch numbering comes from the MIRROR's manifest counter, NOT from
+    Spark's foreachBatch batch id: the two counters live in different
+    namespaces (the engine's snapshot seed already consumed mirror epoch
+    0 before the stream's batch 0 arrives), and a collision is data loss
+    — the colliding batch's `mode("overwrite")` epoch-dir write wipes
+    every seeded bucket it doesn't itself touch while the manifest still
+    references them (found by the live-PostgreSQL engine lifecycle
+    test). A checkpoint REPLAY of a batch re-merges idempotently into a
+    fresh epoch instead of overwriting (events dedupe against stored
+    rows on (pk, lsn, txn_seq)); a pre-swap crash leaves only
+    unreferenced orphan dirs, which the next GC removes."""
     return (
         stream_df.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
-            lambda batch_df, epoch: merge_mirror_batch(
-                batch_df, state_dir, epoch, n_buckets=n_buckets,
+            lambda batch_df, _spark_epoch: merge_mirror_batch(
+                batch_df, state_dir, epoch=None, n_buckets=n_buckets,
                 value_cols=value_cols, keep_epochs=keep_epochs,
             )
         )
@@ -482,13 +510,16 @@ def multi_mirror_sink(
     The per-table loop is driver-side control flow only — each merge is a
     distributed job (tables per batch are few; rows are many)."""
 
-    def apply(batch_df: DataFrame, epoch: int) -> None:
+    def apply(batch_df: DataFrame, _spark_epoch: int) -> None:
         tables = [r[0] for r in batch_df.select(table_col).distinct().collect()]
         for t in tables:
+            # epoch=None: each table's mirror numbers its own epochs from
+            # its manifest counter — Spark's batch id collides with epochs
+            # an engine seed already wrote (see mirror_sink)
             merge_mirror_batch(
                 batch_df.filter(F.col(table_col) == t).drop(table_col),
                 os.path.join(state_root, t.replace(".", "__")),
-                epoch,
+                epoch=None,
                 n_buckets=n_buckets,
                 keep_epochs=keep_epochs,
             )

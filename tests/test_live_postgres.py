@@ -380,3 +380,152 @@ def test_live_update_delete_toast(live):
     dele = next(r for r in rows if r["op"] == "D")
     assert dict(dele["before"])["id"] == "1"
     assert dele["after"] is None
+
+
+def test_live_engine_full_lifecycle(spark, tmp_path):
+    """The FULL reference lifecycle against a real server, end to end
+    through Spark: engine DDL (publication + slot via SQL over the
+    socket), snapshot seed of the typed mirror at the handoff LSN, the
+    socket transport pumping real pgoutput into envelope segments, and
+    the streaming merge applying post-handoff events with per-column
+    TOAST repair — final mirror state must equal the live table
+    (connector.go:57-142 sequencing, snapshot_consistency invariant)."""
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.config import EngineConfig, TableConfig
+    from go_pq_cdc_spark.engine import CdcEngine
+    from go_pq_cdc_spark.sources.replication_client import ReplicationConnection
+    from go_pq_cdc_spark.sources.slot_keeper import pump_frames
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    T2, SLOT2, PUB2 = "eng_live_t", "eng_live_slot", "eng_live_pub"
+    sql = _sql_conn()
+    q = sql.simple_query
+    q(f"DROP PUBLICATION IF EXISTS {PUB2}")
+    q(f"SELECT pg_drop_replication_slot('{SLOT2}') WHERE EXISTS "
+      f"(SELECT 1 FROM pg_replication_slots WHERE slot_name = '{SLOT2}')")
+    q(f"DROP TABLE IF EXISTS {T2}")
+    q(f"CREATE TABLE {T2} (pk bigint PRIMARY KEY, val text, big text)")
+    # pk1 carries a TOASTed column (out of line, incompressible md5 chain)
+    q(f"INSERT INTO {T2} SELECT g, 'v' || g, "
+      f"CASE WHEN g = 1 THEN (SELECT string_agg(md5(i::text), '') "
+      f"FROM generate_series(1, 300) i) END "
+      f"FROM generate_series(1, 20) g")
+    big0 = q(f"SELECT big FROM {T2} WHERE pk = 1")[0][0]
+    assert big0 and len(big0) == 300 * 32
+
+    cfg = EngineConfig(
+        publication_name=PUB2,
+        slot_name=SLOT2,
+        tables=[TableConfig(name=T2)],
+        heartbeat_enabled=False,
+    )
+    eng = CdcEngine(cfg, spark)
+
+    def run_sql(stmt):
+        return q(stmt)
+
+    def snapshot_reader(tcfg):
+        rows = q(f"SELECT pk, val, big FROM {T2}")
+        return spark.createDataFrame(
+            [Row(pk=int(r[0]), val=r[1], big=r[2]) for r in rows],
+            "pk bigint, val string, big string",
+        )
+
+    wal_dir = str(tmp_path / "wal")
+    os.makedirs(wal_dir, exist_ok=True)
+    stream_q = None
+    conn = None
+    pump_t = None
+    try:
+        snapshot_lsn, stream_q = eng.start(
+            run_sql,
+            wal_dir,
+            str(tmp_path / "state"),
+            str(tmp_path / "ckpt"),
+            snapshot_reader=snapshot_reader,
+            value_schema="val string, big string",
+            transport="envelope",
+            table=f"public.{T2}",
+            # the poll below reads the mirror WHILE merges commit epochs;
+            # retention must cover concurrent readers (the documented
+            # VACUUM-horizon caveat on read_mirror_as_of)
+            keep_epochs=8,
+        )
+        assert snapshot_lsn > 0
+
+        # data plane: the real socket transport into envelope segments
+        conn = ReplicationConnection.connect(**_conn_args(), replication=True)
+        conn.sock.settimeout(None)
+        conn.start_replication(SLOT2, 0, [PUB2])
+
+        def pump():
+            try:
+                pump_frames(
+                    conn.frames(), wal_dir, conn.send_standby_status,
+                    batch_rows=1, start_lsn=0,
+                )
+            except Exception:
+                pass
+
+        pump_t = threading.Thread(target=pump, daemon=True)
+        pump_t.start()
+
+        # post-handoff DML: TOAST-preserving update, plain update,
+        # insert, delete — all must land via the stream
+        q(f"UPDATE {T2} SET val = 'v1-new' WHERE pk = 1")  # big untouched
+        q(f"UPDATE {T2} SET val = 'v3-new' WHERE pk = 3")
+        q(f"INSERT INTO {T2} (pk, val) VALUES (21, 'v21')")
+        q(f"DELETE FROM {T2} WHERE pk = 2")
+
+        state_dir = str(tmp_path / "state")
+        deadline = time.time() + WAIT_S
+        state = {}
+        while time.time() < deadline:
+            stream_q.processAllAvailable()
+            try:
+                state = {
+                    r["pk"]: (r["val"], r["big"])
+                    for r in read_mirror(spark, state_dir).collect()
+                }
+            except Exception:
+                continue  # raced an epoch swap mid-collect — re-read
+            if (
+                2 not in state
+                and 21 in state
+                and state.get(1, ("",))[0] == "v1-new"
+                and state.get(3, ("",))[0] == "v3-new"
+            ):
+                break
+            time.sleep(0.3)
+
+        live_rows = {
+            int(r[0]): (r[1], r[2]) for r in q(f"SELECT pk, val, big FROM {T2}")
+        }
+        assert state == live_rows  # mirror == live table, exactly
+        # the TOASTed value survived an update that didn't touch it:
+        # the stream event carried NULL-means-unchanged and the merge
+        # repaired it from the snapshot image
+        assert state[1] == ("v1-new", big0)
+        assert state[21] == ("v21", None)
+    finally:
+        if stream_q is not None:
+            stream_q.stop()
+        if conn is not None:
+            conn.close()
+        if pump_t is not None:
+            pump_t.join(timeout=5)
+        from go_pq_cdc_spark.sources.replication_client import ReplicationError
+
+        for i in range(20):
+            try:
+                q(f"SELECT pg_drop_replication_slot('{SLOT2}') WHERE EXISTS "
+                  f"(SELECT 1 FROM pg_replication_slots WHERE slot_name = '{SLOT2}')")
+                break
+            except ReplicationError as exc:
+                if "is active for" not in str(exc) or i == 19:
+                    raise
+                time.sleep(0.25)
+        q(f"DROP PUBLICATION IF EXISTS {PUB2}")
+        q(f"DROP TABLE IF EXISTS {T2}")
+        sql.close()

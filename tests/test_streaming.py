@@ -623,3 +623,40 @@ def test_streamed_txn_tws_twin_matches_legacy(spark, tmpdirs):
         assert not [r for r in rows if r["xid"] == 200], "aborted txn leaked"
     finally:
         q.stop()
+
+
+def test_epoch_collision_with_seeded_buckets_refused(spark, tmpdirs):
+    """Live-PG lifecycle finding: a snapshot seed consumes mirror epoch 0,
+    and a later merge passing Spark's foreachBatch batch id 0 would
+    `mode(overwrite)` the SAME epoch dir — wiping every seeded bucket the
+    batch doesn't touch while the manifest still references them. The
+    merge must refuse the colliding explicit epoch (mirror_sink passes
+    epoch=None so the manifest counter assigns fresh epochs)."""
+    import pytest as _pytest
+
+    os.makedirs(tmpdirs["state"], exist_ok=True)
+    # seed: 40 pks spread across many buckets, epoch=None -> epoch 0
+    seed = spark.createDataFrame(
+        [_ev("R", 10, 1, pk, float(pk)) for pk in range(1, 41)],
+        FLAT_CHANGE_SCHEMA,
+    )
+    merge_mirror_batch(seed, tmpdirs["state"], epoch=None)
+    before = {
+        r["pk"]: r["after_val"] for r in read_mirror(spark, tmpdirs["state"]).collect()
+    }
+    assert len(before) == 40
+    # a one-pk batch at explicit epoch 0 would clobber the other buckets
+    b0 = spark.createDataFrame([_ev("U", 20, 2, 1, 99.0)], FLAT_CHANGE_SCHEMA)
+    with _pytest.raises(ValueError, match="would overwrite live bucket"):
+        merge_mirror_batch(b0, tmpdirs["state"], epoch=0)
+    # nothing was lost by the refused merge
+    after = {
+        r["pk"]: r["after_val"] for r in read_mirror(spark, tmpdirs["state"]).collect()
+    }
+    assert after == before
+    # the manifest-counter path applies the same batch cleanly
+    merge_mirror_batch(b0, tmpdirs["state"], epoch=None)
+    final = {
+        r["pk"]: r["after_val"] for r in read_mirror(spark, tmpdirs["state"]).collect()
+    }
+    assert final[1] == 99.0 and len(final) == 40
