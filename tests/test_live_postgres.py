@@ -529,3 +529,30 @@ def test_live_engine_full_lifecycle(spark, tmp_path):
         q(f"DROP PUBLICATION IF EXISTS {PUB2}")
         q(f"DROP TABLE IF EXISTS {T2}")
         sql.close()
+
+
+def test_live_schema_evolution_mid_stream(live):
+    """ALTER TABLE ADD COLUMN while the slot exists: pgoutput re-sends the
+    Relation message with the new column list; rows decoded before and
+    after the DDL must each carry their own column set (the decoder's
+    relation cache must update, not serve the stale schema)."""
+    q = live["sql"].simple_query
+    repl = _repl_conn()
+    try:
+        consistent_point, _snap = _create_slot_with_snapshot(repl)
+    finally:
+        repl.close()
+
+    q(f"INSERT INTO {TABLE} VALUES (1, 'before-ddl')")
+    q(f"ALTER TABLE {TABLE} ADD COLUMN extra int DEFAULT 7")
+    q(f"INSERT INTO {TABLE} (id, val, extra) VALUES (2, 'after-ddl', 42)")
+
+    rows = _stream_rows(
+        live["wal_dir"],
+        consistent_point,
+        lambda rs: len([r for r in rs if r["op"] == "I"]) >= 2,
+    )
+    ins = {int(dict(r["after"])["id"]): dict(r["after"]) for r in rows if r["op"] == "I"}
+    assert set(ins[1]) == {"id", "val"}  # pre-DDL schema
+    assert set(ins[2]) == {"id", "val", "extra"}  # post-DDL schema
+    assert ins[2]["extra"] == "42"
