@@ -556,3 +556,85 @@ def test_live_schema_evolution_mid_stream(live):
     assert set(ins[1]) == {"id", "val"}  # pre-DDL schema
     assert set(ins[2]) == {"id", "val", "extra"}  # post-DDL schema
     assert ins[2]["extra"] == "42"
+
+
+def test_live_chunked_snapshot_consistency(tmp_path):
+    """O9-O16 against a real server: the coordinator's exported snapshot,
+    pinned on SEPARATE per-chunk connections with SET TRANSACTION
+    SNAPSHOT, must make the planner's chunk queries read ONE consistent
+    point-in-time image of the table — no gap, no dup, invisible to
+    concurrent post-export mutations (the invariant
+    snapshot_jdbc_options's sessionInitStatement caveat is about,
+    verified here through the socket path). The chunk plan is also
+    drained through the per-chunk cooperative claim queue by two
+    interleaving workers (O23 at chunk granularity, against real
+    reads)."""
+    from go_pq_cdc_spark.config import TableConfig
+    from go_pq_cdc_spark.snapshot import chunk_queue as Q
+    from go_pq_cdc_spark.snapshot.planner import plan_auto
+    from go_pq_cdc_spark.sources.postgres import chunk_query
+
+    T3 = "snap_live_t"
+    sql = _sql_conn()
+    q = sql.simple_query
+    q(f"DROP TABLE IF EXISTS {T3}")
+    q(f"CREATE TABLE {T3} (pk bigint PRIMARY KEY, val text)")
+    q(f"INSERT INTO {T3} SELECT g, 'v' || g FROM generate_series(1, 5000) g")
+    q(f"DELETE FROM {T3} WHERE pk % 17 = 0")  # holes in the key space
+    expected = {int(r[0]): r[1] for r in q(f"SELECT pk, val FROM {T3}")}
+
+    try:
+        # coordinator: stats -> plan -> exported snapshot
+        (mm,) = q(f"SELECT MIN(pk), MAX(pk) FROM {T3}")
+        plan = plan_auto(
+            integer_pk="pk", min_val=int(mm[0]), max_val=int(mm[1]), chunk_size=600
+        )
+        assert len(plan.chunks) >= 8
+        coord = _sql_conn()
+        coord.simple_query("BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+        (snap_row,) = coord.simple_query("SELECT pg_export_snapshot()")
+        snapshot_id = snap_row[0]
+
+        # concurrent writer mutates AFTER the export — chunk reads must
+        # not see any of it
+        q(f"UPDATE {T3} SET val = 'MUTATED' WHERE pk <= 2500")
+        q(f"DELETE FROM {T3} WHERE pk > 4000")
+        q(f"INSERT INTO {T3} VALUES (99999, 'post-export')")
+
+        tcfg = TableConfig(name=T3)
+        got: dict[int, str] = {}
+        claimed_by: dict[int, str] = {}
+        state = str(tmp_path / "chunkq")
+        Q.init_chunk_queue(state, Q.manifest_from_plan(plan))
+
+        def process(chunk, claim):
+            # one fresh connection per chunk, pinned to the exported
+            # snapshot — exactly what each Spark JDBC partition must do
+            c = _sql_conn()
+            try:
+                c.simple_query("BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+                c.simple_query(f"SET TRANSACTION SNAPSHOT '{snapshot_id}'")
+                rows = c.simple_query(chunk_query(tcfg, chunk["where"]))
+                c.simple_query("COMMIT")
+            finally:
+                c.close()
+            for r in rows:
+                pk = int(r[0])
+                assert pk not in got, f"chunk overlap at pk {pk}"
+                got[pk] = r[1]
+            claimed_by[chunk["chunk_index"]] = claim.instance_id
+            return len(rows)
+
+        # two cooperating workers drain the one queue
+        done_a = Q.drain(state, process, "app-a", timeout_s=60)
+        done_b = Q.drain(state, process, "app-b", timeout_s=60)
+        coord.simple_query("COMMIT")
+        coord.close()
+
+        assert sorted(done_a + done_b) == [c.index for c in plan.chunks]
+        assert got == expected, "chunked snapshot != point-in-time image"
+        assert not any(v == "MUTATED" for v in got.values())
+        assert 99999 not in got
+    finally:
+        q(f"DROP TABLE IF EXISTS {T3}")
+        sql.close()
