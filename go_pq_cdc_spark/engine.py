@@ -401,6 +401,8 @@ class CdcEngine:
         transport: str = "flat",
         table: str | None = None,
         keep_epochs: int | None = None,
+        chunk_planner=None,
+        chunk_reader=None,
     ):
         """The reference's `connector.Start(ctx)` in one call
         (connector.go:57-142 sequencing; SURVEY §3.1-3.3):
@@ -438,7 +440,16 @@ class CdcEngine:
         The last two need `table` (qualified name) and run the FULL
         reference lifecycle on the real transport: snapshot seeds typed
         rows, post-handoff envelope events are typed and merged with
-        per-column TOAST repair."""
+        per-column TOAST repair.
+
+        `chunk_planner` (tcfg -> chunk dicts, e.g.
+        `chunk_queue.manifest_from_plan(plan_auto(...))`) switches the
+        seed to PER-CHUNK COOPERATIVE mode (O23 at the reference's
+        worker-queue granularity): N apps started against the same
+        state_dir split each table's chunks through the shared claim
+        queue, with `chunk_reader(tcfg, chunk) -> DataFrame` reading one
+        chunk (falls back to `snapshot_reader` if omitted). The first
+        app publishes the snapshot LSN; every app adopts it."""
         from pyspark.sql import functions as F
 
         from .sources.slot_keeper import lsn_to_int
@@ -454,6 +465,27 @@ class CdcEngine:
         snapshot_lsn = lsn_to_int(row[0])
 
         if self.config.snapshot_mode in ("initial", "snapshot_only"):
+            if chunk_planner is not None:
+                # O23 at CHUNK granularity (the reference's SKIP-LOCKED
+                # worker queue, worker.go:421-484): N apps share ONE
+                # table's chunks through the claim queue instead of one
+                # app owning the whole seed.
+                snapshot_lsn = self._cooperative_seed(
+                    chunk_planner,
+                    chunk_reader or snapshot_reader,
+                    state_dir,
+                    snapshot_lsn,
+                    value_cols,
+                    mirror_buckets,
+                    keep_epochs,
+                )
+                if self.config.snapshot_mode == "snapshot_only":
+                    return snapshot_lsn, None
+                return self._start_stream(
+                    wal_dir, state_dir, checkpoint_dir, snapshot_lsn,
+                    mirror_buckets, value_schema, value_cols, transport,
+                    table, keep_epochs,
+                )
             if snapshot_reader is None:
                 raise ValueError(
                     f"snapshot_mode={self.config.snapshot_mode!r} needs a snapshot_reader"
@@ -518,6 +550,29 @@ class CdcEngine:
                     continue  # completed: loop reads the stored LSN
         if self.config.snapshot_mode == "snapshot_only":
             return snapshot_lsn, None
+        return self._start_stream(
+            wal_dir, state_dir, checkpoint_dir, snapshot_lsn, mirror_buckets,
+            value_schema, value_cols, transport, table, keep_epochs,
+        )
+
+    def _start_stream(
+        self,
+        wal_dir,
+        state_dir,
+        checkpoint_dir,
+        snapshot_lsn,
+        mirror_buckets,
+        value_schema,
+        value_cols,
+        transport,
+        table,
+        keep_epochs,
+    ):
+        """Post-seed data plane: the changelog stream from `wal_dir`,
+        filtered to post-handoff events, merging into the mirror."""
+        from pyspark.sql import functions as F
+
+        from .streaming.changelog_stream import changelog_stream, mirror_sink
 
         if transport == "flat":
             stream_schema = self.spark.createDataFrame(
@@ -546,6 +601,70 @@ class CdcEngine:
             value_cols=value_cols,
             keep_epochs=keep_epochs,
         )
+
+    def _cooperative_seed(
+        self,
+        chunk_planner,
+        chunk_reader,
+        state_dir,
+        snapshot_lsn,
+        value_cols,
+        mirror_buckets,
+        keep_epochs,
+    ) -> int:
+        """Per-chunk cooperative snapshot seed (O23 at the reference's
+        granularity, worker.go:421-484): each captured table's chunk plan
+        is published first-writer-wins to a shared claim queue under
+        `state_dir`; every cooperating app drains it — claim, read the
+        chunk (`chunk_reader(tcfg, chunk) -> DataFrame` of (pk, *values)),
+        merge, mark done — with crashed peers' chunks reclaimed after
+        their heartbeat TTL. The FIRST app's snapshot LSN is published in
+        the queue manifest and adopted by everyone (one shared handoff
+        point); chunk reads later than that LSN may see newer data, which
+        the max-(lsn,txn_seq)-wins stream merge reconciles — the
+        reference's multi-pod model. Returns the shared snapshot LSN."""
+        from pyspark.sql import functions as F
+
+        from .snapshot import chunk_queue as cq
+        from .streaming.changelog_stream import merge_mirror_batch
+
+        wanted = set(
+            self.config.snapshot_tables
+            or [t.qualified for t in self.config.tables]
+        )
+        shared_lsn = snapshot_lsn
+        for tcfg in self.config.tables:
+            if tcfg.qualified not in wanted:
+                continue
+            qdir = os.path.join(
+                state_dir, "chunks", tcfg.qualified.replace(".", "__")
+            )
+            cq.init_chunk_queue(
+                qdir, chunk_planner(tcfg), meta={"snapshot_lsn": snapshot_lsn}
+            )
+            # first-writer-wins: adopt the PUBLISHED handoff point
+            shared_lsn = int(
+                cq.read_queue_meta(qdir).get("snapshot_lsn", snapshot_lsn)
+            )
+
+            def process(chunk, claim, tcfg=tcfg, lsn=shared_lsn):
+                rows = chunk_reader(tcfg, chunk).select(
+                    "pk",
+                    F.lit(lsn).cast("long").alias("lsn"),
+                    F.lit("R").alias("op"),
+                    *value_cols,
+                )
+                merge_mirror_batch(
+                    rows,
+                    state_dir,
+                    n_buckets=mirror_buckets,
+                    value_cols=value_cols,
+                    keep_epochs=keep_epochs,
+                )
+                return 0
+
+            cq.drain(qdir, process)
+        return shared_lsn
 
     def state_as_of(self, state_dir: str, epoch: int) -> DataFrame:
         """Time-travel read of a retained mirror epoch (see

@@ -105,13 +105,19 @@ def manifest_from_plan(plan) -> list[dict]:
     ]
 
 
-def init_chunk_queue(state_dir: str, chunks: list[dict]) -> list[dict]:
+def init_chunk_queue(
+    state_dir: str, chunks: list[dict], meta: dict | None = None
+) -> list[dict]:
     """Publish the chunk manifest (the reference's insertChunks step).
     Idempotent and first-writer-wins: every cooperating app calls this
     with ITS plan; whichever lands first defines the queue and everyone
     (including later callers with a divergent plan) proceeds against the
     PUBLISHED manifest — two apps must never claim against different
-    chunk lists. Chunks are normalized to carry a dense `chunk_index`."""
+    chunk lists. Chunks are normalized to carry a dense `chunk_index`.
+    `meta` rides along first-writer-wins too — the engine publishes the
+    snapshot handoff LSN there, so every cooperating app anchors its
+    stream filter at ONE shared point (read it back with
+    `read_queue_meta`)."""
     qdir = _qdir(state_dir)
     os.makedirs(qdir, exist_ok=True)
     norm = [
@@ -119,13 +125,20 @@ def init_chunk_queue(state_dir: str, chunks: list[dict]) -> list[dict]:
         for i, c in enumerate(chunks)
     ]
     path = os.path.join(qdir, MANIFEST)
-    _link_create({"chunks": norm}, path, uuid.uuid4().hex[:8])
+    _link_create({"chunks": norm, "meta": meta or {}}, path, uuid.uuid4().hex[:8])
     return read_manifest(state_dir)
 
 
 def read_manifest(state_dir: str) -> list[dict]:
     doc = _read_json(os.path.join(_qdir(state_dir), MANIFEST))
     return list(doc["chunks"]) if doc and "chunks" in doc else []
+
+
+def read_queue_meta(state_dir: str) -> dict:
+    """The PUBLISHED manifest's meta (first-writer-wins, like the chunk
+    list itself)."""
+    doc = _read_json(os.path.join(_qdir(state_dir), MANIFEST))
+    return dict(doc.get("meta", {})) if doc else {}
 
 
 @dataclass

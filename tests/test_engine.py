@@ -599,3 +599,75 @@ def test_start_full_lifecycle_on_wal2json_transport(spark, tmp_path):
         for r in read_mirror(spark, str(tmp_path / "state")).collect()
     }
     assert state == {1: ("alpha2", 5)}
+
+
+def test_start_cooperative_chunked_seed(spark, tmp_path):
+    """O23 at chunk granularity through the ENGINE: chunk_planner switches
+    the seed to the shared per-chunk claim queue; chunks are read with
+    chunk_reader and merged; a second app restarting against the same
+    state_dir finds the queue drained, re-seeds nothing, and adopts the
+    FIRST app's published snapshot LSN as its stream anchor."""
+    import os
+
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.snapshot import chunk_queue as cq
+    from go_pq_cdc_spark.snapshot.planner import plan_integer_range
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    eng = _engine(spark)
+    eng.config.snapshot_mode = "snapshot_only"
+    eng.config.snapshot_tables = ["public.users"]
+
+    source = spark.createDataFrame(
+        [Row(pk=i, after_val=float(i)) for i in range(1, 41)]
+    )
+    reads: list[int] = []
+
+    def chunk_planner(tcfg):
+        assert tcfg.qualified == "public.users"
+        return cq.manifest_from_plan(plan_integer_range("pk", 1, 40, chunk_size=10))
+
+    def chunk_reader(tcfg, chunk):
+        reads.append(chunk["chunk_index"])
+        return source.filter(
+            (source.pk >= chunk["range_start"]) & (source.pk <= chunk["range_end"])
+        )
+
+    def run_sql(sql):
+        return [("0/64",)] if "pg_current_wal_lsn" in sql else []  # lsn 100
+
+    state_dir = str(tmp_path / "state")
+    lsn, q = eng.start(
+        run_sql,
+        str(tmp_path / "wal"),
+        state_dir,
+        str(tmp_path / "ckpt"),
+        chunk_planner=chunk_planner,
+        chunk_reader=chunk_reader,
+    )
+    assert q is None and lsn == 100
+    assert sorted(reads) == [0, 1, 2, 3]  # every chunk read exactly once
+    qdir = os.path.join(state_dir, "chunks", "public__users")
+    assert cq.all_chunks_completed(qdir)
+    state = {
+        r["pk"]: (r["after_val"], r["lsn"])
+        for r in read_mirror(spark, state_dir).collect()
+    }
+    assert state == {i: (float(i), 100) for i in range(1, 41)}
+
+    # app 2 restarts later with a DIFFERENT current wal lsn: queue is
+    # drained -> no re-read; the PUBLISHED lsn (100) is adopted
+    eng2 = _engine(spark)
+    eng2.config.snapshot_mode = "snapshot_only"
+    eng2.config.snapshot_tables = ["public.users"]
+    lsn2, q2 = eng2.start(
+        lambda sql: [("0/C8",)] if "pg_current_wal_lsn" in sql else [],  # 200
+        str(tmp_path / "wal"),
+        state_dir,
+        str(tmp_path / "ckpt2"),
+        chunk_planner=chunk_planner,
+        chunk_reader=chunk_reader,
+    )
+    assert q2 is None and lsn2 == 100  # shared handoff point, not 200
+    assert sorted(reads) == [0, 1, 2, 3]  # nothing re-read
