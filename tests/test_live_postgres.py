@@ -638,3 +638,38 @@ def test_live_chunked_snapshot_consistency(tmp_path):
     finally:
         q(f"DROP TABLE IF EXISTS {T3}")
         sql.close()
+
+
+def test_live_acks_advance_confirmed_flush_lsn(live):
+    """O19 against the real server: standby-status acks sent by the pump
+    must advance the slot's confirmed_flush_lsn past the consumed
+    commits, so the server can recycle WAL (the whole point of acking).
+    Verified by querying pg_replication_slots after the stream drains."""
+    q = live["sql"].simple_query
+    repl = _repl_conn()
+    try:
+        consistent_point, _snap = _create_slot_with_snapshot(repl)
+    finally:
+        repl.close()
+
+    q(f"INSERT INTO {TABLE} SELECT g, 'a' || g FROM generate_series(1, 100) g")
+    rows = _stream_rows(
+        live["wal_dir"],
+        consistent_point,
+        lambda rs: len([r for r in rs if r["op"] == "I"]) >= 100,
+    )
+    commit_lsn = max(r["lsn"] for r in rows)
+    deadline = time.time() + WAIT_S
+    confirmed = 0
+    while time.time() < deadline:
+        (r,) = q(
+            "SELECT confirmed_flush_lsn FROM pg_replication_slots "
+            f"WHERE slot_name = '{SLOT}'"
+        )
+        confirmed = _lsn_to_int(r[0])
+        if confirmed > commit_lsn:
+            break
+        time.sleep(0.2)
+    assert confirmed > commit_lsn, (
+        f"slot stuck at {confirmed}, stream consumed through {commit_lsn}"
+    )
