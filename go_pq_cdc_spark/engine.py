@@ -470,9 +470,15 @@ class CdcEngine:
                 # worker queue, worker.go:421-484): N apps share ONE
                 # table's chunks through the claim queue instead of one
                 # app owning the whole seed.
+                if chunk_reader is None:
+                    # snapshot_reader is NOT a substitute: its contract is
+                    # one whole-table read — calling it per chunk would
+                    # re-merge the full table once per chunk (or TypeError
+                    # on the documented 1-arg signature)
+                    raise ValueError("chunk_planner= requires chunk_reader=")
                 snapshot_lsn = self._cooperative_seed(
                     chunk_planner,
-                    chunk_reader or snapshot_reader,
+                    chunk_reader,
                     state_dir,
                     snapshot_lsn,
                     value_cols,
@@ -622,7 +628,13 @@ class CdcEngine:
         the queue manifest and adopted by everyone (one shared handoff
         point); chunk reads later than that LSN may see newer data, which
         the max-(lsn,txn_seq)-wins stream merge reconciles — the
-        reference's multi-pod model. Returns the shared snapshot LSN."""
+        reference's multi-pod model. Returns the shared snapshot LSN —
+        the MINIMUM of the published per-table LSNs: with several tables
+        the queues can be published by different apps at different WAL
+        positions (e.g. after a crash-restart), and the single stream
+        filter must not drop any table's events between its own anchor
+        and a later table's (review r7: anchoring at the LAST table's
+        LSN silently lost the window in between)."""
         from pyspark.sql import functions as F
 
         from .snapshot import chunk_queue as cq
@@ -632,7 +644,7 @@ class CdcEngine:
             self.config.snapshot_tables
             or [t.qualified for t in self.config.tables]
         )
-        shared_lsn = snapshot_lsn
+        published: list[int] = []
         for tcfg in self.config.tables:
             if tcfg.qualified not in wanted:
                 continue
@@ -642,12 +654,13 @@ class CdcEngine:
             cq.init_chunk_queue(
                 qdir, chunk_planner(tcfg), meta={"snapshot_lsn": snapshot_lsn}
             )
-            # first-writer-wins: adopt the PUBLISHED handoff point
-            shared_lsn = int(
+            # first-writer-wins: adopt THIS table's PUBLISHED handoff point
+            table_lsn = int(
                 cq.read_queue_meta(qdir).get("snapshot_lsn", snapshot_lsn)
             )
+            published.append(table_lsn)
 
-            def process(chunk, claim, tcfg=tcfg, lsn=shared_lsn):
+            def process(chunk, claim, tcfg=tcfg, lsn=table_lsn):
                 rows = chunk_reader(tcfg, chunk).select(
                     "pk",
                     F.lit(lsn).cast("long").alias("lsn"),
@@ -664,7 +677,7 @@ class CdcEngine:
                 return 0
 
             cq.drain(qdir, process)
-        return shared_lsn
+        return min(published) if published else snapshot_lsn
 
     def state_as_of(self, state_dir: str, epoch: int) -> DataFrame:
         """Time-travel read of a retained mirror epoch (see

@@ -186,12 +186,7 @@ class ChunkClaim:
             _done_path(self.state_dir, self.index),
             self.instance_id,
         )
-        cur = _read_json(_claim_path(self.state_dir, self.index))
-        if cur is not None and cur.get("instance_id") == self.instance_id:
-            try:
-                os.remove(_claim_path(self.state_dir, self.index))
-            except FileNotFoundError:
-                pass
+        self.release()
 
     def release(self) -> None:
         """Return an unfinished chunk to `pending` (clean shutdown
@@ -293,11 +288,15 @@ def drain(
     """Worker loop (the reference's `processChunks`, worker.go:150-200):
     claim → process → complete until every chunk is done. `process_chunk`
     receives (chunk_dict, claim) and returns rows_processed; it may call
-    `claim.heartbeat()` itself for long chunks (or pass
-    `heartbeat_every_s` to bound the claim's apparent staleness between
-    the queue's own touches). Returns the chunk indexes THIS instance
+    `claim.heartbeat()` itself for long chunks, or pass
+    `heartbeat_every_s` to run a background heartbeat thread at that
+    interval WHILE the chunk processes (the reference's worker
+    heartbeater, worker.go:383-399) so a long read never goes stale
+    under a shorter claim_ttl_s. Returns the chunk indexes THIS instance
     completed. When nothing is claimable but peers still hold chunks,
     polls until they finish or go stale (bounded by timeout_s)."""
+    import threading
+
     instance_id = instance_id or f"app-{uuid.uuid4().hex[:12]}"
     mine: list[int] = []
     deadline = time.time() + timeout_s
@@ -311,9 +310,26 @@ def drain(
         if claim is None:
             time.sleep(poll_s)  # live peers own the rest — wait/retry
             continue
+        beat_stop = beat_thread = None
         if heartbeat_every_s is not None:
-            claim.heartbeat()
-        rows = process_chunk(claim.chunk, claim)
+            beat_stop = threading.Event()
+
+            def beat(claim=claim, stop=beat_stop):
+                while not stop.wait(heartbeat_every_s):
+                    try:
+                        claim.heartbeat()
+                    except RuntimeError:
+                        return  # claim taken over — complete() below loses
+                        # the first-writer race, which is the contract
+
+            beat_thread = threading.Thread(target=beat, daemon=True)
+            beat_thread.start()
+        try:
+            rows = process_chunk(claim.chunk, claim)
+        finally:
+            if beat_stop is not None:
+                beat_stop.set()
+                beat_thread.join(timeout=2)
         claim.complete(rows_processed=int(rows or 0))
         mine.append(claim.index)
     return mine

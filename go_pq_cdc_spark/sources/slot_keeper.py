@@ -176,10 +176,19 @@ def pump_frames(
     )
     pending: list[dict] = []
     last_end = frontier
+    # Ack watermark for EMPTY transactions (commits with no rows for the
+    # published tables — a busy server with a quiet published table emits
+    # them continuously): they add nothing durable, but the slot's
+    # confirmed_flush_lsn must still move past them or WAL retention
+    # grows without bound behind the slot. Advanced only while nothing
+    # is pending — acking past undurable buffered rows would let the
+    # server drop them on reconnect.
+    ack_floor = frontier
 
     def ack():
         if send_status:
-            send_status(frontier + 1, frontier + 1, frontier + 1)
+            pos = max(frontier, ack_floor) + 1
+            send_status(pos, pos, pos)
 
     def flush():
         nonlocal frontier, pending
@@ -202,10 +211,13 @@ def pump_frames(
         if end_lsn <= frontier or not rows:
             # replayed duplicate after restart, or a transaction with no
             # rows for the published tables — nothing durable to add (an
-            # empty txn must NOT advance the frontier without a segment,
-            # or the segment chain would show a gap). Still ack the
-            # durable frontier so a replay-heavy resume keeps the slot
+            # empty txn must NOT advance the SEGMENT frontier without a
+            # segment, or the chain would show a gap). The ACK position
+            # may advance past an empty txn when nothing is pending;
+            # either way ack so a replay-heavy resume keeps the slot
             # advancing instead of going silent until the next keepalive.
+            if end_lsn > frontier and not pending:
+                ack_floor = max(ack_floor, end_lsn)
             ack()
             continue
         pending.extend(rows)

@@ -92,6 +92,15 @@ def _bucket_col(pk: str = "pk", n_buckets: int = MIRROR_BUCKETS):
     return F.pmod(F.xxhash64(F.col(pk)), F.lit(n_buckets)).cast("int")
 
 
+def _read_json_file(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        return doc if isinstance(doc, dict) else None
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
 def _read_manifest(state_dir: str) -> dict:
     p = os.path.join(state_dir, _MANIFEST)
     if not os.path.exists(p):
@@ -410,20 +419,32 @@ def merge_mirror_batch(
     )
     epoch_rel = os.path.join("epochs", f"e{epoch:09d}")
     epoch_dir = os.path.join(state_dir, epoch_rel)
-    # An explicit epoch that re-targets a directory whose bucket dirs the
-    # live manifest still references — beyond the buckets this batch
-    # rewrites — would WIPE them via the overwrite below and leave the
-    # manifest dangling (silent data loss; the mirror_sink/seed collision
-    # class). Refuse loudly instead.
+    # An explicit epoch that re-targets a directory whose bucket dirs any
+    # RETAINED manifest still references — the live one or a time-travel
+    # snapshot inside the keep_epochs window — beyond the buckets this
+    # batch rewrites, would WIPE them via the overwrite below and leave
+    # dangling references (silent data loss; the mirror_sink/seed
+    # collision class). Refuse loudly instead.
+    referencing = [manifest]
+    mroot = os.path.join(state_dir, "manifests")
+    if os.path.isdir(mroot):
+        for f in os.listdir(mroot):
+            if f.endswith(".json"):
+                snap = _read_json_file(os.path.join(mroot, f))
+                if snap is not None:
+                    referencing.append(snap)
     clobbered = sorted(
-        b
-        for b, rel in manifest["buckets"].items()
-        if rel.startswith(epoch_rel + os.sep) and int(b) not in affected
+        {
+            b
+            for m in referencing
+            for b, rel in m.get("buckets", {}).items()
+            if rel.startswith(epoch_rel + os.sep) and int(b) not in affected
+        }
     )
     if clobbered:
         raise ValueError(
-            f"mirror epoch {epoch} at {state_dir} would overwrite live bucket "
-            f"dirs {clobbered} still referenced by the manifest; epochs must "
+            f"mirror epoch {epoch} at {state_dir} would overwrite bucket dirs "
+            f"{clobbered} still referenced by a retained manifest; epochs must "
             "be fresh (pass epoch=None to use the manifest counter)"
         )
     # ~1 writer task per bucket -> ~1 file per bucket dir (not tasks*buckets)

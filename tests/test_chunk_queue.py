@@ -218,3 +218,27 @@ def test_killed_worker_chunk_is_reclaimed(tmp_path):
     finally:
         if hanger.poll() is None:
             hanger.kill()
+
+
+def test_drain_background_heartbeat_keeps_claim_fresh(tmp_path):
+    """Review r7: heartbeat_every_s must run a REAL periodic heartbeat
+    while the chunk processes — a chunk that takes longer than the claim
+    TTL must not go stale under a heartbeating owner."""
+    state = _mk_queue(tmp_path, n=1)
+    peeked = {}
+
+    def slow_process(chunk, claim):
+        # processing takes 3x the TTL; the background beat must keep the
+        # claim fresh the whole time
+        for _ in range(3):
+            time.sleep(0.3)
+            peeked["steal"] = Q.claim_next_chunk(state, "thief", claim_ttl_s=0.3)
+            assert peeked["steal"] is None, "claim went stale mid-processing"
+        return 1
+
+    done = Q.drain(
+        state, slow_process, "owner", claim_ttl_s=0.3,
+        heartbeat_every_s=0.1, timeout_s=10,
+    )
+    assert done == [0]
+    assert Q.all_chunks_completed(state)

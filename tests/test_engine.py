@@ -671,3 +671,42 @@ def test_start_cooperative_chunked_seed(spark, tmp_path):
     )
     assert q2 is None and lsn2 == 100  # shared handoff point, not 200
     assert sorted(reads) == [0, 1, 2, 3]  # nothing re-read
+
+
+def test_cooperative_seed_anchors_at_min_published_lsn(spark, tmp_path):
+    """Review r7: with several tables, the queues can be published by
+    different apps at different WAL positions; the single stream filter
+    must anchor at the MINIMUM published LSN or the earlier table's
+    events in between are silently dropped."""
+    import os
+
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.snapshot import chunk_queue as cq
+    from go_pq_cdc_spark.snapshot.planner import plan_integer_range
+
+    cfg = EngineConfig(
+        tables=[TableConfig("t1"), TableConfig("t2")], heartbeat_enabled=False
+    )
+    eng = CdcEngine(cfg, spark)
+    eng.config.snapshot_mode = "snapshot_only"
+
+    state_dir = str(tmp_path / "state")
+    # a crashed peer already published t1's queue at LSN 50
+    cq.init_chunk_queue(
+        os.path.join(state_dir, "chunks", "public__t1"),
+        cq.manifest_from_plan(plan_integer_range("pk", 1, 4, chunk_size=4)),
+        meta={"snapshot_lsn": 50},
+    )
+    source = spark.createDataFrame([Row(pk=i, after_val=float(i)) for i in (1, 2)])
+    lsn, _q = eng.start(
+        lambda sql: [("0/64",)] if "pg_current_wal_lsn" in sql else [],  # 100
+        str(tmp_path / "wal"),
+        state_dir,
+        str(tmp_path / "ckpt"),
+        chunk_planner=lambda tcfg: cq.manifest_from_plan(
+            plan_integer_range("pk", 1, 4, chunk_size=4)
+        ),
+        chunk_reader=lambda tcfg, chunk: source,
+    )
+    assert lsn == 50  # min(published t1=50, freshly-published t2=100)

@@ -99,7 +99,9 @@ def live(tmp_path):
             sql.close()
 
 
-def _drop_slot_with_retry(q, tries: int = 20, pause_s: float = 0.25) -> None:
+def _drop_slot_with_retry(
+    q, slot: str = SLOT, tries: int = 20, pause_s: float = 0.25
+) -> None:
     """The walsender releases the slot shortly AFTER the client's socket
     close — a live-server finding: an immediate drop races it and fails
     with 'replication slot ... is active for PID n'. Retry briefly."""
@@ -107,9 +109,9 @@ def _drop_slot_with_retry(q, tries: int = 20, pause_s: float = 0.25) -> None:
 
     for i in range(tries):
         try:
-            q(f"SELECT pg_drop_replication_slot('{SLOT}') "
+            q(f"SELECT pg_drop_replication_slot('{slot}') "
               f"WHERE EXISTS (SELECT 1 FROM pg_replication_slots "
-              f"WHERE slot_name = '{SLOT}')")
+              f"WHERE slot_name = '{slot}')")
             return
         except ReplicationError as exc:
             if "is active for" not in str(exc) or i == tries - 1:
@@ -515,17 +517,7 @@ def test_live_engine_full_lifecycle(spark, tmp_path):
             conn.close()
         if pump_t is not None:
             pump_t.join(timeout=5)
-        from go_pq_cdc_spark.sources.replication_client import ReplicationError
-
-        for i in range(20):
-            try:
-                q(f"SELECT pg_drop_replication_slot('{SLOT2}') WHERE EXISTS "
-                  f"(SELECT 1 FROM pg_replication_slots WHERE slot_name = '{SLOT2}')")
-                break
-            except ReplicationError as exc:
-                if "is active for" not in str(exc) or i == 19:
-                    raise
-                time.sleep(0.25)
+        _drop_slot_with_retry(q, slot=SLOT2)
         q(f"DROP PUBLICATION IF EXISTS {PUB2}")
         q(f"DROP TABLE IF EXISTS {T2}")
         sql.close()

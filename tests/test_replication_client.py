@@ -661,3 +661,69 @@ def test_run_replication_resilient_waits_out_busy_slot(tmp_path):
     assert frontier == 13
     assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [(1, 13)]
     assert sleeps == [0.01]  # one busy rejection, then takeover
+
+
+def test_pump_empty_txns_advance_ack_not_frontier(tmp_path):
+    """Review r7: a busy server with a quiet published table emits commits
+    with no published rows continuously; the ACK must move past them (or
+    WAL piles up behind the slot) while the SEGMENT frontier stays put —
+    and the ack must NEVER pass buffered undurable rows."""
+    from go_pq_cdc_spark.sources import lsn_stream
+    from go_pq_cdc_spark.sources.pgoutput import XLogData
+    from go_pq_cdc_spark.sources.slot_keeper import pump_frames
+
+    wal_dir = str(tmp_path / "wal")
+    import os as _os
+
+    _os.makedirs(wal_dir)
+
+    def xlog(lsn, payload):
+        return XLogData(lsn, lsn, 0, payload)
+
+    def empty_txn(begin_lsn, end_lsn):
+        return [
+            xlog(begin_lsn, b"B" + struct.pack(">QqI", end_lsn - 1, 0, begin_lsn)),
+            xlog(
+                end_lsn - 1,
+                b"C" + struct.pack(">bQQq", 0, end_lsn - 1, end_lsn, 0),
+            ),
+        ]
+
+    frames = [
+        xlog(5, relation_msg()),
+        xlog(9, b"B" + struct.pack(">QqI", 12, 0, 42)),
+        xlog(10, insert_msg(vals=("1", "1.0"))),
+        xlog(12, b"C" + struct.pack(">bQQq", 0, 12, 13, 0)),
+        *empty_txn(20, 30),  # other tables' txn: no published rows
+        *empty_txn(31, 44),
+    ]
+    acks = []
+    frontier = pump_frames(
+        frames, wal_dir, send_status=lambda r, f, a: acks.append(f), batch_rows=1
+    )
+    # durable frontier = the row txn's commit end; segments unchanged by
+    # the empty txns
+    assert frontier == 13
+    assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [(1, 13)]
+    # the ack walked past both empty commits (30 then 44)
+    assert acks == [14, 31, 45, 45]
+
+    # pending-rows case: with a large batch the row txn stays buffered, so
+    # an empty txn must NOT drag the ack past the undurable rows
+    wal2 = str(tmp_path / "wal2")
+    _os.makedirs(wal2)
+    acks2 = []
+    f2 = pump_frames(
+        [
+            xlog(5, relation_msg()),
+            xlog(9, b"B" + struct.pack(">QqI", 12, 0, 42)),
+            xlog(10, insert_msg(vals=("1", "1.0"))),
+            xlog(12, b"C" + struct.pack(">bQQq", 0, 12, 13, 0)),
+            *empty_txn(20, 30),
+        ],
+        wal2,
+        send_status=lambda r, f, a: acks2.append(f),
+        batch_rows=100,
+    )
+    assert f2 == 13
+    assert max(acks2) == 14  # never past the buffered txn until its flush

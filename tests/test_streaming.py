@@ -647,7 +647,7 @@ def test_epoch_collision_with_seeded_buckets_refused(spark, tmpdirs):
     assert len(before) == 40
     # a one-pk batch at explicit epoch 0 would clobber the other buckets
     b0 = spark.createDataFrame([_ev("U", 20, 2, 1, 99.0)], FLAT_CHANGE_SCHEMA)
-    with _pytest.raises(ValueError, match="would overwrite live bucket"):
+    with _pytest.raises(ValueError, match="would overwrite bucket"):
         merge_mirror_batch(b0, tmpdirs["state"], epoch=0)
     # nothing was lost by the refused merge
     after = {

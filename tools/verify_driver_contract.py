@@ -3,16 +3,18 @@
 Runs every `__spark_entry__.queries()` entry against its `oracle_sql()`
 twin in DuckDB at a given SF dir and compares through the SAME canon the
 driver uses: both result sets are pulled into pandas, columns sorted by
-name, rows sorted by `DataFrame.sort_values` over all columns, and the
-values hashed with their pandas dtype / cell type in the digest.
+name, rows sorted by `DataFrame.sort_values` over all columns, and each
+cell's `str()` rendering hashed (dtypes themselves never enter the
+digest — a value whose repr differs across dtypes mismatches, one whose
+repr agrees matches; that is the driver's observed sensitivity).
 
 Why pandas and not tuples-of-Python-values: round 6 taught us the driver
 is representation-sensitive in two ways a tuple canon hides —
 
-  * DuckDB returns bare `SUM(int)` as HUGEINT (int128), which lands in
-    pandas as an *object* column of Python ints, while Spark's int64
-    arrives as dtype int64. Identical values, different canon → hash
-    mismatch (the r6 `q12_late_shipment_priority` failure).
+  * DuckDB's `.df()` converts a bare `SUM(int)` (HUGEINT) column to
+    FLOAT64 (verified in-container: `str(cell)` gives "376.0"), while
+    Spark's int64 renders "376". Identical values, different repr →
+    hash mismatch (the r6 `q12_late_shipment_priority` failure).
   * A raw `array<...>` output column becomes numpy arrays in pandas,
     which `sort_values` cannot factorize → TypeError → driver ERR row
     (the r6 `emb_quantize` failure).
@@ -65,7 +67,9 @@ def _cell_digest(v) -> bytes:
 
 
 def canon_hash(pdf) -> str:
-    """Sort columns by name, rows by all columns, hash values + dtypes.
+    """Sort columns by name, rows by all columns, hash each cell's str()
+    rendering (via `_cell_digest`; dtypes never enter the digest — repr
+    differences like int64 "376" vs float64 "376.0" are what mismatch).
 
     Raises TypeError on unhashable cells (numpy arrays) exactly like the
     driver's canonicalizer does.
