@@ -665,3 +665,88 @@ def test_live_acks_advance_confirmed_flush_lsn(live):
     assert confirmed > commit_lsn, (
         f"slot stuck at {confirmed}, stream consumed through {commit_lsn}"
     )
+
+
+def test_live_typed_decode_arrays_numeric_jsonb(spark, tmp_path):
+    """O5 against a real server: int[]/text[]/float8[]/numeric/jsonb
+    columns inserted live must survive walsender -> pgoutput decode ->
+    envelope with the exact wire-text conventions the typed projection
+    expects (arrays re-encoded as JSON text, numerics as plain decimal
+    text, jsonb passthrough)."""
+    import json as _json
+
+    T4, SLOT4, PUB4 = "typed_live_t", "typed_live_slot", "typed_live_pub"
+    sql = _sql_conn()
+    q = sql.simple_query
+    q(f"DROP PUBLICATION IF EXISTS {PUB4}")
+    _drop_slot_with_retry(q, slot=SLOT4)
+    q(f"DROP TABLE IF EXISTS {T4}")
+    q(f"CREATE TABLE {T4} (id bigint PRIMARY KEY, nums int[], tags text[], "
+      f"grid float8[], bal numeric(14,6), doc jsonb)")
+    q(f"CREATE PUBLICATION {PUB4} FOR TABLE {T4}")
+    try:
+        repl = _repl_conn()
+        try:
+            rows = repl.simple_query(
+                f"CREATE_REPLICATION_SLOT {SLOT4} LOGICAL pgoutput EXPORT_SNAPSHOT"
+            )
+            consistent_point = _lsn_to_int(rows[0][1])
+        finally:
+            repl.close()
+
+        q(f"INSERT INTO {T4} VALUES (7, ARRAY[1,2,NULL], "
+          f"ARRAY['x','y z','a,b'], ARRAY[0.5,2.25], 12345.678912, "
+          f"'{{\"k\": [1, 2]}}'::jsonb)")
+
+        from go_pq_cdc_spark.sources.pgoutput import frames_to_envelope
+        from go_pq_cdc_spark.sources.replication_client import ReplicationConnection
+
+        conn = ReplicationConnection.connect(**_conn_args(), replication=True)
+        conn.sock.settimeout(5)
+        conn.start_replication(SLOT4, consistent_point, [PUB4])
+        got = []
+        try:
+            for row in frames_to_envelope(conn.frames()):
+                got.append(row)
+                break
+        finally:
+            conn.close()
+
+        after = dict(got[0]["after"])
+        assert after["id"] == "7"
+        # arrays arrive as JSON arrays of element TEXT (the envelope's
+        # cross-transport convention; typed_projection casts them)
+        assert _json.loads(after["nums"]) == ["1", "2", None]
+        assert _json.loads(after["tags"]) == ["x", "y z", "a,b"]
+        assert _json.loads(after["grid"]) == ["0.5", "2.25"]
+        assert after["bal"] == "12345.678912"
+        assert _json.loads(after["doc"]) == {"k": [1, 2]}
+
+        # and the typed projection turns the live wire text into real types
+        from pyspark.sql import Row, types as ST
+
+        from go_pq_cdc_spark.envelope import typed_projection
+
+        schema = ST.StructType(
+            [
+                ST.StructField("id", ST.LongType()),
+                ST.StructField("nums", ST.ArrayType(ST.IntegerType())),
+                ST.StructField("tags", ST.ArrayType(ST.StringType())),
+                ST.StructField("grid", ST.ArrayType(ST.DoubleType())),
+                ST.StructField("bal", ST.DecimalType(38, 18)),
+                ST.StructField("doc", ST.StringType()),
+            ]
+        )
+        df = spark.createDataFrame([Row(after=after)], "after map<string,string>")
+        out = typed_projection(df, "after", schema).collect()[0]
+        assert out["id"] == 7
+        assert out["nums"] == [1, 2, None]
+        assert out["tags"] == ["x", "y z", "a,b"]
+        assert out["grid"] == [0.5, 2.25]
+        assert float(out["bal"]) == 12345.678912
+        assert _json.loads(out["doc"]) == {"k": [1, 2]}
+    finally:
+        _drop_slot_with_retry(q, slot=SLOT4)
+        q(f"DROP PUBLICATION IF EXISTS {PUB4}")
+        q(f"DROP TABLE IF EXISTS {T4}")
+        sql.close()
