@@ -750,3 +750,46 @@ def test_live_typed_decode_arrays_numeric_jsonb(spark, tmp_path):
         q(f"DROP PUBLICATION IF EXISTS {PUB4}")
         q(f"DROP TABLE IF EXISTS {T4}")
         sql.close()
+
+
+def test_live_slot_single_writer_takeover(live):
+    """O25 against the real server: one slot, one active walsender — a
+    second START_REPLICATION on a held slot must be REFUSED ('is active
+    for PID n', the retryable class the passive standby backs off on),
+    and succeed once the holder disconnects (the takeover handshake)."""
+    from go_pq_cdc_spark.sources.replication_client import ReplicationError
+
+    repl = _repl_conn()
+    try:
+        consistent_point, _snap = _create_slot_with_snapshot(repl)
+    finally:
+        repl.close()
+
+    holder = _repl_conn()
+    holder.sock.settimeout(5)
+    holder.start_replication(SLOT, consistent_point, [PUB])
+    try:
+        contender = _repl_conn()
+        try:
+            with pytest.raises(ReplicationError, match="is active for"):
+                contender.start_replication(SLOT, consistent_point, [PUB])
+        finally:
+            contender.close()
+    finally:
+        holder.close()
+
+    # holder gone -> the standby captures the slot (retry while the
+    # server-side walsender winds down, same race as slot drop)
+    deadline = time.time() + WAIT_S
+    while True:
+        taker = _repl_conn()
+        taker.sock.settimeout(5)
+        try:
+            taker.start_replication(SLOT, consistent_point, [PUB])
+            taker.close()
+            break
+        except ReplicationError as exc:
+            taker.close()
+            if "is active for" not in str(exc) or time.time() > deadline:
+                raise
+            time.sleep(0.2)

@@ -368,3 +368,18 @@ def test_cluster_balanced_sample_no_join_no_window(spark):
     # absent at scale) + the final groupBy count — nothing else
     n_hash = plan.count("Exchange hashpartitioning")
     assert n_hash <= 2, plan[:800]
+
+
+def test_gapfill_spine_is_broadcast_bounded(spark):
+    """The gapfill family's scale contract: the hourly aggregate is ONE
+    hash exchange (map-side partial) and the literal bucket spine joins
+    via BROADCAST — the fill windows run over the query-bounded spine,
+    never a data-proportional exchange."""
+    for name in ("q_time_bucket_gapfill", "q_gapfill_interpolate"):
+        df = plans.REGISTRY[name].spark_fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+            f"{name}: spine join is not broadcast:\n{plan}"
+        )
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex <= 1, f"{name}: expected <=1 hash exchange, saw {n_ex}:\n{plan}"
