@@ -793,3 +793,73 @@ def test_live_slot_single_writer_takeover(live):
             if "is active for" not in str(exc) or time.time() > deadline:
                 raise
             time.sleep(0.2)
+
+
+def test_live_walsender_kill_transient_and_resume(live, tmp_path):
+    """Resilience against a REAL server kill: pg_terminate_backend on the
+    walsender mid-stream must surface as a TRANSIENT error (the resilient
+    loop's redial class, never FatalError), and a redial must resume from
+    the durable frontier with the already-landed transaction deduped —
+    no gap, no dup across the kill."""
+    import pyarrow.parquet as pq
+
+    from go_pq_cdc_spark.retry import is_transient
+    from go_pq_cdc_spark.sources import lsn_stream
+    from go_pq_cdc_spark.sources.slot_keeper import pump_frames
+
+    q = live["sql"].simple_query
+    repl = _repl_conn()
+    try:
+        consistent_point, _snap = _create_slot_with_snapshot(repl)
+    finally:
+        repl.close()
+    wal_dir = live["wal_dir"]
+
+    # session 1: stream txn1, then get killed server-side
+    conn = _repl_conn()
+    conn.sock.settimeout(None)
+    conn.start_replication(SLOT, consistent_point, [PUB])
+    failure: list[BaseException] = []
+
+    def pump():
+        try:
+            pump_frames(
+                conn.frames(), wal_dir, conn.send_standby_status,
+                batch_rows=1, start_lsn=consistent_point,
+            )
+        except BaseException as exc:  # noqa: BLE001 - capture for assert
+            failure.append(exc)
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    q(f"INSERT INTO {TABLE} VALUES (1, 'pre-kill')")
+    deadline = time.time() + WAIT_S
+    while not lsn_stream.list_segments(wal_dir) and time.time() < deadline:
+        time.sleep(0.2)
+    assert lsn_stream.list_segments(wal_dir), "txn1 never landed"
+
+    (ws,) = q(
+        "SELECT active_pid FROM pg_replication_slots "
+        f"WHERE slot_name = '{SLOT}'"
+    )
+    q(f"SELECT pg_terminate_backend({int(ws[0])})")
+    t.join(timeout=10)
+    assert not t.is_alive(), "pump did not notice the server-side kill"
+    assert failure, "pump exited cleanly despite the kill"
+    assert is_transient(failure[0]), (
+        f"walsender kill classified non-transient: {failure[0]!r}"
+    )
+    conn.close()
+
+    # session 2: redial resumes from the durable frontier
+    q(f"INSERT INTO {TABLE} VALUES (2, 'post-kill')")
+    frontier = max(e for _s, e, _p in lsn_stream.list_segments(wal_dir))
+    rows = _stream_rows(
+        wal_dir,
+        frontier,
+        lambda rs: any(
+            r["op"] == "I" and dict(r["after"])["id"] == "2" for r in rs
+        ),
+    )
+    ids = [dict(r["after"])["id"] for r in rows if r["op"] == "I"]
+    assert sorted(ids) == ["1", "2"], f"gap or dup across the kill: {ids}"
