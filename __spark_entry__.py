@@ -37,9 +37,10 @@ _GATE_HEAD = [
     # r6 red rows, fixed this round — the gate's whole point
     "q12_late_shipment_priority",
     "emb_quantize",
-    # r7 new: Timescale gapfill/locf/interpolate idioms
+    # r7 new: Timescale gapfill/locf/interpolate idioms + A-ES sampling
     "q_time_bucket_gapfill",
     "q_gapfill_interpolate",
+    "sample_weighted_docs",
     # r7 new: the six remaining TPC-H shapes (suite now 22/22)
     "q2_min_cost_supplier",
     "q4_order_priority",

@@ -342,3 +342,67 @@ def epoch_order(
             keyed, id_col="_ek", weight_col="_one", out_col=out_col, bounds=bounds
         ).drop("_ek", "_one")
     )
+
+
+WEIGHTED_SALTS = 32  # reducer fan-out of the salted partial top-k
+
+
+def weighted_sample_key(id_col: str, weight_col: str) -> dict[str, str]:
+    """Efraimidis–Spirakis A-ES sampling key, engine-portable: a
+    deterministic uniform u in (0,1) derived from the id's md5 hash, and
+    key = ln(u)/w — the LOG form of u^(1/w), same ordering, numerically
+    stable. The k LARGEST keys are a weighted sample WITHOUT replacement
+    (inclusion probability proportional to weight at each draw).
+    Deterministic and retry-stable like every sampler here: no RNG, the
+    hash IS the randomness."""
+    h = P.md5_hash(
+        {"spark": f"CAST({id_col} AS STRING)", "duck": f"CAST({id_col} AS VARCHAR)"}
+    )
+    u = (
+        f"((CAST(({{h}}) % {SAMPLE_BASIS} AS DOUBLE) + 0.5) / {SAMPLE_BASIS})"
+    )
+    return {
+        "spark": f"(ln({u.format(h=h['spark'])}) / CAST({weight_col} AS DOUBLE))",
+        "duck": f"(ln({u.format(h=h['duck'])}) / CAST({weight_col} AS DOUBLE))",
+    }
+
+
+def sample_weighted(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salts: int = WEIGHTED_SALTS,
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of k rows (A-ES top-k by
+    `weighted_sample_key`): the mixture-weighting primitive when the
+    weight is per-ROW (quality score, token count) rather than
+    per-stratum — `sample_stratified` can't express it.
+
+    Scale shape: the global top-k is the two-level salted reduction
+    (partial top-k per (hash(id) % salts) group — S reducers share the
+    corpus — then a final rank over <= S*k rows), the same pattern as
+    the similarity top-ks and the KMV bottom-k: never a single-reducer
+    global window. Rows with NULL or non-positive weight are excluded
+    (ln(u)/w flips sign at w<0 and A-ES is undefined there)."""
+    key = F.expr(weighted_sample_key(id_col, weight_col)["spark"])
+    pos = df.filter(F.col(weight_col).cast("double") > 0).withColumn(
+        "_wkey", key
+    )
+    w1 = Window.partitionBy("_salt").orderBy(
+        F.desc("_wkey"), F.asc(id_col)
+    )
+    pre = (
+        pos.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts)).cast("int")
+        )
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_salt", "_rn1")
+    )
+    w2 = Window.orderBy(F.desc("_wkey"), F.asc(id_col))
+    return (
+        pre.withColumn("draw_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("draw_rank") <= k)
+        .drop("_wkey")
+    )

@@ -1407,3 +1407,38 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_fraction=0.1,
     )
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def _weighted_oracle() -> str:
+    from ..operators.training import weighted_sample_key
+
+    key = weighted_sample_key("doc_id", "n_chars")["duck"]
+    return f"""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(ROW_NUMBER() OVER (ORDER BY {key} DESC, doc_id) AS BIGINT)
+               AS draw_rank
+    FROM documents
+    WHERE CAST(n_chars AS DOUBLE) > 0
+    QUALIFY draw_rank <= 50
+    """
+
+
+@register(
+    "sample_weighted_docs",
+    oracle=_weighted_oracle(),
+    tags=("training", "sampling"),
+)
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis–Spirakis A-ES):
+    50 documents drawn with probability proportional to length — the
+    per-ROW-weight mixture primitive `sample_stratified`'s per-stratum
+    rates can't express. Deterministic (the id hash is the randomness),
+    and the global top-k is the two-level salted reduction, never a
+    single-reducer window (the oracle's one-level QUALIFY is the
+    semantic spec; results are provably identical)."""
+    from ..operators.training import sample_weighted
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_weighted(docs, "doc_id", "n_chars", k=50).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "draw_rank"
+    )

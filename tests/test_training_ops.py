@@ -194,3 +194,43 @@ def test_prefix_offsets_string_keys(spark):
         expect[k] = acc
         acc += w
     assert out == expect
+
+
+def test_sample_weighted_aes_properties(spark):
+    """A-ES weighted sampling: dominant weights always win the first
+    draw, non-positive weights are excluded, k >= corpus returns every
+    eligible row, and the two-level salted reduction equals the
+    driver-computed one-level ranking exactly."""
+    import math
+
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.operators.training import (
+        SAMPLE_BASIS,
+        sample_weighted,
+        weighted_sample_key,
+    )
+
+    rows = [Row(id=i, w=float(w)) for i, w in enumerate([1, 5, 0, -2, 1e9, 3, 2])]
+    df = spark.createDataFrame(rows)
+    out = sample_weighted(df, "id", "w", k=3).collect()
+    assert [r["draw_rank"] for r in sorted(out, key=lambda r: r["draw_rank"])] == [1, 2, 3]
+    # the 1e9-weight row dominates: ln(u)/w -> ~0^- beats every other key
+    assert sorted(out, key=lambda r: r["draw_rank"])[0]["id"] == 4
+    # zero/negative weights never drawn
+    assert {r["id"] for r in out}.isdisjoint({2, 3})
+
+    everything = sample_weighted(df, "id", "w", k=100).collect()
+    assert {r["id"] for r in everything} == {0, 1, 4, 5, 6}  # all w > 0
+
+    # two-level == one-level: recompute keys driver-side from the same
+    # portable expression and compare the full ranking
+    keyed = df.filter(df.w > 0).selectExpr(
+        "id", weighted_sample_key("id", "w")["spark"] + " AS k"
+    ).collect()
+    expect = [r["id"] for r in sorted(keyed, key=lambda r: (-r["k"], r["id"]))]
+    got = [
+        r["id"]
+        for r in sorted(everything, key=lambda r: r["draw_rank"])
+    ]
+    assert got == expect
