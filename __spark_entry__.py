@@ -41,6 +41,7 @@ _GATE_HEAD = [
     "q_time_bucket_gapfill",
     "q_gapfill_interpolate",
     "sample_weighted_docs",
+    "split_train_val_test",
     # r7 new: the six remaining TPC-H shapes (suite now 22/22)
     "q2_min_cost_supplier",
     "q4_order_priority",

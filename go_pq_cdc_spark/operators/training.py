@@ -406,3 +406,42 @@ def sample_weighted(
         .filter(F.col("draw_rank") <= k)
         .drop("_wkey")
     )
+
+
+def split_fragments(id_col: str, ratios: dict[str, float]) -> dict[str, str]:
+    """Engine-portable CASE expression assigning each id to exactly one
+    named split by cumulative hash-threshold ranges over the SAME
+    uniform hash the samplers use. Ratios must sum to <= 1; any
+    remainder falls into the final split (so {train:.9, val:.05,
+    test:.05} is airtight against rounding)."""
+    h = P.md5_hash(
+        {"spark": f"CAST({id_col} AS STRING)", "duck": f"CAST({id_col} AS VARCHAR)"}
+    )
+    names = list(ratios)
+    out = {}
+    for eng in ("spark", "duck"):
+        u = f"(({h[eng]}) % {SAMPLE_BASIS})"
+        branches, acc = [], 0.0
+        for name in names[:-1]:
+            acc += float(ratios[name])
+            thr = int(round(acc * SAMPLE_BASIS))
+            branches.append(f"WHEN {u} < {thr} THEN '{name}'")
+        out[eng] = f"CASE {' '.join(branches)} ELSE '{names[-1]}' END"
+    return out
+
+
+def split_assign(
+    df: DataFrame, id_col: str, ratios: dict[str, float], out_col: str = "split"
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one narrow projection, no
+    RNG, no shuffle — every id lands in exactly one split, stable across
+    runs, retries, engines, and (critically) across PIPELINE RERUNS over
+    a grown corpus: an id keeps its split forever, so no example ever
+    migrates from held-out into training."""
+    if not ratios or any(v < 0 for v in ratios.values()):
+        raise ValueError(f"ratios must be non-negative and non-empty: {ratios}")
+    if sum(ratios.values()) > 1.0 + 1e-9:
+        raise ValueError(f"ratios sum to {sum(ratios.values())} > 1: {ratios}")
+    return df.withColumn(
+        out_col, F.expr(split_fragments(id_col, ratios)["spark"])
+    )

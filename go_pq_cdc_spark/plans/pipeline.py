@@ -1442,3 +1442,41 @@ def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_weighted(docs, "doc_id", "n_chars", k=50).select(
         "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "draw_rank"
     )
+
+
+def _split_oracle() -> str:
+    from ..operators.training import split_fragments
+
+    case = split_fragments("doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})[
+        "duck"
+    ]
+    return f"""
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS BIGINT) AS n_chars
+    FROM (SELECT {case} AS split, n_chars FROM documents) t
+    GROUP BY split
+    """
+
+
+@register(
+    "split_train_val_test",
+    oracle=_split_oracle(),
+    tags=("training", "sampling"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment: hash-threshold
+    CASE over the portable uniform, one narrow projection — an id keeps
+    its split across reruns over a grown corpus, so held-out examples
+    can never migrate into training. Gated on per-split doc and char
+    counts."""
+    from ..operators.training import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(25,6)")).cast("long").alias("n_chars"),
+        )
+    )

@@ -234,3 +234,30 @@ def test_sample_weighted_aes_properties(spark):
         for r in sorted(everything, key=lambda r: r["draw_rank"])
     ]
     assert got == expect
+
+
+def test_split_assign_exhaustive_stable_and_validated(spark):
+    """Every id lands in EXACTLY one split; assignment is stable across
+    calls and corpus growth (an id never migrates); bad ratios raise."""
+    import pytest as _pytest
+
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.operators.training import split_assign
+
+    df = spark.createDataFrame([Row(id=i) for i in range(500)])
+    ratios = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["id"]: r["split"] for r in split_assign(df, "id", ratios).collect()}
+    assert set(a.values()) == {"train", "val", "test"}
+    assert len(a) == 500
+    # rough proportions (hash-uniform, 500 ids)
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.7 * 500 < n_train < 0.9 * 500
+    # growth stability: the same ids keep their split in a larger corpus
+    bigger = spark.createDataFrame([Row(id=i) for i in range(1000)])
+    b = {r["id"]: r["split"] for r in split_assign(bigger, "id", ratios).collect()}
+    assert all(b[i] == a[i] for i in a)
+    with _pytest.raises(ValueError, match="sum"):
+        split_assign(df, "id", {"a": 0.9, "b": 0.2})
+    with _pytest.raises(ValueError, match="non-negative"):
+        split_assign(df, "id", {"a": -0.1, "b": 0.5})
