@@ -369,13 +369,16 @@ class CdcEngine:
 
         from .streaming.changelog_stream import merge_mirror_batch
 
-        def apply(batch_df, epoch: int) -> None:
+        def apply(batch_df, _spark_epoch: int) -> None:
             for table, vschema in tables.items():
                 flat, value_cols = self._typed_flat(batch_df, table, vschema, pk_col)
+                # epoch=None: each mirror numbers epochs from its own
+                # manifest counter — Spark's batch id collides with any
+                # epoch a seed already wrote (see mirror_sink)
                 merge_mirror_batch(
                     flat,
                     _os.path.join(state_root, table.replace(".", "__")),
-                    epoch,
+                    epoch=None,
                     n_buckets=n_buckets,
                     value_cols=value_cols,
                 )

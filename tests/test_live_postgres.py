@@ -863,3 +863,100 @@ def test_live_walsender_kill_transient_and_resume(live, tmp_path):
     )
     ids = [dict(r["after"])["id"] for r in rows if r["op"] == "I"]
     assert sorted(ids) == ["1", "2"], f"gap or dup across the kill: {ids}"
+
+
+def test_live_multi_table_typed_fanout(spark, tmp_path):
+    """O17 against the real server: ONE slot/publication carries two
+    tables; the envelope stream fans out into per-table typed mirrors
+    (driver-side dispatch, per-table value schemas) and each mirror must
+    equal its live table."""
+    from go_pq_cdc_spark.config import EngineConfig, TableConfig
+    from go_pq_cdc_spark.engine import CdcEngine
+    from go_pq_cdc_spark.sources.replication_client import ReplicationConnection
+    from go_pq_cdc_spark.sources.slot_keeper import pump_frames
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    TA, TB = "fan_live_a", "fan_live_b"
+    SLOT5, PUB5 = "fan_live_slot", "fan_live_pub"
+    sql = _sql_conn()
+    q = sql.simple_query
+    q(f"DROP PUBLICATION IF EXISTS {PUB5}")
+    _drop_slot_with_retry(q, slot=SLOT5)
+    q(f"DROP TABLE IF EXISTS {TA}")
+    q(f"DROP TABLE IF EXISTS {TB}")
+    q(f"CREATE TABLE {TA} (pk bigint PRIMARY KEY, val text)")
+    q(f"CREATE TABLE {TB} (pk bigint PRIMARY KEY, score double precision)")
+    q(f"CREATE PUBLICATION {PUB5} FOR TABLE {TA}, {TB}")
+    conn = stream_q = None
+    try:
+        repl = _repl_conn()
+        try:
+            rows = repl.simple_query(
+                f"CREATE_REPLICATION_SLOT {SLOT5} LOGICAL pgoutput EXPORT_SNAPSHOT"
+            )
+            consistent_point = _lsn_to_int(rows[0][1])
+        finally:
+            repl.close()
+
+        wal_dir = str(tmp_path / "wal")
+        os.makedirs(wal_dir)
+        conn = ReplicationConnection.connect(**_conn_args(), replication=True)
+        conn.sock.settimeout(None)
+        conn.start_replication(SLOT5, consistent_point, [PUB5])
+
+        def pump():
+            try:
+                pump_frames(
+                    conn.frames(), wal_dir, conn.send_standby_status,
+                    batch_rows=1, start_lsn=consistent_point,
+                )
+            except Exception:
+                pass
+
+        threading.Thread(target=pump, daemon=True).start()
+
+        q(f"INSERT INTO {TA} VALUES (1, 'a1'), (2, 'a2')")
+        q(f"INSERT INTO {TB} VALUES (1, 0.5), (7, 2.25)")
+        q(f"UPDATE {TA} SET val = 'a1-new' WHERE pk = 1")
+        q(f"DELETE FROM {TB} WHERE pk = 1")
+
+        eng = CdcEngine(
+            EngineConfig(
+                publication_name=PUB5, slot_name=SLOT5, heartbeat_enabled=False,
+                tables=[TableConfig(name=TA), TableConfig(name=TB)],
+            ),
+            spark,
+        )
+        state_root = str(tmp_path / "mirrors")
+        stream_q = eng.typed_multi_mirror(
+            eng.envelope_changes(wal_dir),
+            state_root,
+            str(tmp_path / "ckpt"),
+            tables={f"public.{TA}": "val string", f"public.{TB}": "score double"},
+        )
+        deadline = time.time() + WAIT_S
+        a = b = {}
+        while time.time() < deadline:
+            stream_q.processAllAvailable()
+            try:
+                a = {r["pk"]: r["val"] for r in read_mirror(
+                    spark, os.path.join(state_root, f"public__{TA}")).collect()}
+                b = {r["pk"]: r["score"] for r in read_mirror(
+                    spark, os.path.join(state_root, f"public__{TB}")).collect()}
+            except Exception:
+                continue
+            if a == {1: "a1-new", 2: "a2"} and b == {7: 2.25}:
+                break
+            time.sleep(0.3)
+        assert a == {1: "a1-new", 2: "a2"}
+        assert b == {7: 2.25}
+    finally:
+        if stream_q is not None:
+            stream_q.stop()
+        if conn is not None:
+            conn.close()
+        _drop_slot_with_retry(q, slot=SLOT5)
+        q(f"DROP PUBLICATION IF EXISTS {PUB5}")
+        q(f"DROP TABLE IF EXISTS {TA}")
+        q(f"DROP TABLE IF EXISTS {TB}")
+        sql.close()
