@@ -504,38 +504,93 @@ def relation_table_struct(rel: Relation):
     return table_struct([(col.name, pg_type_name(col.type_oid)) for col in rel.columns])
 
 
-def frames_to_envelope(frames):
-    """XLogData frames -> envelope-shaped dicts, the same rows
-    `wal2json.decode_wal2json` produces JVM-side:
-        {op, lsn, xid, commit_ts_us, schema, table, before, after}
-    UNCHANGED_TOAST collapses to the envelope's NULL-means-unchanged
-    convention (repaired downstream by `operators.cdc.toast_fill`); B/C
-    markers stamp xid + commit timestamp on the txn's DMLs (txn assembly /
-    commit-LSN rewrite stays in `operators.cdc.commit_order`). Keepalive
-    frames are skipped — the caller answers them with
-    `standby_status_update`.
+def frames_to_committed_txns(frames):
+    """XLogData frames -> (commit_end_lsn, rows) per COMMITTED
+    transaction, in commit order — THE single socket-transport decode
+    path (the pump builds envelope segments from it; `frames_to_envelope`
+    flattens it).
 
-    Array-typed columns (Relation OID in ARRAY_OIDS) are re-encoded from
+    Per-row contract, identical to what `wal2json.decode_wal2json`
+    produces JVM-side plus the commit rewrite:
+      {op, lsn, txn_seq, xid, commit_ts_us, schema, table, before, after}
+    where `lsn` is the transaction's COMMIT end LSN (the reference
+    rewrites delivered positions to TransactionEndLSN — stream.go:193-203
+    regular, :257-267 streamed) and `txn_seq` the 1-based position within
+    the transaction, so (lsn, txn_seq) totally orders events even from
+    unordered distributed storage.
+
+    Buffering is per top-level xid, so an uncommitted tail (stream cut
+    mid-transaction) is never emitted, and protocol-v2 STREAMED
+    transactions work: blocks of different top-level xids interleave
+    between StreamStart/StreamStop, DML messages carry their
+    (sub)transaction's xid, StreamAbort drops exactly the aborted
+    subtransaction's rows (whole buffer when subxid == toplevel), and
+    StreamCommit releases the survivors with the commit timestamp only
+    IT carries. Memory holds one in-flight transaction set — the same
+    bound as the reference's in-process buffer.
+
+    UNCHANGED_TOAST collapses to the envelope's NULL-means-unchanged
+    convention (repaired downstream by `operators.cdc.toast_fill`);
+    array-typed columns (Relation OID in ARRAY_OIDS) are re-encoded from
     PG text-array format to JSON text so the envelope carries the SAME
     encoding the wal2json path does — `envelope.typed_projection` turns
     either into a typed array column (pgtype-parity,
-    `pq/message/tuple/data.go:97-102`)."""
+    `pq/message/tuple/data.go:97-102`). Keepalive frames are skipped —
+    the caller answers them with `standby_status_update`."""
     dec = PgOutputDecoder()
-    xid = None
-    commit_ts_us = None
+    cur_xid = None  # non-streamed: Begin..Commit never interleaves
+    cur_commit_ts_us = None
+    stream_top = None  # inside a StreamStart..StreamStop block
+    bufs: dict[int, list] = {}  # toplevel xid -> [(subxid, row), ...]
+
+    def stamp(buffered, end_lsn, commit_ts_us):
+        rows = []
+        for i, (_sx, r) in enumerate(buffered):
+            r["lsn"] = end_lsn
+            r["txn_seq"] = i + 1
+            if commit_ts_us is not None:
+                r["commit_ts_us"] = commit_ts_us
+            rows.append(r)
+        return rows
+
     for frame in frames:
         if isinstance(frame, PrimaryKeepalive):
             continue
         msg = dec.decode(frame.payload)
         if isinstance(msg, Begin):
-            xid, commit_ts_us = msg.xid, msg.commit_ts_us
+            cur_xid, cur_commit_ts_us = msg.xid, msg.commit_ts_us
+            bufs.setdefault(cur_xid, [])
             continue
         if isinstance(msg, Commit):
-            xid, commit_ts_us = None, None
+            rows = stamp(bufs.pop(cur_xid, []), msg.end_lsn, None)
+            cur_xid, cur_commit_ts_us = None, None
+            yield msg.end_lsn, rows
+            continue
+        if isinstance(msg, StreamStart):
+            stream_top = msg.xid
+            bufs.setdefault(stream_top, [])
+            continue
+        if isinstance(msg, StreamStop):
+            stream_top = None
+            continue
+        if isinstance(msg, StreamCommit):
+            yield msg.end_lsn, stamp(
+                bufs.pop(msg.xid, []), msg.end_lsn, msg.commit_ts_us
+            )
+            continue
+        if isinstance(msg, StreamAbort):
+            if msg.subxid == msg.xid:
+                bufs.pop(msg.xid, None)
+            elif msg.xid in bufs:
+                bufs[msg.xid] = [
+                    (sx, r) for sx, r in bufs[msg.xid] if sx != msg.subxid
+                ]
             continue
         op = _OPS.get(type(msg))
         if op is None:
-            continue  # Relation/Truncate/Stream* are control flow here
+            continue  # Relation/Truncate are control flow here
+        toplevel = stream_top if stream_top is not None else cur_xid
+        subxid = msg.xid if msg.xid is not None else toplevel
         rel = dec.relations[msg.relation_oid]
         array_cols = {c.name for c in rel.columns if c.type_oid in ARRAY_OIDS}
 
@@ -552,13 +607,22 @@ def frames_to_envelope(frames):
                     out[k] = v
             return out
 
-        yield {
+        row = {
             "op": op,
-            "lsn": frame.wal_start,
-            "xid": msg.xid if msg.xid is not None else xid,
-            "commit_ts_us": commit_ts_us,
+            "lsn": frame.wal_start,  # rewritten to commit end at commit
+            "xid": subxid,
+            "commit_ts_us": cur_commit_ts_us if stream_top is None else None,
             "schema": rel.namespace,
             "table": rel.name,
             "before": clean(getattr(msg, "old", None)),
             "after": clean(getattr(msg, "new", None)),
         }
+        bufs.setdefault(toplevel, []).append((subxid, row))
+
+
+def frames_to_envelope(frames):
+    """Flattened `frames_to_committed_txns`: envelope rows of committed
+    transactions in commit order, each carrying the commit-rewritten
+    (lsn, txn_seq) — see that function for the full contract."""
+    for _end_lsn, rows in frames_to_committed_txns(frames):
+        yield from rows

@@ -146,8 +146,8 @@ def pump_frames(
     stream.go:302-348 + 718-733, with the durable segment log in place of
     the in-process handler channel).
 
-    Transactions are delivered WHOLE (`_committed_txns` buffers per
-    top-level xid, like the reference's per-XID assembly) and segments cut
+    Transactions are delivered WHOLE (`pgoutput.frames_to_committed_txns`
+    buffers per top-level xid, like the reference's per-XID assembly) and segments cut
     at COMMIT boundaries once `batch_rows` rows have accumulated, so a
     transaction never spans a segment edge (replay after a crash re-reads
     whole transactions — at-least-once, idempotent downstream).
@@ -167,7 +167,7 @@ def pump_frames(
     keepalive acks immediately. Returns the final frontier LSN.
     `send_status(received, flushed, applied)` is typically
     `ReplicationConnection.send_standby_status`."""
-    from .pgoutput import PrimaryKeepalive
+    from .pgoutput import PrimaryKeepalive, frames_to_committed_txns
 
     segs = lsn_stream.list_segments(wal_dir)
     frontier = max(
@@ -207,7 +207,7 @@ def pump_frames(
                 continue
             yield f
 
-    for end_lsn, rows in _committed_txns(dml_frames()):
+    for end_lsn, rows in frames_to_committed_txns(dml_frames()):
         if end_lsn <= frontier or not rows:
             # replayed duplicate after restart, or a transaction with no
             # rows for the published tables — nothing durable to add (an
@@ -337,130 +337,6 @@ def run_replication_resilient(
                 on_retry(attempt + 1, exc)
             sleep(delays[attempt])
             attempt += 1
-
-
-def _stamp_commit(buffered, end_lsn, commit_ts_us):
-    """Commit-time rewrite: every row of the transaction gets the commit
-    end LSN plus its 1-based intra-transaction sequence; streamed
-    transactions additionally get the commit timestamp only the
-    StreamCommit message carries."""
-    rows = []
-    for i, (_sx, r) in enumerate(buffered):
-        r["lsn"] = end_lsn
-        r["txn_seq"] = i + 1
-        if commit_ts_us is not None:
-            r["commit_ts_us"] = commit_ts_us
-        rows.append(r)
-    return rows
-
-
-def _committed_txns(frames):
-    """`pgoutput.frames_to_envelope` semantics, re-grouped to WHOLE
-    transactions: yields `(commit_end_lsn, rows)` per COMMITTED
-    transaction, in commit order — the reference's per-XID assembly
-    (worker-side txn buffer) done at the transport.
-
-    Emitted rows carry the COMMIT-REWRITTEN position: `lsn` is the
-    transaction's commit-record end LSN (the reference rewrites delivered
-    WAL positions to TransactionEndLSN — stream.go:193-203 regular,
-    :257-267 streamed) and `txn_seq` is the 1-based position within the
-    transaction, so `(lsn, txn_seq)` totally orders events in commit
-    order even when read back from unordered distributed storage. Raw
-    per-record WAL positions are NOT exposed: with interleaved
-    transactions they are not monotonic in commit order, and anything
-    ordering by them (a max-LSN-wins merge, a toast carry-forward
-    window) picks the wrong winner.
-
-    Rows are buffered per top-level xid until the commit arrives, so:
-      * an uncommitted tail (stream cut mid-transaction) is never
-        emitted — the caller can't flush rows that may roll back;
-      * protocol-v2 STREAMED transactions work: blocks of different
-        top-level xids interleave between StreamStart/StreamStop, DML
-        messages carry their (sub)transaction's xid, StreamAbort drops
-        exactly the aborted subtransaction's rows (whole buffer when
-        subxid == toplevel), and StreamCommit releases the survivors
-        with the commit timestamp only IT carries.
-
-    Memory holds one in-flight transaction set, the same bound as the
-    reference's in-process buffer; the server's logical_decoding_work_mem
-    pushes oversized transactions into streamed mode, which buffers here
-    too — spill-to-disk is the documented future hook if that ever
-    bites."""
-    from .pgoutput import (
-        UNCHANGED_TOAST,
-        Begin,
-        Commit,
-        Delete,
-        Insert,
-        PgOutputDecoder,
-        StreamAbort,
-        StreamCommit,
-        StreamStart,
-        StreamStop,
-        Update,
-    )
-
-    dec = PgOutputDecoder()
-    ops = {Insert: "I", Update: "U", Delete: "D"}
-    cur_xid = None  # non-streamed: Begin..Commit never interleaves
-    cur_commit_ts_us = None
-    stream_top = None  # inside a StreamStart..StreamStop block
-    bufs: dict[int, list] = {}  # toplevel xid -> [(subxid, row), ...]
-
-    def clean(img):
-        if img is None:
-            return None
-        return {k: (None if v is UNCHANGED_TOAST else v) for k, v in img.items()}
-
-    for frame in frames:
-        msg = dec.decode(frame.payload)
-        if isinstance(msg, Begin):
-            cur_xid, cur_commit_ts_us = msg.xid, msg.commit_ts_us
-            bufs.setdefault(cur_xid, [])
-            continue
-        if isinstance(msg, Commit):
-            rows = _stamp_commit(bufs.pop(cur_xid, []), msg.end_lsn, None)
-            cur_xid, cur_commit_ts_us = None, None
-            yield msg.end_lsn, rows
-            continue
-        if isinstance(msg, StreamStart):
-            stream_top = msg.xid
-            bufs.setdefault(stream_top, [])
-            continue
-        if isinstance(msg, StreamStop):
-            stream_top = None
-            continue
-        if isinstance(msg, StreamCommit):
-            rows = _stamp_commit(
-                bufs.pop(msg.xid, []), msg.end_lsn, msg.commit_ts_us
-            )
-            yield msg.end_lsn, rows
-            continue
-        if isinstance(msg, StreamAbort):
-            if msg.subxid == msg.xid:
-                bufs.pop(msg.xid, None)
-            elif msg.xid in bufs:
-                bufs[msg.xid] = [
-                    (sx, r) for sx, r in bufs[msg.xid] if sx != msg.subxid
-                ]
-            continue
-        op = ops.get(type(msg))
-        if op is None:
-            continue
-        toplevel = stream_top if stream_top is not None else cur_xid
-        subxid = msg.xid if msg.xid is not None else toplevel
-        rel = dec.relations[msg.relation_oid]
-        row = {
-            "op": op,
-            "lsn": frame.wal_start,
-            "xid": subxid,
-            "commit_ts_us": cur_commit_ts_us if stream_top is None else None,
-            "schema": rel.namespace,
-            "table": rel.name,
-            "before": clean(getattr(msg, "old", None)),
-            "after": clean(getattr(msg, "new", None)),
-        }
-        bufs.setdefault(toplevel, []).append((subxid, row))
 
 
 class SlotKeeper:

@@ -223,7 +223,9 @@ def test_column_count_mismatch_fails():
 
 def test_frames_to_envelope_roundtrip():
     """XLogData frames -> envelope dicts shaped like decode_wal2json's
-    output: txn stamps from B/C, TOAST-unchanged collapses to None."""
+    output: txn stamps from B/C, TOAST-unchanged collapses to None, every
+    row commit-rewritten to (commit end lsn, txn_seq), and a dangling DML
+    with no enclosing commit is NEVER emitted (uncommitted tail)."""
     from go_pq_cdc_spark.sources.pgoutput import frames_to_envelope
 
     def xlog(lsn, payload):
@@ -242,18 +244,17 @@ def test_frames_to_envelope_roundtrip():
         ),
         PrimaryKeepalive(13, 0, True),
         xlog(20, b"C" + struct.pack(">bQQq", 0, 20, 21, 5)),
+        # dangling DELETE after the commit, no Begin: an uncommitted tail
         xlog(30, b"D" + struct.pack(">I", 16384) + b"K" + tup("1", None)),
     ]
     rows = list(frames_to_envelope(frames))
-    assert [(r["op"], r["lsn"], r["xid"]) for r in rows] == [
-        ("I", 12, 900),
-        ("U", 13, 900),
-        ("D", 30, None),  # no enclosing Begin in this fixture slice
+    assert [(r["op"], r["lsn"], r["txn_seq"], r["xid"]) for r in rows] == [
+        ("I", 21, 1, 900),
+        ("U", 21, 2, 900),
     ]
     assert rows[0]["after"] == {"id": "1", "val": "1.5"}
     assert rows[0]["commit_ts_us"] == PG_EPOCH_OFFSET_US + 5
     assert rows[1]["after"] == {"id": "1", "val": None}  # TOAST 'u' -> None
-    assert rows[2]["before"] == {"id": "1", "val": None}
     assert all(r["schema"] == "public" and r["table"] == "users" for r in rows)
 
 

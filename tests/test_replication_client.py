@@ -727,3 +727,40 @@ def test_pump_empty_txns_advance_ack_not_frontier(tmp_path):
     )
     assert f2 == 13
     assert max(acks2) == 14  # never past the buffered txn until its flush
+
+
+def test_pump_segments_recode_arrays_as_json(tmp_path):
+    """The pump's envelope segments must carry array columns as JSON text
+    (the cross-transport convention typed_projection expects) — r7 found
+    the pump's private decode path skipped the recode that
+    frames_to_envelope applied, so engine-lifecycle array columns reached
+    the typed projection as raw PG '{...}' text. One decoder now."""
+    import pyarrow.parquet as pq
+
+    from go_pq_cdc_spark.sources import lsn_stream
+    from go_pq_cdc_spark.sources.pgoutput import XLogData
+    from go_pq_cdc_spark.sources.slot_keeper import pump_frames
+    from .test_pgoutput import relation_msg
+
+    wal_dir = str(tmp_path / "wal")
+    import os as _os
+
+    _os.makedirs(wal_dir)
+    cols = (("id", 20, True), ("nums", 1007, False))  # int8 + _int4
+    ins = (
+        b"I" + struct.pack(">I", 16384) + b"N"
+        + struct.pack(">H", 2)
+        + b"t" + struct.pack(">i", 1) + b"7"
+        + b"t" + struct.pack(">i", 10) + b"{1,2,NULL}"
+    )
+    frames = [
+        XLogData(5, 5, 0, relation_msg(cols=cols)),
+        XLogData(9, 9, 0, b"B" + struct.pack(">QqI", 12, 0, 42)),
+        XLogData(10, 10, 0, ins),
+        XLogData(12, 12, 0, b"C" + struct.pack(">bQQq", 0, 12, 13, 0)),
+    ]
+    pump_frames(frames, wal_dir)
+    (_s, _e, path), = lsn_stream.list_segments(wal_dir)
+    (row,) = pq.read_table(path).to_pylist()
+    after = dict(row["after"])
+    assert after["nums"] == '["1", "2", null]'  # JSON, not PG '{1,2,NULL}'
