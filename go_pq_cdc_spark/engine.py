@@ -677,6 +677,9 @@ class CdcEngine:
                     value_cols=value_cols,
                     keep_epochs=keep_epochs,
                 )
+                # rows_processed=0: an exact count would cost one extra
+                # Spark job per chunk; queue progress tracks chunks, and
+                # the mirror itself is the row-level source of truth
                 return 0
 
             cq.drain(qdir, process)

@@ -70,6 +70,10 @@ FEATURE_SCHEMA = T.StructType(
 # marked. Swapping in a full codec never changes the Spark plan.
 
 
+_UNRESOLVED = object()
+_PIL_IMAGE = _UNRESOLVED
+
+
 def _pil_image_module():
     """Import-guarded PIL: returns `PIL.Image` where Pillow is installed,
     None otherwise (it is NOT in this container — the digest-fake /
@@ -84,10 +88,6 @@ def _pil_image_module():
         except ImportError:
             _PIL_IMAGE = None
     return _PIL_IMAGE
-
-
-_UNRESOLVED = object()
-_PIL_IMAGE = _UNRESOLVED
 
 
 def _try_pil_decode(payload: bytes):

@@ -9,8 +9,9 @@ retries before the mirror merge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def spread_small_input(df: DataFrame, *keys) -> DataFrame:
@@ -118,4 +119,45 @@ def write_range_clustered(
         .sortWithinPartitions(*cols)
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def salted_topk(
+    df: DataFrame,
+    order_cols: list,
+    rank_name: str,
+    k: int,
+    salt_col: str | Column,
+    partition_cols: tuple[str, ...] = (),
+    salts: int = 32,
+) -> DataFrame:
+    """TWO-LEVEL top-k per partition group (or globally when
+    `partition_cols` is empty): a salted partial top-k — a window over
+    (*partition_cols, pmod(xxhash64(salt_col), salts)) so `salts`
+    reducers share each group's rows — then the final ranked top-k over
+    at most salts*k survivors per group.
+
+    This is THE top-k shape for unbounded inputs: a single
+    `Window.partitionBy(group)` (or a global window) funnels EVERY row of
+    a group through ONE reducer task — at 100 TB that task is the job.
+    The result is provably identical to the one-level window (every
+    member of the global top-k ranks <= k within its salt; the final
+    window re-ranks the union under the same ordering), so oracles can
+    keep one-level formulations. Ties must be broken by a unique column
+    inside `order_cols`. Same pattern as `sketch._bottom_k` (the KMV
+    aggregation-based variant)."""
+    w1 = Window.partitionBy(*partition_cols, "_salt").orderBy(*order_cols)
+    pre = (
+        df.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(salt_col) if isinstance(salt_col, str) else salt_col),
+                   F.lit(salts)).cast("int"),
+        )
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_salt", "_rn1")
+    )
+    w2 = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return pre.withColumn(rank_name, F.row_number().over(w2).cast("long")).filter(
+        F.col(rank_name) <= k
     )

@@ -36,29 +36,16 @@ def _topk_per_query(
     cand_col: str,
     query_col: str = "q_id",
 ) -> DataFrame:
-    """Per-query top-k — TWO-LEVEL: a salted partial top-k (window over
-    (q_id, pmod(xxhash64(candidate), S)) — S reducers share each query's
-    candidates) followed by the final ranked top-k over at most S*k rows
-    per query. A single `Window.partitionBy(q_id)` would funnel EVERY
-    scored corpus row for a query through ONE reducer — for the
-    full-corpus scorers (brute-force cosine, PQ-ADC) that one task IS the
-    job at 100 TB. Result identical (every member of the global top-k is
-    in its salt's top-k; the final window re-ranks the union with the
-    same ordering), so the DuckDB oracles keep their one-level windows.
-    Same shape as `sketch._bottom_k` (the KMV partial top-k)."""
-    w1 = Window.partitionBy(query_col, "_salt").orderBy(*order_cols)
-    pre = (
-        pairs.withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(F.col(cand_col)), F.lit(TOPK_SALTS)).cast("int"),
-        )
-        .withColumn("_rn1", F.row_number().over(w1))
-        .filter(F.col("_rn1") <= k)
-        .drop("_salt", "_rn1")
-    )
-    w2 = Window.partitionBy(query_col).orderBy(*order_cols)
-    return pre.withColumn(rank_name, F.row_number().over(w2).cast("long")).filter(
-        F.col(rank_name) <= k
+    """Per-query top-k via the shared two-level salted reduction
+    (`scale.salted_topk`): never a single `Window.partitionBy(q_id)` —
+    for the full-corpus scorers (brute-force cosine, PQ-ADC) that one
+    reducer task IS the job at 100 TB. Results are provably identical to
+    the one-level window, so the DuckDB oracles keep theirs."""
+    from .scale import salted_topk
+
+    return salted_topk(
+        pairs, order_cols, rank_name, k, cand_col,
+        partition_cols=(query_col,), salts=TOPK_SALTS,
     )
 
 

@@ -28,12 +28,20 @@ from ..functions import portable as P
 SAMPLE_BASIS = 10_000  # hash-sampling resolution: fractions quantize to 1e-4
 
 
+def _id_hash(id_col: str) -> dict[str, str]:
+    """Portable md5 hash fragments of the id rendered as text — the ONE
+    randomness source every sampler/splitter here derives from."""
+    return P.md5_hash(
+        {"spark": f"CAST({id_col} AS STRING)", "duck": f"CAST({id_col} AS VARCHAR)"}
+    )
+
+
 def sample_fragments(id_col: str, rate_expr: str) -> dict[str, str]:
     """Keep-predicate fragments: md5-derived hash of the id, mod BASIS,
     compared against rate*BASIS. Deterministic, reproducible, and
     engine-portable — the pipeline answer to `TABLESAMPLE` (which is
     neither deterministic nor consistent across engines/runs)."""
-    h = P.md5_hash({"spark": f"CAST({id_col} AS STRING)", "duck": f"CAST({id_col} AS VARCHAR)"})
+    h = _id_hash(id_col)
     return {
         "spark": f"(({h['spark']}) % {SAMPLE_BASIS}) < CAST(round(({rate_expr}) * {SAMPLE_BASIS}) AS BIGINT)",
         "duck": f"(({h['duck']}) % {SAMPLE_BASIS}) < CAST(round(({rate_expr}) * {SAMPLE_BASIS}) AS BIGINT)",
@@ -355,9 +363,7 @@ def weighted_sample_key(id_col: str, weight_col: str) -> dict[str, str]:
     (inclusion probability proportional to weight at each draw).
     Deterministic and retry-stable like every sampler here: no RNG, the
     hash IS the randomness."""
-    h = P.md5_hash(
-        {"spark": f"CAST({id_col} AS STRING)", "duck": f"CAST({id_col} AS VARCHAR)"}
-    )
+    h = _id_hash(id_col)
     u = (
         f"((CAST(({{h}}) % {SAMPLE_BASIS} AS DOUBLE) + 0.5) / {SAMPLE_BASIS})"
     )
@@ -385,27 +391,16 @@ def sample_weighted(
     the similarity top-ks and the KMV bottom-k: never a single-reducer
     global window. Rows with NULL or non-positive weight are excluded
     (ln(u)/w flips sign at w<0 and A-ES is undefined there)."""
+    from .scale import salted_topk
+
     key = F.expr(weighted_sample_key(id_col, weight_col)["spark"])
     pos = df.filter(F.col(weight_col).cast("double") > 0).withColumn(
         "_wkey", key
     )
-    w1 = Window.partitionBy("_salt").orderBy(
-        F.desc("_wkey"), F.asc(id_col)
-    )
-    pre = (
-        pos.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts)).cast("int")
-        )
-        .withColumn("_rn1", F.row_number().over(w1))
-        .filter(F.col("_rn1") <= k)
-        .drop("_salt", "_rn1")
-    )
-    w2 = Window.orderBy(F.desc("_wkey"), F.asc(id_col))
-    return (
-        pre.withColumn("draw_rank", F.row_number().over(w2).cast("long"))
-        .filter(F.col("draw_rank") <= k)
-        .drop("_wkey")
-    )
+    return salted_topk(
+        pos, [F.desc("_wkey"), F.asc(id_col)], "draw_rank", k, id_col,
+        salts=salts,
+    ).drop("_wkey")
 
 
 def split_fragments(id_col: str, ratios: dict[str, float]) -> dict[str, str]:
@@ -414,9 +409,7 @@ def split_fragments(id_col: str, ratios: dict[str, float]) -> dict[str, str]:
     uniform hash the samplers use. Ratios must sum to <= 1; any
     remainder falls into the final split (so {train:.9, val:.05,
     test:.05} is airtight against rounding)."""
-    h = P.md5_hash(
-        {"spark": f"CAST({id_col} AS STRING)", "duck": f"CAST({id_col} AS VARCHAR)"}
-    )
+    h = _id_hash(id_col)
     names = list(ratios)
     out = {}
     for eng in ("spark", "duck"):
