@@ -586,11 +586,36 @@ def frames_to_committed_txns(frames):
                     (sx, r) for sx, r in bufs[msg.xid] if sx != msg.subxid
                 ]
             continue
+        toplevel = stream_top if stream_top is not None else cur_xid
+        msg_xid = getattr(msg, "xid", None)  # Relation carries no xid
+        subxid = msg_xid if msg_xid is not None else toplevel
+        if isinstance(msg, Truncate):
+            # one 'T' row per truncated relation — wal2json-path parity
+            # (decode_wal2json keeps action 'T'; dropping it here would
+            # leave downstream mirrors silently stale after a TRUNCATE)
+            for oid in msg.relation_oids:
+                rel = dec.relations[oid]
+                bufs.setdefault(toplevel, []).append(
+                    (
+                        subxid,
+                        {
+                            "op": "T",
+                            "lsn": frame.wal_start,
+                            "xid": subxid,
+                            "commit_ts_us": (
+                                cur_commit_ts_us if stream_top is None else None
+                            ),
+                            "schema": rel.namespace,
+                            "table": rel.name,
+                            "before": None,
+                            "after": None,
+                        },
+                    )
+                )
+            continue
         op = _OPS.get(type(msg))
         if op is None:
-            continue  # Relation/Truncate are control flow here
-        toplevel = stream_top if stream_top is not None else cur_xid
-        subxid = msg.xid if msg.xid is not None else toplevel
+            continue  # Relation messages are control flow here
         rel = dec.relations[msg.relation_oid]
         array_cols = {c.name for c in rel.columns if c.type_oid in ARRAY_OIDS}
 

@@ -40,7 +40,8 @@ FLAT_CHANGE_SCHEMA = T.StructType(
         T.StructField("lsn", T.LongType(), False),
         T.StructField("xid", T.LongType(), True),
         T.StructField("commit_ts", T.TimestampType(), True),
-        T.StructField("pk", T.LongType(), False),
+        # nullable: TRUNCATE rows (op 'T') carry no key
+        T.StructField("pk", T.LongType(), True),
         T.StructField("after_val", T.DoubleType(), True),
     ]
 )
@@ -355,10 +356,35 @@ def merge_mirror_batch(
         "pk", "lsn", "op", *value_cols, seq_in.alias("txn_seq")
     ).withColumn("pb", _bucket_col(n_buckets=n_buckets))
     # Driver-side bucket routing (<= n_buckets ints — a plan-time scalar,
-    # like the reference's per-batch table routing).
-    affected = sorted(
-        r["pb"] for r in incoming.select("pb").distinct().collect()
-    )
+    # like the reference's per-batch table routing), plus the last
+    # TRUNCATE position in the same single aggregate job.
+    stats = incoming.agg(
+        F.collect_set("pb").alias("pbs"),
+        F.max(F.when(F.col("op") == "T", F.struct("lsn", "txn_seq"))).alias(
+            "t_max"
+        ),
+    ).collect()[0]
+    truncated = stats["t_max"] is not None
+    if truncated:
+        # TRUNCATE semantics (op 'T' from either transport): every stored
+        # row and every batch event at or before the LAST truncate dies;
+        # only events strictly after it survive. All stored buckets are
+        # affected — each is rewritten with survivors or dropped from the
+        # manifest.
+        t_max = stats["t_max"]
+        incoming = incoming.filter(
+            F.struct("lsn", "txn_seq")
+            > F.struct(
+                F.lit(t_max["lsn"]).cast("long"),
+                F.lit(t_max["txn_seq"]).cast("long"),
+            )
+        )
+        affected = sorted(
+            {int(b) for b in manifest["buckets"]}
+            | {r["pb"] for r in incoming.select("pb").distinct().collect()}
+        )
+    else:
+        affected = sorted(b for b in stats["pbs"] if b is not None)
     if not affected:
         # an EMPTY epoch still committed in the stream's checkpoint — give
         # it a snapshot (same buckets as the previous epoch) so
@@ -370,11 +396,15 @@ def merge_mirror_batch(
         _write_manifest(state_dir, manifest)
         _gc_epochs(state_dir, manifest, keep_epochs=keep_epochs)
         return
-    old_paths = [
-        os.path.join(state_dir, manifest["buckets"][str(b)])
-        for b in affected
-        if str(b) in manifest["buckets"]
-    ]
+    old_paths = (
+        []  # truncate: stored state dies wholesale — never read it back
+        if truncated
+        else [
+            os.path.join(state_dir, manifest["buckets"][str(b)])
+            for b in affected
+            if str(b) in manifest["buckets"]
+        ]
+    )
     if old_paths:
         # Stored rows are consolidated post-transaction state: give them a
         # txn_seq ABOVE any event's so a stored 'R' row wins the

@@ -510,6 +510,28 @@ def test_live_engine_full_lifecycle(spark, tmp_path):
         # repaired it from the snapshot image
         assert state[1] == ("v1-new", big0)
         assert state[21] == ("v21", None)
+
+        # live TRUNCATE through the whole chain: walsender 'T' message ->
+        # envelope -> typed flat -> mirror cleared; post-truncate rows
+        # are the only survivors
+        q(f"TRUNCATE {T2}")
+        q(f"INSERT INTO {T2} (pk, val) VALUES (31, 'after-truncate')")
+        deadline = time.time() + WAIT_S
+        while time.time() < deadline:
+            stream_q.processAllAvailable()
+            try:
+                state = {
+                    r["pk"]: (r["val"], r["big"])
+                    for r in read_mirror(spark, state_dir).collect()
+                }
+            except Exception:
+                continue
+            if state == {31: ("after-truncate", None)}:
+                break
+            time.sleep(0.3)
+        assert state == {31: ("after-truncate", None)}, (
+            f"truncate did not clear the mirror: {sorted(state)}"
+        )
     finally:
         if stream_q is not None:
             stream_q.stop()
@@ -960,3 +982,34 @@ def test_live_multi_table_typed_fanout(spark, tmp_path):
         q(f"DROP TABLE IF EXISTS {TA}")
         q(f"DROP TABLE IF EXISTS {TB}")
         sql.close()
+
+
+def test_live_truncate_event(live):
+    """TRUNCATE through the real walsender must surface as an op='T'
+    envelope row naming the table (wal2json-path parity — O4's 'T'
+    message; round 7 found the socket path dropped it as control flow),
+    positioned between the surrounding transactions."""
+    q = live["sql"].simple_query
+    repl = _repl_conn()
+    try:
+        consistent_point, _snap = _create_slot_with_snapshot(repl)
+    finally:
+        repl.close()
+
+    q(f"INSERT INTO {TABLE} VALUES (1, 'pre')")
+    q(f"TRUNCATE {TABLE}")
+    q(f"INSERT INTO {TABLE} VALUES (2, 'post')")
+
+    rows = _stream_rows(
+        live["wal_dir"],
+        consistent_point,
+        lambda rs: any(
+            r["op"] == "I" and dict(r["after"])["id"] == "2" for r in rs
+        ),
+    )
+    ops = [r["op"] for r in rows]
+    assert ops == ["I", "T", "I"], f"truncate lost or misordered: {ops}"
+    t = rows[1]
+    assert t["table"] == TABLE and t["schema"] == "public"
+    assert t["before"] is None and t["after"] is None
+    assert t["txn_seq"] == 1 and t["commit_ts"] is not None

@@ -660,3 +660,55 @@ def test_epoch_collision_with_seeded_buckets_refused(spark, tmpdirs):
         r["pk"]: r["after_val"] for r in read_mirror(spark, tmpdirs["state"]).collect()
     }
     assert final[1] == 99.0 and len(final) == 40
+
+
+def test_merge_applies_truncate_semantics(spark, tmpdirs):
+    """An op='T' row (TRUNCATE through either transport) clears all
+    stored state and every earlier batch event; only later events
+    survive. Replay of the same batch is idempotent, and a truncate with
+    no survivors leaves an empty (but readable) mirror."""
+    import datetime as _dt
+
+    from pyspark.sql import Row
+
+    os.makedirs(tmpdirs["state"], exist_ok=True)
+    merge_mirror_batch(
+        spark.createDataFrame(
+            [_ev("I", 1, 1, 9, 9.0), _ev("I", 2, 1, 8, 8.0)], FLAT_CHANGE_SCHEMA
+        ),
+        tmpdirs["state"],
+        epoch=None,
+    )
+
+    def t_row(lsn):
+        return Row(
+            op="T", lsn=lsn, xid=2,
+            commit_ts=_dt.datetime(2024, 1, 1), pk=None, after_val=None,
+        )
+
+    batch = spark.createDataFrame(
+        [_ev("I", 5, 2, 1, 1.0), t_row(6), _ev("I", 7, 3, 2, 2.0)],
+        FLAT_CHANGE_SCHEMA,
+    )
+    merge_mirror_batch(batch, tmpdirs["state"], epoch=None)
+    state = {
+        r["pk"]: r["after_val"]
+        for r in read_mirror(spark, tmpdirs["state"]).collect()
+    }
+    assert state == {2: 2.0}  # pre-truncate state AND pk1 both cleared
+
+    # replay is idempotent
+    merge_mirror_batch(batch, tmpdirs["state"], epoch=None)
+    state = {
+        r["pk"]: r["after_val"]
+        for r in read_mirror(spark, tmpdirs["state"]).collect()
+    }
+    assert state == {2: 2.0}
+
+    # truncate with NO survivors empties the mirror completely
+    merge_mirror_batch(
+        spark.createDataFrame([t_row(9)], FLAT_CHANGE_SCHEMA),
+        tmpdirs["state"],
+        epoch=None,
+    )
+    assert read_mirror(spark, tmpdirs["state"]).count() == 0
