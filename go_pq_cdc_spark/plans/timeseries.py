@@ -57,6 +57,7 @@ _END = "2024-01-30 23:00:00"  # inclusive spine end, 720 hourly buckets
     FROM spine LEFT JOIN agg ON spine.b = agg.b
     """,
     tags=("events", "timescale", "gapfill", "window"),
+    bench=True,
 )
 def q_time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TimescaleDB `time_bucket_gapfill` + `locf()` idiom: hourly error-

@@ -80,6 +80,7 @@ _SUPPLY_SQL = """
     LIMIT 100
     """,
     tags=("relational", "join", "correlated_subquery"),
+    bench=True,
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
@@ -89,11 +90,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partkey, cost). Top 100 by account balance, ties broken by
     (s_name, p_partkey).
 
-    Scale shape: the supply derivation is one shuffle; region/nation are
-    broadcast; the min-per-part aggregate and the join back both shuffle
-    on l_partkey (co-partitioned — AQE reuses the exchange); the final
-    top-100 is TakeOrderedAndProject (per-partition partial top-k, no
-    global sort)."""
+    Scale shape: ONE pass over the supply relation — the per-part minimum
+    is a MIN window over l_partkey (fan-in = suppliers-per-part, a small
+    bounded group) instead of a separate aggregate joined back, which
+    would re-derive supply from lineitem a second time (two fact passes);
+    region/nation are broadcast; the final top-100 is
+    TakeOrderedAndProject (per-partition partial top-k, no global
+    sort)."""
+    from pyspark.sql.window import Window
+
     supply = _supply(spark, sf_dir)
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -104,19 +109,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("l_partkey", "l_suppkey", "supplycost", "s_acctbal", "s_name", "n_name")
     )
-    min_cost = region_supply.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
-        F.min("supplycost").alias("min_supplycost")
-    )
+    cheapest = region_supply.withColumn(
+        "min_supplycost", F.min("supplycost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("supplycost") == F.col("min_supplycost"))
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & (F.col("p_size") < 20)
     )
     return (
-        part.join(region_supply, F.col("p_partkey") == F.col("l_partkey"))
-        .join(
-            min_cost,
-            (F.col("l_partkey") == F.col("mc_partkey"))
-            & (F.col("supplycost") == F.col("min_supplycost")),
-        )
+        part.join(cheapest, F.col("p_partkey") == F.col("l_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supplycost")
         .orderBy(F.desc("s_acctbal"), F.asc("s_name"), F.asc("p_partkey"))
         .limit(100)
@@ -185,6 +185,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY nation, o_year
     """,
     tags=("relational", "join", "aggregation"),
+    bench=True,
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit): per supplier-nation,
