@@ -490,3 +490,119 @@ def test_prefix_offsets_matches_ground_truth(spark, ids, data):
         want[i] = acc
         acc += w
     assert got == want
+
+
+# -- frames_to_committed_txns: transaction-grouping invariants ---------------
+
+
+def _txn_frames_strategy():
+    """Strategy producing (frames, expected) where frames is a valid
+    pgoutput sequence of interleaved regular + streamed transactions
+    (streamed ones may abort) and expected is the list of
+    (end_lsn, [row_value, ...]) the decoder must emit — committed
+    transactions only, in commit order."""
+    import struct as _s
+
+    from hypothesis import strategies as st
+
+    from .test_pgoutput import insert_msg, relation_msg, tup
+
+    def build(draw_plan):
+        from go_pq_cdc_spark.sources.pgoutput import XLogData
+
+        frames = [XLogData(1, 1, 0, relation_msg())]
+        expected = []
+        lsn = 10
+        xid = 100
+        # pending streamed txns: xid -> list of values not yet committed
+        for kind, n_rows, commit in draw_plan:
+            xid += 1
+            vals = [f"{xid}-{i}" for i in range(n_rows)]
+            if kind == "regular":
+                # regular txns are atomic in the frame stream (the server
+                # serializes them whole, in commit order)
+                end = lsn + n_rows + 2
+                frames.append(
+                    XLogData(lsn, lsn, 0, b"B" + _s.pack(">QqI", end - 1, 0, xid))
+                )
+                for i, v in enumerate(vals):
+                    frames.append(
+                        XLogData(lsn + 1 + i, 0, 0, insert_msg(vals=(v, "1.0")))
+                    )
+                frames.append(
+                    XLogData(
+                        end - 1, 0, 0, b"C" + _s.pack(">bQQq", 0, end - 1, end, 0)
+                    )
+                )
+                if commit:  # regular txns in WAL are always committed
+                    expected.append((end, vals))
+                else:
+                    # an uncommitted regular txn = stream cut before 'C':
+                    # drop the commit frame; nothing may be emitted
+                    frames.pop()
+                lsn = end + 1
+            else:  # streamed: chunks, then commit or abort
+                # two chunks to exercise S/E re-entry
+                half = n_rows // 2
+                for chunk in (vals[:half], vals[half:]):
+                    frames.append(
+                        XLogData(lsn, 0, 0, b"S" + _s.pack(">Ib", xid, 1))
+                    )
+                    for v in chunk:
+                        frames.append(
+                            XLogData(
+                                lsn + 1, 0, 0,
+                                b"I" + _s.pack(">II", xid, 16384) + b"N"
+                                + tup(v, "1.0"),
+                            )
+                        )
+                        lsn += 1
+                    frames.append(XLogData(lsn, 0, 0, b"E"))
+                    lsn += 2
+                if commit:
+                    end = lsn + 1
+                    frames.append(
+                        XLogData(
+                            lsn, 0, 0,
+                            b"c" + _s.pack(">IbQQq", xid, 0, lsn, end, 7),
+                        )
+                    )
+                    expected.append((end, vals))
+                    lsn = end + 1
+                else:
+                    frames.append(
+                        XLogData(lsn, 0, 0, b"A" + _s.pack(">II", xid, xid))
+                    )
+                    lsn += 2
+        return frames, expected
+
+    plan = st.lists(
+        st.tuples(
+            st.sampled_from(["regular", "streamed"]),
+            st.integers(min_value=1, max_value=5),
+            st.booleans(),
+        ),
+        min_size=0,
+        max_size=6,
+    )
+    return plan.map(build)
+
+
+@given(_txn_frames_strategy())
+@settings(max_examples=60, deadline=None)
+def test_committed_txns_emit_exactly_committed_in_order(case):
+    """Property: for any valid interleaving of regular and streamed
+    transactions (streamed ones possibly aborted, regular ones possibly
+    cut before commit), frames_to_committed_txns emits EXACTLY the
+    committed transactions, in commit order, each with contiguous
+    txn_seq 1..n and every row's lsn equal to the commit end."""
+    from go_pq_cdc_spark.sources.pgoutput import frames_to_committed_txns
+
+    frames, expected = case
+    got = list(frames_to_committed_txns(frames))
+    assert [(end, [dict(r["after"] or {}).get("id") for r in rows]) for end, rows in got] == [
+        (end, vals) for end, vals in expected
+    ]
+    for end, rows in got:
+        assert [r["txn_seq"] for r in rows] == list(range(1, len(rows) + 1))
+        assert all(r["lsn"] == end for r in rows)
