@@ -40,6 +40,7 @@ _GATE_HEAD = [
     # r7 new: Timescale gapfill/locf/interpolate idioms + A-ES sampling
     "q_time_bucket_gapfill",
     "q_gapfill_interpolate",
+    "q_counter_increase",
     "sample_weighted_docs",
     "split_train_val_test",
     # r7 new: the six remaining TPC-H shapes (suite now 22/22)

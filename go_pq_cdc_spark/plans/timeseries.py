@@ -197,3 +197,62 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_interp"),
         F.col("v").isNull().cast("int").alias("is_gap"),
     )
+
+
+@register(
+    "q_counter_increase",
+    oracle="""
+    WITH samples AS (
+        SELECT user_id, ts, event_id, value,
+               LAG(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT user_id % 10 AS cohort,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(SUM(CAST(
+               CASE WHEN prev IS NULL THEN 0
+                    WHEN value >= prev THEN value - prev
+                    ELSE value END AS DECIMAL(25,6))) AS DOUBLE) AS increase,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND value < prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+    FROM samples
+    GROUP BY user_id % 10, CAST(date_trunc('day', ts) AS DATE)
+    """,
+    tags=("events", "timescale", "counter", "window"),
+)
+def q_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB `counter_agg`/Prometheus `increase` idiom: per-series
+    (user) counter samples in time order, where a sample LOWER than its
+    predecessor means the counter RESET — the increase is then the new
+    value itself, never a negative delta. Aggregated to cohort-day with
+    a reset count. Exact: each per-sample increase is decimal-cast
+    before the order-independent SUM.
+
+    Scale shape: one shuffle on user_id for the lag window (per-series
+    fan-in only), then a map-side-partial aggregate to (cohort, day) —
+    the same two-exchange shape regardless of data volume."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    samples = ev.withColumn("prev", F.lag("value").over(w))
+    inc = (
+        F.when(F.col("prev").isNull(), F.lit(0.0))
+        .when(F.col("value") >= F.col("prev"), F.col("value") - F.col("prev"))
+        .otherwise(F.col("value"))
+    )
+    reset = (
+        F.col("prev").isNotNull() & (F.col("value") < F.col("prev"))
+    ).cast("int")
+    return (
+        samples.groupBy(
+            (F.col("user_id") % 10).alias("cohort"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(inc.cast("decimal(25,6)")).cast("double").alias("increase"),
+            F.sum(reset).cast("long").alias("n_resets"),
+        )
+    )
