@@ -1013,3 +1013,94 @@ def test_live_truncate_event(live):
     assert t["table"] == TABLE and t["schema"] == "public"
     assert t["before"] is None and t["after"] is None
     assert t["txn_seq"] == 1 and t["commit_ts"] is not None
+
+
+def test_live_resilient_loop_survives_repeated_kills(live):
+    """Chaos soak for the resilient loop against the REAL server: while
+    transactions keep landing, the walsender is killed repeatedly with
+    pg_terminate_backend; run_replication_resilient must redial each
+    time, resume from the durable frontier, and the final segment log
+    must hold EVERY committed row exactly once. The loop is shut down by
+    dropping the slot (a non-transient error -> FatalError)."""
+    from go_pq_cdc_spark.retry import Backoff, FatalError
+    from go_pq_cdc_spark.sources import lsn_stream
+    from go_pq_cdc_spark.sources.slot_keeper import run_replication_resilient
+
+    q = live["sql"].simple_query
+    repl = _repl_conn()
+    try:
+        consistent_point, _snap = _create_slot_with_snapshot(repl)
+    finally:
+        repl.close()
+    wal_dir = live["wal_dir"]
+    args = _conn_args()
+    outcome: list = []
+
+    def loop():
+        try:
+            run_replication_resilient(
+                args["host"], args["port"], args["user"], args["database"],
+                SLOT, [PUB], wal_dir, password=args["password"],
+                start_lsn=consistent_point, batch_rows=1,
+                backoff=Backoff(base_delay_s=0.05, max_tries=8),
+            )
+        except FatalError as exc:
+            outcome.append(exc)
+        except BaseException as exc:  # noqa: BLE001
+            outcome.append(exc)
+
+    t = threading.Thread(target=loop, daemon=True)
+    t.start()
+
+    def read_ids():
+        import pyarrow.parquet as pq
+
+        ids = []
+        for _s, _e, path in lsn_stream.list_segments(wal_dir):
+            for r in pq.read_table(path).to_pylist():
+                if r["table"] == TABLE and r["op"] == "I":
+                    ids.append(int(dict(r["after"])["id"]))
+        return ids
+
+    total = 0
+    for round_i in range(4):
+        q(f"INSERT INTO {TABLE} SELECT g, 'r{round_i}-' || g "
+          f"FROM generate_series({round_i * 100 + 1}, {round_i * 100 + 100}) g")
+        total += 100
+        # wait for at least part of this round to land, then kill
+        deadline = time.time() + WAIT_S
+        while len(read_ids()) < total - 100 + 1 and time.time() < deadline:
+            time.sleep(0.2)
+        (ws,) = q(
+            "SELECT active_pid FROM pg_replication_slots "
+            f"WHERE slot_name = '{SLOT}'"
+        )
+        if ws[0] is not None:
+            q(f"SELECT pg_terminate_backend({int(ws[0])})")
+
+    deadline = time.time() + WAIT_S * 2
+    while len(set(read_ids())) < total and time.time() < deadline:
+        time.sleep(0.3)
+    ids = read_ids()
+    assert len(ids) == len(set(ids)), "duplicate rows across reconnects"
+    assert len(set(ids)) == total, (
+        f"gap across reconnects: {total - len(set(ids))} rows missing"
+    )
+
+    # shut the loop down: kill the walsender and drop the slot before the
+    # redial lands -> non-transient error -> FatalError exits the loop
+    for _ in range(40):
+        (ws,) = q(
+            "SELECT active_pid FROM pg_replication_slots "
+            f"WHERE slot_name = '{SLOT}'"
+        )
+        if ws[0] is not None:
+            q(f"SELECT pg_terminate_backend({int(ws[0])})")
+        try:
+            q(f"SELECT pg_drop_replication_slot('{SLOT}') WHERE EXISTS "
+              f"(SELECT 1 FROM pg_replication_slots WHERE slot_name = '{SLOT}')")
+            break
+        except Exception:
+            time.sleep(0.1)
+    t.join(timeout=15)
+    assert not t.is_alive(), "resilient loop did not exit after slot drop"
