@@ -678,6 +678,8 @@ def test_merge_applies_truncate_semantics(spark, tmpdirs):
         ),
         tmpdirs["state"],
         epoch=None,
+        keep_epochs=8,  # retain history so time travel across the
+        # truncate can be asserted at the end
     )
 
     def t_row(lsn):
@@ -712,3 +714,13 @@ def test_merge_applies_truncate_semantics(spark, tmpdirs):
         epoch=None,
     )
     assert read_mirror(spark, tmpdirs["state"]).count() == 0
+    # time travel across the truncate: the PRE-truncate epoch stays
+    # readable within retention (its manifest snapshot pins the old
+    # bucket dirs against GC)
+    from go_pq_cdc_spark.streaming import read_mirror_as_of
+
+    pre = {
+        r["pk"]: r["after_val"]
+        for r in read_mirror_as_of(spark, tmpdirs["state"], 0).collect()
+    }
+    assert pre == {9: 9.0, 8: 8.0}
