@@ -212,3 +212,51 @@ def test_wal2json_rejects_partition_every_row(spark):
         '{"no_action_key": true}',
         '{"action":"Z","table":"t"}',
     }
+
+
+def test_wal2json_truncate_reaches_mirror(spark, tmp_path):
+    """TRUNCATE through the wal2json transport: the 'T' document decodes
+    to an op='T' envelope row (no images), the typed flat projection
+    carries a NULL pk, and the mirror merge clears state up to it —
+    parity with the socket path's live-verified behavior."""
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.sources.wal2json import decode_wal2json
+    from go_pq_cdc_spark.streaming import merge_mirror_batch, read_mirror
+
+    raw = spark.createDataFrame(
+        [
+            Row(lsn=10, xid=1,
+                data='{"action":"I","schema":"public","table":"users",'
+                '"timestamp":"2024-01-01 00:00:01",'
+                '"columns":[{"name":"pk","type":"bigint","value":"1"},'
+                '{"name":"after_val","type":"float8","value":"1.5"}]}'),
+            Row(lsn=11, xid=2,
+                data='{"action":"T","schema":"public","table":"users",'
+                '"timestamp":"2024-01-01 00:00:02"}'),
+            Row(lsn=12, xid=3,
+                data='{"action":"I","schema":"public","table":"users",'
+                '"timestamp":"2024-01-01 00:00:03",'
+                '"columns":[{"name":"pk","type":"bigint","value":"2"},'
+                '{"name":"after_val","type":"float8","value":"2.5"}]}'),
+        ]
+    )
+    env = decode_wal2json(raw)
+    t_row = env.filter(env.op == "T").collect()[0]
+    assert t_row["table"] == "users" and t_row["before"] is None
+
+    flat = env.select(
+        "op", "lsn", "xid", "commit_ts",
+        F.col("after.pk").cast("bigint").alias("pk"),
+        F.col("after.after_val").cast("double").alias("after_val"),
+    )
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir, exist_ok=True)
+    merge_mirror_batch(flat, state_dir, epoch=None)
+    state = {
+        r["pk"]: r["after_val"] for r in read_mirror(spark, state_dir).collect()
+    }
+    assert state == {2: 2.5}  # pk1 truncated away, pk2 survives
