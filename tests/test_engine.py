@@ -710,3 +710,59 @@ def test_cooperative_seed_anchors_at_min_published_lsn(spark, tmp_path):
         chunk_reader=lambda tcfg, chunk: source,
     )
     assert lsn == 50  # min(published t1=50, freshly-published t2=100)
+
+
+def test_cooperative_seed_resumes_partial_queue(spark, tmp_path):
+    """A cooperating app joining a PARTIALLY drained queue (a peer
+    already completed some chunks) must read only the remaining chunks —
+    never re-reading completed ones."""
+    import os
+
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.snapshot import chunk_queue as cq
+    from go_pq_cdc_spark.snapshot.planner import plan_integer_range
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    eng = _engine(spark)
+    eng.config.snapshot_mode = "snapshot_only"
+    eng.config.snapshot_tables = ["public.users"]
+    state_dir = str(tmp_path / "state")
+
+    chunks = cq.manifest_from_plan(plan_integer_range("pk", 1, 40, chunk_size=10))
+    qdir = os.path.join(state_dir, "chunks", "public__users")
+    cq.init_chunk_queue(qdir, chunks, meta={"snapshot_lsn": 77})
+    # a peer already did chunks 0 and 2 (its rows are already merged —
+    # simulate with done markers; the mirror side is the peer's concern).
+    # Claims walk in index order, so hold chunk 1 while completing 0 and 2.
+    c0 = cq.claim_next_chunk(qdir, "peer")
+    hold1 = cq.claim_next_chunk(qdir, "peer")
+    c2 = cq.claim_next_chunk(qdir, "peer")
+    assert (c0.index, hold1.index, c2.index) == (0, 1, 2)
+    c0.complete(rows_processed=10)
+    c2.complete(rows_processed=10)
+    hold1.release()
+
+    source = spark.createDataFrame(
+        [Row(pk=i, after_val=float(i)) for i in range(1, 41)]
+    )
+    reads: list[int] = []
+
+    def chunk_reader(tcfg, chunk):
+        reads.append(chunk["chunk_index"])
+        return source.filter(
+            (source.pk >= chunk["range_start"]) & (source.pk <= chunk["range_end"])
+        )
+
+    lsn, _q = eng.start(
+        lambda sql: [("0/64",)] if "pg_current_wal_lsn" in sql else [],
+        str(tmp_path / "wal"),
+        state_dir,
+        str(tmp_path / "ckpt"),
+        chunk_planner=lambda tcfg: chunks,
+        chunk_reader=chunk_reader,
+    )
+    assert lsn == 77  # published by the queue initializer, adopted
+    assert sorted(reads) == [1, 3]  # ONLY the remaining chunks
+    state = {r["pk"] for r in read_mirror(spark, state_dir).collect()}
+    assert state == set(range(11, 21)) | set(range(31, 41))
