@@ -354,6 +354,15 @@ def epoch_order(
 
 WEIGHTED_SALTS = 32  # reducer fan-out of the salted partial top-k
 
+# Resolution of the A-ES uniform u: 2^40 distinct values (the md5 hash
+# spans [0, 2^60)). The rate-sampler's SAMPLE_BASIS (1e4) is far too
+# coarse here — at 1M+ rows, a 1e-4 quantization would collapse the
+# top-k into "heaviest rows of the max-u hash class" instead of
+# weight-proportional draws (r7 review). 2^40 keeps u exact in a double
+# ((h % B) + 0.5 needs 41 bits < 53; dividing by a power of two is
+# exact), so both engines compute bit-identical keys.
+WEIGHT_BASIS = 1 << 40
+
 
 def weighted_sample_key(id_col: str, weight_col: str) -> dict[str, str]:
     """Efraimidis–Spirakis A-ES sampling key, engine-portable: a
@@ -365,7 +374,7 @@ def weighted_sample_key(id_col: str, weight_col: str) -> dict[str, str]:
     hash IS the randomness."""
     h = _id_hash(id_col)
     u = (
-        f"((CAST(({{h}}) % {SAMPLE_BASIS} AS DOUBLE) + 0.5) / {SAMPLE_BASIS})"
+        f"((CAST(({{h}}) % {WEIGHT_BASIS} AS DOUBLE) + 0.5) / {WEIGHT_BASIS})"
     )
     return {
         "spark": f"(ln({u.format(h=h['spark'])}) / CAST({weight_col} AS DOUBLE))",
@@ -411,6 +420,9 @@ def split_fragments(id_col: str, ratios: dict[str, float]) -> dict[str, str]:
     test:.05} is airtight against rounding)."""
     h = _id_hash(id_col)
     names = list(ratios)
+    if len(names) == 1:
+        # zero WHEN branches is invalid SQL ("CASE ELSE x END")
+        return {eng: f"'{names[0]}'" for eng in ("spark", "duck")}
     out = {}
     for eng in ("spark", "duck"):
         u = f"(({h[eng]}) % {SAMPLE_BASIS})"

@@ -31,6 +31,33 @@ _START = "2024-01-01 00:00:00"
 _END = "2024-01-30 23:00:00"  # inclusive spine end, 720 hourly buckets
 
 
+
+def _hourly_spine(spark: SparkSession) -> DataFrame:
+    """The literal 720-bucket hourly spine (one row explodes the
+    constant-bounds sequence — zero plan-build jobs)."""
+    return spark.range(1).select(
+        F.explode(
+            F.expr(
+                f"sequence(to_timestamp('{_START}'), to_timestamp('{_END}'), "
+                "interval 1 hour)"
+            )
+        ).alias("b")
+    )
+
+
+def _cohort_events(
+    spark: SparkSession, sf_dir: str, event_type: str, cohort_mod: int
+) -> DataFrame:
+    """January events of one type for one user cohort — the shared input
+    of the gapfill family."""
+    return load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == event_type)
+        & (F.col("user_id") % 10 == cohort_mod)
+        & (F.col("ts") >= F.lit(_START).cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-31").cast("timestamp"))
+    )
+
+
 @register(
     "q_time_bucket_gapfill",
     oracle=f"""
@@ -70,25 +97,12 @@ def q_time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial); the 720-bucket literal spine explodes from one row and
     joins broadcast-small; the LOCF window runs over the spine only
     (range/granularity rows — query-bounded, not data-bounded)."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        (F.col("event_type") == "error")
-        & (F.col("user_id") % 10 == 3)
-        & (F.col("ts") >= F.lit(_START).cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-31").cast("timestamp"))
-    )
+    ev = _cohort_events(spark, sf_dir, "error", 3)
     agg = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("b")).agg(
         F.sum(F.col("value").cast("decimal(25,6)")).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
-    spine = spark.range(1).select(
-        F.explode(
-            F.expr(
-                f"sequence(to_timestamp('{_START}'), to_timestamp('{_END}'), "
-                "interval 1 hour)"
-            )
-        ).alias("b")
-    )
-    joined = spine.join(F.broadcast(agg), "b", "left")
+    joined = _hourly_spine(spark).join(F.broadcast(agg), "b", "left")
     w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     avg_col = F.col("s").cast("double") / F.col("n")
     return joined.select(
@@ -148,27 +162,14 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (edges with no neighbor on one side stay NULL). Same bounded-spine
     shape as `q_time_bucket_gapfill`; the back/forward context windows
     run over the spine only."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        (F.col("event_type") == "purchase")
-        & (F.col("user_id") % 10 == 7)
-        & (F.col("ts") >= F.lit(_START).cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-31").cast("timestamp"))
-    )
+    ev = _cohort_events(spark, sf_dir, "purchase", 7)
     agg = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("b")).agg(
         (
             F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("v")
     )
-    spine = spark.range(1).select(
-        F.explode(
-            F.expr(
-                f"sequence(to_timestamp('{_START}'), to_timestamp('{_END}'), "
-                "interval 1 hour)"
-            )
-        ).alias("b")
-    )
-    joined = spine.join(F.broadcast(agg), "b", "left")
+    joined = _hourly_spine(spark).join(F.broadcast(agg), "b", "left")
     t_us = F.unix_micros(F.col("b"))
     obs_t = F.when(F.col("v").isNotNull(), t_us)
     w_back = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)

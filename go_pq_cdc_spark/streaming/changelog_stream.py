@@ -381,7 +381,11 @@ def merge_mirror_batch(
         )
         affected = sorted(
             {int(b) for b in manifest["buckets"]}
-            | {r["pb"] for r in incoming.select("pb").distinct().collect()}
+            | {
+                r["pb"]
+                for r in incoming.select("pb").distinct().collect()
+                if r["pb"] is not None  # NULL-pk rows hash to a NULL bucket
+            }
         )
     else:
         affected = sorted(b for b in stats["pbs"] if b is not None)

@@ -261,3 +261,34 @@ def test_split_assign_exhaustive_stable_and_validated(spark):
         split_assign(df, "id", {"a": 0.9, "b": 0.2})
     with _pytest.raises(ValueError, match="non-negative"):
         split_assign(df, "id", {"a": -0.1, "b": 0.5})
+
+
+def test_split_assign_single_split(spark):
+    """r7 review: a one-entry ratios dict must produce a constant split,
+    not invalid zero-branch CASE SQL."""
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.operators.training import split_assign
+
+    df = spark.createDataFrame([Row(id=i) for i in range(5)])
+    out = split_assign(df, "id", {"holdout": 1.0}).collect()
+    assert {r["split"] for r in out} == {"holdout"}
+
+
+def test_weighted_sample_key_resolution(spark):
+    """r7 review: the A-ES uniform must be high-resolution — with the old
+    1e-4 quantization, distinct ids collide into the same u class and the
+    'sample' degenerates to heaviest-in-class. 500 equal-weight ids must
+    produce 500 distinct keys."""
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.operators.training import weighted_sample_key
+
+    df = spark.createDataFrame([Row(id=i, w=1.0) for i in range(500)])
+    keys = [
+        r["k"]
+        for r in df.selectExpr(
+            weighted_sample_key("id", "w")["spark"] + " AS k"
+        ).collect()
+    ]
+    assert len(set(keys)) == 500
