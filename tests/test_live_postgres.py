@@ -1104,3 +1104,48 @@ def test_live_resilient_loop_survives_repeated_kills(live):
             time.sleep(0.1)
     t.join(timeout=15)
     assert not t.is_alive(), "resilient loop did not exit after slot drop"
+
+
+def test_live_publication_column_list(tmp_path):
+    """O15's server side against real PostgreSQL: a publication with a
+    COLUMN LIST makes the walsender ship only those columns — the
+    Relation message and every tuple carry the subset, nothing else
+    (reference scenario publication_column_list_test.go)."""
+    T6, SLOT6, PUB6 = "collist_live_t", "collist_live_slot", "collist_live_pub"
+    sql = _sql_conn()
+    q = sql.simple_query
+    q(f"DROP PUBLICATION IF EXISTS {PUB6}")
+    _drop_slot_with_retry(q, slot=SLOT6)
+    q(f"DROP TABLE IF EXISTS {T6}")
+    q(f"CREATE TABLE {T6} (id bigint PRIMARY KEY, keep text, secret text)")
+    q(f"CREATE PUBLICATION {PUB6} FOR TABLE {T6} (id, keep)")
+    try:
+        repl = _repl_conn()
+        try:
+            rows = repl.simple_query(
+                f"CREATE_REPLICATION_SLOT {SLOT6} LOGICAL pgoutput EXPORT_SNAPSHOT"
+            )
+            consistent_point = _lsn_to_int(rows[0][1])
+        finally:
+            repl.close()
+
+        q(f"INSERT INTO {T6} VALUES (1, 'public-bit', 'do-not-ship')")
+
+        from go_pq_cdc_spark.sources.pgoutput import frames_to_envelope
+        from go_pq_cdc_spark.sources.replication_client import ReplicationConnection
+
+        conn = ReplicationConnection.connect(**_conn_args(), replication=True)
+        conn.sock.settimeout(5)
+        conn.start_replication(SLOT6, consistent_point, [PUB6])
+        try:
+            row = next(iter(frames_to_envelope(conn.frames())))
+        finally:
+            conn.close()
+        after = dict(row["after"])
+        assert after == {"id": "1", "keep": "public-bit"}
+        assert "secret" not in after  # the column never crosses the wire
+    finally:
+        _drop_slot_with_retry(q, slot=SLOT6)
+        q(f"DROP PUBLICATION IF EXISTS {PUB6}")
+        q(f"DROP TABLE IF EXISTS {T6}")
+        sql.close()
