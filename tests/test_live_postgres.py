@@ -1149,3 +1149,50 @@ def test_live_publication_column_list(tmp_path):
         q(f"DROP PUBLICATION IF EXISTS {PUB6}")
         q(f"DROP TABLE IF EXISTS {T6}")
         sql.close()
+
+
+def test_live_publication_row_filter(tmp_path):
+    """PG15 publication ROW FILTERS (WHERE clause on the published
+    table): the server evaluates the predicate before shipping — rows
+    failing it never reach the stream. The engine-side queryCondition
+    (O16) is the snapshot-side twin of this server-side CDC filter."""
+    T7, SLOT7, PUB7 = "rowfil_live_t", "rowfil_live_slot", "rowfil_live_pub"
+    sql = _sql_conn()
+    q = sql.simple_query
+    q(f"DROP PUBLICATION IF EXISTS {PUB7}")
+    _drop_slot_with_retry(q, slot=SLOT7)
+    q(f"DROP TABLE IF EXISTS {T7}")
+    q(f"CREATE TABLE {T7} (id bigint PRIMARY KEY, amount int)")
+    q(f"CREATE PUBLICATION {PUB7} FOR TABLE {T7} WHERE (amount >= 100)")
+    try:
+        repl = _repl_conn()
+        try:
+            rows = repl.simple_query(
+                f"CREATE_REPLICATION_SLOT {SLOT7} LOGICAL pgoutput EXPORT_SNAPSHOT"
+            )
+            consistent_point = _lsn_to_int(rows[0][1])
+        finally:
+            repl.close()
+
+        q(f"INSERT INTO {T7} VALUES (1, 50), (2, 150), (3, 99), (4, 100)")
+
+        from go_pq_cdc_spark.sources.pgoutput import frames_to_envelope
+        from go_pq_cdc_spark.sources.replication_client import ReplicationConnection
+
+        conn = ReplicationConnection.connect(**_conn_args(), replication=True)
+        conn.sock.settimeout(5)
+        conn.start_replication(SLOT7, consistent_point, [PUB7])
+        got = []
+        try:
+            for row in frames_to_envelope(conn.frames()):
+                got.append(int(dict(row["after"])["id"]))
+                if len(got) >= 2:
+                    break
+        finally:
+            conn.close()
+        assert got == [2, 4]  # 50 and 99 filtered server-side
+    finally:
+        _drop_slot_with_retry(q, slot=SLOT7)
+        q(f"DROP PUBLICATION IF EXISTS {PUB7}")
+        q(f"DROP TABLE IF EXISTS {T7}")
+        sql.close()
