@@ -406,6 +406,9 @@ class CdcEngine:
         keep_epochs: int | None = None,
         chunk_planner=None,
         chunk_reader=None,
+        claim_ttl_s: float = 300.0,
+        drain_timeout_s: float = 600.0,
+        heartbeat_every_s: float | None = None,
     ):
         """The reference's `connector.Start(ctx)` in one call
         (connector.go:57-142 sequencing; SURVEY §3.1-3.3):
@@ -450,9 +453,17 @@ class CdcEngine:
         seed to PER-CHUNK COOPERATIVE mode (O23 at the reference's
         worker-queue granularity): N apps started against the same
         state_dir split each table's chunks through the shared claim
-        queue, with `chunk_reader(tcfg, chunk) -> DataFrame` reading one
-        chunk (falls back to `snapshot_reader` if omitted). The first
-        app publishes the snapshot LSN; every app adopts it."""
+        queue; `chunk_reader(tcfg, chunk) -> DataFrame` (REQUIRED with
+        chunk_planner — snapshot_reader's whole-table contract cannot
+        substitute) reads one chunk. The first app publishes the
+        snapshot LSN; every app adopts it. `claim_ttl_s` /
+        `drain_timeout_s` / `heartbeat_every_s` tune the queue: a chunk
+        claim goes stale (reclaimable by a peer) after `claim_ttl_s`
+        without a heartbeat; a background heartbeat refreshes every
+        `heartbeat_every_s` while a chunk processes (default
+        claim_ttl_s/4, so a long chunk read is never reclaimed
+        mid-processing); `drain_timeout_s` bounds IDLE time — no chunk
+        completing anywhere — not total drain wall-clock."""
         from pyspark.sql import functions as F
 
         from .sources.slot_keeper import lsn_to_int
@@ -487,6 +498,9 @@ class CdcEngine:
                     value_cols,
                     mirror_buckets,
                     keep_epochs,
+                    claim_ttl_s=claim_ttl_s,
+                    drain_timeout_s=drain_timeout_s,
+                    heartbeat_every_s=heartbeat_every_s,
                 )
                 if self.config.snapshot_mode == "snapshot_only":
                     return snapshot_lsn, None
@@ -620,6 +634,9 @@ class CdcEngine:
         value_cols,
         mirror_buckets,
         keep_epochs,
+        claim_ttl_s: float = 300.0,
+        drain_timeout_s: float = 600.0,
+        heartbeat_every_s: float | None = None,
     ) -> int:
         """Per-chunk cooperative snapshot seed (O23 at the reference's
         granularity, worker.go:421-484): each captured table's chunk plan
@@ -643,6 +660,12 @@ class CdcEngine:
         from .snapshot import chunk_queue as cq
         from .streaming.changelog_stream import merge_mirror_batch
 
+        if heartbeat_every_s is None:
+            # default: beat well inside the claim TTL so a chunk whose
+            # read outlasts claim_ttl_s is never reclaimed by a live peer
+            # mid-processing (r7 advisor: no heartbeat meant duplicate
+            # merges for any chunk slower than the TTL)
+            heartbeat_every_s = claim_ttl_s / 4
         wanted = set(
             self.config.snapshot_tables
             or [t.qualified for t in self.config.tables]
@@ -654,6 +677,13 @@ class CdcEngine:
             qdir = os.path.join(
                 state_dir, "chunks", tcfg.qualified.replace(".", "__")
             )
+            if self.config.resnapshot:
+                # force-resnapshot must clear the per-table chunk queue or
+                # persisted done markers silently re-seed NOTHING (r7
+                # advisor); like job_claim.reset / the reference's
+                # metadata wipe, this is a start-the-fleet-after action,
+                # not safe concurrent with a live peer's drain.
+                cq.reset(qdir)
             cq.init_chunk_queue(
                 qdir, chunk_planner(tcfg), meta={"snapshot_lsn": snapshot_lsn}
             )
@@ -682,7 +712,13 @@ class CdcEngine:
                 # the mirror itself is the row-level source of truth
                 return 0
 
-            cq.drain(qdir, process)
+            cq.drain(
+                qdir,
+                process,
+                claim_ttl_s=claim_ttl_s,
+                timeout_s=drain_timeout_s,
+                heartbeat_every_s=heartbeat_every_s,
+            )
         return min(published) if published else snapshot_lsn
 
     def state_as_of(self, state_dir: str, epoch: int) -> DataFrame:

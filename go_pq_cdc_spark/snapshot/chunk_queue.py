@@ -276,6 +276,30 @@ def all_chunks_completed(state_dir: str) -> bool:
     )
 
 
+def reset(state_dir: str) -> None:
+    """Force-resnapshot support at chunk granularity (the cooperative twin
+    of `job_claim.reset`; reference: the coordinator wipes `cdc_snapshot_
+    chunks` and restarts an incomplete/forced job, coordinator.go:28-61):
+    remove the manifest and every claim/done marker so the next
+    `init_chunk_queue` republishes a fresh plan and all chunks reprocess.
+    Like the reference's wipe, this is a SINGLE-OPERATOR action — run it
+    before starting the cooperating fleet, not concurrently with a live
+    peer's drain (the wipe would un-done chunks mid-flight)."""
+    qdir = _qdir(state_dir)
+    if not os.path.isdir(qdir):
+        return
+    for name in os.listdir(qdir):
+        if (
+            name == MANIFEST
+            or name.startswith("claim.")
+            or name.startswith("done.")
+        ):
+            try:
+                os.remove(os.path.join(qdir, name))
+            except FileNotFoundError:
+                pass
+
+
 def drain(
     state_dir: str,
     process_chunk,
@@ -294,17 +318,29 @@ def drain(
     heartbeater, worker.go:383-399) so a long read never goes stale
     under a shorter claim_ttl_s. Returns the chunk indexes THIS instance
     completed. When nothing is claimable but peers still hold chunks,
-    polls until they finish or go stale (bounded by timeout_s)."""
+    polls until they finish or go stale.
+
+    `timeout_s` is an IDLE bound, not total wall-clock: the deadline
+    resets whenever the queue's completed count advances (this instance's
+    or a peer's), so seeding a huge table never aborts while chunks are
+    landing — only a genuinely stuck queue (no completion anywhere for
+    `timeout_s`) raises (r7 advisor: a total-wall-clock deadline aborted
+    any drain longer than 10 minutes even while progressing)."""
     import threading
 
     instance_id = instance_id or f"app-{uuid.uuid4().hex[:12]}"
     mine: list[int] = []
     deadline = time.time() + timeout_s
+    last_done = -1
     while not all_chunks_completed(state_dir):
+        done_now = chunk_queue_stats(state_dir)["completed"]
+        if done_now > last_done:
+            last_done = done_now
+            deadline = time.time() + timeout_s
         if time.time() > deadline:
             raise TimeoutError(
-                f"chunk queue for {state_dir} not drained after {timeout_s}s: "
-                f"{chunk_queue_stats(state_dir)}"
+                f"chunk queue for {state_dir} idle (no chunk completed "
+                f"anywhere) for {timeout_s}s: {chunk_queue_stats(state_dir)}"
             )
         claim = claim_next_chunk(state_dir, instance_id, claim_ttl_s)
         if claim is None:

@@ -264,6 +264,124 @@ def _gc_epochs(state_dir: str, manifest: dict, keep_epochs: int = 1) -> None:
             os.rmdir(edir)
 
 
+# --- cross-process merge serialization --------------------------------------
+#
+# Two PROCESSES merging into one mirror concurrently (the cooperative
+# chunk-seed topology: N apps drain one chunk queue into one shared mirror)
+# would both read the manifest at epoch N, both write epochs/e{N+1} (the
+# second overwrite deletes the first's bucket dirs), and the last manifest
+# swap drops the other's bucket updates — silent data loss because the lost
+# chunk is already marked done (r7 advisor, engine.py cooperative seed).
+# Within one process the streaming sinks are already serial per query; the
+# lock makes the multi-app case safe with the same link-claim scheme the
+# chunk queue uses: claim = hard link of a privately written file, liveness
+# = heartbeat timestamp refreshed by a background thread while held,
+# takeover = os.replace once the heartbeat is ttl-stale (a crashed holder
+# never wedges the mirror). The residual zombie window — a paused holder
+# resuming after takeover — is fenced at the COMMIT POINT: ownership is
+# re-checked immediately before the manifest swap and the merge aborts
+# (pre-swap, so the mirror is untouched) if the lock was lost.
+
+_MERGE_LOCK = ".merge.lock.json"
+_MERGE_LOCK_TTL_S = 300.0
+
+
+class MirrorLockLost(RuntimeError):
+    """This process lost the mirror merge lock mid-merge (heartbeat went
+    ttl-stale — e.g. a long GC pause — and a peer took over). The merge
+    aborted BEFORE its manifest swap; re-running it converges."""
+
+
+class _MergeLock:
+    def __init__(self, state_dir: str, ttl_s: float = _MERGE_LOCK_TTL_S):
+        import uuid
+
+        self.path = os.path.join(state_dir, _MERGE_LOCK)
+        self.owner = f"merge-{uuid.uuid4().hex[:12]}"
+        self.ttl_s = ttl_s
+        self._beat_stop = None
+        self._beat_thread = None
+
+    def _doc(self) -> dict:
+        import time
+
+        return {"owner": self.owner, "heartbeat_at": time.time()}
+
+    def _try_link(self) -> bool:
+        tmp = self.path + f".tmp.{self.owner}"
+        with open(tmp, "w") as f:
+            json.dump(self._doc(), f)
+        try:
+            os.link(tmp, self.path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+
+    def acquire(self) -> None:
+        import time
+
+        while True:
+            if self._try_link():
+                break
+            cur = _read_json_file(self.path)
+            if cur is None and not os.path.exists(self.path):
+                continue  # holder released between link and read — retry
+            stale = cur is None or (
+                time.time() - float(cur.get("heartbeat_at", 0)) > self.ttl_s
+            )
+            if stale:
+                # takeover (last-writer-wins inside the rare double-stale
+                # window — the pre-swap ownership fence catches the loser)
+                tmp = self.path + f".tmp.{self.owner}"
+                with open(tmp, "w") as f:
+                    json.dump(self._doc(), f)
+                os.replace(tmp, self.path)
+                break
+            time.sleep(min(0.05 + self.ttl_s / 1000.0, 0.25))
+        # heartbeat while held: a merge spans Spark jobs that can outlast
+        # any fixed ttl at scale
+        import threading
+
+        self._beat_stop = threading.Event()
+
+        def beat():
+            while not self._beat_stop.wait(self.ttl_s / 4):
+                cur = _read_json_file(self.path)
+                if cur is None or cur.get("owner") != self.owner:
+                    return  # lost — the pre-swap fence will abort the merge
+                tmp = self.path + f".tmp.{self.owner}"
+                with open(tmp, "w") as f:
+                    json.dump(self._doc(), f)
+                os.replace(tmp, self.path)
+
+        self._beat_thread = threading.Thread(target=beat, daemon=True)
+        self._beat_thread.start()
+
+    def check_owned(self) -> None:
+        cur = _read_json_file(self.path)
+        if cur is None or cur.get("owner") != self.owner:
+            raise MirrorLockLost(
+                f"mirror merge lock at {self.path} lost to "
+                f"{cur and cur.get('owner')}; merge aborted before commit"
+            )
+
+    def release(self) -> None:
+        if self._beat_stop is not None:
+            self._beat_stop.set()
+            self._beat_thread.join(timeout=2)
+        cur = _read_json_file(self.path)
+        if cur is not None and cur.get("owner") == self.owner:
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass
+
+
 def merge_mirror_batch(
     batch_df: DataFrame,
     state_dir: str,
@@ -271,6 +389,7 @@ def merge_mirror_batch(
     n_buckets: int | None = None,
     value_cols: tuple[str, ...] = ("after_val",),
     keep_epochs: int | None = None,
+    lock_ttl_s: float = _MERGE_LOCK_TTL_S,
 ) -> None:
     """Idempotent TOAST-aware max-LSN-wins merge of one micro-batch into
     the pk-bucketed parquet mirror (Delta/Iceberg `MERGE INTO` stand-in).
@@ -286,13 +405,53 @@ def merge_mirror_batch(
     atomically swap the manifest. A crash before the swap leaves the old
     manifest (and every directory it references) intact; replaying the same
     epoch overwrites the orphan and converges because the merge is
-    idempotent."""
+    idempotent.
+
+    Concurrency: the whole read-manifest → write-epoch → swap critical
+    section runs under a per-mirror cross-process lock (see _MergeLock), so
+    N cooperating apps merging chunks into one shared mirror serialize
+    instead of wiping each other's epoch dirs. Raises `MirrorLockLost`
+    (pre-swap, mirror untouched) if the lock is lost mid-merge."""
+    os.makedirs(state_dir, exist_ok=True)
+    lock = _MergeLock(state_dir, ttl_s=lock_ttl_s)
+    lock.acquire()
+    try:
+        _merge_mirror_batch_locked(
+            batch_df, state_dir, lock, epoch=epoch, n_buckets=n_buckets,
+            value_cols=value_cols, keep_epochs=keep_epochs,
+        )
+    finally:
+        lock.release()
+
+
+def _merge_mirror_batch_locked(
+    batch_df: DataFrame,
+    state_dir: str,
+    lock: _MergeLock,
+    epoch: int | None = None,
+    n_buckets: int | None = None,
+    value_cols: tuple[str, ...] = ("after_val",),
+    keep_epochs: int | None = None,
+) -> None:
     from ..operators.cdc import toast_fill_cols
 
     spark = batch_df.sparkSession
     manifest = _read_manifest(state_dir)
     if epoch is None:
         epoch = manifest["epoch"] + 1
+    elif epoch <= manifest["epoch"]:
+        # Reusing a committed epoch number would overwrite bucket dirs /
+        # the immutable manifest snapshot retained manifests still
+        # reference (the mirror_sink/seed collision class, live-PG
+        # lifecycle finding) — time-travel history must never be
+        # rewritten. A crash-before-swap replay is fine: the manifest
+        # counter never advanced, so the replayed epoch is still fresh.
+        raise ValueError(
+            f"mirror epoch {epoch} at {state_dir} is not fresh (live "
+            f"manifest epoch {manifest['epoch']}) and would overwrite bucket "
+            "dirs or manifest snapshots a retained manifest still "
+            "references; pass epoch=None to use the manifest counter"
+        )
     # Retention is a property of the STORED mirror (like n_buckets /
     # value_schema): pinned in the manifest so a writer using the default
     # (engine seeding, multi_mirror_sink, an ad-hoc merge) can never
@@ -396,6 +555,7 @@ def merge_mirror_batch(
         # counts epochs, not just non-empty ones (r6 review)
         manifest["epoch"] = epoch
         os.makedirs(state_dir, exist_ok=True)
+        lock.check_owned()  # fence: never swap a manifest we no longer own
         _write_manifest_snapshot(state_dir, manifest)
         _write_manifest(state_dir, manifest)
         _gc_epochs(state_dir, manifest, keep_epochs=keep_epochs)
@@ -451,36 +611,15 @@ def merge_mirror_batch(
         )
         .withColumn("pb", _bucket_col(n_buckets=n_buckets))
     )
-    epoch_rel = os.path.join("epochs", f"e{epoch:09d}")
+    # Writer-unique epoch dir (suffixed with this merge's lock owner tag):
+    # two writers can NEVER target the same data directory, so even a
+    # zombie holder resuming after a lock takeover writes only an orphan —
+    # its mode("overwrite") below cannot delete files a committed manifest
+    # references. The manifest, not the dir name, is the epoch's identity;
+    # a crashed/aborted merge leaves an unreferenced dir the next GC
+    # removes.
+    epoch_rel = os.path.join("epochs", f"e{epoch:09d}.{lock.owner[-8:]}")
     epoch_dir = os.path.join(state_dir, epoch_rel)
-    # An explicit epoch that re-targets a directory whose bucket dirs any
-    # RETAINED manifest still references — the live one or a time-travel
-    # snapshot inside the keep_epochs window — beyond the buckets this
-    # batch rewrites, would WIPE them via the overwrite below and leave
-    # dangling references (silent data loss; the mirror_sink/seed
-    # collision class). Refuse loudly instead.
-    referencing = [manifest]
-    mroot = os.path.join(state_dir, "manifests")
-    if os.path.isdir(mroot):
-        for f in os.listdir(mroot):
-            if f.endswith(".json"):
-                snap = _read_json_file(os.path.join(mroot, f))
-                if snap is not None:
-                    referencing.append(snap)
-    clobbered = sorted(
-        {
-            b
-            for m in referencing
-            for b, rel in m.get("buckets", {}).items()
-            if rel.startswith(epoch_rel + os.sep) and int(b) not in affected
-        }
-    )
-    if clobbered:
-        raise ValueError(
-            f"mirror epoch {epoch} at {state_dir} would overwrite bucket dirs "
-            f"{clobbered} still referenced by a retained manifest; epochs must "
-            "be fresh (pass epoch=None to use the manifest counter)"
-        )
     # ~1 writer task per bucket -> ~1 file per bucket dir (not tasks*buckets)
     (
         state.repartition(len(affected), "pb")
@@ -501,6 +640,11 @@ def merge_mirror_batch(
             manifest["buckets"].pop(str(b), None)
     manifest["epoch"] = epoch
     os.makedirs(state_dir, exist_ok=True)
+    # Fence at the commit point: a zombie holder (takeover happened while
+    # this process was paused mid-merge) must abort HERE — its epoch dirs
+    # are unreferenced orphans the next GC removes; swapping would publish
+    # a manifest derived from a stale read and drop the new owner's work.
+    lock.check_owned()
     # snapshot BEFORE the live swap: every epoch the retention window will
     # keep is readable the moment the swap lands (keep_epochs=1 still
     # writes it — the snapshot for the CURRENT epoch is always retained)

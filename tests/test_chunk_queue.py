@@ -242,3 +242,78 @@ def test_drain_background_heartbeat_keeps_claim_fresh(tmp_path):
     )
     assert done == [0]
     assert Q.all_chunks_completed(state)
+
+
+def test_drain_deadline_resets_on_peer_progress(tmp_path):
+    """timeout_s bounds IDLE time, not total wall-clock (r7 advisor: a
+    total deadline aborted long seeds even while progressing): a slow
+    peer completing chunks past the original deadline keeps the drain
+    alive, because every completion anywhere resets the clock."""
+    import threading
+
+    state = _mk_queue(tmp_path, n=3)
+    # peer pre-claims chunks 0 and 2 with fresh heartbeats
+    peer0 = Q.claim_next_chunk(state, "peer")
+    peer2 = Q.claim_next_chunk(state, "peer")
+    assert {peer0.index, peer2.index} == {0, 1}
+    # re-map: peer holds 0 and 1; drain will take 2
+    t0 = time.time()
+
+    def finish_later():
+        time.sleep(0.7)
+        peer0.complete()
+        time.sleep(0.7)
+        peer2.complete()
+
+    t = threading.Thread(target=finish_later)
+    t.start()
+    mine = Q.drain(state, lambda c, cl: 0, "me", timeout_s=1.0, poll_s=0.05)
+    t.join()
+    assert mine == [2]
+    assert Q.all_chunks_completed(state)
+    # total elapsed exceeded the 1.0s budget — only possible because
+    # progress reset the deadline
+    assert time.time() - t0 > 1.2
+
+
+def test_drain_raises_on_genuine_idle(tmp_path):
+    """A queue where nothing completes for timeout_s raises instead of
+    spinning forever: the peer heartbeats (claim never goes stale) but
+    never finishes."""
+    import threading
+
+    state = _mk_queue(tmp_path, n=1)
+    claim = Q.claim_next_chunk(state, "peer", claim_ttl_s=300.0)
+    stop = threading.Event()
+
+    def beat():
+        while not stop.wait(0.1):
+            claim.heartbeat()
+
+    t = threading.Thread(target=beat, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(TimeoutError, match="idle"):
+            Q.drain(state, lambda c, cl: 0, "me", timeout_s=0.8, poll_s=0.05)
+    finally:
+        stop.set()
+        t.join(timeout=2)
+
+
+def test_reset_clears_queue_for_resnapshot(tmp_path):
+    """Force-resnapshot at chunk granularity: reset() removes manifest +
+    claim/done markers so a republished plan reprocesses everything
+    (r7 advisor: persisted done markers made resnapshot a silent no-op)."""
+    state = _mk_queue(tmp_path, n=2)
+    Q.drain(state, lambda c, cl: 0, "me", timeout_s=5.0)
+    assert Q.all_chunks_completed(state)
+    Q.reset(state)
+    assert Q.read_manifest(state) == []
+    Q.init_chunk_queue(state, [{"chunk_index": 0, "where": "fresh"}])
+    stats = Q.chunk_queue_stats(state)
+    assert stats == {
+        "total": 1, "completed": 0, "in_progress": 0,
+        "pending": 1, "rows_processed": 0,
+    }
+    mine = Q.drain(state, lambda c, cl: 0, "me", timeout_s=5.0)
+    assert mine == [0]

@@ -724,3 +724,101 @@ def test_merge_applies_truncate_semantics(spark, tmpdirs):
         for r in read_mirror_as_of(spark, tmpdirs["state"], 0).collect()
     }
     assert pre == {9: 9.0, 8: 8.0}
+
+
+# --- cross-process merge serialization (r7 advisor: cooperative-seed race) --
+
+
+def test_concurrent_merges_into_one_mirror_lose_nothing(spark, tmpdirs):
+    """The cooperative-seed topology: several workers merge chunk batches
+    into ONE shared mirror concurrently. Without cross-process
+    serialization two merges read the same manifest epoch, the second
+    epoch-dir write wipes the first's bucket dirs, and the last manifest
+    swap drops the other's buckets — silent data loss with the lost chunk
+    already marked done (r7 advisor, high). The per-mirror merge lock +
+    writer-unique epoch dirs make every concurrent schedule converge to
+    the union."""
+    import threading
+
+    os.makedirs(tmpdirs["state"], exist_ok=True)
+    batches = [
+        [(1, 1.0), (2, 2.0)],
+        [(11, 11.0), (12, 12.0)],
+        [(21, 21.0), (22, 22.0)],
+        [(31, 31.0), (32, 32.0)],
+    ]
+    errs: list[BaseException] = []
+
+    def worker(rows):
+        try:
+            df = spark.createDataFrame(
+                [_ev("R", 10, 1, pk, v) for pk, v in rows], FLAT_CHANGE_SCHEMA
+            )
+            merge_mirror_batch(df, tmpdirs["state"], epoch=None)
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(b,)) for b in batches]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs, errs
+    state = {
+        r["pk"]: r["after_val"] for r in read_mirror(spark, tmpdirs["state"]).collect()
+    }
+    assert state == {pk: v for b in batches for pk, v in b}
+
+
+def test_merge_lock_takeover_and_fence(tmp_path):
+    """_MergeLock semantics: a live holder blocks peers; a stale holder
+    (heartbeat past ttl) is taken over; the dispossessed holder's
+    check_owned() — the pre-manifest-swap fence — raises MirrorLockLost
+    so a zombie merge aborts before it can publish a stale manifest."""
+    import json as _json
+
+    from go_pq_cdc_spark.streaming.changelog_stream import (
+        MirrorLockLost,
+        _MergeLock,
+    )
+
+    state = str(tmp_path / "mirror")
+    os.makedirs(state)
+    a = _MergeLock(state, ttl_s=60.0)
+    a.acquire()
+    a.check_owned()
+    # simulate a's process freezing: stop its heartbeat, age the file
+    a._beat_stop.set()
+    a._beat_thread.join(timeout=2)
+    lock_path = a.path
+    with open(lock_path) as f:
+        doc = _json.load(f)
+    doc["heartbeat_at"] -= 120.0
+    with open(lock_path + ".tmp.age", "w") as f:
+        _json.dump(doc, f)
+    os.replace(lock_path + ".tmp.age", lock_path)
+    # b sees a stale heartbeat and takes over without waiting
+    b = _MergeLock(state, ttl_s=60.0)
+    b.acquire()
+    b.check_owned()
+    with pytest.raises(MirrorLockLost):
+        a.check_owned()  # the zombie is fenced at its commit point
+    a.release()  # loser's release must NOT remove the new owner's lock
+    b.check_owned()
+    b.release()
+    assert not os.path.exists(lock_path)
+
+
+def test_explicit_stale_epoch_refused_even_when_empty(spark, tmpdirs):
+    """The freshness guard covers the empty-batch path too: replaying a
+    COMMITTED epoch number would rewrite the immutable manifest snapshot
+    (time-travel history), so it is refused regardless of batch size."""
+    os.makedirs(tmpdirs["state"], exist_ok=True)
+    merge_mirror_batch(
+        spark.createDataFrame([_ev("I", 10, 1, 1, 1.0)], FLAT_CHANGE_SCHEMA),
+        tmpdirs["state"],
+        epoch=None,  # -> epoch 0
+    )
+    empty = spark.createDataFrame([], FLAT_CHANGE_SCHEMA)
+    with pytest.raises(ValueError, match="not fresh"):
+        merge_mirror_batch(empty, tmpdirs["state"], epoch=0)
