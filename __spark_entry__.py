@@ -25,72 +25,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Gate scheduling: the correctness runner caps at 50 of the registry's
 # entries per round, so rows that NEED a fresh driver-green signal run
-# FIRST. Round 7 head: (a) the two r6 RED rows, now fixed (q12 oracle
-# CAST, emb_quantize scalar serialization); (b) the five similarity
-# queries whose top-k was reshaped this round to the two-level salted
-# window (hashes locally verified unchanged, but the driver row is the
-# proof); (c) all 30 registry rows whose last driver green is r3/r4 —
-# they were rotated out under the 50-row cap in r6 and are now the
-# stalest signal. Tail = r6 driver-green rows whose code is untouched
-# this round.
+# FIRST. Round 8 rotation (r7 verdict item 2): the 42 rows whose latest
+# driver green is CORRECTNESS_r06 are now the STALEST signal — they run
+# first; the 49 rows driver-green in CORRECTNESS_r07 move to the tail
+# (the first few of them still land inside the 50-row cap, so the most
+# failure-prone r7 fixes — q12's oracle CAST, emb_quantize's scalar
+# serialization — lead the tail). After r8, every registry row's latest
+# driver green is <= 2 rounds old.
 _GATE_HEAD = [
-    # r6 red rows, fixed this round — the gate's whole point
-    "q12_late_shipment_priority",
-    "emb_quantize",
-    # r7 new: Timescale gapfill/locf/interpolate idioms + A-ES sampling
-    "q_time_bucket_gapfill",
-    "q_gapfill_interpolate",
-    "q_counter_increase",
-    "sample_weighted_docs",
-    "split_train_val_test",
-    # r7 new: the six remaining TPC-H shapes (suite now 22/22)
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_dominant_suppliers",
-    # top-k reshaped to two-level salted window this round
-    "sim_cosine_topk",
-    "sim_pq_adc_topk",
-    "sim_ann_lsh_topk",
-    "sim_ivf_topk",
-    "sim_ivfpq_topk",
-    # stale: last driver green r3/r4 (rotated out of the r6 50-row cap)
-    "cdc_before_image",
-    "cdc_truncate_state",
-    "cdc_scd2_intervals",
-    "cdc_ack_watermark",
-    "cdc_hypertable_mapping",
-    "q_asof_last_click",
-    "q_range_join_bursts",
-    "q_sessionize",
-    "q_salted_event_counts",
-    "q_full_outer_activity",
-    "multimodal_features",
-    "text_profile",
-    "text_repetition",
-    "text_top_tokens",
-    "text_token_stats",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "emb_near_dup",
-    "q_top_orders_per_segment",
-    "q_order_priority_count",
-    "q_parts_not_shipped_1995",
-    "q_set_ops",
-    "q_json_extract",
-    "q_rollup_cube",
-    "q_pivot_event_counts",
-    "q_distinct_custs",
-    "q_percentiles",
-    "q_scalar_gauntlet",
-    "q_grouping_sets",
-    "q17_small_quantity_revenue",
-]
-_GATE_TAIL = [
-    # driver-green in CORRECTNESS_r06, code untouched this round,
-    # re-verified locally at sf0.01 after every commit (NOTES_r7.md)
+    # driver-green in CORRECTNESS_r06, rotated out of r7's 50-row cap —
+    # stalest rows in the registry
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -134,6 +78,59 @@ _GATE_TAIL = [
     "sample_stratified_mix",
     "sample_cluster_balanced",
     "train_epoch_order",
+]
+_GATE_TAIL = [
+    # driver-green in CORRECTNESS_r07 (50/50 MATCH) — freshest signal;
+    # ordered so the r7 failure-class fixes lead (they re-run inside the
+    # cap when head + middle leave room)
+    "q12_late_shipment_priority",
+    "emb_quantize",
+    "q_time_bucket_gapfill",
+    "q_gapfill_interpolate",
+    "q_counter_increase",
+    "sample_weighted_docs",
+    "split_train_val_test",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    "sim_cosine_topk",
+    "sim_pq_adc_topk",
+    "sim_ann_lsh_topk",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "cdc_before_image",
+    "cdc_truncate_state",
+    "cdc_scd2_intervals",
+    "cdc_ack_watermark",
+    "cdc_hypertable_mapping",
+    "q_asof_last_click",
+    "q_range_join_bursts",
+    "q_sessionize",
+    "q_salted_event_counts",
+    "q_full_outer_activity",
+    "multimodal_features",
+    "text_profile",
+    "text_repetition",
+    "text_top_tokens",
+    "text_token_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "emb_near_dup",
+    "q_top_orders_per_segment",
+    "q_order_priority_count",
+    "q_parts_not_shipped_1995",
+    "q_set_ops",
+    "q_json_extract",
+    "q_rollup_cube",
+    "q_pivot_event_counts",
+    "q_distinct_custs",
+    "q_percentiles",
+    "q_scalar_gauntlet",
+    "q_grouping_sets",
+    "q17_small_quantity_revenue",
 ]
 
 

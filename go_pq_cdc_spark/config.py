@@ -121,6 +121,12 @@ class EngineConfig:
     heartbeat_schema: str = DEFAULT_SCHEMA
     heartbeat_interval_s: float = 10.0  # HeartbeatConfig.Interval (config.go:48-51)
     slot_create_if_not_exists: bool = True  # slot.Config (slot/config.go:16)
+    # Logical decoding plugin the slot is created with: "pgoutput" for the
+    # socket transport (binary, START_REPLICATION only), "wal2json" /
+    # "test_decoding" for the polling transport (text-mode get/peek).
+    # test_decoding is the contrib plugin compiled with every PostgreSQL
+    # build — the no-extra-extension poll arm (sources/test_decoding.py).
+    slot_plugin: str = "pgoutput"
     slot_activity_checker_interval_s: float = 1.0  # slot/config.go:11
     enable_timescaledb: bool = False  # ExtensionSupport (config.go:44-46)
     # Force a fresh snapshot: clear the completed-job marker so the seed
@@ -144,6 +150,11 @@ class EngineConfig:
             )
         if self.chunk_size < 1:
             raise ConfigError("chunk_size must be positive")
+        if self.slot_plugin not in ("pgoutput", "wal2json", "test_decoding"):
+            raise ConfigError(
+                f"slot_plugin {self.slot_plugin!r} not in "
+                "('pgoutput', 'wal2json', 'test_decoding')"
+            )
         bad_ops = set(self.publish_ops) - {"insert", "update", "delete", "truncate"}
         if bad_ops:
             raise ConfigError(f"unknown publish ops: {sorted(bad_ops)}")

@@ -77,7 +77,9 @@ class CdcEngine:
             # slot.Config.CreateIfNotExists (slot/config.go:16): when false
             # the slot must pre-exist (e.g. a takeover deployment) and no
             # create statement is emitted
-            stmts.append(pg.create_slot_sql(self.config.slot_name))
+            stmts.append(
+                pg.create_slot_sql(self.config.slot_name, self.config.slot_plugin)
+            )
         return stmts
 
     # -- snapshot plane (O9-O16) -------------------------------------------
@@ -146,7 +148,8 @@ class CdcEngine:
 
     def slot_keeper(self, run_sql, wal_dir: str, **kw):
         """The production transport loop for this config: polls the slot
-        with wal2json, ships durable WAL segments to `wal_dir`, advances
+        with the config's text plugin (wal2json, or test_decoding on
+        builds without it), ships durable WAL segments to `wal_dir`, advances
         `confirmed_flush_lsn`, heartbeats when idle (the reference's
         replication goroutine, `connector.Start` -> stream.go loop)."""
         from .sources.postgres import heartbeat_tick_sql
@@ -154,6 +157,10 @@ class CdcEngine:
 
         hb = heartbeat_tick_sql(self.config) if self.config.heartbeat_enabled else None
         kw.setdefault("keepalive_interval_s", self.config.heartbeat_interval_s)
+        if self.config.slot_plugin in ("wal2json", "test_decoding"):
+            # match the plugin the config's slot was created with; pgoutput
+            # is socket-only, so the keeper keeps its wal2json default
+            kw.setdefault("plugin", self.config.slot_plugin)
         return SlotKeeper(
             run_sql,
             wal_dir,
@@ -247,11 +254,13 @@ class CdcEngine:
             .load()
         )
 
-    def raw_changes(self, wal_dir: str) -> DataFrame:
+    def raw_changes(self, wal_dir: str, plugin: str = "wal2json") -> DataFrame:
         """Streaming change envelope from slot-keeper segments: raw
-        (lsn, xid, data) rows decoded JVM-side with wal2json `from_json`."""
+        (lsn, xid, data) rows decoded JVM-side — wal2json `from_json`
+        (production) or the test_decoding text grammar (contrib fallback,
+        present in every PostgreSQL build; see sources/test_decoding.py),
+        matching the plugin the keeper's slot was created with."""
         from .sources import lsn_stream
-        from .sources.wal2json import decode_wal2json
 
         lsn_stream.register(self.spark)
         raw = (
@@ -260,7 +269,15 @@ class CdcEngine:
             .option("raw", "true")
             .load()
         )
-        return decode_wal2json(raw)
+        if plugin == "wal2json":
+            from .sources.wal2json import decode_wal2json
+
+            return decode_wal2json(raw)
+        if plugin == "test_decoding":
+            from .sources.test_decoding import decode_test_decoding
+
+            return decode_test_decoding(raw)
+        raise ValueError(f"unknown poll plugin {plugin!r}")
 
     def mirror(
         self,
@@ -442,8 +459,11 @@ class CdcEngine:
           - "envelope": the socket/pgoutput pump's envelope segments
             (string-map before/after images) typed per `value_schema`;
           - "wal2json": the slot keeper's raw (lsn, xid, json) segments,
-            decoded JVM-side then typed the same way.
-        The last two need `table` (qualified name) and run the FULL
+            decoded JVM-side then typed the same way;
+          - "test_decoding": the keeper's raw segments under the contrib
+            text plugin (every PG build ships it), decoded JVM-side by
+            sources/test_decoding.py — the no-extra-extension poll arm.
+        All but the first need `table` (qualified name) and run the FULL
         reference lifecycle on the real transport: snapshot seeds typed
         rows, post-handoff envelope events are typed and merged with
         per-column TOAST repair.
@@ -604,6 +624,41 @@ class CdcEngine:
                 f"pk bigint, {value_schema}",
             ).schema
             flat = changelog_stream(self.spark, wal_dir, schema=stream_schema)
+        elif transport == "test_decoding":
+            # The text grammar's commit-ts stamp is a per-xid aggregate +
+            # join — not expressible incrementally on an unbounded stream.
+            # Stream the RAW segments and run decode + typing per
+            # micro-batch inside the sink (batch semantics make the join
+            # exact whenever a txn's COMMIT lands in the same batch; a txn
+            # split across poll segments gets NULL commit_ts, never a
+            # wrong one — ordering rides (lsn, txn_seq), not commit_ts).
+            if table is None:
+                raise ValueError(f"transport={transport!r} requires table=")
+            from .sources import lsn_stream
+            from .sources.test_decoding import decode_test_decoding
+
+            lsn_stream.register(self.spark)
+            raw = (
+                self.spark.readStream.format("pq_cdc_wal")
+                .option("path", wal_dir)
+                .option("raw", "true")
+                .load()
+            )
+
+            def transform(batch_df):
+                env = decode_test_decoding(batch_df)
+                flat, _ = self._typed_flat(env, table, value_schema, "pk")
+                return flat.filter(F.col("lsn") > snapshot_lsn)
+
+            return snapshot_lsn, mirror_sink(
+                raw,
+                state_dir,
+                checkpoint_dir,
+                n_buckets=mirror_buckets,
+                value_cols=value_cols,
+                keep_epochs=keep_epochs,
+                transform=transform,
+            )
         elif transport in ("envelope", "wal2json"):
             if table is None:
                 raise ValueError(f"transport={transport!r} requires table=")

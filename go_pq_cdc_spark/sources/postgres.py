@@ -321,26 +321,41 @@ def poll_changes_sql(
     tables: list[str] | None = None,
     upto_lsn: str | None = None,
     limit: int = 10000,
+    plugin: str = "wal2json",
 ) -> str:
-    """Poll-based change transport over a WAL2JSON slot (text-mode — the
+    """Poll-based change transport over a text-mode logical slot (the
     pgoutput plugin is binary and cannot go through the text `get/peek`
     functions, and `proto_version`/`publication_names` are pgoutput options
-    that wal2json rejects). PEEK, not GET: the poll must not consume —
+    the text plugins reject). PEEK, not GET: the poll must not consume —
     `confirmed_flush_lsn` advances only after the segment is durably
     written (`advance_slot_sql`), the reference's ack-after-delivery
     contract (stream.go:718-733) on polling transport.
 
-    wal2json options: format-version 2 (one JSON doc per action with
-    B/C txn markers), include-xids, include-timestamp; `tables` maps to
-    wal2json's add-tables filter (wal2json has no publication awareness)."""
+    `plugin` selects the slot's decoder and its options:
+      - "wal2json" (production): format-version 2 (one JSON doc per action
+        with B/C txn markers), include-xids, include-timestamp; `tables`
+        maps to wal2json's add-tables filter (wal2json has no publication
+        awareness). Decoded by `sources.wal2json.decode_wal2json`.
+      - "test_decoding" (contrib, in every PostgreSQL build): include-xids
+        + include-timestamp text lines, decoded by
+        `sources.test_decoding.decode_test_decoding`. No server-side table
+        filter exists — `tables` is applied client-side after decode."""
     upto = f"'{upto_lsn}'::pg_lsn" if upto_lsn else "NULL"
-    opts = [
-        "'format-version', '2'",
-        "'include-xids', '1'",
-        "'include-timestamp', '1'",
-    ]
-    if tables:
-        opts.append(f"'add-tables', '{','.join(tables)}'")
+    if plugin == "wal2json":
+        opts = [
+            "'format-version', '2'",
+            "'include-xids', '1'",
+            "'include-timestamp', '1'",
+        ]
+        if tables:
+            opts.append(f"'add-tables', '{','.join(tables)}'")
+    elif plugin == "test_decoding":
+        opts = [
+            "'include-xids', '1'",
+            "'include-timestamp', '1'",
+        ]
+    else:
+        raise ValueError(f"unknown poll plugin {plugin!r}")
     return (
         f"SELECT lsn, xid, data FROM pg_logical_slot_peek_changes("
         f"'{slot_name}', {upto}, {limit}, {', '.join(opts)})"

@@ -358,11 +358,16 @@ class SlotKeeper:
         backoff: Backoff | None = None,
         sleep: Callable[[float], None] = time.sleep,
         clock: Callable[[], float] = time.monotonic,
+        plugin: str = "wal2json",
     ):
         self.run_sql = run_sql
         self.wal_dir = wal_dir
         self.slot_name = slot_name
         self.tables = tables
+        # the slot's decoder plugin: wal2json (production) or test_decoding
+        # (contrib fallback present in every PG build) — must match the
+        # plugin the slot was created with (create_slot_sql)
+        self.plugin = plugin
         self.poll_limit = poll_limit
         self.poll_interval_s = poll_interval_s
         self.keepalive_interval_s = keepalive_interval_s
@@ -384,7 +389,9 @@ class SlotKeeper:
     def poll_once(self) -> int:
         """PEEK new changes; write them as the next contiguous segment.
         Returns the number of NEW rows shipped."""
-        sql = poll_changes_sql(self.slot_name, self.tables, limit=self.poll_limit)
+        sql = poll_changes_sql(
+            self.slot_name, self.tables, limit=self.poll_limit, plugin=self.plugin
+        )
         rows = with_backoff(
             lambda: self.run_sql(sql), self.backoff, sleep=self._sleep
         )
@@ -397,8 +404,12 @@ class SlotKeeper:
         return len(fresh)
 
     def advance_once(self) -> bool:
-        """Ack the durably-written frontier on the server (idempotent)."""
-        if self.frontier <= self._advanced:
+        """Ack the durably-written frontier on the server (idempotent).
+        A zero frontier (nothing shipped yet, no start position) must NOT
+        be acked: the server rejects '0/0' as an invalid target WAL LSN
+        and the resulting FatalError would kill the loop before its first
+        real poll (found live — the fake server accepted it silently)."""
+        if self.frontier <= self._advanced or self.frontier <= 0:
             return False
         target = self.frontier
         with_backoff(

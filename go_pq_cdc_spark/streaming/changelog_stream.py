@@ -664,6 +664,7 @@ def mirror_sink(
     n_buckets: int | None = None,
     value_cols: tuple[str, ...] = ("after_val",),
     keep_epochs: int | None = None,
+    transform=None,
 ):
     """Attach the mirror-maintenance sink to a change stream. Returns the
     StreamingQuery; call processAllAvailable() to drain in tests.
@@ -671,6 +672,13 @@ def mirror_sink(
     `suggest_mirror_buckets`); an existing mirror keeps its manifest-pinned
     count. `keep_epochs` > 1 retains that many epoch snapshots for
     `read_mirror_as_of` time travel.
+
+    `transform(batch_df) -> DataFrame`, when given, runs INSIDE each
+    foreachBatch on the micro-batch (batch semantics — aggregates and
+    joins that Structured Streaming would reject pre-sink are legal
+    here): the stream carries raw transport rows and the decode/typing
+    happens per batch. Used by the test_decoding transport, whose
+    commit-ts stamp is a per-xid aggregate+join.
 
     Epoch numbering comes from the MIRROR's manifest counter, NOT from
     Spark's foreachBatch batch id: the two counters live in different
@@ -683,15 +691,18 @@ def mirror_sink(
     fresh epoch instead of overwriting (events dedupe against stored
     rows on (pk, lsn, txn_seq)); a pre-swap crash leaves only
     unreferenced orphan dirs, which the next GC removes."""
+    def apply(batch_df: DataFrame, _spark_epoch: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        merge_mirror_batch(
+            batch_df, state_dir, epoch=None, n_buckets=n_buckets,
+            value_cols=value_cols, keep_epochs=keep_epochs,
+        )
+
     return (
         stream_df.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(
-            lambda batch_df, _spark_epoch: merge_mirror_batch(
-                batch_df, state_dir, epoch=None, n_buckets=n_buckets,
-                value_cols=value_cols, keep_epochs=keep_epochs,
-            )
-        )
+        .foreachBatch(apply)
         .start()
     )
 

@@ -601,6 +601,84 @@ def test_start_full_lifecycle_on_wal2json_transport(spark, tmp_path):
     assert state == {1: ("alpha2", 5)}
 
 
+def test_start_full_lifecycle_on_test_decoding_transport(spark, tmp_path):
+    """connector.Start on the contrib text transport (the poll arm every
+    PostgreSQL build ships): snapshot seeds typed rows at the handoff
+    LSN; post-handoff test_decoding lines decode PER MICRO-BATCH inside
+    the sink (the commit-ts stamp is an aggregate+join Structured
+    Streaming rejects pre-sink), type, and merge — pre-handoff events
+    drop, TOAST-unchanged columns inherit, DELETE removes."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.sources.lsn_stream import segment_path
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    eng = _engine(spark)
+    eng.config.snapshot_tables = ["public.users"]
+    eng.config.slot_plugin = "test_decoding"
+    wal_dir = tmp_path / "wal"
+    wal_dir.mkdir()
+
+    seen_sql: list[str] = []
+
+    def run_sql(sql):
+        seen_sql.append(sql)
+        if "pg_current_wal_lsn" in sql:
+            return [("0/14",)]  # snapshot LSN = 20
+        return []
+
+    def reader(t):
+        return spark.createDataFrame(
+            [Row(pk=1, name="alpha", qty=5), Row(pk=2, name="beta", qty=7)]
+        )
+
+    rows = [
+        # pre-handoff (lsn 15): dropped, snapshot already covers it
+        (14, 1, "BEGIN 1"),
+        (15, 1, "table public.users: UPDATE: pk[bigint]:1 name[text]:'stale' "
+                "qty[bigint]:5"),
+        (16, 1, "COMMIT 1 (at 2024-01-01 00:00:00+00)"),
+        # post-handoff: name updates, qty TOAST-unchanged -> inherits 5
+        (24, 2, "BEGIN 2"),
+        (25, 2, "table public.users: UPDATE: pk[bigint]:1 name[text]:'alpha2' "
+                "qty[bigint]:unchanged-toast-datum"),
+        (26, 2, "COMMIT 2 (at 2024-01-01 00:00:01+00)"),
+        (29, 3, "BEGIN 3"),
+        (30, 3, "table public.users: DELETE: pk[bigint]:2"),
+        (31, 3, "COMMIT 3 (at 2024-01-01 00:00:02+00)"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["lsn", "xid", "data"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        segment_path(str(wal_dir), 14, 31),
+    )
+    lsn, q = eng.start(
+        run_sql,
+        str(wal_dir),
+        str(tmp_path / "state"),
+        str(tmp_path / "ck"),
+        snapshot_reader=reader,
+        value_schema="name string, qty bigint",
+        transport="test_decoding",
+        table="public.users",
+    )
+    assert lsn == 20
+    # the config's slot_plugin reached the slot-create DDL
+    assert any("'test_decoding'" in s for s in seen_sql)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = {
+        r["pk"]: (r["name"], r["qty"])
+        for r in read_mirror(spark, str(tmp_path / "state")).collect()
+    }
+    assert state == {1: ("alpha2", 5)}
+
+
 def test_start_cooperative_chunked_seed(spark, tmp_path):
     """O23 at chunk granularity through the ENGINE: chunk_planner switches
     the seed to the shared per-chunk claim queue; chunks are read with

@@ -1196,3 +1196,272 @@ def test_live_publication_row_filter(tmp_path):
         q(f"DROP PUBLICATION IF EXISTS {PUB7}")
         q(f"DROP TABLE IF EXISTS {T7}")
         sql.close()
+
+
+# --- poll transport live coverage (r7 verdict item 1) -----------------------
+# wal2json.so is absent from this PostgreSQL build, but test_decoding is a
+# contrib plugin compiled with every server — so the poll transport family
+# (SlotKeeper peek -> raw segment -> advance, sources/slot_keeper.py) gets
+# its live validation through the test_decoding parser arm
+# (sources/test_decoding.py), mirroring the reference's transport assurance
+# (/root/reference/integration_test/main_test.go:30-80).
+
+
+def test_live_poll_test_decoding_roundtrip(spark, live):
+    """Insert/update/delete through the REAL poll transport: SlotKeeper
+    peeks a live test_decoding slot, ships raw segments, advances
+    confirmed_flush_lsn after the durable write; the JVM-side decode
+    yields the same envelope the wal2json arm produces. A fresh keeper
+    over the same wal_dir recovers the frontier from segments and
+    re-ships nothing (peek replay dedup)."""
+    from go_pq_cdc_spark.sources.postgres import create_slot_sql
+    from go_pq_cdc_spark.sources.slot_keeper import SlotKeeper
+    from go_pq_cdc_spark.sources.test_decoding import decode_test_decoding
+
+    q = live["sql"].simple_query
+    q(create_slot_sql(SLOT, "test_decoding"))
+    q(f"INSERT INTO {TABLE} VALUES (1, 'one'), (2, 'two''s')")
+    q(f"UPDATE {TABLE} SET val = 'one-new' WHERE id = 1")
+    q(f"DELETE FROM {TABLE} WHERE id = 2")
+
+    keeper = SlotKeeper(
+        q, live["wal_dir"], SLOT,
+        tables=[f"public.{TABLE}"], plugin="test_decoding",
+    )
+    assert keeper.poll_once() > 0
+    assert keeper.advance_once()
+
+    raw = spark.read.schema("lsn long, xid long, data string").parquet(
+        live["wal_dir"]
+    )
+    env = (
+        decode_test_decoding(raw, tables=[f"public.{TABLE}"])
+        .orderBy("lsn")
+        .collect()
+    )
+    assert [r["op"] for r in env] == ["I", "I", "U", "D"]
+    assert env[1]["after"] == {"id": "2", "val": "two's"}  # quoting survives
+    # REPLICA IDENTITY FULL: the update carries the full old image
+    assert env[2]["before"] == {"id": "1", "val": "one"}
+    assert env[2]["after"] == {"id": "1", "val": "one-new"}
+    assert env[3]["before"] == {"id": "2", "val": "two's"}
+    assert env[3]["after"] is None
+    assert all(r["commit_ts"] is not None for r in env)
+    # three separate autocommit statements -> three distinct txns,
+    # delivered whole and in commit order
+    assert len({r["xid"] for r in env}) == 3
+
+    # the ack moved the server's confirmed_flush_lsn to the durable
+    # frontier (O19 on the polling transport)
+    (r,) = q(
+        "SELECT confirmed_flush_lsn FROM pg_replication_slots "
+        f"WHERE slot_name = '{SLOT}'"
+    )
+    assert _lsn_to_int(r[0]) >= keeper.frontier
+
+    k2 = SlotKeeper(q, live["wal_dir"], SLOT, plugin="test_decoding")
+    assert k2.frontier == keeper.frontier  # recovered from segments
+    assert k2.poll_once() == 0  # nothing re-ships after the advance
+
+
+def test_live_poll_commit_order(live):
+    """Interleaved transactions through the poll transport arrive in
+    COMMIT order (logical decoding reorders row records by commit — the
+    reference's ordering invariant, concurrent_tx_ordering_test.go:18-21,
+    on the peek path): txn B commits first and is delivered first even
+    though txn A's first row sits at a LOWER WAL position."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from go_pq_cdc_spark.sources import lsn_stream
+    from go_pq_cdc_spark.sources.postgres import create_slot_sql
+    from go_pq_cdc_spark.sources.slot_keeper import SlotKeeper
+
+    q = live["sql"].simple_query
+    q(create_slot_sql(SLOT, "test_decoding"))
+
+    a, b = _sql_conn(), _sql_conn()
+    try:
+        a.simple_query("BEGIN")
+        a.simple_query(f"INSERT INTO {TABLE} VALUES (10, 'a1')")
+        b.simple_query("BEGIN")
+        b.simple_query(f"INSERT INTO {TABLE} VALUES (20, 'b1')")
+        a.simple_query(f"INSERT INTO {TABLE} VALUES (11, 'a2')")
+        b.simple_query("COMMIT")  # B commits FIRST though A began first
+        a.simple_query("COMMIT")
+    finally:
+        a.close()
+        b.close()
+
+    keeper = SlotKeeper(
+        q, live["wal_dir"], SLOT,
+        tables=[f"public.{TABLE}"], plugin="test_decoding",
+    )
+    assert keeper.poll_once() > 0
+
+    lines: list[str] = []
+    for _s, _e, path in lsn_stream.list_segments(live["wal_dir"]):
+        lines.extend(pq.read_table(path).column("data").to_pylist())
+    ids = [
+        int(m.group(1))
+        for ln in lines
+        for m in [re.search(r"INSERT: id\[bigint\]:(\d+)", ln)]
+        if m
+    ]
+    # delivery (= segment) order is commit order: all of B, then all of A
+    assert ids == [20, 10, 11]
+
+
+def test_live_engine_lifecycle_test_decoding(spark, tmp_path):
+    """The FULL reference lifecycle on the POLL transport against a real
+    server: engine DDL creates the slot with the config's test_decoding
+    plugin, snapshot seeds the typed mirror at the handoff LSN, a
+    SlotKeeper thread pumps live peeked changes into raw segments
+    (advancing the slot after each durable write), and the streaming sink
+    decodes the text grammar PER MICRO-BATCH, types, and merges with
+    TOAST repair — final mirror state must equal the live table
+    (connector.go:57-142 sequencing on transport option (a))."""
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.config import EngineConfig, TableConfig
+    from go_pq_cdc_spark.engine import CdcEngine
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    T8, SLOT8, PUB8 = "poll_live_t", "poll_live_slot", "poll_live_pub"
+    sql = _sql_conn()
+    q = sql.simple_query
+    q(f"DROP PUBLICATION IF EXISTS {PUB8}")
+    _drop_slot_with_retry(q, slot=SLOT8)
+    q(f"DROP TABLE IF EXISTS {T8}")
+    q(f"CREATE TABLE {T8} (pk bigint PRIMARY KEY, val text, big text)")
+    # pk1 carries a TOASTed column (out of line, incompressible md5 chain)
+    q(f"INSERT INTO {T8} SELECT g, 'v' || g, "
+      f"CASE WHEN g = 1 THEN (SELECT string_agg(md5(i::text), '') "
+      f"FROM generate_series(1, 300) i) END "
+      f"FROM generate_series(1, 20) g")
+    big0 = q(f"SELECT big FROM {T8} WHERE pk = 1")[0][0]
+    assert big0 and len(big0) == 300 * 32
+
+    cfg = EngineConfig(
+        publication_name=PUB8,
+        slot_name=SLOT8,
+        tables=[TableConfig(name=T8)],
+        heartbeat_enabled=False,
+        slot_plugin="test_decoding",
+    )
+    eng = CdcEngine(cfg, spark)
+
+    def snapshot_reader(tcfg):
+        rows = q(f"SELECT pk, val, big FROM {T8}")
+        return spark.createDataFrame(
+            [Row(pk=int(r[0]), val=r[1], big=r[2]) for r in rows],
+            "pk bigint, val string, big string",
+        )
+
+    wal_dir = str(tmp_path / "wal")
+    os.makedirs(wal_dir, exist_ok=True)
+    stream_q = None
+    keeper = None
+    keeper_t = None
+    # the keeper thread needs its OWN connection — simple_query is one
+    # socket conversation at a time
+    keeper_sql = _sql_conn()
+    try:
+        snapshot_lsn, stream_q = eng.start(
+            q,
+            wal_dir,
+            str(tmp_path / "state"),
+            str(tmp_path / "ckpt"),
+            snapshot_reader=snapshot_reader,
+            value_schema="val string, big string",
+            transport="test_decoding",
+            table=f"public.{T8}",
+            keep_epochs=8,
+        )
+        assert snapshot_lsn > 0
+        (r,) = q(f"SELECT plugin FROM pg_replication_slots "
+                 f"WHERE slot_name = '{SLOT8}'")
+        assert r[0] == "test_decoding"  # config plugin reached the server
+
+        keeper = eng.slot_keeper(
+            keeper_sql.simple_query, wal_dir, poll_interval_s=0.2
+        )
+        assert keeper.plugin == "test_decoding"  # inherited from config
+        keeper_t = threading.Thread(target=keeper.run, daemon=True)
+        keeper_t.start()
+
+        # post-handoff DML: TOAST-preserving update, plain update,
+        # insert, delete — all must land via the poll stream
+        q(f"UPDATE {T8} SET val = 'v1-new' WHERE pk = 1")  # big untouched
+        q(f"UPDATE {T8} SET val = 'v3-new' WHERE pk = 3")
+        q(f"INSERT INTO {T8} (pk, val) VALUES (21, 'v21')")
+        q(f"DELETE FROM {T8} WHERE pk = 2")
+
+        state_dir = str(tmp_path / "state")
+        deadline = time.time() + WAIT_S
+        state = {}
+        while time.time() < deadline:
+            stream_q.processAllAvailable()
+            try:
+                state = {
+                    r["pk"]: (r["val"], r["big"])
+                    for r in read_mirror(spark, state_dir).collect()
+                }
+            except Exception:
+                continue  # raced an epoch swap mid-collect — re-read
+            if (
+                2 not in state
+                and 21 in state
+                and state.get(1, ("",))[0] == "v1-new"
+                and state.get(3, ("",))[0] == "v3-new"
+            ):
+                break
+            time.sleep(0.3)
+
+        live_rows = {
+            int(r[0]): (r[1], r[2]) for r in q(f"SELECT pk, val, big FROM {T8}")
+        }
+        assert state == live_rows  # mirror == live table, exactly
+        # unchanged-toast-datum -> NULL-means-unchanged -> repaired from
+        # the snapshot image (O6 on the poll transport)
+        assert state[1] == ("v1-new", big0)
+        assert state[21] == ("v21", None)
+
+        # live TRUNCATE through the text grammar: 'T' row -> mirror
+        # cleared; post-truncate rows are the only survivors
+        q(f"TRUNCATE {T8}")
+        q(f"INSERT INTO {T8} (pk, val) VALUES (31, 'after-truncate')")
+        deadline = time.time() + WAIT_S
+        while time.time() < deadline:
+            stream_q.processAllAvailable()
+            try:
+                state = {
+                    r["pk"]: (r["val"], r["big"])
+                    for r in read_mirror(spark, state_dir).collect()
+                }
+            except Exception:
+                continue
+            if state == {31: ("after-truncate", None)}:
+                break
+            time.sleep(0.3)
+        assert state == {31: ("after-truncate", None)}, (
+            f"truncate did not clear the mirror: {sorted(state)}"
+        )
+
+        # the keeper's acks advanced the server-side slot (O19)
+        (r,) = q(f"SELECT confirmed_flush_lsn FROM pg_replication_slots "
+                 f"WHERE slot_name = '{SLOT8}'")
+        assert _lsn_to_int(r[0]) >= snapshot_lsn
+    finally:
+        if keeper is not None:
+            keeper.stop()
+        if keeper_t is not None:
+            keeper_t.join(timeout=10)
+        if stream_q is not None:
+            stream_q.stop()
+        keeper_sql.close()
+        _drop_slot_with_retry(q, slot=SLOT8)
+        q(f"DROP PUBLICATION IF EXISTS {PUB8}")
+        q(f"DROP TABLE IF EXISTS {T8}")
+        sql.close()

@@ -111,6 +111,20 @@ def test_poll_write_advance(wal_dir):
     assert [(s, e) for s, e, _ in segs] == [(1, 105), (106, 200)]
 
 
+def test_advance_skipped_at_zero_frontier(wal_dir):
+    """A keeper that has shipped NOTHING (frontier 0) must not ack: the
+    real server rejects '0/0' as an invalid target WAL LSN and the
+    FatalError would kill the loop before its first productive poll
+    (found by the live poll-transport lifecycle test)."""
+    pg = FakePg()
+    k = _keeper(pg, wal_dir)
+    assert k.poll_once() == 0  # nothing pending
+    assert not k.advance_once()  # no '0/0' ack attempted
+    assert not any("slot_advance" in s for s in pg.log)
+    k.final_flush()
+    assert not any("slot_advance" in s for s in pg.log)
+
+
 def test_crash_between_write_and_advance_recovers(wal_dir):
     """Segment durably written but advance never ran: a restarted keeper
     recovers the frontier from disk, re-peeked rows are dropped (no
