@@ -426,6 +426,7 @@ class CdcEngine:
         claim_ttl_s: float = 300.0,
         drain_timeout_s: float = 600.0,
         heartbeat_every_s: float | None = None,
+        claim_backend=None,
     ):
         """The reference's `connector.Start(ctx)` in one call
         (connector.go:57-142 sequencing; SURVEY §3.1-3.3):
@@ -483,7 +484,12 @@ class CdcEngine:
         `heartbeat_every_s` while a chunk processes (default
         claim_ttl_s/4, so a long chunk read is never reclaimed
         mid-processing); `drain_timeout_s` bounds IDLE time — no chunk
-        completing anywhere — not total drain wall-clock."""
+        completing anywhere — not total drain wall-clock. `claim_backend`
+        selects the queue's atomic-marker medium
+        (`snapshot.claim_backend.ClaimBackend`): default POSIX hard-link
+        claims for filesystem/NFS state dirs; pass an
+        `ObjectStoreBackend` when state_dir is S3/GCS, where claims ride
+        conditional PUTs (If-None-Match / If-Match) instead of links."""
         from pyspark.sql import functions as F
 
         from .sources.slot_keeper import lsn_to_int
@@ -521,6 +527,7 @@ class CdcEngine:
                     claim_ttl_s=claim_ttl_s,
                     drain_timeout_s=drain_timeout_s,
                     heartbeat_every_s=heartbeat_every_s,
+                    claim_backend=claim_backend,
                 )
                 if self.config.snapshot_mode == "snapshot_only":
                     return snapshot_lsn, None
@@ -692,6 +699,7 @@ class CdcEngine:
         claim_ttl_s: float = 300.0,
         drain_timeout_s: float = 600.0,
         heartbeat_every_s: float | None = None,
+        claim_backend=None,
     ) -> int:
         """Per-chunk cooperative snapshot seed (O23 at the reference's
         granularity, worker.go:421-484): each captured table's chunk plan
@@ -715,6 +723,8 @@ class CdcEngine:
         from .snapshot import chunk_queue as cq
         from .streaming.changelog_stream import merge_mirror_batch
 
+        if claim_backend is None:
+            claim_backend = cq.DEFAULT_BACKEND
         if heartbeat_every_s is None:
             # default: beat well inside the claim TTL so a chunk whose
             # read outlasts claim_ttl_s is never reclaimed by a live peer
@@ -738,13 +748,18 @@ class CdcEngine:
                 # advisor); like job_claim.reset / the reference's
                 # metadata wipe, this is a start-the-fleet-after action,
                 # not safe concurrent with a live peer's drain.
-                cq.reset(qdir)
+                cq.reset(qdir, backend=claim_backend)
             cq.init_chunk_queue(
-                qdir, chunk_planner(tcfg), meta={"snapshot_lsn": snapshot_lsn}
+                qdir,
+                chunk_planner(tcfg),
+                meta={"snapshot_lsn": snapshot_lsn},
+                backend=claim_backend,
             )
             # first-writer-wins: adopt THIS table's PUBLISHED handoff point
             table_lsn = int(
-                cq.read_queue_meta(qdir).get("snapshot_lsn", snapshot_lsn)
+                cq.read_queue_meta(qdir, backend=claim_backend).get(
+                    "snapshot_lsn", snapshot_lsn
+                )
             )
             published.append(table_lsn)
 
@@ -773,6 +788,7 @@ class CdcEngine:
                 claim_ttl_s=claim_ttl_s,
                 timeout_s=drain_timeout_s,
                 heartbeat_every_s=heartbeat_every_s,
+                backend=claim_backend,
             )
         return min(published) if published else snapshot_lsn
 

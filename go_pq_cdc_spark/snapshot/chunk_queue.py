@@ -13,8 +13,7 @@ plus `rows_processed`.
 `job_claim` covers the whole-job case (one app seeds, peers wait/skip).
 This module is the per-chunk queue for the case it consciously skipped:
 two or more Spark APPLICATIONS splitting one giant table's chunks. The
-shared medium is the same state_dir the mirror lives in (POSIX/NFS; an
-object store needs a conditional-put analogue of the link-claim):
+shared medium is the same state_dir the mirror lives in:
 
     state_dir/chunks/_manifest.json   all chunk descriptors (immutable,
                                       first-writer-wins — the reference's
@@ -24,14 +23,19 @@ object store needs a conditional-put analogue of the link-claim):
     state_dir/chunks/done.<i>.json    completed row: instance_id,
                                       rows_processed, finished_at
 
-Atomicity is the `job_claim.acquire` scheme: a claim is a hard LINK of a
-privately-written tmp file (create-with-content; a peer can never see a
-torn claim), takeover is an `os.replace` allowed only once the current
-heartbeat is `claim_ttl_s` stale, and completion markers are tmp+rename.
-The takeover swap is last-writer-wins inside the (rare) window where two
-apps pass the staleness check together — acceptable exactly as in the
-reference, whose chunk work is idempotent (re-reading a chunk re-merges
-the same rows; our mirror merge is max-LSN-wins).
+All marker I/O goes through a pluggable `ClaimBackend`
+(`snapshot.claim_backend`): the default `PosixLinkBackend` keeps the
+original scheme — a claim is a hard LINK of a privately-written tmp file
+(create-with-content; a peer can never see a torn claim), takeover is an
+`os.replace` allowed only once the current heartbeat is `claim_ttl_s`
+stale, and completion markers are link-created. The POSIX takeover swap
+is last-writer-wins inside the (rare) window where two apps pass the
+staleness check together — acceptable exactly as in the reference, whose
+chunk work is idempotent (re-reading a chunk re-merges the same rows;
+our mirror merge is max-LSN-wins). `ObjectStoreBackend` maps the same
+three primitives to S3/GCS conditional requests (If-None-Match /
+If-Match), where the takeover is a TRUE compare-and-swap — the 100 TB
+deployment shape, where state_dir is a bucket, not NFS.
 
 Chunk descriptors are plain dicts from `snapshot.planner` (chunk_index,
 plus range_start/range_end, block_start/block_end or
@@ -41,52 +45,25 @@ chunk_start/chunk_size per strategy) — the same 13-column shape
 
 from __future__ import annotations
 
-import json
-import os
 import time
 import uuid
 from dataclasses import dataclass, field
+
+from .claim_backend import DEFAULT_BACKEND, ClaimBackend
 
 MANIFEST = "_manifest.json"
 
 
 def _qdir(state_dir: str) -> str:
-    return os.path.join(state_dir, "chunks")
+    return f"{state_dir}/chunks"
 
 
 def _claim_path(state_dir: str, idx: int) -> str:
-    return os.path.join(_qdir(state_dir), f"claim.{idx}.json")
+    return f"{_qdir(state_dir)}/claim.{idx}.json"
 
 
 def _done_path(state_dir: str, idx: int) -> str:
-    return os.path.join(_qdir(state_dir), f"done.{idx}.json")
-
-
-def _read_json(path: str) -> dict | None:
-    try:
-        with open(path) as f:
-            doc = json.load(f)
-        return doc if isinstance(doc, dict) else None
-    except (FileNotFoundError, json.JSONDecodeError):
-        return None
-
-
-def _link_create(doc: dict, path: str, tag: str) -> bool:
-    """Atomic create-with-content (job_claim's scheme): private tmp +
-    hard link; False if the target already exists."""
-    tmp = path + f".tmp.{tag}"
-    with open(tmp, "w") as f:
-        json.dump(doc, f)
-    try:
-        os.link(tmp, path)
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        try:
-            os.remove(tmp)
-        except FileNotFoundError:
-            pass
+    return f"{_qdir(state_dir)}/done.{idx}.json"
 
 
 def manifest_from_plan(plan) -> list[dict]:
@@ -106,7 +83,10 @@ def manifest_from_plan(plan) -> list[dict]:
 
 
 def init_chunk_queue(
-    state_dir: str, chunks: list[dict], meta: dict | None = None
+    state_dir: str,
+    chunks: list[dict],
+    meta: dict | None = None,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ) -> list[dict]:
     """Publish the chunk manifest (the reference's insertChunks step).
     Idempotent and first-writer-wins: every cooperating app calls this
@@ -119,25 +99,28 @@ def init_chunk_queue(
     stream filter at ONE shared point (read it back with
     `read_queue_meta`)."""
     qdir = _qdir(state_dir)
-    os.makedirs(qdir, exist_ok=True)
+    backend.ensure_dir(qdir)
     norm = [
         {**c, "chunk_index": int(c.get("chunk_index", i))}
         for i, c in enumerate(chunks)
     ]
-    path = os.path.join(qdir, MANIFEST)
-    _link_create({"chunks": norm, "meta": meta or {}}, path, uuid.uuid4().hex[:8])
-    return read_manifest(state_dir)
+    backend.put_if_absent(f"{qdir}/{MANIFEST}", {"chunks": norm, "meta": meta or {}})
+    return read_manifest(state_dir, backend=backend)
 
 
-def read_manifest(state_dir: str) -> list[dict]:
-    doc = _read_json(os.path.join(_qdir(state_dir), MANIFEST))
+def read_manifest(
+    state_dir: str, backend: ClaimBackend = DEFAULT_BACKEND
+) -> list[dict]:
+    doc, _ = backend.read(f"{_qdir(state_dir)}/{MANIFEST}")
     return list(doc["chunks"]) if doc and "chunks" in doc else []
 
 
-def read_queue_meta(state_dir: str) -> dict:
+def read_queue_meta(
+    state_dir: str, backend: ClaimBackend = DEFAULT_BACKEND
+) -> dict:
     """The PUBLISHED manifest's meta (first-writer-wins, like the chunk
     list itself)."""
-    doc = _read_json(os.path.join(_qdir(state_dir), MANIFEST))
+    doc, _ = backend.read(f"{_qdir(state_dir)}/{MANIFEST}")
     return dict(doc.get("meta", {})) if doc else {}
 
 
@@ -148,6 +131,7 @@ class ChunkClaim:
     state_dir: str
     instance_id: str
     chunk: dict = field(default_factory=dict)
+    backend: ClaimBackend = DEFAULT_BACKEND
 
     @property
     def index(self) -> int:
@@ -157,64 +141,67 @@ class ChunkClaim:
         """Refresh liveness (`updateChunkHeartbeat`, worker.go:556-566).
         Raises if the claim was taken over — the loser must STOP
         processing this chunk (its completion would clobber the new
-        owner's) exactly like losing the reference's DB row."""
+        owner's) exactly like losing the reference's DB row. On an
+        etag-enforcing backend the refresh is a CAS: losing the swap IS
+        losing the claim."""
         path = _claim_path(self.state_dir, self.index)
-        cur = _read_json(path)
+        cur, etag = self.backend.read(path)
         if cur is None or cur.get("instance_id") != self.instance_id:
             raise RuntimeError(
                 f"chunk {self.index} claim lost "
                 f"(now owned by {cur and cur.get('instance_id')})"
             )
         cur["heartbeat_at"] = time.time()
-        tmp = path + f".tmp.{self.instance_id}"
-        with open(tmp, "w") as f:
-            json.dump(cur, f)
-        os.replace(tmp, path)
+        if not self.backend.swap(path, cur, etag):
+            raise RuntimeError(
+                f"chunk {self.index} claim lost (etag swap failed — a peer "
+                f"took over between read and refresh)"
+            )
 
     def complete(self, rows_processed: int = 0, info: dict | None = None) -> None:
         """Terminal marker (`markChunkCompleted`, worker.go:568-585):
         records rows_processed, then drops the claim row. Idempotent —
         a duplicate completion (post-takeover race) keeps the FIRST
         marker, matching the queue's at-least-once contract."""
-        _link_create(
+        self.backend.put_if_absent(
+            _done_path(self.state_dir, self.index),
             {
                 "instance_id": self.instance_id,
                 "rows_processed": int(rows_processed),
                 "finished_at": time.time(),
                 **(info or {}),
             },
-            _done_path(self.state_dir, self.index),
-            self.instance_id,
         )
         self.release()
 
     def release(self) -> None:
         """Return an unfinished chunk to `pending` (clean shutdown
-        mid-chunk) so a peer claims it immediately, not after the TTL."""
-        cur = _read_json(_claim_path(self.state_dir, self.index))
+        mid-chunk) so a peer claims it immediately, not after the TTL.
+        Conditional on still owning it — a takeover's claim row must not
+        be deleted by the evicted loser."""
+        path = _claim_path(self.state_dir, self.index)
+        cur, etag = self.backend.read(path)
         if cur is not None and cur.get("instance_id") == self.instance_id:
-            try:
-                os.remove(_claim_path(self.state_dir, self.index))
-            except FileNotFoundError:
-                pass
+            self.backend.delete(path, etag)
 
 
 def claim_next_chunk(
     state_dir: str,
     instance_id: str | None = None,
     claim_ttl_s: float = 300.0,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ) -> ChunkClaim | None:
-    """File analogue of `claimNextChunk` (worker.go:421-484): walk chunks
-    in chunk_index order and take the first that is pending (no claim, no
-    done marker) or in_progress-with-stale-heartbeat (< now - ttl, the
-    `claimTimeout` arm). Returns None when nothing is claimable — either
-    all chunks are done (check `all_chunks_completed`) or live peers hold
-    the remainder (the caller's drain loop polls/waits, like the
-    reference worker idling on an empty SKIP LOCKED result)."""
+    """Backend analogue of `claimNextChunk` (worker.go:421-484): walk
+    chunks in chunk_index order and take the first that is pending (no
+    claim, no done marker) or in_progress-with-stale-heartbeat (< now -
+    ttl, the `claimTimeout` arm). Returns None when nothing is claimable
+    — either all chunks are done (check `all_chunks_completed`) or live
+    peers hold the remainder (the caller's drain loop polls/waits, like
+    the reference worker idling on an empty SKIP LOCKED result)."""
     instance_id = instance_id or f"app-{uuid.uuid4().hex[:12]}"
-    for chunk in sorted(read_manifest(state_dir), key=lambda c: c["chunk_index"]):
+    for chunk in sorted(read_manifest(state_dir, backend), key=lambda c: c["chunk_index"]):
         idx = int(chunk["chunk_index"])
-        if os.path.exists(_done_path(state_dir, idx)):
+        if backend.exists(_done_path(state_dir, idx)):
             continue
         now = time.time()
         doc = {
@@ -224,41 +211,41 @@ def claim_next_chunk(
             "heartbeat_at": now,
         }
         path = _claim_path(state_dir, idx)
-        if _link_create(doc, path, instance_id):
-            return ChunkClaim(state_dir, instance_id, chunk)
-        cur = _read_json(path)
+        if backend.put_if_absent(path, doc):
+            return ChunkClaim(state_dir, instance_id, chunk, backend)
+        cur, etag = backend.read(path)
         if cur is None:
-            if not os.path.exists(path):
-                # owner released between link failure and read: retry it
-                if _link_create(doc, path, instance_id):
-                    return ChunkClaim(state_dir, instance_id, chunk)
+            if not backend.exists(path):
+                # owner released between publish failure and read: retry
+                if backend.put_if_absent(path, doc):
+                    return ChunkClaim(state_dir, instance_id, chunk, backend)
                 continue
-            # torn claim file (crashed writer): replace, same as
+            # torn claim object (crashed writer): replace, same as
             # job_claim.acquire's unparseable-claim arm
             stale = True
         else:
             stale = now - float(cur.get("heartbeat_at", 0)) > claim_ttl_s
-        if stale:
-            tmp = path + f".tmp.{instance_id}"
-            with open(tmp, "w") as f:
-                json.dump(doc, f)
-            os.replace(tmp, path)
-            return ChunkClaim(state_dir, instance_id, chunk)
+        if stale and backend.swap(path, doc, etag):
+            # POSIX: last-writer-wins takeover; object store: a TRUE CAS
+            # — losing the swap means a peer took it first; move on
+            return ChunkClaim(state_dir, instance_id, chunk, backend)
     return None
 
 
-def chunk_queue_stats(state_dir: str) -> dict:
+def chunk_queue_stats(
+    state_dir: str, backend: ClaimBackend = DEFAULT_BACKEND
+) -> dict:
     """pending/in_progress/completed counts + total rows_processed (the
     reference's jobs-table `completed_chunks` / progress metrics)."""
-    chunks = read_manifest(state_dir)
+    chunks = read_manifest(state_dir, backend)
     done = in_prog = rows = 0
     for c in chunks:
         idx = int(c["chunk_index"])
-        d = _read_json(_done_path(state_dir, idx))
+        d, _ = backend.read(_done_path(state_dir, idx))
         if d is not None:
             done += 1
             rows += int(d.get("rows_processed", 0))
-        elif os.path.exists(_claim_path(state_dir, idx)):
+        elif backend.exists(_claim_path(state_dir, idx)):
             in_prog += 1
     return {
         "total": len(chunks),
@@ -269,14 +256,17 @@ def chunk_queue_stats(state_dir: str) -> dict:
     }
 
 
-def all_chunks_completed(state_dir: str) -> bool:
-    chunks = read_manifest(state_dir)
+def all_chunks_completed(
+    state_dir: str, backend: ClaimBackend = DEFAULT_BACKEND
+) -> bool:
+    chunks = read_manifest(state_dir, backend)
     return bool(chunks) and all(
-        os.path.exists(_done_path(state_dir, int(c["chunk_index"]))) for c in chunks
+        backend.exists(_done_path(state_dir, int(c["chunk_index"])))
+        for c in chunks
     )
 
 
-def reset(state_dir: str) -> None:
+def reset(state_dir: str, backend: ClaimBackend = DEFAULT_BACKEND) -> None:
     """Force-resnapshot support at chunk granularity (the cooperative twin
     of `job_claim.reset`; reference: the coordinator wipes `cdc_snapshot_
     chunks` and restarts an incomplete/forced job, coordinator.go:28-61):
@@ -286,18 +276,13 @@ def reset(state_dir: str) -> None:
     before starting the cooperating fleet, not concurrently with a live
     peer's drain (the wipe would un-done chunks mid-flight)."""
     qdir = _qdir(state_dir)
-    if not os.path.isdir(qdir):
-        return
-    for name in os.listdir(qdir):
+    for name in backend.list_names(qdir):
         if (
             name == MANIFEST
             or name.startswith("claim.")
             or name.startswith("done.")
         ):
-            try:
-                os.remove(os.path.join(qdir, name))
-            except FileNotFoundError:
-                pass
+            backend.delete(f"{qdir}/{name}")
 
 
 def drain(
@@ -308,6 +293,7 @@ def drain(
     poll_s: float = 0.2,
     timeout_s: float = 600.0,
     heartbeat_every_s: float | None = None,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ) -> list[int]:
     """Worker loop (the reference's `processChunks`, worker.go:150-200):
     claim → process → complete until every chunk is done. `process_chunk`
@@ -332,17 +318,18 @@ def drain(
     mine: list[int] = []
     deadline = time.time() + timeout_s
     last_done = -1
-    while not all_chunks_completed(state_dir):
-        done_now = chunk_queue_stats(state_dir)["completed"]
+    while not all_chunks_completed(state_dir, backend):
+        done_now = chunk_queue_stats(state_dir, backend)["completed"]
         if done_now > last_done:
             last_done = done_now
             deadline = time.time() + timeout_s
         if time.time() > deadline:
             raise TimeoutError(
                 f"chunk queue for {state_dir} idle (no chunk completed "
-                f"anywhere) for {timeout_s}s: {chunk_queue_stats(state_dir)}"
+                f"anywhere) for {timeout_s}s: "
+                f"{chunk_queue_stats(state_dir, backend)}"
             )
-        claim = claim_next_chunk(state_dir, instance_id, claim_ttl_s)
+        claim = claim_next_chunk(state_dir, instance_id, claim_ttl_s, backend)
         if claim is None:
             time.sleep(poll_s)  # live peers own the rest — wait/retry
             continue
