@@ -427,6 +427,7 @@ class CdcEngine:
         drain_timeout_s: float = 600.0,
         heartbeat_every_s: float | None = None,
         claim_backend=None,
+        merge_lock_ttl_s: float | None = None,
     ):
         """The reference's `connector.Start(ctx)` in one call
         (connector.go:57-142 sequencing; SURVEY §3.1-3.3):
@@ -489,7 +490,12 @@ class CdcEngine:
         (`snapshot.claim_backend.ClaimBackend`): default POSIX hard-link
         claims for filesystem/NFS state dirs; pass an
         `ObjectStoreBackend` when state_dir is S3/GCS, where claims ride
-        conditional PUTs (If-None-Match / If-Match) instead of links."""
+        conditional PUTs (If-None-Match / If-Match) instead of links.
+        `merge_lock_ttl_s` tunes the cross-process mirror merge lock's
+        staleness window for the cooperative seed: a SIGKILLed peer that
+        died holding the lock is taken over after this long (default the
+        merge lock's own 300s; size it to a few times the longest single
+        chunk merge, like claim_ttl_s for claims)."""
         from pyspark.sql import functions as F
 
         from .sources.slot_keeper import lsn_to_int
@@ -528,6 +534,7 @@ class CdcEngine:
                     drain_timeout_s=drain_timeout_s,
                     heartbeat_every_s=heartbeat_every_s,
                     claim_backend=claim_backend,
+                    merge_lock_ttl_s=merge_lock_ttl_s,
                 )
                 if self.config.snapshot_mode == "snapshot_only":
                     return snapshot_lsn, None
@@ -700,6 +707,7 @@ class CdcEngine:
         drain_timeout_s: float = 600.0,
         heartbeat_every_s: float | None = None,
         claim_backend=None,
+        merge_lock_ttl_s: float | None = None,
     ) -> int:
         """Per-chunk cooperative snapshot seed (O23 at the reference's
         granularity, worker.go:421-484): each captured table's chunk plan
@@ -770,12 +778,17 @@ class CdcEngine:
                     F.lit("R").alias("op"),
                     *value_cols,
                 )
+                lock_kw = (
+                    {} if merge_lock_ttl_s is None
+                    else {"lock_ttl_s": merge_lock_ttl_s}
+                )
                 merge_mirror_batch(
                     rows,
                     state_dir,
                     n_buckets=mirror_buckets,
                     value_cols=value_cols,
                     keep_epochs=keep_epochs,
+                    **lock_kw,
                 )
                 # rows_processed=0: an exact count would cost one extra
                 # Spark job per chunk; queue progress tracks chunks, and

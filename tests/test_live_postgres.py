@@ -1465,3 +1465,222 @@ def test_live_engine_lifecycle_test_decoding(spark, tmp_path):
         q(f"DROP PUBLICATION IF EXISTS {PUB8}")
         q(f"DROP TABLE IF EXISTS {T8}")
         sql.close()
+
+
+_CHAOS_WORKER = r'''
+"""Cooperative-seed chaos worker: one cooperating app draining the shared
+chunk queue against live PostgreSQL. The parent SIGKILLs this process
+mid-chunk / mid-heartbeat / mid-merge; invariants are asserted parent-side."""
+import os, sys, time
+from urllib.parse import urlparse
+
+from pyspark.sql import Row, SparkSession
+
+sys.path.insert(0, os.environ["REPO_ROOT"])
+from go_pq_cdc_spark.config import EngineConfig, TableConfig
+from go_pq_cdc_spark.engine import CdcEngine
+from go_pq_cdc_spark.snapshot import chunk_queue as cq
+from go_pq_cdc_spark.snapshot.planner import plan_integer_range
+from go_pq_cdc_spark.sources.replication_client import (
+    ReplicationConnection, ReplicationError,
+)
+
+state_dir, wal_dir, ckpt, table, pub = sys.argv[1:6]
+u = urlparse(os.environ["POSTGRES_DSN"])
+conn = ReplicationConnection.connect(
+    u.hostname, u.port or 5432, u.username or "postgres",
+    (u.path or "/postgres").lstrip("/") or "postgres", u.password,
+    replication=False,
+)
+
+def run_sql(s):
+    try:
+        return conn.simple_query(s)
+    except ReplicationError as e:
+        if "already exists" in str(e):
+            return []  # cooperating fleet: peers race the same DDL
+        raise
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+cfg = EngineConfig(
+    publication_name=pub, slot_name=pub + "_slot",
+    tables=[TableConfig(name=table)], snapshot_mode="snapshot_only",
+    heartbeat_enabled=False, slot_create_if_not_exists=False,
+)
+eng = CdcEngine(cfg, spark)
+
+def chunk_planner(tcfg):
+    return cq.manifest_from_plan(plan_integer_range("pk", 1, 3000, chunk_size=300))
+
+def chunk_reader(tcfg, chunk):
+    print("CHUNK", chunk["chunk_index"], flush=True)
+    rows = run_sql(f"SELECT pk, val FROM {table} WHERE {chunk['where']}")
+    time.sleep(0.4)  # widen the mid-chunk kill window
+    return spark.createDataFrame(
+        [Row(pk=int(r[0]), val=r[1]) for r in rows], "pk bigint, val string"
+    )
+
+print("DRAINING", flush=True)
+eng.start(
+    run_sql, wal_dir, state_dir, ckpt,
+    chunk_planner=chunk_planner, chunk_reader=chunk_reader,
+    value_schema="val string",
+    claim_ttl_s=2.0, heartbeat_every_s=0.5, drain_timeout_s=120,
+    merge_lock_ttl_s=4.0,
+)
+print("DONE", flush=True)
+'''
+
+
+def test_live_cooperative_seed_chaos_soak(spark, tmp_path):
+    """r7 verdict item 8 — chaos-soak the cooperative seed the way the
+    pump was soaked: cooperating apps (separate OS processes, each its
+    own SparkSession + live PG connection) drain ONE table's chunk queue
+    into ONE shared mirror; the parent SIGKILLs a worker in four
+    staggered rounds (mid-chunk read, mid-merge, mid-heartbeat), then
+    finishes the drain CONCURRENTLY with a final worker. Invariants:
+    the mirror equals the live table exactly, every chunk has exactly
+    one done marker, and the killed workers' claims were reclaimed via
+    heartbeat-TTL takeover (not lost). Exercises live: per-chunk claim
+    reclaim (worker.go:421-484's claimTimeout arm), the cross-process
+    mirror merge lock (r7 advisor high: unserialized merges lost
+    epochs), and merge-lock takeover from a SIGKILLed holder."""
+    import signal
+    import subprocess
+
+    T9, PUB9 = "chaos_coop_t", "chaos_coop_pub"
+    sql = _sql_conn()
+    q = sql.simple_query
+    q(f"DROP PUBLICATION IF EXISTS {PUB9}")
+    q(f"DROP TABLE IF EXISTS {T9}")
+    q(f"CREATE TABLE {T9} (pk bigint PRIMARY KEY, val text)")
+    q(f"INSERT INTO {T9} SELECT g, 'v' || g FROM generate_series(1, 3000) g")
+    expected = {int(r[0]): r[1] for r in q(f"SELECT pk, val FROM {T9}")}
+
+    script = str(tmp_path / "chaos_worker.py")
+    with open(script, "w") as f:
+        f.write(_CHAOS_WORKER)
+    state_dir = str(tmp_path / "state")
+    env = {
+        **os.environ,
+        "REPO_ROOT": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    }
+
+    def spawn(i):
+        return subprocess.Popen(
+            [
+                os.sys.executable, script, state_dir,
+                str(tmp_path / f"wal{i}"), str(tmp_path / f"ckpt{i}"),
+                T9, PUB9,
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, env=env,
+        )
+
+    def wait_line(proc, marker, timeout=90.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                return False
+            if line.startswith(marker):
+                return True
+        return False
+
+    try:
+        # four kill rounds at staggered offsets past the first chunk claim:
+        # inside the 0.4s chunk-read sleep, inside the merge, and across
+        # heartbeat ticks (every 0.5s under a 2s TTL)
+        for i, delay in enumerate([0.2, 0.6, 1.5, 3.0]):
+            w = spawn(i)
+            assert wait_line(w, "CHUNK"), f"round {i}: worker never claimed"
+            time.sleep(delay)
+            w.send_signal(signal.SIGKILL)
+            w.wait(timeout=10)
+
+        # final phase: a surviving worker and THIS process drain the rest
+        # concurrently — two apps merging into one mirror, serialized by
+        # the cross-process merge lock
+        w = spawn(9)
+        assert wait_line(w, "DRAINING")
+
+        from pyspark.sql import Row
+
+        from go_pq_cdc_spark.config import EngineConfig, TableConfig
+        from go_pq_cdc_spark.engine import CdcEngine
+        from go_pq_cdc_spark.snapshot import chunk_queue as cq
+        from go_pq_cdc_spark.snapshot.planner import plan_integer_range
+        from go_pq_cdc_spark.sources.replication_client import ReplicationError
+        from go_pq_cdc_spark.streaming import read_mirror
+
+        def run_sql(s):
+            try:
+                return q(s)
+            except ReplicationError as e:
+                if "already exists" in str(e):
+                    return []
+                raise
+
+        cfg = EngineConfig(
+            publication_name=PUB9, slot_name=PUB9 + "_slot",
+            tables=[TableConfig(name=T9)], snapshot_mode="snapshot_only",
+            heartbeat_enabled=False, slot_create_if_not_exists=False,
+        )
+        eng = CdcEngine(cfg, spark)
+
+        def chunk_planner(tcfg):
+            return cq.manifest_from_plan(
+                plan_integer_range("pk", 1, 3000, chunk_size=300)
+            )
+
+        def chunk_reader(tcfg, chunk):
+            rows = q(f"SELECT pk, val FROM {T9} WHERE {chunk['where']}")
+            return spark.createDataFrame(
+                [Row(pk=int(r[0]), val=r[1]) for r in rows],
+                "pk bigint, val string",
+            )
+
+        lsn, stream = eng.start(
+            run_sql, str(tmp_path / "walP"), state_dir, str(tmp_path / "ckptP"),
+            chunk_planner=chunk_planner, chunk_reader=chunk_reader,
+            value_schema="val string",
+            claim_ttl_s=2.0, heartbeat_every_s=0.5, drain_timeout_s=120,
+            merge_lock_ttl_s=4.0,
+        )
+        assert stream is None
+        w.wait(timeout=120)
+
+        # every app adopted the FIRST worker's published handoff LSN
+        qdir = os.path.join(state_dir, "chunks", f"public__{T9}")
+        assert lsn == int(cq.read_queue_meta(qdir)["snapshot_lsn"])
+
+        # invariant 1: exactly one done marker per chunk, none missing
+        manifest = cq.read_manifest(qdir)
+        assert len(manifest) == 10
+        dones = sorted(
+            n for n in os.listdir(os.path.join(qdir, "chunks"))
+            if n.startswith("done.")
+        )
+        assert dones == sorted(f"done.{i}.json" for i in range(10))
+        assert cq.all_chunks_completed(qdir)
+
+        # invariant 2: the shared mirror equals the live table exactly —
+        # no chunk lost to a killed worker, none double-applied, no epoch
+        # wiped by a concurrent merge
+        state = {
+            r["pk"]: r["val"] for r in read_mirror(spark, state_dir).collect()
+        }
+        assert state == expected
+    finally:
+        try:
+            w.kill()
+        except Exception:
+            pass
+        q(f"DROP PUBLICATION IF EXISTS {PUB9}")
+        q(f"DROP TABLE IF EXISTS {T9}")
+        sql.close()
