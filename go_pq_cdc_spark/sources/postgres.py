@@ -205,14 +205,20 @@ def snapshot_jdbc_options(
     the explicit predicates list. `sessionInitStatement` pins every
     partition connection to the exported snapshot.
 
-    CAVEAT (unverifiable in this container — no PG server/JDBC jar): the
-    JDBC driver may toggle autocommit around `sessionInitStatement`, which
-    would silently void `SET TRANSACTION SNAPSHOT` (a pin outside an open
-    transaction is a no-op WARNING, not an error) and break the
-    no-gap-no-dup handoff invariant with no signal. Deployments MUST run
-    `snapshot_pin_probe_options` through the same JDBC read path first and
-    assert the probe sees the exported snapshot before trusting a
-    production snapshot read."""
+    CAVEAT (unverifiable in this container — no JDBC jar ships with
+    Spark): the JDBC driver may toggle autocommit around
+    `sessionInitStatement`, which would silently void `SET TRANSACTION
+    SNAPSHOT` (a pin outside an open transaction is a no-op WARNING, not
+    an error) and break the no-gap-no-dup handoff invariant with no
+    signal. Deployments using JDBC MUST run `snapshot_pin_probe_options`
+    through the same JDBC read path first and assert the probe sees the
+    exported snapshot before trusting a production snapshot read.
+
+    DEFAULT PATH: prefer `sources.snapshot_socket.snapshot_socket_read`
+    — the distributed snapshot over this repo's own wire client, whose
+    explicit BEGIN + SET TRANSACTION SNAPSHOT pinning is live-verified
+    (tests/test_live_postgres.py) and which needs no jar at all. Use the
+    JDBC arm only where an operator mandates it, and then only probed."""
     opts = {
         "url": conn.jdbc_url,
         "user": conn.user,

@@ -1684,3 +1684,65 @@ def test_live_cooperative_seed_chaos_soak(spark, tmp_path):
         q(f"DROP PUBLICATION IF EXISTS {PUB9}")
         q(f"DROP TABLE IF EXISTS {T9}")
         sql.close()
+
+
+def test_live_distributed_socket_snapshot(spark, tmp_path):
+    """The DISTRIBUTED pure-socket snapshot (r7 verdict item 6 — the
+    production snapshot path with no JDBC jar): Spark tasks dial the
+    server from the EXECUTORS through the repo's wire client, each
+    pinning the coordinator's exported snapshot inside an explicit
+    REPEATABLE READ transaction, one task per planner chunk. Rows read
+    must equal the point-in-time image exactly — concurrent post-export
+    mutations invisible — proving the pin works through the whole
+    Spark execution path (the thing the JDBC sessionInitStatement
+    caveat could never guarantee)."""
+    from go_pq_cdc_spark.config import TableConfig
+    from go_pq_cdc_spark.snapshot.planner import plan_auto
+    from go_pq_cdc_spark.sources.snapshot_socket import snapshot_socket_read
+
+    T10 = "sock_snap_t"
+    sql = _sql_conn()
+    q = sql.simple_query
+    q(f"DROP TABLE IF EXISTS {T10}")
+    q(f"CREATE TABLE {T10} (pk bigint PRIMARY KEY, val text, ok boolean)")
+    q(f"INSERT INTO {T10} SELECT g, 'v' || g, g % 2 = 0 "
+      f"FROM generate_series(1, 4000) g")
+    q(f"UPDATE {T10} SET val = NULL WHERE pk = 42")
+    expected = {
+        int(r[0]): (r[1], r[2] == "t") for r in q(f"SELECT pk, val, ok FROM {T10}")
+    }
+
+    coord = _sql_conn()
+    try:
+        (mm,) = q(f"SELECT MIN(pk), MAX(pk) FROM {T10}")
+        plan = plan_auto(
+            integer_pk="pk", min_val=int(mm[0]), max_val=int(mm[1]),
+            chunk_size=500,
+        )
+        coord.simple_query("BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+        (snap_row,) = coord.simple_query("SELECT pg_export_snapshot()")
+        snapshot_id = snap_row[0]
+
+        # concurrent writer mutates AFTER the export — executor-side
+        # pinned reads must not see any of it
+        q(f"UPDATE {T10} SET val = 'MUTATED' WHERE pk <= 2000")
+        q(f"DELETE FROM {T10} WHERE pk > 3500")
+        q(f"INSERT INTO {T10} VALUES (99999, 'post-export', true)")
+
+        df = snapshot_socket_read(
+            spark, _conn_args(), TableConfig(name=T10), plan,
+            schema_ddl="pk bigint, val string, ok boolean",
+            snapshot_id=snapshot_id,
+        )
+        assert df.rdd.getNumPartitions() == len(plan.chunks) >= 8
+        got = {r["pk"]: (r["val"], r["ok"]) for r in df.collect()}
+        coord.simple_query("COMMIT")
+
+        assert got == expected, "distributed socket snapshot != point-in-time image"
+        assert got[42] == (None, True)  # NULL + boolean survive text decode
+        assert not any(v == "MUTATED" for v, _ in got.values())
+        assert 99999 not in got
+    finally:
+        coord.close()
+        q(f"DROP TABLE IF EXISTS {T10}")
+        sql.close()

@@ -1,0 +1,89 @@
+"""Distributed pure-socket snapshot reader (r7 verdict item 6: the
+documented production path where no JDBC jar exists — the pin caveat
+retired by construction, since the explicit BEGIN + SET TRANSACTION
+SNAPSHOT sequence is the one the live suite proves).
+
+The executor-side fetch is a seam: these tests inject a deterministic
+fake (exercising chunk fan-out, text->type casting, the OFFSET arm and
+the chunk_reader factory); the real-server distributed read lives in
+tests/test_live_postgres.py."""
+
+from __future__ import annotations
+
+import re
+
+from go_pq_cdc_spark.config import TableConfig
+from go_pq_cdc_spark.snapshot.planner import plan_integer_range, plan_offset
+from go_pq_cdc_spark.sources.snapshot_socket import (
+    chunk_sqls,
+    make_socket_chunk_reader,
+    snapshot_socket_read,
+)
+
+# a tiny "server": pk 1..100, val 'v<pk>', flag alternating t/f, one NULL
+_ROWS = {
+    pk: (str(pk), f"v{pk}" if pk != 7 else None, "t" if pk % 2 else "f")
+    for pk in range(1, 101)
+}
+
+
+def _fake_fetch(conn_args, snapshot_id, sql):
+    """Parses the chunk WHERE range out of the SQL and serves text rows —
+    the wire client's simple_query shape (tuples of str|None)."""
+    assert snapshot_id == "snap-1"  # the pin reached every task
+    assert conn_args == {"host": "h", "port": 5, "user": "u", "database": "d"}
+    m = re.search(r"pk >= (\d+) AND pk <= (\d+)", sql) or re.search(
+        r"pk BETWEEN (\d+) AND (\d+)", sql
+    )
+    lo, hi = int(m.group(1)), int(m.group(2))
+    return [_ROWS[pk] for pk in range(lo, hi + 1) if pk in _ROWS]
+
+
+CONN = {"host": "h", "port": 5, "user": "u", "database": "d"}
+
+
+def test_distributed_read_types_and_partitions(spark):
+    plan = plan_integer_range("pk", 1, 100, chunk_size=25)
+    tcfg = TableConfig(name="users")
+    df = snapshot_socket_read(
+        spark, CONN, tcfg, plan,
+        schema_ddl="pk bigint, val string, flag boolean",
+        snapshot_id="snap-1", fetch=_fake_fetch,
+    )
+    # one Spark partition per planner chunk — the JDBC fan-out shape
+    assert df.rdd.getNumPartitions() == len(plan.chunks) == 4
+    rows = {r["pk"]: r for r in df.collect()}
+    assert len(rows) == 100 and rows[1]["val"] == "v1"
+    assert rows[7]["val"] is None  # NULL survives the text path
+    # PostgreSQL 't'/'f' text booleans cast JVM-side
+    assert rows[1]["flag"] is True and rows[2]["flag"] is False
+    assert dict(df.dtypes)["pk"] == "bigint"
+
+
+def test_chunk_sqls_offset_arm():
+    tcfg = TableConfig(name="users")
+    plan = plan_offset(total_rows=50, chunk_size=20, order_by="ctid")
+    sqls = chunk_sqls(tcfg, plan)
+    assert len(sqls) == 3
+    assert all("LIMIT 20 OFFSET" in s for s in sqls)
+
+
+def test_chunk_reader_factory_for_cooperative_seed(spark):
+    """`make_socket_chunk_reader` plugs straight into engine.start's
+    chunk_reader contract: (tcfg, chunk_dict) -> one-chunk DataFrame."""
+    reader = make_socket_chunk_reader(
+        spark, CONN, schema_ddl="pk bigint, val string, flag boolean",
+        snapshot_id="snap-1", fetch=_fake_fetch,
+    )
+    tcfg = TableConfig(name="users")
+    chunk = {"chunk_index": 0, "where": "pk >= 11 AND pk <= 30"}
+    got = {r["pk"] for r in reader(tcfg, chunk).collect()}
+    assert got == set(range(11, 31))
+
+
+def test_condition_and_projection_reach_sql():
+    tcfg = TableConfig(name="users", columns=["pk", "val"])
+    plan = plan_integer_range("pk", 1, 40, chunk_size=40)
+    (sql,) = chunk_sqls(tcfg, plan, condition="val <> 'x'")
+    assert sql.startswith("SELECT pk, val FROM public.users")
+    assert "AND (val <> 'x')" in sql
