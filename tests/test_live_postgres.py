@@ -1746,3 +1746,72 @@ def test_live_distributed_socket_snapshot(spark, tmp_path):
         coord.close()
         q(f"DROP TABLE IF EXISTS {T10}")
         sql.close()
+
+
+def test_live_engine_seed_with_socket_chunk_reader(spark, tmp_path):
+    """The production snapshot assembly end to end: engine.start's
+    cooperative per-chunk seed (claim queue) reading every chunk through
+    `make_socket_chunk_reader` — executor-side wire-client connections
+    pinned to ONE exported snapshot — into the bucketed mirror. The
+    mirror must equal the exported point-in-time image exactly, with
+    concurrent post-export mutations invisible: queue decides WHO reads
+    a chunk, the socket reader decides HOW, the pin decides WHAT."""
+    from go_pq_cdc_spark.config import EngineConfig, TableConfig
+    from go_pq_cdc_spark.engine import CdcEngine
+    from go_pq_cdc_spark.snapshot import chunk_queue as cq
+    from go_pq_cdc_spark.snapshot.planner import plan_integer_range
+    from go_pq_cdc_spark.sources.snapshot_socket import make_socket_chunk_reader
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    T11, PUB11 = "sockseed_t", "sockseed_pub"
+    sql = _sql_conn()
+    q = sql.simple_query
+    q(f"DROP PUBLICATION IF EXISTS {PUB11}")
+    q(f"DROP TABLE IF EXISTS {T11}")
+    q(f"CREATE TABLE {T11} (pk bigint PRIMARY KEY, val text)")
+    q(f"INSERT INTO {T11} SELECT g, 'v' || g FROM generate_series(1, 2000) g")
+    expected = {int(r[0]): r[1] for r in q(f"SELECT pk, val FROM {T11}")}
+
+    coord = _sql_conn()
+    try:
+        coord.simple_query("BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+        (snap_row,) = coord.simple_query("SELECT pg_export_snapshot()")
+        snapshot_id = snap_row[0]
+
+        # post-export mutations: the seeded mirror must not see them
+        q(f"UPDATE {T11} SET val = 'MUTATED' WHERE pk <= 1000")
+        q(f"DELETE FROM {T11} WHERE pk > 1800")
+
+        cfg = EngineConfig(
+            publication_name=PUB11, slot_name=PUB11 + "_slot",
+            tables=[TableConfig(name=T11)], snapshot_mode="snapshot_only",
+            heartbeat_enabled=False, slot_create_if_not_exists=False,
+        )
+        eng = CdcEngine(cfg, spark)
+        state_dir = str(tmp_path / "state")
+        lsn, stream = eng.start(
+            q, str(tmp_path / "wal"), state_dir, str(tmp_path / "ckpt"),
+            chunk_planner=lambda tcfg: cq.manifest_from_plan(
+                plan_integer_range("pk", 1, 2000, chunk_size=250)
+            ),
+            chunk_reader=make_socket_chunk_reader(
+                spark, _conn_args(), "pk bigint, val string",
+                snapshot_id=snapshot_id,
+            ),
+            value_schema="val string",
+        )
+        coord.simple_query("COMMIT")
+        assert stream is None and lsn > 0
+
+        state = {
+            r["pk"]: r["val"] for r in read_mirror(spark, state_dir).collect()
+        }
+        assert state == expected  # the exported image, exactly
+        assert not any(v == "MUTATED" for v in state.values())
+        qdir = os.path.join(state_dir, "chunks", f"public__{T11}")
+        assert cq.all_chunks_completed(qdir)
+    finally:
+        coord.close()
+        q(f"DROP PUBLICATION IF EXISTS {PUB11}")
+        q(f"DROP TABLE IF EXISTS {T11}")
+        sql.close()
