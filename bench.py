@@ -164,6 +164,73 @@ def throughput_benches(spark, sf_dir: str) -> dict[str, int]:
         rates["cdc_stream_e2e"] = best
     finally:
         shutil.rmtree(wal_base, ignore_errors=True)
+
+    rates.update(poll_decode_benches(spark))
+    return rates
+
+
+def poll_decode_benches(spark) -> dict[str, int]:
+    """JVM-side decode rates for the poll transport's two parser arms
+    over synthetic raw segments (2M DML rows, 1000 txns each with its
+    commit marker — the test_decoding arm's commit-ts stamp is a per-xid
+    aggregate+join, so markers must be present for an honest rate):
+    - poll_decode_wal2json: from_json over format-2 documents
+    - poll_decode_test_decoding: the \\G-anchored text-grammar regexes
+    Rows synthesize via Catalyst format_string (no driver loop)."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.sources.test_decoding import decode_test_decoding
+    from go_pq_cdc_spark.sources.wal2json import decode_wal2json
+
+    n = 2_000_000
+    rates: dict[str, int] = {}
+    ids = spark.range(n).select(
+        (F.col("id") + 1).alias("lsn"),
+        (F.col("id") % 1000).cast("long").alias("xid"),
+        F.col("id").alias("i"),
+    )
+
+    w2j = ids.select(
+        "lsn",
+        "xid",
+        F.format_string(
+            '{"action":"I","schema":"public","table":"users",'
+            '"timestamp":"2024-01-01 00:00:00",'
+            '"columns":[{"name":"pk","type":"bigint","value":"%d"},'
+            '{"name":"val","type":"text","value":"v %d"}]}',
+            "i",
+            "i",
+        ).alias("data"),
+    )
+    best = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        decode_wal2json(w2j).count()
+        best = max(best, int(n / (time.perf_counter() - t0)))
+    rates["poll_decode_wal2json"] = best
+
+    dml = ids.select(
+        "lsn",
+        "xid",
+        F.format_string(
+            "table public.users: INSERT: pk[bigint]:%d val[text]:'v %d' "
+            "f[double]:1.5",
+            "i",
+            "i",
+        ).alias("data"),
+    )
+    commits = spark.range(1000).select(
+        (F.col("id") + n + 1).alias("lsn"),
+        F.col("id").cast("long").alias("xid"),
+        F.lit("COMMIT 1 (at 2024-01-01 00:00:00.000000+00)").alias("data"),
+    )
+    td = dml.unionByName(commits)
+    best = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        decode_test_decoding(td).count()
+        best = max(best, int(n / (time.perf_counter() - t0)))
+    rates["poll_decode_test_decoding"] = best
     return rates
 
 

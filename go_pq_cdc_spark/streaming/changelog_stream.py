@@ -281,6 +281,14 @@ def _gc_epochs(state_dir: str, manifest: dict, keep_epochs: int = 1) -> None:
 # resuming after takeover — is fenced at the COMMIT POINT: ownership is
 # re-checked immediately before the manifest swap and the merge aborts
 # (pre-swap, so the mirror is untouched) if the lock was lost.
+#
+# Medium: the lock deliberately shares the MIRROR's filesystem (it
+# serializes writers of that mirror, so it must live where the mirror
+# lives). The chunk QUEUE's markers are independently pluggable
+# (snapshot.claim_backend — S3/GCS conditional requests) because queue
+# and mirror can live on different media; a mirror hosted on an object
+# store would move epochs/manifest AND this lock to conditional-put
+# semantics together (the manifest swap itself becomes the CAS).
 
 _MERGE_LOCK = ".merge.lock.json"
 _MERGE_LOCK_TTL_S = 300.0
