@@ -47,7 +47,7 @@ filled AS (
     oracle=f"""
     {_BASE}
     SELECT op, COUNT(*) AS n_events,
-           CAST(SUM(CAST(after_val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+           CAST(CAST(SUM(CAST(after_val AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_val
     FROM committed
     WHERE tbl <> 'cdc_heartbeat'
     GROUP BY op

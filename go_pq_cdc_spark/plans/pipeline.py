@@ -30,7 +30,7 @@ _NTOK = P.n_tokens("text")
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM({_NTOK['duck']}) AS BIGINT) AS sum_tokens,
-           CAST(SUM({_NTOK['duck']}) AS DOUBLE) / COUNT(*) AS avg_tokens
+           CAST(CAST(SUM({_NTOK['duck']}) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM documents
     GROUP BY lang
     """,

@@ -8,8 +8,16 @@ parquet tables. The driver hash-compares the two at sf0.01.
 Determinism rules (both sides MUST follow, or hashes diverge):
   * Alias every computed column identically in Spark and SQL.
   * Aggregate floating columns via exact arithmetic: cast each value to
-    DECIMAL before SUM (order-independent), cast the final sum to DOUBLE
-    (exact for |x| < 2^53). Never hash a raw SUM(double).
+    DECIMAL before SUM (order-independent), cast the final sum to DOUBLE.
+    Never hash a raw SUM(double).
+  * In DuckDB oracles the final cast is `CAST(CAST(sum AS VARCHAR) AS
+    DOUBLE)` — the VARCHAR bridge. DuckDB's direct DECIMAL->DOUBLE cast
+    converts the int128 unscaled value then divides by the scale power:
+    two roundings, off by an ulp once the unscaled value exceeds 2^53
+    (found by the r8 sf1 sweep on q1's sum_charge: Spark/BigDecimal
+    27864155010.94159 vs DuckDB ...941593). decimal->varchar is exact
+    text and varchar->double is one correctly-rounded strtod, matching
+    Spark's correctly-rounded BigDecimal.doubleValue at ANY scale.
   * AVG = CAST(exact decimal sum AS DOUBLE) / count — one IEEE division,
     identical on both engines.
   * Timestamps leave as epoch micros (Spark unix_micros / DuckDB epoch_us)

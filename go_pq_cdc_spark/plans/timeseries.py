@@ -118,7 +118,7 @@ def q_time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH agg AS (
         SELECT date_trunc('hour', ts) AS b,
-               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS v
+               CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS v
         FROM events
         WHERE event_type = 'purchase' AND user_id % 10 = 7
           AND ts >= TIMESTAMP '{_START}' AND ts < TIMESTAMP '2024-01-31'
@@ -212,10 +212,10 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id % 10 AS cohort,
            CAST(date_trunc('day', ts) AS DATE) AS day,
-           CAST(SUM(CAST(
+           CAST(CAST(SUM(CAST(
                CASE WHEN prev IS NULL THEN 0
                     WHEN value >= prev THEN value - prev
-                    ELSE value END AS DECIMAL(25,6))) AS DOUBLE) AS increase,
+                    ELSE value END AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS increase,
            CAST(SUM(CASE WHEN prev IS NOT NULL AND value < prev
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
     FROM samples

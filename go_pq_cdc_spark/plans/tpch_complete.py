@@ -169,7 +169,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_type_profit",
     oracle="""
-    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    SELECT nation, o_year, CAST(CAST(SUM(amount) AS VARCHAR) AS DOUBLE) AS sum_profit
     FROM (
         SELECT n_name AS nation,
                CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
@@ -239,7 +239,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey AS p_partkey, CAST(part_value AS DOUBLE) AS part_value
     FROM nation_value
     WHERE CAST(part_value AS DOUBLE) >
-          (SELECT CAST(SUM(part_value) AS DOUBLE) / COUNT(*) * 2.0
+          (SELECT CAST(CAST(SUM(part_value) AS VARCHAR) AS DOUBLE) / COUNT(*) * 2.0
            FROM nation_value)
     """,
     tags=("relational", "scalar_subquery"),

@@ -19,7 +19,7 @@ def _rev() -> F.Column:
     oracle="""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -89,8 +89,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderdate <  TIMESTAMP '1998-01-01'
     )
     SELECT o_year,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
-               / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(25,6)) END) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
     FROM all_nations GROUP BY o_year
     """,
     tags=("relational", "join"),
@@ -137,10 +137,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle="""
-    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+    SELECT CAST(100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
-                     ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
-               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS DOUBLE)
+                     ELSE CAST(0 AS DECIMAL(25,6)) END) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS DOUBLE)
            AS promo_revenue_pct,
            COUNT(*) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -169,7 +169,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_bracketed_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size <= 5  AND l_quantity >= 1  AND l_quantity <= 11)
@@ -199,7 +199,7 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name, n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -237,7 +237,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
     """,
@@ -293,7 +293,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume_customers",
     oracle="""
     SELECT c_custkey, o_orderkey,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -363,12 +363,12 @@ def q_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_rich_customers",
     oracle="""
     WITH avg_bal AS (
-        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+        SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS v
         FROM customer WHERE c_acctbal > 0.0
     )
     SELECT c_mktsegment,
            COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT v FROM avg_bal)
       AND NOT EXISTS (
