@@ -122,14 +122,28 @@ def minhash_lsh_pairs(
     *,
     portable: bool = True,
     max_bucket: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash+LSH with exact-Jaccard verification.
 
-    Pipeline: shingle-hash array per doc (md5, native codegen) → all 16
-    permutation minima as narrow `array_min(transform(...))` expressions
-    (NO shuffle — the shingle set never leaves its partition) → 4 bands of
-    4 → self-equi-join on (band, band_key) → distinct candidate pairs →
-    exact Jaccard on the shingle sets → filter >= threshold.
+    Pipeline: EXACT-DUP PRE-COLLAPSE (md5-of-text groups, one
+    representative each) → shingle-hash array per representative →
+    16 permutation minima as narrow `array_min(transform(...))`
+    expressions → 4 bands of 4 → self-equi-join on (band, band_key) →
+    distinct candidate pairs → exact Jaccard on the shingle sets →
+    filter >= threshold → expand representative pairs back to member
+    pairs (plus the intra-group pairs, Jaccard exactly 1.0).
+
+    The pre-collapse is output-IDENTICAL to running LSH over the raw
+    corpus (verbatim copies have identical shingle sets, hence identical
+    signatures, bands, and Jaccards) but pays the shingle/minhash/join
+    cost once per DISTINCT text. Web-crawl corpora are ~50% verbatim
+    duplicates, and a text duplicated D times costs D shingle passes and
+    D^2 candidate rows uncollapsed versus 1 and 1 collapsed — at 100 TB
+    the collapse is the difference between LSH-over-corpus and
+    LSH-over-distinct-texts. `collapse_exact=False` runs the historical
+    direct path (same results; kept for A/B tests and corpora known to
+    be exact-dup-free).
 
     Scale: signature computation is embarrassingly parallel over docs;
     candidates come from an equi-join on band buckets (high-cardinality
@@ -149,21 +163,56 @@ def minhash_lsh_pairs(
     cheaper exact/URL/line-dedup pass already handles; the cluster
     resolver still sees them through their other, sub-cap bands if any).
     The size precount groups on the SAME (band, band_key) the self-join
-    shuffles on, so the guard rides the existing exchange. Default None
-    preserves exact oracle semantics."""
+    shuffles on, so the guard rides the existing exchange. Under the
+    pre-collapse, bucket size is the SUM of group sizes in the bucket —
+    exactly the member count the direct path would see, so the same
+    buckets are dropped and the capped output is also identical (a group
+    whose every bucket is dropped emits no intra-group pairs either,
+    matching the direct path). Default None preserves exact oracle
+    semantics."""
+    if collapse_exact:
+        return _lsh_pairs_collapsed(
+            df, id_col, text_col, threshold,
+            portable=portable, max_bucket=max_bucket,
+        )
     per_doc = minhash_per_doc(df, id_col, text_col, portable=portable).cache()
+    pairs, _kept = _band_cand_verify(per_doc, threshold, max_bucket, weights=None)
+    return pairs
+
+
+def _band_cand_verify(
+    per_doc: DataFrame,
+    threshold: float,
+    max_bucket: int | None,
+    weights: DataFrame | None,
+) -> tuple[DataFrame, DataFrame]:
+    """The LSH core over a (id, sh, m0..m{K-1}) relation: band explosion,
+    hot-bucket cap, candidate self-join, exact-Jaccard verify. Returns
+    (pairs, kept_ids): verified (doc_a, doc_b, jaccard) pairs plus the
+    distinct ids that retain >= 1 sub-cap bucket (every id when uncapped).
+
+    `weights` (id, _gn) — set by the exact-dup pre-collapse — makes the
+    cap count each representative as its group size, so capped results
+    match the uncollapsed corpus exactly."""
     docs = per_doc.select("id", "sh")
     bands = per_doc.select(
         "id", F.expr(f"explode(array({_band_structs_sql()}))").alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
     if max_bucket is not None:
-        sizes = (
-            bands.groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
-        )
+        if weights is not None:
+            weighted = bands.join(weights, "id")
+            sizes = (
+                weighted.groupBy("band", "band_key")
+                .agg(F.sum("_gn").alias("_bn"))
+            )
+        else:
+            sizes = (
+                bands.groupBy("band", "band_key")
+                .agg(F.count(F.lit(1)).alias("_bn"))
+            )
+        sizes = sizes.filter(F.col("_bn") <= max_bucket).drop("_bn")
         bands = bands.join(sizes, ["band", "band_key"])
+    kept_ids = bands.select("id").distinct() if max_bucket is not None else per_doc.select("id")
     cand = (
         bands.alias("a")
         .join(
@@ -186,7 +235,84 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
     )
-    return pairs
+    return pairs, kept_ids
+
+
+def _lsh_pairs_collapsed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    *,
+    portable: bool,
+    max_bucket: int | None,
+) -> DataFrame:
+    """minhash_lsh_pairs with the exact-dup pre-collapse (see its
+    docstring for the output-identity argument). Three relations:
+
+      groups  (_ek, _rep, _gn)  one row per distinct text (cached — tiny:
+                                hash + id + count, no text)
+      members (_rep, _mid, _gn) doc id -> its group representative
+      reps                      the representative document rows
+
+    LSH runs over reps only; representative pairs expand back to member
+    pairs through two equi-joins on the representative id, and each
+    multi-member group whose representative retains >= 1 sub-cap bucket
+    contributes its intra-group pairs at Jaccard exactly 1.0 (what the
+    direct path computes for identical shingle sets). Singleton groups
+    (the common case) are filtered out of the intra self-join up front."""
+    keyed = df.select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("_ek")
+    )
+    # One aggregation builds the group table AND carries the representative
+    # text (values are identical within a group, so first() is exact and the
+    # map-side partial agg collapses copies before the shuffle — the only
+    # text that crosses the wire is one copy per distinct text per map
+    # partition). Cached: reused by reps, members, and the cap weights; at
+    # cluster scale swap the cache for a checkpoint/write-read.
+    groups = (
+        keyed.groupBy("_ek")
+        .agg(
+            F.min(id_col).alias("_rep"),
+            F.count(F.lit(1)).alias("_gn"),
+            F.first(text_col).alias(text_col),
+        )
+        .cache()
+    )
+    members = keyed.select("_ek", F.col(id_col).alias("_mid")).join(
+        groups.select("_ek", "_rep", "_gn"), "_ek"
+    ).select("_rep", "_mid", "_gn")
+    reps = groups.select(F.col("_rep").alias(id_col), text_col)
+    per_doc = minhash_per_doc(reps, id_col, text_col, portable=portable).cache()
+    weights = groups.select(F.col("_rep").alias("id"), "_gn")
+    rep_pairs, kept_ids = _band_cand_verify(per_doc, threshold, max_bucket, weights)
+    cross = (
+        rep_pairs.withColumnRenamed("doc_a", "_ra").withColumnRenamed("doc_b", "_rb")
+        .join(members.select(F.col("_rep").alias("_ra"), F.col("_mid").alias("_ma")), "_ra")
+        .join(members.select(F.col("_rep").alias("_rb"), F.col("_mid").alias("_mb")), "_rb")
+        .select(
+            F.least("_ma", "_mb").alias("doc_a"),
+            F.greatest("_ma", "_mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    multi = members.filter(F.col("_gn") > 1).select("_rep", "_mid")
+    multi_kept = multi.join(
+        kept_ids.withColumnRenamed("id", "_rep"), "_rep", "left_semi"
+    )
+    intra = (
+        multi_kept.alias("x")
+        .join(
+            multi_kept.alias("y"),
+            (F.col("x._rep") == F.col("y._rep")) & (F.col("x._mid") < F.col("y._mid")),
+        )
+        .select(
+            F.col("x._mid").alias("doc_a"),
+            F.col("y._mid").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def decontaminate(
