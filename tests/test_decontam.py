@@ -138,3 +138,47 @@ def test_minhash_hot_bucket_cap(spark):
         ).collect()
     }
     assert none_cap == uncapped
+
+
+def test_collapse_exact_identity_randomized(spark):
+    """The exact-dup pre-collapse is output-IDENTICAL to the direct LSH
+    path — on a randomized corpus mixing verbatim duplicate groups of
+    varying sizes, near-duplicates, singletons, and un-shingleable short
+    docs, both capped and uncapped (the cap weights each representative
+    by its group size, so the same buckets die either way)."""
+    import random
+
+    from go_pq_cdc_spark.operators.dedup import minhash_lsh_pairs
+
+    rng = random.Random(0xC0FFEE)
+    vocab = [f"w{i}" for i in range(40)]
+    rows: list[tuple[int, str]] = []
+    next_id = 0
+    for _ in range(12):
+        base = " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 20)))
+        copies = rng.choice([1, 1, 1, 2, 3, 7])
+        for _ in range(copies):
+            rows.append((next_id, base))
+            next_id += 1
+        if rng.random() < 0.5:  # a near-dup: one token appended
+            rows.append((next_id, base + " " + rng.choice(vocab)))
+            next_id += 1
+    rows.append((next_id, "too short"))  # un-shingleable (< 3 tokens)
+    rng.shuffle(rows)  # ids interleave across groups
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    for cap in (None, 4):
+        direct = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in minhash_lsh_pairs(
+                df, "doc_id", threshold=0.4, max_bucket=cap, collapse_exact=False
+            ).collect()
+        }
+        collapsed = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in minhash_lsh_pairs(
+                df, "doc_id", threshold=0.4, max_bucket=cap, collapse_exact=True
+            ).collect()
+        }
+        assert collapsed == direct, f"cap={cap}: {collapsed ^ direct}"
+    assert len(direct) > 0
