@@ -9,3 +9,4 @@ from . import cdc_extras  # noqa: F401,E402
 from . import tpch_extra  # noqa: F401,E402
 from . import tpch_complete  # noqa: F401,E402
 from . import timeseries  # noqa: F401,E402
+from . import corpus  # noqa: F401,E402
