@@ -365,6 +365,37 @@ class CdcEngine:
         )
         return flat, value_cols
 
+    def _evolved_value_schema(
+        self, wal_dir: str, table: str, declared_ddl: str
+    ) -> str:
+        """Widen a declared value DDL with columns the pump's Relation
+        sidecar has seen that the declaration lacks (PG type -> Spark type
+        via the same mapping the typed decode uses). Declared columns keep
+        their order and types; sidecar-only columns append in relation
+        order. Columns named like the flat envelope's own (op/lsn/pk/...)
+        are skipped — they cannot be value columns of the mirror row."""
+        from .envelope import pg_type_to_spark
+        from .sources.slot_keeper import read_relation_schema
+
+        rel_cols = read_relation_schema(wal_dir, table)
+        if not rel_cols:
+            return declared_ddl
+        declared = [
+            (f.name, f.dataType.simpleString())
+            for f in self.spark.createDataFrame([], declared_ddl).schema.fields
+        ]
+        have = {n for n, _t in declared} | {
+            "op", "lsn", "txn_seq", "xid", "commit_ts", "pk", "pb",
+        }
+        extra = [
+            (n, pg_type_to_spark(t).simpleString())
+            for n, t in rel_cols
+            if n not in have
+        ]
+        if not extra:
+            return declared_ddl
+        return ", ".join(f"{n} {t}" for n, t in declared + extra)
+
     def typed_multi_mirror(
         self,
         changes: DataFrame,
@@ -428,6 +459,7 @@ class CdcEngine:
         heartbeat_every_s: float | None = None,
         claim_backend=None,
         merge_lock_ttl_s: float | None = None,
+        evolve_schema: bool = False,
     ):
         """The reference's `connector.Start(ctx)` in one call
         (connector.go:57-142 sequencing; SURVEY §3.1-3.3):
@@ -495,12 +527,31 @@ class CdcEngine:
         staleness window for the cooperative seed: a SIGKILLed peer that
         died holding the lock is taken over after this long (default the
         merge lock's own 300s; size it to a few times the longest single
-        chunk merge, like claim_ttl_s for claims)."""
+        chunk merge, like claim_ttl_s for claims).
+
+        `evolve_schema=True` (envelope transport only) lets the typed
+        mirror follow mid-stream DDL: the pump persists every pgoutput
+        Relation (re-)send's column list to `wal_dir/_schema/`, each
+        micro-batch types against the declared DDL widened with any new
+        sidecar columns, and the mirror merge widens its manifest pin
+        (reference parity: sinks receive a Relation re-send's new columns
+        immediately — relation.go:11-19). Rows not touched since the DDL
+        read NULL for the new column: logical decoding does not ship
+        DEFAULT backfills, so NULL is the honest CDC answer until the row
+        is next written."""
         from pyspark.sql import functions as F
 
         from .sources.slot_keeper import lsn_to_int
         from .streaming.changelog_stream import merge_mirror_batch
 
+        if evolve_schema and transport != "envelope":
+            # fail BEFORE any snapshot work: the text-plugin transports
+            # carry no Relation messages, so there is no typed schema
+            # authority to evolve from
+            raise ValueError(
+                "evolve_schema=True requires transport='envelope' (the "
+                "pgoutput Relation sidecar is the schema authority)"
+            )
         # DDL-aware parse (see _typed_flat: split(',') breaks decimal/map)
         value_cols = tuple(
             f.name for f in self.spark.createDataFrame([], value_schema).schema.fields
@@ -541,7 +592,7 @@ class CdcEngine:
                 return self._start_stream(
                     wal_dir, state_dir, checkpoint_dir, snapshot_lsn,
                     mirror_buckets, value_schema, value_cols, transport,
-                    table, keep_epochs,
+                    table, keep_epochs, evolve_schema,
                 )
             if snapshot_reader is None:
                 raise ValueError(
@@ -610,6 +661,7 @@ class CdcEngine:
         return self._start_stream(
             wal_dir, state_dir, checkpoint_dir, snapshot_lsn, mirror_buckets,
             value_schema, value_cols, transport, table, keep_epochs,
+            evolve_schema,
         )
 
     def _start_stream(
@@ -624,6 +676,7 @@ class CdcEngine:
         transport,
         table,
         keep_epochs,
+        evolve_schema=False,
     ):
         """Post-seed data plane: the changelog stream from `wal_dir`,
         filtered to post-handoff events, merging into the mirror."""
@@ -681,9 +734,48 @@ class CdcEngine:
                 if transport == "envelope"
                 else self.raw_changes(wal_dir)
             )
+            if evolve_schema:
+                if transport != "envelope":
+                    # the text-plugin transports carry no Relation
+                    # messages — there is no typed schema authority to
+                    # evolve from (wal2json/test_decoding payloads are
+                    # untyped JSON/text)
+                    raise ValueError(
+                        "evolve_schema=True requires transport='envelope' "
+                        "(the pgoutput Relation sidecar is the schema "
+                        "authority)"
+                    )
+
+                def transform(batch_df):
+                    # re-read the pump's Relation sidecar EVERY batch: a
+                    # mid-stream ALTER TABLE ADD COLUMN re-sends the
+                    # Relation, the pump refreshes _schema/<table>.json,
+                    # and the next micro-batch types + merges the widened
+                    # row shape (merge widens the manifest pin)
+                    vschema = self._evolved_value_schema(
+                        wal_dir, table, value_schema
+                    )
+                    flat, _ = self._typed_flat(batch_df, table, vschema, "pk")
+                    return flat.filter(F.col("lsn") > snapshot_lsn)
+
+                return snapshot_lsn, mirror_sink(
+                    env,
+                    state_dir,
+                    checkpoint_dir,
+                    n_buckets=mirror_buckets,
+                    value_cols=None,  # inferred per batch (post-transform)
+                    keep_epochs=keep_epochs,
+                    transform=transform,
+                    evolve_schema=True,
+                )
             flat, _ = self._typed_flat(env, table, value_schema, "pk")
         else:
             raise ValueError(f"unknown transport {transport!r}")
+        if evolve_schema:
+            raise ValueError(
+                "evolve_schema=True requires transport='envelope' (the "
+                "pgoutput Relation sidecar is the schema authority)"
+            )
         changes = flat.filter(F.col("lsn") > snapshot_lsn)
         return snapshot_lsn, mirror_sink(
             changes,

@@ -504,7 +504,7 @@ def relation_table_struct(rel: Relation):
     return table_struct([(col.name, pg_type_name(col.type_oid)) for col in rel.columns])
 
 
-def frames_to_committed_txns(frames):
+def frames_to_committed_txns(frames, on_relation=None):
     """XLogData frames -> (commit_end_lsn, rows) per COMMITTED
     transaction, in commit order — THE single socket-transport decode
     path (the pump builds envelope segments from it; `frames_to_envelope`
@@ -536,7 +536,12 @@ def frames_to_committed_txns(frames):
     encoding the wal2json path does — `envelope.typed_projection` turns
     either into a typed array column (pgtype-parity,
     `pq/message/tuple/data.go:97-102`). Keepalive frames are skipped —
-    the caller answers them with `standby_status_update`."""
+    the caller answers them with `standby_status_update`.
+
+    `on_relation(rel)`, when given, fires for every decoded Relation
+    message (initial AND re-sends after DDL — relation.go:11-19): the
+    hook the pump uses to persist the live column list so downstream
+    typed consumers can evolve their schema mid-stream."""
     dec = PgOutputDecoder()
     cur_xid = None  # non-streamed: Begin..Commit never interleaves
     cur_commit_ts_us = None
@@ -585,6 +590,10 @@ def frames_to_committed_txns(frames):
                 bufs[msg.xid] = [
                     (sx, r) for sx, r in bufs[msg.xid] if sx != msg.subxid
                 ]
+            continue
+        if isinstance(msg, Relation):
+            if on_relation is not None:
+                on_relation(msg)
             continue
         toplevel = stream_top if stream_top is not None else cur_xid
         msg_xid = getattr(msg, "xid", None)  # Relation carries no xid

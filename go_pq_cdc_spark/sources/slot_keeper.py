@@ -31,6 +31,7 @@ text itself is unit-tested in sources/postgres.py tests.
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 import time
@@ -134,12 +135,57 @@ def write_envelope_segment(
     return end_lsn
 
 
+RELATION_SCHEMA_DIR = "_schema"  # leading underscore: Spark's file index
+# treats the path as hidden, so the stream reader over wal_dir never
+# lists it as a data file.
+
+
+def write_relation_schema(wal_dir: str, namespace: str, name: str,
+                          columns: list[tuple[str, str]]) -> None:
+    """Persist a Relation message's live column list as a sidecar
+    (`wal_dir/_schema/<schema>.<table>.json`): the transport-level record
+    of the table's CURRENT shape, refreshed on every pgoutput Relation
+    re-send (the reference's schema authority, relation.go:11-19).
+    Atomic replace; skipped when unchanged (Relation re-sends happen on
+    every new decoder session, not just after DDL)."""
+    d = os.path.join(wal_dir, RELATION_SCHEMA_DIR)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{namespace}.{name}.json")
+    payload = {"columns": [[c, t] for c, t in columns]}
+    try:
+        with open(path) as f:
+            if json.load(f) == payload:
+                return
+    except (OSError, ValueError):
+        pass
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def read_relation_schema(wal_dir: str, table: str) -> list[tuple[str, str]] | None:
+    """Latest persisted column list [(name, pg_type), ...] for a
+    qualified table ("public.users" — unqualified names assume public),
+    or None when the pump has not yet seen a Relation message for it."""
+    sch, _, tbl = table.rpartition(".")
+    path = os.path.join(
+        wal_dir, RELATION_SCHEMA_DIR, f"{sch or 'public'}.{tbl}.json"
+    )
+    try:
+        with open(path) as f:
+            return [(c, t) for c, t in json.load(f)["columns"]]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def pump_frames(
     frames,
     wal_dir: str,
     send_status=None,
     batch_rows: int = 1000,
     start_lsn: int | None = None,
+    record_schema: bool = True,
 ) -> int:
     """The socket-transport pump: COPY-BOTH frames -> decoded envelope
     segments -> standby-status acks (the reference's message loop,
@@ -167,7 +213,7 @@ def pump_frames(
     keepalive acks immediately. Returns the final frontier LSN.
     `send_status(received, flushed, applied)` is typically
     `ReplicationConnection.send_standby_status`."""
-    from .pgoutput import PrimaryKeepalive, frames_to_committed_txns
+    from .pgoutput import PrimaryKeepalive, frames_to_committed_txns, pg_type_name
 
     segs = lsn_stream.list_segments(wal_dir)
     frontier = max(
@@ -207,7 +253,22 @@ def pump_frames(
                 continue
             yield f
 
-    for end_lsn, rows in frames_to_committed_txns(dml_frames()):
+    on_relation = None
+    if record_schema:
+        # persist every Relation (re-)send's column list so typed
+        # consumers can widen their schema mid-stream (engine
+        # start(evolve_schema=True) reads it per micro-batch)
+        def on_relation(rel):
+            write_relation_schema(
+                wal_dir,
+                rel.namespace,
+                rel.name,
+                [(c.name, pg_type_name(c.type_oid)) for c in rel.columns],
+            )
+
+    for end_lsn, rows in frames_to_committed_txns(
+        dml_frames(), on_relation=on_relation
+    ):
         if end_lsn <= frontier or not rows:
             # replayed duplicate after restart, or a transaction with no
             # rows for the published tables — nothing durable to add (an

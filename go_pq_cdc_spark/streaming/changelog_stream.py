@@ -133,17 +133,31 @@ def _write_manifest_snapshot(state_dir: str, manifest: dict) -> None:
     os.replace(tmp, p)
 
 
+def _mirror_struct(spark: SparkSession, value_schema: str):
+    """StructType of the stored mirror row shape for a value DDL."""
+    return spark.createDataFrame(
+        [], f"pk bigint, lsn bigint, op string, {value_schema}"
+    ).schema
+
+
 def _manifest_df(spark: SparkSession, state_dir: str, manifest: dict) -> DataFrame:
     """DataFrame over one manifest's bucket set (shared by current and
-    time-travel reads — one copy of the schema/paths logic)."""
+    time-travel reads — one copy of the schema/paths logic).
+
+    The read passes the manifest's pinned schema EXPLICITLY: after a
+    schema evolution (`merge_mirror_batch(evolve_schema=True)`) buckets
+    untouched since the widening still hold the narrower row shape, and
+    an explicit-schema parquet read fills the missing columns with NULL
+    (schema-inference over mixed files would either miss the new column
+    or fail the select)."""
     value_schema = manifest.get("value_schema", "after_val double")
-    value_cols = [f.split(" ", 1)[0] for f in value_schema.split(", ")]
     paths = [os.path.join(state_dir, rel) for rel in manifest["buckets"].values()]
+    struct = _mirror_struct(spark, value_schema)
     if not paths:
-        return spark.createDataFrame(
-            [], f"pk bigint, lsn bigint, op string, {value_schema}"
-        )
-    return spark.read.parquet(*paths).select("pk", "lsn", "op", *value_cols)
+        return spark.createDataFrame([], struct)
+    return spark.read.schema(struct).parquet(*paths).select(
+        *[f.name for f in struct.fields]
+    )
 
 
 def read_mirror_as_of(spark: SparkSession, state_dir: str, epoch: int) -> DataFrame:
@@ -206,10 +220,8 @@ def lookup_mirror(spark: SparkSession, state_dir: str, pks: list[int]) -> DataFr
     manifest = _read_manifest(state_dir)
     n = int(manifest.get("n_buckets") or MIRROR_BUCKETS)
     value_schema = manifest.get("value_schema", "after_val double")
-    value_cols = [f.split(" ", 1)[0] for f in value_schema.split(", ")]
-    empty = spark.createDataFrame(
-        [], f"pk bigint, lsn bigint, op string, {value_schema}"
-    )
+    struct = _mirror_struct(spark, value_schema)
+    empty = spark.createDataFrame([], struct)
     if not pks or not manifest["buckets"]:
         return empty
     keys = spark.createDataFrame([(int(p),) for p in pks], "pk bigint")
@@ -221,10 +233,11 @@ def lookup_mirror(spark: SparkSession, state_dir: str, pks: list[int]) -> DataFr
     ]
     if not paths:
         return empty
+    # explicit schema: pre-evolution buckets read NULL for widened columns
     return (
-        spark.read.parquet(*paths)
+        spark.read.schema(struct).parquet(*paths)
         .filter(F.col("pk").isin([int(p) for p in pks]))
-        .select("pk", "lsn", "op", *value_cols)
+        .select(*[f.name for f in struct.fields])
     )
 
 
@@ -390,14 +403,18 @@ class _MergeLock:
                 pass
 
 
+_RESERVED_COLS = frozenset({"op", "lsn", "txn_seq", "xid", "commit_ts", "pk", "pb"})
+
+
 def merge_mirror_batch(
     batch_df: DataFrame,
     state_dir: str,
     epoch: int | None = None,
     n_buckets: int | None = None,
-    value_cols: tuple[str, ...] = ("after_val",),
+    value_cols: tuple[str, ...] | None = ("after_val",),
     keep_epochs: int | None = None,
     lock_ttl_s: float = _MERGE_LOCK_TTL_S,
+    evolve_schema: bool = False,
 ) -> None:
     """Idempotent TOAST-aware max-LSN-wins merge of one micro-batch into
     the pk-bucketed parquet mirror (Delta/Iceberg `MERGE INTO` stand-in).
@@ -419,7 +436,20 @@ def merge_mirror_batch(
     section runs under a per-mirror cross-process lock (see _MergeLock), so
     N cooperating apps merging chunks into one shared mirror serialize
     instead of wiping each other's epoch dirs. Raises `MirrorLockLost`
-    (pre-swap, mirror untouched) if the lock is lost mid-merge."""
+    (pre-swap, mirror untouched) if the lock is lost mid-merge.
+
+    Schema evolution: `value_cols=None` infers the batch's value columns
+    (everything but the op/lsn/txn_seq/xid/commit_ts/pk envelope columns);
+    `evolve_schema=True` lets a batch whose value columns are a
+    TYPE-COMPATIBLE superset (or subset — a replayed pre-DDL segment) of
+    the stored pin WIDEN the manifest's value schema instead of raising —
+    the Spark-side analogue of the reference delivering a Relation
+    re-send's new columns straight to sinks (relation.go:68-87 →
+    stream.go decode). Pre-evolution buckets are untouched; reads fill
+    the widened columns with NULL (a column added mid-stream has no CDC
+    value for rows not touched since the DDL — PG doesn't ship DEFAULT
+    backfills through logical decoding). Type CHANGES still raise under
+    evolve_schema: mixed-type parquet across buckets cannot be read."""
     os.makedirs(state_dir, exist_ok=True)
     lock = _MergeLock(state_dir, ttl_s=lock_ttl_s)
     lock.acquire()
@@ -427,6 +457,7 @@ def merge_mirror_batch(
         _merge_mirror_batch_locked(
             batch_df, state_dir, lock, epoch=epoch, n_buckets=n_buckets,
             value_cols=value_cols, keep_epochs=keep_epochs,
+            evolve_schema=evolve_schema,
         )
     finally:
         lock.release()
@@ -438,12 +469,17 @@ def _merge_mirror_batch_locked(
     lock: _MergeLock,
     epoch: int | None = None,
     n_buckets: int | None = None,
-    value_cols: tuple[str, ...] = ("after_val",),
+    value_cols: tuple[str, ...] | None = ("after_val",),
     keep_epochs: int | None = None,
+    evolve_schema: bool = False,
 ) -> None:
     from ..operators.cdc import toast_fill_cols
 
     spark = batch_df.sparkSession
+    if value_cols is None:
+        value_cols = tuple(
+            f.name for f in batch_df.schema.fields if f.name not in _RESERVED_COLS
+        )
     manifest = _read_manifest(state_dir)
     if epoch is None:
         epoch = manifest["epoch"] + 1
@@ -488,9 +524,10 @@ def _merge_mirror_batch_locked(
     # (reference parity: a sink table's row shape). Pinned at first write;
     # a later merge with different columns is a rebuild, not a silent
     # schema drift.
-    value_schema = ", ".join(
-        f"{c} {batch_df.schema[c].dataType.simpleString()}" for c in value_cols
-    )
+    incoming_fields = [
+        (c, batch_df.schema[c].dataType.simpleString()) for c in value_cols
+    ]
+    value_schema = ", ".join(f"{n} {t}" for n, t in incoming_fields)
     stored_schema = manifest.get("value_schema")
     if stored_schema is None:
         if manifest["buckets"] and value_schema != "after_val double":
@@ -505,13 +542,52 @@ def _merge_mirror_batch_locked(
             )
         manifest["value_schema"] = value_schema
     elif stored_schema != value_schema:
-        # full DDL comparison — same NAMES with different TYPES would
-        # write mixed-type parquet across buckets and break the union at
-        # read time (r5 review finding)
-        raise ValueError(
-            f"mirror at {state_dir} stores [{stored_schema}]; merging "
-            f"[{value_schema}] requires a rebuild"
+        if not evolve_schema:
+            # full DDL comparison — same NAMES with different TYPES would
+            # write mixed-type parquet across buckets and break the union
+            # at read time (r5 review finding)
+            raise ValueError(
+                f"mirror at {state_dir} stores [{stored_schema}]; merging "
+                f"[{value_schema}] requires a rebuild"
+            )
+        # Widen: the union of stored + batch columns, stored order first
+        # (bucket files already on disk keep their layout; an explicit-
+        # schema read fills what a file lacks with NULL). A column whose
+        # TYPE differs between the pin and the batch is still a rebuild —
+        # evolution adds columns, it never mutates one in place.
+        stored_fields = [
+            (f.name, f.dataType.simpleString())
+            for f in spark.createDataFrame([], stored_schema).schema.fields
+        ]
+        st_types = dict(stored_fields)
+        conflicts = [
+            n for n, t in incoming_fields if n in st_types and st_types[n] != t
+        ]
+        if conflicts:
+            raise ValueError(
+                f"mirror at {state_dir} stores [{stored_schema}]; batch "
+                f"columns {conflicts} change type — evolve_schema adds "
+                "columns, a type change requires a rebuild"
+            )
+        target_fields = stored_fields + [
+            (n, t) for n, t in incoming_fields if n not in st_types
+        ]
+        value_schema = ", ".join(f"{n} {t}" for n, t in target_fields)
+        manifest["value_schema"] = value_schema
+        # project the batch onto the union: a replayed pre-DDL segment is
+        # missing the new column — NULL there means "unchanged" to the
+        # TOAST fill, which inherits any stored value (exactly right)
+        in_types = dict(incoming_fields)
+        batch_df = batch_df.select(
+            *[c for c in batch_df.columns if c not in in_types],
+            *[
+                F.col(n).alias(n)
+                if n in in_types
+                else F.lit(None).cast(t).alias(n)
+                for n, t in target_fields
+            ],
         )
+        value_cols = tuple(n for n, _t in target_fields)
 
     # Event-order key: commit-rewritten envelopes carry (lsn, txn_seq) —
     # all rows of one transaction share the commit lsn and txn_seq splits
@@ -582,7 +658,11 @@ def _merge_mirror_batch_locked(
         # txn_seq ABOVE any event's so a stored 'R' row wins the
         # fill/winner ordering against replayed events of the same commit
         # (bucket files stay (pk, lsn, op, values) — no on-disk change).
-        existing = spark.read.parquet(*old_paths).select(
+        # Explicit (possibly just-widened) schema: buckets written before
+        # a schema evolution lack the new columns and read as NULL.
+        existing = spark.read.schema(
+            _mirror_struct(spark, manifest["value_schema"])
+        ).parquet(*old_paths).select(
             "pk", "lsn", "op", *value_cols
         ).withColumn("txn_seq", F.lit(STORED_ROW_SEQ).cast("long"))
         merged = existing.unionByName(incoming.drop("pb"))
@@ -670,9 +750,10 @@ def mirror_sink(
     state_dir: str,
     checkpoint_dir: str,
     n_buckets: int | None = None,
-    value_cols: tuple[str, ...] = ("after_val",),
+    value_cols: tuple[str, ...] | None = ("after_val",),
     keep_epochs: int | None = None,
     transform=None,
+    evolve_schema: bool = False,
 ):
     """Attach the mirror-maintenance sink to a change stream. Returns the
     StreamingQuery; call processAllAvailable() to drain in tests.
@@ -705,6 +786,7 @@ def mirror_sink(
         merge_mirror_batch(
             batch_df, state_dir, epoch=None, n_buckets=n_buckets,
             value_cols=value_cols, keep_epochs=keep_epochs,
+            evolve_schema=evolve_schema,
         )
 
     return (

@@ -1815,3 +1815,127 @@ def test_live_engine_seed_with_socket_chunk_reader(spark, tmp_path):
         q(f"DROP PUBLICATION IF EXISTS {PUB11}")
         q(f"DROP TABLE IF EXISTS {T11}")
         sql.close()
+
+
+def test_live_engine_schema_evolution_into_mirror(spark, tmp_path):
+    """Mid-stream DDL through the WHOLE chain against a real server:
+    ALTER TABLE ADD COLUMN while the engine lifecycle runs with
+    evolve_schema=True — the walsender re-sends the Relation, the pump
+    refreshes the _schema sidecar, the next micro-batch types the widened
+    row shape, and the mirror merge widens its manifest pin. Pre-DDL rows
+    read NULL for the new column (logical decoding ships no DEFAULT
+    backfill); rows written after the DDL carry typed values. The
+    reference's sinks get this for free from the Relation-driven decode
+    (relation.go:11-19); this is the Spark-mirror analogue."""
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.config import EngineConfig, TableConfig
+    from go_pq_cdc_spark.engine import CdcEngine
+    from go_pq_cdc_spark.sources.replication_client import ReplicationConnection
+    from go_pq_cdc_spark.sources.slot_keeper import pump_frames
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    T4, SLOT4, PUB4 = "eng_evo_t", "eng_evo_slot", "eng_evo_pub"
+    sql = _sql_conn()
+    q = sql.simple_query
+    q(f"DROP PUBLICATION IF EXISTS {PUB4}")
+    q(f"SELECT pg_drop_replication_slot('{SLOT4}') WHERE EXISTS "
+      f"(SELECT 1 FROM pg_replication_slots WHERE slot_name = '{SLOT4}')")
+    q(f"DROP TABLE IF EXISTS {T4}")
+    q(f"CREATE TABLE {T4} (pk bigint PRIMARY KEY, val text)")
+    q(f"INSERT INTO {T4} SELECT g, 'v' || g FROM generate_series(1, 5) g")
+
+    cfg = EngineConfig(
+        publication_name=PUB4,
+        slot_name=SLOT4,
+        tables=[TableConfig(name=T4)],
+        heartbeat_enabled=False,
+    )
+    eng = CdcEngine(cfg, spark)
+
+    def snapshot_reader(tcfg):
+        rows = q(f"SELECT pk, val FROM {T4}")
+        return spark.createDataFrame(
+            [Row(pk=int(r[0]), val=r[1]) for r in rows],
+            "pk bigint, val string",
+        )
+
+    wal_dir = str(tmp_path / "wal")
+    os.makedirs(wal_dir, exist_ok=True)
+    state_dir = str(tmp_path / "state")
+    stream_q = conn = pump_t = None
+    try:
+        snapshot_lsn, stream_q = eng.start(
+            q,
+            wal_dir,
+            state_dir,
+            str(tmp_path / "ckpt"),
+            snapshot_reader=snapshot_reader,
+            value_schema="val string",
+            transport="envelope",
+            table=f"public.{T4}",
+            keep_epochs=8,
+            evolve_schema=True,
+        )
+        assert snapshot_lsn > 0
+
+        conn = ReplicationConnection.connect(**_conn_args(), replication=True)
+        conn.sock.settimeout(None)
+        conn.start_replication(SLOT4, 0, [PUB4])
+
+        def pump():
+            try:
+                pump_frames(
+                    conn.frames(), wal_dir, conn.send_standby_status,
+                    batch_rows=1, start_lsn=0,
+                )
+            except Exception:
+                pass
+
+        pump_t = threading.Thread(target=pump, daemon=True)
+        pump_t.start()
+
+        # pre-DDL change, then the DDL, then post-DDL writes
+        q(f"UPDATE {T4} SET val = 'v1-new' WHERE pk = 1")
+        q(f"ALTER TABLE {T4} ADD COLUMN extra int")
+        q(f"UPDATE {T4} SET val = 'v2-new', extra = 42 WHERE pk = 2")
+        q(f"INSERT INTO {T4} (pk, val, extra) VALUES (6, 'v6', 7)")
+
+        deadline = time.time() + WAIT_S
+        state = {}
+        while time.time() < deadline:
+            stream_q.processAllAvailable()
+            try:
+                df = read_mirror(spark, state_dir)
+                if "extra" not in df.columns:
+                    time.sleep(0.3)
+                    continue
+                state = {
+                    r["pk"]: (r["val"], r["extra"]) for r in df.collect()
+                }
+            except Exception:
+                continue  # raced an epoch swap mid-collect — re-read
+            if state.get(2) == ("v2-new", 42) and 6 in state:
+                break
+            time.sleep(0.3)
+
+        live_rows = {
+            int(r[0]): (r[1], None if r[2] is None else int(r[2]))
+            for r in q(f"SELECT pk, val, extra FROM {T4}")
+        }
+        assert state == live_rows  # mirror == live table, exactly
+        assert state[1] == ("v1-new", None)  # pre-DDL write: no extra
+        assert state[2] == ("v2-new", 42)  # post-DDL update, typed int
+        assert state[6] == ("v6", 7)  # post-DDL insert
+        assert state[3] == ("v3", None)  # untouched since DDL -> NULL
+    finally:
+        if stream_q is not None:
+            stream_q.stop()
+        if conn is not None:
+            conn.close()
+        if pump_t is not None:
+            pump_t.join(timeout=5)
+        _drop_slot_with_retry(q, slot=SLOT4)
+        q(f"DROP PUBLICATION IF EXISTS {PUB4}")
+        q(f"DROP TABLE IF EXISTS {T4}")
+        sql.close()

@@ -39,3 +39,306 @@ def test_new_column_mid_stream(spark):
     assert out2[1]["score"] is None
     assert abs(out2[2]["score"] - 9.5) < 1e-9
     assert isinstance(out2[2]["score"], float)
+
+
+# -- mirror-level evolution (merge widens the manifest pin) -----------------
+
+
+def _merge(spark, batch_rows, cols, state_dir, **kw):
+    from go_pq_cdc_spark.streaming.changelog_stream import merge_mirror_batch
+
+    df = spark.createDataFrame(batch_rows, cols)
+    merge_mirror_batch(df, str(state_dir), **kw)
+
+
+def test_mirror_merge_evolves_schema(spark, tmp_path):
+    """evolve_schema=True widens the mirror's pinned value schema when a
+    batch brings a new column: untouched buckets read NULL for it, rows
+    merged after the widening carry its values, and a replayed pre-DDL
+    batch (missing the column) inherits stored values instead of
+    clobbering them (NULL-means-unchanged)."""
+    import pytest
+
+    from go_pq_cdc_spark.streaming.changelog_stream import (
+        lookup_mirror,
+        read_mirror,
+    )
+
+    state = tmp_path / "state"
+    ddl_v1 = "op string, lsn bigint, pk bigint, name string"
+    _merge(
+        spark,
+        [("I", 10, 1, "alice"), ("I", 10, 2, "bob")],
+        ddl_v1,
+        state,
+        value_cols=("name",),
+    )
+
+    # new column without opting in: still a rebuild error (r5 pin rule)
+    ddl_v2 = "op string, lsn bigint, pk bigint, name string, score bigint"
+    with pytest.raises(ValueError, match="rebuild"):
+        _merge(
+            spark,
+            [("U", 20, 2, "bob2", 7)],
+            ddl_v2,
+            state,
+            value_cols=("name", "score"),
+        )
+
+    # opted in: manifest widens; pk=1's bucket is untouched on disk
+    _merge(
+        spark,
+        [("U", 20, 2, "bob2", 7), ("I", 21, 3, "carol", 9)],
+        ddl_v2,
+        state,
+        value_cols=("name", "score"),
+        evolve_schema=True,
+    )
+    got = {
+        r["pk"]: (r["name"], r["score"])
+        for r in read_mirror(spark, str(state)).collect()
+    }
+    assert got == {1: ("alice", None), 2: ("bob2", 7), 3: ("carol", 9)}
+
+    # bucket-pruned point lookup sees the widened schema too
+    look = {
+        r["pk"]: (r["name"], r["score"])
+        for r in lookup_mirror(spark, str(state), [1, 3]).collect()
+    }
+    assert look == {1: ("alice", None), 3: ("carol", 9)}
+
+    # replay of a PRE-evolution shape (no score column): accepted under
+    # evolve, and the missing column means "unchanged", not "NULL it out"
+    _merge(
+        spark,
+        [("U", 30, 3, "carol3")],
+        ddl_v1,
+        state,
+        value_cols=("name",),
+        evolve_schema=True,
+    )
+    got = {
+        r["pk"]: (r["name"], r["score"])
+        for r in read_mirror(spark, str(state)).collect()
+    }
+    assert got[3] == ("carol3", 9)
+
+    # a TYPE change is never evolution
+    with pytest.raises(ValueError, match="type"):
+        _merge(
+            spark,
+            [("U", 40, 3, "x", "not-a-number")],
+            "op string, lsn bigint, pk bigint, name string, score string",
+            state,
+            value_cols=("name", "score"),
+            evolve_schema=True,
+        )
+
+
+def test_mirror_time_travel_across_evolution(spark, tmp_path):
+    """Each epoch's manifest snapshot pins the value schema AS OF that
+    epoch: time travel to a pre-widening epoch returns the narrow shape,
+    the live read returns the wide one."""
+    from go_pq_cdc_spark.streaming.changelog_stream import (
+        read_mirror,
+        read_mirror_as_of,
+    )
+
+    state = tmp_path / "state"
+    _merge(
+        spark,
+        [("I", 10, 1, "alice")],
+        "op string, lsn bigint, pk bigint, name string",
+        state,
+        value_cols=("name",),
+        keep_epochs=4,
+    )
+    _merge(
+        spark,
+        [("U", 20, 1, "alice2", 5)],
+        "op string, lsn bigint, pk bigint, name string, score bigint",
+        state,
+        value_cols=("name", "score"),
+        keep_epochs=4,
+        evolve_schema=True,
+    )
+    old = read_mirror_as_of(spark, str(state), 0)
+    assert [f.name for f in old.schema.fields] == ["pk", "lsn", "op", "name"]
+    assert old.collect()[0]["name"] == "alice"
+    new = read_mirror(spark, str(state))
+    assert [f.name for f in new.schema.fields] == [
+        "pk", "lsn", "op", "name", "score",
+    ]
+    assert new.collect()[0]["score"] == 5
+
+
+def test_merge_infers_value_cols_when_none(spark, tmp_path):
+    """value_cols=None derives the value columns from the batch schema
+    (everything but the envelope's own op/lsn/txn_seq/xid/commit_ts/pk) —
+    the contract the evolving engine sink relies on."""
+    from go_pq_cdc_spark.streaming.changelog_stream import read_mirror
+
+    state = tmp_path / "state"
+    _merge(
+        spark,
+        [("I", 10, 7, 1, "alice", 3)],
+        "op string, lsn bigint, txn_seq bigint, pk bigint, name string, qty bigint",
+        state,
+        value_cols=None,
+    )
+    r = read_mirror(spark, str(state)).collect()[0]
+    assert (r["pk"], r["name"], r["qty"]) == (1, "alice", 3)
+
+
+# -- transport-level: the pump's Relation sidecar ---------------------------
+
+
+def _ddl_frames(struct_mod):
+    """pre-DDL txn, Relation re-send with a new column, post-DDL txn —
+    raw pgoutput frames (fixture builders from test_pgoutput)."""
+    import struct
+
+    from go_pq_cdc_spark.sources.pgoutput import XLogData
+
+    from .test_pgoutput import insert_msg, relation_msg
+
+    def xlog(lsn, payload):
+        return XLogData(lsn, lsn, 0, payload)
+
+    rel_v1 = relation_msg(cols=(("pk", 20, True), ("name", 25, False)))
+    rel_v2 = relation_msg(
+        cols=(("pk", 20, True), ("name", 25, False), ("score", 23, False))
+    )
+    return [
+        xlog(10, rel_v1),
+        xlog(11, b"B" + struct.pack(">QqI", 30, 5, 900)),
+        xlog(12, insert_msg(vals=("1", "alice"))),
+        xlog(30, b"C" + struct.pack(">bQQq", 0, 30, 31, 5)),
+        # ALTER TABLE ADD COLUMN score int -> Relation re-send
+        xlog(40, rel_v2),
+        xlog(41, b"B" + struct.pack(">QqI", 60, 6, 901)),
+        xlog(42, insert_msg(vals=("2", "bob", "7"))),
+        xlog(60, b"C" + struct.pack(">bQQq", 0, 60, 61, 6)),
+    ]
+
+
+def test_pump_persists_relation_sidecar(tmp_path):
+    """pump_frames records every Relation (re-)send's live column list in
+    wal_dir/_schema/<table>.json — initial shape first, the post-DDL
+    shape after the re-send — and the segment reader never lists the
+    sidecar dir as data."""
+    import struct
+
+    from go_pq_cdc_spark.sources import lsn_stream
+    from go_pq_cdc_spark.sources.slot_keeper import (
+        pump_frames,
+        read_relation_schema,
+    )
+
+    wal = str(tmp_path / "wal")
+    frames = _ddl_frames(struct)
+    # pump only the pre-DDL prefix: sidecar holds the 2-column shape
+    pump_frames(frames[:4], wal, batch_rows=1)
+    assert read_relation_schema(wal, "public.users") == [
+        ("pk", "int8"),
+        ("name", "text"),
+    ]
+    # pump the rest: the Relation re-send refreshes the sidecar
+    pump_frames(frames[4:], wal, batch_rows=1)
+    assert read_relation_schema(wal, "public.users") == [
+        ("pk", "int8"),
+        ("name", "text"),
+        ("score", "int4"),
+    ]
+    assert read_relation_schema(wal, "public.absent") is None
+    # the underscore dir is invisible to the segment chain
+    segs = lsn_stream.list_segments(wal)
+    assert len(segs) == 2 and all("_schema" not in p for _s, _e, p in segs)
+
+
+def test_engine_start_evolves_typed_mirror(spark, tmp_path):
+    """start(transport='envelope', evolve_schema=True) end to end: the
+    pump's segments + Relation sidecar drive the typed mirror PAST the
+    declared DDL — a column added mid-stream lands typed in the mirror,
+    NULL for rows not touched since the DDL (logical decoding ships no
+    DEFAULT backfill), populated for post-DDL rows."""
+    import struct
+
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.config import EngineConfig, TableConfig
+    from go_pq_cdc_spark.engine import CdcEngine
+    from go_pq_cdc_spark.sources.slot_keeper import pump_frames
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    wal = str(tmp_path / "wal")
+    pump_frames(_ddl_frames(struct), wal, batch_rows=1)
+
+    eng = CdcEngine(
+        EngineConfig(
+            tables=[
+                TableConfig("users", replica_identity="FULL"),
+                TableConfig("cdc_heartbeat"),
+            ],
+        ),
+        spark,
+    )
+    eng.config.snapshot_tables = ["public.users"]
+
+    def run_sql(sql):
+        return [("0/5",)] if "pg_current_wal_lsn" in sql else []
+
+    def snapshot_reader(table):
+        return spark.createDataFrame([], "pk bigint, name string")
+
+    snapshot_lsn, q = eng.start(
+        run_sql,
+        wal,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        snapshot_reader=snapshot_reader,
+        value_schema="name string",
+        transport="envelope",
+        table="public.users",
+        evolve_schema=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r["pk"]: r for r in read_mirror(spark, str(tmp_path / "state")).collect()
+    }
+    assert rows[1]["name"] == "alice" and rows[1]["score"] is None
+    assert rows[2]["name"] == "bob" and rows[2]["score"] == 7
+    assert isinstance(rows[2]["score"], int)
+
+
+def test_engine_evolve_requires_envelope_transport(spark, tmp_path):
+    import pytest
+
+    from go_pq_cdc_spark.config import EngineConfig, TableConfig
+    from go_pq_cdc_spark.engine import CdcEngine
+
+    eng = CdcEngine(
+        EngineConfig(
+            tables=[TableConfig("users"), TableConfig("cdc_heartbeat")]
+        ),
+        spark,
+    )
+    eng.config.snapshot_tables = ["public.users"]
+
+    def run_sql(sql):
+        return [("0/5",)] if "pg_current_wal_lsn" in sql else []
+
+    with pytest.raises(ValueError, match="envelope"):
+        eng.start(
+            run_sql,
+            str(tmp_path / "wal"),
+            str(tmp_path / "state"),
+            str(tmp_path / "ckpt"),
+            snapshot_reader=lambda t: spark.createDataFrame([], "pk bigint"),
+            value_schema="name string",
+            transport="flat",
+            evolve_schema=True,
+        )
