@@ -122,7 +122,7 @@ def minhash_lsh_pairs(
     *,
     portable: bool = True,
     max_bucket: int | None = None,
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash+LSH with exact-Jaccard verification.
 
@@ -144,6 +144,17 @@ def minhash_lsh_pairs(
     LSH-over-distinct-texts. `collapse_exact=False` runs the historical
     direct path (same results; kept for A/B tests and corpora known to
     be exact-dup-free).
+
+    The default `"auto"` decides per dataset: one cheap aggregate
+    (count + approx_count_distinct over the text fingerprint — a single
+    hash per doc, partial-aggregable HLL sketch, no shuffle of text)
+    measures the verbatim-duplicate mass; the collapse runs only when
+    >= ~5% of docs are copies. On a dedup-clean corpus the collapse's
+    group/expand joins are pure overhead (A/B-measured ~+40% at sf0.1),
+    while on a crawl-grade corpus they pay for themselves many times
+    over — and the output is provably identical either way, so the
+    dispatch is free to be data-dependent (same class of bounded
+    plan-time job as the chunk planner's MIN/MAX probe).
 
     Scale: signature computation is embarrassingly parallel over docs;
     candidates come from an equi-join on band buckets (high-cardinality
@@ -170,6 +181,16 @@ def minhash_lsh_pairs(
     whose every bucket is dropped emits no intra-group pairs either,
     matching the direct path). Default None preserves exact oracle
     semantics."""
+    if collapse_exact == "auto":
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xxhash64, not md5: the probe is internal (never compared
+            # against an oracle), so take the JVM-intrinsic hash
+            F.approx_count_distinct(F.xxhash64(F.col(text_col))).alias("nd"),
+        ).collect()[0]
+        # HLL relative error ~2%; require a clear 5% duplicate mass so
+        # sketch noise never flips a clean corpus onto the collapse path
+        collapse_exact = stats["n"] > 0 and stats["nd"] < 0.95 * stats["n"]
     if collapse_exact:
         return _lsh_pairs_collapsed(
             df, id_col, text_col, threshold,

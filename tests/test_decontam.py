@@ -182,3 +182,46 @@ def test_collapse_exact_identity_randomized(spark):
         }
         assert collapsed == direct, f"cap={cap}: {collapsed ^ direct}"
     assert len(direct) > 0
+
+
+def test_collapse_auto_dispatch(spark):
+    """collapse_exact="auto" (the default) measures the verbatim-dup mass
+    with one count+HLL aggregate and picks the path: a dup-heavy corpus
+    takes the collapse, a dup-free corpus takes the direct path — output
+    identical to both forced modes either way."""
+    from go_pq_cdc_spark.operators.dedup import minhash_lsh_pairs
+
+    vocab = [f"w{i}" for i in range(30)]
+    base = " ".join(vocab[i % 30] for i in range(12))
+    # dup-heavy: 4 groups x 5 verbatim copies
+    dup_rows = [
+        (g * 10 + c, f"{base} g{g}") for g in range(4) for c in range(5)
+    ]
+    dup = spark.createDataFrame(dup_rows, "doc_id bigint, text string")
+    # dup-free: every doc distinct
+    uniq_rows = [(i, f"{base} u{i}") for i in range(20)]
+    uniq = spark.createDataFrame(uniq_rows, "doc_id bigint, text string")
+
+    for df in (dup, uniq):
+        got = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in minhash_lsh_pairs(df, "doc_id", threshold=0.4).collect()
+        }
+        forced = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in minhash_lsh_pairs(
+                df, "doc_id", threshold=0.4, collapse_exact=True
+            ).collect()
+        }
+        assert got == forced
+    # dup corpus: every intra-group pair present at jaccard 1.0
+    got_dup = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(dup, "doc_id", threshold=0.4).collect()
+        if r["jaccard"] == 1.0
+    }
+    for g in range(4):
+        ids = [g * 10 + c for c in range(5)]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                assert (a, b) in got_dup
