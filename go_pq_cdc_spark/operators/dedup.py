@@ -16,6 +16,8 @@ bucket/block key; only verified candidates pay the O(set) Jaccard cost.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -674,20 +676,34 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     block_col: str | None = None,
     threshold: float = 0.5,
+    grid: int = 16,
 ) -> DataFrame:
     """Exact pairwise shingle-Jaccard inside blocks (all-pairs within a
-    block key — ground truth for LSH recall; use only with bounded blocks)."""
+    block key — ground truth for LSH recall; use only with bounded blocks).
+
+    GRID-PARTITIONED self-join (`scale.grid_self_join_sides`): a block
+    column is typically LOW-cardinality (lang: ~5 values), so a plain
+    equi-join on it hashes each block's entire pair set into ONE task —
+    the per-pair array_intersect loop serializes and the biggest block
+    IS the job (found by the r8 sf1 sweep: the "en" block alone was a
+    35-minute single task). The grid spreads each block's pairs over
+    grid² cells at the cost of grid× replication; output identical to
+    the naive join (pure partitioning)."""
+    from .scale import grid_self_join_sides
+
     docs = shingle_doc(df, id_col, text_col)
     if block_col is not None:
         docs = docs.join(
             df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk")), "id"
         )
-        cond = (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+        blk_eq = [F.col("a.blk") == F.col("b.blk")]
     else:
-        cond = F.col("a.id") < F.col("b.id")
+        blk_eq = []
+    a, b, grid_conds = grid_self_join_sides(docs, grid=grid)
+    cond = blk_eq + grid_conds
+    joined = a.alias("a").join(b.alias("b"), functools.reduce(lambda x, y: x & y, cond))
     return (
-        docs.alias("a")
-        .join(docs.alias("b"), cond)
+        joined
         .withColumn("n_inter", F.expr("size(array_intersect(a.sh, b.sh))").cast("long"))
         .withColumn(
             "jaccard",
@@ -746,11 +762,17 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.4,
+    grid: int = 16,
 ) -> DataFrame:
     """Near-duplicate vectors by exact fixed-point cosine within blocks.
     Blocking bounds the pair count; at scale use `embedding_near_dup_lsh`
     (LSH-bucket blocking) for sub-quadratic candidates without relying on
-    a metadata column."""
+    a metadata column. The self-join is grid-partitioned
+    (`scale.grid_self_join_sides`): a label column has ~tens of values,
+    so the plain block-equi-join would serialize each label's whole pair
+    set into one task — same funnel, same fix as ngram_jaccard_pairs."""
+    from .scale import grid_self_join_sides
+
     dot = P.scaled_dot("a.v", "b.v", "a.v")["spark"]
     norm = P.scaled_dot("v", "v", "v")["spark"]
     # coalesce: see embedding_near_dup_lsh — keeps the inferred null-check
@@ -758,11 +780,15 @@ def embedding_near_dup(
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(block_col).alias("blk")
     ).withColumn("nrm", F.coalesce(F.expr(norm), F.lit(0).cast("long")))
+    a, b, grid_conds = grid_self_join_sides(vecs, grid=grid)
     return (
-        vecs.alias("a")
+        a.alias("a")
         .join(
-            vecs.alias("b"),
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+            b.alias("b"),
+            functools.reduce(
+                lambda x, y: x & y,
+                [F.col("a.blk") == F.col("b.blk")] + grid_conds,
+            ),
         )
         .withColumn("dot", F.expr(dot))
         .withColumn(

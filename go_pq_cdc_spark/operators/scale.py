@@ -161,3 +161,32 @@ def salted_topk(
     return pre.withColumn(rank_name, F.row_number().over(w2).cast("long")).filter(
         F.col(rank_name) <= k
     )
+
+
+def grid_self_join_sides(df: DataFrame, id_col: str = "id", grid: int = 16):
+    """Sides + join conditions for a GRID-PARTITIONED all-pairs self-join.
+
+    A ground-truth pairwise operator blocked by a LOW-cardinality key
+    (lang ~5 values, label ~10) degenerates under a plain self-equi-join:
+    the join hashes each block's whole pair set into ONE task, so the
+    biggest block IS the job (r8 sf1 sweep: one 35-minute task inside
+    dedup_ngram_jaccard). Gridding restores parallelism: each row gets a
+    deterministic coordinate g = xxhash64(id) % grid; side a fixes
+    _ga=g(a) and explodes _gb over all cells, side b fixes _gb=g(b) and
+    explodes _ga — every unordered pair meets in exactly ONE of grid²
+    cells (the counterpart axis comes only from the explosion), so no
+    post-join dedup is needed and the largest task holds ~|block|²/grid²
+    pairs. Each side is replicated grid× — the standard
+    space-for-parallelism trade of a blocked cartesian. Callers AND any
+    block-equality conditions compose on top of the returned conds.
+    Output set is identical to the naive `a.id < b.id` self-join."""
+    g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(grid)).cast("int")
+    cells = F.array(*[F.lit(i) for i in range(grid)])
+    a = df.withColumn("_ga", g).withColumn("_gb", F.explode(cells))
+    b = df.withColumn("_gb", g).withColumn("_ga", F.explode(cells))
+    conds = [
+        F.col("a._ga") == F.col("b._ga"),
+        F.col("a._gb") == F.col("b._gb"),
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+    ]
+    return a, b, conds
