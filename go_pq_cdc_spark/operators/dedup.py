@@ -699,7 +699,9 @@ def ngram_jaccard_pairs(
         blk_eq = [F.col("a.blk") == F.col("b.blk")]
     else:
         blk_eq = []
-    a, b, grid_conds = grid_self_join_sides(docs, grid=grid)
+    a, b, grid_conds = grid_self_join_sides(
+        docs, grid=grid, extra_keys=("blk",) if block_col is not None else ()
+    )
     cond = blk_eq + grid_conds
     joined = a.alias("a").join(b.alias("b"), functools.reduce(lambda x, y: x & y, cond))
     return (
@@ -780,7 +782,7 @@ def embedding_near_dup(
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(block_col).alias("blk")
     ).withColumn("nrm", F.coalesce(F.expr(norm), F.lit(0).cast("long")))
-    a, b, grid_conds = grid_self_join_sides(vecs, grid=grid)
+    a, b, grid_conds = grid_self_join_sides(vecs, grid=grid, extra_keys=("blk",))
     return (
         a.alias("a")
         .join(

@@ -163,7 +163,13 @@ def salted_topk(
     )
 
 
-def grid_self_join_sides(df: DataFrame, id_col: str = "id", grid: int = 16):
+def grid_self_join_sides(
+    df: DataFrame,
+    id_col: str = "id",
+    grid: int = 16,
+    extra_keys: tuple[str, ...] = (),
+    parts: int | None = None,
+):
     """Sides + join conditions for a GRID-PARTITIONED all-pairs self-join.
 
     A ground-truth pairwise operator blocked by a LOW-cardinality key
@@ -178,12 +184,27 @@ def grid_self_join_sides(df: DataFrame, id_col: str = "id", grid: int = 16):
     post-join dedup is needed and the largest task holds ~|block|²/grid²
     pairs. Each side is replicated grid× — the standard
     space-for-parallelism trade of a blocked cartesian. Callers AND any
-    block-equality conditions compose on top of the returned conds.
-    Output set is identical to the naive `a.id < b.id` self-join."""
+    block-equality conditions compose on top of the returned conds; pass
+    the block columns as `extra_keys` so they join the partitioning.
+    Output set is identical to the naive `a.id < b.id` self-join.
+
+    Both sides are EXPLICITLY repartitioned on the full join key with a
+    user-specified partition count: AQE sizes shuffle coalescing by the
+    join's INPUT bytes, which are tiny here while the OUTPUT is the pair
+    explosion — left to itself it coalesces the whole join into one or
+    two tasks and the funnel returns through the back door (observed at
+    sf1: 1.3 of 28 cores busy). A user-numbered repartition is exempt
+    from AQE coalescing, and since it hashes exactly the join keys the
+    sort-merge join reuses the exchange instead of adding another."""
+    if parts is None:
+        parts = df.sparkSession.sparkContext.defaultParallelism * 2
     g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(grid)).cast("int")
     cells = F.array(*[F.lit(i) for i in range(grid)])
+    keys = [*extra_keys, "_ga", "_gb"]
     a = df.withColumn("_ga", g).withColumn("_gb", F.explode(cells))
     b = df.withColumn("_gb", g).withColumn("_ga", F.explode(cells))
+    a = a.repartition(parts, *keys)
+    b = b.repartition(parts, *keys)
     conds = [
         F.col("a._ga") == F.col("b._ga"),
         F.col("a._gb") == F.col("b._gb"),

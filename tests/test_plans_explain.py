@@ -383,3 +383,18 @@ def test_gapfill_spine_is_broadcast_bounded(spark):
         )
         n_ex = plan.count("Exchange hashpartitioning")
         assert n_ex <= 1, f"{name}: expected <=1 hash exchange, saw {n_ex}:\n{plan}"
+
+
+def test_grid_self_join_repartitions_explicitly(spark):
+    """The grid-partitioned all-pairs self-joins must carry a
+    USER-NUMBERED repartition on the full join key: AQE sizes shuffle
+    coalescing by join INPUT bytes, blind to the pair explosion — left
+    alone it collapses the whole join into 1-2 tasks (r8 sf1 finding:
+    1.3 of 28 cores busy). REPARTITION_BY_NUM is exempt from coalescing
+    and the sort-merge join reuses the exchange."""
+    for name in ("dedup_ngram_jaccard", "emb_near_dup"):
+        plan = _plan(spark, name)
+        assert "_ga" in plan and "_gb" in plan, name
+        assert "REPARTITION_BY_NUM" in plan, (
+            f"{name}: grid join lost its AQE-exempt user repartition"
+        )

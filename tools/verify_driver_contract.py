@@ -32,6 +32,7 @@ from __future__ import annotations
 import datetime
 import hashlib
 import math
+import os
 import sys
 import traceback
 
@@ -97,9 +98,10 @@ def main() -> int:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as E
 
+    cpus = os.environ.get("SPARK_GRAFT_VERIFY_CPUS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "8g")
         .getOrCreate()
