@@ -722,13 +722,22 @@ def embedding_near_dup_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     planes: int = 8,
+    grid: int = 8,
 ) -> DataFrame:
     """The scale path for embedding near-dup: block by random-hyperplane
     LSH bucket instead of a metadata column, so candidates come from a
     self-equi-join on `bucket` (2^planes buckets) — sub-quadratic, no
     attribute column needed. Same exact fixed-point cosine verification as
     `embedding_near_dup`; pairs split across buckets are the (tunable)
-    recall loss."""
+    recall loss.
+
+    The bucket join goes through `scale.grid_self_join_sides`: 2^planes
+    is a bounded key space whose hottest bucket (correlated or duplicate
+    vectors pile into the same hyperplane cell) otherwise serializes into
+    one task, and the explicit keyed repartition keeps AQE from
+    coalescing the tiny-input/explosive-output join down to one
+    partition (the r8 sf1 finding on its blocked sibling)."""
+    from .scale import grid_self_join_sides
     from .similarity import with_lsh_bucket
 
     dot = P.scaled_dot("a.v", "b.v", "a.v")["spark"]
@@ -740,11 +749,15 @@ def embedding_near_dup_lsh(
     vecs = with_lsh_bucket(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", planes
     ).withColumn("nrm", F.coalesce(F.expr(norm), F.lit(0).cast("long")))
+    a, b, grid_conds = grid_self_join_sides(vecs, grid=grid, extra_keys=("bucket",))
     return (
-        vecs.alias("a")
+        a.alias("a")
         .join(
-            vecs.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+            b.alias("b"),
+            functools.reduce(
+                lambda x, y: x & y,
+                [F.col("a.bucket") == F.col("b.bucket")] + grid_conds,
+            ),
         )
         .withColumn("dot", F.expr(dot))
         .withColumn(
