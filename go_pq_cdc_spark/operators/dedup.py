@@ -236,6 +236,13 @@ def _band_cand_verify(
         sizes = sizes.filter(F.col("_bn") <= max_bucket).drop("_bn")
         bands = bands.join(sizes, ["band", "band_key"])
     kept_ids = bands.select("id").distinct() if max_bucket is not None else per_doc.select("id")
+    # AQE-exempt keyed repartition (scale.grid_self_join_sides lesson):
+    # the band join's input is bytes-tiny relative to its candidate
+    # output, so adaptive coalescing would squeeze the self-join toward
+    # one partition exactly when a hot band bucket makes it explosive.
+    # The sort-merge join reuses this exchange — no extra shuffle.
+    par = bands.sparkSession.sparkContext.defaultParallelism * 2
+    bands = bands.repartition(par, "band", "band_key")
     cand = (
         bands.alias("a")
         .join(
