@@ -404,6 +404,8 @@ class CdcEngine:
         tables: dict[str, str],
         pk_col: str = "pk",
         n_buckets: int | None = None,
+        evolve_schema: bool = False,
+        wal_dir: str | None = None,
     ):
         """O17 typed fan-out: ONE slot's envelope stream feeds every
         published table's whole-row mirror (the reference runs one
@@ -412,13 +414,24 @@ class CdcEngine:
         micro-batch is split per table (driver-side control flow only —
         tables are few, rows are many), typed per that table's schema, and
         merged into `<state_root>/<schema>__<table>` with per-column TOAST
-        repair."""
+        repair.
+
+        `evolve_schema=True` (requires `wal_dir`, the directory the
+        socket pump fills) makes EACH table's mirror follow mid-stream
+        DDL independently through the pump's per-table Relation sidecar —
+        same contract as `start(evolve_schema=True)`: supersets widen the
+        manifest pin, pre-DDL rows read NULL for new columns."""
         import os as _os
 
         from .streaming.changelog_stream import merge_mirror_batch
 
+        if evolve_schema and wal_dir is None:
+            raise ValueError("evolve_schema=True requires wal_dir=")
+
         def apply(batch_df, _spark_epoch: int) -> None:
             for table, vschema in tables.items():
+                if evolve_schema:
+                    vschema = self._evolved_value_schema(wal_dir, table, vschema)
                 flat, value_cols = self._typed_flat(batch_df, table, vschema, pk_col)
                 # epoch=None: each mirror numbers epochs from its own
                 # manifest counter — Spark's batch id collides with any
@@ -429,6 +442,7 @@ class CdcEngine:
                     epoch=None,
                     n_buckets=n_buckets,
                     value_cols=value_cols,
+                    evolve_schema=evolve_schema,
                 )
 
         return (

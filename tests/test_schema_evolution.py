@@ -342,3 +342,81 @@ def test_engine_evolve_requires_envelope_transport(spark, tmp_path):
             transport="flat",
             evolve_schema=True,
         )
+
+
+def test_typed_multi_mirror_evolves_per_table(spark, tmp_path):
+    """Multi-table fan-out + evolution: one envelope stream feeds two
+    mirrors; a mid-stream ADD COLUMN on ONE table widens only that
+    table's mirror (each table follows its own Relation sidecar), the
+    other keeps its declared shape."""
+    import struct
+
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.config import EngineConfig, TableConfig
+    from go_pq_cdc_spark.engine import CdcEngine
+    from go_pq_cdc_spark.sources.pgoutput import XLogData
+    from go_pq_cdc_spark.sources.slot_keeper import pump_frames
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    from .test_pgoutput import insert_msg, relation_msg
+
+    def xlog(lsn, payload):
+        return XLogData(lsn, lsn, 0, payload)
+
+    rel_u1 = relation_msg(
+        oid=16384, name="users", cols=(("pk", 20, True), ("name", 25, False))
+    )
+    rel_o = relation_msg(
+        oid=16385, name="orders", cols=(("pk", 20, True), ("total", 701, False))
+    )
+    rel_u2 = relation_msg(
+        oid=16384,
+        name="users",
+        cols=(("pk", 20, True), ("name", 25, False), ("score", 23, False)),
+    )
+    frames = [
+        xlog(10, rel_u1),
+        xlog(11, rel_o),
+        xlog(12, b"B" + struct.pack(">QqI", 30, 5, 900)),
+        xlog(13, insert_msg(oid=16384, vals=("1", "alice"))),
+        xlog(14, insert_msg(oid=16385, vals=("7", "99.5"))),
+        xlog(30, b"C" + struct.pack(">bQQq", 0, 30, 31, 5)),
+        xlog(40, rel_u2),  # ALTER TABLE users ADD COLUMN score int
+        xlog(41, b"B" + struct.pack(">QqI", 60, 6, 901)),
+        xlog(42, insert_msg(oid=16384, vals=("2", "bob", "7"))),
+        xlog(60, b"C" + struct.pack(">bQQq", 0, 60, 61, 6)),
+    ]
+    wal = str(tmp_path / "wal")
+    pump_frames(frames, wal, batch_rows=1)
+
+    eng = CdcEngine(
+        EngineConfig(
+            tables=[TableConfig("users"), TableConfig("orders"),
+                    TableConfig("cdc_heartbeat")],
+        ),
+        spark,
+    )
+    q = eng.typed_multi_mirror(
+        eng.envelope_changes(wal),
+        str(tmp_path / "state"),
+        str(tmp_path / "ck"),
+        tables={"public.users": "name string", "public.orders": "total double"},
+        evolve_schema=True,
+        wal_dir=wal,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    users = {
+        r["pk"]: (r["name"], r["score"])
+        for r in read_mirror(spark, str(tmp_path / "state" / "public__users")).collect()
+    }
+    orders_df = read_mirror(spark, str(tmp_path / "state" / "public__orders"))
+    assert users == {1: ("alice", None), 2: ("bob", 7)}
+    # the untouched table keeps its declared shape — no stray columns
+    assert [f.name for f in orders_df.schema.fields] == [
+        "pk", "lsn", "op", "total",
+    ]
+    assert {r["pk"]: r["total"] for r in orders_df.collect()} == {7: 99.5}
