@@ -11,10 +11,10 @@
 # the net for what the static plan lint cannot express.
 #
 # Two queries are excluded for their DUCKDB ORACLES (not their Spark
-# plans): dedup_ngram_jaccard and dedup_cluster_assign carry inherently
-# quadratic oracle SQL (blocked all-pairs Jaccard; recursive-CTE
-# closure) that runs for hours in DuckDB at sf1. Their Spark sides run
-# fine at sf1 and their oracles hash-MATCH at sf0.01/sf0.1.
+# plans): dedup_ngram_jaccard's blocked all-pairs SQL Jaccard is hours
+# of DuckDB at sf1, and dedup_cluster_assign's recursive-CTE closure
+# takes ~40 min (it DID match at sf1 in a one-off run, r8). Both Spark
+# sides run fine at sf1; both oracles hash-MATCH at sf0.01/sf0.1.
 set -e
 cd "$(dirname "$0")/.."
 SF1_DIR="${1:-/tmp/sf1}"
