@@ -254,14 +254,29 @@ class CdcEngine:
             .load()
         )
 
-    def raw_changes(self, wal_dir: str, plugin: str = "wal2json") -> DataFrame:
+    def raw_changes(self, wal_dir: str, plugin: str | None = None) -> DataFrame:
         """Streaming change envelope from slot-keeper segments: raw
         (lsn, xid, data) rows decoded JVM-side — wal2json `from_json`
         (production) or the test_decoding text grammar (contrib fallback,
-        present in every PostgreSQL build; see sources/test_decoding.py),
-        matching the plugin the keeper's slot was created with."""
+        present in every PostgreSQL build; see sources/test_decoding.py).
+
+        `plugin` defaults to `config.slot_plugin` so the decode arm ALWAYS
+        matches the plugin the slot was created with: a wal2json decode
+        over test_decoding text lines has its `from_json` action filter
+        drop every row — a silently empty change stream, the data-loss
+        class the rejects accessors exist to prevent (r8 advisor).
+        pgoutput is socket-framed, not poll-segment text — use
+        `envelope_changes` for that transport."""
         from .sources import lsn_stream
 
+        if plugin is None:
+            plugin = self.config.slot_plugin
+        if plugin == "pgoutput":
+            raise ValueError(
+                "slot_plugin='pgoutput' is the socket transport (binary "
+                "COPY-BOTH frames, no text poll segments) — use "
+                "envelope_changes(wal_dir) instead of raw_changes"
+            )
         lsn_stream.register(self.spark)
         raw = (
             self.spark.readStream.format("pq_cdc_wal")
@@ -746,7 +761,7 @@ class CdcEngine:
             env = (
                 self.envelope_changes(wal_dir)
                 if transport == "envelope"
-                else self.raw_changes(wal_dir)
+                else self.raw_changes(wal_dir, plugin="wal2json")
             )
             if evolve_schema:
                 if transport != "envelope":

@@ -233,18 +233,28 @@ def claim_next_chunk(
 
 
 def chunk_queue_stats(
-    state_dir: str, backend: ClaimBackend = DEFAULT_BACKEND
+    state_dir: str,
+    backend: ClaimBackend = DEFAULT_BACKEND,
+    with_rows: bool = True,
 ) -> dict:
     """pending/in_progress/completed counts + total rows_processed (the
-    reference's jobs-table `completed_chunks` / progress metrics)."""
+    reference's jobs-table `completed_chunks` / progress metrics).
+    `with_rows=False` skips summing rows_processed so every marker probe
+    is an existence check (a HEAD on object stores) instead of a
+    full-body read — the drain loop's per-poll fast path (r8 advisor)."""
     chunks = read_manifest(state_dir, backend)
     done = in_prog = rows = 0
     for c in chunks:
         idx = int(c["chunk_index"])
-        d, _ = backend.read(_done_path(state_dir, idx))
-        if d is not None:
+        if with_rows:
+            d, _ = backend.read(_done_path(state_dir, idx))
+            is_done = d is not None
+            if is_done:
+                rows += int(d.get("rows_processed", 0))
+        else:
+            is_done = backend.exists(_done_path(state_dir, idx))
+        if is_done:
             done += 1
-            rows += int(d.get("rows_processed", 0))
         elif backend.exists(_claim_path(state_dir, idx)):
             in_prog += 1
     return {
@@ -318,8 +328,16 @@ def drain(
     mine: list[int] = []
     deadline = time.time() + timeout_s
     last_done = -1
-    while not all_chunks_completed(state_dir, backend):
-        done_now = chunk_queue_stats(state_dir, backend)["completed"]
+    while True:
+        # ONE count-only stats pass per iteration serves both the
+        # completion test and the idle-deadline reset — the previous
+        # all_chunks_completed + chunk_queue_stats pair cost two O(chunks)
+        # marker sweeps (full-object GETs on a store) per 0.2s poll
+        # (r8 advisor).
+        stats = chunk_queue_stats(state_dir, backend, with_rows=False)
+        if stats["total"] and stats["completed"] == stats["total"]:
+            break
+        done_now = stats["completed"]
         if done_now > last_done:
             last_done = done_now
             deadline = time.time() + timeout_s

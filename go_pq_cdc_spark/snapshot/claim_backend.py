@@ -151,6 +151,9 @@ class ObjectStoreBackend(ClaimBackend):
            or etag mismatch under if_match)
       delete(key, if_match: etag | None = None) -> bool
       list(prefix) -> list[str]          (full keys under prefix)
+      head(key) -> etag | None           (OPTIONAL — existence probe
+          without downloading the body, S3 HeadObject / GCS metadata
+          get; `exists` falls back to a full get when absent)
 
     Keys are the POSIX-ish paths the queue composes; directories are
     virtual (ensure_dir is a no-op, list_names strips the prefix)."""
@@ -188,6 +191,12 @@ class ObjectStoreBackend(ClaimBackend):
         return self.client.delete(path, if_match=etag)
 
     def exists(self, path: str) -> bool:
+        # HEAD when the client has it: a queue drain probes O(chunks) done
+        # markers per poll — full-body GETs there are pure waste (r8
+        # advisor); boto3 head_object / GCS blob.reload are the real calls
+        head = getattr(self.client, "head", None)
+        if head is not None:
+            return head(path) is not None
         return self.client.get(path) is not None
 
     def list_names(self, d: str) -> list[str]:
@@ -217,6 +226,10 @@ class FakeObjectStore:
     def get(self, key):
         got = self.objects.get(key)
         return None if got is None else got
+
+    def head(self, key):
+        got = self.objects.get(key)
+        return None if got is None else got[1]
 
     def put(self, key, data, if_none_match=False, if_match=None):
         cur = self.objects.get(key)

@@ -120,6 +120,30 @@ def snapshot_socket_read(
     )
 
 
+def cooperative_chunk_sql(
+    table: TableConfig, chunk: dict, condition: str | None = None
+) -> str:
+    """SELECT for ONE queue chunk dict (`chunk_queue.manifest_from_plan`
+    shape). WHERE-range strategies go through `chunk_query`; OFFSET chunks
+    carry the planner's `__offset_chunk__ ORDER BY ... LIMIT ... OFFSET ...`
+    sentinel (planner.plan_offset), which is a subquery form, NOT a WHERE
+    predicate — passing it to chunk_query would render
+    `WHERE __offset_chunk__ ...`, a PostgreSQL syntax error at seed time
+    for every PK-less table (r8 advisor)."""
+    if chunk.get("partition_strategy") == Strategy.OFFSET.value or str(
+        chunk.get("where", "")
+    ).startswith("__offset_chunk__"):
+        cols = ", ".join(table.columns) if table.columns else "*"
+        where = f" WHERE {condition}" if condition else ""
+        order_by = chunk["where"].split(" ORDER BY ", 1)[1].split(" LIMIT ", 1)[0]
+        return (
+            f"SELECT * FROM (SELECT {cols} FROM {table.qualified}{where} "
+            f"ORDER BY {order_by} LIMIT {chunk['limit']} "
+            f"OFFSET {chunk['offset']}) AS chunk_{chunk['chunk_index']}"
+        )
+    return chunk_query(table, chunk["where"], condition)
+
+
 def make_socket_chunk_reader(
     spark: SparkSession,
     conn_args: dict,
@@ -140,7 +164,7 @@ def make_socket_chunk_reader(
         str_schema = T.StructType(
             [T.StructField(n, T.StringType()) for n in names]
         )
-        sql = chunk_query(tcfg, chunk["where"], condition)
+        sql = cooperative_chunk_sql(tcfg, chunk, condition)
         src = spark.createDataFrame([(0, sql)], "chunk_index int, sql string")
 
         def gen(batches):

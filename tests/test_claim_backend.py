@@ -56,6 +56,42 @@ def test_lifecycle_on_object_store(be):
                for k in be.client.objects)
 
 
+def test_exists_probes_use_head_not_get(be):
+    """Existence probes (done/claim markers — O(chunks) per drain poll)
+    must be HEAD requests, never body downloads (r8 advisor), and the
+    drain loop's per-iteration bookkeeping must be ONE count-only stats
+    pass (no rows_processed GETs)."""
+    calls = {"get": 0, "head": 0}
+    store = be.client
+    orig_get, orig_head = store.get, store.head
+
+    def get(key):
+        calls["get"] += 1
+        return orig_get(key)
+
+    def head(key):
+        calls["head"] += 1
+        return orig_head(key)
+
+    store.get, store.head = get, head
+    state = _mk_queue(be, n=3)
+    a = Q.claim_next_chunk(state, "app-a", backend=be)
+    a.complete(rows_processed=5)
+    calls["get"] = calls["head"] = 0
+    assert be.exists(Q._done_path(state, 0))
+    assert calls == {"get": 0, "head": 1}
+    # count-only stats: marker sweeps are all HEADs; the only GET is the
+    # manifest itself
+    calls["get"] = calls["head"] = 0
+    st = Q.chunk_queue_stats(state, backend=be, with_rows=False)
+    assert st["completed"] == 1 and st["rows_processed"] == 0
+    assert calls["get"] == 1 and calls["head"] >= 3
+    # drain to completion still works through the fast path
+    Q.drain(state, lambda chunk, claim: 0, instance_id="app-a",
+            timeout_s=5.0, backend=be)
+    assert Q.all_chunks_completed(state, backend=be)
+
+
 def test_manifest_first_writer_wins_conditional_put(be):
     state = "s3://b/s"
     first = Q.init_chunk_queue(

@@ -65,6 +65,7 @@ def test_engine_slot_keeper_and_raw_changes(spark, tmp_path):
 
     cfg = EngineConfig(
         slot_name="s_eng",
+        slot_plugin="wal2json",
         tables=[TableConfig("users"), TableConfig("cdc_heartbeat")],
     )
     eng = CdcEngine(cfg, spark)
@@ -106,6 +107,62 @@ def test_engine_slot_keeper_and_raw_changes(spark, tmp_path):
         assert [(r["op"], r["lsn"], r["xid"], r["pk"]) for r in rows] == [("I", 10, 5, "1")]
     finally:
         q.stop()
+
+
+def test_raw_changes_resolves_plugin_from_config(spark, tmp_path):
+    """raw_changes defaults to config.slot_plugin so the decode arm always
+    matches the plugin the slot was created with: a wal2json decode over
+    test_decoding text lines silently drops EVERY row (the from_json
+    action filter) — the data-loss class the r8 advisor flagged."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from go_pq_cdc_spark.config import EngineConfig, TableConfig
+    from go_pq_cdc_spark.engine import CdcEngine
+    from go_pq_cdc_spark.sources.lsn_stream import segment_path
+
+    wal_dir = tmp_path / "wal"
+    wal_dir.mkdir()
+    line = "table public.users: INSERT: pk[bigint]:1 val[text]:'a'"
+    pdf = pd.DataFrame([(10, 5, line)], columns=["lsn", "xid", "data"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        segment_path(str(wal_dir), 10, 10),
+    )
+
+    cfg = EngineConfig(
+        slot_plugin="test_decoding",
+        tables=[TableConfig("users"), TableConfig("cdc_heartbeat")],
+    )
+    eng = CdcEngine(cfg, spark)
+    env = eng.raw_changes(str(wal_dir))  # no plugin= — resolves from config
+    q = (
+        env.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("eng_raw_cfg")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT op, after['pk'] pk FROM eng_raw_cfg"
+        ).collect()
+        assert [(r["op"], r["pk"]) for r in rows] == [("I", "1")]
+    finally:
+        q.stop()
+
+    # pgoutput is socket-framed — poll-segment decode must refuse loudly
+    pg_eng = CdcEngine(
+        EngineConfig(
+            tables=[TableConfig("users"), TableConfig("cdc_heartbeat")]
+        ),
+        spark,
+    )
+    with pytest.raises(ValueError, match="envelope_changes"):
+        pg_eng.raw_changes(str(wal_dir))
 
 
 def test_start_initial_lifecycle(spark, tmp_path):
@@ -378,7 +435,7 @@ def test_typed_mirror_from_wal2json_envelope(spark, tmp_path):
         segment_path(str(wal_dir), 10, 30),
     )
     q = eng.typed_mirror(
-        eng.raw_changes(str(wal_dir)),
+        eng.raw_changes(str(wal_dir), plugin="wal2json"),
         str(tmp_path / "state"),
         str(tmp_path / "ck"),
         table="public.users",
@@ -433,7 +490,7 @@ def test_typed_multi_mirror_fanout(spark, tmp_path):
         segment_path(str(wal_dir), 10, 12),
     )
     q = eng.typed_multi_mirror(
-        eng.raw_changes(str(wal_dir)),
+        eng.raw_changes(str(wal_dir), plugin="wal2json"),
         str(tmp_path / "state"),
         str(tmp_path / "ck"),
         tables={

@@ -81,6 +81,49 @@ def test_chunk_reader_factory_for_cooperative_seed(spark):
     assert got == set(range(11, 31))
 
 
+def test_cooperative_chunk_sql_offset_dispatch():
+    """OFFSET-plan chunks carry the planner's `__offset_chunk__ ...`
+    sentinel, which is a LIMIT/OFFSET subquery form — the per-chunk
+    cooperative reader must render it like chunk_sqls does, not paste it
+    into a WHERE (a PostgreSQL syntax error at seed time for every
+    PK-less table — r8 advisor)."""
+    from go_pq_cdc_spark.snapshot.chunk_queue import manifest_from_plan
+    from go_pq_cdc_spark.sources.snapshot_socket import cooperative_chunk_sql
+
+    tcfg = TableConfig(name="users", columns=["pk", "val"])
+    plan = plan_offset(total_rows=50, chunk_size=20, order_by="ctid")
+    chunks = manifest_from_plan(plan)
+    for i, c in enumerate(chunks):
+        sql = cooperative_chunk_sql(tcfg, c, condition="val <> 'x'")
+        assert "__offset_chunk__" not in sql
+        assert f"LIMIT 20 OFFSET {i * 20}" in sql
+        assert "WHERE val <> 'x'" in sql and "ORDER BY ctid" in sql
+    # WHERE-range chunks keep the chunk_query path
+    rng = manifest_from_plan(plan_integer_range("pk", 1, 40, chunk_size=40))
+    sql = cooperative_chunk_sql(tcfg, rng[0])
+    assert sql == "SELECT pk, val FROM public.users WHERE pk >= 1 AND pk <= 40"
+
+
+def test_chunk_reader_factory_offset_chunk(spark):
+    """End to end through the factory: an OFFSET chunk dict produces a
+    well-formed subquery the fake server can serve."""
+    def fetch(conn_args, snapshot_id, sql):
+        # executor-side — smuggle the rendered SQL back through the rows
+        return [("1", sql, "t"), ("2", sql, "f")]
+
+    reader = make_socket_chunk_reader(
+        spark, CONN, schema_ddl="pk bigint, val string, flag boolean",
+        snapshot_id="snap-1", fetch=fetch,
+    )
+    from go_pq_cdc_spark.snapshot.chunk_queue import manifest_from_plan
+
+    chunk = manifest_from_plan(plan_offset(4, chunk_size=2, order_by="ctid"))[1]
+    rows = reader(TableConfig(name="users"), chunk).collect()
+    assert len(rows) == 2
+    sql = rows[0]["val"]
+    assert "__offset_chunk__" not in sql and "LIMIT 2 OFFSET 2" in sql
+
+
 def test_condition_and_projection_reach_sql():
     tcfg = TableConfig(name="users", columns=["pk", "val"])
     plan = plan_integer_range("pk", 1, 40, chunk_size=40)
