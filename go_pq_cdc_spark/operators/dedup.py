@@ -56,7 +56,7 @@ def band_key_fragments(sig: str, band_var: str = "b") -> dict[str, str]:
 
 def shingle_doc(
     df: DataFrame, id_col: str, text_col: str = "text", *, portable: bool = True,
-    n: int = 3,
+    n: int = 3, spread: bool = True,
 ) -> DataFrame:
     """(id, sh) with sh = distinct n-token-shingle hashes (default 3);
     rows with < n tokens dropped (can't shingle). Tokens are materialized to a column
@@ -68,7 +68,14 @@ def shingle_doc(
     hash so results are DuckDB-oracle-comparable. portable=False is the
     production path: xxhash64 (JVM intrinsic, much cheaper per byte) folded
     into the same [0, 2^31-1) range — identical pipeline shape and
-    candidate semantics, not cross-engine comparable."""
+    candidate semantics, not cross-engine comparable.
+
+    `spread=False` skips the small-input widening probe: pass it when
+    `df` is already downstream of a shuffle (it has
+    spark.sql.shuffle.partitions partitions by construction, and the
+    probe's `.rdd` materialization would EXECUTE the upstream stages at
+    plan time under AQE — the pre-collapse path paid its whole groupBy
+    eagerly for a no-op answer)."""
     from .scale import spread_small_input
 
     tok = P.tokens(text_col)["spark"]
@@ -77,8 +84,9 @@ def shingle_doc(
         h = P.md5_hash_m31("sh")["spark"]
     else:
         h = f"pmod(xxhash64(sh), {P.MERSENNE31})"
+    src = spread_small_input(df, F.col(id_col)) if spread else df
     return (
-        spread_small_input(df, F.col(id_col))
+        src
         .withColumn("toks", F.expr(tok))
         .filter(F.expr(f"size(toks) >= {int(n)}"))
         .select(
@@ -89,11 +97,13 @@ def shingle_doc(
 
 
 def minhash_per_doc(
-    df: DataFrame, id_col: str, text_col: str = "text", *, portable: bool = True
+    df: DataFrame, id_col: str, text_col: str = "text", *, portable: bool = True,
+    spread: bool = True,
 ) -> DataFrame:
     """Per-document MinHash state: (id, sh, m0..m{K-1}) — the shingle-hash
     set plus all K permutation minima, each an `array_min(transform(...))`
-    narrow expression (the shingle set never leaves its partition)."""
+    narrow expression (the shingle set never leaves its partition).
+    `spread=False` as in `shingle_doc` (post-shuffle inputs)."""
     mh = []
     for k in range(MINHASH_K):
         a_k, b_k = P.minhash_coeffs(k)
@@ -102,7 +112,9 @@ def minhash_per_doc(
                 f"array_min(transform(sh, h -> ({a_k}L * h + {b_k}L) % {P.MERSENNE31}L))"
             ).alias(f"m{k}")
         )
-    return shingle_doc(df, id_col, text_col, portable=portable).select("id", "sh", *mh)
+    return shingle_doc(
+        df, id_col, text_col, portable=portable, spread=spread
+    ).select("id", "sh", *mh)
 
 
 def _band_structs_sql() -> str:
@@ -125,6 +137,7 @@ def minhash_lsh_pairs(
     portable: bool = True,
     max_bucket: int | None = None,
     collapse_exact: bool | str = "auto",
+    dup_ratio: float | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash+LSH with exact-Jaccard verification.
 
@@ -158,6 +171,15 @@ def minhash_lsh_pairs(
     dispatch is free to be data-dependent (same class of bounded
     plan-time job as the chunk planner's MIN/MAX probe).
 
+    `dup_ratio` — the caller's known verbatim-duplicate fraction
+    (1 - distinct_texts/docs), e.g. from an earlier `text_profile`
+    pass — skips the auto probe entirely: at 100 TB the probe is still
+    one full scan of the text column per invocation, and a pipeline
+    that already profiled the corpus shouldn't pay it twice (r8
+    verdict item 8). The dispatch threshold is identical (collapse
+    when >= 5% of docs are verbatim copies). Ignored when
+    `collapse_exact` is passed as an explicit bool.
+
     Scale: signature computation is embarrassingly parallel over docs;
     candidates come from an equi-join on band buckets (high-cardinality
     key) — cost is O(candidates), not O(n^2). At 100 TB pass
@@ -183,6 +205,9 @@ def minhash_lsh_pairs(
     whose every bucket is dropped emits no intra-group pairs either,
     matching the direct path). Default None preserves exact oracle
     semantics."""
+    if collapse_exact == "auto" and dup_ratio is not None:
+        # hint supplied: same >=5% dispatch rule, zero Spark jobs
+        collapse_exact = dup_ratio >= 0.05
     if collapse_exact == "auto":
         stats = df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -313,7 +338,12 @@ def _lsh_pairs_collapsed(
         groups.select("_ek", "_rep", "_gn"), "_ek"
     ).select("_rep", "_mid", "_gn")
     reps = groups.select(F.col("_rep").alias(id_col), text_col)
-    per_doc = minhash_per_doc(reps, id_col, text_col, portable=portable).cache()
+    # spread=False: reps sits downstream of the md5 groupBy — already
+    # shuffle-partition wide, and the spread probe's .rdd materialization
+    # would execute that groupBy eagerly at plan time under AQE
+    per_doc = minhash_per_doc(
+        reps, id_col, text_col, portable=portable, spread=False
+    ).cache()
     weights = groups.select(F.col("_rep").alias("id"), "_gn")
     rep_pairs, kept_ids = _band_cand_verify(per_doc, threshold, max_bucket, weights)
     cross = (

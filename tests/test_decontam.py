@@ -225,3 +225,45 @@ def test_collapse_auto_dispatch(spark):
         for i, a in enumerate(ids):
             for b in ids[i + 1:]:
                 assert (a, b) in got_dup
+
+
+def test_dup_ratio_hint_skips_probe(spark):
+    """A caller-supplied dup_ratio (e.g. from an earlier text_profile
+    pass) replaces the auto probe: PLANNING the pairs DataFrame launches
+    ZERO Spark jobs (the probe was an eager count+HLL collect), and the
+    dispatch is identical to what the probe would have picked — >=5%
+    collapses, below stays direct (r8 verdict item 8)."""
+    from go_pq_cdc_spark.operators.dedup import minhash_lsh_pairs
+
+    vocab = [f"w{i}" for i in range(30)]
+    base = " ".join(vocab[i % 30] for i in range(12))
+    rows = [(g * 10 + c, f"{base} g{g}") for g in range(4) for c in range(5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("dup_ratio_hint", "zero-job assertion")
+    try:
+        hinted = minhash_lsh_pairs(
+            df, "doc_id", threshold=0.4, dup_ratio=0.8
+        )
+        ids = sc.statusTracker().getJobIdsForGroup("dup_ratio_hint")
+    finally:
+        sc.setJobGroup("", "")
+    assert list(ids) == [], "dup_ratio hint must not launch the probe job"
+
+    # dispatch identity: hinted >=5% == forced collapse; hinted <5% ==
+    # forced direct (and all four agree on the output set)
+    def pairset(d):
+        return {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in d.collect()
+        }
+
+    assert pairset(hinted) == pairset(
+        minhash_lsh_pairs(df, "doc_id", threshold=0.4, collapse_exact=True)
+    )
+    assert pairset(
+        minhash_lsh_pairs(df, "doc_id", threshold=0.4, dup_ratio=0.0)
+    ) == pairset(
+        minhash_lsh_pairs(df, "doc_id", threshold=0.4, collapse_exact=False)
+    )
