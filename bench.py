@@ -21,14 +21,52 @@ from go_pq_cdc_spark.catalog import TABLES, load_table  # noqa: E402
 from go_pq_cdc_spark.session import get_spark  # noqa: E402
 
 
+# Machine-factor anchor (r8 verdict item 6): this host's fleet-wide CPU
+# contention swings identical code 3-8x between runs (r8's headline
+# "regression" was byte-identical plans measuring 11.5s..34s). The anchor
+# times a FIXED pure-JVM Spark job (2B-row xxhash64 fold — no I/O, no
+# shuffle, saturates all cores exactly like whole-stage codegen query
+# execution) and reports queries_normalized = raw / machine_factor, so
+# round-over-round comparisons divide the fleet factor out instead of
+# arguing about it in NOTES. CAL_REF_SEC is the anchor's best-of-3 on
+# this container measured quiet (load < 1, zero steal) in round 9.
+CAL_REF_SEC = 3.48
+CAL_ROWS = 2_000_000_000
+
+
+def machine_calibration(spark) -> float:
+    """Best-of-3 of the fixed anchor job (first run pays codegen — the
+    best-of discipline matches the query timings)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(CAL_ROWS).selectExpr("count(xxhash64(id)) AS c").collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def read_steal_jiffies() -> int:
+    """Cumulative stolen-time jiffies from /proc/stat (field 8 of the
+    aggregate cpu line) — nonzero deltas mean a noisy-neighbor host."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
+    except OSError:
+        return 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("go-pq-cdc-spark-bench")
+    steal0 = read_steal_jiffies()
 
     # Warm up the JVM + file listing so query timings measure execution.
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+
+    cal = machine_calibration(spark)
 
     # Best-of-2 per query: the first execution of the large fixed-point
     # HOF expressions pays whole-stage-codegen + C2 JIT whose cost varies
@@ -47,6 +85,7 @@ def main() -> None:
     rates = throughput_benches(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
+    factor = cal / CAL_REF_SEC
     print(
         json.dumps(
             {
@@ -56,6 +95,16 @@ def main() -> None:
                 "queries": times,
                 "throughput_rows_per_sec": rates,
                 "sf": sf,
+                # host-noise anchor: divide raw by machine_factor to
+                # compare rounds on this fleet-shared box (r8 item 6)
+                "calibration_sec": round(cal, 3),
+                "calibration_ref_sec": CAL_REF_SEC,
+                "machine_factor": round(factor, 3),
+                "queries_normalized": {
+                    k: round(v / factor, 3) for k, v in times.items()
+                },
+                "value_normalized": round(total / factor, 3),
+                "steal_jiffies_delta": read_steal_jiffies() - steal0,
             }
         )
     )

@@ -301,16 +301,23 @@ class CdcEngine:
         checkpoint_dir: str,
         n_buckets: int | None = None,
         keep_epochs: int | None = None,
+        claim_backend=None,
     ):
         """Maintain a queryable current-state mirror (M3 apply idiom).
         `n_buckets` sizes a fresh mirror (buckets ~ state_size /
         target_rewrite_size, `suggest_mirror_buckets`); existing mirrors
         keep their manifest-pinned count. `keep_epochs` > 1 retains epoch
         snapshots for `state_as_of` time travel (None keeps the mirror's
-        pinned policy)."""
+        pinned policy). `claim_backend` selects the mirror's coordination
+        medium (lock/manifest/snapshots — `snapshot.claim_backend`);
+        default POSIX, pass an ObjectStoreBackend for S3/GCS state
+        dirs."""
+        from .snapshot.claim_backend import DEFAULT_BACKEND
+
         return mirror_sink(
             stream_df, state_dir, checkpoint_dir, n_buckets=n_buckets,
             keep_epochs=keep_epochs,
+            backend=claim_backend or DEFAULT_BACKEND,
         )
 
     def typed_mirror(
@@ -322,6 +329,7 @@ class CdcEngine:
         value_schema: str,
         pk_col: str = "pk",
         n_buckets: int | None = None,
+        claim_backend=None,
     ):
         """Whole-row TYPED mirror straight from the change envelope — the
         reference's sink contract (typed full-row events applied in commit
@@ -336,9 +344,12 @@ class CdcEngine:
         value)."""
         from .streaming.changelog_stream import mirror_sink as _sink
 
+        from .snapshot.claim_backend import DEFAULT_BACKEND
+
         flat, value_cols = self._typed_flat(changes, table, value_schema, pk_col)
         return _sink(
-            flat, state_dir, checkpoint_dir, n_buckets=n_buckets, value_cols=value_cols
+            flat, state_dir, checkpoint_dir, n_buckets=n_buckets,
+            value_cols=value_cols, backend=claim_backend or DEFAULT_BACKEND,
         )
 
     def _typed_flat(self, changes, table: str, value_schema: str, pk_col: str):
@@ -382,34 +393,63 @@ class CdcEngine:
 
     def _evolved_value_schema(
         self, wal_dir: str, table: str, declared_ddl: str
-    ) -> str:
-        """Widen a declared value DDL with columns the pump's Relation
-        sidecar has seen that the declaration lacks (PG type -> Spark type
-        via the same mapping the typed decode uses). Declared columns keep
-        their order and types; sidecar-only columns append in relation
-        order. Columns named like the flat envelope's own (op/lsn/pk/...)
-        are skipped — they cannot be value columns of the mirror row."""
+    ) -> tuple[str, tuple[str, ...]]:
+        """(evolved DDL, dropped column names) from the pump's Relation
+        sidecar — the transport-level schema authority (relation.go:11-19,
+        refreshed on every Relation re-send):
+
+        * sidecar-only columns APPEND in relation order (ADD COLUMN);
+        * a declared column whose sidecar type differs WIDENS in place
+          when the pair is a safe parquet read-promotion
+          (`streaming.changelog_stream.widened_type` — ALTER COLUMN TYPE
+          int4->int8 etc.); a non-widenable change raises (rebuild);
+        * a declared column ABSENT from the sidecar was DROPPED — it
+          keeps its slot in the DDL (the mirror masks it dead from this
+          epoch; see merge_mirror_batch dropped_cols) and is returned in
+          the drop list.
+
+        Columns named like the flat envelope's own (op/lsn/pk/...) are
+        skipped — they cannot be value columns of the mirror row."""
         from .envelope import pg_type_to_spark
         from .sources.slot_keeper import read_relation_schema
+        from .streaming.changelog_stream import widened_type
 
         rel_cols = read_relation_schema(wal_dir, table)
         if not rel_cols:
-            return declared_ddl
+            return declared_ddl, ()
         declared = [
             (f.name, f.dataType.simpleString())
             for f in self.spark.createDataFrame([], declared_ddl).schema.fields
         ]
+        rel_types = {n: pg_type_to_spark(t).simpleString() for n, t in rel_cols}
+        out: list[tuple[str, str]] = []
+        dropped: list[str] = []
+        for n, t in declared:
+            if n not in rel_types:
+                dropped.append(n)
+                out.append((n, t))  # keeps its slot; the merge masks it
+                continue
+            rt = rel_types[n]
+            if rt == t:
+                out.append((n, t))
+                continue
+            w = widened_type(t, rt)
+            if w is None:
+                raise ValueError(
+                    f"column {table}.{n} changed type {t} -> {rt}, which "
+                    "is not a safe parquet widening — the mirror requires "
+                    "a rebuild"
+                )
+            out.append((n, w))
         have = {n for n, _t in declared} | {
             "op", "lsn", "txn_seq", "xid", "commit_ts", "pk", "pb",
         }
-        extra = [
+        out += [
             (n, pg_type_to_spark(t).simpleString())
             for n, t in rel_cols
             if n not in have
         ]
-        if not extra:
-            return declared_ddl
-        return ", ".join(f"{n} {t}" for n, t in declared + extra)
+        return ", ".join(f"{n} {t}" for n, t in out), tuple(dropped)
 
     def typed_multi_mirror(
         self,
@@ -421,6 +461,7 @@ class CdcEngine:
         n_buckets: int | None = None,
         evolve_schema: bool = False,
         wal_dir: str | None = None,
+        claim_backend=None,
     ):
         """O17 typed fan-out: ONE slot's envelope stream feeds every
         published table's whole-row mirror (the reference runs one
@@ -438,15 +479,20 @@ class CdcEngine:
         manifest pin, pre-DDL rows read NULL for new columns."""
         import os as _os
 
+        from .snapshot.claim_backend import DEFAULT_BACKEND
         from .streaming.changelog_stream import merge_mirror_batch
 
         if evolve_schema and wal_dir is None:
             raise ValueError("evolve_schema=True requires wal_dir=")
+        backend = claim_backend or DEFAULT_BACKEND
 
         def apply(batch_df, _spark_epoch: int) -> None:
             for table, vschema in tables.items():
+                dropped = None
                 if evolve_schema:
-                    vschema = self._evolved_value_schema(wal_dir, table, vschema)
+                    vschema, dropped = self._evolved_value_schema(
+                        wal_dir, table, vschema
+                    )
                 flat, value_cols = self._typed_flat(batch_df, table, vschema, pk_col)
                 # epoch=None: each mirror numbers epochs from its own
                 # manifest counter — Spark's batch id collides with any
@@ -458,6 +504,8 @@ class CdcEngine:
                     n_buckets=n_buckets,
                     value_cols=value_cols,
                     evolve_schema=evolve_schema,
+                    backend=backend,
+                    dropped_cols=dropped,
                 )
 
         return (
@@ -570,9 +618,11 @@ class CdcEngine:
         is next written."""
         from pyspark.sql import functions as F
 
+        from .snapshot.claim_backend import DEFAULT_BACKEND
         from .sources.slot_keeper import lsn_to_int
         from .streaming.changelog_stream import merge_mirror_batch
 
+        mirror_backend = claim_backend or DEFAULT_BACKEND
         if evolve_schema and transport != "envelope":
             # fail BEFORE any snapshot work: the text-plugin transports
             # carry no Relation messages, so there is no typed schema
@@ -621,7 +671,7 @@ class CdcEngine:
                 return self._start_stream(
                     wal_dir, state_dir, checkpoint_dir, snapshot_lsn,
                     mirror_buckets, value_schema, value_cols, transport,
-                    table, keep_epochs, evolve_schema,
+                    table, keep_epochs, evolve_schema, backend=mirror_backend,
                 )
             if snapshot_reader is None:
                 raise ValueError(
@@ -662,6 +712,7 @@ class CdcEngine:
                             # write — it must pin the caller's retention,
                             # or snapshot_only mode silently keeps 1
                             keep_epochs=keep_epochs,
+                            backend=mirror_backend,
                         )
                     # Persist the seam: a later restart must anchor its
                     # stream filter HERE, not at a fresh wal_lsn read —
@@ -690,7 +741,7 @@ class CdcEngine:
         return self._start_stream(
             wal_dir, state_dir, checkpoint_dir, snapshot_lsn, mirror_buckets,
             value_schema, value_cols, transport, table, keep_epochs,
-            evolve_schema,
+            evolve_schema, backend=mirror_backend,
         )
 
     def _start_stream(
@@ -706,9 +757,13 @@ class CdcEngine:
         table,
         keep_epochs,
         evolve_schema=False,
+        backend=None,
     ):
         """Post-seed data plane: the changelog stream from `wal_dir`,
         filtered to post-handoff events, merging into the mirror."""
+        from .snapshot.claim_backend import DEFAULT_BACKEND
+
+        backend = backend or DEFAULT_BACKEND
         from pyspark.sql import functions as F
 
         from .streaming.changelog_stream import changelog_stream, mirror_sink
@@ -724,10 +779,13 @@ class CdcEngine:
             # The text grammar's commit-ts stamp is a per-xid aggregate +
             # join — not expressible incrementally on an unbounded stream.
             # Stream the RAW segments and run decode + typing per
-            # micro-batch inside the sink (batch semantics make the join
-            # exact whenever a txn's COMMIT lands in the same batch; a txn
-            # split across poll segments gets NULL commit_ts, never a
-            # wrong one — ordering rides (lsn, txn_seq), not commit_ts).
+            # micro-batch inside the sink. The keeper cuts raw segments at
+            # COMMIT boundaries (SlotKeeper.poll_once, r9), so a txn never
+            # straddles a segment and the per-batch join always sees its
+            # COMMIT — commit_ts is exact on any batch boundary (the only
+            # degraded case is a txn that out-sizes the keeper's bounded
+            # window escalation, which ships with NULL commit_ts, never a
+            # wrong one; ordering rides (lsn, txn_seq), not commit_ts).
             if table is None:
                 raise ValueError(f"transport={transport!r} requires table=")
             from .sources import lsn_stream
@@ -754,6 +812,7 @@ class CdcEngine:
                 value_cols=value_cols,
                 keep_epochs=keep_epochs,
                 transform=transform,
+                backend=backend,
             )
         elif transport in ("envelope", "wal2json"):
             if table is None:
@@ -780,12 +839,20 @@ class CdcEngine:
                     # mid-stream ALTER TABLE ADD COLUMN re-sends the
                     # Relation, the pump refreshes _schema/<table>.json,
                     # and the next micro-batch types + merges the widened
-                    # row shape (merge widens the manifest pin)
-                    vschema = self._evolved_value_schema(
+                    # row shape (merge widens the manifest pin; ALTER
+                    # COLUMN TYPE widens the pinned type when safe)
+                    vschema, _dropped = self._evolved_value_schema(
                         wal_dir, table, value_schema
                     )
                     flat, _ = self._typed_flat(batch_df, table, vschema, "pk")
                     return flat.filter(F.col("lsn") > snapshot_lsn)
+
+                def dropped_now() -> tuple[str, ...]:
+                    # re-evaluated per batch by the sink: a mid-stream
+                    # DROP COLUMN changes the answer between batches
+                    return self._evolved_value_schema(
+                        wal_dir, table, value_schema
+                    )[1]
 
                 return snapshot_lsn, mirror_sink(
                     env,
@@ -796,6 +863,8 @@ class CdcEngine:
                     keep_epochs=keep_epochs,
                     transform=transform,
                     evolve_schema=True,
+                    backend=backend,
+                    dropped_cols=dropped_now,
                 )
             flat, _ = self._typed_flat(env, table, value_schema, "pk")
         else:
@@ -813,6 +882,7 @@ class CdcEngine:
             n_buckets=mirror_buckets,
             value_cols=value_cols,
             keep_epochs=keep_epochs,
+            backend=backend,
         )
 
     def _cooperative_seed(
@@ -909,6 +979,7 @@ class CdcEngine:
                     n_buckets=mirror_buckets,
                     value_cols=value_cols,
                     keep_epochs=keep_epochs,
+                    backend=claim_backend,
                     **lock_kw,
                 )
                 # rows_processed=0: an exact count would cost one extra
@@ -926,27 +997,38 @@ class CdcEngine:
             )
         return min(published) if published else snapshot_lsn
 
-    def state_as_of(self, state_dir: str, epoch: int) -> DataFrame:
+    def state_as_of(
+        self, state_dir: str, epoch: int, claim_backend=None
+    ) -> DataFrame:
         """Time-travel read of a retained mirror epoch (see
         `streaming.read_mirror_as_of`; requires the mirror's pinned
         keep_epochs retention to cover it)."""
+        from .snapshot.claim_backend import DEFAULT_BACKEND
         from .streaming import read_mirror_as_of
 
-        return read_mirror_as_of(self.spark, state_dir, epoch)
+        return read_mirror_as_of(
+            self.spark, state_dir, epoch, backend=claim_backend or DEFAULT_BACKEND
+        )
 
-    def current_state(self, state_dir: str) -> DataFrame:
+    def current_state(self, state_dir: str, claim_backend=None) -> DataFrame:
+        from .snapshot.claim_backend import DEFAULT_BACKEND
         from .streaming import read_mirror
 
-        return read_mirror(self.spark, state_dir)
+        return read_mirror(
+            self.spark, state_dir, backend=claim_backend or DEFAULT_BACKEND
+        )
 
-    def lookup(self, state_dir: str, pks: list[int]) -> DataFrame:
+    def lookup(self, state_dir: str, pks: list[int], claim_backend=None) -> DataFrame:
         """Bucket-pruned point lookup in the mirror: reads only the bucket
         files the keys hash into (~len(pks)/n_buckets of the state)."""
+        from .snapshot.claim_backend import DEFAULT_BACKEND
         from .streaming import lookup_mirror
 
-        return lookup_mirror(self.spark, state_dir, pks)
+        return lookup_mirror(
+            self.spark, state_dir, pks, backend=claim_backend or DEFAULT_BACKEND
+        )
 
-    def register_view(self, state_dir: str, name: str) -> DataFrame:
+    def register_view(self, state_dir: str, name: str, claim_backend=None) -> DataFrame:
         """Expose the mirror to SQL: `spark.sql(f"SELECT ... FROM {name}")`
         resolves to the state at the LAST MERGE COMMIT (SURVEY §7's
         catalog-resolution nice-to-have, done the Spark-first way).
@@ -959,9 +1041,12 @@ class CdcEngine:
         race file deletion — the same exposure any non-MVCC file source
         has; use a table format (Delta/Iceberg) when snapshot-isolated
         readers are required."""
+        from .snapshot.claim_backend import DEFAULT_BACKEND
         from .streaming.changelog_stream import register_mirror_view
 
-        return register_mirror_view(self.spark, state_dir, name)
+        return register_mirror_view(
+            self.spark, state_dir, name, backend=claim_backend or DEFAULT_BACKEND
+        )
 
     # -- observability (O33) ------------------------------------------------
 

@@ -64,6 +64,12 @@ class ClaimBackend:
     def put_if_absent(self, path: str, doc: dict) -> bool:
         raise NotImplementedError
 
+    def put(self, path: str, doc: dict) -> None:
+        """Unconditional atomic publish (last writer wins) — for
+        single-writer-by-construction files like per-epoch manifest
+        snapshots, written only under the merge lock."""
+        raise NotImplementedError
+
     def swap(self, path: str, doc: dict, etag: object) -> bool:
         """Replace `path` with `doc` iff it still matches `etag` (where
         the backend can enforce it). True on success."""
@@ -116,6 +122,9 @@ class PosixLinkBackend(ClaimBackend):
                 os.remove(tmp)
             except FileNotFoundError:
                 pass
+
+    def put(self, path: str, doc: dict) -> None:
+        os.replace(self._write_tmp(path, doc), path)
 
     def swap(self, path: str, doc: dict, etag: object) -> bool:
         # rename is unconditional: last-writer-wins inside the (rare)
@@ -178,6 +187,9 @@ class ObjectStoreBackend(ClaimBackend):
     def put_if_absent(self, path: str, doc: dict) -> bool:
         data = json.dumps(doc).encode()
         return self.client.put(path, data, if_none_match=True) is not None
+
+    def put(self, path: str, doc: dict) -> None:
+        self.client.put(path, json.dumps(doc).encode())
 
     def swap(self, path: str, doc: dict, etag: object) -> bool:
         data = json.dumps(doc).encode()

@@ -447,22 +447,91 @@ class SlotKeeper:
 
     # -- one protocol step each ---------------------------------------------
 
+    def _is_commit_row(self, data: str) -> bool:
+        """Transaction-boundary marker per plugin: test_decoding emits a
+        `COMMIT <xid> (at <ts>)` line, wal2json format-2 a `{"action":"C"}`
+        document."""
+        if self.plugin == "test_decoding":
+            return data.startswith("COMMIT")
+        return '"action":"C"' in data
+
+    def _split_committed(self, rows: list[tuple]) -> tuple[list[tuple], list[tuple]]:
+        """(shipped, trailing): walk the peek output's contiguous
+        BEGIN..COMMIT blocks (logical decoding emits whole txns in commit
+        order, never interleaved) and keep each block iff its COMMIT line
+        sits ABOVE the frontier; `trailing` is the tail after the last
+        COMMIT — a transaction the LIMIT cut mid-flight.
+
+        Replay dedup is at COMMIT granularity, NEVER per-row lsn (the
+        pump's rule, `pump_frames`): adjacent transactions can share
+        reported LSNs at the boundary — a COMMIT line's lsn can equal the
+        NEXT transaction's first-change lsn (live-found: after an advance
+        to the commit position, the follow-up txn's BEGIN and first DML
+        peek at exactly the frontier) — so `lsn > frontier` row filtering
+        silently drops the head of the next transaction. A block ships or
+        drops WHOLE on its commit position, which is strictly increasing
+        across transactions."""
+        shipped: list[tuple] = []
+        block: list[tuple] = []
+        for r in rows:
+            block.append(r)
+            if self._is_commit_row(r[2]):
+                if lsn_to_int(r[0]) > self.frontier:
+                    shipped.extend(block)
+                block = []
+        return shipped, block
+
     def poll_once(self) -> int:
-        """PEEK new changes; write them as the next contiguous segment.
-        Returns the number of NEW rows shipped."""
-        sql = poll_changes_sql(
-            self.slot_name, self.tables, limit=self.poll_limit, plugin=self.plugin
-        )
-        rows = with_backoff(
-            lambda: self.run_sql(sql), self.backoff, sleep=self._sleep
-        )
-        fresh = [r for r in rows if lsn_to_int(r[0]) > self.frontier]
-        if not fresh:
+        """PEEK new changes; write them as the next COMMIT-ALIGNED segment.
+        Returns the number of NEW rows shipped.
+
+        Segments are cut at the LAST transaction boundary in the peeked
+        window (the same whole-transaction contract the pgoutput pump
+        keeps, `pump_frames`): rows after the final COMMIT marker are a
+        transaction the LIMIT cut mid-flight — they stay unshipped (the
+        frontier doesn't pass their commit, so the next peek re-reads the
+        transaction whole). This makes every raw segment self-contained
+        for the test_decoding arm's per-xid commit-timestamp join (a txn
+        can never straddle a segment, so the per-micro-batch decode
+        always sees its COMMIT — r8 verdict item 5; wal2json DML docs
+        carry their own timestamp either way). When a single transaction
+        out-sizes the window, the peek retries with a doubled LIMIT
+        (bounded); a transaction still unbounded after that ships
+        unaligned — at-least-once holds, only its commit_ts degrades to
+        NULL, never a wrong value."""
+        limit = self.poll_limit
+        shipped: list[tuple] = []
+        for _attempt in range(6):
+            sql = poll_changes_sql(
+                self.slot_name, self.tables, limit=limit, plugin=self.plugin
+            )
+            rows = with_backoff(
+                lambda sql=sql: self.run_sql(sql), self.backoff, sleep=self._sleep
+            )
+            if not rows:
+                return 0
+            shipped, trailing = self._split_committed(rows)
+            if shipped:
+                break
+            if len(rows) < limit:
+                # slot exhausted with no commit marker above the frontier:
+                # either everything peeked is replay (drop by row — a
+                # complete replayed txn never ends above the frontier) or
+                # the plugin/option mix emits no txn markers (ship as-is,
+                # the pre-r9 behavior)
+                shipped = [r for r in trailing if lsn_to_int(r[0]) > self.frontier]
+                break
+            limit *= 2  # a txn bigger than the window: widen and re-peek
+        else:
+            # no commit marker within 6 escalations: ship unaligned rather
+            # than stall (at-least-once holds; commit_ts degrades to NULL)
+            shipped = [r for r in rows if lsn_to_int(r[0]) > self.frontier]
+        if not shipped:
             return 0
-        end = write_raw_segment(self.wal_dir, self.frontier + 1, fresh)
+        end = write_raw_segment(self.wal_dir, self.frontier + 1, shipped)
         self.frontier = end
         self._last_activity = self._clock()
-        return len(fresh)
+        return len(shipped)
 
     def advance_once(self) -> bool:
         """Ack the durably-written frontier on the server (idempotent).

@@ -135,10 +135,12 @@ def decode_test_decoding(
     watermarked stream-stream machinery), so a streaming `raw` gets
     commit_ts = NULL here; the engine's mirror path instead streams RAW
     segments and runs this decode per micro-batch inside the sink
-    (`engine._start_stream` transport="test_decoding"), where batch
-    semantics make the join exact for any transaction whose COMMIT lands
-    in the same micro-batch. Ordering never depends on commit_ts — the
-    merge orders on (lsn, txn_seq)."""
+    (`engine._start_stream` transport="test_decoding"). The keeper cuts
+    raw segments at COMMIT boundaries (SlotKeeper.poll_once, r9 — the
+    pgoutput pump's whole-transaction contract on the poll arm), so every
+    transaction's COMMIT lands in the same micro-batch as its rows and
+    the join is exact on any batch boundary. Ordering never depends on
+    commit_ts — the merge orders on (lsn, txn_seq)."""
     d = F.col(data_col)
     dml = raw.filter(d.rlike(_DML_PREFIX)).select(
         F.col("lsn").cast("long").alias("lsn"),

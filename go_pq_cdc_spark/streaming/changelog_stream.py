@@ -17,20 +17,37 @@ Mirror layout (the scale-critical part): state is hash-bucketed by pk into
 keys appear in the batch, so per-batch IO scales with batch size, not with
 total state size (the Delta/Iceberg `MERGE INTO` access pattern expressed
 on plain parquet). A manifest file maps bucket -> current data directory
-and is swapped atomically (`os.replace`), so a crash at any point leaves
-the previous consistent snapshot readable — no rename pair to die between.
+and is swapped atomically, so a crash at any point leaves the previous
+consistent snapshot readable — no rename pair to die between.
+
+Coordination medium (r8 verdict item 1): every coordination FILE — the
+merge lock, the live manifest, the per-epoch manifest snapshots — goes
+through the same pluggable `snapshot.claim_backend.ClaimBackend` the
+cooperative chunk queue uses. The default `PosixLinkBackend` keeps the
+pre-r9 on-disk layout byte-compatible; an `ObjectStoreBackend` maps the
+lock's acquire/heartbeat/takeover and the MANIFEST SWAP ITSELF to
+conditional requests, where the swap becomes a true compare-and-swap
+(If-Match on the etag read at merge start) — the residual POSIX
+last-writer-wins window between check_owned and os.replace does not
+exist there. Data directories (the `epochs/**` parquet Spark writes)
+are listed and garbage-collected through Spark's own Hadoop filesystem,
+which resolves file://, s3a:// and gs:// URIs alike — so a mirror whose
+state_dir is a bucket needs no POSIX anywhere. The reference's
+equivalent coordination is Postgres-backed and location-independent
+(pq/snapshot/worker.go:421-484); this is the Spark-native analogue.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+from ..snapshot.claim_backend import DEFAULT_BACKEND, ClaimBackend
 
 # Flat envelope used by the streaming tests/fixtures (a typed projection of
 # envelope.CHANGE_EVENT_SCHEMA for a single table).
@@ -93,44 +110,75 @@ def _bucket_col(pk: str = "pk", n_buckets: int = MIRROR_BUCKETS):
     return F.pmod(F.xxhash64(F.col(pk)), F.lit(n_buckets)).cast("int")
 
 
-def _read_json_file(path: str) -> dict | None:
-    try:
-        with open(path) as f:
-            doc = json.load(f)
-        return doc if isinstance(doc, dict) else None
-    except (FileNotFoundError, json.JSONDecodeError):
-        return None
-
-
-def _read_manifest(state_dir: str) -> dict:
+def _read_manifest_versioned(
+    state_dir: str, backend: ClaimBackend
+) -> tuple[dict, object]:
+    """(manifest, etag). The etag is the commit-time CAS token: a merge
+    that read the manifest at etag E may only swap it while it is still
+    at E (enforced on etag-bearing backends; None on POSIX, where the
+    lock's pre-swap ownership fence is the guard)."""
     p = os.path.join(state_dir, _MANIFEST)
-    if not os.path.exists(p):
-        return {"epoch": -1, "buckets": {}}
-    with open(p) as f:
-        return json.load(f)
+    doc, etag = backend.read(p)
+    if doc is None:
+        if backend.exists(p):
+            # unparseable manifest object: atomic publish makes this
+            # impossible in normal operation — never degrade it to "fresh
+            # mirror" (the next merge would orphan every bucket)
+            raise ValueError(f"mirror manifest at {p} exists but is unreadable")
+        return {"epoch": -1, "buckets": {}}, etag
+    return doc, etag
 
 
-def _write_manifest(state_dir: str, manifest: dict) -> None:
-    tmp = os.path.join(state_dir, _MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(state_dir, _MANIFEST))  # atomic commit point
+def _read_manifest(
+    state_dir: str, backend: ClaimBackend = DEFAULT_BACKEND
+) -> dict:
+    return _read_manifest_versioned(state_dir, backend)[0]
 
 
 def _snapshot_manifest_path(state_dir: str, epoch: int) -> str:
     return os.path.join(state_dir, "manifests", f"e{epoch:09d}.json")
 
 
-def _write_manifest_snapshot(state_dir: str, manifest: dict) -> None:
+def _write_manifest_snapshot(
+    state_dir: str, manifest: dict, backend: ClaimBackend
+) -> None:
     """Immutable per-epoch manifest copy — the time-travel commit log
     (the single-table analogue of a Delta/Iceberg snapshot list). Written
-    BEFORE the live-manifest swap so a retained epoch is always readable."""
+    BEFORE the live-manifest swap so a retained epoch is always readable.
+    Unconditional put: only the lock holder writes epoch N's snapshot,
+    and a crash-before-swap replay of the same epoch must overwrite its
+    own orphan."""
     p = _snapshot_manifest_path(state_dir, manifest["epoch"])
-    os.makedirs(os.path.dirname(p), exist_ok=True)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, p)
+    backend.ensure_dir(os.path.dirname(p))
+    backend.put(p, manifest)
+
+
+# --- data-directory primitives (the parquet Spark writes) -------------------
+#
+# Coordination files ride the ClaimBackend; the DATA directories live
+# wherever Spark wrote them, so listing and deleting them goes through
+# Spark's Hadoop filesystem — the one component that already resolves
+# file://, s3a://, gs:// (and inherits the session's credentials). os.*
+# here would silently pin the mirror to POSIX.
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_list_names(spark: SparkSession, d: str) -> list[str]:
+    """Child entry names directly under a data dir; [] when absent."""
+    fs, jpath = _hadoop_fs(spark, d)
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def _fs_delete(spark: SparkSession, d: str) -> None:
+    fs, jpath = _hadoop_fs(spark, d)
+    fs.delete(jpath, True)
 
 
 def _mirror_struct(spark: SparkSession, value_schema: str):
@@ -138,6 +186,22 @@ def _mirror_struct(spark: SparkSession, value_schema: str):
     return spark.createDataFrame(
         [], f"pk bigint, lsn bigint, op string, {value_schema}"
     ).schema
+
+
+def _masked_cols(struct, dropped) -> list:
+    """Projection over a mirror struct with DROPPED columns masked to
+    NULL: a column the source table dropped keeps its slot in the row
+    shape (bucket files still hold pre-drop values) but reads as NULL
+    from the drop epoch on — new tuples are authoritative, exactly the
+    reference's Relation-cache overwrite semantics (relation.go:68-87).
+    Time travel is untouched: a pre-drop epoch's manifest snapshot has no
+    drop marker, so reads through it serve the real stored values."""
+    return [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        if f.name in dropped
+        else F.col(f.name)
+        for f in struct.fields
+    ]
 
 
 def _manifest_df(spark: SparkSession, state_dir: str, manifest: dict) -> DataFrame:
@@ -149,18 +213,23 @@ def _manifest_df(spark: SparkSession, state_dir: str, manifest: dict) -> DataFra
     untouched since the widening still hold the narrower row shape, and
     an explicit-schema parquet read fills the missing columns with NULL
     (schema-inference over mixed files would either miss the new column
-    or fail the select)."""
+    or fail the select; narrower stored types promote per SPARK-40876).
+    Columns the manifest marks dropped read as NULL (`_masked_cols`)."""
     value_schema = manifest.get("value_schema", "after_val double")
     paths = [os.path.join(state_dir, rel) for rel in manifest["buckets"].values()]
     struct = _mirror_struct(spark, value_schema)
+    masked = _masked_cols(struct, set(manifest.get("dropped", {})))
     if not paths:
         return spark.createDataFrame([], struct)
-    return spark.read.schema(struct).parquet(*paths).select(
-        *[f.name for f in struct.fields]
-    )
+    return spark.read.schema(struct).parquet(*paths).select(*masked)
 
 
-def read_mirror_as_of(spark: SparkSession, state_dir: str, epoch: int) -> DataFrame:
+def read_mirror_as_of(
+    spark: SparkSession,
+    state_dir: str,
+    epoch: int,
+    backend: ClaimBackend = DEFAULT_BACKEND,
+) -> DataFrame:
     """TIME-TRAVEL read: the mirror exactly as of `epoch`'s commit. Reads
     the retained immutable manifest snapshot; raises a clear error when
     the epoch has been garbage-collected (older than the mirror's
@@ -174,40 +243,56 @@ def read_mirror_as_of(spark: SparkSession, state_dir: str, epoch: int) -> DataFr
     Size `keep_epochs` to cover the longest reader, exactly like a Delta
     VACUUM horizon."""
     p = _snapshot_manifest_path(state_dir, epoch)
-    if not os.path.exists(p):
+    manifest, _ = backend.read(p)
+    if manifest is None:
         raise ValueError(
             f"mirror epoch {epoch} is not retained at {state_dir} "
             "(garbage-collected or never written; raise keep_epochs)"
         )
-    with open(p) as f:
-        manifest = json.load(f)
     return _manifest_df(spark, state_dir, manifest)
 
 
-def read_mirror(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_mirror(
+    spark: SparkSession, state_dir: str, backend: ClaimBackend = DEFAULT_BACKEND
+) -> DataFrame:
     """The queryable current state: union of every bucket's live directory
     as recorded by the manifest (consistent at the last merge commit).
     Column shape comes from the manifest's pinned value schema (mirrors
     created before multi-column support default to `after_val double`)."""
-    manifest = _read_manifest(state_dir)
+    manifest = _read_manifest(state_dir, backend)
     return _manifest_df(spark, state_dir, manifest)
 
 
-_MIRROR_VIEWS: dict[str, set[str]] = {}  # abspath(state_dir) -> view names
+_MIRROR_VIEWS: dict[str, set[str]] = {}  # state_dir key -> view names
 
 
-def register_mirror_view(spark: SparkSession, state_dir: str, name: str) -> DataFrame:
+def _views_key(state_dir: str) -> str:
+    # URIs (s3a://...) must not go through abspath; local paths normalize
+    return state_dir if "://" in state_dir else os.path.abspath(state_dir)
+
+
+def register_mirror_view(
+    spark: SparkSession,
+    state_dir: str,
+    name: str,
+    backend: ClaimBackend = DEFAULT_BACKEND,
+) -> DataFrame:
     """Temp view over the mirror's current manifest, KEPT CURRENT across
     merges: `merge_mirror_batch` re-registers every view recorded here
     right after its manifest swap (and before GC deletes the superseded
     bucket dirs the old view plan referenced — ADVICE r4)."""
-    _MIRROR_VIEWS.setdefault(os.path.abspath(state_dir), set()).add(name)
-    df = read_mirror(spark, state_dir)
+    _MIRROR_VIEWS.setdefault(_views_key(state_dir), set()).add(name)
+    df = read_mirror(spark, state_dir, backend)
     df.createOrReplaceTempView(name)
     return df
 
 
-def lookup_mirror(spark: SparkSession, state_dir: str, pks: list[int]) -> DataFrame:
+def lookup_mirror(
+    spark: SparkSession,
+    state_dir: str,
+    pks: list[int],
+    backend: ClaimBackend = DEFAULT_BACKEND,
+) -> DataFrame:
     """Point lookup with bucket pruning: each pk hashes to exactly one
     bucket (`_bucket_col`, the same deterministic expression the merge
     uses), so a point query reads ~len(pks)/n_buckets of the state
@@ -217,7 +302,7 @@ def lookup_mirror(spark: SparkSession, state_dir: str, pks: list[int]) -> DataFr
 
     The bucket ids are resolved with a len(pks)-row local job (the hash must
     be Spark's xxhash64 — recomputing it driver-side would risk drift)."""
-    manifest = _read_manifest(state_dir)
+    manifest = _read_manifest(state_dir, backend)
     n = int(manifest.get("n_buckets") or MIRROR_BUCKETS)
     value_schema = manifest.get("value_schema", "after_val double")
     struct = _mirror_struct(spark, value_schema)
@@ -233,48 +318,60 @@ def lookup_mirror(spark: SparkSession, state_dir: str, pks: list[int]) -> DataFr
     ]
     if not paths:
         return empty
-    # explicit schema: pre-evolution buckets read NULL for widened columns
+    # explicit schema: pre-evolution buckets read NULL for widened columns;
+    # dropped columns mask to NULL like the full read
     return (
         spark.read.schema(struct).parquet(*paths)
         .filter(F.col("pk").isin([int(p) for p in pks]))
-        .select(*[f.name for f in struct.fields])
+        .select(*_masked_cols(struct, set(manifest.get("dropped", {}))))
     )
 
 
-def _gc_epochs(state_dir: str, manifest: dict, keep_epochs: int = 1) -> None:
+def _gc_epochs(
+    spark: SparkSession,
+    state_dir: str,
+    manifest: dict,
+    keep_epochs: int = 1,
+    backend: ClaimBackend = DEFAULT_BACKEND,
+) -> None:
     """Remove bucket dirs referenced by NO retained manifest: the live
     one plus the last `keep_epochs - 1` snapshot manifests (time-travel
     retention). Snapshot manifests older than the retention window are
     deleted first, so a crash mid-GC can never leave a readable snapshot
     pointing at deleted buckets. Safe after the manifest swap: a crash
-    mid-GC only leaves garbage, never dangling references."""
+    mid-GC only leaves garbage, never dangling references.
+
+    Manifest snapshots are coordination files (ClaimBackend); the bucket
+    dirs are Spark-written parquet (Hadoop FS — works on any scheme the
+    session can read)."""
     mroot = os.path.join(state_dir, "manifests")
     retained: list[dict] = [manifest]
-    if os.path.isdir(mroot):
-        # sort by the PARSED epoch number — a lexicographic filename sort
-        # inverts once the epoch outgrows the zero padding (r6 review)
-        snaps = sorted(
-            (f for f in os.listdir(mroot) if f.endswith(".json")),
-            key=lambda f: int(f[1:-5]),
-            reverse=True,
-        )
-        for f in snaps[keep_epochs:]:
-            os.remove(os.path.join(mroot, f))
-        for f in snaps[:keep_epochs]:
-            with open(os.path.join(mroot, f)) as fh:
-                retained.append(json.load(fh))
+    # sort by the PARSED epoch number — a lexicographic filename sort
+    # inverts once the epoch outgrows the zero padding (r6 review)
+    snaps = sorted(
+        (f for f in backend.list_names(mroot) if f.endswith(".json")),
+        key=lambda f: int(f[1:-5]),
+        reverse=True,
+    )
+    for f in snaps[keep_epochs:]:
+        backend.delete(os.path.join(mroot, f))
+    for f in snaps[:keep_epochs]:
+        doc, _ = backend.read(os.path.join(mroot, f))
+        if doc is not None:
+            retained.append(doc)
     live = {m["buckets"][b] for m in retained for b in m["buckets"]}
     eroot = os.path.join(state_dir, "epochs")
-    if not os.path.isdir(eroot):
-        return
-    for epoch in os.listdir(eroot):
+    for epoch in _fs_list_names(spark, eroot):
         edir = os.path.join(eroot, epoch)
-        for bdir in os.listdir(edir):
+        remaining = []
+        for bdir in _fs_list_names(spark, edir):
             rel = os.path.join("epochs", epoch, bdir)
             if bdir.startswith("pb=") and rel not in live:
-                shutil.rmtree(os.path.join(edir, bdir), ignore_errors=True)
-        if not os.listdir(edir):
-            os.rmdir(edir)
+                _fs_delete(spark, os.path.join(edir, bdir))
+            else:
+                remaining.append(bdir)
+        if not remaining:
+            _fs_delete(spark, edir)
 
 
 # --- cross-process merge serialization --------------------------------------
@@ -295,13 +392,12 @@ def _gc_epochs(state_dir: str, manifest: dict, keep_epochs: int = 1) -> None:
 # re-checked immediately before the manifest swap and the merge aborts
 # (pre-swap, so the mirror is untouched) if the lock was lost.
 #
-# Medium: the lock deliberately shares the MIRROR's filesystem (it
-# serializes writers of that mirror, so it must live where the mirror
-# lives). The chunk QUEUE's markers are independently pluggable
-# (snapshot.claim_backend — S3/GCS conditional requests) because queue
-# and mirror can live on different media; a mirror hosted on an object
-# store would move epochs/manifest AND this lock to conditional-put
-# semantics together (the manifest swap itself becomes the CAS).
+# The lock rides the same ClaimBackend as every other coordination file
+# (r8 verdict item 1): POSIX default keeps the hard-link scheme; an
+# object-store backend makes acquire/heartbeat/takeover TRUE conditional
+# requests AND the commit itself a CAS — the manifest swap carries the
+# etag read at merge start, so a zombie passing the ownership fence
+# still loses the swap (the POSIX residual window does not exist there).
 
 _MERGE_LOCK = ".merge.lock.json"
 _MERGE_LOCK_TTL_S = 300.0
@@ -314,12 +410,18 @@ class MirrorLockLost(RuntimeError):
 
 
 class _MergeLock:
-    def __init__(self, state_dir: str, ttl_s: float = _MERGE_LOCK_TTL_S):
+    def __init__(
+        self,
+        state_dir: str,
+        ttl_s: float = _MERGE_LOCK_TTL_S,
+        backend: ClaimBackend = DEFAULT_BACKEND,
+    ):
         import uuid
 
         self.path = os.path.join(state_dir, _MERGE_LOCK)
         self.owner = f"merge-{uuid.uuid4().hex[:12]}"
         self.ttl_s = ttl_s
+        self.backend = backend
         self._beat_stop = None
         self._beat_thread = None
 
@@ -328,40 +430,23 @@ class _MergeLock:
 
         return {"owner": self.owner, "heartbeat_at": time.time()}
 
-    def _try_link(self) -> bool:
-        tmp = self.path + f".tmp.{self.owner}"
-        with open(tmp, "w") as f:
-            json.dump(self._doc(), f)
-        try:
-            os.link(tmp, self.path)
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            try:
-                os.remove(tmp)
-            except FileNotFoundError:
-                pass
-
     def acquire(self) -> None:
         import time
 
         while True:
-            if self._try_link():
+            if self.backend.put_if_absent(self.path, self._doc()):
                 break
-            cur = _read_json_file(self.path)
-            if cur is None and not os.path.exists(self.path):
-                continue  # holder released between link and read — retry
+            cur, etag = self.backend.read(self.path)
+            if cur is None and not self.backend.exists(self.path):
+                continue  # holder released between publish and read — retry
             stale = cur is None or (
                 time.time() - float(cur.get("heartbeat_at", 0)) > self.ttl_s
             )
-            if stale:
-                # takeover (last-writer-wins inside the rare double-stale
-                # window — the pre-swap ownership fence catches the loser)
-                tmp = self.path + f".tmp.{self.owner}"
-                with open(tmp, "w") as f:
-                    json.dump(self._doc(), f)
-                os.replace(tmp, self.path)
+            if stale and self.backend.swap(self.path, self._doc(), etag):
+                # takeover: a true CAS on etag-enforcing backends (losing
+                # the swap means a peer took it first — keep waiting);
+                # last-writer-wins on POSIX inside the rare double-stale
+                # window, where the pre-swap fence catches the loser
                 break
             time.sleep(min(0.05 + self.ttl_s / 1000.0, 0.25))
         # heartbeat while held: a merge spans Spark jobs that can outlast
@@ -372,19 +457,24 @@ class _MergeLock:
 
         def beat():
             while not self._beat_stop.wait(self.ttl_s / 4):
-                cur = _read_json_file(self.path)
+                cur, etag = self.backend.read(self.path)
                 if cur is None or cur.get("owner") != self.owner:
                     return  # lost — the pre-swap fence will abort the merge
-                tmp = self.path + f".tmp.{self.owner}"
-                with open(tmp, "w") as f:
-                    json.dump(self._doc(), f)
-                os.replace(tmp, self.path)
+                if not self.backend.swap(self.path, self._doc(), etag):
+                    return  # CAS lost to a concurrent takeover
+                # POSIX swap is unconditional — verify the replace was not
+                # itself raced by a takeover (a paused holder's beat must
+                # never silently re-install its lock over a peer's, r8
+                # advisor); on etag backends this read just confirms
+                cur2, _ = self.backend.read(self.path)
+                if cur2 is None or cur2.get("owner") != self.owner:
+                    return
 
         self._beat_thread = threading.Thread(target=beat, daemon=True)
         self._beat_thread.start()
 
     def check_owned(self) -> None:
-        cur = _read_json_file(self.path)
+        cur, _ = self.backend.read(self.path)
         if cur is None or cur.get("owner") != self.owner:
             raise MirrorLockLost(
                 f"mirror merge lock at {self.path} lost to "
@@ -395,15 +485,63 @@ class _MergeLock:
         if self._beat_stop is not None:
             self._beat_stop.set()
             self._beat_thread.join(timeout=2)
-        cur = _read_json_file(self.path)
+        cur, etag = self.backend.read(self.path)
         if cur is not None and cur.get("owner") == self.owner:
-            try:
-                os.remove(self.path)
-            except FileNotFoundError:
-                pass
+            self.backend.delete(self.path, etag)
 
 
 _RESERVED_COLS = frozenset({"op", "lsn", "txn_seq", "xid", "commit_ts", "pk", "pb"})
+
+# --- safe type widening (r8 verdict item 7) ---------------------------------
+#
+# Spark 4's parquet readers support WIDENING TYPE PROMOTIONS (SPARK-40876):
+# a file written with int32 reads cleanly under a bigint schema, float
+# under double, ints under decimal, and decimals under higher precision.
+# That makes in-place type widening of the mirror's value pin safe: old
+# bucket files keep their narrow physical type, the manifest pin widens,
+# and every explicit-schema read promotes on the fly — no rewrite. The
+# allowlist below is exactly the set empirically pinned by
+# tests/test_schema_evolution.py::test_widening_promotions_read_back
+# (each pair exercised through real mixed-type parquet); anything off the
+# list still demands a rebuild, because a wrong guess here is unreadable
+# state.
+
+_INT_CHAIN = ("tinyint", "smallint", "int", "bigint")
+_INT_DECIMAL_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 20}
+
+
+def _parse_decimal(t: str) -> tuple[int, int] | None:
+    if not t.startswith("decimal(") or not t.endswith(")"):
+        return None
+    p, s = t[8:-1].split(",")
+    return int(p), int(s)
+
+
+def widened_type(a: str, b: str) -> str | None:
+    """The wider of two Spark SQL types when the narrow->wide direction is
+    a parquet read-promotion Spark supports; None when the pair is not
+    safely widenable (a rebuild). Symmetric: callers pass (stored, batch)
+    in either order — a replayed pre-DDL segment is NARROWER than the pin
+    and must widen up to it, not shrink it."""
+    if a == b:
+        return a
+    if a in _INT_CHAIN and b in _INT_CHAIN:
+        return a if _INT_CHAIN.index(a) > _INT_CHAIN.index(b) else b
+    if {a, b} == {"float", "double"}:
+        return "double"
+    da, db = _parse_decimal(a), _parse_decimal(b)
+    if da and db and da[1] == db[1]:
+        return a if da[0] >= db[0] else b
+    # int-chain -> decimal(p,0) with p covering every value of the int type
+    for int_t, dec_t, dec in ((a, b, db), (b, a, da)):
+        if (
+            int_t in _INT_CHAIN
+            and dec is not None
+            and dec[1] == 0
+            and dec[0] >= _INT_DECIMAL_DIGITS[int_t]
+        ):
+            return dec_t
+    return None
 
 
 def merge_mirror_batch(
@@ -415,6 +553,8 @@ def merge_mirror_batch(
     keep_epochs: int | None = None,
     lock_ttl_s: float = _MERGE_LOCK_TTL_S,
     evolve_schema: bool = False,
+    backend: ClaimBackend = DEFAULT_BACKEND,
+    dropped_cols: tuple[str, ...] | None = None,
 ) -> None:
     """Idempotent TOAST-aware max-LSN-wins merge of one micro-batch into
     the pk-bucketed parquet mirror (Delta/Iceberg `MERGE INTO` stand-in).
@@ -448,16 +588,36 @@ def merge_mirror_batch(
     stream.go decode). Pre-evolution buckets are untouched; reads fill
     the widened columns with NULL (a column added mid-stream has no CDC
     value for rows not touched since the DDL — PG doesn't ship DEFAULT
-    backfills through logical decoding). Type CHANGES still raise under
-    evolve_schema: mixed-type parquet across buckets cannot be read."""
-    os.makedirs(state_dir, exist_ok=True)
-    lock = _MergeLock(state_dir, ttl_s=lock_ttl_s)
+    backfills through logical decoding). A column whose type changed
+    WIDENS the pin in place when the pair is a safe parquet
+    read-promotion (`widened_type`: int-chain, float->double, decimal
+    precision, int->decimal — SPARK-40876 makes old narrow bucket files
+    readable under the wider pin); any other type change still raises.
+
+    `dropped_cols` (requires evolve_schema) marks source-dropped columns
+    dead in the manifest: the row shape keeps the column, reads mask it
+    to NULL from this epoch on, the TOAST fill stops inheriting its
+    stored values, and time travel through pre-drop manifest snapshots
+    still serves the old values. A dropped name re-added later raises
+    (rebuild) — un-masking would resurrect pre-drop values as the new
+    column's.
+
+    `backend` selects the coordination medium for the lock, the live
+    manifest, and the epoch manifest snapshots (the data parquet rides
+    Spark's own filesystem either way): default POSIX for
+    filesystem/NFS mirrors; an `ObjectStoreBackend` for S3/GCS state
+    dirs, where the commit-point manifest swap is a TRUE CAS on the etag
+    read at merge start — a zombie that slipped past the ownership fence
+    still loses the swap and raises `MirrorLockLost`."""
+    backend.ensure_dir(state_dir)
+    lock = _MergeLock(state_dir, ttl_s=lock_ttl_s, backend=backend)
     lock.acquire()
     try:
         _merge_mirror_batch_locked(
             batch_df, state_dir, lock, epoch=epoch, n_buckets=n_buckets,
             value_cols=value_cols, keep_epochs=keep_epochs,
-            evolve_schema=evolve_schema,
+            evolve_schema=evolve_schema, backend=backend,
+            dropped_cols=dropped_cols,
         )
     finally:
         lock.release()
@@ -472,6 +632,8 @@ def _merge_mirror_batch_locked(
     value_cols: tuple[str, ...] | None = ("after_val",),
     keep_epochs: int | None = None,
     evolve_schema: bool = False,
+    backend: ClaimBackend = DEFAULT_BACKEND,
+    dropped_cols: tuple[str, ...] | None = None,
 ) -> None:
     from ..operators.cdc import toast_fill_cols
 
@@ -480,7 +642,9 @@ def _merge_mirror_batch_locked(
         value_cols = tuple(
             f.name for f in batch_df.schema.fields if f.name not in _RESERVED_COLS
         )
-    manifest = _read_manifest(state_dir)
+    # capture the manifest's version at read: the commit swap below is
+    # conditional on it (etag-enforcing backends make that a true CAS)
+    manifest, manifest_etag = _read_manifest_versioned(state_dir, backend)
     if epoch is None:
         epoch = manifest["epoch"] + 1
     elif epoch <= manifest["epoch"]:
@@ -553,41 +717,89 @@ def _merge_mirror_batch_locked(
         # Widen: the union of stored + batch columns, stored order first
         # (bucket files already on disk keep their layout; an explicit-
         # schema read fills what a file lacks with NULL). A column whose
-        # TYPE differs between the pin and the batch is still a rebuild —
-        # evolution adds columns, it never mutates one in place.
+        # TYPE differs widens IN PLACE when the pair is a safe parquet
+        # read-promotion (`widened_type` — the reference's Relation-cache
+        # overwrite makes the new tuples authoritative, relation.go:68-87;
+        # Spark's promotion rules make the old files readable under the
+        # wider pin). A non-widenable change is still a rebuild.
         stored_fields = [
             (f.name, f.dataType.simpleString())
             for f in spark.createDataFrame([], stored_schema).schema.fields
         ]
         st_types = dict(stored_fields)
-        conflicts = [
-            n for n, t in incoming_fields if n in st_types and st_types[n] != t
-        ]
+        in_types = dict(incoming_fields)
+        conflicts = []
+        target_fields = []
+        for n, st_t in stored_fields:
+            in_t = in_types.get(n, st_t)
+            w = widened_type(st_t, in_t)
+            if w is None:
+                conflicts.append(f"{n} ({st_t} vs {in_t})")
+                w = st_t
+            target_fields.append((n, w))
         if conflicts:
             raise ValueError(
                 f"mirror at {state_dir} stores [{stored_schema}]; batch "
-                f"columns {conflicts} change type — evolve_schema adds "
-                "columns, a type change requires a rebuild"
+                f"columns [{', '.join(conflicts)}] change type in a way "
+                "parquet read-promotion cannot widen — rebuild required "
+                "(safe widenings: int-chain, float->double, decimal "
+                "precision, int->decimal)"
             )
-        target_fields = stored_fields + [
+        target_fields += [
             (n, t) for n, t in incoming_fields if n not in st_types
         ]
         value_schema = ", ".join(f"{n} {t}" for n, t in target_fields)
         manifest["value_schema"] = value_schema
         # project the batch onto the union: a replayed pre-DDL segment is
         # missing the new column — NULL there means "unchanged" to the
-        # TOAST fill, which inherits any stored value (exactly right)
-        in_types = dict(incoming_fields)
+        # TOAST fill, which inherits any stored value (exactly right).
+        # The cast is the widening direction by construction (lossless);
+        # a replayed NARROW segment casts up to the pin.
         batch_df = batch_df.select(
             *[c for c in batch_df.columns if c not in in_types],
             *[
-                F.col(n).alias(n)
+                F.col(n).cast(t).alias(n)
                 if n in in_types
                 else F.lit(None).cast(t).alias(n)
                 for n, t in target_fields
             ],
         )
         value_cols = tuple(n for n, _t in target_fields)
+
+    # Column DROPS (evolve_schema; r8 verdict item 7): record the drop
+    # epoch in the manifest. The column keeps its slot in the pinned row
+    # shape (bucket files still hold pre-drop values; time travel through
+    # pre-drop manifest snapshots still serves them), but from this epoch
+    # on reads mask it to NULL and the merge stops inheriting its stored
+    # values through the TOAST fill — new tuples are authoritative, the
+    # reference's Relation-cache overwrite (relation.go:68-87).
+    pin_fields = [
+        (f.name, f.dataType.simpleString())
+        for f in spark.createDataFrame([], manifest["value_schema"]).schema.fields
+    ]
+    pin_types = dict(pin_fields)
+    if dropped_cols:
+        if not evolve_schema:
+            raise ValueError("dropped_cols= requires evolve_schema=True")
+        drops = manifest.setdefault("dropped", {})
+        for c in dropped_cols:
+            if c in pin_types and c not in drops:
+                drops[c] = epoch
+    dead = set(manifest.get("dropped", {}))
+    if dropped_cols is not None:
+        # authoritative per-batch drop list (the engine's Relation
+        # sidecar): a manifest-dropped column that REAPPEARS in the live
+        # schema is a re-created same-name column — un-masking it would
+        # resurrect pre-drop stored values as if they were the new
+        # column's; fail loudly instead of either loss mode
+        readded = (dead - set(dropped_cols)) & set(value_cols)
+        if readded:
+            raise ValueError(
+                f"columns {sorted(readded)} were dropped (mirror at "
+                f"{state_dir}) and re-added with the same name; the "
+                "mirror cannot distinguish old stored values from the "
+                "new column — rebuild required"
+            )
 
     # Event-order key: commit-rewritten envelopes carry (lsn, txn_seq) —
     # all rows of one transaction share the commit lsn and txn_seq splits
@@ -632,17 +844,33 @@ def _merge_mirror_batch_locked(
         )
     else:
         affected = sorted(b for b in stats["pbs"] if b is not None)
+    def commit_manifest() -> None:
+        """The commit point. Fence (ownership), snapshot (time travel),
+        then the LIVE swap — conditional on the etag the merge read its
+        manifest at: on etag-enforcing backends a writer whose view went
+        stale (zombie past the fence, or a racing first-writer on a
+        fresh mirror) loses the CAS and aborts with the mirror untouched
+        by it; POSIX swaps unconditionally (fence-guarded, documented)."""
+        lock.check_owned()  # fence: never swap a manifest we no longer own
+        _write_manifest_snapshot(state_dir, manifest, backend)
+        if not backend.swap(
+            os.path.join(state_dir, _MANIFEST), manifest, manifest_etag
+        ):
+            raise MirrorLockLost(
+                f"mirror manifest at {state_dir} changed since this merge "
+                "read it (epoch CAS failed); merge aborted — its epoch "
+                "dirs are unreferenced orphans the next GC removes"
+            )
+
     if not affected:
         # an EMPTY epoch still committed in the stream's checkpoint — give
         # it a snapshot (same buckets as the previous epoch) so
         # read_mirror_as_of(empty_epoch) works and the retention window
         # counts epochs, not just non-empty ones (r6 review)
         manifest["epoch"] = epoch
-        os.makedirs(state_dir, exist_ok=True)
-        lock.check_owned()  # fence: never swap a manifest we no longer own
-        _write_manifest_snapshot(state_dir, manifest)
-        _write_manifest(state_dir, manifest)
-        _gc_epochs(state_dir, manifest, keep_epochs=keep_epochs)
+        commit_manifest()
+        _gc_epochs(spark, state_dir, manifest, keep_epochs=keep_epochs,
+                   backend=backend)
         return
     old_paths = (
         []  # truncate: stored state dies wholesale — never read it back
@@ -695,7 +923,14 @@ def _merge_mirror_batch_locked(
             "pk",
             "lsn",
             F.lit("R").alias("op"),
-            *[F.col(f"filled_{c}").alias(c) for c in value_cols],
+            *[
+                # dead columns never carry values forward: the TOAST fill
+                # must not resurrect a dropped column's stored values
+                F.lit(None).cast(pin_types[c]).alias(c)
+                if c in dead
+                else F.col(f"filled_{c}").alias(c)
+                for c in value_cols
+            ],
         )
         .withColumn("pb", _bucket_col(n_buckets=n_buckets))
     )
@@ -717,7 +952,7 @@ def _merge_mirror_batch_locked(
     )
     written = {
         int(d.split("=", 1)[1])
-        for d in os.listdir(epoch_dir)
+        for d in _fs_list_names(spark, epoch_dir)
         if d.startswith("pb=")
     }
     for b in affected:
@@ -727,22 +962,19 @@ def _merge_mirror_batch_locked(
             # every key in the bucket was deleted
             manifest["buckets"].pop(str(b), None)
     manifest["epoch"] = epoch
-    os.makedirs(state_dir, exist_ok=True)
-    # Fence at the commit point: a zombie holder (takeover happened while
-    # this process was paused mid-merge) must abort HERE — its epoch dirs
-    # are unreferenced orphans the next GC removes; swapping would publish
-    # a manifest derived from a stale read and drop the new owner's work.
-    lock.check_owned()
-    # snapshot BEFORE the live swap: every epoch the retention window will
-    # keep is readable the moment the swap lands (keep_epochs=1 still
-    # writes it — the snapshot for the CURRENT epoch is always retained)
-    _write_manifest_snapshot(state_dir, manifest)
-    _write_manifest(state_dir, manifest)
+    # Commit: fence (a zombie holder must abort HERE — its epoch dirs are
+    # unreferenced orphans the next GC removes), snapshot BEFORE the live
+    # swap (every epoch the retention window keeps is readable the moment
+    # the swap lands), then the etag-conditional live swap.
+    commit_manifest()
     # refresh registered SQL views BEFORE GC deletes the bucket dirs their
     # old plans reference (register_mirror_view / ADVICE r4)
-    for view_name in _MIRROR_VIEWS.get(os.path.abspath(state_dir), ()):
-        read_mirror(batch_df.sparkSession, state_dir).createOrReplaceTempView(view_name)
-    _gc_epochs(state_dir, manifest, keep_epochs=keep_epochs)
+    for view_name in _MIRROR_VIEWS.get(_views_key(state_dir), ()):
+        read_mirror(
+            batch_df.sparkSession, state_dir, backend
+        ).createOrReplaceTempView(view_name)
+    _gc_epochs(spark, state_dir, manifest, keep_epochs=keep_epochs,
+               backend=backend)
 
 
 def mirror_sink(
@@ -754,6 +986,8 @@ def mirror_sink(
     keep_epochs: int | None = None,
     transform=None,
     evolve_schema: bool = False,
+    backend: ClaimBackend = DEFAULT_BACKEND,
+    dropped_cols=None,
 ):
     """Attach the mirror-maintenance sink to a change stream. Returns the
     StreamingQuery; call processAllAvailable() to drain in tests.
@@ -783,10 +1017,15 @@ def mirror_sink(
     def apply(batch_df: DataFrame, _spark_epoch: int) -> None:
         if transform is not None:
             batch_df = transform(batch_df)
+        # dropped_cols may be a callable re-evaluated PER BATCH (the
+        # engine's Relation-sidecar drop detection — a mid-stream DROP
+        # COLUMN changes the answer between batches) or a static tuple
+        dc = dropped_cols() if callable(dropped_cols) else dropped_cols
         merge_mirror_batch(
             batch_df, state_dir, epoch=None, n_buckets=n_buckets,
             value_cols=value_cols, keep_epochs=keep_epochs,
-            evolve_schema=evolve_schema,
+            evolve_schema=evolve_schema, backend=backend,
+            dropped_cols=dc,
         )
 
     return (
@@ -804,6 +1043,7 @@ def multi_mirror_sink(
     table_col: str = "tbl",
     n_buckets: int | None = None,
     keep_epochs: int | None = None,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ):
     """O17 fan-out apply: one slot carries every published table's events;
     each micro-batch is split by table and merged into that table's mirror.
@@ -822,6 +1062,7 @@ def multi_mirror_sink(
                 epoch=None,
                 n_buckets=n_buckets,
                 keep_epochs=keep_epochs,
+                backend=backend,
             )
 
     return (

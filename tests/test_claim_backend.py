@@ -204,9 +204,10 @@ def test_reset_clears_bucket_markers(be):
 
 def test_engine_cooperative_seed_over_object_store(spark, tmp_path, be):
     """engine.start(claim_backend=ObjectStoreBackend(...)): the chunk
-    queue's coordination markers land in the bucket while the mirror
-    lands under state_dir — the 100 TB deployment split (queue on S3,
-    data through Spark's FS connectors)."""
+    queue's markers AND the mirror's coordination (merge lock, manifest,
+    epoch snapshots — r8 verdict item 1) land in the bucket, while the
+    data parquet lands under state_dir through Spark's FS connectors —
+    the 100 TB deployment shape with zero POSIX coordination."""
     from pyspark.sql import Row
 
     from go_pq_cdc_spark.config import EngineConfig, TableConfig
@@ -248,13 +249,19 @@ def test_engine_cooperative_seed_over_object_store(spark, tmp_path, be):
         claim_backend=be,
     )
     assert q is None and lsn == 100
-    assert {r["pk"] for r in read_mirror(spark, state_dir).collect()} == set(
-        range(1, 21)
-    )
-    # coordination went through the bucket, not the filesystem
+    assert {
+        r["pk"] for r in read_mirror(spark, state_dir, backend=be).collect()
+    } == set(range(1, 21))
+    # ALL coordination went through the bucket, not the filesystem:
+    # queue markers, the mirror manifest, and its epoch snapshots
     import os
 
     assert [k for k in be.client.objects if "/done." in k]
+    assert f"{state_dir}/manifest.json" in be.client.objects
+    assert [k for k in be.client.objects if "/manifests/e" in k]
     assert not os.path.exists(
         os.path.join(state_dir, "chunks", "public__users", "_manifest.json")
     )
+    assert not os.path.exists(os.path.join(state_dir, "manifest.json"))
+    # the data parquet is real files under state_dir (Spark's FS)
+    assert os.path.isdir(os.path.join(state_dir, "epochs"))

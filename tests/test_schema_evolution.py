@@ -420,3 +420,221 @@ def test_typed_multi_mirror_evolves_per_table(spark, tmp_path):
         "pk", "lsn", "op", "total",
     ]
     assert {r["pk"]: r["total"] for r in orders_df.collect()} == {7: 99.5}
+
+
+# -- r9: safe type widening + column drops (r8 verdict item 7) ---------------
+
+
+def test_widening_promotions_read_back(spark, tmp_path):
+    """Empirical pin of the `widened_type` allowlist: every pair it
+    accepts must ACTUALLY read back through Spark's parquet promotion
+    (SPARK-40876) — a file written at the narrow type, read under the
+    wide explicit schema, values intact. This is the ground truth the
+    in-place pin widening stands on."""
+    from go_pq_cdc_spark.streaming.changelog_stream import widened_type
+
+    cases = [
+        # (narrow ddl type, value literal sql, wide ddl type, expected)
+        ("smallint", "CAST(7 AS SMALLINT)", "int", 7),
+        ("int", "CAST(7 AS INT)", "bigint", 7),
+        ("smallint", "CAST(7 AS SMALLINT)", "bigint", 7),
+        ("float", "CAST(1.5 AS FLOAT)", "double", 1.5),
+        ("decimal(10,2)", "CAST(1.25 AS DECIMAL(10,2))", "decimal(20,2)", None),
+        ("int", "CAST(7 AS INT)", "decimal(10,0)", None),
+        ("bigint", "CAST(7 AS BIGINT)", "decimal(20,0)", None),
+    ]
+    for i, (narrow, lit, wide, expected) in enumerate(cases):
+        assert widened_type(narrow, wide) == wide, (narrow, wide)
+        assert widened_type(wide, narrow) == wide  # symmetric
+        d = str(tmp_path / f"w{i}")
+        spark.sql(f"SELECT {lit} AS v").write.parquet(d)
+        got = spark.read.schema(f"v {wide}").parquet(d).collect()[0]["v"]
+        if expected is not None:
+            assert got == expected, (narrow, wide, got)
+        else:
+            assert float(got) in (1.25, 7.0), (narrow, wide, got)
+    # non-widenable pairs stay rebuilds
+    for a, b in [
+        ("bigint", "int"),  # handled: returns the WIDER (bigint), never int
+    ]:
+        assert widened_type(a, b) == "bigint"
+    for a, b in [
+        ("string", "int"),
+        ("double", "decimal(20,2)"),
+        ("decimal(10,2)", "decimal(20,3)"),  # scale change
+        ("int", "decimal(9,0)"),             # precision can't hold int
+        ("timestamp", "date"),
+    ]:
+        assert widened_type(a, b) is None, (a, b)
+
+
+def test_mirror_merge_widens_type_in_place(spark, tmp_path):
+    """ALTER COLUMN TYPE int->bigint mid-stream: the pin widens, old
+    narrow bucket files read back promoted, pre/post-DDL values merge
+    into one typed column; a replayed NARROW batch casts up instead of
+    shrinking the pin. A non-widenable change still raises."""
+    import pytest
+
+    from go_pq_cdc_spark.streaming.changelog_stream import (
+        _read_manifest,
+        read_mirror,
+    )
+
+    state = tmp_path / "state"
+    _merge(
+        spark,
+        [("I", 10, 1, 7), ("I", 11, 2, 8)],
+        "op string, lsn bigint, pk bigint, qty int",
+        state,
+        value_cols=("qty",),
+    )
+    # post-DDL batch: qty is now bigint (value exceeds int range)
+    _merge(
+        spark,
+        [("U", 20, 2, 5_000_000_000), ("I", 21, 3, 9)],
+        "op string, lsn bigint, pk bigint, qty bigint",
+        state,
+        value_cols=("qty",),
+        evolve_schema=True,
+    )
+    m = _read_manifest(str(state))
+    assert m["value_schema"] == "qty bigint"
+    got = {r["pk"]: r["qty"] for r in read_mirror(spark, str(state)).collect()}
+    assert got == {1: 7, 2: 5_000_000_000, 3: 9}
+    assert all(isinstance(v, int) for v in got.values())
+    # replayed pre-DDL (narrow) batch: casts up, pin stays bigint
+    _merge(
+        spark,
+        [("I", 30, 4, 4)],
+        "op string, lsn bigint, pk bigint, qty int",
+        state,
+        value_cols=("qty",),
+        evolve_schema=True,
+    )
+    assert _read_manifest(str(state))["value_schema"] == "qty bigint"
+    assert {
+        r["pk"]: r["qty"] for r in read_mirror(spark, str(state)).collect()
+    }[4] == 4
+    # a non-widenable change is still a rebuild
+    with pytest.raises(ValueError, match="rebuild"):
+        _merge(
+            spark,
+            [("I", 40, 5, "x")],
+            "op string, lsn bigint, pk bigint, qty string",
+            state,
+            value_cols=("qty",),
+            evolve_schema=True,
+        )
+
+
+def test_mirror_column_drop_masks_dead_column(spark, tmp_path):
+    """DROP COLUMN semantics: the manifest marks the column dead at the
+    drop epoch; current reads and point lookups return NULL for it, the
+    TOAST fill stops inheriting its stored values (new tuples
+    authoritative, relation.go:68-87), time travel to a pre-drop epoch
+    still serves the real values, and re-adding the same name raises."""
+    import pytest
+
+    from go_pq_cdc_spark.streaming.changelog_stream import (
+        lookup_mirror,
+        read_mirror,
+        read_mirror_as_of,
+    )
+
+    state = tmp_path / "state"
+    _merge(
+        spark,
+        [("I", 10, 1, "alice", 5), ("I", 11, 2, "bob", 6)],
+        "op string, lsn bigint, pk bigint, name string, score bigint",
+        state,
+        value_cols=("name", "score"),
+        keep_epochs=4,
+    )
+    # the source dropped `score`: batches stop carrying it (typed decode
+    # yields NULL), the engine's sidecar detection passes dropped_cols
+    _merge(
+        spark,
+        [("U", 20, 1, "alice2", None)],
+        "op string, lsn bigint, pk bigint, name string, score bigint",
+        state,
+        value_cols=("name", "score"),
+        keep_epochs=4,
+        evolve_schema=True,
+        dropped_cols=("score",),
+    )
+    cur = {r["pk"]: r for r in read_mirror(spark, str(state)).collect()}
+    assert cur[1]["name"] == "alice2" and cur[1]["score"] is None
+    # pk=2 untouched since the drop: stored score=6 is masked, not served
+    assert cur[2]["score"] is None
+    assert {
+        r["pk"]: r["score"]
+        for r in lookup_mirror(spark, str(state), [1, 2]).collect()
+    } == {1: None, 2: None}
+    # time travel BEFORE the drop serves the stored values
+    old = {r["pk"]: r for r in read_mirror_as_of(spark, str(state), 0).collect()}
+    assert old[1]["score"] == 5 and old[2]["score"] == 6
+    # the schema keeps the column's slot (stable row shape)
+    assert [f.name for f in read_mirror(spark, str(state)).schema.fields] == [
+        "pk", "lsn", "op", "name", "score",
+    ]
+    # a replayed PRE-DROP batch (score present) cannot resurrect values
+    _merge(
+        spark,
+        [("U", 21, 2, "bob2", 66)],
+        "op string, lsn bigint, pk bigint, name string, score bigint",
+        state,
+        value_cols=("name", "score"),
+        keep_epochs=4,
+        evolve_schema=True,
+        dropped_cols=("score",),
+    )
+    cur = {r["pk"]: r for r in read_mirror(spark, str(state)).collect()}
+    assert cur[2]["name"] == "bob2" and cur[2]["score"] is None
+    # same-name re-add: loud rebuild, never silent resurrection
+    with pytest.raises(ValueError, match="re-added"):
+        _merge(
+            spark,
+            [("I", 30, 3, "carol", 1)],
+            "op string, lsn bigint, pk bigint, name string, score bigint",
+            state,
+            value_cols=("name", "score"),
+            evolve_schema=True,
+            dropped_cols=(),
+        )
+
+
+def test_evolved_value_schema_detects_drop_and_widen(spark, tmp_path):
+    """Engine-side sidecar interpretation: ADD appends, ALTER TYPE widens
+    (safe) or raises (unsafe), DROP returns the dead column list."""
+    import pytest
+
+    from go_pq_cdc_spark.config import EngineConfig, TableConfig
+    from go_pq_cdc_spark.engine import CdcEngine
+    from go_pq_cdc_spark.sources.slot_keeper import write_relation_schema
+
+    eng = CdcEngine(
+        EngineConfig(
+            tables=[TableConfig("users"), TableConfig("cdc_heartbeat")]
+        ),
+        spark,
+    )
+    wal = str(tmp_path / "wal")
+    declared = "name string, qty int"
+    # no sidecar yet: declaration passes through
+    assert eng._evolved_value_schema(wal, "public.users", declared) == (
+        declared, ()
+    )
+    # ALTER COLUMN TYPE int->bigint + ADD COLUMN note + DROP name
+    write_relation_schema(
+        wal, "public", "users",
+        [("pk", "int8"), ("qty", "int8"), ("note", "text")],
+    )
+    ddl, dropped = eng._evolved_value_schema(wal, "public.users", declared)
+    assert ddl == "name string, qty bigint, note string"
+    assert dropped == ("name",)
+    # unsafe type change raises
+    write_relation_schema(
+        wal, "public", "users", [("pk", "int8"), ("qty", "text")]
+    )
+    with pytest.raises(ValueError, match="not a safe parquet widening"):
+        eng._evolved_value_schema(wal, "public.users", declared)

@@ -54,11 +54,15 @@ class FakePg:
             raise self.fail_next.pop(0)
         self.log.append(sql)
         if "pg_logical_slot_peek_changes" in sql:
+            import re
+
+            m = re.search(r"peek_changes\('[^']+', NULL, (\d+)", sql)
+            lim = int(m.group(1)) if m else None
             return [
                 (int_to_lsn(lsn), xid, data)
                 for lsn, xid, data in self.changes
                 if lsn > self.confirmed_flush
-            ]
+            ][:lim]
         if "pg_replication_slot_advance" in sql:
             target = lsn_to_int(sql.split("'")[3])
             self.confirmed_flush = max(self.confirmed_flush, target)
@@ -278,3 +282,65 @@ def test_e2e_fake_pg_to_mirror(spark, wal_dir):
         q.stop()
     state = {r["pk"]: r["after_val"] for r in read_mirror(spark, state_dir).collect()}
     assert state == {1: 1.5, 3: 3.0}  # U applied, D removed pk=2
+
+
+# -- r9: commit-aligned raw segments (r8 verdict item 5) ---------------------
+
+
+def test_poll_cuts_segment_at_last_commit_boundary(wal_dir):
+    """A transaction the peek window cut mid-flight stays UNSHIPPED (its
+    rows re-peek whole next poll), so a raw segment never splits a txn —
+    the test_decoding arm's per-xid commit-ts join is exact on any
+    micro-batch boundary."""
+    pg = FakePg()
+    # txn 7 committed (C doc at 106), txn 8's first row peeked w/o commit
+    for i in range(1, 6):
+        pg.add_change(100 + i, 7, pk=i, val=float(i))
+    pg.changes.append((106, 7, '{"action":"C","timestamp":"2024-01-01 00:00:01"}'))
+    pg.add_change(200, 8, pk=9, val=9.0)
+    pg.changes.append((201, 8, '{"action":"C","timestamp":"2024-01-01 00:00:02"}'))
+    k = _keeper(pg, wal_dir, poll_limit=7)  # window cuts inside txn 8
+    assert k.poll_once() == 6  # five DML + txn 7's commit; txn 8 held back
+    segs = lsn_stream.list_segments(wal_dir)
+    assert [(s, e) for s, e, _ in segs] == [(1, 106)]
+    # txn 8 ships complete on the next poll
+    assert k.poll_once() == 2
+    segs = lsn_stream.list_segments(wal_dir)
+    assert [(s, e) for s, e, _ in segs] == [(1, 106), (107, 201)]
+
+
+def test_poll_escalates_window_for_oversized_txn(wal_dir):
+    """A single transaction larger than poll_limit: the peek retries with
+    a doubled LIMIT until the COMMIT marker fits, then ships the txn
+    WHOLE in one segment."""
+    pg = FakePg()
+    for i in range(1, 10):
+        pg.add_change(100 + i, 7, pk=i, val=float(i))
+    pg.changes.append((110, 7, '{"action":"C","timestamp":"2024-01-01 00:00:01"}'))
+    k = _keeper(pg, wal_dir, poll_limit=3)
+    assert k.poll_once() == 10  # 3 -> 6 -> 12 widens past the commit
+    assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [(1, 110)]
+    peeks = [s for s in pg.log if "peek_changes" in s]
+    assert any(", 3," in s for s in peeks) and any(", 12," in s for s in peeks)
+
+
+def test_poll_commit_boundary_test_decoding_grammar(wal_dir):
+    """The boundary predicate for the test_decoding plugin is the COMMIT
+    text line (not wal2json's C doc)."""
+    pg = FakePg()
+    pg.changes = [
+        (101, 7, "BEGIN 7"),
+        (102, 7, "table public.users: INSERT: pk[bigint]:1 val[text]:'a'"),
+        (103, 7, "COMMIT 7 (at 2024-01-01 00:00:01.000000+00)"),
+        (200, 8, "BEGIN 8"),
+        (201, 8, "table public.users: INSERT: pk[bigint]:2 val[text]:'b'"),
+    ]
+    k = SlotKeeper(
+        pg.run_sql, wal_dir, "s1", plugin="test_decoding",
+        poll_limit=5, sleep=lambda _s: None,
+    )
+    assert k.poll_once() == 3  # txn 8 (no COMMIT yet in window) held back
+    assert [(s, e) for s, e, _ in lsn_stream.list_segments(wal_dir)] == [(1, 103)]
+    # txn 8's commit lands; next poll ships it whole
+    pg.changes.append((202, 8, "COMMIT 8 (at 2024-01-01 00:00:02.000000+00)"))
+    assert k.poll_once() == 3
