@@ -24,14 +24,16 @@ from go_pq_cdc_spark.session import get_spark  # noqa: E402
 # Machine-factor anchor (r8 verdict item 6): this host's fleet-wide CPU
 # contention swings identical code 3-8x between runs (r8's headline
 # "regression" was byte-identical plans measuring 11.5s..34s). The anchor
-# times a FIXED pure-JVM Spark job (2B-row xxhash64 fold — no I/O, no
-# shuffle, saturates all cores exactly like whole-stage codegen query
-# execution) and reports queries_normalized = raw / machine_factor, so
-# round-over-round comparisons divide the fleet factor out instead of
-# arguing about it in NOTES. CAL_REF_SEC is the anchor's best-of-3 on
-# this container measured quiet (load < 1, zero steal) in round 9.
-CAL_REF_SEC = 3.48
-CAL_ROWS = 2_000_000_000
+# times a FIXED pure-JVM Spark job (20B-row xxhash64 max-fold — no I/O,
+# no shuffle, saturates all cores exactly like whole-stage codegen query
+# execution; max, not count, so null-intolerance analysis cannot elide
+# the hash, and not sum, which overflows under ANSI) and reports
+# queries_normalized = raw / machine_factor, so round-over-round
+# comparisons divide the fleet factor out instead of arguing about it in
+# NOTES. CAL_REF_SEC is the anchor's best-of-3 on this container
+# measured quiet (load ~1, zero steal) in round 9.
+CAL_REF_SEC = 2.9
+CAL_ROWS = 20_000_000_000
 
 
 def machine_calibration(spark) -> float:
@@ -40,7 +42,7 @@ def machine_calibration(spark) -> float:
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        spark.range(CAL_ROWS).selectExpr("count(xxhash64(id)) AS c").collect()
+        spark.range(CAL_ROWS).selectExpr("max(xxhash64(id)) AS c").collect()
         best = min(best, time.perf_counter() - t0)
     return best
 
