@@ -33,12 +33,15 @@ no machine-readable framing):
   spaces, `[`/`]`, doubled quotes (``''``) and even pair-shaped text never
   desynchronize the scan (a non-anchored scan would match inside quoted
   values).
-* The UPDATE old/new split uses the FIRST ` new-tuple: ` delimiter outside
-  any parse context — a quoted value containing the literal
-  `' new-tuple: '` inside the OLD image would mis-split. wal2json (JSON
-  framing) is the production plugin; this arm is for live validation and
-  constrained fallbacks. Rows that fail the grammar are routed to
-  `test_decoding_rejects`, never silently dropped.
+* The UPDATE old/new split matches the OLD image as an ATOMIC
+  (possessive, `*+`) run of grammar pairs followed by the literal
+  ` new-tuple: ` — the pair token consumes quoted values whole, and the
+  possessive quantifier forbids backtracking INTO a quoted value, so an
+  old value containing the literal `' new-tuple: '` splits correctly
+  (r8's documented mis-split caveat, now closed). Lines the anchored
+  pattern cannot parse fall back to the first-delimiter split; rows that
+  fail the grammar entirely are routed to `test_decoding_rejects`, never
+  silently dropped.
 * test_decoding emits no per-table filtering server-side (wal2json's
   `add-tables`); pass `tables=` to filter client-side after decode.
 """
@@ -57,6 +60,18 @@ _PAIR = r"\G\s*(\"(?:[^\"]|\"\")+\"|[^\s\[\]\":]+)\[(.*?)\]:('(?:[^']|'')*'|\S+)
 
 # DML line prefix: `table <qualified[, qualified...]>: <OP>: <tuple part>`.
 _DML_PREFIX = r"^table (.*?): (INSERT|UPDATE|DELETE|TRUNCATE): ?"
+
+# One pair WITHOUT the \G anchor (non-capturing) — the building block of
+# the UPDATE old/new split below. The quoted-value alternative consumes a
+# whole 'quoted literal' (including any ` new-tuple: ` inside it).
+_PAIR_TOKEN = (
+    r"""\s*(?:"(?:[^"]|"")+"|[^\s\[\]":]+)\[.*?\]:(?:'(?:[^']|'')*'|\S+)"""
+)
+# UPDATE content anchored as: old image = an ATOMIC run of pairs (`*+`
+# possessive: the regex engine may not backtrack into a quoted value to
+# manufacture an earlier split point), then the literal delimiter, then
+# the new image. Group 1 = old pairs, group 2 = new tuple text.
+_OLD_NEW = r"^old-key: ((?:" + _PAIR_TOKEN + r")*+) new-tuple: (.*)$"
 
 _OP_CODE = {"INSERT": "I", "UPDATE": "U", "DELETE": "D", "TRUNCATE": "T"}
 
@@ -149,18 +164,25 @@ def decode_test_decoding(
         F.regexp_extract(d, _DML_PREFIX, 2).alias("op_word"),
         F.regexp_replace(d, _DML_PREFIX, "").alias("content"),
     )
-    # UPDATE old/new split on the FIRST ` new-tuple: ` (see module caveat);
-    # `old-key: ` prefix marks the old image when replica identity sends one.
+    # UPDATE old/new split: atomic pair-run match first (correct even when
+    # a quoted old value contains the literal ` new-tuple: ` — see module
+    # docstring), first-delimiter split as the fallback for lines the
+    # anchored grammar cannot parse. `old-key: ` prefix marks the old
+    # image when replica identity sends one.
     has_old = (F.col("op_word") == "UPDATE") & F.col("content").startswith(
         "old-key: "
     )
+    rx_old = F.regexp_extract(F.col("content"), _OLD_NEW, 1)
+    rx_new = F.regexp_extract(F.col("content"), _OLD_NEW, 2)
+    rx_matched = has_old & (rx_new != "")
     split_at = F.instr(F.col("content"), " new-tuple: ")
-    old_part = F.when(
+    old_part = F.when(rx_matched, rx_old).when(
         has_old & (split_at > 0),
         F.col("content").substr(F.lit(10), split_at - 10),
     )
     new_part = (
-        F.when(
+        F.when(rx_matched, rx_new)
+        .when(
             has_old & (split_at > 0),
             F.col("content").substr(
                 split_at + F.lit(12), F.length("content") - split_at

@@ -128,3 +128,35 @@ def test_poll_sql_plugin_arms():
     assert "format-version" in w2j and "add-tables" in w2j
     with pytest.raises(ValueError, match="unknown poll plugin"):
         poll_changes_sql("s1", plugin="bogus")
+
+
+def test_update_old_value_containing_new_tuple_literal(spark):
+    """r9: the UPDATE old/new split is an ATOMIC pair-run match, so a
+    quoted OLD value containing the literal ` new-tuple: ` no longer
+    mis-splits (the r8 documented caveat, now closed). Malformed lines
+    still take the first-delimiter fallback rather than dropping."""
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.sources.test_decoding import decode_test_decoding
+
+    rows = [
+        Row(lsn=1, xid=1, data=(
+            "table public.users: UPDATE: old-key: id[bigint]:1 "
+            "val[text]:'x new-tuple: y' new-tuple: id[bigint]:1 "
+            "val[text]:'clean'"
+        )),
+        Row(lsn=2, xid=1, data=(
+            "table public.users: UPDATE: old-key: id[bigint]:2 "
+            "val[text]:'a ''quote'' and new-tuple: trap' "
+            "new-tuple: id[bigint]:2 val[text]:'b'"
+        )),
+        Row(lsn=3, xid=1, data="COMMIT 1 (at 2024-01-01 00:00:00.000000+00)"),
+    ]
+    env = {
+        r["lsn"]: r
+        for r in decode_test_decoding(spark.createDataFrame(rows)).collect()
+    }
+    assert env[1]["before"] == {"id": "1", "val": "x new-tuple: y"}
+    assert env[1]["after"] == {"id": "1", "val": "clean"}
+    assert env[2]["before"] == {"id": "2", "val": "a 'quote' and new-tuple: trap"}
+    assert env[2]["after"] == {"id": "2", "val": "b"}
