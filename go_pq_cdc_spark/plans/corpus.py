@@ -183,3 +183,201 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_e"),
         )
     )
+
+
+# Long-n-gram length for substring-level dedup: 8 whitespace tokens — the
+# test-scale analogue of the 50-token threshold in suffix-array training
+# dedup (Lee et al. 2021); long enough that sharing one is never chance.
+_SUBNGRAM = 8
+# Boilerplate cap: an n-gram present in MORE docs than this is template
+# text (headers, licenses) — cheaper passes (line/url dedup) own those.
+_SUBNGRAM_MAX_DOCS = 20
+
+
+@register(
+    "text_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    g0 AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - {_SUBNGRAM - 1})) AS i
+        FROM toks
+        WHERE len(t) >= {_SUBNGRAM}
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i : i + {_SUBNGRAM - 1}], ' ') AS g
+        FROM g0
+    ),
+    keep AS (
+        SELECT g FROM grams GROUP BY g
+        HAVING COUNT(*) BETWEEN 2 AND {_SUBNGRAM_MAX_DOCS}
+    ),
+    kept AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM keep))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS shared_ngrams
+    FROM kept a JOIN kept b USING (g)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    tags=("text", "dedup", "pipeline", "scale"),
+    bench=True,
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level cross-document duplication — the op suffix-array
+    training-data dedup performs (find documents sharing long verbatim
+    spans even when the documents as wholes differ), re-expressed
+    Spark-natively as long-token-n-gram intersection: explode every
+    {_SUBNGRAM}-token gram, keep grams shared by 2..{_SUBNGRAM_MAX_DOCS}
+    docs (the upper bound drops boilerplate/template text exactly like
+    the LSH hot-bucket cap), self-join within gram groups, count shared
+    grams per pair.
+
+    100 TB shape: the gram explosion is a narrow map; the equi-join key
+    (the gram) is HIGH cardinality and the doc cap bounds every group's
+    pair fan-out at {_SUBNGRAM_MAX_DOCS}^2/2, so no bucket explodes. The
+    AQE-exempt keyed repartition applies the r8 lesson: adaptive
+    coalescing sizes by the join's byte-tiny input and would otherwise
+    re-funnel its pair output. In production hash the gram
+    (xxhash64) instead of carrying the string through the shuffle — the
+    string form here keeps the oracle join exact."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= _SUBNGRAM)
+    g0 = toks.withColumn(
+        "i", F.explode(F.sequence(F.lit(1), F.size("t") - (_SUBNGRAM - 1)))
+    )
+    grams = g0.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), F.lit(_SUBNGRAM))).alias("g"),
+    ).distinct()
+    keep = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= _SUBNGRAM_MAX_DOCS))
+        .select("g")
+    )
+    kept = grams.join(keep, "g", "left_semi")
+    par = spark.sparkContext.defaultParallelism * 2
+    kept = kept.repartition(par, "g")  # AQE-exempt: output-explosive join
+    return (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+
+
+@register(
+    "emb_centroid_outliers",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label,
+               unnest(generate_series(1, len(embedding))) AS dim,
+               unnest(embedding) AS e
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, dim,
+               -- exact-DECIMAL mean with the VARCHAR bridge (registry.py):
+               -- both engines must agree on every centroid component
+               -- bit-for-bit or the distances downstream diverge
+               CAST(CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) AS VARCHAR)
+                                  AS DECIMAL(27,10))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS c
+        FROM ex GROUP BY label, dim
+    ),
+    cent_arr AS (
+        SELECT label, list(c ORDER BY dim) AS cvec FROM cent GROUP BY label
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label,
+               list_sum(list_transform(
+                   generate_series(1, len(e.embedding)),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                        * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+               )) AS dist_sq
+        FROM embeddings e JOIN cent_arr c USING (label)
+    )
+    SELECT label, vec_id, dist_sq
+    FROM (
+        SELECT label, vec_id, dist_sq,
+               ROW_NUMBER() OVER (
+                   PARTITION BY label ORDER BY dist_sq DESC, vec_id
+               ) AS rn
+        FROM dists
+    )
+    WHERE rn <= 5
+    """,
+    tags=("embedding", "quality", "pipeline", "scale"),
+)
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-example mining: the 5 vectors FARTHEST from their own
+    label's centroid, per label — the embedding-space QC pass a training
+    pipeline runs before using labels for contrastive sampling or
+    stratified mixing (a point far from its class center is a labeling
+    error, an outlier, or a class worth splitting).
+
+    Determinism: centroid components go through the exact-DECIMAL-sum +
+    VARCHAR-bridge convention (identical doubles in both engines), and
+    the distance folds element-wise in array order in both engines, so
+    dist_sq is bit-identical and the (dist_sq DESC, vec_id) rank is
+    exact. 100 TB shape: the centroid pass is posexplode + map-side
+    partial agg (O(tasks x labels x dims) shuffle rows); centroids are a
+    labels x dims table broadcast back over the scan; the per-label top-k
+    routes through `scale.salted_topk` so a web-scale label never funnels
+    one reducer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "e")
+    )
+    cent = (
+        ex.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.col("e").cast("double").cast("decimal(27,10)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x["c"],
+            ).alias("cvec")
+        )
+    )
+    dists = emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "cvec",
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ).alias("dist_sq"),
+    )
+    out = salted_topk(
+        dists,
+        order_cols=[F.col("dist_sq").desc(), F.col("vec_id")],
+        rank_name="rn",
+        k=5,
+        salt_col="vec_id",
+        partition_cols=("label",),
+    )
+    return out.select("label", "vec_id", "dist_sq")
