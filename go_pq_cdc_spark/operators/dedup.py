@@ -206,7 +206,9 @@ def minhash_lsh_pairs(
     matching the direct path). Default None preserves exact oracle
     semantics."""
     if collapse_exact == "auto" and dup_ratio is not None:
-        # hint supplied: same >=5% dispatch rule, zero Spark jobs
+        # hint supplied: ratio-only dispatch (the caller profiled their
+        # corpus; a pipeline passing a hint is a large-corpus pipeline),
+        # zero Spark jobs
         collapse_exact = dup_ratio >= 0.05
     if collapse_exact == "auto":
         stats = df.agg(
@@ -215,9 +217,19 @@ def minhash_lsh_pairs(
             # against an oracle), so take the JVM-intrinsic hash
             F.approx_count_distinct(F.xxhash64(F.col(text_col))).alias("nd"),
         ).collect()[0]
-        # HLL relative error ~2%; require a clear 5% duplicate mass so
-        # sketch noise never flips a clean corpus onto the collapse path
-        collapse_exact = stats["n"] > 0 and stats["nd"] < 0.95 * stats["n"]
+        # Two-condition dispatch: a clear >=5% duplicate RATIO (HLL
+        # relative error ~2% — sketch noise must never flip a clean
+        # corpus onto the collapse path) AND an absolute duplicate MASS
+        # floor. The collapse's overhead is two extra corpus-order joins
+        # (group + expand) — roughly fixed per doc — while its savings
+        # scale with the number of duplicate docs removed from the LSH;
+        # r8's A/B measured the break-even in the tens of thousands of
+        # duplicates (sf0.1: 1.40s direct vs 1.95s collapsed at ~4.5k
+        # dups; sf1: 3.54 vs 3.30 at ~45k). Below the floor the direct
+        # path wins even on a dup-heavy corpus; both paths are
+        # output-identical, so the dispatch is free to be cost-based.
+        n, nd = stats["n"], stats["nd"]
+        collapse_exact = n > 0 and nd < 0.95 * n and (n - nd) >= 25_000
     if collapse_exact:
         return _lsh_pairs_collapsed(
             df, id_col, text_col, threshold,
