@@ -834,25 +834,26 @@ class CdcEngine:
                         "authority)"
                     )
 
+                # one sidecar interpretation per micro-batch, shared by
+                # the typing transform AND the sink's drop list (review
+                # r9: calling _evolved_value_schema twice doubled the
+                # sidecar read + schema parse on the hot streaming path);
+                # re-read EVERY batch because mid-stream DDL (ADD/ALTER
+                # TYPE/DROP) changes the answer between batches
+                batch_schema = {"dropped": ()}
+
                 def transform(batch_df):
-                    # re-read the pump's Relation sidecar EVERY batch: a
-                    # mid-stream ALTER TABLE ADD COLUMN re-sends the
-                    # Relation, the pump refreshes _schema/<table>.json,
-                    # and the next micro-batch types + merges the widened
-                    # row shape (merge widens the manifest pin; ALTER
-                    # COLUMN TYPE widens the pinned type when safe)
-                    vschema, _dropped = self._evolved_value_schema(
+                    vschema, dropped = self._evolved_value_schema(
                         wal_dir, table, value_schema
                     )
+                    batch_schema["dropped"] = dropped
                     flat, _ = self._typed_flat(batch_df, table, vschema, "pk")
                     return flat.filter(F.col("lsn") > snapshot_lsn)
 
                 def dropped_now() -> tuple[str, ...]:
-                    # re-evaluated per batch by the sink: a mid-stream
-                    # DROP COLUMN changes the answer between batches
-                    return self._evolved_value_schema(
-                        wal_dir, table, value_schema
-                    )[1]
+                    # the sink calls this after transform ran for the
+                    # same batch — consumes its cached answer
+                    return batch_schema["dropped"]
 
                 return snapshot_lsn, mirror_sink(
                     env,

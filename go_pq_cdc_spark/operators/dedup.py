@@ -176,9 +176,14 @@ def minhash_lsh_pairs(
     pass — skips the auto probe entirely: at 100 TB the probe is still
     one full scan of the text column per invocation, and a pipeline
     that already profiled the corpus shouldn't pay it twice (r8
-    verdict item 8). The dispatch threshold is identical (collapse
-    when >= 5% of docs are verbatim copies). Ignored when
-    `collapse_exact` is passed as an explicit bool.
+    verdict item 8). The hint path dispatches on the RATIO alone
+    (collapse when >= 5%), deliberately WITHOUT the auto probe's
+    absolute duplicate-mass floor: the floor needs a row count the
+    hint path refuses to pay a job for, and a caller passing a
+    profile hint is a large-corpus pipeline that clears it anyway —
+    on a small corpus the hint may pick the measured-slower collapse
+    (output identical either way). Ignored when `collapse_exact` is
+    passed as an explicit bool.
 
     Scale: signature computation is embarrassingly parallel over docs;
     candidates come from an equi-join on band buckets (high-cardinality

@@ -307,16 +307,35 @@ def snapshot_offset_dbtables(
     migrate between windows."""
     if plan.strategy is not Strategy.OFFSET:
         raise ValueError("snapshot_offset_dbtables requires an OFFSET plan")
+    return [
+        offset_chunk_subquery(
+            table, c.where, c.limit, c.offset, c.index, condition
+        )
+        for c in plan.chunks
+    ]
+
+
+def offset_chunk_subquery(
+    table: TableConfig,
+    sentinel_where: str,
+    limit: int,
+    offset: int,
+    index: int,
+    condition: str | None = None,
+) -> str:
+    """ONE OFFSET chunk as a dbtable subquery — the single renderer of the
+    planner's `__offset_chunk__ ORDER BY ...` sentinel, shared by the
+    JDBC per-plan path (`snapshot_offset_dbtables`) and the cooperative
+    per-chunk reader (`snapshot_socket.cooperative_chunk_sql`) so the
+    quoting/condition/sentinel grammar can never drift between them
+    (review r9)."""
     cols = ", ".join(table.columns) if table.columns else "*"
     where = f" WHERE {condition}" if condition else ""
-    out = []
-    for c in plan.chunks:
-        order_by = c.where.split(" ORDER BY ", 1)[1].split(" LIMIT ", 1)[0]
-        out.append(
-            f"(SELECT {cols} FROM {table.qualified}{where} ORDER BY {order_by} "
-            f"LIMIT {c.limit} OFFSET {c.offset}) AS chunk_{c.index}"
-        )
-    return out
+    order_by = sentinel_where.split(" ORDER BY ", 1)[1].split(" LIMIT ", 1)[0]
+    return (
+        f"(SELECT {cols} FROM {table.qualified}{where} ORDER BY {order_by} "
+        f"LIMIT {limit} OFFSET {offset}) AS chunk_{index}"
+    )
 
 
 # --- O1 pragmatic transport: poll the slot through SQL ---------------------

@@ -518,13 +518,25 @@ class SlotKeeper:
                 # either everything peeked is replay (drop by row — a
                 # complete replayed txn never ends above the frontier) or
                 # the plugin/option mix emits no txn markers (ship as-is,
-                # the pre-r9 behavior)
+                # the pre-r9 behavior). Boundary-shared rows (lsn ==
+                # frontier) dropped here are NOT lost: their transaction's
+                # COMMIT is by construction not in this window, and once
+                # it appears _split_committed ships the block WHOLE on its
+                # commit position regardless of row lsns — re-delivery,
+                # which the merge dedups on (pk, lsn, txn_seq).
                 shipped = [r for r in trailing if lsn_to_int(r[0]) > self.frontier]
                 break
             limit *= 2  # a txn bigger than the window: widen and re-peek
         else:
-            # no commit marker within 6 escalations: ship unaligned rather
-            # than stall (at-least-once holds; commit_ts degrades to NULL)
+            # no commit marker within 6 escalations (a txn out-sizing 64x
+            # the window): ship the partial txn unaligned rather than
+            # stall. Reaching here REQUIRES zero commits above the
+            # frontier in the window, so advancing past these rows cannot
+            # skip any commit; when the giant txn's COMMIT finally peeks,
+            # its block ships WHOLE (commit > frontier) — every row
+            # re-delivers, including any boundary-lsn rows the per-row
+            # filter dropped here. At-least-once holds via re-delivery;
+            # only commit_ts degrades to NULL for the partial segment.
             shipped = [r for r in rows if lsn_to_int(r[0]) > self.frontier]
         if not shipped:
             return 0

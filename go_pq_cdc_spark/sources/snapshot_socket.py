@@ -37,7 +37,11 @@ from pyspark.sql import types as T
 
 from ..config import TableConfig
 from ..snapshot.planner import SnapshotPlan, Strategy
-from .postgres import chunk_query, snapshot_offset_dbtables
+from .postgres import (
+    chunk_query,
+    offset_chunk_subquery,
+    snapshot_offset_dbtables,
+)
 
 
 def _socket_fetch(conn_args: dict, snapshot_id: str | None, sql: str):
@@ -133,14 +137,11 @@ def cooperative_chunk_sql(
     if chunk.get("partition_strategy") == Strategy.OFFSET.value or str(
         chunk.get("where", "")
     ).startswith("__offset_chunk__"):
-        cols = ", ".join(table.columns) if table.columns else "*"
-        where = f" WHERE {condition}" if condition else ""
-        order_by = chunk["where"].split(" ORDER BY ", 1)[1].split(" LIMIT ", 1)[0]
-        return (
-            f"SELECT * FROM (SELECT {cols} FROM {table.qualified}{where} "
-            f"ORDER BY {order_by} LIMIT {chunk['limit']} "
-            f"OFFSET {chunk['offset']}) AS chunk_{chunk['chunk_index']}"
+        sub = offset_chunk_subquery(
+            table, chunk["where"], chunk["limit"], chunk["offset"],
+            chunk["chunk_index"], condition,
         )
+        return f"SELECT * FROM {sub}"
     return chunk_query(table, chunk["where"], condition)
 
 

@@ -139,18 +139,47 @@ def _snapshot_manifest_path(state_dir: str, epoch: int) -> str:
     return os.path.join(state_dir, "manifests", f"e{epoch:09d}.json")
 
 
-def _write_manifest_snapshot(
+def _publish_manifest_snapshot(
     state_dir: str, manifest: dict, backend: ClaimBackend
 ) -> None:
-    """Immutable per-epoch manifest copy — the time-travel commit log
-    (the single-table analogue of a Delta/Iceberg snapshot list). Written
-    BEFORE the live-manifest swap so a retained epoch is always readable.
-    Unconditional put: only the lock holder writes epoch N's snapshot,
-    and a crash-before-swap replay of the same epoch must overwrite its
-    own orphan."""
+    """Pre-commit publish of the per-epoch manifest copy — the time-travel
+    commit log (the single-table analogue of a Delta/Iceberg snapshot
+    list). Written BEFORE the live-manifest swap so a retained epoch is
+    readable the moment the swap lands — but GUARDED, never unconditional:
+    a zombie writer that will lose the live CAS must not get to overwrite
+    the epoch snapshot a committed peer already published (review r9 —
+    the live state would be right while read_mirror_as_of(N) served the
+    aborted merge's bucket set).
+
+      * put_if_absent wins the normal case outright;
+      * if epoch N's snapshot already exists and the LIVE manifest is
+        already at epoch >= N, a peer committed N — this writer is a
+        zombie and aborts here, snapshot untouched;
+      * otherwise the existing object is a crashed pre-swap attempt's
+        orphan (nobody committed N yet) — replace it via etag CAS, so a
+        concurrently racing writer's replace loses cleanly.
+
+    The committing writer RE-PUTS the snapshot after winning the live
+    swap (`commit_manifest`), which bumps the etag and invalidates any
+    pre-commit read a still-racing zombie holds — its conditional
+    replace can then never land on top of committed state."""
     p = _snapshot_manifest_path(state_dir, manifest["epoch"])
     backend.ensure_dir(os.path.dirname(p))
-    backend.put(p, manifest)
+    if backend.put_if_absent(p, manifest):
+        return
+    live, _ = _read_manifest_versioned(state_dir, backend)
+    if int(live.get("epoch", -1)) >= int(manifest["epoch"]):
+        raise MirrorLockLost(
+            f"epoch {manifest['epoch']} snapshot at {state_dir} was already "
+            "committed by a peer; this merge is stale and aborted before "
+            "touching it"
+        )
+    _doc, etag = backend.read(p)
+    if not backend.swap(p, manifest, etag):
+        raise MirrorLockLost(
+            f"lost the race republishing epoch {manifest['epoch']} snapshot "
+            f"at {state_dir}; merge aborted"
+        )
 
 
 # --- data-directory primitives (the parquet Spark writes) -------------------
@@ -462,10 +491,16 @@ class _MergeLock:
                     return  # lost — the pre-swap fence will abort the merge
                 if not self.backend.swap(self.path, self._doc(), etag):
                     return  # CAS lost to a concurrent takeover
-                # POSIX swap is unconditional — verify the replace was not
-                # itself raced by a takeover (a paused holder's beat must
-                # never silently re-install its lock over a peer's, r8
-                # advisor); on etag backends this read just confirms
+                # POSIX swap is unconditional; this read-back catches only
+                # a takeover that lands AFTER our replace — a pause between
+                # the ownership read above and the replace still
+                # re-installs over a peer (the read-back then sees our own
+                # doc). That window is POSIX-fundamental without fcntl
+                # (whose NFS semantics are implementation-defined) and is
+                # why the commit itself is etag-CAS'd on object stores:
+                # there the beat's swap is conditional and the window is
+                # ZERO. On POSIX the residual risk is bounded by the
+                # fence + writer-unique epoch dirs (documented).
                 cur2, _ = self.backend.read(self.path)
                 if cur2 is None or cur2.get("owner") != self.owner:
                     return
@@ -845,14 +880,19 @@ def _merge_mirror_batch_locked(
     else:
         affected = sorted(b for b in stats["pbs"] if b is not None)
     def commit_manifest() -> None:
-        """The commit point. Fence (ownership), snapshot (time travel),
-        then the LIVE swap — conditional on the etag the merge read its
-        manifest at: on etag-enforcing backends a writer whose view went
-        stale (zombie past the fence, or a racing first-writer on a
-        fresh mirror) loses the CAS and aborts with the mirror untouched
-        by it; POSIX swaps unconditionally (fence-guarded, documented)."""
+        """The commit point. Fence (ownership), guarded snapshot
+        pre-publish (time travel — readable the moment the swap lands,
+        but a zombie can never overwrite a committed peer's snapshot:
+        `_publish_manifest_snapshot`), then the LIVE swap — conditional
+        on the etag the merge read its manifest at: on etag-enforcing
+        backends a writer whose view went stale (zombie past the fence,
+        or a racing first-writer on a fresh mirror) loses the CAS and
+        aborts with the mirror untouched by it; POSIX swaps
+        unconditionally (fence-guarded, documented). The winner re-puts
+        the snapshot AFTER the swap, invalidating any etag a still-racing
+        zombie captured pre-commit."""
         lock.check_owned()  # fence: never swap a manifest we no longer own
-        _write_manifest_snapshot(state_dir, manifest, backend)
+        _publish_manifest_snapshot(state_dir, manifest, backend)
         if not backend.swap(
             os.path.join(state_dir, _MANIFEST), manifest, manifest_etag
         ):
@@ -861,6 +901,12 @@ def _merge_mirror_batch_locked(
                 "read it (epoch CAS failed); merge aborted — its epoch "
                 "dirs are unreferenced orphans the next GC removes"
             )
+        # committed: re-assert the snapshot so its etag postdates the
+        # commit — a zombie's pre-commit conditional replace can no
+        # longer land on it
+        backend.put(
+            _snapshot_manifest_path(state_dir, manifest["epoch"]), manifest
+        )
 
     if not affected:
         # an EMPTY epoch still committed in the stream's checkpoint — give

@@ -211,13 +211,27 @@ def test_zombie_past_fence_loses_manifest_cas(spark, tmp_path, be, monkeypatch):
     # zombie slips past the fence: the exact interleave the advisor flagged
     monkeypatch.setattr(_MergeLock, "check_owned", lambda self: None)
 
-    with pytest.raises(MirrorLockLost, match="CAS failed"):
+    with pytest.raises(MirrorLockLost):
+        # aborts at the guarded snapshot publish ("already committed by a
+        # peer") or, had it slipped past that too, at the manifest CAS —
+        # either way BEFORE touching committed state
         merge_mirror_batch(
             _batch(spark, [_ev("U", 9, 9, 1, 99.0)]), state, backend=be
         )
     # the peer's commit is intact; the zombie's value never landed
-    assert {
+    live = {
         r["after_val"] for r in read_mirror(spark, state, backend=be).collect()
+    }
+    assert live == {55.0}
+    # and the peer's EPOCH SNAPSHOT is intact too (review r9: the zombie's
+    # pre-commit snapshot write used to be unconditional, so time travel
+    # to the committed epoch could serve the aborted merge's bucket set)
+    m, _ = be.read(f"{state}/manifest.json")
+    snap, _ = be.read(f"{state}/manifests/e{m['epoch']:09d}.json")
+    assert snap == m
+    assert {
+        r["after_val"]
+        for r in read_mirror_as_of(spark, state, m["epoch"], backend=be).collect()
     } == {55.0}
 
 
