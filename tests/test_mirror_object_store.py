@@ -256,3 +256,32 @@ def test_heartbeat_cannot_reinstall_after_takeover(be, tmp_path):
     assert cur["owner"] == b.owner
     a.release()  # conditional: must not remove b's lock
     b.check_owned()
+
+
+def test_crash_orphan_snapshot_is_replaced_on_retry(spark, tmp_path, be):
+    """A merge that crashed AFTER writing its epoch snapshot but BEFORE
+    the live swap leaves an orphan e{N}.json; the retry (same epoch — the
+    live counter never advanced) must replace the orphan and commit,
+    never abort on it (put_if_absent alone would wrongly treat the
+    orphan as a peer's commit)."""
+    state = str(tmp_path / "state")
+    merge_mirror_batch(
+        _batch(spark, [_ev("I", 1, 1, 1, 1.0)]), state, backend=be
+    )
+    # fabricate the crash artifact: epoch 1's snapshot exists with stale
+    # content while the live manifest is still at epoch 0
+    m, _ = be.read(f"{state}/manifest.json")
+    assert m["epoch"] == 0
+    orphan = dict(m, epoch=1, buckets={"0": "epochs/e000000001.deadbeef/pb=0"})
+    assert be.put_if_absent(f"{state}/manifests/e000000001.json", orphan)
+
+    merge_mirror_batch(
+        _batch(spark, [_ev("U", 2, 2, 1, 2.0)]), state, backend=be
+    )
+    m2, _ = be.read(f"{state}/manifest.json")
+    assert m2["epoch"] == 1
+    snap, _ = be.read(f"{state}/manifests/e000000001.json")
+    assert snap == m2  # the orphan was replaced by the committed manifest
+    assert {
+        r["after_val"] for r in read_mirror(spark, state, backend=be).collect()
+    } == {2.0}
