@@ -285,3 +285,56 @@ def test_crash_orphan_snapshot_is_replaced_on_retry(spark, tmp_path, be):
     assert {
         r["after_val"] for r in read_mirror(spark, state, backend=be).collect()
     } == {2.0}
+
+
+def test_streaming_mirror_sink_over_object_store(spark, tmp_path, be):
+    """The full Structured Streaming sink path (foreachBatch -> merge)
+    with coordination in the store: micro-batches commit epochs via the
+    CAS'd manifest swap, and the final state is queryable through the
+    store-held manifest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_pq_cdc_spark.streaming.changelog_stream import mirror_sink
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+
+    def write_batch(rows, name):
+        pdf_rows = [
+            (r.op, r.lsn, r.xid, r.commit_ts, r.pk, r.after_val) for r in rows
+        ]
+        tbl = pa.table({
+            "op": pa.array([x[0] for x in pdf_rows], pa.string()),
+            "lsn": pa.array([x[1] for x in pdf_rows], pa.int64()),
+            "xid": pa.array([x[2] for x in pdf_rows], pa.int64()),
+            "commit_ts": pa.array([x[3] for x in pdf_rows], pa.timestamp("us")),
+            "pk": pa.array([x[4] for x in pdf_rows], pa.int64()),
+            "after_val": pa.array([x[5] for x in pdf_rows], pa.float64()),
+        })
+        pq.write_table(tbl, str(src / name))
+
+    write_batch([_ev("I", 1, 1, 1, 1.0), _ev("I", 2, 1, 2, 2.0)], "b0.parquet")
+    stream = (
+        spark.readStream.schema(FLAT_CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = mirror_sink(
+        stream, state, str(tmp_path / "ck"), backend=be
+    )
+    try:
+        q.processAllAvailable()
+        write_batch([_ev("U", 3, 2, 1, 11.0), _ev("D", 4, 2, 2, None)],
+                    "b1.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {
+        r["pk"]: r["after_val"]
+        for r in read_mirror(spark, state, backend=be).collect()
+    } == {1: 11.0}
+    m, _ = be.read(f"{state}/manifest.json")
+    assert m["epoch"] >= 1
+    assert not os.path.exists(os.path.join(state, "manifest.json"))
