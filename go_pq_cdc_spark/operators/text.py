@@ -431,3 +431,63 @@ def with_bag_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "bag_fp", F.expr(bag_fingerprint_fragments(text_col)["spark"])
     )
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    n: int = 8,
+    max_docs: int = 20,
+    hashed: bool = False,
+) -> DataFrame:
+    """SUBSTRING-level cross-document duplication (the op suffix-array
+    training dedup performs — find documents sharing long verbatim spans
+    even when the documents as wholes differ) as long-token-n-gram
+    intersection: explode every n-token gram, keep grams shared by
+    2..max_docs docs (the upper bound drops boilerplate/template text
+    exactly like the LSH hot-bucket cap and bounds every join group's
+    pair fan-out at max_docs^2/2), self-join within gram groups, count
+    shared grams per (doc_a, doc_b).
+
+    `hashed=True` is the 100 TB arm: the gram is reduced to xxhash64
+    BEFORE the distinct/keep/join shuffles, so every exchange carries an
+    8-byte key instead of the ~n*wordlen gram string — identical output
+    up to 2^-64-probability hash collisions (property-tested equal on
+    real corpora; keep hashed=False when results feed a cross-engine
+    oracle). The AQE-exempt keyed repartition applies the r8 lesson:
+    adaptive coalescing sizes by the join's byte-tiny input and would
+    otherwise re-funnel its pair output."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    ).filter(F.size("t") >= n)
+    g0 = toks.withColumn(
+        "i", F.explode(F.sequence(F.lit(1), F.size("t") - (n - 1)))
+    )
+    gram = F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), F.lit(n)))
+    if hashed:
+        gram = F.xxhash64(gram)
+    grams = g0.select("doc_id", gram.alias("g")).distinct()
+    keep = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_docs))
+        .select("g")
+    )
+    kept = grams.join(keep, "g", "left_semi")
+    par = df.sparkSession.sparkContext.defaultParallelism * 2
+    kept = kept.repartition(par, "g")  # AQE-exempt: output-explosive join
+    return (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )

@@ -244,37 +244,12 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-funnel its pair output. In production hash the gram
     (xxhash64) instead of carrying the string through the shuffle — the
     string form here keeps the oracle join exact."""
+    from ..operators.text import substring_dup_pairs
+
     doc = load_table(spark, sf_dir, "documents")
-    toks = doc.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    ).filter(F.size("t") >= _SUBNGRAM)
-    g0 = toks.withColumn(
-        "i", F.explode(F.sequence(F.lit(1), F.size("t") - (_SUBNGRAM - 1)))
-    )
-    grams = g0.select(
-        "doc_id",
-        F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), F.lit(_SUBNGRAM))).alias("g"),
-    ).distinct()
-    keep = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter((F.col("_n") >= 2) & (F.col("_n") <= _SUBNGRAM_MAX_DOCS))
-        .select("g")
-    )
-    kept = grams.join(keep, "g", "left_semi")
-    par = spark.sparkContext.defaultParallelism * 2
-    kept = kept.repartition(par, "g")  # AQE-exempt: output-explosive join
-    return (
-        kept.alias("a")
-        .join(
-            kept.alias("b"),
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    return substring_dup_pairs(
+        doc, "doc_id", "text", n=_SUBNGRAM, max_docs=_SUBNGRAM_MAX_DOCS,
+        hashed=False,  # string grams keep the DuckDB oracle join exact
     )
 
 

@@ -267,3 +267,37 @@ def test_dup_ratio_hint_skips_probe(spark):
     ) == pairset(
         minhash_lsh_pairs(df, "doc_id", threshold=0.4, collapse_exact=False)
     )
+
+
+def test_substring_dup_pairs_hashed_identity(spark):
+    """The hashed (production, 8-byte shuffle key) arm of
+    substring_dup_pairs is output-identical to the string-gram arm on a
+    corpus with real span-level duplication — xxhash64 collisions at
+    2^-64 never surface at any realistic corpus size."""
+    import random
+
+    from go_pq_cdc_spark.operators.text import substring_dup_pairs
+
+    rng = random.Random(0xBEEF)
+    vocab = [f"w{i}" for i in range(50)]
+    span = " ".join(rng.choice(vocab) for _ in range(12))  # a shared span
+    rows = []
+    for i in range(30):
+        prefix = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10)))
+        suffix = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10)))
+        # half the docs embed the shared span; all differ as wholes
+        body = f"{prefix} {span} {suffix}" if i % 2 == 0 else f"{prefix} {suffix} x{i}"
+        rows.append((i, body))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def pairs(hashed):
+        return {
+            (r["doc_a"], r["doc_b"], r["shared_ngrams"])
+            for r in substring_dup_pairs(
+                df, "doc_id", n=8, max_docs=20, hashed=hashed
+            ).collect()
+        }
+
+    plain, fast = pairs(False), pairs(True)
+    assert plain == fast
+    assert len(plain) > 0  # span-sharers found each other
