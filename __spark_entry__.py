@@ -25,16 +25,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Gate scheduling: the correctness runner caps at 50 of the registry's
 # entries per round, so rows that NEED a fresh driver-green signal run
-# FIRST. Round 9 rotation (r8 verdict item 2): the 48 rows whose latest
-# driver green is CORRECTNESS_r07 are now the STALEST signal — they run
-# first; the 46 rows driver-green in CORRECTNESS_r08 (incl. the three
-# r8-new corpus queries) move to the tail. Queries ADDED this round land
-# in the middle (right after the head), so a new query's first driver
-# check still fits the cap. After r9, every registry row's latest driver
-# green is <= 2 rounds old.
+# FIRST. Round 10 rotation (r9 verdict item 3): the 46 rows whose latest
+# driver green is CORRECTNESS_r08 are now the STALEST signal — they run
+# first; the 50 rows driver-green in CORRECTNESS_r09 move to the tail.
+# Queries ADDED this round land in the middle (right after the head), so
+# a new query's first driver check still fits the cap. After r10, every
+# registry row's latest driver green is <= 2 rounds old.
 _GATE_HEAD = [
-    # driver-green in CORRECTNESS_r07, rotated out of r8's 50-row cap —
-    # stalest rows in the registry (r9 rotation: r8 verdict item 2)
+    # driver-green in CORRECTNESS_r08, rotated out of r9's 50-row cap —
+    # stalest rows in the registry (r10 rotation: r9 verdict item 3)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_bracketed_revenue",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "cdc_op_route_counts",
+    "cdc_toast_fill",
+    "cdc_latest_state",
+    "cdc_commit_order",
+    "cdc_snapshot_handoff",
+    "snapshot_chunk_stats",
+    "q_window_gauntlet",
+    "q_funnel_steps",
+    "q_cohort_retention",
+    "q_histogram",
+    "q_kmv_distinct",
+    "q_kmv_merge",
+    "text_pii_scrub",
+    "text_line_dedup",
+    "text_bag_dedup",
+    "text_cleanup",
+    "text_url_dedup",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "dedup_cluster_assign",
+    "dedup_decontaminate",
+    "dedup_simhash_pairs",
+    "curation_pipeline",
+    "emb_near_dup_lsh",
+    "sim_lsh_buckets",
+    "pack_token_sequences",
+    "sample_stratified_mix",
+    "sample_cluster_balanced",
+    "train_epoch_order",
+    "text_chunk_windows",
+    "sample_stratum_topk",
+    "emb_dim_stats",
+]
+_GATE_TAIL = [
+    # driver-green in CORRECTNESS_r09 (50/50 MATCH) — freshest signal
     "q12_late_shipment_priority",
     "emb_quantize",
     "q_time_bucket_gapfill",
@@ -83,55 +131,8 @@ _GATE_HEAD = [
     "q_scalar_gauntlet",
     "q_grouping_sets",
     "q17_small_quantity_revenue",
-]
-_GATE_TAIL = [
-    # driver-green in CORRECTNESS_r08 (50/50 MATCH) — freshest signal
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q19_bracketed_revenue",
-    "q15_top_supplier",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "cdc_op_route_counts",
-    "cdc_toast_fill",
-    "cdc_latest_state",
-    "cdc_commit_order",
-    "cdc_snapshot_handoff",
-    "snapshot_chunk_stats",
-    "q_window_gauntlet",
-    "q_funnel_steps",
-    "q_cohort_retention",
-    "q_histogram",
-    "q_kmv_distinct",
-    "q_kmv_merge",
-    "text_pii_scrub",
-    "text_line_dedup",
-    "text_bag_dedup",
-    "text_cleanup",
-    "text_url_dedup",
-    "dedup_minhash_lsh",
-    "dedup_incremental",
-    "dedup_cluster_assign",
-    "dedup_decontaminate",
-    "dedup_simhash_pairs",
-    "curation_pipeline",
-    "emb_near_dup_lsh",
-    "sim_lsh_buckets",
-    "pack_token_sequences",
-    "sample_stratified_mix",
-    "sample_cluster_balanced",
-    "train_epoch_order",
-    "text_chunk_windows",
-    "sample_stratum_topk",
-    "emb_dim_stats",
+    "text_substring_dedup",
+    "emb_centroid_outliers",
 ]
 
 

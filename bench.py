@@ -21,30 +21,38 @@ from go_pq_cdc_spark.catalog import TABLES, load_table  # noqa: E402
 from go_pq_cdc_spark.session import get_spark  # noqa: E402
 
 
-# Machine-factor anchor (r8 verdict item 6): this host's fleet-wide CPU
-# contention swings identical code 3-8x between runs (r8's headline
-# "regression" was byte-identical plans measuring 11.5s..34s). The anchor
-# times a FIXED pure-JVM Spark job (20B-row xxhash64 max-fold — no I/O,
-# no shuffle, saturates all cores exactly like whole-stage codegen query
+# Machine-factor anchor (r8 verdict item 6, INTERLEAVED per r9 item 2):
+# this host's fleet-wide CPU contention swings identical code 3-8x
+# between runs (r8's headline "regression" was byte-identical plans
+# measuring 11.5s..34s; r9's once-run anchor said "quiet" while ~595
+# CPU-seconds of steal landed DURING the queries). The anchor times a
+# FIXED pure-JVM Spark job (20B-row xxhash64 max-fold — no I/O, no
+# shuffle, saturates all cores exactly like whole-stage codegen query
 # execution; max, not count, so null-intolerance analysis cannot elide
-# the hash, and not sum, which overflows under ANSI) and reports
-# queries_normalized = raw / machine_factor, so round-over-round
-# comparisons divide the fleet factor out instead of arguing about it in
-# NOTES. CAL_REF_SEC is the anchor's best-of-3 on this container
-# measured quiet (load ~1, zero steal) in round 9.
+# the hash, and not sum, which overflows under ANSI). It is RE-TIMED
+# every ANCHOR_EVERY queries inside the sweep, each query normalizes by
+# the NEAREST anchor, and the whole sweep runs TWICE in opposite orders
+# — per-query minima are the headline, and the two orderings'
+# normalized times are reported so round-over-round comparison is
+# mechanical (they should agree within ~20%; larger spread = the noise
+# landed inside one query's window and the min already took the other).
+# CAL_REF_SEC is the anchor's best-of-3 on this container measured quiet
+# (load ~1, zero steal) in round 9.
 CAL_REF_SEC = 2.9
 CAL_ROWS = 20_000_000_000
+ANCHOR_EVERY = 4
+
+
+def anchor_once(spark) -> float:
+    t0 = time.perf_counter()
+    spark.range(CAL_ROWS).selectExpr("max(xxhash64(id)) AS c").collect()
+    return time.perf_counter() - t0
 
 
 def machine_calibration(spark) -> float:
     """Best-of-3 of the fixed anchor job (first run pays codegen — the
     best-of discipline matches the query timings)."""
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(CAL_ROWS).selectExpr("max(xxhash64(id)) AS c").collect()
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return min(anchor_once(spark) for _ in range(3))
 
 
 def read_steal_jiffies() -> int:
@@ -68,26 +76,64 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
-    cal = machine_calibration(spark)
+    cal0 = machine_calibration(spark)
 
-    # Best-of-2 per query: the first execution of the large fixed-point
-    # HOF expressions pays whole-stage-codegen + C2 JIT whose cost varies
-    # >4x with this host's CPU contention (NOTES_r5); the second run is
-    # the steady-state number a long-running cluster job actually sees.
-    bench_specs = [s for s in plans.REGISTRY.values() if s.bench]
-    times: dict[str, float] = {}
-    for spec in sorted(bench_specs, key=lambda s: s.name):
-        best = float("inf")
-        for _ in range(2):
+    # Two passes in OPPOSITE orders, anchor re-timed every ANCHOR_EVERY
+    # queries inside each pass (r9 verdict item 2): a contention burst
+    # mid-sweep now lands on a nearby anchor instead of being amortized
+    # into a single pre-sweep factor, and each query's two opposite-order
+    # measurements bracket any order-dependent warmup. Per-query result =
+    # min of the two passes (the pre-r10 best-of-2 discipline, now spread
+    # across orderings); per-query normalized = min of raw/nearest-factor.
+    bench_specs = sorted(
+        (s for s in plans.REGISTRY.values() if s.bench), key=lambda s: s.name
+    )
+    # UNTIMED warmup execution of every query first: whole-stage-codegen
+    # + C2 JIT cost lands on a query's FIRST execution only (the pre-r10
+    # best-of-2 absorbed it; with one timed run per pass it would land
+    # entirely in pass 1 and masquerade as ordering disagreement).
+    for spec in bench_specs:
+        spec.spark_fn(spark, sf_dir).count()
+    passes: list[dict[str, dict[str, float]]] = []
+    for order in (bench_specs, list(reversed(bench_specs))):
+        raw: dict[str, float] = {}
+        norm: dict[str, float] = {}
+        factors: dict[str, float] = {}
+        cal = cal0
+        for i, spec in enumerate(order):
+            if i and i % ANCHOR_EVERY == 0:
+                cal = anchor_once(spark)
             t0 = time.perf_counter()
             spec.spark_fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        times[spec.name] = round(best, 3)
+            dt = time.perf_counter() - t0
+            f = cal / CAL_REF_SEC
+            raw[spec.name] = round(dt, 3)
+            factors[spec.name] = round(f, 3)
+            norm[spec.name] = round(dt / f, 3)
+        passes.append({"raw": raw, "normalized": norm, "factors": factors})
+        cal0 = anchor_once(spark)  # fresh anchor heading into pass 2
+
+    times = {
+        s.name: min(p["raw"][s.name] for p in passes) for s in bench_specs
+    }
+    norm_min = {
+        s.name: min(p["normalized"][s.name] for p in passes)
+        for s in bench_specs
+    }
+    # ordering agreement: max over queries of the two passes' normalized
+    # ratio — ~1.2 or below means the anchor absorbed the host noise
+    agreement = {
+        s.name: round(
+            max(p["normalized"][s.name] for p in passes)
+            / max(min(p["normalized"][s.name] for p in passes), 1e-9),
+            3,
+        )
+        for s in bench_specs
+    }
 
     rates = throughput_benches(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
-    factor = cal / CAL_REF_SEC
     print(
         json.dumps(
             {
@@ -97,15 +143,16 @@ def main() -> None:
                 "queries": times,
                 "throughput_rows_per_sec": rates,
                 "sf": sf,
-                # host-noise anchor: divide raw by machine_factor to
-                # compare rounds on this fleet-shared box (r8 item 6)
-                "calibration_sec": round(cal, 3),
+                # host-noise anchor (r8 item 6; interleaved + dual-order
+                # per r9 item 2): per-query normalized minima are the
+                # round-over-round comparison numbers
                 "calibration_ref_sec": CAL_REF_SEC,
-                "machine_factor": round(factor, 3),
-                "queries_normalized": {
-                    k: round(v / factor, 3) for k, v in times.items()
-                },
-                "value_normalized": round(total / factor, 3),
+                "queries_normalized": norm_min,
+                "value_normalized": round(sum(norm_min.values()), 3),
+                "per_query_factors": [p["factors"] for p in passes],
+                "pass_normalized": [p["normalized"] for p in passes],
+                "ordering_agreement_ratio": agreement,
+                "ordering_agreement_max": max(agreement.values()),
                 "steal_jiffies_delta": read_steal_jiffies() - steal0,
             }
         )
@@ -166,6 +213,33 @@ def throughput_benches(spark, sf_dir: str) -> dict[str, int]:
         rates["cdc_apply"] = best
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+    # state >> batch mirror merge (r9 verdict item 1): seed a mirror with
+    # the full changelog's state, then merge a SMALL batch in each mode.
+    # COW rewrites every affected bucket — at this batch spread that is
+    # every bucket, so its write volume ∝ STATE; the delta arm appends
+    # ~batch-sized delta files (write ∝ BATCH) and folds at read. Rates
+    # are batch-rows/sec for the merge call — the delta/cow ratio is the
+    # write-amplification win at state≫batch.
+    from go_pq_cdc_spark.streaming.changelog_stream import merge_mirror_batch
+
+    state_root = tempfile.mkdtemp(prefix="bench_state_")
+    try:
+        seed = base.select("op", "lsn", "xid", "commit_ts", "pk", "after_val")
+        small = seed.filter(F.col("pk") % 97 == 0).withColumn(
+            "lsn", F.col("lsn") + F.lit(1_000_000_000)
+        )
+        bn = small.count()
+        for mode in ("cow", "delta"):
+            sd = os.path.join(state_root, mode)
+            merge_mirror_batch(seed, sd)  # seed the big state (COW)
+            t0 = time.perf_counter()
+            merge_mirror_batch(small, sd, merge_mode=mode)
+            rates[f"mirror_{mode}_state_gg_batch"] = int(
+                bn / (time.perf_counter() - t0)
+            )
+    finally:
+        shutil.rmtree(state_root, ignore_errors=True)
 
     # End-to-end streaming CDC: changelog as WAL segments -> pq_cdc_wal
     # custom source -> TOAST-aware mirror merge (the closest shape to the

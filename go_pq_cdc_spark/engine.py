@@ -403,20 +403,30 @@ class CdcEngine:
           when the pair is a safe parquet read-promotion
           (`streaming.changelog_stream.widened_type` — ALTER COLUMN TYPE
           int4->int8 etc.); a non-widenable change raises (rebuild);
-        * a declared column ABSENT from the sidecar was DROPPED — it
-          keeps its slot in the DDL (the mirror masks it dead from this
-          epoch; see merge_mirror_batch dropped_cols) and is returned in
-          the drop list.
+        * a declared column ABSENT from the sidecar is DROPPED only when
+          the sidecar's provenance (`seen` — the union of every column
+          name any Relation message ever carried) shows the live table
+          previously HAD it; it keeps its slot in the DDL (the mirror
+          masks it dead from this epoch; see merge_mirror_batch
+          dropped_cols) and is returned in the drop list. A declared
+          column the live schema has NEVER shipped (declaration leading
+          the actual PG DDL, or a sidecar written by an older Relation
+          message) is NOT a drop — masking it would physically NULL its
+          carried-forward values in every bucket rewritten meanwhile and
+          force a rebuild when the column finally appears (ADVICE r9);
+          it simply passes through until a Relation message mentions it.
 
         Columns named like the flat envelope's own (op/lsn/pk/...) are
         skipped — they cannot be value columns of the mirror row."""
         from .envelope import pg_type_to_spark
-        from .sources.slot_keeper import read_relation_schema
+        from .sources.slot_keeper import read_relation_sidecar
         from .streaming.changelog_stream import widened_type
 
-        rel_cols = read_relation_schema(wal_dir, table)
-        if not rel_cols:
+        sidecar = read_relation_sidecar(wal_dir, table)
+        if not sidecar or not sidecar["columns"]:
             return declared_ddl, ()
+        rel_cols = [(c, t) for c, t in sidecar["columns"]]
+        ever_seen = set(sidecar["seen"])
         declared = [
             (f.name, f.dataType.simpleString())
             for f in self.spark.createDataFrame([], declared_ddl).schema.fields
@@ -426,7 +436,8 @@ class CdcEngine:
         dropped: list[str] = []
         for n, t in declared:
             if n not in rel_types:
-                dropped.append(n)
+                if n in ever_seen:
+                    dropped.append(n)
                 out.append((n, t))  # keeps its slot; the merge masks it
                 continue
             rt = rel_types[n]

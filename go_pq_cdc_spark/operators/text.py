@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import portable as P
 
@@ -430,6 +431,114 @@ def with_bag_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     shuffle)."""
     return df.withColumn(
         "bag_fp", F.expr(bag_fingerprint_fragments(text_col)["spark"])
+    )
+
+
+def substring_dedup_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    n: int = 8,
+    max_docs: int = 20,
+    hashed: bool = False,
+) -> DataFrame:
+    """The APPLY half of substring-level dedup (r9 verdict item 4 — the
+    span-REMOVAL op suffix-array training dedup performs, Lee et al.
+    2021): every occurrence of a cross-document duplicated span EXCEPT
+    the first (keep-first-occurrence: the lexicographically smallest
+    (doc_id, position)) is removed from the corpus, overlapping hits
+    merged, and the text reconstructed from the surviving tokens.
+
+    Pipeline (pure DataFrame ops, no UDF):
+      1. kept grams: {n}-token grams shared by 2..max_docs DISTINCT docs
+         (same bounds as `substring_dup_pairs`; >max_docs is boilerplate
+         owned by cheaper passes). Within-doc repeats of a kept gram
+         dedupe too — only the global first occurrence survives.
+      2. removal hits: every occurrence of a kept gram ranked by
+         (doc_id, i) per gram; rank > 1 marks positions [i, i+n-1] dead.
+      3. coverage: per doc, a running max over hit-end positions
+         (window ordered by token position) — a token j is covered iff
+         some hit starting at or before j ends at or after j; merged
+         overlapping spans fall out of the running max for free.
+      4. reconstruct: surviving tokens re-joined in position order;
+         fully-covered docs yield the empty string.
+
+    Returns (doc_id, dedup_text, n_tokens_removed) — one row per input
+    doc, idempotent (re-applying removes nothing: only first
+    occurrences remain, property-tested).
+
+    `hashed=True` is the 100 TB arm, exactly like the pair finder's:
+    grams reduce to xxhash64 BEFORE the keep/rank shuffles (8-byte keys
+    instead of ~n*wordlen strings; output identical up to 2^-64 hash
+    collisions, property-tested equal). 100 TB shape: gram explode and
+    token posexplode are narrow maps; the keep aggregate and the per-g
+    rank window shuffle on the HIGH-cardinality gram; the rank window's
+    groups are bounded by max_docs x per-doc repeats; the coverage
+    window and final rebuild shuffle once on doc_id with per-doc state
+    bounded by document length (context-window-scale docs)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    )
+    g0 = toks.filter(F.size("t") >= n).withColumn(
+        "i", F.explode(F.sequence(F.lit(1), F.size("t") - (n - 1)))
+    )
+    gram = F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), F.lit(n)))
+    if hashed:
+        gram = F.xxhash64(gram)
+    occ = g0.select("doc_id", "i", gram.alias("g"))
+    keep = (
+        occ.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_docs))
+        .select("g")
+    )
+    hits = occ.join(keep, "g", "left_semi")
+    w_first = Window.partitionBy("g").orderBy("doc_id", "i")
+    rm = (
+        hits.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", F.col("i").alias("j"), (F.col("i") + n - 1).alias("hit_end"))
+        # overlapping kept grams can start at the same position in the
+        # same doc only once (one gram per (doc, i)), so (doc_id, j) is
+        # already unique — no distinct needed
+    )
+    tok = toks.select(
+        "doc_id", F.posexplode("t").alias("p", "tok")
+    ).withColumn("j", (F.col("p") + 1).cast("int")).drop("p")
+    w_cov = (
+        Window.partitionBy("doc_id")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    surv = (
+        tok.join(rm, ["doc_id", "j"], "left")
+        .withColumn("cov_end", F.max("hit_end").over(w_cov))
+        .filter(F.col("cov_end").isNull() | (F.col("cov_end") < F.col("j")))
+    )
+    rebuilt = surv.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").alias("_n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+            (F.col("_n_tokens") - F.coalesce("_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
     )
 
 

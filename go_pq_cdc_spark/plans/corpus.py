@@ -254,6 +254,88 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_substring_dedup_apply",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    g0 AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - {_SUBNGRAM - 1})) AS i
+        FROM toks
+        WHERE len(t) >= {_SUBNGRAM}
+    ),
+    occ AS (
+        SELECT doc_id, i,
+               array_to_string(t[i : i + {_SUBNGRAM - 1}], ' ') AS g
+        FROM g0
+    ),
+    keep AS (
+        SELECT g FROM (SELECT DISTINCT doc_id, g FROM occ)
+        GROUP BY g HAVING COUNT(*) BETWEEN 2 AND {_SUBNGRAM_MAX_DOCS}
+    ),
+    ranked AS (
+        SELECT doc_id, i,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+        FROM occ WHERE g IN (SELECT g FROM keep)
+    ),
+    rm AS (
+        SELECT doc_id, i AS j, i + {_SUBNGRAM - 1} AS hit_end
+        FROM ranked WHERE rn > 1
+    ),
+    tokpos AS (
+        SELECT doc_id, t[j] AS tok, j
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t))) AS j
+              FROM toks)
+    ),
+    cov AS (
+        SELECT p.doc_id, p.j, p.tok,
+               MAX(r.hit_end) OVER (
+                   PARTITION BY p.doc_id ORDER BY p.j
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cov_end
+        FROM tokpos p LEFT JOIN rm r
+          ON p.doc_id = r.doc_id AND p.j = r.j
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY j) AS dedup_text,
+               COUNT(*) AS kept
+        FROM cov WHERE cov_end IS NULL OR cov_end < j
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(a.dedup_text, '') AS dedup_text,
+           CAST(len(t.t) - COALESCE(a.kept, 0) AS BIGINT) AS n_tokens_removed
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("text", "dedup", "pipeline", "scale"),
+    bench=True,
+)
+def text_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL — the apply half of `text_substring_dedup` (r9
+    verdict item 4; the actual training-data op in suffix-array dedup,
+    Lee et al. 2021): every occurrence of a cross-document duplicated
+    {_SUBNGRAM}-token span except the globally-first one is cut from the
+    corpus, overlapping hits merged, text reconstructed from surviving
+    tokens. One row per document: (doc_id, dedup_text,
+    n_tokens_removed). Idempotent (property-tested: re-applying removes
+    nothing). Registry arm carries gram STRINGS for oracle exactness;
+    `hashed=True` (operators/text.substring_dedup_apply) is the
+    production arm — xxhash64 grams before the shuffles,
+    property-tested output-identical."""
+    from ..operators.text import substring_dedup_apply
+
+    doc = load_table(spark, sf_dir, "documents")
+    return substring_dedup_apply(
+        doc, "doc_id", "text", n=_SUBNGRAM, max_docs=_SUBNGRAM_MAX_DOCS,
+        hashed=False,
+    )
+
+
+@register(
     "emb_centroid_outliers",
     oracle="""
     WITH ex AS (

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 import time
 from collections.abc import Callable, Sequence
@@ -42,6 +43,11 @@ from . import lsn_stream
 from .postgres import advance_slot_sql, poll_changes_sql
 
 RunSql = Callable[[str], Sequence[tuple]]
+
+# wal2json format-2 commit document marker, tolerant of whitespace around
+# the colon (pinned next to the poll options in poll_changes_sql — the
+# predicate and the emitting options must move together).
+_WAL2JSON_COMMIT_RE = re.compile(r'"action"\s*:\s*"C"')
 
 # Raw segment schema (decode happens JVM-side via wal2json.decode_wal2json).
 RAW_WAL_SCHEMA_DDL = lsn_stream.RAW_WAL_SCHEMA_DDL
@@ -147,36 +153,64 @@ def write_relation_schema(wal_dir: str, namespace: str, name: str,
     of the table's CURRENT shape, refreshed on every pgoutput Relation
     re-send (the reference's schema authority, relation.go:11-19).
     Atomic replace; skipped when unchanged (Relation re-sends happen on
-    every new decoder session, not just after DDL)."""
+    every new decoder session, not just after DDL).
+
+    `seen` accumulates the UNION of every column name any Relation
+    message has ever carried for this table — the provenance record that
+    lets drop inference distinguish "the live table dropped this column"
+    (name in seen, absent from columns) from "the declared DDL leads the
+    live schema" (name never seen) — ADVICE r9: a declaration ahead of
+    the actual PG DDL must not be masked dead (the mask physically NULLs
+    carried-forward values in every bucket rewritten meanwhile, and the
+    later re-add raises a rebuild)."""
     d = os.path.join(wal_dir, RELATION_SCHEMA_DIR)
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"{namespace}.{name}.json")
-    payload = {"columns": [[c, t] for c, t in columns]}
-    try:
-        with open(path) as f:
-            if json.load(f) == payload:
-                return
-    except (OSError, ValueError):
-        pass
+    seen = {c for c, _t in columns}
+    prior = _read_sidecar(path)
+    if prior is not None:
+        seen |= set(prior.get("seen") or (c for c, _t in prior["columns"]))
+    payload = {"columns": [[c, t] for c, t in columns], "seen": sorted(seen)}
+    if prior == payload:
+        return
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(payload, f)
     os.replace(tmp, path)
 
 
-def read_relation_schema(wal_dir: str, table: str) -> list[tuple[str, str]] | None:
-    """Latest persisted column list [(name, pg_type), ...] for a
-    qualified table ("public.users" — unqualified names assume public),
-    or None when the pump has not yet seen a Relation message for it."""
-    sch, _, tbl = table.rpartition(".")
-    path = os.path.join(
-        wal_dir, RELATION_SCHEMA_DIR, f"{sch or 'public'}.{tbl}.json"
-    )
+def _read_sidecar(path: str) -> dict | None:
     try:
         with open(path) as f:
-            return [(c, t) for c, t in json.load(f)["columns"]]
+            doc = json.load(f)
+        doc["columns"]  # shape check
+        return doc
     except (OSError, ValueError, KeyError):
         return None
+
+
+def read_relation_sidecar(wal_dir: str, table: str) -> dict | None:
+    """Full sidecar document for a qualified table ("public.users" —
+    unqualified names assume public): {"columns": [[name, pg_type], ...],
+    "seen": [name, ...]} or None when the pump has not yet seen a
+    Relation message for it. Sidecars written before the `seen` field
+    existed report seen == current column names (the safe reading: no
+    drop can be inferred from them until the pump refreshes the file)."""
+    sch, _, tbl = table.rpartition(".")
+    doc = _read_sidecar(
+        os.path.join(wal_dir, RELATION_SCHEMA_DIR, f"{sch or 'public'}.{tbl}.json")
+    )
+    if doc is not None and not doc.get("seen"):
+        doc["seen"] = [c for c, _t in doc["columns"]]
+    return doc
+
+
+def read_relation_schema(wal_dir: str, table: str) -> list[tuple[str, str]] | None:
+    """Latest persisted column list [(name, pg_type), ...] for a
+    qualified table, or None when the pump has not yet seen a Relation
+    message for it."""
+    doc = read_relation_sidecar(wal_dir, table)
+    return None if doc is None else [(c, t) for c, t in doc["columns"]]
 
 
 def pump_frames(
@@ -450,10 +484,14 @@ class SlotKeeper:
     def _is_commit_row(self, data: str) -> bool:
         """Transaction-boundary marker per plugin: test_decoding emits a
         `COMMIT <xid> (at <ts>)` line, wal2json format-2 a `{"action":"C"}`
-        document."""
+        document. The wal2json match is a whitespace-tolerant regex
+        (ADVICE r9): a pretty-print formatting option must degrade
+        loudly-visibly in tests, not silently revert segmentation to
+        unaligned cuts. False positives from column VALUES are impossible
+        either way — inside a JSON string the quotes would be escaped."""
         if self.plugin == "test_decoding":
             return data.startswith("COMMIT")
-        return '"action":"C"' in data
+        return _WAL2JSON_COMMIT_RE.search(data) is not None
 
     def _split_committed(self, rows: list[tuple]) -> tuple[list[tuple], list[tuple]]:
         """(shipped, trailing): walk the peek output's contiguous
@@ -528,9 +566,11 @@ class SlotKeeper:
                 break
             limit *= 2  # a txn bigger than the window: widen and re-peek
         else:
-            # no commit marker within 6 escalations (a txn out-sizing 64x
-            # the window): ship the partial txn unaligned rather than
-            # stall. Reaching here REQUIRES zero commits above the
+            # no commit marker within 6 attempts — the initial 1x peek
+            # plus five doublings, so the largest window tried is 32x
+            # poll_limit (a txn out-sizing that ships the partial txn
+            # unaligned rather than stall). Reaching here REQUIRES zero
+            # commits above the
             # frontier in the window, so advancing past these rows cannot
             # skip any commit; when the giant txn's COMMIT finally peeks,
             # its block ships WHOLE (commit > frontier) — every row

@@ -301,3 +301,107 @@ def test_substring_dup_pairs_hashed_identity(spark):
     plain, fast = pairs(False), pairs(True)
     assert plain == fast
     assert len(plain) > 0  # span-sharers found each other
+
+
+def test_substring_dedup_apply_semantics(spark):
+    """Span REMOVAL semantics pinned by hand: keep-first-occurrence
+    (global (doc_id, position) order), within-doc repeats removed,
+    overlapping hits merged into one span, fully-covered docs read
+    empty, untouched docs pass through byte-identical."""
+    from go_pq_cdc_spark.operators.text import substring_dedup_apply
+
+    S = " ".join(f"s{i}" for i in range(1, 9))  # exactly 8 shared tokens
+    T = " ".join(f"t{i}" for i in range(1, 10))  # 9 tokens -> overlap pair
+    rows = [
+        (1, f"a1 a2 {S} a3"),      # first occurrence: owner keeps it
+        (2, f"b1 {S} b2 b3"),      # later occurrence: span cut
+        (3, S),                    # doc IS the span: fully covered
+        (4, "c1 c2 c3"),           # no shared grams: untouched
+        (5, f"{S} d1 {S}"),        # within-doc repeat: BOTH cut (owner is doc 1)
+        (6, f"e1 {T} e2"),         # overlap-pair owner
+        (7, f"f1 f2 {T}"),         # two overlapping hits merge into one span
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["dedup_text"], r["n_tokens_removed"])
+        for r in substring_dedup_apply(df, "doc_id", n=8).collect()
+    }
+    assert out[1] == (f"a1 a2 {S} a3", 0)
+    assert out[2] == ("b1 b2 b3", 8)
+    assert out[3] == ("", 8)
+    assert out[4] == ("c1 c2 c3", 0)
+    assert out[5] == ("d1", 16)
+    assert out[6] == (f"e1 {T} e2", 0)
+    assert out[7] == ("f1 f2", 9)
+
+
+def _span_corpus(seed: int, n_docs: int = 20):
+    """Docs with per-doc DISJOINT vocab plus at most ONE shared span
+    each: any gram crossing a removal junction contains a doc-unique
+    token, so no NEW cross-doc gram can appear after removal — the
+    domain where single-pass span dedup is provably idempotent (matches
+    real corpora, where glue-gram collisions are vanishingly rare)."""
+    import random
+
+    rng = random.Random(seed)
+    spans = [
+        " ".join(f"sh{k}_{j}" for j in range(rng.randint(8, 14)))
+        for k in range(3)
+    ]
+    rows = []
+    for i in range(n_docs):
+        words = [f"d{i}_w{j}" for j in range(rng.randint(4, 25))]
+        if rng.random() < 0.7:
+            pos = rng.randint(0, len(words))
+            words[pos:pos] = [rng.choice(spans)]
+        rows.append((i, " ".join(words)))
+    return rows
+
+
+def test_substring_dedup_apply_idempotent(spark):
+    """dedup(dedup(x)) == dedup(x) (r9 verdict item 4's property): after
+    one pass only first occurrences remain, so a second pass finds no
+    shared gram and removes nothing."""
+    from go_pq_cdc_spark.operators.text import substring_dedup_apply
+
+    for seed in (1, 0xCAFE, 0x5EED):
+        df = spark.createDataFrame(
+            _span_corpus(seed), "doc_id bigint, text string"
+        )
+        once = substring_dedup_apply(df, "doc_id", n=8)
+        first = {
+            r["doc_id"]: r["dedup_text"] for r in once.collect()
+        }
+        assert any(
+            r["n_tokens_removed"] > 0 for r in once.collect()
+        ), "corpus must actually exercise removal"
+        twice = substring_dedup_apply(
+            spark.createDataFrame(
+                list(first.items()), "doc_id bigint, text string"
+            ),
+            "doc_id",
+            n=8,
+        )
+        for r in twice.collect():
+            assert r["n_tokens_removed"] == 0
+            assert r["dedup_text"] == first[r["doc_id"]]
+
+
+def test_substring_dedup_apply_hashed_identity(spark):
+    """The hashed (production, 8-byte shuffle key) arm is
+    output-identical to the string-gram arm."""
+    from go_pq_cdc_spark.operators.text import substring_dedup_apply
+
+    df = spark.createDataFrame(_span_corpus(7), "doc_id bigint, text string")
+
+    def run(hashed):
+        return {
+            r["doc_id"]: (r["dedup_text"], r["n_tokens_removed"])
+            for r in substring_dedup_apply(
+                df, "doc_id", n=8, hashed=hashed
+            ).collect()
+        }
+
+    plain, fast = run(False), run(True)
+    assert plain == fast
+    assert any(v[1] > 0 for v in plain.values())

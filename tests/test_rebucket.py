@@ -1,0 +1,171 @@
+"""Online rebucketing of the mirror (r9 verdict item 6): N -> 2^k*N
+bucket-count migration as one epochs-atomic rewrite under the merge lock
+— state-preserving, delta-debt-folding, time-travel-compatible, and
+losing cleanly when raced by a merge."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from go_pq_cdc_spark.snapshot.claim_backend import (
+    FakeObjectStore,
+    ObjectStoreBackend,
+)
+from go_pq_cdc_spark.streaming.changelog_stream import (
+    FLAT_CHANGE_SCHEMA,
+    MirrorLockLost,
+    _MergeLock,
+    _read_manifest,
+    lookup_mirror,
+    merge_mirror_batch,
+    read_mirror,
+    read_mirror_as_of,
+    rebucket_mirror,
+)
+
+import datetime
+
+
+def _ev(op, lsn, xid, pk, val):
+    return Row(
+        op=op,
+        lsn=lsn,
+        xid=xid,
+        commit_ts=datetime.datetime(2024, 1, 1)
+        + datetime.timedelta(seconds=lsn),
+        pk=pk,
+        after_val=val,
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, FLAT_CHANGE_SCHEMA)
+
+
+def _state(spark, d, backend=None):
+    kw = {"backend": backend} if backend is not None else {}
+    return {
+        r["pk"]: r["after_val"] for r in read_mirror(spark, d, **kw).collect()
+    }
+
+
+def test_rebucket_doubles_preserves_state_and_lookup(spark, tmp_path):
+    d = str(tmp_path / "m")
+    rows = [_ev("I", i, 1, i, float(i)) for i in range(1, 40)]
+    merge_mirror_batch(_batch(spark, rows), d)
+    # leave merge-on-read debt pending: the rebucket must fold it in
+    merge_mirror_batch(
+        _batch(spark, [_ev("U", 100, 2, 5, 50.0), _ev("D", 101, 2, 7, None)]),
+        d, merge_mode="delta",
+    )
+    before = _state(spark, d)
+    assert before[5] == 50.0 and 7 not in before
+
+    new_n = rebucket_mirror(spark, d, factor=2)
+    assert new_n == 64
+    m = _read_manifest(d)
+    assert m["n_buckets"] == 64
+    assert not any(m.get("deltas", {}).values())  # debt folded
+    assert _state(spark, d) == before
+    # point lookups prune with the NEW count and stay exact
+    got = {
+        r["pk"]: r["after_val"]
+        for r in lookup_mirror(spark, d, [5, 7, 11]).collect()
+    }
+    assert got == {5: 50.0, 11: 11.0}
+    # and the mirror keeps merging normally afterwards (both modes)
+    merge_mirror_batch(_batch(spark, [_ev("U", 200, 3, 11, 111.0)]), d)
+    merge_mirror_batch(
+        _batch(spark, [_ev("I", 201, 3, 99, 9.9)]), d, merge_mode="delta"
+    )
+    after = _state(spark, d)
+    assert after[11] == 111.0 and after[99] == 9.9
+    # a merge demanding the OLD count now fails loudly (no silent re-hash)
+    with pytest.raises(ValueError, match="rebucket_mirror"):
+        merge_mirror_batch(
+            _batch(spark, [_ev("I", 300, 4, 1, 1.0)]), d, n_buckets=32
+        )
+
+
+def test_rebucket_factor_must_be_power_of_two(spark, tmp_path):
+    d = str(tmp_path / "m")
+    merge_mirror_batch(_batch(spark, [_ev("I", 1, 1, 1, 1.0)]), d)
+    for bad in (0, 1, 3, 6):
+        with pytest.raises(ValueError, match="power of two"):
+            rebucket_mirror(spark, d, factor=bad)
+
+
+def test_rebucket_time_travel_across_epoch(spark, tmp_path):
+    """Pre-rebucket snapshot manifests pin the OLD bucket dirs; reads
+    through them serve the exact old state while the live manifest is on
+    the new layout."""
+    d = str(tmp_path / "m")
+    merge_mirror_batch(
+        _batch(spark, [_ev("I", 10, 1, 1, 1.0)]), d, epoch=0, keep_epochs=4
+    )
+    merge_mirror_batch(
+        _batch(spark, [_ev("U", 20, 2, 1, 2.0), _ev("I", 21, 2, 2, 5.0)]),
+        d, epoch=1, merge_mode="delta",
+    )
+    rebucket_mirror(spark, d)  # epoch 2
+    merge_mirror_batch(_batch(spark, [_ev("U", 30, 3, 2, 6.0)]), d, epoch=3)
+
+    def as_of(e):
+        return {
+            r["pk"]: r["after_val"]
+            for r in read_mirror_as_of(spark, d, e).collect()
+        }
+
+    assert as_of(0) == {1: 1.0}
+    assert as_of(1) == {1: 2.0, 2: 5.0}  # pre-rebucket, delta-folded
+    assert as_of(2) == {1: 2.0, 2: 5.0}  # the rebucket epoch itself
+    assert as_of(3) == {1: 2.0, 2: 6.0}
+    assert _state(spark, d) == {1: 2.0, 2: 6.0}
+
+
+def test_rebucket_zombie_loses_manifest_cas(spark, tmp_path, monkeypatch):
+    """A rebucket racing a merge either queues on the lock (normal) or —
+    as a fence-bypassing zombie — loses the manifest CAS at the commit
+    point: the peer merge's state survives, the zombie's full-rewrite
+    epoch dir is an unreferenced orphan."""
+    store = FakeObjectStore()
+    be = ObjectStoreBackend(store)
+    d = str(tmp_path / "m")
+    merge_mirror_batch(
+        _batch(spark, [_ev("I", 1, 1, 1, 1.0)]), d, backend=be, keep_epochs=2
+    )
+
+    fired = {"done": False}
+    in_rebucket = {"active": False}
+    orig_read = ObjectStoreBackend.read
+
+    def hooked_read(self, path):
+        doc, etag = orig_read(self, path)
+        if (
+            not fired["done"]
+            and in_rebucket["active"]
+            and path == f"{d}/manifest.json"
+            and doc is not None
+        ):
+            # between the rebucket's manifest read and its commit, a
+            # peer merge commits through its own backend view
+            fired["done"] = True
+            in_rebucket["active"] = False
+            merge_mirror_batch(
+                _batch(spark, [_ev("U", 5, 5, 1, 55.0)]),
+                d,
+                backend=ObjectStoreBackend(store),
+                lock_ttl_s=0.0,
+            )
+        return doc, etag
+
+    monkeypatch.setattr(ObjectStoreBackend, "read", hooked_read)
+    monkeypatch.setattr(_MergeLock, "check_owned", lambda self: None)
+    in_rebucket["active"] = True
+    with pytest.raises(MirrorLockLost):
+        rebucket_mirror(spark, d, backend=be)
+    # peer's merge intact, bucket count unchanged
+    assert _state(spark, d, backend=be) == {1: 55.0}
+    m, _ = be.read(f"{d}/manifest.json")
+    assert m["n_buckets"] == 32

@@ -624,7 +624,23 @@ def test_evolved_value_schema_detects_drop_and_widen(spark, tmp_path):
     assert eng._evolved_value_schema(wal, "public.users", declared) == (
         declared, ()
     )
-    # ALTER COLUMN TYPE int->bigint + ADD COLUMN note + DROP name
+    # sidecar that never carried `name`: the declaration LEADS the live
+    # schema — NOT a drop (ADVICE r9: masking it would NULL values and
+    # demand a rebuild once it appears); it passes through untouched
+    write_relation_schema(
+        wal, "public", "users", [("pk", "int8"), ("qty", "int4")]
+    )
+    ddl, dropped = eng._evolved_value_schema(wal, "public.users", declared)
+    assert ddl == declared
+    assert dropped == ()
+    # live schema catches up: Relation now carries name — provenance
+    # (`seen`) records it from here on
+    write_relation_schema(
+        wal, "public", "users",
+        [("pk", "int8"), ("name", "text"), ("qty", "int4")],
+    )
+    # ALTER COLUMN TYPE int->bigint + ADD COLUMN note + DROP name —
+    # name IS in seen now, so its absence is a real drop
     write_relation_schema(
         wal, "public", "users",
         [("pk", "int8"), ("qty", "int8"), ("note", "text")],

@@ -257,7 +257,7 @@ def test_mirror_bucket_count_equivalence_and_pinning(spark, tmpdirs):
 
     with open(os.path.join(s256, "manifest.json")) as f:
         assert _json.load(f)["n_buckets"] == 256
-    with pytest.raises(ValueError, match="rebuild"):
+    with pytest.raises(ValueError, match="rebucket_mirror"):
         merge_mirror_batch(
             spark.createDataFrame([_ev("I", 999, 9, 999, 1.0)], FLAT_CHANGE_SCHEMA),
             s256,
