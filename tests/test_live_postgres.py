@@ -666,6 +666,110 @@ def test_live_chunked_snapshot_consistency(tmp_path):
         sql.close()
 
 
+def test_live_offset_strategy_cooperative_snapshot(tmp_path):
+    """r9 verdict item 5 — the OFFSET (PK-less) fallback end-to-end
+    against a real server, through the COOPERATIVE socket path: a table
+    with NO primary key (and genuine duplicate rows, which only a
+    PK-less table can hold) is planned with LIMIT/OFFSET chunks
+    (`plan_offset`, the reference's slow fallback,
+    coordinator.go:922-969), drained by TWO workers off one claim queue,
+    each chunk rendered by `cooperative_chunk_sql` (the r9 advisor fix:
+    the `__offset_chunk__` sentinel must become an ORDER BY/LIMIT/OFFSET
+    subquery, not a WHERE), every read pinned to one exported snapshot —
+    exact MULTISET parity with the pre-export image under concurrent
+    inserts/updates/deletes. ORDER BY ctid gives the stable total order
+    the chunk arithmetic needs: within the pinned snapshot, visible
+    tuple versions never move."""
+    from collections import Counter
+
+    from go_pq_cdc_spark.config import TableConfig
+    from go_pq_cdc_spark.snapshot import chunk_queue as Q
+    from go_pq_cdc_spark.snapshot.planner import Strategy, plan_auto
+    from go_pq_cdc_spark.sources.snapshot_socket import cooperative_chunk_sql
+
+    T4 = "offs_live_t"
+    sql = _sql_conn()
+    q = sql.simple_query
+    q(f"DROP TABLE IF EXISTS {T4}")
+    q(f"CREATE TABLE {T4} (k bigint, val text)")  # NO primary key
+    q(f"INSERT INTO {T4} SELECT g, 'v' || g FROM generate_series(1, 3000) g")
+    # duplicates a keyed table cannot hold — multiset semantics must survive
+    q(f"INSERT INTO {T4} SELECT g, 'v' || g FROM generate_series(1, 40) g")
+    q(f"DELETE FROM {T4} WHERE k % 13 = 0")
+    (cnt,) = q(f"SELECT COUNT(*) FROM {T4}")
+    expected = Counter(
+        (int(r[0]), r[1]) for r in q(f"SELECT k, val FROM {T4}")
+    )
+
+    try:
+        plan = plan_auto(
+            integer_pk=None, total_rows=int(cnt[0]), order_by="ctid",
+            chunk_size=400,
+        )
+        assert plan.strategy is Strategy.OFFSET
+        assert len(plan.chunks) >= 7
+        coord = _sql_conn()
+        coord.simple_query("BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+        (snap_row,) = coord.simple_query("SELECT pg_export_snapshot()")
+        snapshot_id = snap_row[0]
+
+        # mutate AFTER the export — chunk reads must see none of it
+        q(f"UPDATE {T4} SET val = 'MUTATED' WHERE k <= 1500")
+        q(f"DELETE FROM {T4} WHERE k > 2500")
+        q(f"INSERT INTO {T4} VALUES (99999, 'post-export')")
+
+        import threading
+
+        tcfg = TableConfig(name=T4)
+        got: Counter = Counter()
+        lock = threading.Lock()
+        state = str(tmp_path / "chunkq")
+        Q.init_chunk_queue(state, Q.manifest_from_plan(plan))
+
+        def process(chunk, claim):
+            c = _sql_conn()
+            try:
+                c.simple_query(
+                    "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ"
+                )
+                c.simple_query(f"SET TRANSACTION SNAPSHOT '{snapshot_id}'")
+                rows = c.simple_query(cooperative_chunk_sql(tcfg, chunk))
+                c.simple_query("COMMIT")
+            finally:
+                c.close()
+            with lock:  # two worker threads share the result multiset
+                got.update((int(r[0]), r[1]) for r in rows)
+            return len(rows)
+
+        # two CONCURRENT workers race the one claim queue (exactly-once
+        # per chunk is the contract; the split between them is not)
+        done: dict[str, list] = {}
+
+        def worker(app):
+            done[app] = Q.drain(state, process, app, timeout_s=60)
+
+        ts = [
+            threading.Thread(target=worker, args=(a,))
+            for a in ("app-a", "app-b")
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        coord.simple_query("COMMIT")
+        coord.close()
+
+        assert sorted(done["app-a"] + done["app-b"]) == [
+            c.index for c in plan.chunks
+        ]
+        assert got == expected, "offset-chunked snapshot != point-in-time multiset"
+        assert not any(v == "MUTATED" for _k, v in got)
+        assert (99999, "post-export") not in got
+    finally:
+        q(f"DROP TABLE IF EXISTS {T4}")
+        sql.close()
+
+
 def test_live_acks_advance_confirmed_flush_lsn(live):
     """O19 against the real server: standby-status acks sent by the pump
     must advance the slot's confirmed_flush_lsn past the consumed
