@@ -302,6 +302,8 @@ class CdcEngine:
         n_buckets: int | None = None,
         keep_epochs: int | None = None,
         claim_backend=None,
+        merge_mode: str = "cow",
+        compact_deltas: int = 8,
     ):
         """Maintain a queryable current-state mirror (M3 apply idiom).
         `n_buckets` sizes a fresh mirror (buckets ~ state_size /
@@ -311,13 +313,18 @@ class CdcEngine:
         pinned policy). `claim_backend` selects the mirror's coordination
         medium (lock/manifest/snapshots — `snapshot.claim_backend`);
         default POSIX, pass an ObjectStoreBackend for S3/GCS state
-        dirs."""
+        dirs. `merge_mode="delta"` is the state≫batch production arm:
+        micro-batches append per-epoch delta files (write ∝ batch, not
+        mirror size) and reads fold base+deltas; a bucket compacts when
+        its pending delta count reaches `compact_deltas` (see
+        merge_mirror_batch)."""
         from .snapshot.claim_backend import DEFAULT_BACKEND
 
         return mirror_sink(
             stream_df, state_dir, checkpoint_dir, n_buckets=n_buckets,
             keep_epochs=keep_epochs,
             backend=claim_backend or DEFAULT_BACKEND,
+            merge_mode=merge_mode, compact_deltas=compact_deltas,
         )
 
     def typed_mirror(
@@ -548,6 +555,8 @@ class CdcEngine:
         claim_backend=None,
         merge_lock_ttl_s: float | None = None,
         evolve_schema: bool = False,
+        merge_mode: str = "cow",
+        compact_deltas: int = 8,
     ):
         """The reference's `connector.Start(ctx)` in one call
         (connector.go:57-142 sequencing; SURVEY §3.1-3.3):
@@ -626,7 +635,14 @@ class CdcEngine:
         immediately — relation.go:11-19). Rows not touched since the DDL
         read NULL for the new column: logical decoding does not ship
         DEFAULT backfills, so NULL is the honest CDC answer until the row
-        is next written."""
+        is next written.
+
+        `merge_mode="delta"` applies the mirror's merge-on-read arm to
+        the STREAM's micro-batch merges (write ∝ batch instead of
+        touched-bucket state; per-bucket compaction at `compact_deltas`
+        pending files — see merge_mirror_batch). The snapshot seed is
+        always a full base write regardless: it IS the base the deltas
+        fold over."""
         from pyspark.sql import functions as F
 
         from .snapshot.claim_backend import DEFAULT_BACKEND
@@ -752,7 +768,8 @@ class CdcEngine:
         return self._start_stream(
             wal_dir, state_dir, checkpoint_dir, snapshot_lsn, mirror_buckets,
             value_schema, value_cols, transport, table, keep_epochs,
-            evolve_schema, backend=mirror_backend,
+            evolve_schema, backend=mirror_backend, merge_mode=merge_mode,
+            compact_deltas=compact_deltas,
         )
 
     def _start_stream(
@@ -769,6 +786,8 @@ class CdcEngine:
         keep_epochs,
         evolve_schema=False,
         backend=None,
+        merge_mode="cow",
+        compact_deltas=8,
     ):
         """Post-seed data plane: the changelog stream from `wal_dir`,
         filtered to post-handoff events, merging into the mirror."""
@@ -824,6 +843,8 @@ class CdcEngine:
                 keep_epochs=keep_epochs,
                 transform=transform,
                 backend=backend,
+                merge_mode=merge_mode,
+                compact_deltas=compact_deltas,
             )
         elif transport in ("envelope", "wal2json"):
             if table is None:
@@ -877,6 +898,8 @@ class CdcEngine:
                     evolve_schema=True,
                     backend=backend,
                     dropped_cols=dropped_now,
+                    merge_mode=merge_mode,
+                    compact_deltas=compact_deltas,
                 )
             flat, _ = self._typed_flat(env, table, value_schema, "pk")
         else:
@@ -895,6 +918,8 @@ class CdcEngine:
             value_cols=value_cols,
             keep_epochs=keep_epochs,
             backend=backend,
+            merge_mode=merge_mode,
+            compact_deltas=compact_deltas,
         )
 
     def _cooperative_seed(

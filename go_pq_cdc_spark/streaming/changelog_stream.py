@@ -849,7 +849,16 @@ def merge_mirror_batch(
     amortized write cost by state/budget per compaction. Modes compose:
     a COW merge over a mirror with pending deltas folds and clears them
     for the buckets it touches; TRUNCATE always takes the full-rewrite
-    path (all stored state dies, all delta debt clears)."""
+    path (all stored state dies, all delta debt clears).
+
+    The delta arm's trade (the standard LSM one): a batch touching K
+    buckets appends K small files (~1 per bucket, bounded open-file
+    count at read by the budget). BYTES per batch drop from
+    O(touched-bucket state) to O(batch); FILE COUNT per batch is K —
+    size the trigger interval so batches are worth their K files, and
+    let the budget-driven compaction fold the debt back into ~1 file
+    per bucket. Reads never list the delta space: the manifest holds
+    the exact rel paths."""
     if merge_mode not in ("cow", "delta"):
         raise ValueError(f"merge_mode must be 'cow' or 'delta', got {merge_mode!r}")
     backend.ensure_dir(state_dir)
@@ -1365,7 +1374,9 @@ def mirror_sink(
     `n_buckets` sizes a FRESH mirror (see sizing rule at MIRROR_BUCKETS /
     `suggest_mirror_buckets`); an existing mirror keeps its manifest-pinned
     count. `keep_epochs` > 1 retains that many epoch snapshots for
-    `read_mirror_as_of` time travel.
+    `read_mirror_as_of` time travel. `merge_mode="delta"` /
+    `compact_deltas` select the merge-on-read arm per micro-batch (write
+    ∝ batch at state≫batch — see merge_mirror_batch).
 
     `transform(batch_df) -> DataFrame`, when given, runs INSIDE each
     foreachBatch on the micro-batch (batch semantics — aggregates and
@@ -1416,6 +1427,8 @@ def multi_mirror_sink(
     n_buckets: int | None = None,
     keep_epochs: int | None = None,
     backend: ClaimBackend = DEFAULT_BACKEND,
+    merge_mode: str = "cow",
+    compact_deltas: int = 8,
 ):
     """O17 fan-out apply: one slot carries every published table's events;
     each micro-batch is split by table and merged into that table's mirror.
@@ -1435,6 +1448,8 @@ def multi_mirror_sink(
                 n_buckets=n_buckets,
                 keep_epochs=keep_epochs,
                 backend=backend,
+                merge_mode=merge_mode,
+                compact_deltas=compact_deltas,
             )
 
     return (

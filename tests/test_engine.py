@@ -238,6 +238,76 @@ def test_start_initial_lifecycle(spark, tmp_path):
     assert state == {10: (1.5, 25), 30: (3.0, 30)}
 
 
+def test_start_initial_lifecycle_delta_merge_mode(spark, tmp_path):
+    """The same connector.Start lifecycle with merge_mode="delta": the
+    snapshot seed writes the base (always COW — it IS the base), the
+    stream's micro-batches append merge-on-read deltas, and the final
+    mirror state is identical to the COW lifecycle's."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.streaming import read_mirror
+    from go_pq_cdc_spark.streaming.changelog_stream import _read_manifest
+
+    eng = _engine(spark)
+
+    def run_sql(sql):
+        if "pg_current_wal_lsn" in sql:
+            return [("0/14",)]  # snapshot LSN = 20
+        return []
+
+    def snapshot_reader(table):
+        return spark.createDataFrame(
+            [Row(pk=10, after_val=1.0), Row(pk=20, after_val=2.0)]
+        )
+
+    wal_dir = tmp_path / "wal"
+    wal_dir.mkdir()
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    events = [
+        ("U", 15, 1, ts, 10, 9.9),  # pre-handoff
+        ("U", 25, 2, ts, 10, 1.5),
+        ("I", 30, 3, ts, 30, 3.0),
+        ("D", 35, 4, ts, 20, None),
+    ]
+    pdf = pd.DataFrame(
+        events, columns=["op", "lsn", "xid", "commit_ts", "pk", "after_val"]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(wal_dir / "seg.parquet"),
+        coerce_timestamps="us",
+    )
+
+    eng.config.snapshot_tables = ["public.users"]
+    state_dir = str(tmp_path / "state")
+    snapshot_lsn, q = eng.start(
+        run_sql,
+        str(wal_dir),
+        state_dir,
+        str(tmp_path / "ckpt"),
+        snapshot_reader=snapshot_reader,
+        merge_mode="delta",
+    )
+    assert snapshot_lsn == 20
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = {
+        r["pk"]: (r["after_val"], r["lsn"])
+        for r in read_mirror(spark, state_dir).collect()
+    }
+    assert state == {10: (1.5, 25), 30: (3.0, 30)}
+    # the stream's merge actually took the delta path (seed stayed base)
+    m = _read_manifest(state_dir)
+    assert any(m.get("deltas", {}).values())
+
+
 def test_start_snapshot_only(spark, tmp_path):
     """snapshot_only mode seeds the mirror and starts no stream."""
     from pyspark.sql import Row
