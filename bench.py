@@ -225,18 +225,48 @@ def throughput_benches(spark, sf_dir: str) -> dict[str, int]:
 
     state_root = tempfile.mkdtemp(prefix="bench_state_")
     try:
-        seed = base.select("op", "lsn", "xid", "commit_ts", "pk", "after_val")
-        small = seed.filter(F.col("pk") % 97 == 0).withColumn(
-            "lsn", F.col("lsn") + F.lit(1_000_000_000)
+        # seed with a FULLY-DISJOINT-keyspace amplification (100x distinct
+        # pks, unlike cdc_apply's 3-range batch): the state must DWARF the
+        # batch or the comparison measures fixed per-merge job overhead
+        # and the parquet per-file floor instead of the
+        # write-amplification difference. Catalyst-side crossJoin with a
+        # 100-row range keeps the plan one scan, not a 100-way union.
+        flat = base.select("op", "lsn", "xid", "commit_ts", "pk", "after_val")
+        seed = (
+            flat.crossJoin(F.broadcast(spark.range(100).select(F.col("id").alias("_amp"))))
+            .withColumn("pk", F.col("pk") + F.col("_amp") * 10_000_000)
+            .drop("_amp")
+        )
+        small = (
+            base.select("op", "lsn", "xid", "commit_ts", "pk", "after_val")
+            .filter(F.col("pk") % 97 == 0)
+            .withColumn("lsn", F.col("lsn") + F.lit(1_000_000_000))
         )
         bn = small.count()
+
+        def du(root):
+            total = 0
+            for dirpath, _dirs, files in os.walk(root):
+                for f in files:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+            return total
+
         for mode in ("cow", "delta"):
             sd = os.path.join(state_root, mode)
-            merge_mirror_batch(seed, sd)  # seed the big state (COW)
+            merge_mirror_batch(seed, sd, keep_epochs=2)  # seed big state;
+            # retention 2 so the timed merge's GC keeps the seed epoch and
+            # the bytes delta below measures WRITES, not writes-minus-GC
+            pre = du(os.path.join(sd, "epochs"))
             t0 = time.perf_counter()
             merge_mirror_batch(small, sd, merge_mode=mode)
             rates[f"mirror_{mode}_state_gg_batch"] = int(
                 bn / (time.perf_counter() - t0)
+            )
+            # the property that matters at 100 TB (local wall-clock is
+            # fixed-cost-dominated at this scale): bytes written per batch
+            # — COW ∝ touched-bucket STATE, delta ∝ BATCH
+            rates[f"mirror_{mode}_bytes_per_batch"] = (
+                du(os.path.join(sd, "epochs")) - pre
             )
     finally:
         shutil.rmtree(state_root, ignore_errors=True)

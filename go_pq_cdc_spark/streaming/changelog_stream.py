@@ -1272,6 +1272,61 @@ def _merge_mirror_batch_locked(
                backend=backend)
 
 
+def mirror_stats(
+    spark: SparkSession,
+    state_dir: str,
+    backend: ClaimBackend = DEFAULT_BACKEND,
+) -> dict:
+    """Operational sizing/debt report for a mirror — the input side of
+    the sizing loop (`mirror_stats` -> `suggest_mirror_buckets` ->
+    `rebucket_mirror`):
+
+      epoch, n_buckets, value_schema, keep_epochs — the manifest pins;
+      base_bytes / base_files         — manifest-referenced bucket dirs;
+      delta_bytes / delta_files       — pending merge-on-read debt;
+      delta_debt                      — {bucket: pending delta count}
+                                        (empty = fully compacted);
+      suggested_buckets               — `suggest_mirror_buckets` on the
+                                        live byte size: when this exceeds
+                                        n_buckets, run rebucket_mirror.
+
+    Reads ONLY manifest-referenced paths through Spark's Hadoop FS (any
+    scheme the session resolves) — no Spark jobs, no full-state scan; at
+    100 TB this is a listing of n_buckets directories, not a read."""
+    manifest = _read_manifest(state_dir, backend)
+
+    def du(rel_paths: list[str]) -> tuple[int, int]:
+        total, files = 0, 0
+        for rel in rel_paths:
+            fs, jpath = _hadoop_fs(spark, os.path.join(state_dir, rel))
+            if not fs.exists(jpath):
+                continue
+            for st in fs.listStatus(jpath):
+                if st.isFile():
+                    total += st.getLen()
+                    files += 1
+        return total, files
+
+    deltas = {
+        b: rels for b, rels in (manifest.get("deltas") or {}).items() if rels
+    }
+    base_bytes, base_files = du(list(manifest["buckets"].values()))
+    delta_bytes, delta_files = du([r for rels in deltas.values() for r in rels])
+    n = int(manifest.get("n_buckets") or MIRROR_BUCKETS)
+    return {
+        "epoch": manifest.get("epoch", -1),
+        "n_buckets": n,
+        "value_schema": manifest.get("value_schema", "after_val double"),
+        "keep_epochs": int(manifest.get("keep_epochs", 1)),
+        "base_bytes": base_bytes,
+        "base_files": base_files,
+        "delta_bytes": delta_bytes,
+        "delta_files": delta_files,
+        "delta_debt": {b: len(rels) for b, rels in deltas.items()},
+        "suggested_buckets": suggest_mirror_buckets(base_bytes + delta_bytes),
+    }
+
+
 def rebucket_mirror(
     spark: SparkSession,
     state_dir: str,

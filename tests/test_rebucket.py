@@ -169,3 +169,31 @@ def test_rebucket_zombie_loses_manifest_cas(spark, tmp_path, monkeypatch):
     assert _state(spark, d, backend=be) == {1: 55.0}
     m, _ = be.read(f"{d}/manifest.json")
     assert m["n_buckets"] == 32
+
+
+def test_mirror_stats_reports_debt_and_sizing(spark, tmp_path):
+    """mirror_stats closes the sizing loop: live byte size + per-bucket
+    delta debt from manifest-referenced paths only (no Spark job), and a
+    rebucket recommendation via suggest_mirror_buckets."""
+    from go_pq_cdc_spark.streaming.changelog_stream import mirror_stats
+
+    d = str(tmp_path / "m")
+    merge_mirror_batch(
+        _batch(spark, [_ev("I", i, 1, i, float(i)) for i in range(1, 30)]), d
+    )
+    merge_mirror_batch(
+        _batch(spark, [_ev("U", 100, 2, 5, 50.0)]), d, merge_mode="delta"
+    )
+    st = mirror_stats(spark, d)
+    assert st["n_buckets"] == 32 and st["epoch"] == 1
+    assert st["base_bytes"] > 0 and st["base_files"] > 0
+    assert st["delta_bytes"] > 0 and st["delta_files"] >= 1
+    assert sum(st["delta_debt"].values()) == 1
+    assert st["suggested_buckets"] == 32  # tiny state: default floor
+    # compaction clears the reported debt
+    from go_pq_cdc_spark.streaming.changelog_stream import rebucket_mirror
+
+    rebucket_mirror(spark, d)
+    st2 = mirror_stats(spark, d)
+    assert st2["delta_debt"] == {} and st2["delta_bytes"] == 0
+    assert st2["n_buckets"] == 64

@@ -32,12 +32,25 @@ def main() -> None:
         "--keep-epochs", type=int, default=None,
         help="override the mirror's pinned time-travel retention",
     )
+    ap.add_argument(
+        "--stats", action="store_true",
+        help="print the mirror's sizing/debt report (mirror_stats) and "
+        "exit without rewriting anything",
+    )
     args = ap.parse_args()
 
+    import json
+
     from go_pq_cdc_spark.session import get_spark
-    from go_pq_cdc_spark.streaming.changelog_stream import rebucket_mirror
+    from go_pq_cdc_spark.streaming.changelog_stream import (
+        mirror_stats,
+        rebucket_mirror,
+    )
 
     spark = get_spark("rebucket-mirror")
+    if args.stats:
+        print(json.dumps(mirror_stats(spark, args.state_dir), indent=2))
+        return
     new_n = rebucket_mirror(
         spark, args.state_dir, factor=args.factor, keep_epochs=args.keep_epochs
     )
