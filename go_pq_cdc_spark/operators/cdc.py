@@ -148,6 +148,51 @@ def latest_state(df: DataFrame) -> DataFrame:
     )
 
 
+def changes_between(df: DataFrame, lsn_a: int, lsn_b: int) -> DataFrame:
+    """Net-change CDC feed between two watermarks (the Delta 'change data
+    feed' / `table_changes(a, b)` idiom, re-derived from the log): the
+    MINIMAL I/U/D row set a consumer holding state-as-of `lsn_a` must
+    apply to reach state-as-of `lsn_b`. Keys touched and reverted inside
+    the window collapse away (net semantics); TOAST-unchanged NULLs
+    inherit through the fill, so a 'U' row always carries real before
+    and after images when the log has them.
+
+    One shuffle total: the TOAST fill's (pk, lsn) window and the per-pk
+    conditional `max_by` aggregation share the hash(pk) clustering —
+    both watermark states come out of a single pass over the log, no
+    self-join of two latest_state materializations."""
+    if lsn_a > lsn_b:
+        raise ValueError(f"watermarks out of order: {lsn_a} > {lsn_b}")
+    key = _event_key(df)
+    filled = toast_fill(df)
+    snap = F.struct(F.col("op"), F.col("filled_val"))
+    st = filled.groupBy("pk").agg(
+        F.max_by(snap, F.when(F.col("lsn") <= lsn_a, key)).alias("sa"),
+        F.max_by(snap, F.when(F.col("lsn") <= lsn_b, key)).alias("sb"),
+    )
+    # presence is never NULL: isNotNull() is false for a missing side and
+    # false AND <anything> = false
+    present_a = F.col("sa").isNotNull() & (F.col("sa.op") != "D")
+    present_b = F.col("sb").isNotNull() & (F.col("sb.op") != "D")
+    before = F.when(present_a, F.col("sa.filled_val"))
+    after = F.when(present_b, F.col("sb.filled_val"))
+    change = (
+        F.when(~present_a & present_b, "I")
+        .when(present_a & ~present_b, "D")
+        .when(present_a & present_b & ~before.eqNullSafe(after), "U")
+    )
+    return (
+        st.withColumn("change_op", change)
+        .filter(F.col("change_op").isNotNull())
+        .select(
+            "pk",
+            "change_op",
+            before.alias("before_val"),
+            after.alias("after_val"),
+        )
+    )
+
+
 def snapshot_handoff(df: DataFrame, snapshot_lsn: int) -> DataFrame:
     """O28 snapshot→CDC handoff: rows with lsn <= snapshot_lsn arrive via
     the chunked snapshot (collapsed to current-state rows, op='R'), later

@@ -183,6 +183,70 @@ def cdc_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.snapshot_handoff(df, changelog_frontier(sf_dir) // 2)
 
 
+def _changes_between_oracle() -> str:
+    """State-at-a FULL OUTER state-at-b with presence flags — the
+    semantic mirror of operators.cdc.changes_between (the Spark side is
+    a single-pass window+max_by; the oracle states the spec, not the
+    plan)."""
+    state = """
+    {n}base AS (SELECT * FROM cbase WHERE lsn <= (SELECT v FROM w{n})),
+    {n}epoch AS (
+        SELECT *,
+               CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY pk ORDER BY lsn) AS BIGINT) AS del_epoch
+        FROM {n}base
+    ),
+    {n}filled AS (
+        SELECT *,
+               LAST_VALUE(CASE WHEN op = 'D' THEN NULL ELSE after_val END IGNORE NULLS)
+                   OVER (PARTITION BY pk, del_epoch ORDER BY lsn) AS filled_val
+        FROM {n}epoch
+    ),
+    {n}ranked AS (
+        SELECT pk, filled_val, op,
+               ROW_NUMBER() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+        FROM {n}filled
+    ),
+    state_{n} AS (
+        SELECT pk, filled_val AS {n}_val FROM {n}ranked
+        WHERE rn = 1 AND op <> 'D'
+    )"""
+    return f"""
+    {_BASE},
+    cbase AS (SELECT * FROM committed WHERE tbl <> 'cdc_heartbeat'),
+    wa AS (SELECT CAST(FLOOR(MAX(lsn) / 3) AS BIGINT) AS v FROM changelog),
+    wb AS (SELECT CAST(FLOOR(MAX(lsn) * 2 / 3) AS BIGINT) AS v FROM changelog),
+    {state.format(n="a")},
+    {state.format(n="b")}
+    SELECT COALESCE(a.pk, b.pk) AS pk,
+           CASE WHEN a.pk IS NULL THEN 'I'
+                WHEN b.pk IS NULL THEN 'D'
+                WHEN a.a_val IS DISTINCT FROM b.b_val THEN 'U'
+           END AS change_op,
+           a.a_val AS before_val,
+           b.b_val AS after_val
+    FROM state_a a FULL OUTER JOIN state_b b ON a.pk = b.pk
+    WHERE (a.pk IS NULL OR b.pk IS NULL OR a.a_val IS DISTINCT FROM b.b_val)
+    """
+
+
+@register(
+    "cdc_changes_between",
+    oracle=_changes_between_oracle(),
+    tags=("cdc", "feed"),
+)
+def cdc_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-change CDC feed between two LSN watermarks (the Delta
+    `table_changes(a, b)` idiom over the raw log): minimal I/U/D rows
+    taking a consumer from state-as-of A to state-as-of B — reverted
+    keys collapse away, TOAST NULLs inherit through the fill. Watermarks
+    come from the transport frontier at plan time (thirds of the log,
+    like cdc_snapshot_handoff's midpoint)."""
+    frontier = changelog_frontier(sf_dir)
+    df = ops.filter_heartbeat(committed_changelog(spark, sf_dir))
+    return ops.changes_between(df, frontier // 3, frontier * 2 // 3)
+
+
 @register(
     "snapshot_chunk_stats",
     oracle="""

@@ -1272,6 +1272,69 @@ def _merge_mirror_batch_locked(
                backend=backend)
 
 
+def mirror_changes_between(
+    spark: SparkSession,
+    state_dir: str,
+    epoch_a: int,
+    epoch_b: int,
+    backend: ClaimBackend = DEFAULT_BACKEND,
+) -> DataFrame:
+    """Net-change feed between two RETAINED mirror epochs — the
+    mirror-level `table_changes(a, b)` (the log-level twin is
+    `operators.cdc.changes_between`): the minimal I/U/D row set taking a
+    consumer from epoch A's state to epoch B's. Reads the two immutable
+    epoch snapshots (merge-on-read deltas fold per epoch as recorded),
+    full-outer diffs on pk with null-safe value comparison, and emits
+    one row per net-changed key: (pk, change_op, before_<col>...,
+    after_<col>...) over epoch B's (possibly evolution-widened) column
+    pin — columns epoch A predates read NULL on the before side.
+
+    Both epochs must still be retained (`keep_epochs`); a GC'd epoch
+    raises (read_mirror_as_of's contract). Scale shape: two
+    bucket-pruned snapshot reads and one pk equi-join — no log replay,
+    cost ∝ the two states, not history length."""
+    if epoch_a > epoch_b:
+        raise ValueError(f"epochs out of order: {epoch_a} > {epoch_b}")
+    mb, _ = backend.read(_snapshot_manifest_path(state_dir, epoch_b))
+    if mb is None:
+        raise ValueError(
+            f"mirror epoch {epoch_b} is not retained at {state_dir}"
+        )
+    struct_b = _mirror_struct(spark, mb.get("value_schema", "after_val double"))
+    value_fields = struct_b.fields[3:]
+
+    def side(epoch: int, tag: str) -> DataFrame:
+        df = read_mirror_as_of(spark, state_dir, epoch, backend)
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f"{tag}_{f.name}")
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f"{tag}_{f.name}")
+            for f in value_fields
+        ]
+        return df.select("pk", F.lit(True).alias(f"in_{tag}"), *cols)
+
+    j = side(epoch_a, "before").join(side(epoch_b, "after"), "pk", "full_outer")
+    va = F.struct(*[F.col(f"before_{f.name}") for f in value_fields])
+    vb = F.struct(*[F.col(f"after_{f.name}") for f in value_fields])
+    present_a = F.coalesce(F.col("in_before"), F.lit(False))
+    present_b = F.coalesce(F.col("in_after"), F.lit(False))
+    change = (
+        F.when(~present_a & present_b, "I")
+        .when(present_a & ~present_b, "D")
+        .when(present_a & present_b & ~va.eqNullSafe(vb), "U")
+    )
+    return (
+        j.withColumn("change_op", change)
+        .filter(F.col("change_op").isNotNull())
+        .select(
+            "pk",
+            "change_op",
+            *[F.col(f"before_{f.name}") for f in value_fields],
+            *[F.col(f"after_{f.name}") for f in value_fields],
+        )
+    )
+
+
 def mirror_stats(
     spark: SparkSession,
     state_dir: str,
