@@ -1272,6 +1272,122 @@ def _merge_mirror_batch_locked(
                backend=backend)
 
 
+def compact_mirror(
+    spark: SparkSession,
+    state_dir: str,
+    min_deltas: int = 1,
+    keep_epochs: int | None = None,
+    lock_ttl_s: float = _MERGE_LOCK_TTL_S,
+    backend: ClaimBackend = DEFAULT_BACKEND,
+) -> int:
+    """Explicit delta-debt compaction — the maintenance half of the
+    merge-on-read arm (budget-driven compaction inside `merge_mirror_batch`
+    is the inline half): fold base+deltas for every bucket owing at least
+    `min_deltas` pending delta files and rewrite those buckets, clearing
+    their debt, WITHOUT waiting for a batch to touch them. Run it from a
+    scheduled maintenance job when read latency matters more than write
+    amplification (the Delta OPTIMIZE / Iceberg rewrite_data_files
+    idiom). Same lock/CAS/snapshot/GC protocol as a merge — concurrent
+    merges queue, a zombie loses the manifest CAS, time travel keeps
+    working. Returns the number of buckets compacted (0 = nothing owed).
+
+    Scale shape: reads ONLY the indebted buckets' base+delta files, one
+    pk shuffle for the fold, writes ~1 file per compacted bucket."""
+    backend.ensure_dir(state_dir)
+    lock = _MergeLock(state_dir, ttl_s=lock_ttl_s, backend=backend)
+    lock.acquire()
+    try:
+        manifest, manifest_etag = _read_manifest_versioned(state_dir, backend)
+        deltas = manifest.get("deltas") or {}
+        owed = sorted(
+            int(b)
+            for b, rels in deltas.items()
+            if len(rels) >= max(int(min_deltas), 1)
+        )
+        if not owed:
+            return 0
+        epoch = manifest["epoch"] + 1
+        if keep_epochs is None:
+            keep_epochs = int(manifest.get("keep_epochs", 1))
+        manifest["keep_epochs"] = int(keep_epochs)
+        n_buckets = int(manifest.get("n_buckets") or MIRROR_BUCKETS)
+        value_schema = manifest.get("value_schema", "after_val double")
+        struct = _mirror_struct(spark, value_schema)
+        value_cols = tuple(f.name for f in struct.fields[3:])
+        dead = set(manifest.get("dropped", {}))
+        ev = (
+            spark.read.schema(_delta_struct(spark, value_schema))
+            .parquet(
+                *[
+                    os.path.join(state_dir, rel)
+                    for b in owed
+                    for rel in deltas[str(b)]
+                ]
+            )
+            .select("pk", "lsn", "op", "txn_seq", *value_cols)
+        )
+        base_paths = [
+            os.path.join(state_dir, manifest["buckets"][str(b)])
+            for b in owed
+            if str(b) in manifest["buckets"]
+        ]
+        if base_paths:
+            ev = ev.unionByName(
+                spark.read.schema(struct)
+                .parquet(*base_paths)
+                .select("pk", "lsn", "op", *value_cols)
+                .withColumn("txn_seq", F.lit(STORED_ROW_SEQ).cast("long"))
+            )
+        if dead:
+            ev = ev.select(
+                "pk",
+                "lsn",
+                "op",
+                "txn_seq",
+                *[
+                    F.lit(None).cast(struct[c].dataType).alias(c)
+                    if c in dead
+                    else F.col(c)
+                    for c in value_cols
+                ],
+            )
+        par = spark.sparkContext.defaultParallelism
+        ev = ev.repartition(min(par, max(len(owed), 1)), F.col("pk"))
+        state = _fold_events(ev, value_cols).withColumn(
+            "pb", _bucket_col(n_buckets=n_buckets)
+        )
+        epoch_rel = os.path.join("epochs", f"e{epoch:09d}.{lock.owner[-8:]}")
+        epoch_dir = os.path.join(state_dir, epoch_rel)
+        (
+            state.repartition(len(owed), "pb")
+            .write.mode("overwrite")
+            .partitionBy("pb")
+            .parquet(epoch_dir)
+        )
+        written = {
+            int(d.split("=", 1)[1])
+            for d in _fs_list_names(spark, epoch_dir)
+            if d.startswith("pb=")
+        }
+        for b in owed:
+            if b in written:
+                manifest["buckets"][str(b)] = os.path.join(epoch_rel, f"pb={b}")
+            else:
+                manifest["buckets"].pop(str(b), None)  # all keys deleted
+            deltas.pop(str(b), None)
+        manifest["epoch"] = epoch
+        _commit_manifest(state_dir, manifest, manifest_etag, lock, backend)
+        for view_name in _MIRROR_VIEWS.get(_views_key(state_dir), ()):
+            read_mirror(spark, state_dir, backend).createOrReplaceTempView(
+                view_name
+            )
+        _gc_epochs(spark, state_dir, manifest, keep_epochs=keep_epochs,
+                   backend=backend)
+        return len(owed)
+    finally:
+        lock.release()
+
+
 def mirror_changes_between(
     spark: SparkSession,
     state_dir: str,

@@ -377,3 +377,42 @@ def test_mirror_changes_between_epochs(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="out of order"):
         mirror_changes_between(spark, d, 2, 0)
+
+
+def test_compact_mirror_explicit_maintenance(spark, tmp_path):
+    """compact_mirror folds every indebted bucket's base+deltas without
+    waiting for a batch to touch it (the OPTIMIZE idiom): debt clears,
+    state is byte-identical, deletes riding only in deltas apply, and a
+    debt-free mirror is a no-op."""
+    from go_pq_cdc_spark.streaming.changelog_stream import compact_mirror
+
+    d = str(tmp_path / "m")
+    merge_mirror_batch(
+        _batch(spark, [_ev("I", 10, 1, 1, 1.0), _ev("I", 11, 1, 2, 2.0)]), d
+    )
+    merge_mirror_batch(
+        _batch(spark, [_ev("U", 20, 2, 1, None), _ev("D", 21, 2, 2, None),
+                       _ev("I", 22, 2, 3, 3.0)]),
+        d, merge_mode="delta",
+    )
+    before = _state(spark, d)
+    assert before == {1: (1.0, 20), 3: (3.0, 22)}
+    n = compact_mirror(spark, d)
+    assert n >= 1
+    m = _read_manifest(d)
+    assert not any(m.get("deltas", {}).values())
+    assert _state(spark, d) == before
+    # pk 2's bucket: if its base emptied entirely it left the manifest;
+    # either way the key is gone
+    assert 2 not in _state(spark, d)
+    # idempotent: nothing owed -> no-op, epoch unchanged
+    e = m["epoch"]
+    assert compact_mirror(spark, d) == 0
+    assert _read_manifest(d)["epoch"] == e
+    # min_deltas threshold respected
+    merge_mirror_batch(
+        _batch(spark, [_ev("U", 30, 3, 1, 5.0)]), d, merge_mode="delta"
+    )
+    assert compact_mirror(spark, d, min_deltas=2) == 0
+    assert compact_mirror(spark, d, min_deltas=1) >= 1
+    assert _state(spark, d)[1] == (5.0, 30)
