@@ -869,3 +869,75 @@ def embedding_near_dup(
         .filter(F.col("cos_sim") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    grid: int = 8,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication of an embedded
+    corpus — cluster by nearest centroid, find high-cosine pairs WITHIN
+    each cluster only, and keep one representative (the min id) per
+    connected near-dup group. The pattern that makes embedding dedup
+    tractable at 100 TB: candidate pairs are bounded per cell instead of
+    corpus-quadratic, and the cells come from the same coarse quantizer
+    the IVF ANN index already maintains (`similarity.kmeans_centroids` /
+    `ivf_assign`) — one clustering pays for both search and dedup.
+
+    Plan shape: zero-shuffle centroid assignment (broadcast argmax
+    expression, `ivf_assign`), a grid-partitioned within-cell self-join
+    for exact fixed-point cosine pairs (the cell id is a low-cardinality
+    block key — same funnel, same `grid_self_join_sides` fix as
+    `embedding_near_dup`), then hash-min label propagation
+    (`dedup_clusters`) over the pair graph. Returns one row per vector:
+    (id_col, cell bigint, survivor_id bigint, keep boolean) with
+    survivor_id = min id of the vector's near-dup component (itself when
+    it pairs with nothing).
+
+    At larger scale, raise the centroid count (cells shrink as k grows;
+    SemDeDup runs k ~ 10k-100k on web corpora) and cap per-cell candidate
+    sets the way `minhash_lsh_pairs` caps hot buckets."""
+    from .scale import grid_self_join_sides
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col).cache()
+    norm = P.scaled_dot("v", "v", "v")["spark"]
+    dot = P.scaled_dot("a.v", "b.v", "a.v")["spark"]
+    vecs = assigned.withColumn(
+        "nrm", F.coalesce(F.expr(norm), F.lit(0).cast("long"))
+    )
+    a, b, grid_conds = grid_self_join_sides(vecs, grid=grid, extra_keys=("cent_id",))
+    pairs = (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            functools.reduce(
+                lambda x, y: x & y,
+                [F.col("a.cent_id") == F.col("b.cent_id")] + grid_conds,
+            ),
+        )
+        .withColumn("dot", F.expr(dot))
+        .withColumn(
+            "cos_sim",
+            F.expr(
+                "CAST(dot AS DOUBLE) / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+    )
+    labels = dedup_clusters(pairs)
+    return (
+        assigned.select("id", "cent_id")
+        .join(labels.withColumnRenamed("cluster_id", "_surv"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cent_id").cast("long").alias("cell"),
+            F.coalesce(F.col("_surv"), F.col("id")).cast("long").alias("survivor_id"),
+            (F.coalesce(F.col("_surv"), F.col("id")) == F.col("id")).alias("keep"),
+        )
+    )

@@ -170,3 +170,94 @@ def kmv_merge_estimate(
         F.lit(float(k - 1)) * F.lit(float(P.MERSENNE31)) / F.col("kth").cast("double")
     )
     return merged.select(*group_cols, est.alias("est_distinct"), "n_kept")
+
+
+def mg_partition_summaries(
+    df: DataFrame, value_col: str = "item", capacity: int = 128
+) -> DataFrame:
+    """Per-partition Misra-Gries frequency summary (Misra & Gries 1982;
+    mergeable-summaries form of Agarwal et al., PODS'12): each task folds
+    its items into at most `capacity` counters, decrementing all counters
+    together whenever a new item would exceed the budget. The classic
+    bound holds for the batched decrement used here (subtract the
+    (capacity+1)-th largest count d from everyone, drop <= 0): each such
+    step destroys >= d*(capacity+1) total mass, so any item's retained
+    count is under-counted by at most n_partition/(capacity+1).
+
+    This is the legitimately imperative per-partition kernel (bounded
+    state, single pass) — Arrow-batched `mapInPandas`, with the per-batch
+    pre-aggregation done by vectorized `value_counts`, never per-row
+    Python. Output: at most `capacity` (item, cnt) rows PER TASK —
+    O(tasks * capacity) total regardless of input size or key cardinality.
+    """
+    col = value_col
+
+    def summarize(it):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in it:
+            for item, c in pdf[col].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > capacity:
+                vals = sorted(counts.values(), reverse=True)
+                d = vals[capacity]  # (capacity+1)-th largest
+                counts = {i: c - d for i, c in counts.items() if c > d}
+        yield pd.DataFrame(
+            {col: list(counts.keys()), "cnt": list(counts.values())}
+        ).astype({"cnt": "int64"})
+
+    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        summarize, schema=f"{col} string, cnt long"
+    )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    value_col: str,
+    phi: float,
+    capacity: int = 128,
+) -> DataFrame:
+    """EXACT phi-heavy hitters (items with frequency > phi * N) via the
+    two-pass candidate/verify pattern — the shape that survives 100 TB:
+
+      1. candidates: per-partition Misra-Gries summaries
+         (`mg_partition_summaries`) distinct'd — O(tasks * capacity) rows.
+         Guarantee: with capacity + 1 > 1/phi, every true heavy hitter
+         appears in at least one summary (sum over partitions of
+         (f_p(x) - n_p/(capacity+1)) >= f(x) - N/(capacity+1) > 0), so the
+         candidate set has NO false negatives; false positives die in 2.
+      2. verify: broadcast the candidate set, count ONLY candidate rows
+         exactly. The verification shuffle carries at most tasks*capacity
+         distinct keys — never the full key cardinality a plain
+         groupBy(key).count() would move at web-vocabulary scale.
+
+    The final output is exact (oracle: GROUP BY ... HAVING), independent
+    of sketch error. Returns (value_col, cnt bigint, freq double)."""
+    if capacity + 1 <= 1.0 / phi:
+        raise ValueError(
+            f"capacity {capacity} cannot guarantee phi={phi}: need capacity+1 > 1/phi"
+        )
+    items = df.select(F.col(value_col).cast("string").alias(value_col))
+    cands = (
+        mg_partition_summaries(items, value_col, capacity)
+        .select(value_col)
+        .distinct()
+    )
+    total = items.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    exact = (
+        items.join(F.broadcast(cands), value_col)
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("cnt").cast("double") > F.lit(float(phi)) * F.col("n").cast("double")
+        )
+        .select(
+            value_col,
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("freq"),
+        )
+    )

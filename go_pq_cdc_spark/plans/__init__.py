@@ -10,3 +10,4 @@ from . import tpch_extra  # noqa: F401,E402
 from . import tpch_complete  # noqa: F401,E402
 from . import timeseries  # noqa: F401,E402
 from . import corpus  # noqa: F401,E402
+from . import mining  # noqa: F401,E402

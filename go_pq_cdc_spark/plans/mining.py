@@ -1,0 +1,143 @@
+"""Corpus-mining queries: exact heavy hitters, BM25 retrieval, and
+semantic (embedding-cluster) deduplication.
+
+These close out the LLM-pipeline families (SURVEY.md §2 extensions) with
+three patterns a 100 TB curation run leans on:
+
+  * `text_heavy_hitters` — exact phi-frequent tokens via the two-pass
+    Misra-Gries candidate/verify pattern (`sketch.heavy_hitters_exact`).
+    Boilerplate/stopword discovery over a web-scale vocabulary without
+    ever shuffling the full distinct-token set: the candidate pass moves
+    O(tasks x capacity) rows, the verify pass counts candidates only.
+  * `text_bm25_topk` — BM25 relevance top-k (`search.bm25_topk`): one
+    narrow corpus pass (per-term tf via token-array HOFs), a single
+    broadcast stats row, a salted top-k. Decontamination probes and
+    eval-set mining are this exact query.
+  * `dedup_semantic` — SemDeDup (Abbas et al. 2023): nearest-centroid
+    cells from the IVF coarse quantizer, exact fixed-point cosine pairs
+    WITHIN cells only (grid-partitioned self-join), hash-min components,
+    keep the min-id representative. The embedding-space complement to
+    the MinHash/SimHash lexical dedup family.
+
+Oracle determinism follows registry.py's rules; the BM25 scorer is
+specifically constructed log-free so every score is bit-identical across
+engines (see operators/search.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import portable as P
+from ..operators import dedup as D
+from ..operators import search as S
+from ..operators.sketch import heavy_hitters_exact
+from .registry import register
+
+_HH_PHI = 0.02  # heavy-hitter frequency threshold
+_HH_CAP = 128  # Misra-Gries capacity: 129 > 1/0.02, guarantee holds
+_BM25_TERMS = ("merge", "vector", "window", "stream")
+_SEM_TAU = 0.35  # within-cell cosine threshold (SemDeDup tau)
+
+_TOKS_DUCK = P.tokens("text")["duck"]
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest({_TOKS_DUCK}) AS token FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t)
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(*) AS DOUBLE) / CAST(n AS DOUBLE) AS freq
+    FROM t, tot
+    GROUP BY token, n
+    HAVING CAST(COUNT(*) AS DOUBLE) > CAST(0.02 AS DOUBLE) * CAST(n AS DOUBLE)
+    """,
+    tags=("text", "sketch", "heavy-hitters"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens covering more than phi=2% of the corpus token stream, with
+    EXACT counts — candidate generation by per-partition Misra-Gries
+    summaries, verification by a candidate-only broadcast-filtered count.
+    The oracle is the brute-force GROUP BY ... HAVING; the Spark side
+    never shuffles the full vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr(P.tokens("text")["spark"])).alias("token")
+    )
+    return heavy_hitters_exact(toks, "token", phi=_HH_PHI, capacity=_HH_CAP)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=S.bm25_oracle_sql("documents", _BM25_TERMS),
+    tags=("text", "search", "bm25"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 documents by (log-free, oracle-exact) BM25 relevance to a
+    fixed 4-term query. One narrow pass + broadcast stats + salted
+    top-k; see operators/search.py for the determinism construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return S.bm25_topk(docs, _BM25_TERMS)
+
+
+_NRM_DUCK = P.scaled_dot("embedding", "embedding", "embedding")["duck"]
+_CDOT_DUCK = P.scaled_dot("n.embedding", "c.cv", "n.embedding")["duck"]
+_PDOT_DUCK = P.scaled_dot("a.v", "b.v", "a.v")["duck"]
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE cents AS (
+        SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    nrm AS (
+        SELECT vec_id, embedding, {_NRM_DUCK} AS n2 FROM embeddings
+    ),
+    assign_raw AS (
+        SELECT n.vec_id AS id, n.embedding AS v, n.n2, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {_CDOT_DUCK} DESC, c.cent_id) AS crn
+        FROM nrm n, cents c
+    ),
+    cells AS (SELECT id, v, n2, cent_id FROM assign_raw WHERE crn = 1),
+    pairs AS (
+        SELECT a.id AS src, b.id AS dst
+        FROM cells a JOIN cells b ON a.cent_id = b.cent_id AND a.id < b.id
+        WHERE CAST({_PDOT_DUCK} AS DOUBLE)
+                  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+              >= {_SEM_TAU}
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs
+        UNION
+        SELECT dst AS src, src AS dst FROM pairs
+    ),
+    comp(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, c.label FROM edges e JOIN comp c ON e.dst = c.id
+    ),
+    lab AS (SELECT id, MIN(label) AS survivor FROM comp GROUP BY id)
+    SELECT c.id AS vec_id,
+           CAST(c.cent_id AS BIGINT) AS cell,
+           CAST(COALESCE(l.survivor, c.id) AS BIGINT) AS survivor_id,
+           COALESCE(l.survivor, c.id) = c.id AS keep
+    FROM cells c LEFT JOIN lab l ON c.id = l.id
+    """,
+    tags=("dedup", "embedding", "semantic"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: 8 deterministic centroids (the
+    `vec_id < 8` convention the IVF family uses), within-cell exact
+    cosine pairs at tau=0.35, min-id survivor per near-dup component.
+    Returns every vector with its cell, survivor, and keep flag."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    return D.semantic_dedup(emb, cents, threshold=_SEM_TAU)

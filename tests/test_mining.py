@@ -1,0 +1,222 @@
+"""Unit tests for the r10 mining family: exact heavy hitters (Misra-Gries
+candidate pass), BM25 top-k, and SemDeDup semantic deduplication.
+
+The registry-level oracle parity of the three queries is covered by the
+driver gate / tools/verify_driver_contract.py; these tests pin the
+operator-level guarantees the oracles cannot see: the MG no-false-negative
+property under forced decrements, the BM25 ranking semantics and the
+exact/double-arm agreement, and the SemDeDup survivor invariants against a
+brute-force reference.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_pq_cdc_spark.operators.search import bm25_topk
+from go_pq_cdc_spark.operators.sketch import heavy_hitters_exact, mg_partition_summaries
+from go_pq_cdc_spark.operators.dedup import semantic_dedup
+
+
+# ---------------------------------------------------------------- heavy hitters
+
+
+class TestHeavyHitters:
+    def _skewed(self, spark, n_hot=400, n_noise=1600):
+        # one hot key at 20%, noise keys each ~unique: forces MG decrements
+        # at capacity 8 (noise cardinality >> capacity)
+        rows = [("hot",)] * n_hot + [(f"nz{i}",) for i in range(n_noise)]
+        return spark.createDataFrame(rows, "item string").repartition(8)
+
+    def test_finds_all_true_heavy_hitters_exactly(self, spark):
+        df = self._skewed(spark)
+        out = heavy_hitters_exact(df, "item", phi=0.1, capacity=16).collect()
+        assert {r["item"] for r in out} == {"hot"}
+        (hot,) = out
+        assert hot["cnt"] == 400
+        assert hot["freq"] == 400 / 2000
+
+    def test_decrement_path_keeps_guarantee(self, spark):
+        # capacity 16 with 1600 distinct noise keys per the fixture: every
+        # partition's summary decrements many times, yet the phi=0.1 hitter
+        # must survive candidate generation (no false negatives).
+        df = self._skewed(spark)
+        cands = {
+            r["item"]
+            for r in mg_partition_summaries(df, "item", capacity=16).collect()
+        }
+        assert "hot" in cands
+        # summaries are bounded: <= capacity rows per partition
+        per_part = (
+            mg_partition_summaries(df, "item", capacity=16)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        assert all(r["count"] <= 16 for r in per_part)
+
+    def test_capacity_below_phi_guarantee_raises(self, spark):
+        df = self._skewed(spark, n_hot=10, n_noise=10)
+        with pytest.raises(ValueError, match="capacity"):
+            heavy_hitters_exact(df, "item", phi=0.01, capacity=8)
+
+    def test_counts_match_brute_force(self, spark):
+        rows = [(f"k{i % 7}",) for i in range(700)] + [("rare",)] * 3
+        df = spark.createDataFrame(rows, "item string").repartition(5)
+        out = {
+            r["item"]: r["cnt"]
+            for r in heavy_hitters_exact(df, "item", phi=0.05, capacity=64).collect()
+        }
+        # each of k0..k6 is 100/703 ~ 14.2% > 5%; 'rare' is 0.4% -> dropped
+        assert out == {f"k{i}": 100 for i in range(7)}
+
+
+# ------------------------------------------------------------------------ BM25
+
+
+def _bm25_ref(docs, terms, k1=1.2, b=0.75):
+    """Driver-side textbook BM25 with the same log-free rational idf."""
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    total = sum(len(v) for v in toks.values())
+    avgdl = total / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    scores = {}
+    for i, tv in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tv.count(t)
+            idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(tv) / avgdl))
+        scores[i] = s
+    return scores
+
+
+class TestBM25:
+    DOCS = [
+        (0, "merge sort merge join merge"),
+        (1, "vector scan vector"),
+        (2, "window stream window"),
+        (3, "table filter group agg"),
+        (4, "merge vector window stream"),
+        (5, "stream stream stream stream stream stream"),
+    ]
+    TERMS = ("merge", "vector", "window", "stream")
+
+    def test_ranking_matches_reference(self, spark):
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        out = bm25_topk(df, self.TERMS, k=6).collect()
+        got = [r["doc_id"] for r in sorted(out, key=lambda r: r["rnk"])]
+        ref = _bm25_ref(self.DOCS, self.TERMS)
+        want = sorted(ref, key=lambda i: (-ref[i], i))
+        assert got == want
+        # scores agree with the textbook formula to fp tolerance (the
+        # exact-rational rewrite is algebraically identical)
+        by_id = {r["doc_id"]: r["score"] for r in out}
+        for i, s in ref.items():
+            assert math.isclose(by_id[i], s, rel_tol=1e-12)
+
+    def test_doc_without_terms_scores_zero(self, spark):
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        out = {r["doc_id"]: r["score"] for r in bm25_topk(df, self.TERMS, k=6).collect()}
+        assert out[3] == 0.0
+
+    def test_exact_and_double_arms_agree_on_ranking(self, spark):
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        a = [(r["doc_id"], r["rnk"]) for r in bm25_topk(df, self.TERMS, k=6, exact=True).collect()]
+        b = [(r["doc_id"], r["rnk"]) for r in bm25_topk(df, self.TERMS, k=6, exact=False).collect()]
+        assert sorted(a) == sorted(b)
+
+    def test_k_truncates(self, spark):
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        assert bm25_topk(df, self.TERMS, k=2).count() == 2
+
+
+# -------------------------------------------------------------------- SemDeDup
+
+
+def _brute_semdedup(vecs, n_cents, tau):
+    """Reference: nearest-centroid (dot desc, cent asc), within-cell cosine
+    pairs, connected components, min-id survivor."""
+
+    def fdot(a, b):  # mirrors portable.scaled_dot fixed-point rounding
+        return sum(
+            int(round(x * 1e6)) * int(round(y * 1e6)) for x, y in zip(a, b)
+        )
+
+    cents = {i: v for i, v in vecs.items() if i < n_cents}
+    cell = {
+        i: min(cents, key=lambda c: (-fdot(v, cents[c]), c)) for i, v in vecs.items()
+    }
+    adj = {i: {i} for i in vecs}
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        if cell[a] != cell[b]:
+            continue
+        cs = fdot(vecs[a], vecs[b]) / (
+            math.sqrt(fdot(vecs[a], vecs[a])) * math.sqrt(fdot(vecs[b], vecs[b]))
+        )
+        if cs >= tau:
+            adj[a].add(b)
+            adj[b].add(a)
+    surv = {}
+    for i in vecs:
+        seen, stack = {i}, [i]
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        surv[i] = min(seen)
+    return cell, surv
+
+
+class TestSemanticDedup:
+    def _vecs(self):
+        # 2 well-separated directions + near-dup bundles around each,
+        # plus one orthogonal singleton
+        return {
+            0: [1.0, 0.0, 0.0, 0.0],
+            1: [0.0, 1.0, 0.0, 0.0],
+            2: [0.99, 0.01, 0.0, 0.0],  # ~dup of 0's direction
+            3: [0.98, -0.02, 0.0, 0.0],
+            4: [0.02, 0.97, 0.0, 0.0],  # ~dup of 1's direction
+            5: [0.0, 0.0, 1.0, 0.0],  # orthogonal: own component
+        }
+
+    def test_matches_brute_force(self, spark):
+        vecs = self._vecs()
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>",
+        )
+        cents = df.filter(F.col("vec_id") < 2)
+        out = semantic_dedup(df, cents, threshold=0.9, grid=4).collect()
+        # float32 storage: brute force must see the same float32-rounded values
+        stored = {
+            r["vec_id"]: list(r["embedding"])
+            for r in df.select("vec_id", "embedding").collect()
+        }
+        cell_ref, surv_ref = _brute_semdedup(stored, n_cents=2, tau=0.9)
+        assert len(out) == len(vecs)
+        for r in out:
+            assert r["cell"] == cell_ref[r["vec_id"]], r
+            assert r["survivor_id"] == surv_ref[r["vec_id"]], r
+            assert r["keep"] == (r["survivor_id"] == r["vec_id"])
+
+    def test_idempotent_on_survivors(self, spark):
+        vecs = self._vecs()
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>",
+        )
+        cents = df.filter(F.col("vec_id") < 2)
+        first = semantic_dedup(df, cents, threshold=0.9, grid=4)
+        keep_ids = [r["vec_id"] for r in first.filter("keep").collect()]
+        survivors = df.filter(F.col("vec_id").isin(keep_ids))
+        second = semantic_dedup(survivors, cents, threshold=0.9, grid=4)
+        assert all(r["keep"] for r in second.collect())

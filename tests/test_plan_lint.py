@@ -54,6 +54,11 @@ ALLOWED = {
     "sim_pq_adc_topk": "broadcast query set under non-equi predicate",
     # per-cluster rate map derived from k IVF cells
     "sample_cluster_balanced": "k-cell rate fold to one broadcast row",
+    # r10 mining family: 1-row scalar folds broadcast back (BNLJ with a
+    # single-row build side); final top-k merge bounded by salts*k
+    "text_heavy_hitters": "total-count scalar fold; 1-row threshold crossJoin",
+    "text_bm25_topk": "corpus-stats scalar fold; 1-row crossJoin; salted top-k merge",
+    "dedup_semantic": "centroid fold to one broadcast row (ivf_assign)",
 }
 
 
