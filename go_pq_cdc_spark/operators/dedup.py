@@ -878,6 +878,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     grid: int = 8,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication of an embedded
     corpus — cluster by nearest centroid, find high-cosine pairs WITHIN
@@ -899,8 +900,17 @@ def semantic_dedup(
     it pairs with nothing).
 
     At larger scale, raise the centroid count (cells shrink as k grows;
-    SemDeDup runs k ~ 10k-100k on web corpora) and cap per-cell candidate
-    sets the way `minhash_lsh_pairs` caps hot buckets."""
+    SemDeDup runs k ~ 10k-100k on web corpora) and set `max_cell` — the
+    HOT-CELL CAP, the same guard `minhash_lsh_pairs(max_bucket=)` gives
+    LSH buckets: a degenerate cell with B members contributes B^2/2
+    candidate pairs, and one runaway cell (a quantizer that collapsed, a
+    spam/boilerplate mode in embedding space) is the whole job. Cells
+    larger than the cap are DROPPED from pair generation — every member
+    keeps itself — because a cell-sized near-dup mass is a signal to
+    re-train with more centroids, not something to grind through. The
+    size precount is one narrow count on the assignment output (at most
+    k rows, broadcast back); default None preserves exact oracle
+    semantics."""
     from .scale import grid_self_join_sides
     from .similarity import ivf_assign
 
@@ -910,6 +920,14 @@ def semantic_dedup(
     vecs = assigned.withColumn(
         "nrm", F.coalesce(F.expr(norm), F.lit(0).cast("long"))
     )
+    if max_cell is not None:
+        ok = (
+            assigned.groupBy("cent_id")
+            .agg(F.count(F.lit(1)).alias("_csz"))
+            .filter(F.col("_csz") <= max_cell)
+            .select("cent_id")
+        )
+        vecs = vecs.join(F.broadcast(ok), "cent_id")
     a, b, grid_conds = grid_self_join_sides(vecs, grid=grid, extra_keys=("cent_id",))
     pairs = (
         a.alias("a")

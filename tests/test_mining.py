@@ -208,6 +208,24 @@ class TestSemanticDedup:
             assert r["survivor_id"] == surv_ref[r["vec_id"]], r
             assert r["keep"] == (r["survivor_id"] == r["vec_id"])
 
+    def test_hot_cell_cap_drops_pairs_only_in_capped_cells(self, spark):
+        vecs = self._vecs()
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>",
+        )
+        cents = df.filter(F.col("vec_id") < 2)
+        # cell of centroid 0 holds {0,2,3,5} (4 members), cell 1 holds
+        # {1,4}; max_cell=3 drops cell 0 from pair generation entirely
+        out = {r["vec_id"]: r for r in semantic_dedup(
+            df, cents, threshold=0.9, grid=4, max_cell=3
+        ).collect()}
+        assert len(out) == len(vecs)  # capped members still emitted
+        for i in (0, 2, 3, 5):  # capped cell: everyone keeps themselves
+            assert out[i]["survivor_id"] == i and out[i]["keep"]
+        assert out[4]["survivor_id"] == 1 and not out[4]["keep"]  # uncapped cell intact
+        assert out[1]["keep"]
+
     def test_idempotent_on_survivors(self, spark):
         vecs = self._vecs()
         df = spark.createDataFrame(
