@@ -238,3 +238,69 @@ class TestSemanticDedup:
         survivors = df.filter(F.col("vec_id").isin(keep_ids))
         second = semantic_dedup(survivors, cents, threshold=0.9, grid=4)
         assert all(r["keep"] for r in second.collect())
+
+
+# -------------------------------------------------------- streaming heavy hitters
+
+
+from go_pq_cdc_spark.streaming.heavy_hitters_stream import (  # noqa: E402
+    heavy_hitter_candidates,
+    latest_version,
+    update_heavy_hitter_state,
+)
+
+
+class TestHeavyHittersStream:
+    CAP = 16
+
+    def _batch(self, spark, hot, noise_base, n_hot=200, n_noise=400):
+        rows = [(hot,)] * n_hot + [(f"{noise_base}{i}",) for i in range(n_noise)]
+        return spark.createDataFrame(rows, "item string").repartition(4)
+
+    def test_stream_fold_keeps_guarantee_and_bounded_state(self, spark, tmp_path):
+        sd = str(tmp_path / "hh")
+        for b in range(3):
+            update_heavy_hitter_state(
+                self._batch(spark, "hot", f"b{b}n"), b, sd, capacity=self.CAP
+            )
+        cands = {r["item"]: r for r in heavy_hitter_candidates(spark, sd, 0.2).collect()}
+        assert "hot" in cands  # 600/1800 = 33% of the stream, phi=0.2
+        r = cands["hot"]
+        assert r["n_total"] == 1800
+        # MG bound: cnt_lower <= true <= cnt_upper
+        assert r["cnt_lower"] <= 600 <= r["cnt_upper"]
+        assert 600 - r["cnt_lower"] <= 1800 // (self.CAP + 1)
+        # state never exceeds capacity despite 1200 distinct noise keys
+        ver = latest_version(sd)
+        n_state = spark.read.parquet(sd + f"/v{ver:012d}").count()
+        assert n_state <= self.CAP
+
+    def test_retry_is_idempotent(self, spark, tmp_path):
+        sd = str(tmp_path / "hh")
+        update_heavy_hitter_state(self._batch(spark, "hot", "an"), 0, sd, capacity=self.CAP)
+        b1 = self._batch(spark, "hot", "bn")
+        update_heavy_hitter_state(b1, 1, sd, capacity=self.CAP)
+        first = sorted(
+            (r["item"], r["cnt"]) for r in spark.read.parquet(sd + "/v" + "1".zfill(12)).collect()
+        )
+        update_heavy_hitter_state(b1, 1, sd, capacity=self.CAP)  # retry
+        again = sorted(
+            (r["item"], r["cnt"]) for r in spark.read.parquet(sd + "/v" + "1".zfill(12)).collect()
+        )
+        assert first == again
+        with open(sd + "/v" + "1".zfill(12) + "/_hh_meta.json") as f:
+            import json as _j
+
+            assert _j.load(f)["n_total"] == 1200  # not double-counted
+
+    def test_capacity_mismatch_raises(self, spark, tmp_path):
+        sd = str(tmp_path / "hh")
+        update_heavy_hitter_state(self._batch(spark, "hot", "an"), 0, sd, capacity=self.CAP)
+        with pytest.raises(ValueError, match="capacity"):
+            update_heavy_hitter_state(
+                self._batch(spark, "hot", "bn"), 1, sd, capacity=self.CAP * 2
+            )
+
+    def test_empty_state_yields_empty_candidates(self, spark, tmp_path):
+        out = heavy_hitter_candidates(spark, str(tmp_path / "nope"), 0.1)
+        assert out.count() == 0
