@@ -227,10 +227,16 @@ def heavy_hitters_exact(
          appears in at least one summary (sum over partitions of
          (f_p(x) - n_p/(capacity+1)) >= f(x) - N/(capacity+1) > 0), so the
          candidate set has NO false negatives; false positives die in 2.
-      2. verify: broadcast the candidate set, count ONLY candidate rows
-         exactly. The verification shuffle carries at most tasks*capacity
-         distinct keys — never the full key cardinality a plain
-         groupBy(key).count() would move at web-vocabulary scale.
+      2. verify: broadcast the candidate set and run ONE counting pass
+         that serves double duty — candidate rows group under their own
+         key, every non-candidate row folds into a single NULL-key group
+         (map-side partial aggregation collapses it to one row per task
+         before the shuffle, so the NULL group is a partition-count fold,
+         not a data funnel), and the total N is the sum of the bounded
+         aggregate. The shuffle carries at most tasks*(capacity+1) rows —
+         never the full key cardinality a plain groupBy(key).count()
+         would move at web-vocabulary scale — and the input is scanned
+         exactly TWICE overall (sketch pass + verify pass).
 
     The final output is exact (oracle: GROUP BY ... HAVING), independent
     of sketch error. Returns (value_col, cnt bigint, freq double)."""
@@ -239,19 +245,34 @@ def heavy_hitters_exact(
             f"capacity {capacity} cannot guarantee phi={phi}: need capacity+1 > 1/phi"
         )
     items = df.select(F.col(value_col).cast("string").alias(value_col))
+    # Both bounded intermediates are CACHED: each feeds two consumers, and
+    # leaving the dedup to physical-plan exchange reuse is not reliable
+    # across the broadcast-job boundaries here (measured: 4 scans without
+    # the caches, 2 with). The cached sets are sketch-sized by
+    # construction — tasks*capacity candidate rows, candidates+1 count
+    # rows — the same bounded-fold class as the centroid caches.
     cands = (
         mg_partition_summaries(items, value_col, capacity)
         .select(value_col)
         .distinct()
+        .withColumn("_is_cand", F.lit(True))
+        .cache()
     )
-    total = items.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    exact = (
-        items.join(F.broadcast(cands), value_col)
-        .groupBy(value_col)
+    # NULL input values never equi-join, so they land in the NULL group
+    # with the other non-candidates — correct either way (NULL cannot be
+    # a reported heavy hitter, but its rows must count toward N).
+    counts = (
+        items.join(F.broadcast(cands), value_col, "left")
+        .groupBy(
+            F.when(F.col("_is_cand"), F.col(value_col)).alias(value_col)
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .cache()
     )
+    total = counts.agg(F.sum("cnt").cast("long").alias("n"))  # bounded rows
     return (
-        exact.crossJoin(F.broadcast(total))
+        counts.filter(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(total))
         .filter(
             F.col("cnt").cast("double") > F.lit(float(phi)) * F.col("n").cast("double")
         )
