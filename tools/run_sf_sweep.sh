@@ -10,11 +10,13 @@
 # AQE input-sized coalescing of output-explosive joins). The sweep is
 # the net for what the static plan lint cannot express.
 #
-# Two queries are excluded for their DUCKDB ORACLES (not their Spark
+# Three queries are excluded for their DUCKDB ORACLES (not their Spark
 # plans): dedup_ngram_jaccard's blocked all-pairs SQL Jaccard is hours
-# of DuckDB at sf1, and dedup_cluster_assign's recursive-CTE closure
-# takes ~40 min (it DID match at sf1 in a one-off run, r8). Both Spark
-# sides run fine at sf1; both oracles hash-MATCH at sf0.01/sf0.1.
+# of DuckDB at sf1, dedup_cluster_assign's recursive-CTE closure takes
+# ~40 min (it DID match at sf1 in a one-off run, r8), and
+# dedup_semantic's within-cell pair SQL is the same quadratic class
+# (~20M 64-dim list-dot pairs per cell at sf1). All Spark sides run
+# fine at sf1; all three oracles hash-MATCH at sf0.01.
 set -e
 cd "$(dirname "$0")/.."
 SF1_DIR="${1:-/tmp/sf1}"
@@ -26,7 +28,7 @@ NAMES=$(python - <<'EOF'
 import sys
 sys.path.insert(0, ".")
 from go_pq_cdc_spark import plans
-skip = {"dedup_ngram_jaccard", "dedup_cluster_assign"}
+skip = {"dedup_ngram_jaccard", "dedup_cluster_assign", "dedup_semantic"}
 print(" ".join(n for n in sorted(plans.REGISTRY) if n not in skip))
 EOF
 )
