@@ -304,3 +304,24 @@ class TestHeavyHittersStream:
     def test_empty_state_yields_empty_candidates(self, spark, tmp_path):
         out = heavy_hitter_candidates(spark, str(tmp_path / "nope"), 0.1)
         assert out.count() == 0
+
+
+# ------------------------------------------------------------- corpus report
+
+
+def test_corpus_report_shape(spark):
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from corpus_report import corpus_report
+
+    rep = corpus_report(spark, "/root/testdata/sf0.001", phi=0.02, top_n=5)
+    assert rep["n_docs"] == 500
+    assert rep["total_tokens"] > 0
+    assert rep["distinct_texts"] <= rep["n_docs"]
+    assert 0.0 <= rep["verbatim_dup_ratio"] <= 1.0
+    assert sum(rep["langs"].values()) == rep["n_docs"]
+    assert len(rep["heavy_hitters"]) == 5
+    # exact counts: each reported token really clears phi
+    for hh in rep["heavy_hitters"]:
+        assert hh["cnt"] > 0.02 * rep["total_tokens"]
+    assert rep["embeddings"] == {"n_vecs": 500, "dims": 64, "null_vecs": 0}
