@@ -1235,7 +1235,13 @@ def _merge_mirror_batch_locked(
         # ~1 writer task per bucket -> ~1 file per bucket dir (not
         # tasks*buckets)
         (
+            # pk-sorted within each bucket file: parquet row-group min/max
+            # stats on pk become selective, so bucket-pruned point lookups
+            # (lookup_mirror) skip row groups INSIDE the bucket too — free
+            # at write time (the sort is per rewrite unit), pays on every
+            # read once buckets outgrow one row group
             state.repartition(len(rewrite), "pb")
+            .sortWithinPartitions("pb", "pk")
             .write.mode("overwrite")
             .partitionBy("pb")
             .parquet(epoch_dir)
@@ -1360,6 +1366,7 @@ def compact_mirror(
         epoch_dir = os.path.join(state_dir, epoch_rel)
         (
             state.repartition(len(owed), "pb")
+            .sortWithinPartitions("pb", "pk")  # row-group pruning, see merge
             .write.mode("overwrite")
             .partitionBy("pb")
             .parquet(epoch_dir)
@@ -1562,6 +1569,7 @@ def rebucket_mirror(
         epoch_dir = os.path.join(state_dir, epoch_rel)
         (
             state.repartition(new_n, "pb")
+            .sortWithinPartitions("pb", "pk")  # row-group pruning, see merge
             .write.mode("overwrite")
             .partitionBy("pb")
             .parquet(epoch_dir)

@@ -416,3 +416,26 @@ def test_compact_mirror_explicit_maintenance(spark, tmp_path):
     assert compact_mirror(spark, d, min_deltas=2) == 0
     assert compact_mirror(spark, d, min_deltas=1) >= 1
     assert _state(spark, d)[1] == (5.0, 30)
+
+
+def test_bucket_files_are_pk_sorted(spark, tmp_path):
+    """Every state write lays each bucket file out pk-ascending so parquet
+    row-group min/max stats on pk prune point lookups INSIDE the
+    bucket-pruned file (free at write, pays once buckets outgrow one row
+    group)."""
+    import pyarrow.parquet as pq
+
+    sd = str(tmp_path / "m")
+    rows = [_ev("I", i + 1, 1, (i * 2654435761) % 4096, float(i)) for i in range(800)]
+    merge_mirror_batch(_batch(spark, rows), sd, n_buckets=4)
+    man = _read_manifest(sd)
+    checked = 0
+    for rel in man["buckets"].values():
+        bdir = os.path.join(sd, rel)
+        for f in os.listdir(bdir):
+            if not f.endswith(".parquet"):
+                continue
+            pks = pq.read_table(os.path.join(bdir, f), columns=["pk"])["pk"].to_pylist()
+            assert pks == sorted(pks), f"unsorted bucket file {rel}/{f}"
+            checked += 1
+    assert checked >= 4
