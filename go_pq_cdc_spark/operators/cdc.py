@@ -232,6 +232,147 @@ def snapshot_handoff(df: DataFrame, snapshot_lsn: int) -> DataFrame:
     )
 
 
+def agg_view_deltas(
+    df: DataFrame,
+    grp_of,
+    before_col: str = "before_val",
+    after_col: str = "after_val",
+) -> DataFrame:
+    """Signed delta rows for incremental aggregate-view maintenance (IVM):
+    each change event contributes up to TWO (grp, dk, dv) rows — a
+    retraction from the old image's group and an insertion into the new
+    image's group. Folding these by group (``fold_agg_deltas``) maintains
+    per-group (count, sum) WITHOUT recomputing latest-state: the classic
+    materialized-view-over-CDC idiom (the reference's sink callback is
+    exactly where users hand-roll this; SURVEY.md §2.1 O21).
+
+    Requires real before images (REPLICA IDENTITY FULL — update.go:102-109
+    ships the old row on U/D): presence-before is derived from the op
+    (I = absent, U/D = present), presence-after from op != 'D'. A
+    TOAST-unchanged after image (NULL with a non-null before) inherits the
+    before value — tag 'u' means "same as old" (tuple/data.go:10-15).
+
+    ``grp_of`` maps a DECIMAL value column to its group key; group-key
+    CHANGES across an update retract from the old group and insert into
+    the new one, so view rows migrate correctly.
+
+    100 TB shape: a pure narrow map — no window, no pk shuffle, no per-key
+    state. The only exchange downstream is the group-key fold, whose
+    map-side partials emit <= n_groups rows per task. Compare
+    ``latest_state`` + re-aggregate: a full pk shuffle of the whole log
+    per refresh. Deltas are exact DECIMAL arithmetic, so folds are
+    order-independent and telescope to the true view state."""
+    v_new = F.coalesce(
+        F.col(after_col).cast("decimal(18,2)"),
+        F.col(before_col).cast("decimal(18,2)"),
+    )
+    v_old = F.col(before_col).cast("decimal(18,2)")
+    present_old = F.col("op").isin("U", "D")
+    present_new = F.col("op") != "D"
+    zero = F.lit("0").cast("decimal(18,2)")
+    retract = F.when(
+        present_old,
+        F.struct(
+            grp_of(v_old).alias("grp"),
+            F.lit(-1).alias("dk"),
+            (-F.coalesce(v_old, zero)).cast("decimal(18,2)").alias("dv"),
+        ),
+    )
+    insert = F.when(
+        present_new,
+        F.struct(
+            grp_of(v_new).alias("grp"),
+            F.lit(1).alias("dk"),
+            F.coalesce(v_new, zero).cast("decimal(18,2)").alias("dv"),
+        ),
+    )
+    return (
+        df.select(F.explode(F.array(retract, insert)).alias("d"))
+        .filter(F.col("d").isNotNull())
+        .select("d.*")
+    )
+
+
+def fold_agg_deltas(deltas: DataFrame) -> DataFrame:
+    """Fold (grp, dk, dv) delta rows into view state (grp, n_keys,
+    sum_val): one group-key shuffle with map-side partial aggregation
+    (<= n_groups partial rows per task regardless of data size — group
+    skew is a non-issue for associative sums). Groups whose live-key
+    count telescopes to zero vanish, matching a from-scratch groupBy over
+    latest state. sum_val leaves as DOUBLE via one exact decimal->double
+    conversion (registry determinism rules)."""
+    return (
+        deltas.groupBy("grp")
+        .agg(
+            F.sum("dk").cast("long").alias("n_keys"),
+            F.sum("dv").alias("_sum"),
+        )
+        .filter(F.col("n_keys") > 0)
+        .select("grp", "n_keys", F.col("_sum").cast("double").alias("sum_val"))
+    )
+
+
+def log_view_deltas(df: DataFrame, grp_of, value_col: str = "after_val") -> DataFrame:
+    """``agg_view_deltas`` for a raw changelog WITHOUT shipped before
+    images (the batch/backfill arm): reconstructs each event's
+    before-state with the same (pk, lsn[, txn_seq]) window the TOAST fill
+    uses — presence-before from lag(op) (absent after a DELETE or at key
+    birth), value-before from lag(filled_val), which IS the key's state
+    value after the previous event. One shuffle + one sort total:
+    lag(filled_val) reads a column the fill's own window computes, so it
+    sits in a second WindowExec stacked on the first — but both share the
+    (pk, order) partitioning and sort, so EnsureRequirements inserts no
+    new exchange and no re-sort. On a live
+    stream with REPLICA IDENTITY FULL use ``agg_view_deltas`` directly —
+    zero shuffles, zero per-key state."""
+    w = Window.partitionBy("pk").orderBy(*_order_cols(df))
+    # materialize the lags before the generator: explode()'s projection
+    # cannot host window expressions
+    filled = (
+        toast_fill(df, value_col)
+        .withColumn("_prev_op", F.lag("op").over(w))
+        .withColumn("_prev_val", F.lag("filled_val").over(w))
+    )
+    v_old = F.col("_prev_val").cast("decimal(18,2)")
+    v_new = F.col("filled_val").cast("decimal(18,2)")
+    present_old = F.col("_prev_op").isNotNull() & (F.col("_prev_op") != "D")
+    present_new = F.col("op") != "D"
+    zero = F.lit("0").cast("decimal(18,2)")
+    retract = F.when(
+        present_old,
+        F.struct(
+            grp_of(v_old).alias("grp"),
+            F.lit(-1).alias("dk"),
+            (-F.coalesce(v_old, zero)).cast("decimal(18,2)").alias("dv"),
+        ),
+    )
+    insert = F.when(
+        present_new,
+        F.struct(
+            grp_of(v_new).alias("grp"),
+            F.lit(1).alias("dk"),
+            F.coalesce(v_new, zero).cast("decimal(18,2)").alias("dv"),
+        ),
+    )
+    return (
+        filled.select(F.explode(F.array(retract, insert)).alias("d"))
+        .filter(F.col("d").isNotNull())
+        .select("d.*")
+    )
+
+
+def value_group(n_groups: int = 8):
+    """Default view group key: pmod(floor(value), n) over the DECIMAL
+    value — value-derived on purpose, so ordinary UPDATEs move keys
+    between groups and exercise the two-sided delta. NULL value (a key
+    whose images are all TOAST-unchanged) maps to the NULL group."""
+
+    def grp(col: Column) -> Column:
+        return F.pmod(F.floor(col).cast("long"), F.lit(n_groups))
+
+    return grp
+
+
 def commit_order(df: DataFrame) -> DataFrame:
     """O7's commit-LSN rewrite, relationally: each event is attributed its
     transaction's end LSN (the reference rewrites the last DML's WAL

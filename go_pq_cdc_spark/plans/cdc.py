@@ -248,6 +248,49 @@ def cdc_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_incremental_agg_view",
+    oracle=f"""
+    {_BASE},
+    base AS (SELECT * FROM committed WHERE tbl <> 'cdc_heartbeat'),
+    {_FILL_SQL},
+    ranked AS (
+        SELECT pk, filled_val, op,
+               ROW_NUMBER() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+        FROM filled
+    ),
+    live AS (
+        SELECT pk, CAST(filled_val AS DECIMAL(18,2)) AS v
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT ((CAST(FLOOR(v) AS BIGINT) % 8) + 8) % 8 AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(CAST(COALESCE(SUM(v), CAST('0' AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_val
+    FROM live
+    GROUP BY 1
+    """,
+    tags=("cdc", "ivm", "view"),
+)
+def cdc_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance (IVM) — the materialized-
+    view-over-CDC idiom users build on the reference's sink callback
+    (stream.go:33-38): per-group (live-key count, value sum) maintained
+    from SIGNED I/U/D deltas, never from a latest-state recompute. Every
+    event retracts its before-image from the old group and inserts its
+    after-image into the new one (`operators.cdc.log_view_deltas`), so
+    group-key changes migrate rows and reverted keys telescope away;
+    exact DECIMAL deltas make the fold order-independent. The oracle
+    states the SPEC — a from-scratch groupBy over latest state — which
+    the delta fold must equal exactly. On a live stream with REPLICA
+    IDENTITY FULL the delta path needs zero shuffles and O(n_groups)
+    state (`agg_view_deltas` + `streaming.agg_view_stream`); this batch
+    arm pays one (pk, lsn) window to reconstruct before images from the
+    raw log."""
+    df = ops.filter_heartbeat(committed_changelog(spark, sf_dir))
+    deltas = ops.log_view_deltas(df, ops.value_group(8))
+    return ops.fold_agg_deltas(deltas)
+
+
+@register(
     "snapshot_chunk_stats",
     oracle="""
     WITH stats AS (
