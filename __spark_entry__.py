@@ -60,7 +60,6 @@ _GATE_HEAD = [
     "q_kmv_distinct",
     "q_kmv_merge",
     "text_pii_scrub",
-    "text_line_dedup",
     "text_cleanup",
     "text_url_dedup",
     "dedup_minhash_lsh",
@@ -91,12 +90,13 @@ _GATE_NEW = [
     "text_bm25_topk",
     "dedup_semantic",
     "cdc_incremental_agg_view",
+    "text_gopher_quality",
 ]
 # Deferred to position 51+: r8-green rows displaced by this round's new
 # queries — at r10 judging they are exactly 2 rounds old (the rotation
 # invariant's edge) and they lead the r11 head. Chosen cheapest/most
 # robust first (pure-expression plans untouched for rounds).
-_GATE_DEFERRED = ["q_histogram", "text_bag_dedup"]
+_GATE_DEFERRED = ["q_histogram", "text_bag_dedup", "text_line_dedup"]
 _GATE_TAIL = [
     # driver-green in CORRECTNESS_r09 (50/50 MATCH) — freshest signal
     "q12_late_shipment_priority",

@@ -434,6 +434,108 @@ def with_bag_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher quality rules (Rae et al. 2021, MassiveText §A.1.1) — the
+# canonical pre-training document filter: hard thresholds over cheap
+# per-document signals. Thresholds are the paper's published values.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_RULES: dict[str, float] = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_ratio": 0.9,
+    "max_ellipsis_ratio": 0.3,
+    "min_alpha_ratio": 0.8,
+    "min_stop_hits": 2,
+}
+
+
+def gopher_signal_exprs(
+    engine: str, toks: str, lines: str, text: str
+) -> dict[str, str]:
+    """The Gopher signal set as SQL fragments over pre-materialized token
+    and line arrays — ONE builder for both engines (lang_id_fragments
+    rule: the oracle cannot drift). Every ratio is one IEEE division of
+    exact ints, so both engines print identical doubles."""
+    if engine == "spark":
+        size, filt, rx_all = "size", "filter", "regexp_extract_all({t}, '{p}', 0)"
+        ell = "\\\\.\\\\.\\\\."
+        arr = "array(" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + ")"
+        contains = f"s -> array_contains({toks}, s)"
+        alpha = "w -> w rlike '[A-Za-z]'"
+        ws = "'\\\\s+'"
+    else:
+        size, filt, rx_all = "len", "list_filter", "regexp_extract_all({t}, '{p}')"
+        ell = "\\.\\.\\."
+        arr = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+        contains = f"s -> list_contains({toks}, s)"
+        alpha = "w -> regexp_matches(w, '[A-Za-z]')"
+        ws = "'\\s+', '', 'g'"
+    n_words = f"{size}({toks})"
+    nonws = (
+        f"length(regexp_replace({text}, {ws}))"
+        if engine != "spark"
+        else f"length(regexp_replace({text}, {ws}, ''))"
+    )
+    n_hash = f"(length({text}) - length(replace({text}, '#', '')))"
+    n_ell = f"{size}({rx_all.format(t=text, p=ell)})"
+    n_lines = f"{size}({lines})"
+    bullets = f"{size}({filt}({lines}, l -> substring(l, 1, 2) IN ('- ', '* ', '• ')))"
+    ell_lines = f"{size}({filt}({lines}, l -> right(l, 3) = '...'))"
+    alpha_words = f"{size}({filt}({toks}, {alpha}))"
+    return {
+        "n_words": f"CAST({n_words} AS BIGINT)",
+        "mean_word_len": f"CAST({nonws} AS DOUBLE) / {n_words}",
+        "symbol_ratio": f"CAST({n_hash} + {n_ell} AS DOUBLE) / {n_words}",
+        "bullet_ratio": f"CAST({bullets} AS DOUBLE) / {n_lines}",
+        "ellipsis_ratio": f"CAST({ell_lines} AS DOUBLE) / {n_lines}",
+        "alpha_ratio": f"CAST({alpha_words} AS DOUBLE) / {n_words}",
+        "stop_hits": f"CAST({size}({filt}({arr}, {contains})) AS BIGINT)",
+    }
+
+
+def gopher_keep_expr(ref: dict[str, str]) -> str:
+    """keep = 1 iff every rule passes, over signal REFERENCES (column or
+    alias names) — shared by the Spark side and the oracle's outer
+    select. Both engines evaluate the identical comparisons on identical
+    doubles."""
+    r = GOPHER_RULES
+    conds = [
+        f"{ref['n_words']} >= {r['min_words']}",
+        f"{ref['n_words']} <= {r['max_words']}",
+        f"{ref['mean_word_len']} >= {r['min_mean_word_len']}",
+        f"{ref['mean_word_len']} <= {r['max_mean_word_len']}",
+        f"{ref['symbol_ratio']} < {r['max_symbol_ratio']}",
+        f"{ref['bullet_ratio']} < {r['max_bullet_ratio']}",
+        f"{ref['ellipsis_ratio']} < {r['max_ellipsis_ratio']}",
+        f"{ref['alpha_ratio']} > {r['min_alpha_ratio']}",
+        f"{ref['stop_hits']} >= {r['min_stop_hits']}",
+    ]
+    return "CASE WHEN " + " AND ".join(conds) + " THEN 1 ELSE 0 END"
+
+
+def with_gopher_quality(
+    df: DataFrame, text_col: str = "text", out_prefix: str = ""
+) -> DataFrame:
+    """Gopher rule-bundle quality filter: per-document signals (word
+    count, mean word length, symbol-to-word ratio, bullet/ellipsis line
+    ratios, alpha-word ratio, required-stopword hits) plus the composite
+    `keep` verdict. Tokens and lines are materialized once per row; every
+    signal is a pure Catalyst expression off that one materialization —
+    zero shuffles at any scale (the filter is a map over the scan)."""
+    p = out_prefix
+    toks = P.tokens(text_col)["spark"]
+    df = df.withColumn("_gtoks", F.expr(toks)).withColumn(
+        "_glines", F.expr(f"split({text_col}, '\\n')")
+    )
+    sig = gopher_signal_exprs("spark", "_gtoks", "_glines", text_col)
+    for name, expr in sig.items():
+        df = df.withColumn(f"{p}{name}", F.expr(expr))
+    keep = gopher_keep_expr({k: f"{p}{k}" for k in sig})
+    return df.withColumn(f"{p}keep", F.expr(keep)).drop("_gtoks", "_glines")
+
+
 def substring_dedup_apply(
     df: DataFrame,
     id_col: str,

@@ -108,6 +108,84 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_synth(engine: str) -> str:
+    """Deterministic document structure for the Gopher line rules — the
+    corpus has no newlines/bullets/symbols, so both engines inject the
+    SAME doc_id-derived furniture (text_pii_scrub's synthesis pattern).
+
+    Injection varies by doc_id so the composite verdict is NON-degenerate
+    on this corpus (each rule discriminates): 0/9/18/27 bullet lines
+    (bullet-ratio rule fails at 18+: k/(k+2) >= 0.9), the 9-bullet bucket
+    ends its bullets in an ellipsis (ellipsis-ratio rule fails: 9/11),
+    the footer carries 5 of the 8 required stopwords (stop rule passes —
+    the synthetic vocabulary barely contains them), and the word-count
+    floor discriminates naturally on body length."""
+    vc = "STRING" if engine == "spark" else "VARCHAR"
+    nl = "char(10)" if engine == "spark" else "chr(10)"
+    return (
+        f"repeat('- item ' || CAST(doc_id % 5 AS {vc}) || ' sale' || "
+        f"CASE WHEN doc_id % 4 = 1 THEN '...' ELSE '.' END || {nl}, "
+        f"CAST((doc_id % 4) * 9 AS INT)) || text || {nl} || "
+        f"'see the end of notes that have value with extras'"
+    )
+
+
+def _gopher_oracle() -> str:
+    toks = P.tokens("gtext")["duck"]
+    sig = TX.gopher_signal_exprs("duck", "toks", "glines", "gtext")
+    cols = ",\n               ".join(f"{expr} AS {name}" for name, expr in sig.items())
+    keep = TX.gopher_keep_expr({k: k for k in sig})
+    return f"""
+    WITH synth AS (SELECT doc_id, {_gopher_synth('duck')} AS gtext FROM documents),
+    arr AS (
+        SELECT doc_id, gtext, {toks} AS toks,
+               string_split(gtext, chr(10)) AS glines
+        FROM synth
+    ),
+    sig AS (
+        SELECT doc_id,
+               {cols}
+        FROM arr
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+           ellipsis_ratio, alpha_ratio, stop_hits,
+           {keep} AS keep
+    FROM sig
+    """
+
+
+@register(
+    "text_gopher_quality",
+    oracle=_gopher_oracle(),
+    tags=("text", "quality", "filter"),
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-bundle quality filter (Rae et al. 2021 §A.1.1) — the
+    canonical pre-training document gate: word-count bounds, mean word
+    length bounds, symbol-to-word ratio, bullet-line and ellipsis-line
+    ratios, alpha-word ratio, and required-stopword hits, folded into a
+    composite `keep` verdict. Pure Catalyst expressions off ONE token/line
+    materialization per row — a zero-shuffle map over the scan at any
+    scale. Both engines evaluate the same synthesized document structure
+    (`_gopher_synth`) through the same fragment builder
+    (`operators.text.gopher_signal_exprs`), so the oracle cannot drift."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_gopher_synth("spark")).alias("text")
+    )
+    out = TX.with_gopher_quality(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_ratio",
+        "ellipsis_ratio",
+        "alpha_ratio",
+        "stop_hits",
+        "keep",
+    )
+
+
 def _pii_oracle() -> str:
     """Synthesized-PII scrub oracle: both engines append the same
     deterministic email/phone/IP/SSN block (built from doc_id) to each

@@ -251,3 +251,34 @@ def test_bag_fingerprint_permutation_invariance(spark):
     fp = {r["doc_id"]: r["bag_fp"] for r in with_bag_fingerprint(df).collect()}
     assert fp[1] == fp[2]
     assert len({fp[1], fp[3], fp[4]}) == 3
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule discriminates on a hand-built doc where exactly
+    that rule fails; the clean doc passes all of them."""
+    from go_pq_cdc_spark.operators.text import with_gopher_quality
+
+    good_body = ("the rain and sun be kind to all of us that have come "
+                 "here with hope " * 5).strip()  # 80 words, all rules pass
+    rows = [
+        (1, good_body),
+        (2, "the of short doc"),  # word-count floor
+        (3, "aa bb cc " * 20 + "the of"),  # mean word length < 3
+        (4, good_body + " " + "### ## # " * 4),  # symbol ratio
+        (5, "\n".join(["- bullet line here"] * 19 + [good_body])),  # bullets
+        (6, "\n".join(["ends in dots..."] * 4 + [good_body] * 6)),  # ellipsis
+        (7, "zzzz qqqq rrrr wwww " * 15),  # no required stopwords at all
+        (8, " ".join(["123 45"] * 40) + " the of"),  # alpha-word ratio
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in with_gopher_quality(df).collect()}
+    assert out[1]["keep"] == 1
+    for d in range(2, 9):
+        assert out[d]["keep"] == 0, f"doc {d} should fail"
+    assert out[2]["n_words"] == 4
+    assert out[3]["mean_word_len"] < 3.0
+    assert out[4]["symbol_ratio"] >= 0.1
+    assert out[5]["bullet_ratio"] >= 0.9
+    assert out[6]["ellipsis_ratio"] >= 0.3
+    assert out[7]["stop_hits"] < 2
+    assert out[8]["alpha_ratio"] <= 0.8
