@@ -62,20 +62,33 @@ ALLOWED = {
 }
 
 
+def _lint_one(spark, spec) -> str | None:
+    df = spec.spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    marks = []
+    if "Exchange SinglePartition" in plan:
+        marks.append("SinglePartition")
+    if "CartesianProduct" in plan:
+        marks.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan:
+        marks.append("BroadcastNestedLoopJoin")
+    return ", ".join(marks) if marks else None
+
+
 def test_no_unjustified_scale_funnels(spark):
-    flagged: dict[str, str] = {}
-    for name, spec in sorted(plans.REGISTRY.items()):
-        df = spec.spark_fn(spark, SF_DIR)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        marks = []
-        if "Exchange SinglePartition" in plan:
-            marks.append("SinglePartition")
-        if "CartesianProduct" in plan:
-            marks.append("CartesianProduct")
-        if "BroadcastNestedLoopJoin" in plan:
-            marks.append("BroadcastNestedLoopJoin")
-        if marks:
-            flagged[name] = ", ".join(marks)
+    # Planning is JVM-side analysis; py4j releases the GIL, so a thread
+    # pool gets real parallelism. Some plan builders collect plan-time
+    # scalars (MIN/MAX bounds, centroids) — those Spark jobs are
+    # thread-safe and schedule concurrently under local[*]. This was the
+    # suite's single dominant test (410s serial); threads cut it ~4-6x.
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = sorted(plans.REGISTRY.items())
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(
+            ex.map(lambda kv: (kv[0], _lint_one(spark, kv[1])), items)
+        )
+    flagged = {name: marks for name, marks in results if marks}
     unjustified = {n: m for n, m in flagged.items() if n not in ALLOWED}
     assert not unjustified, (
         "queries with UNJUSTIFIED single-reducer funnels or nested-loop "
