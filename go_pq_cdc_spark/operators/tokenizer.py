@@ -1,0 +1,206 @@
+"""BPE tokenizer training and encoding over a document corpus.
+
+The LLM-pipeline op the token-counting queries approximate: learn a real
+byte-pair-encoding vocabulary (Sennrich et al. 2016) from the corpus and
+encode documents with it.
+
+Scale shape (how HF `tokenizers` and SentencePiece train at corpus scale):
+
+  1. `word_frequencies` — ONE distributed shuffle: whitespace words with
+     an end-of-word marker, groupBy word, count. The corpus never moves
+     again; everything downstream operates on the DISTINCT-word table,
+     whose cardinality is bounded by the vocabulary (~10^6-10^7 even at
+     100 TB — Heaps' law), not by corpus bytes.
+  2. `train_bpe` — the merge loop is inherently sequential (each merge
+     changes the pair counts the next argmax reads), so it runs
+     driver-side over the collected word-frequency table. This is the
+     standard architecture, not a shortcut: the input is vocab-bounded,
+     and a 10^6-row dict fold is milliseconds per merge with the
+     pair->words index kept incrementally.
+  3. `encode_words` — distributed again, but over DISTINCT words only:
+     an Arrow-batched mapInPandas kernel replays the merge table
+     rank-greedily per word (the GPT-2 encode algorithm). Documents then
+     get their piece sequences by a broadcast join of the (small)
+     word->pieces table — the corpus-sized side is touched by ONE narrow
+     join, never by Python.
+
+Determinism: ties in the argmax break by (count desc, pair lexicographic),
+so the same corpus always yields the same merge table. Rank-greedy
+encoding provably reproduces the training segmentation for words the
+trainer saw (each replayed merge is exactly the training merge restricted
+to that word), pinned by tests against an independent textbook
+implementation.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# End-of-word marker, appended to every word before splitting to symbols
+# (Sennrich et al.'s `</w>`): lets the vocabulary distinguish "low" the
+# word from "low" the prefix and makes piece concatenation reversible.
+EOW = "▁"  # lower one eighth block, the SentencePiece convention
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distributed word-frequency table: (word, cnt), the one pass over
+    the corpus. Explode is narrow; the groupBy shuffles the DISTINCT-word
+    domain with map-side partials."""
+    return (
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_bpe(
+    word_counts: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """Learn `num_merges` BPE merges from a (word, count) table.
+
+    Classic frequency-weighted BPE with an incremental pair->words index:
+    each round merges the most frequent adjacent symbol pair (ties:
+    count desc, then lexicographic pair) in every word containing it and
+    updates only those words' pair counts. O(words containing the pair)
+    per merge, not O(vocab)."""
+    words: list[list[str]] = [list(w) + [EOW] for w, _ in word_counts]
+    counts: list[int] = [c for _, c in word_counts]
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, syms in enumerate(words):
+        c = counts[i]
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += c
+            pair_words[(a, b)].add(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        # deterministic argmax: count desc, pair lexicographic asc
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] <= 0:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        for i in sorted(pair_words.pop(best, ())):
+            syms, c = words[i], counts[i]
+            # remove this word's old pair contributions, rewrite, re-add
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= c
+                if pair_counts[(a, b)] <= 0:
+                    del pair_counts[(a, b)]
+                pair_words[(a, b)].discard(i)
+            out: list[str] = []
+            j = 0
+            while j < len(syms):
+                if j + 1 < len(syms) and (syms[j], syms[j + 1]) == best:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            for a, b in zip(out, out[1:]):
+                pair_counts[(a, b)] += c
+                pair_words[(a, b)].add(i)
+    return merges
+
+
+def train_bpe_from_corpus(
+    df: DataFrame, num_merges: int, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """End-to-end train: distributed word count, driver-side merge loop
+    over the vocab-bounded table (collect is bounded by DISTINCT words,
+    the same class as the k-centroid folds the plan lint allowlists)."""
+    rows = word_frequencies(df, text_col).collect()
+    # deterministic input order -> deterministic merges regardless of
+    # shuffle partitioning
+    wc = sorted((r["word"], r["cnt"]) for r in rows)
+    return train_bpe(wc, num_merges)
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """GPT-2 rank-greedy encode: repeatedly merge the lowest-rank pair
+    present. Replays training merges restricted to this word, so seen
+    words reproduce their training segmentation."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, p
+        if best_pair is None:
+            break
+        merged = best_pair[0] + best_pair[1]
+        out: list[str] = []
+        j = 0
+        while j < len(syms):
+            if j + 1 < len(syms) and (syms[j], syms[j + 1]) == best_pair:
+                out.append(merged)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    return syms
+
+
+def encode_words(
+    words_df: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """Encode a DISTINCT-word table: adds `pieces` (array<string>) and
+    `n_pieces`. Arrow-batched mapInPandas — the only Python in the
+    tokenizer path, and it touches vocab-bounded rows, never the corpus.
+    The merge table broadcasts inside the closure (small by
+    construction: num_merges entries)."""
+    import pandas as pd
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in words_df.schema.fields
+    )
+    schema = f"{fields}, pieces array<string>, n_pieces int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            enc = [_encode_word(w, ranks) for w in pdf[word_col]]
+            pdf = pdf.copy()
+            pdf["pieces"] = enc
+            pdf["n_pieces"] = [len(e) for e in enc]
+            yield pdf
+
+    return words_df.mapInPandas(batches, schema)
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BPE token counts under a trained merge table:
+    (id, n_words, n_bpe_tokens). The corpus-sized side is one narrow
+    explode + one join against the broadcast word->n_pieces table; the
+    Python kernel only ever sees distinct words."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = encode_words(toks.select("word").distinct(), merges).select(
+        "word", "n_pieces"
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
+        )
+    )
