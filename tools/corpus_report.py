@@ -19,10 +19,18 @@ Every number comes from the same operators the oracle-gated queries run:
   * boilerplate tokens — `sketch.heavy_hitters_exact` (two-pass
     Misra-Gries candidate/verify; exact counts),
   * per-language doc counts — plain aggregation,
+  * Gopher rule-bundle pass rate + per-rule failure counts — the
+    zero-shuffle quality map (`text.with_gopher_quality`); corpora
+    without newline structure naturally fail line rules trivially, so
+    the report shows per-signal failures, not just the verdict,
+  * BPE compressibility — train `bpe_merges` merges on the corpus
+    itself and report pieces-per-word (tokens-per-word under a
+    corpus-fit vocabulary: a direct proxy for how expensive this text
+    is to train on),
   * embedding health — row count, dim count, NULL-vector count.
 
-Scale shape: four bounded-output passes over documents plus one over
-embeddings; nothing is collected that isn't aggregate-sized.
+Scale shape: six bounded-output passes over documents plus one over
+embeddings; nothing is collected that isn't aggregate- or vocab-sized.
 """
 
 from __future__ import annotations
@@ -37,10 +45,17 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from go_pq_cdc_spark.functions import portable as P  # noqa: E402
 from go_pq_cdc_spark.operators.sketch import heavy_hitters_exact  # noqa: E402
+from go_pq_cdc_spark.operators.text import GOPHER_RULES, with_gopher_quality  # noqa: E402
+from go_pq_cdc_spark.operators.tokenizer import (  # noqa: E402
+    bpe_token_counts,
+    train_bpe_from_corpus,
+)
 from go_pq_cdc_spark.session import get_spark  # noqa: E402
 
 
-def corpus_report(spark, corpus_dir: str, phi: float = 0.02, top_n: int = 20) -> dict:
+def corpus_report(
+    spark, corpus_dir: str, phi: float = 0.02, top_n: int = 20, bpe_merges: int = 256
+) -> dict:
     docs = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
     ntok = F.expr(P.n_tokens("text")["spark"]).cast("long")
 
@@ -90,6 +105,42 @@ def corpus_report(spark, corpus_dir: str, phi: float = 0.02, top_n: int = 20) ->
         ],
     }
 
+    g = with_gopher_quality(docs.select("doc_id", "text"))
+    r = GOPHER_RULES
+    fails = {
+        "word_count": (F.col("n_words") < r["min_words"])
+        | (F.col("n_words") > r["max_words"]),
+        "mean_word_len": (F.col("mean_word_len") < r["min_mean_word_len"])
+        | (F.col("mean_word_len") > r["max_mean_word_len"]),
+        "symbol_ratio": F.col("symbol_ratio") >= r["max_symbol_ratio"],
+        "bullet_ratio": F.col("bullet_ratio") >= r["max_bullet_ratio"],
+        "ellipsis_ratio": F.col("ellipsis_ratio") >= r["max_ellipsis_ratio"],
+        "alpha_ratio": F.col("alpha_ratio") <= r["min_alpha_ratio"],
+        "stop_hits": F.col("stop_hits") < r["min_stop_hits"],
+    }
+    gq = g.agg(
+        F.sum("keep").cast("long").alias("kept"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+            for name, cond in fails.items()
+        ],
+    ).collect()[0]
+    report["gopher_quality"] = {
+        "keep_rate": (gq["kept"] / n) if n else 0.0,
+        "rule_failures": {name: gq[name] for name in fails},
+    }
+
+    if bpe_merges > 0 and n:
+        merges = train_bpe_from_corpus(docs, bpe_merges)
+        bc = bpe_token_counts(docs, merges).agg(
+            F.sum("n_words").cast("long").alias("w"),
+            F.sum("n_bpe_tokens").cast("long").alias("p"),
+        ).collect()[0]
+        report["bpe"] = {
+            "merges": len(merges),
+            "pieces_per_word": (bc["p"] / bc["w"]) if bc["w"] else 0.0,
+        }
+
     emb_path = os.path.join(corpus_dir, "embeddings.parquet")
     if os.path.exists(emb_path):
         emb = spark.read.parquet(emb_path)
@@ -116,8 +167,9 @@ def main(argv: list[str]) -> None:
     )
     phi = float(argv[2]) if len(argv) > 2 else 0.02
     top_n = int(argv[3]) if len(argv) > 3 else 20
+    bpe_merges = int(argv[4]) if len(argv) > 4 else 256
     spark = get_spark("corpus-report")
-    print(json.dumps(corpus_report(spark, corpus_dir, phi, top_n)))
+    print(json.dumps(corpus_report(spark, corpus_dir, phi, top_n, bpe_merges)))
 
 
 if __name__ == "__main__":
