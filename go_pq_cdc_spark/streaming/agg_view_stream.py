@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..operators.cdc import agg_view_deltas, value_group
 
-STATE_SCHEMA = "grp long, n_keys long, sum_cents long"
+STATE_SCHEMA = "grp long, n_keys long, sum_cents long, min_cents long, max_cents long"
 _META = "_view_meta.json"
 
 
@@ -72,14 +72,17 @@ def latest_version(state_dir: str, below: int | None = None) -> int | None:
 
 def _read_state(
     spark: SparkSession, state_dir: str, version: int
-) -> tuple[dict, int]:
+) -> tuple[dict, dict]:
     vdir = _version_dir(state_dir, version)
     rows = spark.read.schema(STATE_SCHEMA).parquet(vdir).collect()
     with open(os.path.join(vdir, _META), encoding="utf-8") as f:
         meta = json.load(f)
     return (
-        {r["grp"]: (r["n_keys"], r["sum_cents"]) for r in rows},
-        int(meta["n_groups"]),
+        {
+            r["grp"]: (r["n_keys"], r["sum_cents"], r["min_cents"], r["max_cents"])
+            for r in rows
+        },
+        meta,
     )
 
 
@@ -90,50 +93,128 @@ def update_agg_view_state(
     n_groups: int = 8,
     before_col: str = "before_val",
     after_col: str = "after_val",
+    authoritative=None,
 ) -> None:
     """foreachBatch body: fold this micro-batch's signed deltas into the
     persisted view. The batch must carry op + before/after images
     (REPLICA IDENTITY FULL); the distributed part is a pure map + bounded
-    aggregate, the driver-side fold is view-sized."""
+    aggregate, the driver-side fold is view-sized.
+
+    count and sum are SELF-MAINTAINABLE — deltas alone suffice. min/max
+    are the textbook non-self-maintainable pair (a delete of the current
+    extremum cannot be answered from the aggregate): maintained here with
+    the standard monotone-insert + dirty-repair protocol —
+
+      * inserts tighten min/max monotonically (free, no extra I/O);
+      * a retraction that could TOUCH the running extremum (ret_min <=
+        working min, or ret_max >= working max — conservative, duplicate-
+        and same-batch-insert-safe) marks the group DIRTY;
+      * dirty groups repair from `authoritative` — a zero-arg callable
+        returning the current LIVE (grp, v_cents) rows (in engine wiring:
+        a projection of the mirror, which the same foreachBatch merged
+        BEFORE this update, so it reflects post-batch state). Repair
+        scans ONLY dirty groups (column-pruned, group-filtered); at
+        100 TB the cost is amortized by extremum-retraction rarity, and
+        the known refinement — a bounded k-smallest/k-largest synopsis
+        per group absorbing up to k extremum retractions between repairs
+        — fits this state layout without format changes.
+
+    With authoritative=None, min/max tracking is OFF (columns stay NULL)
+    and the update never scans anything but the batch."""
     spark = batch_df.sparkSession
     deltas = agg_view_deltas(
         batch_df, value_group(n_groups), before_col=before_col, after_col=after_col
     )
+    # DECIMAL(18,2) -> exact int64 cents: the persisted fold is integer
+    # arithmetic from here on. dv is signed (retract rows carry -v), so
+    # the value being moved is dk * dv_cents.
+    v_cents = (F.col("dv") * 100).cast("long") * F.col("dk")
+    ins = F.when(F.col("dk") == 1, v_cents)
+    ret = F.when(F.col("dk") == -1, v_cents)
     batch_rows = (
         deltas.groupBy("grp")
         .agg(
             F.sum("dk").cast("long").alias("n_keys"),
-            # DECIMAL(18,2) -> exact int64 cents: the persisted fold is
-            # integer arithmetic from here on
             F.sum((F.col("dv") * 100).cast("long")).cast("long").alias("sum_cents"),
+            F.min(ins).alias("ins_min"),
+            F.max(ins).alias("ins_max"),
+            F.min(ret).alias("ret_min"),
+            F.max(ret).alias("ret_max"),
         )
         .collect()
     )
 
     prev = latest_version(state_dir, below=batch_id)
+    repairs = 0
     if prev is not None:
-        state, prev_n = _read_state(spark, state_dir, prev)
-        if prev_n != n_groups:
+        state, meta = _read_state(spark, state_dir, prev)
+        if meta["n_groups"] != n_groups:
             raise ValueError(
-                f"state at {state_dir} was built with n_groups {prev_n}, "
-                f"got {n_groups}; the group key changed — rebuild"
+                f"state at {state_dir} was built with n_groups "
+                f"{meta['n_groups']}, got {n_groups}; the group key "
+                f"changed — rebuild"
+            )
+        repairs = int(meta.get("repairs", 0))
+        if bool(meta.get("track_minmax", False)) != (authoritative is not None):
+            # flipping tracking over existing state would fold monotone
+            # inserts onto min/max that never saw the earlier history
+            raise ValueError(
+                f"state at {state_dir} was built with "
+                f"track_minmax={meta.get('track_minmax', False)}; "
+                f"rebuild to change min/max tracking"
             )
     else:
         state = {}
 
+    track = authoritative is not None
+    dirty: set = set()
     for r in batch_rows:
-        k, c = state.get(r["grp"], (0, 0))
-        state[r["grp"]] = (k + r["n_keys"], c + (r["sum_cents"] or 0))
+        g = r["grp"]
+        k, c, lo, hi = state.get(g, (0, 0, None, None))
+        k += r["n_keys"]
+        c += r["sum_cents"] or 0
+        if track and g is not None:
+            # monotone insert fold; retractions at the working extremum
+            # dirty the group (conservative: duplicates and values both
+            # inserted and retracted in this batch repair, never drift)
+            if r["ins_min"] is not None:
+                lo = r["ins_min"] if lo is None else min(lo, r["ins_min"])
+                hi = r["ins_max"] if hi is None else max(hi, r["ins_max"])
+            if r["ret_min"] is not None and k > 0:
+                if lo is None or r["ret_min"] <= lo or r["ret_max"] >= hi:
+                    dirty.add(g)
+        state[g] = (k, c, lo, hi)
     # a group whose live-key count telescoped to zero holds exactly zero
     # sum (paired retract/insert, integer arithmetic) — drop it, matching
     # the from-scratch fold
     state = {g: v for g, v in state.items() if v[0] != 0}
+    dirty &= set(state)
+
+    if dirty:
+        repairs += 1
+        fixed = {
+            r["grp"]: (r["mn"], r["mx"])
+            for r in authoritative()
+            .filter(F.col("grp").isin([g for g in dirty]))
+            .groupBy("grp")
+            .agg(F.min("v_cents").alias("mn"), F.max("v_cents").alias("mx"))
+            .collect()
+        }
+        for g in dirty:
+            k, c, _, _ = state[g]
+            mn, mx = fixed.get(g, (None, None))
+            state[g] = (k, c, mn, mx)
 
     vdir = _version_dir(state_dir, batch_id)
     key = lambda g: (g is None, g)  # noqa: E731 — None sorts last, stable write
     (
         spark.createDataFrame(
-            [(g, k, c) for g, (k, c) in sorted(state.items(), key=lambda kv: key(kv[0]))],
+            [
+                (g, k, c, lo, hi)
+                for g, (k, c, lo, hi) in sorted(
+                    state.items(), key=lambda kv: key(kv[0])
+                )
+            ],
             STATE_SCHEMA,
         )
         .coalesce(1)
@@ -141,24 +222,38 @@ def update_agg_view_state(
         .parquet(vdir)
     )
     with open(os.path.join(vdir, _META), "w", encoding="utf-8") as f:
-        json.dump({"n_groups": n_groups, "batch_id": batch_id}, f)
+        json.dump(
+            {
+                "n_groups": n_groups,
+                "batch_id": batch_id,
+                "repairs": repairs,
+                "track_minmax": track,
+            },
+            f,
+        )
 
 
 def read_agg_view(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Current view: (grp, n_keys, sum_val) — sum_val leaves as DOUBLE via
-    one exact cents/100 division, matching the batch fold's decimal->double
-    conversion."""
+    """Current view: (grp, n_keys, sum_val, min_val, max_val) — monetary
+    columns leave as DOUBLE via one exact cents/100 division, matching
+    the batch fold's decimal->double conversion. min/max are NULL when
+    the update ran without an authoritative source."""
     ver = latest_version(state_dir)
     if ver is None:
-        return spark.createDataFrame([], "grp long, n_keys long, sum_val double")
+        return spark.createDataFrame(
+            [], "grp long, n_keys long, sum_val double, min_val double, max_val double"
+        )
+    cents = lambda c: (  # noqa: E731
+        (F.col(c).cast("decimal(28,2)") / 100).cast("double")
+    )
     return (
         spark.read.schema(STATE_SCHEMA)
         .parquet(_version_dir(state_dir, ver))
         .select(
             "grp",
             "n_keys",
-            (F.col("sum_cents").cast("decimal(28,2)") / 100)
-            .cast("double")
-            .alias("sum_val"),
+            cents("sum_cents").alias("sum_val"),
+            cents("min_cents").alias("min_val"),
+            cents("max_cents").alias("max_val"),
         )
     )

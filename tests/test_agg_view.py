@@ -123,6 +123,115 @@ def test_streaming_view_fold_matches_batch_and_is_idempotent(spark, tmp_path):
     assert latest_version(state_dir) == 2
 
 
+def _live_df(spark, live: dict):
+    """Authoritative (grp, v_cents) rows from the harness's live map —
+    what the mirror projection provides in engine wiring."""
+    rows = [
+        ((cents // 100) % 8 if cents is not None else None, cents)
+        for cents in live.values()
+    ]
+    return spark.createDataFrame(rows, "grp long, v_cents long")
+
+
+def test_minmax_maintained_under_random_history(spark, tmp_path):
+    """min/max (non-self-maintainable) against a from-scratch recompute
+    after EVERY batch of a seeded random I/U/D history: monotone insert
+    folds, conservative dirty-marking, repair from the authoritative
+    source."""
+    import random
+
+    rng = random.Random(42)
+    state_dir = str(tmp_path / "mm_state")
+    live: dict[int, int] = {}  # pk -> cents
+    next_pk = 0
+    for batch_id in range(12):
+        rows = []
+        for _ in range(25):
+            choice = rng.random()
+            if choice < 0.45 or not live:
+                cents = rng.randrange(0, 4000)
+                next_pk += 1
+                rows.append((next_pk, "I", None, cents / 100))
+                live[next_pk] = cents
+            elif choice < 0.75:
+                pk = rng.choice(list(live))
+                cents = rng.randrange(0, 4000)
+                rows.append((pk, "U", live[pk] / 100, cents / 100))
+                live[pk] = cents
+            else:
+                pk = rng.choice(list(live))
+                rows.append((pk, "D", live[pk] / 100, None))
+                del live[pk]
+        df = spark.createDataFrame(rows, _BATCH_SCHEMA)
+        update_agg_view_state(
+            df, batch_id, state_dir,
+            authoritative=lambda: _live_df(spark, live),
+        )
+        got = {
+            r["grp"]: (r["n_keys"], r["min_val"], r["max_val"])
+            for r in read_agg_view(spark, state_dir).collect()
+        }
+        want: dict[int, list] = {}
+        for cents in live.values():
+            g = (cents // 100) % 8
+            want.setdefault(g, []).append(cents)
+        assert got == {
+            g: (len(v), min(v) / 100, max(v) / 100) for g, v in want.items()
+        }, f"diverged at batch {batch_id}"
+
+
+def test_minmax_repairs_only_when_extremum_retracted(spark, tmp_path):
+    import json
+    import os
+
+    state_dir = str(tmp_path / "mm_state")
+
+    def no_repair():
+        raise AssertionError("authoritative scanned on a clean batch")
+
+    # all in group 1: floor(9.1)%8 = floor(17.5)%8 = floor(25.9)%8 = 1
+    live = {1: 910, 2: 1750, 3: 2590}
+    rows = [(pk, "I", None, c / 100) for pk, c in live.items()]
+    update_agg_view_state(
+        spark.createDataFrame(rows, _BATCH_SCHEMA), 0, state_dir,
+        authoritative=no_repair,
+    )
+    # update strictly between the extrema (same group): still no repair
+    upd = [(2, "U", 17.50, 17.80)]
+    update_agg_view_state(
+        spark.createDataFrame(upd, _BATCH_SCHEMA), 1, state_dir,
+        authoritative=no_repair,
+    )
+    live[2] = 1780
+    meta = json.load(
+        open(os.path.join(state_dir, "v000000000001", "_view_meta.json"))
+    )
+    assert meta["repairs"] == 0
+    # delete the minimum: must repair, and repair must be correct
+    dele = [(1, "D", 9.10, None)]
+    del live[1]
+    update_agg_view_state(
+        spark.createDataFrame(dele, _BATCH_SCHEMA), 2, state_dir,
+        authoritative=lambda: _live_df(spark, live),
+    )
+    meta = json.load(
+        open(os.path.join(state_dir, "v000000000002", "_view_meta.json"))
+    )
+    assert meta["repairs"] == 1
+    got = {r["grp"]: r for r in read_agg_view(spark, state_dir).collect()}
+    assert got[1]["min_val"] == 17.80 and got[1]["max_val"] == 25.90
+
+
+def test_minmax_tracking_flip_rejected(spark, tmp_path):
+    state_dir = str(tmp_path / "mm_state")
+    df = spark.createDataFrame([(1, "I", None, 5.0)], _BATCH_SCHEMA)
+    update_agg_view_state(df, 0, state_dir)  # untracked
+    with pytest.raises(ValueError, match="track_minmax"):
+        update_agg_view_state(
+            df, 1, state_dir, authoritative=lambda: None
+        )
+
+
 def test_streaming_view_rejects_group_key_change(spark, tmp_path):
     state_dir = str(tmp_path / "view_state")
     df = spark.createDataFrame([(1, "I", None, 5.0)], _BATCH_SCHEMA)
