@@ -557,6 +557,10 @@ class CdcEngine:
         evolve_schema: bool = False,
         merge_mode: str = "cow",
         compact_deltas: int = 8,
+        view_state_dir: str | None = None,
+        view_groups: int = 8,
+        view_value_col: str = "after_val",
+        view_minmax: bool = False,
     ):
         """The reference's `connector.Start(ctx)` in one call
         (connector.go:57-142 sequencing; SURVEY §3.1-3.3):
@@ -642,7 +646,16 @@ class CdcEngine:
         touched-bucket state; per-bucket compaction at `compact_deltas`
         pending files — see merge_mirror_batch). The snapshot seed is
         always a full base write regardless: it IS the base the deltas
-        fold over."""
+        fold over.
+
+        `view_state_dir` co-maintains an incremental aggregate view
+        (per-group live-key count / exact sum, optionally min/max with
+        `view_minmax=True`) alongside the mirror from the same
+        micro-batches (`streaming.agg_view_stream`): the mirror supplies
+        before images (no REPLICA IDENTITY FULL needed), the seeded
+        mirror initializes view version 0, and min/max dirty-repair
+        reads the post-merge mirror. `view_value_col` picks the numeric
+        value column the view aggregates."""
         from pyspark.sql import functions as F
 
         from .snapshot.claim_backend import DEFAULT_BACKEND
@@ -699,6 +712,9 @@ class CdcEngine:
                     wal_dir, state_dir, checkpoint_dir, snapshot_lsn,
                     mirror_buckets, value_schema, value_cols, transport,
                     table, keep_epochs, evolve_schema, backend=mirror_backend,
+                    merge_mode=merge_mode, compact_deltas=compact_deltas,
+                    view_state_dir=view_state_dir, view_groups=view_groups,
+                    view_value_col=view_value_col, view_minmax=view_minmax,
                 )
             if snapshot_reader is None:
                 raise ValueError(
@@ -770,6 +786,8 @@ class CdcEngine:
             value_schema, value_cols, transport, table, keep_epochs,
             evolve_schema, backend=mirror_backend, merge_mode=merge_mode,
             compact_deltas=compact_deltas,
+            view_state_dir=view_state_dir, view_groups=view_groups,
+            view_value_col=view_value_col, view_minmax=view_minmax,
         )
 
     def _start_stream(
@@ -788,6 +806,10 @@ class CdcEngine:
         backend=None,
         merge_mode="cow",
         compact_deltas=8,
+        view_state_dir=None,
+        view_groups=8,
+        view_value_col="after_val",
+        view_minmax=False,
     ):
         """Post-seed data plane: the changelog stream from `wal_dir`,
         filtered to post-handoff events, merging into the mirror."""
@@ -796,7 +818,38 @@ class CdcEngine:
         backend = backend or DEFAULT_BACKEND
         from pyspark.sql import functions as F
 
-        from .streaming.changelog_stream import changelog_stream, mirror_sink
+        from .streaming.changelog_stream import (
+            changelog_stream,
+            mirror_sink,
+            read_mirror,
+        )
+
+        view_kwargs = {}
+        if view_state_dir is not None:
+            from .streaming.agg_view_stream import (
+                latest_version,
+                seed_agg_view_from_state,
+            )
+
+            if latest_version(view_state_dir) is None:
+                # version 0 = the seeded mirror's state: without this,
+                # the first stream update of a snapshot-seeded key would
+                # retract value the view never credited. Idempotent
+                # (recomputes version 0); an empty mirror seeds an empty
+                # view, pinning the minmax-tracking mode either way.
+                seed_agg_view_from_state(
+                    read_mirror(self.spark, state_dir, backend),
+                    view_state_dir,
+                    n_groups=view_groups,
+                    value_col=view_value_col,
+                    track_minmax=view_minmax,
+                )
+            view_kwargs = {
+                "view_state_dir": view_state_dir,
+                "view_groups": view_groups,
+                "view_value_col": view_value_col,
+                "view_minmax": view_minmax,
+            }
 
         if transport == "flat":
             stream_schema = self.spark.createDataFrame(
@@ -845,6 +898,7 @@ class CdcEngine:
                 backend=backend,
                 merge_mode=merge_mode,
                 compact_deltas=compact_deltas,
+                **view_kwargs,
             )
         elif transport in ("envelope", "wal2json"):
             if table is None:
@@ -900,6 +954,7 @@ class CdcEngine:
                     dropped_cols=dropped_now,
                     merge_mode=merge_mode,
                     compact_deltas=compact_deltas,
+                    **view_kwargs,
                 )
             flat, _ = self._typed_flat(env, table, value_schema, "pk")
         else:
@@ -920,6 +975,7 @@ class CdcEngine:
             backend=backend,
             merge_mode=merge_mode,
             compact_deltas=compact_deltas,
+            **view_kwargs,
         )
 
     def _cooperative_seed(

@@ -312,7 +312,9 @@ def fold_agg_deltas(deltas: DataFrame) -> DataFrame:
     )
 
 
-def log_view_deltas(df: DataFrame, grp_of, value_col: str = "after_val") -> DataFrame:
+def log_view_deltas(
+    df: DataFrame, grp_of, value_col: str = "after_val", seed_op: str | None = None
+) -> DataFrame:
     """``agg_view_deltas`` for a raw changelog WITHOUT shipped before
     images (the batch/backfill arm): reconstructs each event's
     before-state with the same (pk, lsn[, txn_seq]) window the TOAST fill
@@ -324,7 +326,12 @@ def log_view_deltas(df: DataFrame, grp_of, value_col: str = "after_val") -> Data
     (pk, order) partitioning and sort, so EnsureRequirements inserts no
     new exchange and no re-sort. On a live
     stream with REPLICA IDENTITY FULL use ``agg_view_deltas`` directly —
-    zero shuffles, zero per-key state."""
+    zero shuffles, zero per-key state.
+
+    ``seed_op``: rows with this op (e.g. 'R' rows carrying the mirror's
+    pre-batch images into a micro-batch) provide before-state CONTEXT to
+    the lag but generate no deltas of their own — their state was
+    already counted when it first streamed."""
     w = Window.partitionBy("pk").orderBy(*_order_cols(df))
     # materialize the lags before the generator: explode()'s projection
     # cannot host window expressions
@@ -335,8 +342,11 @@ def log_view_deltas(df: DataFrame, grp_of, value_col: str = "after_val") -> Data
     )
     v_old = F.col("_prev_val").cast("decimal(18,2)")
     v_new = F.col("filled_val").cast("decimal(18,2)")
-    present_old = F.col("_prev_op").isNotNull() & (F.col("_prev_op") != "D")
-    present_new = F.col("op") != "D"
+    not_seed = F.lit(True) if seed_op is None else (F.col("op") != seed_op)
+    present_old = (
+        F.col("_prev_op").isNotNull() & (F.col("_prev_op") != "D") & not_seed
+    )
+    present_new = (F.col("op") != "D") & not_seed
     zero = F.lit("0").cast("decimal(18,2)")
     retract = F.when(
         present_old,

@@ -37,9 +37,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.cdc import agg_view_deltas, value_group
+from ..operators.cdc import agg_view_deltas, log_view_deltas, value_group
 
 STATE_SCHEMA = "grp long, n_keys long, sum_cents long, min_cents long, max_cents long"
+_DELTA_SCHEMA = "grp long, dk int, dv_cents long"
 _META = "_view_meta.json"
 
 
@@ -121,21 +122,127 @@ def update_agg_view_state(
 
     With authoritative=None, min/max tracking is OFF (columns stay NULL)
     and the update never scans anything but the batch."""
-    spark = batch_df.sparkSession
     deltas = agg_view_deltas(
         batch_df, value_group(n_groups), before_col=before_col, after_col=after_col
     )
-    # DECIMAL(18,2) -> exact int64 cents: the persisted fold is integer
-    # arithmetic from here on. dv is signed (retract rows carry -v), so
-    # the value being moved is dk * dv_cents.
-    v_cents = (F.col("dv") * 100).cast("long") * F.col("dk")
-    ins = F.when(F.col("dk") == 1, v_cents)
-    ret = F.when(F.col("dk") == -1, v_cents)
-    batch_rows = (
-        deltas.groupBy("grp")
+    _fold_into_state(
+        batch_df.sparkSession,
+        _summary_rows(_to_cents(deltas)),
+        batch_id,
+        state_dir,
+        n_groups,
+        authoritative,
+    )
+
+
+def update_agg_view_from_log(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    before_df: DataFrame | None = None,
+    n_groups: int = 8,
+    value_col: str = "after_val",
+    authoritative=None,
+) -> None:
+    """foreachBatch IVM WITHOUT shipped before images — the production
+    arm for streams that lack REPLICA IDENTITY FULL: `before_df` carries
+    the mirror's pre-batch images (pk, value) for the batch's keys, they
+    enter the (pk, lsn) window as op='R' context rows BELOW every batch
+    event (generating no deltas of their own — `log_view_deltas`
+    seed_op), and within-batch event chains take their befores from each
+    other via the lag. One batch-sized pk window; nothing scales with
+    view or mirror size.
+
+    REPLAY SAFETY — the reason deltas persist: the caller's foreachBatch
+    merges the batch into the mirror AFTER computing befores; if the
+    merge commits and the view fold crashes, Structured Streaming
+    replays the batch against a mirror that already contains it, and
+    freshly-read befores would be post-batch values (wrong deltas, view
+    drifts silently). So the computed deltas are written to
+    `deltas/d{batch_id}` BEFORE the caller merges; a replay reuses the
+    stored deltas and never re-reads befores. Delta dirs two batches old
+    are GC'd (streaming replays only the last uncommitted batch).
+
+    Split entry points for sink wiring: `stage_view_deltas` (call BEFORE
+    the mirror merge) + `fold_staged_view_deltas` (call AFTER, so min/max
+    repair reads the post-batch mirror). This wrapper runs both for
+    callers whose authoritative source is independent of the merge."""
+    stage_view_deltas(
+        batch_df, batch_id, state_dir, before_df, n_groups, value_col
+    )
+    fold_staged_view_deltas(
+        batch_df.sparkSession, batch_id, state_dir, n_groups, authoritative
+    )
+
+
+def stage_view_deltas(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    before_df: DataFrame | None = None,
+    n_groups: int = 8,
+    value_col: str = "after_val",
+) -> None:
+    """Compute and persist this batch's view deltas (idempotent: a
+    committed delta dir for this batch_id is reused — see replay note on
+    `update_agg_view_from_log`). MUST run before the batch mutates the
+    before-image source."""
+    ddir = os.path.join(state_dir, "deltas", f"d{batch_id:012d}")
+    if os.path.exists(os.path.join(ddir, "_SUCCESS")):
+        return
+    cols = ["pk", "lsn", "op", value_col] + (
+        ["txn_seq"] if "txn_seq" in batch_df.columns else []
+    )
+    log = batch_df.select(*cols)
+    if before_df is not None:
+        seed = before_df.select(
+            "pk",
+            F.lit(-1).cast("long").alias("lsn"),
+            F.lit("R").alias("op"),
+            F.col(value_col),
+        )
+        if "txn_seq" in log.columns:
+            seed = seed.withColumn("txn_seq", F.lit(0).cast("long"))
+        log = log.unionByName(seed)
+    deltas = log_view_deltas(log, value_group(n_groups), value_col, seed_op="R")
+    _to_cents(deltas).write.mode("overwrite").parquet(ddir)
+
+
+def fold_staged_view_deltas(
+    spark: SparkSession,
+    batch_id: int,
+    state_dir: str,
+    n_groups: int = 8,
+    authoritative=None,
+) -> None:
+    """Fold the staged delta dir for `batch_id` into the persisted view
+    state (versioned, idempotent) and GC stale delta dirs."""
+    ddir = os.path.join(state_dir, "deltas", f"d{batch_id:012d}")
+    rows = _summary_rows(spark.read.schema(_DELTA_SCHEMA).parquet(ddir))
+    _fold_into_state(spark, rows, batch_id, state_dir, n_groups, authoritative)
+    _gc_delta_dirs(state_dir, below=batch_id - 1)
+
+
+def _to_cents(deltas: DataFrame) -> DataFrame:
+    """DECIMAL(18,2) -> exact int64 cents: everything downstream of here
+    is integer arithmetic. dv is signed (retract rows carry -v)."""
+    return deltas.select(
+        "grp", "dk", (F.col("dv") * 100).cast("long").alias("dv_cents")
+    )
+
+
+def _summary_rows(cents: DataFrame) -> list:
+    """Bounded per-group fold inputs (<= 1 row per group): count/sum
+    deltas plus the insert/retract extremes min/max maintenance reads.
+    The value being moved is dk * dv_cents."""
+    v = F.col("dv_cents") * F.col("dk")
+    ins = F.when(F.col("dk") == 1, v)
+    ret = F.when(F.col("dk") == -1, v)
+    return (
+        cents.groupBy("grp")
         .agg(
             F.sum("dk").cast("long").alias("n_keys"),
-            F.sum((F.col("dv") * 100).cast("long")).cast("long").alias("sum_cents"),
+            F.sum("dv_cents").cast("long").alias("sum_cents"),
             F.min(ins).alias("ins_min"),
             F.max(ins).alias("ins_max"),
             F.min(ret).alias("ret_min"),
@@ -144,6 +251,65 @@ def update_agg_view_state(
         .collect()
     )
 
+
+def _gc_delta_dirs(state_dir: str, below: int) -> None:
+    import shutil
+
+    droot = os.path.join(state_dir, "deltas")
+    if not os.path.isdir(droot):
+        return
+    for e in os.listdir(droot):
+        if e.startswith("d") and e[1:].isdigit() and int(e[1:]) < below:
+            shutil.rmtree(os.path.join(droot, e), ignore_errors=True)
+
+
+def seed_agg_view_from_state(
+    df: DataFrame,
+    state_dir: str,
+    n_groups: int = 8,
+    value_col: str = "after_val",
+    track_minmax: bool = False,
+) -> None:
+    """Initialize the view (version 0) from an EXISTING state table — the
+    engine calls this with the seeded mirror before the stream starts:
+    without it, the first stream update of a snapshot-seeded key would
+    retract value the view never credited. One bounded-output aggregate
+    over the state; idempotent (recomputes the same version 0)."""
+    spark = df.sparkSession
+    dec = F.col(value_col).cast("decimal(18,2)")
+    cents = (dec * 100).cast("long")
+    rows = (
+        df.select(value_group(n_groups)(dec).alias("grp"), cents.alias("c"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("sum_cents"),
+            F.min("c").alias("mn"),
+            F.max("c").alias("mx"),
+        )
+        .collect()
+    )
+    state = {
+        r["grp"]: (
+            r["n_keys"],
+            r["sum_cents"] or 0,
+            r["mn"] if track_minmax else None,
+            r["mx"] if track_minmax else None,
+        )
+        for r in rows
+        if r["n_keys"]
+    }
+    _write_state(spark, state, state_dir, 0, n_groups, 0, track_minmax)
+
+
+def _fold_into_state(
+    spark: SparkSession,
+    batch_rows: list,
+    batch_id: int,
+    state_dir: str,
+    n_groups: int,
+    authoritative,
+) -> None:
     prev = latest_version(state_dir, below=batch_id)
     repairs = 0
     if prev is not None:
@@ -205,7 +371,19 @@ def update_agg_view_state(
             mn, mx = fixed.get(g, (None, None))
             state[g] = (k, c, mn, mx)
 
-    vdir = _version_dir(state_dir, batch_id)
+    _write_state(spark, state, state_dir, batch_id, n_groups, repairs, track)
+
+
+def _write_state(
+    spark: SparkSession,
+    state: dict,
+    state_dir: str,
+    version: int,
+    n_groups: int,
+    repairs: int,
+    track: bool,
+) -> None:
+    vdir = _version_dir(state_dir, version)
     key = lambda g: (g is None, g)  # noqa: E731 — None sorts last, stable write
     (
         spark.createDataFrame(
@@ -225,7 +403,7 @@ def update_agg_view_state(
         json.dump(
             {
                 "n_groups": n_groups,
-                "batch_id": batch_id,
+                "batch_id": version,
                 "repairs": repairs,
                 "track_minmax": track,
             },

@@ -489,6 +489,45 @@ def lookup_mirror(
     )
 
 
+def mirror_befores_for(
+    spark: SparkSession,
+    state_dir: str,
+    keys_df: DataFrame,
+    value_col: str = "after_val",
+    backend: ClaimBackend = DEFAULT_BACKEND,
+) -> DataFrame | None:
+    """Pre-batch images for a batch's keys — the before-image source for
+    incremental view maintenance on streams WITHOUT replica identity
+    full: `lookup_mirror`'s bucket pruning, but keyed by a DataFrame of
+    pks (distributed semi-join instead of a driver-side pk list, so the
+    batch never collects). The only driver-side materialization is the
+    touched-BUCKET id set, bounded by n_buckets exactly like the merge's
+    own touched-bucket routing. None = fresh mirror (no state, every
+    batch key is new)."""
+    manifest = _read_manifest(state_dir, backend)
+    all_deltas = manifest.get("deltas") or {}
+    if not manifest["buckets"] and not any(all_deltas.values()):
+        return None
+    n = int(manifest.get("n_buckets") or MIRROR_BUCKETS)
+    keys = keys_df.select("pk").distinct()
+    wanted = {r["b"] for r in keys.select(_bucket_col("pk", n).alias("b")).distinct().collect()}
+    sub = {
+        "value_schema": manifest.get("value_schema", "after_val double"),
+        "dropped": manifest.get("dropped", {}),
+        "buckets": {
+            b: rel for b, rel in manifest["buckets"].items() if int(b) in wanted
+        },
+        "deltas": {b: rels for b, rels in all_deltas.items() if int(b) in wanted},
+    }
+    if not sub["buckets"] and not any(sub["deltas"].values()):
+        return None
+    return (
+        _manifest_df(spark, state_dir, sub)
+        .join(keys, "pk", "left_semi")
+        .select("pk", value_col)
+    )
+
+
 def _gc_epochs(
     spark: SparkSession,
     state_dir: str,
@@ -1610,6 +1649,10 @@ def mirror_sink(
     dropped_cols=None,
     merge_mode: str = "cow",
     compact_deltas: int = 8,
+    view_state_dir: str | None = None,
+    view_groups: int = 8,
+    view_value_col: str = "after_val",
+    view_minmax: bool = False,
 ):
     """Attach the mirror-maintenance sink to a change stream. Returns the
     StreamingQuery; call processAllAvailable() to drain in tests.
@@ -1637,10 +1680,40 @@ def mirror_sink(
     test). A checkpoint REPLAY of a batch re-merges idempotently into a
     fresh epoch instead of overwriting (events dedupe against stored
     rows on (pk, lsn, txn_seq)); a pre-swap crash leaves only
-    unreferenced orphan dirs, which the next GC removes."""
+    unreferenced orphan dirs, which the next GC removes.
+
+    `view_state_dir` co-maintains an incremental aggregate view
+    (`streaming.agg_view_stream`) from the SAME micro-batches: before
+    images come from the mirror (bucket-pruned `mirror_befores_for`,
+    read BEFORE the merge; staged deltas make checkpoint replay safe —
+    see `update_agg_view_from_log`), and with `view_minmax=True` the
+    min/max dirty-repair reads the post-merge mirror — the authoritative
+    source the same batch just finished writing. View versions are keyed
+    by Spark's foreachBatch id (its own namespace; the mirror-epoch
+    collision caveat above concerns mirror epochs only)."""
     def apply(batch_df: DataFrame, _spark_epoch: int) -> None:
         if transform is not None:
             batch_df = transform(batch_df)
+        spark = batch_df.sparkSession
+        if view_state_dir is not None:
+            from .agg_view_stream import (
+                fold_staged_view_deltas,
+                stage_view_deltas,
+            )
+
+            # view version = spark batch id + 1: version 0 is reserved
+            # for the engine's snapshot-seed initialization
+            # (seed_agg_view_from_state)
+            stage_view_deltas(
+                batch_df,
+                _spark_epoch + 1,
+                view_state_dir,
+                before_df=mirror_befores_for(
+                    spark, state_dir, batch_df, view_value_col, backend
+                ),
+                n_groups=view_groups,
+                value_col=view_value_col,
+            )
         # dropped_cols may be a callable re-evaluated PER BATCH (the
         # engine's Relation-sidecar drop detection — a mid-stream DROP
         # COLUMN changes the answer between batches) or a static tuple
@@ -1652,6 +1725,25 @@ def mirror_sink(
             dropped_cols=dc, merge_mode=merge_mode,
             compact_deltas=compact_deltas,
         )
+        if view_state_dir is not None:
+            authoritative = None
+            if view_minmax:
+                dec = F.col(view_value_col).cast("decimal(18,2)")
+
+                def authoritative():
+                    return read_mirror(spark, state_dir, backend).select(
+                        F.pmod(F.floor(dec).cast("long"), F.lit(view_groups))
+                        .alias("grp"),
+                        (dec * 100).cast("long").alias("v_cents"),
+                    )
+
+            fold_staged_view_deltas(
+                spark,
+                _spark_epoch + 1,
+                view_state_dir,
+                n_groups=view_groups,
+                authoritative=authoritative,
+            )
 
     return (
         stream_df.writeStream.outputMode("update")

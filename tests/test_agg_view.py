@@ -232,6 +232,226 @@ def test_minmax_tracking_flip_rejected(spark, tmp_path):
         )
 
 
+def _flat_ev(op, lsn, pk, val):
+    import datetime
+
+    from pyspark.sql import Row
+
+    return Row(
+        op=op,
+        lsn=lsn,
+        xid=lsn,
+        commit_ts=datetime.datetime(2024, 1, 1),
+        pk=pk,
+        after_val=val,
+    )
+
+
+def test_mirror_sink_co_maintains_view_without_before_images(spark, tmp_path):
+    """The production wiring: a flat stream (NO before images) through
+    mirror_sink with view_state_dir — befores come from the pre-merge
+    mirror, min/max repair reads the post-merge mirror, and after every
+    drained batch the view equals a from-scratch groupBy over the
+    mirror."""
+    import os
+
+    from go_pq_cdc_spark.streaming.changelog_stream import (
+        FLAT_CHANGE_SCHEMA,
+        changelog_stream,
+        mirror_sink,
+        read_mirror,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    state = str(tmp_path / "state")
+    view = str(tmp_path / "view")
+    batches = [
+        # floor(v) % 8 groups; group moves, TOAST NULL-update, deletes
+        [_flat_ev("I", 1, 1, 5.25), _flat_ev("I", 2, 2, 12.00),
+         _flat_ev("I", 3, 3, 3.10)],
+        [_flat_ev("U", 4, 1, 9.75), _flat_ev("U", 5, 2, None),  # TOAST
+         _flat_ev("D", 6, 3, None)],
+        [_flat_ev("U", 7, 2, 20.40), _flat_ev("I", 8, 4, 12.60),
+         _flat_ev("D", 9, 1, None),
+         # delete the group-4 minimum in the same batch it appears:
+         # exercises repair against the post-merge mirror
+         _flat_ev("I", 10, 5, 12.10), _flat_ev("D", 11, 4, None)],
+    ]
+
+    def write_batch(i):
+        spark.createDataFrame(batches[i], FLAT_CHANGE_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(in_dir, f"b{i}"))
+
+    write_batch(0)
+    q = mirror_sink(
+        changelog_stream(spark, in_dir + "/*"),
+        state,
+        str(tmp_path / "ckpt"),
+        view_state_dir=view,
+        view_minmax=True,
+    )
+    try:
+        for i in range(len(batches)):
+            if i:
+                write_batch(i)
+            q.processAllAvailable()
+            mirror = {
+                r["pk"]: r["after_val"]
+                for r in read_mirror(spark, state).collect()
+            }
+            want: dict = {}
+            for v in mirror.values():
+                g = int(v // 1) % 8 if v is not None else None
+                want.setdefault(g, []).append(v)
+            got = {
+                r["grp"]: (r["n_keys"], r["sum_val"], r["min_val"], r["max_val"])
+                for r in read_agg_view(spark, view).collect()
+            }
+            assert got == {
+                g: (
+                    len(vs),
+                    round(sum(v or 0 for v in vs), 2),
+                    min(vs) if g is not None else None,
+                    max(vs) if g is not None else None,
+                )
+                for g, vs in want.items()
+            }, f"diverged after batch {i}: mirror={mirror}"
+    finally:
+        q.stop()
+    # final sanity on the actual content
+    assert got == {4: (2, 32.50, 12.10, 20.40)}
+
+
+def test_view_replay_after_merge_committed_fold_crashed(spark, tmp_path):
+    """The failure the staged deltas exist for: batch N's mirror merge
+    commits, the view fold crashes, Structured Streaming replays batch N
+    — the mirror now already contains the batch, so freshly-read befores
+    would be post-batch values and the view would silently drift. The
+    replay must reuse the STORED deltas and land on the correct view."""
+    import os
+
+    from go_pq_cdc_spark.streaming.agg_view_stream import (
+        fold_staged_view_deltas,
+        stage_view_deltas,
+    )
+    from go_pq_cdc_spark.streaming.changelog_stream import (
+        FLAT_CHANGE_SCHEMA,
+        merge_mirror_batch,
+        mirror_befores_for,
+    )
+
+    state = str(tmp_path / "state")
+    view = str(tmp_path / "view")
+
+    def run_batch(bid, rows, crash_before_fold=False):
+        df = spark.createDataFrame(rows, FLAT_CHANGE_SCHEMA)
+        stage_view_deltas(
+            df, bid, view,
+            before_df=mirror_befores_for(spark, state, df),
+        )
+        merge_mirror_batch(df, state, epoch=None)
+        if crash_before_fold:
+            return
+        fold_staged_view_deltas(spark, bid, view)
+
+    run_batch(0, [_flat_ev("I", 1, 1, 5.25), _flat_ev("I", 2, 2, 12.00)])
+    # batch 1 updates pk1 5.25 -> 9.75: merge commits, fold crashes
+    b1 = [_flat_ev("U", 3, 1, 9.75)]
+    run_batch(1, b1, crash_before_fold=True)
+    # view still at batch 0
+    got = {r["grp"]: r["sum_val"] for r in read_agg_view(spark, view).collect()}
+    assert got == {5: 5.25, 4: 12.00}
+    assert os.path.exists(
+        os.path.join(view, "deltas", "d000000000001", "_SUCCESS")
+    )
+    # replay of batch 1: befores from the mirror would now read 9.75
+    # (post-merge) — the stored deltas must win
+    run_batch(1, b1)
+    got = {r["grp"]: r["sum_val"] for r in read_agg_view(spark, view).collect()}
+    assert got == {1: 9.75, 4: 12.00}
+
+
+def test_engine_start_with_view_seeds_then_maintains(spark, tmp_path):
+    """Full connector lifecycle with view_state_dir: the snapshot seed
+    initializes view version 0 (a stream update of a seeded key retracts
+    the SEED value, which the view must have credited), the post-handoff
+    stream maintains it with mirror-sourced before images, and the final
+    view equals a from-scratch groupBy over the final mirror."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.config import EngineConfig, TableConfig
+    from go_pq_cdc_spark.engine import CdcEngine
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    eng = CdcEngine(
+        EngineConfig(
+            tables=[
+                TableConfig("users", replica_identity="FULL"),
+                TableConfig("cdc_heartbeat"),
+            ]
+        ),
+        spark,
+    )
+
+    def run_sql(sql):
+        return [("0/14",)] if "pg_current_wal_lsn" in sql else []  # LSN 20
+
+    def snapshot_reader(table):
+        return spark.createDataFrame(
+            [Row(pk=10, after_val=5.25), Row(pk=20, after_val=12.00)]
+        )
+
+    wal_dir = tmp_path / "wal"
+    wal_dir.mkdir()
+    ts = datetime.datetime(2024, 1, 1)
+    events = [
+        ("U", 25, 2, ts, 10, 9.75),  # seeded key: retracts the SEED value
+        ("I", 30, 3, ts, 30, 12.60),
+        ("D", 35, 4, ts, 20, None),  # delete a seeded key
+    ]
+    pdf = pd.DataFrame(
+        events, columns=["op", "lsn", "xid", "commit_ts", "pk", "after_val"]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(wal_dir / "seg.parquet"),
+        coerce_timestamps="us",
+    )
+
+    eng.config.snapshot_tables = ["public.users"]
+    state_dir, view_dir = str(tmp_path / "state"), str(tmp_path / "view")
+    _, q = eng.start(
+        run_sql,
+        str(wal_dir),
+        state_dir,
+        str(tmp_path / "ckpt"),
+        snapshot_reader=snapshot_reader,
+        view_state_dir=view_dir,
+        view_minmax=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    mirror = {
+        r["pk"]: r["after_val"] for r in read_mirror(spark, state_dir).collect()
+    }
+    assert mirror == {10: 9.75, 30: 12.60}
+    got = {
+        r["grp"]: (r["n_keys"], r["sum_val"], r["min_val"], r["max_val"])
+        for r in read_agg_view(spark, view_dir).collect()
+    }
+    # floor(9.75)%8=1, floor(12.60)%8=4
+    assert got == {1: (1, 9.75, 9.75, 9.75), 4: (1, 12.60, 12.60, 12.60)}
+
+
 def test_streaming_view_rejects_group_key_change(spark, tmp_path):
     state_dir = str(tmp_path / "view_state")
     df = spark.createDataFrame([(1, "I", None, 5.0)], _BATCH_SCHEMA)
