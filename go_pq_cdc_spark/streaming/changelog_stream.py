@@ -1690,7 +1690,15 @@ def mirror_sink(
     min/max dirty-repair reads the post-merge mirror — the authoritative
     source the same batch just finished writing. View versions are keyed
     by Spark's foreachBatch id (its own namespace; the mirror-epoch
-    collision caveat above concerns mirror epochs only)."""
+    collision caveat above concerns mirror epochs only).
+
+    View maintenance assumes THIS stream is the mirror's only writer
+    while it runs (the same assumption the stream itself makes — two
+    sinks feeding one mirror would double-apply events before any view
+    enters the picture): a foreign merge landing between the before-read
+    and this batch's merge would invalidate the staged deltas. The
+    mirror's merge lock/CAS protects mirror INTEGRITY across processes,
+    not view delta freshness."""
     def apply(batch_df: DataFrame, _spark_epoch: int) -> None:
         if transform is not None:
             batch_df = transform(batch_df)
