@@ -300,7 +300,8 @@ def fold_agg_deltas(deltas: DataFrame) -> DataFrame:
     skew is a non-issue for associative sums). Groups whose live-key
     count telescopes to zero vanish, matching a from-scratch groupBy over
     latest state. sum_val leaves as DOUBLE via one exact decimal->double
-    conversion (registry determinism rules)."""
+    conversion, avg_val as exact-sum / count — ONE IEEE division,
+    identical on both engines (registry determinism rules)."""
     return (
         deltas.groupBy("grp")
         .agg(
@@ -308,7 +309,12 @@ def fold_agg_deltas(deltas: DataFrame) -> DataFrame:
             F.sum("dv").alias("_sum"),
         )
         .filter(F.col("n_keys") > 0)
-        .select("grp", "n_keys", F.col("_sum").cast("double").alias("sum_val"))
+        .select(
+            "grp",
+            "n_keys",
+            F.col("_sum").cast("double").alias("sum_val"),
+            (F.col("_sum").cast("double") / F.col("n_keys")).alias("avg_val"),
+        )
     )
 
 

@@ -264,7 +264,8 @@ def cdc_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ((CAST(FLOOR(v) AS BIGINT) % 8) + 8) % 8 AS grp,
            CAST(COUNT(*) AS BIGINT) AS n_keys,
-           CAST(CAST(COALESCE(SUM(v), CAST('0' AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_val
+           CAST(CAST(COALESCE(SUM(v), CAST('0' AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_val,
+           CAST(CAST(COALESCE(SUM(v), CAST('0' AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_val
     FROM live
     GROUP BY 1
     """,
