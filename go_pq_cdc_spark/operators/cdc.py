@@ -237,6 +237,7 @@ def agg_view_deltas(
     grp_of,
     before_col: str = "before_val",
     after_col: str = "after_val",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Signed delta rows for incremental aggregate-view maintenance (IVM):
     each change event contributes up to TWO (grp, dk, dv) rows — a
@@ -270,12 +271,14 @@ def agg_view_deltas(
     present_old = F.col("op").isin("U", "D")
     present_new = F.col("op") != "D"
     zero = F.lit("0").cast("decimal(18,2)")
+    extras = tuple(F.col(c).alias(c) for c in extra_cols)
     retract = F.when(
         present_old,
         F.struct(
             grp_of(v_old).alias("grp"),
             F.lit(-1).alias("dk"),
             (-F.coalesce(v_old, zero)).cast("decimal(18,2)").alias("dv"),
+            *extras,
         ),
     )
     insert = F.when(
@@ -284,6 +287,7 @@ def agg_view_deltas(
             grp_of(v_new).alias("grp"),
             F.lit(1).alias("dk"),
             F.coalesce(v_new, zero).cast("decimal(18,2)").alias("dv"),
+            *extras,
         ),
     )
     return (

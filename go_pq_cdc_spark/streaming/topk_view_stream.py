@@ -1,0 +1,250 @@
+"""Streaming top-k-per-group view (leaderboards) maintained incrementally
+from CDC deltas — the general-k case of the min/max problem: top-k is NOT
+self-maintainable (a delete of a member cannot be answered from the top-k
+alone), so the view keeps a bounded synopsis of CAPACITY = 2k pairs per
+group and repairs from the authoritative source only when the synopsis
+can no longer prove the prefix.
+
+Prefix invariant (what makes bounded maintenance sound): each group's
+state is EXACTLY the m highest (value, pk) pairs of the group's live
+rows, m <= capacity, under the total order (v_cents, pk) descending (pk
+breaks value ties, so the order is total and the top-k is deterministic).
+Per batch, a bounded capture suffices:
+
+  * top-CAPACITY INSERTED pairs per group (a window rank over the batch,
+    one grp shuffle). If more inserts exist, the uncaptured ones are all
+    below the captured minimum — the state is truncated at that minimum,
+    which restores the prefix invariant exactly (anything above it is
+    provably present).
+  * top-(CAPACITY+1) RETRACTED pairs per group. Applied in descending
+    order: a retraction >= the state minimum is necessarily IN the state
+    (prefix property) and is removed; the first retraction below the
+    state minimum proves every remaining (captured or not) is below too.
+    If ALL captured retractions landed inside the prefix and more exist
+    uncaptured, the group is DIRTY (an unseen retraction might also hit).
+
+A group is also dirty when its surviving prefix is shorter than
+min(k, n_live): the synopsis can no longer prove the top-k. Dirty groups
+repair from `authoritative` — live (grp, pk, v_cents) rows (the mirror
+projection in engine wiring) — scanning only dirty groups' top-capacity.
+
+State layout mirrors `agg_view_stream`: `state_dir/v{batch_id}/` parquet
+(grp, rnk, pk, v_cents, n_keys) + meta; idempotent versioned overwrite
+(a retried batch recomputes v{N} from v{N-1}). Everything collected is
+bounded by groups x capacity — never by batch, view, or mirror size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.cdc import agg_view_deltas, value_group
+from .agg_view_stream import _version_dir, latest_version
+
+STATE_SCHEMA = "grp long, rnk int, pk long, v_cents long, n_keys long"
+_META = "_topk_meta.json"
+
+
+def _read_state(spark: SparkSession, state_dir: str, version: int):
+    vdir = _version_dir(state_dir, version)
+    rows = spark.read.schema(STATE_SCHEMA).parquet(vdir).collect()
+    with open(os.path.join(vdir, _META), encoding="utf-8") as f:
+        meta = json.load(f)
+    state: dict = {}
+    for r in rows:
+        pairs, _ = state.setdefault(r["grp"], ([], r["n_keys"]))
+        pairs.append((r["v_cents"], r["pk"]))
+    # rnk order on disk is descending already; re-sort defensively
+    state = {
+        g: (sorted(pairs, reverse=True), n) for g, (pairs, n) in state.items()
+    }
+    return state, meta
+
+
+def update_topk_view_state(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    authoritative,
+    k: int = 5,
+    n_groups: int = 8,
+    before_col: str = "before_val",
+    after_col: str = "after_val",
+) -> None:
+    """foreachBatch body. `authoritative` is REQUIRED (unlike the sum
+    view, deletes routinely hit the tracked set): a zero-arg callable
+    returning live (grp, pk, v_cents) rows, read AFTER this batch is
+    applied to the source of truth."""
+    spark = batch_df.sparkSession
+    capacity = 2 * k
+    deltas = agg_view_deltas(
+        batch_df,
+        value_group(n_groups),
+        before_col=before_col,
+        after_col=after_col,
+        extra_cols=("pk",),
+    ).filter(F.col("grp").isNotNull())  # NULL values carry no rankable pair
+    d = deltas.select(
+        "grp",
+        "dk",
+        "pk",
+        ((F.col("dv") * 100).cast("long") * F.col("dk")).alias("v"),
+    )
+    w = Window.partitionBy("grp", "dk").orderBy(
+        F.desc("v"), F.desc("pk")
+    )
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    cap_rows = ranked.filter(
+        (F.col("rn") <= capacity + 1)
+    ).collect()
+    counts = {
+        (r["grp"], r["dk"]): r["c"]
+        for r in d.groupBy("grp", "dk").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+
+    prev = latest_version(state_dir, below=batch_id)
+    repairs = 0
+    if prev is not None:
+        state, meta = _read_state(spark, state_dir, prev)
+        if meta["k"] != k or meta["n_groups"] != n_groups:
+            raise ValueError(
+                f"state at {state_dir} was built with k={meta['k']} "
+                f"n_groups={meta['n_groups']}; rebuild to change them"
+            )
+        repairs = int(meta.get("repairs", 0))
+    else:
+        state = {}
+
+    # Multiset cancellation of captured pairs: a key inserted and
+    # retracted at the same (v, pk) within one batch (I..D churn, or a
+    # value-preserving U) nets to nothing — applying the retract without
+    # its insert partner (or vice versa) would corrupt the prefix.
+    from collections import Counter
+
+    net: Counter = Counter()
+    for r in cap_rows:
+        net[(r["grp"], r["v"], r["pk"])] += r["dk"]
+    ins: dict = {}
+    ret: dict = {}
+    for (g, v, pk), c in net.items():
+        if c > 0:
+            ins.setdefault(g, []).extend([(v, pk)] * c)
+        elif c < 0:
+            ret.setdefault(g, []).extend([(v, pk)] * (-c))
+
+    dirty: set = set()
+    for g in set(ins) | set(ret) | {g for (g, _dk) in counts}:
+        pairs, n_keys = state.get(g, ([], 0))
+        # stored invariant: len(pairs) == n_keys  <=>  the prefix covers
+        # the whole group (exact prefixes make this derivable)
+        complete = len(pairs) == n_keys
+        thr = pairs[-1] if pairs else None
+        n_keys += counts.get((g, 1), 0) - counts.get((g, -1), 0)
+        # 1. inserts: above the pre-insert minimum always joins the
+        # prefix; at-or-below it joins ONLY when the prefix covers the
+        # whole group (otherwise uncovered live pairs in between could
+        # outrank it and the prefix would no longer be exact)
+        gi = sorted(ins.get(g, []), reverse=True)[:capacity]
+        for p in gi:
+            if complete or (thr is not None and p > thr):
+                pairs.append(p)
+        pairs.sort(reverse=True)
+        if counts.get((g, 1), 0) > capacity and gi:
+            # uncaptured inserts exist, all below min(captured): cut the
+            # prefix where exactness is still provable — at the captured
+            # minimum, but never below the pre-insert minimum of an
+            # incomplete prefix (pairs between them were never stored)
+            cut = gi[-1] if complete else max(thr, gi[-1])
+            pairs = [p for p in pairs if p >= cut]
+        del pairs[capacity:]
+        # 2. retractions (descending): >= state minimum is provably IN
+        # the prefix; the first below it proves the rest (captured or
+        # not) are below too
+        gr = sorted(ret.get(g, []), reverse=True)
+        exhausted_inside = bool(gr)
+        for p in gr:
+            if not pairs or p < pairs[-1]:
+                exhausted_inside = False
+                break
+            try:
+                pairs.remove(p)
+            except ValueError:
+                # a retraction whose insert partner was uncaptured (its
+                # pair sits below the captured-insert cut) — the prefix
+                # can't prove anything here; repair
+                dirty.add(g)
+                exhausted_inside = False
+                break
+        if exhausted_inside and counts.get((g, -1), 0) > len(gr):
+            # every captured retraction hit the prefix and uncaptured
+            # ones remain — they might hit too
+            dirty.add(g)
+        if n_keys <= 0:
+            state.pop(g, None)
+            dirty.discard(g)
+            continue
+        if len(pairs) < min(k, n_keys):
+            dirty.add(g)
+        state[g] = (pairs, n_keys)
+
+    if dirty:
+        repairs += 1
+        auth = authoritative().filter(F.col("grp").isin(list(dirty)))
+        wr = Window.partitionBy("grp").orderBy(F.desc("v_cents"), F.desc("pk"))
+        rows = (
+            auth.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= capacity)
+            .collect()
+        )
+        fixed: dict = {g: [] for g in dirty}
+        for r in rows:
+            fixed[r["grp"]].append((r["v_cents"], r["pk"]))
+        for g in dirty:
+            _, n_keys = state[g]
+            state[g] = (sorted(fixed[g], reverse=True), n_keys)
+
+    vdir = _version_dir(state_dir, batch_id)
+    out = [
+        (g, i + 1, pk, v, n_keys)
+        for g, (pairs, n_keys) in sorted(state.items())
+        for i, (v, pk) in enumerate(pairs)
+    ]
+    spark.createDataFrame(out, STATE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(vdir)
+    with open(os.path.join(vdir, _META), "w", encoding="utf-8") as f:
+        json.dump(
+            {"k": k, "n_groups": n_groups, "batch_id": batch_id, "repairs": repairs},
+            f,
+        )
+
+
+def read_topk_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current top-k: (grp, rnk, pk, val), rnk 1..k per group."""
+    ver = latest_version(state_dir)
+    if ver is None:
+        return spark.createDataFrame(
+            [], "grp long, rnk int, pk long, val double"
+        )
+    with open(
+        os.path.join(_version_dir(state_dir, ver), _META), encoding="utf-8"
+    ) as f:
+        k = int(json.load(f)["k"])
+    return (
+        spark.read.schema(STATE_SCHEMA)
+        .parquet(_version_dir(state_dir, ver))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "grp",
+            "rnk",
+            "pk",
+            (F.col("v_cents").cast("decimal(28,2)") / 100)
+            .cast("double")
+            .alias("val"),
+        )
+    )

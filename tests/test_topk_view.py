@@ -1,0 +1,128 @@
+"""Incremental top-k-per-group view: the bounded synopsis must equal a
+from-scratch top-k after EVERY batch, across insert floods, mass deletes,
+value-preserving updates, and tie churn."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from go_pq_cdc_spark.streaming.topk_view_stream import (
+    read_topk_view,
+    update_topk_view_state,
+)
+
+_BATCH_SCHEMA = "pk long, op string, before_val double, after_val double"
+
+
+def _grp(cents: int) -> int:
+    return (cents // 100) % 8
+
+
+def _live_df(spark, live: dict):
+    rows = [(_grp(c), pk, c) for pk, c in live.items()]
+    return spark.createDataFrame(rows, "grp long, pk long, v_cents long")
+
+
+def _want(live: dict, k: int):
+    by_g: dict = {}
+    for pk, c in live.items():
+        by_g.setdefault(_grp(c), []).append((c, pk))
+    out = {}
+    for g, pairs in by_g.items():
+        for i, (c, pk) in enumerate(sorted(pairs, reverse=True)[:k]):
+            out[(g, i + 1)] = (pk, c / 100)
+    return out
+
+
+def _got(spark, state_dir):
+    return {
+        (r["grp"], r["rnk"]): (r["pk"], r["val"])
+        for r in read_topk_view(spark, state_dir).collect()
+    }
+
+
+def test_topk_random_history_matches_from_scratch(spark, tmp_path):
+    rng = random.Random(7)
+    state_dir = str(tmp_path / "topk")
+    live: dict[int, int] = {}
+    next_pk = 0
+    for batch_id in range(10):
+        rows = []
+        for _ in range(30):
+            choice = rng.random()
+            # small value domain -> frequent ties and group collisions
+            cents = rng.randrange(0, 1600, 25)
+            if choice < 0.45 or not live:
+                next_pk += 1
+                rows.append((next_pk, "I", None, cents / 100))
+                live[next_pk] = cents
+            elif choice < 0.75:
+                pk = rng.choice(list(live))
+                # occasionally a value-preserving update (same cents)
+                if rng.random() < 0.2:
+                    cents = live[pk]
+                rows.append((pk, "U", live[pk] / 100, cents / 100))
+                live[pk] = cents
+            else:
+                pk = rng.choice(list(live))
+                rows.append((pk, "D", live[pk] / 100, None))
+                del live[pk]
+        update_topk_view_state(
+            spark.createDataFrame(rows, _BATCH_SCHEMA),
+            batch_id,
+            state_dir,
+            authoritative=lambda: _live_df(spark, live),
+            k=3,
+        )
+        assert _got(spark, state_dir) == _want(live, 3), (
+            f"diverged at batch {batch_id}"
+        )
+
+
+def test_topk_insert_flood_and_mass_delete(spark, tmp_path):
+    """Both overflow arms: one batch inserting far more than capacity
+    into one group (uncaptured-insert truncation), then one batch
+    deleting the entire top (uncaptured-retraction dirty + repair)."""
+    state_dir = str(tmp_path / "topk")
+    k = 3  # capacity 6
+    # 30 keys, all group 1 (values 9xx: floor 9 % 8 = 1)
+    live = {pk: 900 + pk for pk in range(1, 31)}
+    rows = [(pk, "I", None, c / 100) for pk, c in live.items()]
+    update_topk_view_state(
+        spark.createDataFrame(rows, _BATCH_SCHEMA), 0, state_dir,
+        authoritative=lambda: _live_df(spark, live), k=k,
+    )
+    assert _got(spark, state_dir) == _want(live, k)
+    # delete the 10 highest in one batch (far beyond capacity+1)
+    rows = []
+    for pk in range(21, 31):
+        rows.append((pk, "D", live[pk] / 100, None))
+        del live[pk]
+    update_topk_view_state(
+        spark.createDataFrame(rows, _BATCH_SCHEMA), 1, state_dir,
+        authoritative=lambda: _live_df(spark, live), k=k,
+    )
+    assert _got(spark, state_dir) == _want(live, k)
+    # churn: delete + reinsert the same (value, pk) in one batch
+    rows = [
+        (20, "D", live[20] / 100, None),
+        (20, "I", None, live[20] / 100),
+        (19, "U", live[19] / 100, live[19] / 100),  # value-preserving U
+    ]
+    update_topk_view_state(
+        spark.createDataFrame(rows, _BATCH_SCHEMA), 2, state_dir,
+        authoritative=lambda: _live_df(spark, live), k=k,
+    )
+    assert _got(spark, state_dir) == _want(live, k)
+
+
+def test_topk_rejects_k_change(spark, tmp_path):
+    state_dir = str(tmp_path / "topk")
+    df = spark.createDataFrame([(1, "I", None, 5.0)], _BATCH_SCHEMA)
+    auth = lambda: _live_df(spark, {1: 500})  # noqa: E731
+    update_topk_view_state(df, 0, state_dir, authoritative=auth, k=3)
+    with pytest.raises(ValueError, match="k="):
+        update_topk_view_state(df, 1, state_dir, authoritative=auth, k=5)
