@@ -27,6 +27,14 @@ parquet (grp, n_keys, sum_cents) plus `_view_meta.json`. A retried batch
 recomputes v{N} from v{N-1} — which a retry never modifies — and
 OVERWRITES v{N}: deterministic in, deterministic out, idempotent.
 Readers pick the highest _SUCCESS-marked version.
+
+Known limitation: the view state dir is a FILESYSTEM path (local / NFS /
+fuse-mounted) — meta and GC go through os.*, unlike the mirror whose
+coordination rides ClaimBackend and can live on raw object storage. The
+view is kilobytes of derived, rebuildable state (re-seed from the mirror
++ replay), so the filesystem arm is not the durability story the mirror
+needs; an ObjectStoreBackend arm would follow the heavy-hitter state's
+pattern if one is ever warranted.
 """
 
 from __future__ import annotations
