@@ -268,6 +268,31 @@ def throughput_benches(spark, sf_dir: str) -> dict[str, int]:
             rates[f"mirror_{mode}_bytes_per_batch"] = (
                 du(os.path.join(sd, "epochs")) - pre
             )
+
+        # Incremental view maintenance at the same state >> batch shape:
+        # the IVM claim is that a view update costs ~the BATCH (one
+        # bounded capture, mirror-sourced befores via bucket-pruned
+        # semi-join, kilobyte state write) regardless of mirror size —
+        # rate is batch-rows/sec for the full stage+fold against the
+        # 100x-seeded mirror (sd = the delta-mode mirror from the loop).
+        from go_pq_cdc_spark.streaming.agg_view_stream import (
+            fold_staged_view_deltas,
+            stage_view_deltas,
+        )
+        from go_pq_cdc_spark.streaming.changelog_stream import (
+            mirror_befores_for,
+        )
+
+        view_dir = os.path.join(state_root, "view")
+        t0 = time.perf_counter()
+        stage_view_deltas(
+            small, 1, view_dir,
+            before_df=mirror_befores_for(spark, sd, small),
+        )
+        fold_staged_view_deltas(spark, 1, view_dir)
+        rates["view_update_state_gg_batch"] = int(
+            bn / (time.perf_counter() - t0)
+        )
     finally:
         shutil.rmtree(state_root, ignore_errors=True)
 
