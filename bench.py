@@ -270,11 +270,14 @@ def throughput_benches(spark, sf_dir: str) -> dict[str, int]:
             )
 
         # Incremental view maintenance at the same state >> batch shape:
-        # the IVM claim is that a view update costs ~the BATCH (one
-        # bounded capture, mirror-sourced befores via bucket-pruned
-        # semi-join, kilobyte state write) regardless of mirror size —
-        # rate is batch-rows/sec for the full stage+fold against the
-        # 100x-seeded mirror (sd = the delta-mode mirror from the loop).
+        # a view update costs one bounded capture + a kilobyte state
+        # write + ONE bucket-pruned before-image read (the read is ∝
+        # touched-bucket state, the same class as a COW merge's read
+        # side; it drops to zero when the stream ships REPLICA IDENTITY
+        # FULL images). Rate is batch-rows/sec for the full stage+fold
+        # against the 100x-seeded mirror (sd = the delta-mode mirror
+        # from the loop) — like its mirror_* neighbors, local wall-clock
+        # here is fixed-job-cost-dominated.
         from go_pq_cdc_spark.streaming.agg_view_stream import (
             fold_staged_view_deltas,
             stage_view_deltas,
