@@ -79,10 +79,11 @@ _GATE_HEAD = [
     "emb_dim_stats",
 ]
 # Queries ADDED in round 10 — never driver-checked, so they must fit the
-# 50-row cap alongside the stale head. 45 stale + these 5 = 50 exactly;
-# q_histogram (r8-green, the cheapest/most robust head row) is deferred
-# to position 51 — at r10 judging it is exactly 2 rounds old (still
-# within the <=2 rotation invariant) and it leads the r11 head.
+# 50-row cap alongside the stale head: 43 stale head rows + these 7 = 50
+# exactly. Three r8-green head rows (q_histogram, text_bag_dedup,
+# text_line_dedup — cheapest/most robust) are deferred to positions
+# 51-53 — at r10 judging they are exactly 2 rounds old (still within
+# the <=2 rotation invariant) and they lead the r11 head.
 _GATE_NEW = [
     "cdc_changes_between",
     "text_substring_dedup_apply",

@@ -57,9 +57,12 @@ def _version_dir(state_dir: str, batch_id: int) -> str:
 
 
 def latest_version(state_dir: str, below: int | None = None) -> int | None:
-    """Highest committed (_SUCCESS-marked) state version, optionally
-    restricted to versions < `below` (a retry must ignore its own torn
-    previous write of the same version)."""
+    """Highest committed state version, optionally restricted to
+    versions < `below` (a retry must ignore its own torn previous write
+    of the same version). A version is committed only when BOTH the
+    parquet _SUCCESS marker and the meta sidecar exist — the meta is
+    written after the parquet, so a crash in between must leave the
+    version invisible, not a reader-crashing torn state (r10 review)."""
     if not os.path.isdir(state_dir):
         return None
     best = None
@@ -73,6 +76,8 @@ def latest_version(state_dir: str, below: int | None = None) -> int | None:
         if below is not None and ver >= below:
             continue
         if not os.path.exists(os.path.join(state_dir, e, "_SUCCESS")):
+            continue
+        if not os.path.exists(os.path.join(state_dir, e, _META)):
             continue
         if best is None or ver > best:
             best = ver

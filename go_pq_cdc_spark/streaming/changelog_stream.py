@@ -1736,12 +1736,16 @@ def mirror_sink(
         if view_state_dir is not None:
             authoritative = None
             if view_minmax:
+                from ..operators.cdc import value_group
+
                 dec = F.col(view_value_col).cast("decimal(18,2)")
 
                 def authoritative():
+                    # grp MUST come from the same value_group the staged
+                    # deltas used — a second inline definition could
+                    # silently repair the wrong groups (r10 review)
                     return read_mirror(spark, state_dir, backend).select(
-                        F.pmod(F.floor(dec).cast("long"), F.lit(view_groups))
-                        .alias("grp"),
+                        value_group(view_groups)(dec).alias("grp"),
                         (dec * 100).cast("long").alias("v_cents"),
                     )
 

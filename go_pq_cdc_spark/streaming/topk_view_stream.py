@@ -44,10 +44,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.cdc import agg_view_deltas, value_group
-from .agg_view_stream import _version_dir, latest_version
+from .agg_view_stream import _META, _version_dir, latest_version
 
+# meta filename shared with agg_view_stream so the common
+# latest_version() can gate commit-ness on (_SUCCESS AND meta) for both
 STATE_SCHEMA = "grp long, rnk int, pk long, v_cents long, n_keys long"
-_META = "_topk_meta.json"
 
 
 def _read_state(spark: SparkSession, state_dir: str, version: int):
@@ -98,13 +99,30 @@ def update_topk_view_state(
     w = Window.partitionBy("grp", "dk").orderBy(
         F.desc("v"), F.desc("pk")
     )
+    # ONE distributed action: the window's (grp, dk) clustering satisfies
+    # the groupBy, so the rank and the count+capped-top-list aggregate
+    # share a single scan and a single shuffle
     ranked = d.withColumn("rn", F.row_number().over(w))
-    cap_rows = ranked.filter(
-        (F.col("rn") <= capacity + 1)
-    ).collect()
-    counts = {
-        (r["grp"], r["dk"]): r["c"]
-        for r in d.groupBy("grp", "dk").agg(F.count(F.lit(1)).alias("c")).collect()
+    summary = (
+        ranked.groupBy("grp", "dk")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rn") <= capacity + 1, F.struct("v", "pk"))
+                ),
+                asc=False,
+            ).alias("top"),
+        )
+        .collect()
+    )
+    counts = {(r["grp"], r["dk"]): r["c"] for r in summary}
+    # RAW captured pairs per (grp, dk), descending — the overflow proofs
+    # anchor on these: every UNCAPTURED pair is <= the raw captured
+    # minimum, a bound multiset cancellation must not erase
+    raw: dict = {
+        (r["grp"], r["dk"]): [(t["v"], t["pk"]) for t in r["top"]]
+        for r in summary
     }
 
     prev = latest_version(state_dir, below=batch_id)
@@ -127,49 +145,53 @@ def update_topk_view_state(
     from collections import Counter
 
     net: Counter = Counter()
-    for r in cap_rows:
-        net[(r["grp"], r["v"], r["pk"])] += r["dk"]
+    for (g, dk), pairs_ in raw.items():
+        for p in pairs_:
+            net[(g, p)] += dk
     ins: dict = {}
     ret: dict = {}
-    for (g, v, pk), c in net.items():
+    for (g, p), c in net.items():
         if c > 0:
-            ins.setdefault(g, []).extend([(v, pk)] * c)
+            ins.setdefault(g, []).extend([p] * c)
         elif c < 0:
-            ret.setdefault(g, []).extend([(v, pk)] * (-c))
+            ret.setdefault(g, []).extend([p] * (-c))
 
     dirty: set = set()
-    for g in set(ins) | set(ret) | {g for (g, _dk) in counts}:
+    for g in {g for (g, _dk) in counts}:
         pairs, n_keys = state.get(g, ([], 0))
         # stored invariant: len(pairs) == n_keys  <=>  the prefix covers
         # the whole group (exact prefixes make this derivable)
         complete = len(pairs) == n_keys
         thr = pairs[-1] if pairs else None
         n_keys += counts.get((g, 1), 0) - counts.get((g, -1), 0)
-        # 1. inserts: above the pre-insert minimum always joins the
-        # prefix; at-or-below it joins ONLY when the prefix covers the
-        # whole group (otherwise uncovered live pairs in between could
-        # outrank it and the prefix would no longer be exact)
+        raw_ins = raw.get((g, 1), [])
+        raw_ret = raw.get((g, -1), [])
+        uncap_ins = counts.get((g, 1), 0) > len(raw_ins)
+        uncap_ret = counts.get((g, -1), 0) > len(raw_ret)
+        # 1. inserts (netted): above the pre-insert minimum always joins
+        # the prefix; at-or-below it joins ONLY when the prefix covers
+        # the whole group (otherwise uncovered live pairs in between
+        # could outrank it and the prefix would no longer be exact)
         gi = sorted(ins.get(g, []), reverse=True)[:capacity]
         for p in gi:
             if complete or (thr is not None and p > thr):
                 pairs.append(p)
         pairs.sort(reverse=True)
-        if counts.get((g, 1), 0) > capacity and gi:
-            # uncaptured inserts exist, all below min(captured): cut the
-            # prefix where exactness is still provable — at the captured
-            # minimum, but never below the pre-insert minimum of an
-            # incomplete prefix (pairs between them were never stored)
-            cut = gi[-1] if complete else max(thr, gi[-1])
+        if uncap_ins:
+            # uncaptured inserts exist, all <= the RAW captured minimum
+            # (netted gi may be empty after cancellation — the bound must
+            # come from the raw capture): cut the prefix where exactness
+            # is still provable — at the raw captured minimum, but never
+            # below the pre-insert minimum of an incomplete prefix
+            # (pairs in between were never stored)
+            cut = raw_ins[-1] if complete else max(thr, raw_ins[-1])
             pairs = [p for p in pairs if p >= cut]
         del pairs[capacity:]
-        # 2. retractions (descending): >= state minimum is provably IN
-        # the prefix; the first below it proves the rest (captured or
-        # not) are below too
-        gr = sorted(ret.get(g, []), reverse=True)
-        exhausted_inside = bool(gr)
-        for p in gr:
+        # 2. retractions (netted, descending): >= state minimum is
+        # provably IN the prefix and is removed; below it cannot touch
+        # the prefix
+        for p in sorted(ret.get(g, []), reverse=True):
             if not pairs or p < pairs[-1]:
-                exhausted_inside = False
                 break
             try:
                 pairs.remove(p)
@@ -178,11 +200,12 @@ def update_topk_view_state(
                 # pair sits below the captured-insert cut) — the prefix
                 # can't prove anything here; repair
                 dirty.add(g)
-                exhausted_inside = False
                 break
-        if exhausted_inside and counts.get((g, -1), 0) > len(gr):
-            # every captured retraction hit the prefix and uncaptured
-            # ones remain — they might hit too
+        if uncap_ret and (not pairs or raw_ret[-1] >= pairs[-1]):
+            # uncaptured retractions exist and the RAW captured minimum
+            # does not prove they sit below the surviving prefix — one
+            # of them might hit it (netted lists can be empty after
+            # cancellation; only the raw bound is trustworthy)
             dirty.add(g)
         if n_keys <= 0:
             state.pop(g, None)

@@ -119,6 +119,44 @@ def test_topk_insert_flood_and_mass_delete(spark, tmp_path):
     assert _got(spark, state_dir) == _want(live, k)
 
 
+def test_topk_cancellation_must_not_erase_overflow_proofs(spark, tmp_path):
+    """r10 review repro (both bugs, k=1 so capacity=2, capture cap=3):
+    same-pair I..D churn of three high keys fills every capture slot and
+    nets to nothing — the overflow proofs must anchor on the RAW capture
+    (which bounds the uncaptured pairs), not the netted lists.
+
+    Arm A: an additional UNCAPTURED genuine delete of the stored top —
+    the group must go dirty and repair (netted retractions are empty).
+    Arm B: an additional UNCAPTURED genuine insert above the stored
+    prefix minimum — the truncation must still fire (netted inserts are
+    empty) and the repair must surface the new maximum."""
+    churn = []
+    for i, cents in enumerate((56, 64, 72)):
+        pk = 100 + i
+        churn.append((pk, "I", None, cents / 100))
+        churn.append((pk, "D", cents / 100, None))
+
+    for arm, extra, live_after in (
+        ("delete", [(6, "D", 0.48, None)],
+         {pk: 8 * pk for pk in range(1, 6)}),
+        ("insert", [(200, "I", None, 0.49)],
+         {**{pk: 8 * pk for pk in range(1, 7)}, 200: 49}),
+    ):
+        state_dir = str(tmp_path / f"topk_{arm}")
+        live = {pk: 8 * pk for pk in range(1, 7)}  # 8..48 cents, one grp
+        rows = [(pk, "I", None, c / 100) for pk, c in live.items()]
+        update_topk_view_state(
+            spark.createDataFrame(rows, _BATCH_SCHEMA), 0, state_dir,
+            authoritative=lambda: _live_df(spark, live), k=1,
+        )
+        live = live_after
+        update_topk_view_state(
+            spark.createDataFrame(churn + extra, _BATCH_SCHEMA), 1, state_dir,
+            authoritative=lambda: _live_df(spark, live), k=1,
+        )
+        assert _got(spark, state_dir) == _want(live, 1), arm
+
+
 def test_topk_rejects_k_change(spark, tmp_path):
     state_dir = str(tmp_path / "topk")
     df = spark.createDataFrame([(1, "I", None, 5.0)], _BATCH_SCHEMA)
