@@ -78,6 +78,11 @@ def latest_version(state_dir: str, below: int | None = None) -> int | None:
             continue
         if not os.path.exists(os.path.join(state_dir, e, "_SUCCESS")):
             continue
+        # meta is written AFTER the parquet: a crash in between must
+        # leave the version invisible, not a reader-crashing torn state
+        # (same commit rule as agg_view_stream.latest_version)
+        if not os.path.exists(os.path.join(state_dir, e, _META)):
+            continue
         if best is None or ver > best:
             best = ver
     return best
