@@ -305,20 +305,33 @@ def fold_agg_deltas(deltas: DataFrame) -> DataFrame:
     count telescopes to zero vanish, matching a from-scratch groupBy over
     latest state. sum_val leaves as DOUBLE via one exact decimal->double
     conversion, avg_val as exact-sum / count — ONE IEEE division,
-    identical on both engines (registry determinism rules)."""
-    return (
+    identical on both engines (registry determinism rules). var_val
+    (population variance) is ALSO self-maintainable under deletes — the
+    signed SQUARED delta dk*dv² folds exactly like the sum (the second
+    moment telescopes the same way) — and leaves through the fixed
+    IEEE sequence (ssq - (sum*sum)/n)/n over the two exact sums, which
+    both engines evaluate identically."""
+    sq = F.col("dv") * F.col("dv")  # decimal(37,4), exact
+    signed_sq = F.when(F.col("dk") == 1, sq).otherwise(-sq)
+    out = (
         deltas.groupBy("grp")
         .agg(
             F.sum("dk").cast("long").alias("n_keys"),
             F.sum("dv").alias("_sum"),
+            F.sum(signed_sq).alias("_ssq"),
         )
         .filter(F.col("n_keys") > 0)
-        .select(
-            "grp",
-            "n_keys",
-            F.col("_sum").cast("double").alias("sum_val"),
-            (F.col("_sum").cast("double") / F.col("n_keys")).alias("avg_val"),
-        )
+    )
+    sum_d = F.col("_sum").cast("double")
+    ssq_d = F.col("_ssq").cast("double")
+    return out.select(
+        "grp",
+        "n_keys",
+        sum_d.alias("sum_val"),
+        (sum_d / F.col("n_keys")).alias("avg_val"),
+        ((ssq_d - sum_d * sum_d / F.col("n_keys")) / F.col("n_keys")).alias(
+            "var_val"
+        ),
     )
 
 

@@ -262,12 +262,17 @@ def cdc_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT pk, CAST(filled_val AS DECIMAL(18,2)) AS v
         FROM ranked WHERE rn = 1 AND op <> 'D'
     )
-    SELECT ((CAST(FLOOR(v) AS BIGINT) % 8) + 8) % 8 AS grp,
-           CAST(COUNT(*) AS BIGINT) AS n_keys,
-           CAST(CAST(COALESCE(SUM(v), CAST('0' AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_val,
-           CAST(CAST(COALESCE(SUM(v), CAST('0' AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_val
-    FROM live
-    GROUP BY 1
+    SELECT grp, n_keys, sum_val,
+           sum_val / n_keys AS avg_val,
+           (ssq_val - sum_val * sum_val / n_keys) / n_keys AS var_val
+    FROM (
+        SELECT ((CAST(FLOOR(v) AS BIGINT) % 8) + 8) % 8 AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(CAST(COALESCE(SUM(v), CAST('0' AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_val,
+               CAST(CAST(COALESCE(SUM(v * v), CAST('0' AS DECIMAL(36,4))) AS VARCHAR) AS DOUBLE) AS ssq_val
+        FROM live
+        GROUP BY 1
+    )
     """,
     tags=("cdc", "ivm", "view"),
 )
