@@ -41,13 +41,17 @@ from __future__ import annotations
 
 import json
 import os
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cdc import agg_view_deltas, log_view_deltas, value_group
 
-STATE_SCHEMA = "grp long, n_keys long, sum_cents long, min_cents long, max_cents long"
+STATE_SCHEMA = (
+    "grp long, n_keys long, sum_cents long, ssq_cents2 decimal(38,0), "
+    "min_cents long, max_cents long"
+)
 _DELTA_SCHEMA = "grp long, dk int, dv_cents long"
 _META = "_view_meta.json"
 
@@ -93,7 +97,13 @@ def _read_state(
         meta = json.load(f)
     return (
         {
-            r["grp"]: (r["n_keys"], r["sum_cents"], r["min_cents"], r["max_cents"])
+            r["grp"]: (
+                r["n_keys"],
+                r["sum_cents"],
+                int(r["ssq_cents2"] or 0),
+                r["min_cents"],
+                r["max_cents"],
+            )
             for r in rows
         },
         meta,
@@ -245,10 +255,16 @@ def _to_cents(deltas: DataFrame) -> DataFrame:
 
 
 def _summary_rows(cents: DataFrame) -> list:
-    """Bounded per-group fold inputs (<= 1 row per group): count/sum
-    deltas plus the insert/retract extremes min/max maintenance reads.
-    The value being moved is dk * dv_cents."""
+    """Bounded per-group fold inputs (<= 1 row per group): count/sum/
+    second-moment deltas plus the insert/retract extremes min/max
+    maintenance reads. The value being moved is dk * dv_cents; the
+    signed SQUARE folds like the sum (variance is self-maintainable),
+    computed in DECIMAL so cents-squared never overflows int64."""
     v = F.col("dv_cents") * F.col("dk")
+    sq = F.col("dv_cents").cast("decimal(19,0)") * F.col("dv_cents").cast(
+        "decimal(19,0)"
+    )
+    signed_sq = F.when(F.col("dk") == 1, sq).otherwise(-sq)
     ins = F.when(F.col("dk") == 1, v)
     ret = F.when(F.col("dk") == -1, v)
     return (
@@ -256,6 +272,7 @@ def _summary_rows(cents: DataFrame) -> list:
         .agg(
             F.sum("dk").cast("long").alias("n_keys"),
             F.sum("dv_cents").cast("long").alias("sum_cents"),
+            F.sum(signed_sq).cast("decimal(38,0)").alias("ssq_cents2"),
             F.min(ins).alias("ins_min"),
             F.max(ins).alias("ins_max"),
             F.min(ret).alias("ret_min"),
@@ -297,6 +314,14 @@ def seed_agg_view_from_state(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_keys"),
             F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("sum_cents"),
+            F.sum(
+                F.coalesce(
+                    F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)"),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("ssq"),
             F.min("c").alias("mn"),
             F.max("c").alias("mx"),
         )
@@ -306,6 +331,7 @@ def seed_agg_view_from_state(
         r["grp"]: (
             r["n_keys"],
             r["sum_cents"] or 0,
+            int(r["ssq"] or 0),
             r["mn"] if track_minmax else None,
             r["mx"] if track_minmax else None,
         )
@@ -349,9 +375,10 @@ def _fold_into_state(
     dirty: set = set()
     for r in batch_rows:
         g = r["grp"]
-        k, c, lo, hi = state.get(g, (0, 0, None, None))
+        k, c, q, lo, hi = state.get(g, (0, 0, 0, None, None))
         k += r["n_keys"]
         c += r["sum_cents"] or 0
+        q += int(r["ssq_cents2"] or 0)
         if track and g is not None:
             # monotone insert fold; retractions at the working extremum
             # dirty the group (conservative: duplicates and values both
@@ -362,7 +389,7 @@ def _fold_into_state(
             if r["ret_min"] is not None and k > 0:
                 if lo is None or r["ret_min"] <= lo or r["ret_max"] >= hi:
                     dirty.add(g)
-        state[g] = (k, c, lo, hi)
+        state[g] = (k, c, q, lo, hi)
     # a group whose live-key count telescoped to zero holds exactly zero
     # sum (paired retract/insert, integer arithmetic) — drop it, matching
     # the from-scratch fold
@@ -380,9 +407,9 @@ def _fold_into_state(
             .collect()
         }
         for g in dirty:
-            k, c, _, _ = state[g]
+            k, c, q, _, _ = state[g]
             mn, mx = fixed.get(g, (None, None))
-            state[g] = (k, c, mn, mx)
+            state[g] = (k, c, q, mn, mx)
 
     _write_state(spark, state, state_dir, batch_id, n_groups, repairs, track)
 
@@ -401,8 +428,8 @@ def _write_state(
     (
         spark.createDataFrame(
             [
-                (g, k, c, lo, hi)
-                for g, (k, c, lo, hi) in sorted(
+                (g, k, c, Decimal(q), lo, hi)
+                for g, (k, c, q, lo, hi) in sorted(
                     state.items(), key=lambda kv: key(kv[0])
                 )
             ],
@@ -425,25 +452,34 @@ def _write_state(
 
 
 def read_agg_view(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Current view: (grp, n_keys, sum_val, min_val, max_val) — monetary
-    columns leave as DOUBLE via one exact cents/100 division, matching
-    the batch fold's decimal->double conversion. min/max are NULL when
-    the update ran without an authoritative source."""
+    """Current view: (grp, n_keys, sum_val, var_val, min_val, max_val) —
+    monetary columns leave as DOUBLE via one exact cents/100 division;
+    variance from the exactly-maintained second moment. min/max are NULL
+    when the update ran without an authoritative source."""
     ver = latest_version(state_dir)
     if ver is None:
         return spark.createDataFrame(
-            [], "grp long, n_keys long, sum_val double, min_val double, max_val double"
+            [],
+            "grp long, n_keys long, sum_val double, var_val double, "
+            "min_val double, max_val double",
         )
     cents = lambda c: (  # noqa: E731
         (F.col(c).cast("decimal(28,2)") / 100).cast("double")
     )
+    sum_d = cents("sum_cents")
+    # variance from the exact moments: cents^2 -> value-units^2, then the
+    # fixed IEEE sequence (ssq - sum*sum/n)/n (population variance, the
+    # batch fold's formula)
+    ssq_d = F.col("ssq_cents2").cast("double") / F.lit(10000.0)
+    var_d = (ssq_d - sum_d * sum_d / F.col("n_keys")) / F.col("n_keys")
     return (
         spark.read.schema(STATE_SCHEMA)
         .parquet(_version_dir(state_dir, ver))
         .select(
             "grp",
             "n_keys",
-            cents("sum_cents").alias("sum_val"),
+            sum_d.alias("sum_val"),
+            var_d.alias("var_val"),
             cents("min_cents").alias("min_val"),
             cents("max_cents").alias("max_val"),
         )

@@ -168,15 +168,27 @@ def test_minmax_maintained_under_random_history(spark, tmp_path):
             authoritative=lambda: _live_df(spark, live),
         )
         got = {
-            r["grp"]: (r["n_keys"], r["min_val"], r["max_val"])
+            r["grp"]: (r["n_keys"], r["min_val"], r["max_val"], r["var_val"])
             for r in read_agg_view(spark, state_dir).collect()
         }
         want: dict[int, list] = {}
         for cents in live.values():
             g = (cents // 100) % 8
             want.setdefault(g, []).append(cents)
+
+        def var(v):
+            # mirror read_agg_view's IEEE sequence exactly: exact moments
+            # -> double -> (ssq - sum*sum/n)/n
+            from decimal import Decimal
+
+            n = len(v)
+            sum_f = float(Decimal(sum(v)) / 100)
+            ssq_f = float(sum(c * c for c in v)) / 10000.0
+            return (ssq_f - sum_f * sum_f / n) / n
+
         assert got == {
-            g: (len(v), min(v) / 100, max(v) / 100) for g, v in want.items()
+            g: (len(v), min(v) / 100, max(v) / 100, var(v))
+            for g, v in want.items()
         }, f"diverged at batch {batch_id}"
 
 
