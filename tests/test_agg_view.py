@@ -464,6 +464,106 @@ def test_engine_start_with_view_seeds_then_maintains(spark, tmp_path):
     assert got == {1: (1, 9.75, 9.75, 9.75), 4: (1, 12.60, 12.60, 12.60)}
 
 
+def test_engine_view_over_typed_wal2json_transport(spark, tmp_path):
+    """view_kwargs through the TYPED sink path: start(transport=
+    'wal2json') with view_value_col picking one numeric column of a
+    multi-column value schema — seed initializes the view, a
+    TOAST-absent qty inherits through the view's fill, and the delete
+    of a group's extremum repairs against the typed mirror."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.config import EngineConfig, TableConfig
+    from go_pq_cdc_spark.engine import CdcEngine
+    from go_pq_cdc_spark.sources.lsn_stream import segment_path
+    from go_pq_cdc_spark.streaming import read_mirror
+
+    eng = CdcEngine(
+        EngineConfig(
+            tables=[
+                TableConfig("users", replica_identity="FULL"),
+                TableConfig("cdc_heartbeat"),
+            ]
+        ),
+        spark,
+    )
+    eng.config.snapshot_tables = ["public.users"]
+
+    def run_sql(sql):
+        return [("0/14",)] if "pg_current_wal_lsn" in sql else []  # LSN 20
+
+    def snapshot_reader(table):
+        return spark.createDataFrame(
+            [Row(pk=10, name="a", qty=5.25), Row(pk=20, name="b", qty=12.00)]
+        )
+
+    def doc(action, cols=None, identity=None):
+        d = {
+            "action": action,
+            "schema": "public",
+            "table": "users",
+            "timestamp": "2024-01-01 00:00:00",
+        }
+        if cols is not None:
+            d["columns"] = [{"name": k, "type": t, "value": v} for k, t, v in cols]
+        if identity is not None:
+            d["identity"] = [
+                {"name": k, "type": t, "value": v} for k, t, v in identity
+            ]
+        return json.dumps(d)
+
+    wal_dir = tmp_path / "wal"
+    wal_dir.mkdir()
+    rows = [
+        (25, 2, doc("U", cols=[("pk", "bigint", "10"), ("name", "text", "a2"),
+                               ("qty", "double precision", "9.75")])),
+        (30, 3, doc("I", cols=[("pk", "bigint", "30"), ("name", "text", "c"),
+                               ("qty", "double precision", "12.60")])),
+        # TOAST: qty absent -> view fill inherits 12.60 within the batch
+        (31, 3, doc("U", cols=[("pk", "bigint", "30"), ("name", "text", "c2")])),
+        # delete grp-4's seeded extremum-adjacent key: min/max repair
+        (35, 4, doc("D", identity=[("pk", "bigint", "20")])),
+    ]
+    pdf = pd.DataFrame(rows, columns=["lsn", "xid", "data"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        segment_path(str(wal_dir), 25, 35),
+    )
+
+    state_dir, view_dir = str(tmp_path / "state"), str(tmp_path / "view")
+    _, q = eng.start(
+        run_sql,
+        str(wal_dir),
+        state_dir,
+        str(tmp_path / "ckpt"),
+        snapshot_reader=snapshot_reader,
+        value_schema="name string, qty double",
+        transport="wal2json",
+        table="public.users",
+        view_state_dir=view_dir,
+        view_value_col="qty",
+        view_minmax=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    mirror = {
+        r["pk"]: (r["name"], r["qty"])
+        for r in read_mirror(spark, state_dir).collect()
+    }
+    assert mirror == {10: ("a2", 9.75), 30: ("c2", 12.60)}
+    got = {
+        r["grp"]: (r["n_keys"], r["sum_val"], r["min_val"], r["max_val"])
+        for r in read_agg_view(spark, view_dir).collect()
+    }
+    assert got == {1: (1, 9.75, 9.75, 9.75), 4: (1, 12.60, 12.60, 12.60)}
+
+
 def test_streaming_view_rejects_group_key_change(spark, tmp_path):
     state_dir = str(tmp_path / "view_state")
     df = spark.createDataFrame([(1, "I", None, 5.0)], _BATCH_SCHEMA)
