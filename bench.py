@@ -5,6 +5,16 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query is materialized via count() (full plan execution, no driver
 collect overhead). The first query pays JVM/session warmup; a warmup scan
 is run first so per-query times reflect plan execution.
+
+Output contract (r10 verdict item 1): the driver captures only the LAST
+~2000 chars of stdout, so the FINAL stdout line is a compact summary
+(headline, per-query raw minima, throughput, steal, agreement max) hard-
+bounded at FINAL_LINE_BUDGET chars — `tests/test_bench_contract.py` pins
+the bound against worst-case value widths. The full diagnostics that
+outgrew r10's capture window (both passes' raw/normalized times, the
+interleaved per-query anchor factors, per-query agreement ratios) go to a
+sidecar file `BENCH_DETAIL.json` next to this script AND to an earlier
+stdout line, so nothing is lost — it just never displaces the headline.
 """
 
 from __future__ import annotations
@@ -41,6 +51,25 @@ from go_pq_cdc_spark.session import get_spark  # noqa: E402
 CAL_REF_SEC = 2.9
 CAL_ROWS = 20_000_000_000
 ANCHOR_EVERY = 4
+
+# Hard budget for the FINAL stdout line: the driver records the last
+# ~2000 chars of stdout, so the line that must survive transport stays
+# comfortably inside it even with a few stray log lines appended after.
+FINAL_LINE_BUDGET = 1500
+
+
+def build_final_line(summary: dict) -> str:
+    """Compact single-line JSON for the driver's tail capture. Raises if
+    the line exceeds FINAL_LINE_BUDGET — growth must go to the sidecar,
+    never back into this line (BENCH_r10.json was parsed:null because the
+    final line hit ~5 KB)."""
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > FINAL_LINE_BUDGET:
+        raise ValueError(
+            f"final bench line is {len(line)} chars (> {FINAL_LINE_BUDGET});"
+            " move fields to BENCH_DETAIL.json instead"
+        )
+    return line
 
 
 def anchor_once(spark) -> float:
@@ -134,8 +163,26 @@ def main() -> None:
     rates = throughput_benches(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
+    # Full diagnostics (r8 item 6 / r9 item 2 adjudication machinery) go
+    # to the sidecar + an EARLY stdout line; only the compact summary may
+    # be the final line (see module docstring).
+    detail = {
+        "calibration_ref_sec": CAL_REF_SEC,
+        "queries_normalized": norm_min,
+        "per_query_factors": [p["factors"] for p in passes],
+        "pass_raw": [p["raw"] for p in passes],
+        "pass_normalized": [p["normalized"] for p in passes],
+        "ordering_agreement_ratio": agreement,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w", encoding="utf-8") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps({"bench_detail": detail}, separators=(",", ":")))
+
     print(
-        json.dumps(
+        build_final_line(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
@@ -143,17 +190,12 @@ def main() -> None:
                 "queries": times,
                 "throughput_rows_per_sec": rates,
                 "sf": sf,
-                # host-noise anchor (r8 item 6; interleaved + dual-order
-                # per r9 item 2): per-query normalized minima are the
-                # round-over-round comparison numbers
-                "calibration_ref_sec": CAL_REF_SEC,
-                "queries_normalized": norm_min,
+                # per-query normalized minima (sidecar) are the round-
+                # over-round comparison numbers; their sum rides here
                 "value_normalized": round(sum(norm_min.values()), 3),
-                "per_query_factors": [p["factors"] for p in passes],
-                "pass_normalized": [p["normalized"] for p in passes],
-                "ordering_agreement_ratio": agreement,
                 "ordering_agreement_max": max(agreement.values()),
                 "steal_jiffies_delta": read_steal_jiffies() - steal0,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
