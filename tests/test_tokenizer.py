@@ -119,3 +119,60 @@ def test_encode_words_schema_and_pieces(spark):
     for w, _ in WC:
         assert enc[w]["pieces"] == _encode_word(w, ranks)
         assert enc[w]["n_pieces"] == len(enc[w]["pieces"])
+
+
+def test_min_count_prunes_inside_the_aggregate(spark):
+    """The r10 scale bug: the trainer collected the FULL distinct-word
+    table. Pruning must happen IN the cluster (word_frequencies emits
+    nothing below threshold), and the distributed prune must equal the
+    driver-side spec exactly."""
+    from go_pq_cdc_spark.operators.tokenizer import word_frequencies
+
+    rows = [
+        ("the quick brown fox the quick the",),
+        ("quick brown docs keep the corpus honest zz",),
+        ("the brown fox xq zz",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    full = {r["word"]: r["cnt"] for r in word_frequencies(df).collect()}
+    pruned = {
+        r["word"]: r["cnt"]
+        for r in word_frequencies(df, min_count=2).collect()
+    }
+    assert pruned == {w: c for w, c in full.items() if c >= 2}
+    assert "xq" in full and "xq" not in pruned
+
+
+def test_merges_unchanged_by_subthreshold_tail(spark):
+    """Verdict r10 item 2's equivalence: on a corpus whose tail words sit
+    below min_count AND whose total tail mass is below every decisive
+    pair-count gap, merges learned from the pruned table equal the
+    unpruned result."""
+    head = "low low low low low low lower lower newest newest newest newest newest newest widest widest widest"
+    # tail: 4 hapax words over DISTINCT rare characters — ~1 count of
+    # pair mass each, far under the head's pair-count gaps (>= 2)
+    tail = "qzj vkx jqv zxk"
+    df = spark.createDataFrame([(head,), (tail,)], "text string")
+    unpruned = train_bpe_from_corpus(df, 10, min_count=1, max_vocab=None)
+    pruned = train_bpe_from_corpus(df, 10, min_count=2, max_vocab=None)
+    assert pruned == unpruned
+
+
+def test_max_vocab_caps_the_collect_to_topn_by_count(spark):
+    """max_vocab keeps exactly the top-N words by (cnt desc, word asc) —
+    the distributed salted top-k must match the driver-side spec, and the
+    merges must equal training on that spec table directly."""
+    from go_pq_cdc_spark.operators.tokenizer import word_frequencies
+
+    rows = [
+        ("aa aa aa aa bb bb bb cc cc dd ee",),
+        ("aa bb cc dd ff gg hh",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    full = sorted(
+        ((r["word"], r["cnt"]) for r in word_frequencies(df).collect()),
+        key=lambda wc: (-wc[1], wc[0]),
+    )
+    top3 = sorted(full[:3])
+    got = train_bpe_from_corpus(df, 6, max_vocab=3)
+    assert got == train_bpe(top3, 6)
