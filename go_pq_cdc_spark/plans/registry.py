@@ -23,6 +23,13 @@ Determinism rules (both sides MUST follow, or hashes diverge):
   * Timestamps leave as epoch micros (Spark unix_micros / DuckDB epoch_us)
     or DATE — never engine-formatted strings.
   * Rank/top-k ties broken by a unique key column.
+
+Builders must be SESSION-STATE-PURE: no `spark.conf` mutation, no temp
+views or UDF registrations left behind. The driver runs every builder
+back-to-back in one session, and the plan lint plans them concurrently
+from one SparkContext (each worker in its own `newSession()`), so leaked
+session state is either cross-query contamination or a lint race. A
+builder needing a view/conf must scope it to a `newSession()` of its own.
 """
 
 from __future__ import annotations

@@ -202,14 +202,21 @@ def stage_view_deltas(
     batch_df: DataFrame,
     batch_id: int,
     state_dir: str,
-    before_df: DataFrame | None = None,
+    before_df=None,  # DataFrame | () -> DataFrame | None
     n_groups: int = 8,
     value_col: str = "after_val",
 ) -> None:
     """Compute and persist this batch's view deltas (idempotent: a
     committed delta dir for this batch_id is reused — see replay note on
     `update_agg_view_from_log`). MUST run before the batch mutates the
-    before-image source."""
+    before-image source.
+
+    `before_df` may be a DataFrame or a ZERO-ARG CALLABLE returning one:
+    pass a thunk when computing befores is itself expensive (the mirror's
+    manifest read + touched-bucket collect in `mirror_befores_for`) — the
+    short-circuit above fires on checkpoint replay BEFORE the thunk is
+    invoked, so a replayed batch never pays the before-read it is
+    forbidden from using anyway (r10 advisor)."""
     ddir = os.path.join(state_dir, "deltas", f"d{batch_id:012d}")
     if os.path.exists(os.path.join(ddir, "_SUCCESS")):
         return
@@ -217,6 +224,8 @@ def stage_view_deltas(
         ["txn_seq"] if "txn_seq" in batch_df.columns else []
     )
     log = batch_df.select(*cols)
+    if callable(before_df):
+        before_df = before_df()
     if before_df is not None:
         seed = before_df.select(
             "pk",
@@ -280,6 +289,28 @@ def _summary_rows(cents: DataFrame) -> list:
         )
         .collect()
     )
+
+
+def _check_not_shadowed(state_dir: str, batch_id: int) -> None:
+    """View versions are keyed by Spark's foreachBatch id, whose lifetime
+    is the STREAMING CHECKPOINT's: deleting the checkpoint while keeping
+    the view state dir restarts batch ids at 0, and because readers pick
+    the highest committed version, the restarted stream's folds would be
+    silently shadowed by the stale higher versions (r10 advisor). A
+    committed version STRICTLY above this batch_id can never occur in a
+    healthy stream (streaming replays only the last uncommitted batch, so
+    a replay sees at most its OWN version committed) — fail the fold
+    instead of writing an invisible one. Recovery: rebuild the view (or
+    move/delete the view state dir with the checkpoint)."""
+    top = latest_version(state_dir)
+    if top is not None and top > batch_id:
+        raise RuntimeError(
+            f"view state at {state_dir} already holds committed version "
+            f"{top} > incoming batch_id {batch_id}: the streaming "
+            "checkpoint restarted while the view state dir survived — "
+            "readers would shadow this fold with the stale version; "
+            "rebuild the view state or restore the matching checkpoint"
+        )
 
 
 def _gc_delta_dirs(state_dir: str, below: int) -> None:
@@ -349,6 +380,7 @@ def _fold_into_state(
     n_groups: int,
     authoritative,
 ) -> None:
+    _check_not_shadowed(state_dir, batch_id)
     prev = latest_version(state_dir, below=batch_id)
     repairs = 0
     if prev is not None:

@@ -1690,7 +1690,14 @@ def mirror_sink(
     min/max dirty-repair reads the post-merge mirror — the authoritative
     source the same batch just finished writing. View versions are keyed
     by Spark's foreachBatch id (its own namespace; the mirror-epoch
-    collision caveat above concerns mirror epochs only).
+    collision caveat above concerns mirror epochs only) — which couples
+    the view state dir's lifetime to the STREAMING CHECKPOINT's: deleting
+    the checkpoint while keeping view_state_dir restarts batch ids at 0,
+    and readers (who pick the highest committed version) would shadow the
+    restarted stream's folds with stale higher versions. The fold detects
+    this and fails fast (`agg_view_stream._check_not_shadowed`); treat
+    checkpoint_dir + view_state_dir as one unit — delete or restore them
+    together.
 
     View maintenance assumes THIS stream is the mirror's only writer
     while it runs (the same assumption the stream itself makes — two
@@ -1712,11 +1719,16 @@ def mirror_sink(
             # view version = spark batch id + 1: version 0 is reserved
             # for the engine's snapshot-seed initialization
             # (seed_agg_view_from_state)
+            # thunk, not value: on a checkpoint replay the staged delta
+            # dir already exists and stage_view_deltas short-circuits —
+            # the manifest read + touched-bucket collect inside
+            # mirror_befores_for must not run eagerly just to be thrown
+            # away (r10 advisor)
             stage_view_deltas(
                 batch_df,
                 _spark_epoch + 1,
                 view_state_dir,
-                before_df=mirror_befores_for(
+                before_df=lambda: mirror_befores_for(
                     spark, state_dir, batch_df, view_value_col, backend
                 ),
                 n_groups=view_groups,

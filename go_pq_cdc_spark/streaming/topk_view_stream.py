@@ -125,6 +125,13 @@ def update_topk_view_state(
         for r in summary
     }
 
+    # same checkpoint/view-state lifecycle guard as the agg view: a
+    # committed version above this batch_id means the streaming
+    # checkpoint restarted against surviving view state — the fold would
+    # be shadowed by the stale higher version (r10 advisor)
+    from .agg_view_stream import _check_not_shadowed
+
+    _check_not_shadowed(state_dir, batch_id)
     prev = latest_version(state_dir, below=batch_id)
     repairs = 0
     if prev is not None:
@@ -229,6 +236,20 @@ def update_topk_view_state(
             fixed[r["grp"]].append((r["v_cents"], r["pk"]))
         for g in dirty:
             _, n_keys = state[g]
+            if not fixed[g]:
+                # every dirty group still in `state` has folded n_keys > 0
+                # (zero-key groups were popped above), so an EMPTY repair
+                # means the delta fold and the authoritative source
+                # disagree about the group's existence — writing zero rows
+                # here would silently zero n_keys on the next read and
+                # corrupt later retractions. Fail loudly instead (r10
+                # advisor): this is state drift, not a valid view.
+                raise RuntimeError(
+                    f"top-k repair for group {g!r} returned no rows while "
+                    f"the folded state holds n_keys={n_keys}: the delta "
+                    "fold and the authoritative source have diverged — "
+                    "rebuild the view state from the authoritative source"
+                )
             state[g] = (sorted(fixed[g], reverse=True), n_keys)
 
     vdir = _version_dir(state_dir, batch_id)

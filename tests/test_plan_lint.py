@@ -81,12 +81,20 @@ def test_no_unjustified_scale_funnels(spark):
     # scalars (MIN/MAX bounds, centroids) — those Spark jobs are
     # thread-safe and schedule concurrently under local[*]. This was the
     # suite's single dominant test (410s serial); threads cut it ~4-6x.
+    #
+    # Each worker plans through its OWN spark.newSession() (shared
+    # SparkContext, isolated SQLConf + temp-view catalog): registry plan
+    # builders are REQUIRED to be session-state-pure (no conf mutation,
+    # no temp views left behind — the driver runs them back-to-back in
+    # one session), but a violation under a shared session here would
+    # surface as cross-thread flakiness instead of a clean failure; the
+    # isolation makes any such bug deterministic per-query (r10 advisor).
     from concurrent.futures import ThreadPoolExecutor
 
     items = sorted(plans.REGISTRY.items())
     with ThreadPoolExecutor(max_workers=8) as ex:
         results = list(
-            ex.map(lambda kv: (kv[0], _lint_one(spark, kv[1])), items)
+            ex.map(lambda kv: (kv[0], _lint_one(spark.newSession(), kv[1])), items)
         )
     flagged = {name: marks for name, marks in results if marks}
     unjustified = {n: m for n, m in flagged.items() if n not in ALLOWED}
