@@ -25,15 +25,86 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Gate scheduling: the correctness runner caps at 50 of the registry's
 # entries per round, so rows that NEED a fresh driver-green signal run
-# FIRST. Round 10 rotation (r9 verdict item 3): the 46 rows whose latest
-# driver green is CORRECTNESS_r08 are now the STALEST signal — they run
-# first; the 50 rows driver-green in CORRECTNESS_r09 move to the tail.
-# Queries ADDED this round land in the middle (right after the head), so
-# a new query's first driver check still fits the cap. After r10, every
-# registry row's latest driver green is <= 2 rounds old.
+# FIRST. Rotation invariant: every registry row's latest driver green is
+# <= 2 rounds old, PLUS a bounded carry — with 104 registry rows and a
+# 50-row cap (104 > 2*50), each round defers (carry + new-query count)
+# of the cheapest/most robust rows to position 51+, and those lead the
+# NEXT round's head. Round 11 rotation (r10 verdict item 3): the 3
+# exactly-2-rounds-old r10 deferrals lead, then the 46 r9-green rows;
+# queries ADDED this round land in the middle (first driver check fits
+# the cap); the 50 r10-green rows are the freshest signal and trail.
 _GATE_HEAD = [
-    # driver-green in CORRECTNESS_r08, rotated out of r9's 50-row cap —
-    # stalest rows in the registry (r10 rotation: r9 verdict item 3)
+    # r8-green rows deferred past r10's cap — stalest signal, run first
+    "q_histogram",
+    "text_bag_dedup",
+    "text_line_dedup",
+    # driver-green in CORRECTNESS_r09 (50/50 MATCH), minus the 4
+    # deferred below — stalest-but-one
+    "q12_late_shipment_priority",
+    "emb_quantize",
+    "q_time_bucket_gapfill",
+    "q_gapfill_interpolate",
+    "q_counter_increase",
+    "sample_weighted_docs",
+    "split_train_val_test",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    "sim_cosine_topk",
+    "sim_pq_adc_topk",
+    "sim_ann_lsh_topk",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "cdc_before_image",
+    "cdc_truncate_state",
+    "cdc_scd2_intervals",
+    "cdc_ack_watermark",
+    "cdc_hypertable_mapping",
+    "q_asof_last_click",
+    "q_range_join_bursts",
+    "q_sessionize",
+    "q_salted_event_counts",
+    "q_full_outer_activity",
+    "multimodal_features",
+    "text_profile",
+    "text_repetition",
+    "text_top_tokens",
+    "text_token_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "emb_near_dup",
+    "q_top_orders_per_segment",
+    "q_order_priority_count",
+    "q_parts_not_shipped_1995",
+    "q_rollup_cube",
+    "q_pivot_event_counts",
+    "q_percentiles",
+    "q_grouping_sets",
+    "q17_small_quantity_revenue",
+    "text_substring_dedup",
+    "emb_centroid_outliers",
+]
+# Queries ADDED in round 11 — never driver-checked: 49 head rows + these
+# = 50 exactly.
+_GATE_NEW = [
+    "cdc_topk_view",
+]
+# Deferred to position 51+: r9-green rows displaced by this round's new
+# queries + the structural 3-row carry — at r11 judging they are exactly
+# 2 rounds old (the invariant's declared carry) and they lead the r12
+# head. Chosen cheapest/most robust first (pure-expression plans
+# untouched for rounds).
+_GATE_DEFERRED = [
+    "q_set_ops",
+    "q_json_extract",
+    "q_distinct_custs",
+    "q_scalar_gauntlet",
+]
+_GATE_TAIL = [
+    # driver-green in CORRECTNESS_r10 (50/50 MATCH) — freshest signal
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -77,14 +148,6 @@ _GATE_HEAD = [
     "text_chunk_windows",
     "sample_stratum_topk",
     "emb_dim_stats",
-]
-# Queries ADDED in round 10 — never driver-checked, so they must fit the
-# 50-row cap alongside the stale head: 43 stale head rows + these 7 = 50
-# exactly. Three r8-green head rows (q_histogram, text_bag_dedup,
-# text_line_dedup — cheapest/most robust) are deferred to positions
-# 51-53 — at r10 judging they are exactly 2 rounds old (still within
-# the <=2 rotation invariant) and they lead the r11 head.
-_GATE_NEW = [
     "cdc_changes_between",
     "text_substring_dedup_apply",
     "text_heavy_hitters",
@@ -92,64 +155,6 @@ _GATE_NEW = [
     "dedup_semantic",
     "cdc_incremental_agg_view",
     "text_gopher_quality",
-]
-# Deferred to position 51+: r8-green rows displaced by this round's new
-# queries — at r10 judging they are exactly 2 rounds old (the rotation
-# invariant's edge) and they lead the r11 head. Chosen cheapest/most
-# robust first (pure-expression plans untouched for rounds).
-_GATE_DEFERRED = ["q_histogram", "text_bag_dedup", "text_line_dedup"]
-_GATE_TAIL = [
-    # driver-green in CORRECTNESS_r09 (50/50 MATCH) — freshest signal
-    "q12_late_shipment_priority",
-    "emb_quantize",
-    "q_time_bucket_gapfill",
-    "q_gapfill_interpolate",
-    "q_counter_increase",
-    "sample_weighted_docs",
-    "split_train_val_test",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_dominant_suppliers",
-    "sim_cosine_topk",
-    "sim_pq_adc_topk",
-    "sim_ann_lsh_topk",
-    "sim_ivf_topk",
-    "sim_ivfpq_topk",
-    "cdc_before_image",
-    "cdc_truncate_state",
-    "cdc_scd2_intervals",
-    "cdc_ack_watermark",
-    "cdc_hypertable_mapping",
-    "q_asof_last_click",
-    "q_range_join_bursts",
-    "q_sessionize",
-    "q_salted_event_counts",
-    "q_full_outer_activity",
-    "multimodal_features",
-    "text_profile",
-    "text_repetition",
-    "text_top_tokens",
-    "text_token_stats",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "emb_near_dup",
-    "q_top_orders_per_segment",
-    "q_order_priority_count",
-    "q_parts_not_shipped_1995",
-    "q_set_ops",
-    "q_json_extract",
-    "q_rollup_cube",
-    "q_pivot_event_counts",
-    "q_distinct_custs",
-    "q_percentiles",
-    "q_scalar_gauntlet",
-    "q_grouping_sets",
-    "q17_small_quantity_revenue",
-    "text_substring_dedup",
-    "emb_centroid_outliers",
 ]
 
 

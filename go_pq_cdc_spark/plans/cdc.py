@@ -297,6 +297,111 @@ def cdc_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_topk_view",
+    oracle=f"""
+    {_BASE},
+    base AS (SELECT * FROM committed WHERE tbl <> 'cdc_heartbeat'),
+    {_FILL_SQL},
+    ranked AS (
+        SELECT pk, filled_val, op,
+               ROW_NUMBER() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+        FROM filled
+    ),
+    live AS (
+        SELECT pk, CAST(filled_val AS DECIMAL(18,2)) AS v
+        FROM ranked WHERE rn = 1 AND op <> 'D' AND filled_val IS NOT NULL
+    ),
+    topk AS (
+        SELECT ((CAST(FLOOR(v) AS BIGINT) % 8) + 8) % 8 AS grp, pk, v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY ((CAST(FLOOR(v) AS BIGINT) % 8) + 8) % 8
+                   ORDER BY v DESC, pk DESC) AS rnk
+        FROM live
+    )
+    SELECT grp, CAST(rnk AS INT) AS rnk, pk,
+           CAST(CAST(v AS VARCHAR) AS DOUBLE) AS val
+    FROM topk WHERE rnk <= 3
+    """,
+    tags=("cdc", "ivm", "view", "topk"),
+)
+def cdc_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained top-k-per-group view (leaderboard IVM) —
+    the driver's independent eye on `streaming.topk_view_stream`, the
+    bounded-synopsis state machine whose overflow proofs carried r10's
+    only real self-review bugs (r10 verdict item 4). The changelog is
+    split into three LSN-ordered batches and folded through the REAL
+    state machine (`update_topk_view_state`: bounded per-batch capture,
+    multiset cancellation, truncation proofs, dirty repair against the
+    authoritative latest state as of each batch's frontier — exactly the
+    engine wiring, where the mirror is that source). Before images are
+    reconstructed from the log with the same lag-over-(pk, lsn) the IVM
+    family uses (REPLICA IDENTITY FULL analogue); TOAST-unchanged images
+    inherit through the fill. The oracle states the SPEC: row_number over
+    a from-scratch latest-state recompute. State lives in a throwaway
+    temp dir; the result is materialized (localCheckpoint) so the dir can
+    be removed before returning."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..streaming.topk_view_stream import (
+        read_topk_view,
+        update_topk_view_state,
+    )
+
+    k, n_groups = 3, 8
+    df = ops.filter_heartbeat(committed_changelog(spark, sf_dir))
+    w = Window.partitionBy("pk").orderBy("lsn")
+    filled = (
+        ops.toast_fill(df)
+        .withColumn("_prev_op", F.lag("op").over(w))
+        .withColumn("_prev_val", F.lag("filled_val").over(w))
+    )
+    present_old = F.col("_prev_op").isNotNull() & (F.col("_prev_op") != "D")
+    events = filled.select(
+        "lsn",
+        "pk",
+        # effective op from log-derived presence, not the raw tag: an 'I'
+        # landing on a live key must retract the old image (same stance
+        # as operators.cdc.log_view_deltas)
+        F.when(F.col("op") == "D", "D")
+        .when(present_old, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.when(present_old, F.col("_prev_val")).alias("before_val"),
+        F.col("filled_val").alias("after_val"),
+    )
+
+    frontier = changelog_frontier(sf_dir)
+    state_dir = tempfile.mkdtemp(prefix="cdc_topk_view_")
+    lo = -1
+    for i, hi in enumerate((frontier // 3, frontier * 2 // 3, frontier)):
+        batch = events.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+        prefix = df.filter(F.col("lsn") <= hi)
+
+        def authoritative(prefix=prefix):
+            dec = F.col("last_val").cast("decimal(18,2)")
+            return (
+                ops.latest_state(prefix)
+                .filter(F.col("last_val").isNotNull())
+                .select(
+                    ops.value_group(n_groups)(dec).alias("grp"),
+                    "pk",
+                    (dec * 100).cast("long").alias("v_cents"),
+                )
+            )
+
+        update_topk_view_state(
+            batch, i + 1, state_dir, authoritative, k=k, n_groups=n_groups
+        )
+        lo = hi
+    out = read_topk_view(spark, state_dir).localCheckpoint(eager=True)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    return out
+
+
+@register(
     "snapshot_chunk_stats",
     oracle="""
     WITH stats AS (
