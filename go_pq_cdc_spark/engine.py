@@ -831,7 +831,7 @@ class CdcEngine:
                 seed_agg_view_from_state,
             )
 
-            if latest_version(view_state_dir) is None:
+            if latest_version(view_state_dir, backend=backend) is None:
                 # version 0 = the seeded mirror's state: without this,
                 # the first stream update of a snapshot-seeded key would
                 # retract value the view never credited. Idempotent
@@ -843,6 +843,7 @@ class CdcEngine:
                     n_groups=view_groups,
                     value_col=view_value_col,
                     track_minmax=view_minmax,
+                    backend=backend,
                 )
             view_kwargs = {
                 "view_state_dir": view_state_dir,

@@ -21,25 +21,19 @@ they leave Spark, so the persisted fold is pure integer arithmetic —
 order-independent, replay-stable, and bit-identical to a from-scratch
 batch fold (property the tests pin).
 
-State layout (same idempotent-versioning discipline as the mirror, the
-dedup index, and the heavy-hitter state): `state_dir/v{batch_id}/`
-parquet (grp, n_keys, sum_cents) plus `_view_meta.json`. A retried batch
-recomputes v{N} from v{N-1} — which a retry never modifies — and
-OVERWRITES v{N}: deterministic in, deterministic out, idempotent.
-Readers pick the highest _SUCCESS-marked version.
-
-Known limitation: the view state dir is a FILESYSTEM path (local / NFS /
-fuse-mounted) — meta and GC go through os.*, unlike the mirror whose
-coordination rides ClaimBackend and can live on raw object storage. The
-view is kilobytes of derived, rebuildable state (re-seed from the mirror
-+ replay), so the filesystem arm is not the durability story the mirror
-needs; an ObjectStoreBackend arm would follow the heavy-hitter state's
-pattern if one is ever warranted.
+State layout: the shared `streaming.versioned_state.VersionedState`
+discipline — `state_dir/v{batch_id}/` parquet (grp, n_keys, sum_cents,
+...) committed by a `meta/v{batch_id}.json` marker that rides the same
+pluggable `ClaimBackend` as the mirror's coordination, so the state_dir
+can live on raw object storage (conditional-request markers + Hadoop-FS
+parquet — r10 verdict item 5). A retried batch recomputes v{N} from
+v{N-1} — which a retry never modifies — and OVERWRITES v{N}:
+deterministic in, deterministic out, idempotent. Readers pick the
+highest committed version; versions older than the newest two are GC'd.
 """
 
 from __future__ import annotations
 
-import json
 import os
 from decimal import Decimal
 
@@ -47,54 +41,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cdc import agg_view_deltas, log_view_deltas, value_group
+from ..snapshot.claim_backend import DEFAULT_BACKEND, ClaimBackend
+from .versioned_state import VersionedState
 
 STATE_SCHEMA = (
     "grp long, n_keys long, sum_cents long, ssq_cents2 decimal(38,0), "
     "min_cents long, max_cents long"
 )
 _DELTA_SCHEMA = "grp long, dk int, dv_cents long"
-_META = "_view_meta.json"
 
 
-def _version_dir(state_dir: str, batch_id: int) -> str:
-    return os.path.join(state_dir, f"v{batch_id:012d}")
-
-
-def latest_version(state_dir: str, below: int | None = None) -> int | None:
+def latest_version(
+    state_dir: str,
+    below: int | None = None,
+    backend: ClaimBackend = DEFAULT_BACKEND,
+) -> int | None:
     """Highest committed state version, optionally restricted to
     versions < `below` (a retry must ignore its own torn previous write
-    of the same version). A version is committed only when BOTH the
-    parquet _SUCCESS marker and the meta sidecar exist — the meta is
-    written after the parquet, so a crash in between must leave the
+    of the same version). Committed-ness is the meta marker's existence —
+    written strictly after the parquet, so a crash in between leaves the
     version invisible, not a reader-crashing torn state (r10 review)."""
-    if not os.path.isdir(state_dir):
-        return None
-    best = None
-    for e in os.listdir(state_dir):
-        if not e.startswith("v"):
-            continue
-        try:
-            ver = int(e[1:])
-        except ValueError:
-            continue
-        if below is not None and ver >= below:
-            continue
-        if not os.path.exists(os.path.join(state_dir, e, "_SUCCESS")):
-            continue
-        if not os.path.exists(os.path.join(state_dir, e, _META)):
-            continue
-        if best is None or ver > best:
-            best = ver
-    return best
+    return VersionedState(state_dir, backend).latest_version(below)
 
 
 def _read_state(
-    spark: SparkSession, state_dir: str, version: int
+    spark: SparkSession,
+    state_dir: str,
+    version: int,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ) -> tuple[dict, dict]:
-    vdir = _version_dir(state_dir, version)
-    rows = spark.read.schema(STATE_SCHEMA).parquet(vdir).collect()
-    with open(os.path.join(vdir, _META), encoding="utf-8") as f:
-        meta = json.load(f)
+    vs = VersionedState(state_dir, backend)
+    rows = spark.read.schema(STATE_SCHEMA).parquet(vs.version_dir(version)).collect()
     return (
         {
             r["grp"]: (
@@ -106,7 +83,7 @@ def _read_state(
             )
             for r in rows
         },
-        meta,
+        vs.read_meta(version),
     )
 
 
@@ -118,6 +95,7 @@ def update_agg_view_state(
     before_col: str = "before_val",
     after_col: str = "after_val",
     authoritative=None,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ) -> None:
     """foreachBatch body: fold this micro-batch's signed deltas into the
     persisted view. The batch must carry op + before/after images
@@ -155,6 +133,7 @@ def update_agg_view_state(
         state_dir,
         n_groups,
         authoritative,
+        backend,
     )
 
 
@@ -166,6 +145,7 @@ def update_agg_view_from_log(
     n_groups: int = 8,
     value_col: str = "after_val",
     authoritative=None,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ) -> None:
     """foreachBatch IVM WITHOUT shipped before images — the production
     arm for streams that lack REPLICA IDENTITY FULL: `before_df` carries
@@ -194,7 +174,8 @@ def update_agg_view_from_log(
         batch_df, batch_id, state_dir, before_df, n_groups, value_col
     )
     fold_staged_view_deltas(
-        batch_df.sparkSession, batch_id, state_dir, n_groups, authoritative
+        batch_df.sparkSession, batch_id, state_dir, n_groups, authoritative,
+        backend,
     )
 
 
@@ -217,8 +198,15 @@ def stage_view_deltas(
     short-circuit above fires on checkpoint replay BEFORE the thunk is
     invoked, so a replayed batch never pays the before-read it is
     forbidden from using anyway (r10 advisor)."""
+    from .changelog_stream import _hadoop_fs
+
     ddir = os.path.join(state_dir, "deltas", f"d{batch_id:012d}")
-    if os.path.exists(os.path.join(ddir, "_SUCCESS")):
+    # staged deltas are parquet DATA — probe/write/GC them through
+    # Spark's Hadoop FS (any scheme), like every other data dir
+    fs, jpath = _hadoop_fs(
+        batch_df.sparkSession, os.path.join(ddir, "_SUCCESS")
+    )
+    if fs.exists(jpath):
         return
     cols = ["pk", "lsn", "op", value_col] + (
         ["txn_seq"] if "txn_seq" in batch_df.columns else []
@@ -246,13 +234,16 @@ def fold_staged_view_deltas(
     state_dir: str,
     n_groups: int = 8,
     authoritative=None,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ) -> None:
     """Fold the staged delta dir for `batch_id` into the persisted view
     state (versioned, idempotent) and GC stale delta dirs."""
     ddir = os.path.join(state_dir, "deltas", f"d{batch_id:012d}")
     rows = _summary_rows(spark.read.schema(_DELTA_SCHEMA).parquet(ddir))
-    _fold_into_state(spark, rows, batch_id, state_dir, n_groups, authoritative)
-    _gc_delta_dirs(state_dir, below=batch_id - 1)
+    _fold_into_state(
+        spark, rows, batch_id, state_dir, n_groups, authoritative, backend
+    )
+    _gc_delta_dirs(spark, state_dir, below=batch_id - 1)
 
 
 def _to_cents(deltas: DataFrame) -> DataFrame:
@@ -291,7 +282,9 @@ def _summary_rows(cents: DataFrame) -> list:
     )
 
 
-def _check_not_shadowed(state_dir: str, batch_id: int) -> None:
+def _check_not_shadowed(
+    state_dir: str, batch_id: int, backend: ClaimBackend = DEFAULT_BACKEND
+) -> None:
     """View versions are keyed by Spark's foreachBatch id, whose lifetime
     is the STREAMING CHECKPOINT's: deleting the checkpoint while keeping
     the view state dir restarts batch ids at 0, and because readers pick
@@ -302,7 +295,7 @@ def _check_not_shadowed(state_dir: str, batch_id: int) -> None:
     a replay sees at most its OWN version committed) — fail the fold
     instead of writing an invisible one. Recovery: rebuild the view (or
     move/delete the view state dir with the checkpoint)."""
-    top = latest_version(state_dir)
+    top = latest_version(state_dir, backend=backend)
     if top is not None and top > batch_id:
         raise RuntimeError(
             f"view state at {state_dir} already holds committed version "
@@ -313,15 +306,13 @@ def _check_not_shadowed(state_dir: str, batch_id: int) -> None:
         )
 
 
-def _gc_delta_dirs(state_dir: str, below: int) -> None:
-    import shutil
+def _gc_delta_dirs(spark: SparkSession, state_dir: str, below: int) -> None:
+    from .changelog_stream import _fs_delete, _fs_list_names
 
     droot = os.path.join(state_dir, "deltas")
-    if not os.path.isdir(droot):
-        return
-    for e in os.listdir(droot):
+    for e in _fs_list_names(spark, droot):
         if e.startswith("d") and e[1:].isdigit() and int(e[1:]) < below:
-            shutil.rmtree(os.path.join(droot, e), ignore_errors=True)
+            _fs_delete(spark, os.path.join(droot, e))
 
 
 def seed_agg_view_from_state(
@@ -330,6 +321,7 @@ def seed_agg_view_from_state(
     n_groups: int = 8,
     value_col: str = "after_val",
     track_minmax: bool = False,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ) -> None:
     """Initialize the view (version 0) from an EXISTING state table — the
     engine calls this with the seeded mirror before the stream starts:
@@ -369,7 +361,7 @@ def seed_agg_view_from_state(
         for r in rows
         if r["n_keys"]
     }
-    _write_state(spark, state, state_dir, 0, n_groups, 0, track_minmax)
+    _write_state(spark, state, state_dir, 0, n_groups, 0, track_minmax, backend)
 
 
 def _fold_into_state(
@@ -379,12 +371,13 @@ def _fold_into_state(
     state_dir: str,
     n_groups: int,
     authoritative,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ) -> None:
-    _check_not_shadowed(state_dir, batch_id)
-    prev = latest_version(state_dir, below=batch_id)
+    _check_not_shadowed(state_dir, batch_id, backend)
+    prev = latest_version(state_dir, below=batch_id, backend=backend)
     repairs = 0
     if prev is not None:
-        state, meta = _read_state(spark, state_dir, prev)
+        state, meta = _read_state(spark, state_dir, prev, backend)
         if meta["n_groups"] != n_groups:
             raise ValueError(
                 f"state at {state_dir} was built with n_groups "
@@ -443,7 +436,9 @@ def _fold_into_state(
             mn, mx = fixed.get(g, (None, None))
             state[g] = (k, c, q, mn, mx)
 
-    _write_state(spark, state, state_dir, batch_id, n_groups, repairs, track)
+    _write_state(
+        spark, state, state_dir, batch_id, n_groups, repairs, track, backend
+    )
 
 
 def _write_state(
@@ -454,8 +449,9 @@ def _write_state(
     n_groups: int,
     repairs: int,
     track: bool,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ) -> None:
-    vdir = _version_dir(state_dir, version)
+    vs = VersionedState(state_dir, backend)
     key = lambda g: (g is None, g)  # noqa: E731 — None sorts last, stable write
     (
         spark.createDataFrame(
@@ -469,26 +465,30 @@ def _write_state(
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(vdir)
+        .parquet(vs.version_dir(version))
     )
-    with open(os.path.join(vdir, _META), "w", encoding="utf-8") as f:
-        json.dump(
-            {
-                "n_groups": n_groups,
-                "batch_id": version,
-                "repairs": repairs,
-                "track_minmax": track,
-            },
-            f,
-        )
+    vs.commit(
+        version,
+        {
+            "n_groups": n_groups,
+            "batch_id": version,
+            "repairs": repairs,
+            "track_minmax": track,
+        },
+    )
+    vs.gc_versions(spark, keep=2)
 
 
-def read_agg_view(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_agg_view(
+    spark: SparkSession,
+    state_dir: str,
+    backend: ClaimBackend = DEFAULT_BACKEND,
+) -> DataFrame:
     """Current view: (grp, n_keys, sum_val, var_val, min_val, max_val) —
     monetary columns leave as DOUBLE via one exact cents/100 division;
     variance from the exactly-maintained second moment. min/max are NULL
     when the update ran without an authoritative source."""
-    ver = latest_version(state_dir)
+    ver = latest_version(state_dir, backend=backend)
     if ver is None:
         return spark.createDataFrame(
             [],
@@ -506,7 +506,7 @@ def read_agg_view(spark: SparkSession, state_dir: str) -> DataFrame:
     var_d = (ssq_d - sum_d * sum_d / F.col("n_keys")) / F.col("n_keys")
     return (
         spark.read.schema(STATE_SCHEMA)
-        .parquet(_version_dir(state_dir, ver))
+        .parquet(VersionedState(state_dir, backend).version_dir(ver))
         .select(
             "grp",
             "n_keys",

@@ -1767,6 +1767,7 @@ def mirror_sink(
                 view_state_dir,
                 n_groups=view_groups,
                 authoritative=authoritative,
+                backend=backend,
             )
 
     return (

@@ -18,12 +18,13 @@ state yields candidate sets with [lower, upper] count bounds at any
 moment; when exact counts are needed, run the batch verify pass over the
 archived corpus with the state as the candidate list.
 
-State layout (same idempotent-versioning discipline as the mirror and
-the dedup index): `state_dir/v{batch_id}/` parquet (item, cnt) plus a
-`_hh_meta.json` carrying (n_total, capacity, batch_id). A retried batch
-recomputes v{N} from v{N-1} — which a retry never modifies — and
+State layout: the shared `versioned_state.VersionedState` discipline —
+`state_dir/v{batch_id}/` parquet (item, cnt) committed by a ClaimBackend
+meta marker carrying (n_total, capacity, batch_id), so the state_dir can
+live on raw object storage like the mirror's coordination. A retried
+batch recomputes v{N} from v{N-1} — which a retry never modifies — and
 OVERWRITES v{N}: deterministic inputs, deterministic state, idempotent.
-Readers pick the highest version with a _SUCCESS marker.
+Readers pick the highest committed version.
 
 Scale shape per batch: one narrow distributed pass over the batch
 (mapInPandas MG, O(tasks x capacity) output rows), then a driver-side
@@ -35,15 +36,13 @@ history.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.sketch import mg_partition_summaries
+from ..snapshot.claim_backend import DEFAULT_BACKEND, ClaimBackend
+from .versioned_state import VersionedState
 
 STATE_SCHEMA = "item string, cnt long"
-_META = "_hh_meta.json"
 
 
 def _mg_fold(counts: dict[str, int], capacity: int) -> dict[str, int]:
@@ -56,45 +55,27 @@ def _mg_fold(counts: dict[str, int], capacity: int) -> dict[str, int]:
     return {i: c - d for i, c in counts.items() if c > d}
 
 
-def _version_dir(state_dir: str, batch_id: int) -> str:
-    return os.path.join(state_dir, f"v{batch_id:012d}")
-
-
-def latest_version(state_dir: str, below: int | None = None) -> int | None:
-    """Highest committed (_SUCCESS-marked) state version, optionally
-    restricted to versions < `below` (a retry must ignore its own torn
-    previous write of the same version)."""
-    if not os.path.isdir(state_dir):
-        return None
-    best = None
-    for e in os.listdir(state_dir):
-        if not e.startswith("v"):
-            continue
-        try:
-            ver = int(e[1:])
-        except ValueError:
-            continue
-        if below is not None and ver >= below:
-            continue
-        if not os.path.exists(os.path.join(state_dir, e, "_SUCCESS")):
-            continue
-        # meta is written AFTER the parquet: a crash in between must
-        # leave the version invisible, not a reader-crashing torn state
-        # (same commit rule as agg_view_stream.latest_version)
-        if not os.path.exists(os.path.join(state_dir, e, _META)):
-            continue
-        if best is None or ver > best:
-            best = ver
-    return best
+def latest_version(
+    state_dir: str,
+    below: int | None = None,
+    backend: ClaimBackend = DEFAULT_BACKEND,
+) -> int | None:
+    """Highest committed state version (meta marker exists — written
+    AFTER the parquet, so a crash in between leaves the version
+    invisible), optionally restricted to versions < `below` (a retry
+    must ignore its own torn previous write of the same version)."""
+    return VersionedState(state_dir, backend).latest_version(below)
 
 
 def _read_state(
-    spark: SparkSession, state_dir: str, version: int
+    spark: SparkSession,
+    state_dir: str,
+    version: int,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ) -> tuple[dict[str, int], int, int]:
-    vdir = _version_dir(state_dir, version)
-    rows = spark.read.schema(STATE_SCHEMA).parquet(vdir).collect()
-    with open(os.path.join(vdir, _META), encoding="utf-8") as f:
-        meta = json.load(f)
+    vs = VersionedState(state_dir, backend)
+    rows = spark.read.schema(STATE_SCHEMA).parquet(vs.version_dir(version)).collect()
+    meta = vs.read_meta(version)
     return (
         {r["item"]: r["cnt"] for r in rows},
         int(meta["n_total"]),
@@ -108,6 +89,7 @@ def update_heavy_hitter_state(
     state_dir: str,
     value_col: str = "item",
     capacity: int = 128,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ) -> None:
     """foreachBatch body: fold this micro-batch into the persisted MG
     state. Distributed summary pass over the batch, bounded driver-side
@@ -117,9 +99,9 @@ def update_heavy_hitter_state(
     summaries = mg_partition_summaries(items, value_col, capacity).collect()
     n_batch = items.count()
 
-    prev = latest_version(state_dir, below=batch_id)
+    prev = latest_version(state_dir, below=batch_id, backend=backend)
     if prev is not None:
-        counts, n_total, prev_cap = _read_state(spark, state_dir, prev)
+        counts, n_total, prev_cap = _read_state(spark, state_dir, prev, backend)
         if prev_cap != capacity:
             raise ValueError(
                 f"state at {state_dir} was built with capacity {prev_cap}, "
@@ -133,34 +115,39 @@ def update_heavy_hitter_state(
     counts = _mg_fold(counts, capacity)
     n_total += n_batch
 
-    vdir = _version_dir(state_dir, batch_id)
+    vs = VersionedState(state_dir, backend)
     (
         spark.createDataFrame(
             [(i, c) for i, c in sorted(counts.items())], STATE_SCHEMA
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(vdir)
+        .parquet(vs.version_dir(batch_id))
     )
-    meta = {"n_total": n_total, "capacity": capacity, "batch_id": batch_id}
-    with open(os.path.join(vdir, _META), "w", encoding="utf-8") as f:
-        json.dump(meta, f)
+    vs.commit(
+        batch_id,
+        {"n_total": n_total, "capacity": capacity, "batch_id": batch_id},
+    )
+    vs.gc_versions(spark, keep=2)
 
 
 def heavy_hitter_candidates(
-    spark: SparkSession, state_dir: str, phi: float
+    spark: SparkSession,
+    state_dir: str,
+    phi: float,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ) -> DataFrame:
     """Candidate phi-heavy hitters from the current state with count
     bounds: true count is within [cnt_lower, cnt_upper] (MG guarantee),
     so any item whose UPPER bound clears phi*n_total is a candidate and
     no true heavy hitter is missing. Returns
     (item, cnt_lower, cnt_upper, n_total)."""
-    ver = latest_version(state_dir)
+    ver = latest_version(state_dir, backend=backend)
     if ver is None:
         return spark.createDataFrame(
             [], "item string, cnt_lower long, cnt_upper long, n_total long"
         )
-    counts, n_total, capacity = _read_state(spark, state_dir, ver)
+    counts, n_total, capacity = _read_state(spark, state_dir, ver, backend)
     err = n_total // (capacity + 1)
     rows = [
         (i, c, c + err, n_total)

@@ -28,34 +28,38 @@ min(k, n_live): the synopsis can no longer prove the top-k. Dirty groups
 repair from `authoritative` — live (grp, pk, v_cents) rows (the mirror
 projection in engine wiring) — scanning only dirty groups' top-capacity.
 
-State layout mirrors `agg_view_stream`: `state_dir/v{batch_id}/` parquet
-(grp, rnk, pk, v_cents, n_keys) + meta; idempotent versioned overwrite
-(a retried batch recomputes v{N} from v{N-1}). Everything collected is
-bounded by groups x capacity — never by batch, view, or mirror size.
+State layout mirrors `agg_view_stream`: the shared
+`versioned_state.VersionedState` discipline — `state_dir/v{batch_id}/`
+parquet (grp, rnk, pk, v_cents, n_keys) committed by a ClaimBackend meta
+marker, so the state_dir can live on raw object storage; idempotent
+versioned overwrite (a retried batch recomputes v{N} from v{N-1}).
+Everything collected is bounded by groups x capacity — never by batch,
+view, or mirror size.
 """
 
 from __future__ import annotations
-
-import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.cdc import agg_view_deltas, value_group
-from .agg_view_stream import _META, _version_dir, latest_version
+from ..snapshot.claim_backend import DEFAULT_BACKEND, ClaimBackend
+from .agg_view_stream import latest_version
+from .versioned_state import VersionedState
 
-# meta filename shared with agg_view_stream so the common
-# latest_version() can gate commit-ness on (_SUCCESS AND meta) for both
 STATE_SCHEMA = "grp long, rnk int, pk long, v_cents long, n_keys long"
 
 
-def _read_state(spark: SparkSession, state_dir: str, version: int):
-    vdir = _version_dir(state_dir, version)
-    rows = spark.read.schema(STATE_SCHEMA).parquet(vdir).collect()
-    with open(os.path.join(vdir, _META), encoding="utf-8") as f:
-        meta = json.load(f)
+def _read_state(
+    spark: SparkSession,
+    state_dir: str,
+    version: int,
+    backend: ClaimBackend = DEFAULT_BACKEND,
+):
+    vs = VersionedState(state_dir, backend)
+    rows = spark.read.schema(STATE_SCHEMA).parquet(vs.version_dir(version)).collect()
+    meta = vs.read_meta(version)
     state: dict = {}
     for r in rows:
         pairs, _ = state.setdefault(r["grp"], ([], r["n_keys"]))
@@ -76,6 +80,7 @@ def update_topk_view_state(
     n_groups: int = 8,
     before_col: str = "before_val",
     after_col: str = "after_val",
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ) -> None:
     """foreachBatch body. `authoritative` is REQUIRED (unlike the sum
     view, deletes routinely hit the tracked set): a zero-arg callable
@@ -131,11 +136,11 @@ def update_topk_view_state(
     # be shadowed by the stale higher version (r10 advisor)
     from .agg_view_stream import _check_not_shadowed
 
-    _check_not_shadowed(state_dir, batch_id)
-    prev = latest_version(state_dir, below=batch_id)
+    _check_not_shadowed(state_dir, batch_id, backend)
+    prev = latest_version(state_dir, below=batch_id, backend=backend)
     repairs = 0
     if prev is not None:
-        state, meta = _read_state(spark, state_dir, prev)
+        state, meta = _read_state(spark, state_dir, prev, backend)
         if meta["k"] != k or meta["n_groups"] != n_groups:
             raise ValueError(
                 f"state at {state_dir} was built with k={meta['k']} "
@@ -252,7 +257,7 @@ def update_topk_view_state(
                 )
             state[g] = (sorted(fixed[g], reverse=True), n_keys)
 
-    vdir = _version_dir(state_dir, batch_id)
+    vs = VersionedState(state_dir, backend)
     out = [
         (g, i + 1, pk, v, n_keys)
         for g, (pairs, n_keys) in sorted(state.items())
@@ -260,28 +265,30 @@ def update_topk_view_state(
     ]
     spark.createDataFrame(out, STATE_SCHEMA).coalesce(1).write.mode(
         "overwrite"
-    ).parquet(vdir)
-    with open(os.path.join(vdir, _META), "w", encoding="utf-8") as f:
-        json.dump(
-            {"k": k, "n_groups": n_groups, "batch_id": batch_id, "repairs": repairs},
-            f,
-        )
+    ).parquet(vs.version_dir(batch_id))
+    vs.commit(
+        batch_id,
+        {"k": k, "n_groups": n_groups, "batch_id": batch_id, "repairs": repairs},
+    )
+    vs.gc_versions(spark, keep=2)
 
 
-def read_topk_view(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_topk_view(
+    spark: SparkSession,
+    state_dir: str,
+    backend: ClaimBackend = DEFAULT_BACKEND,
+) -> DataFrame:
     """Current top-k: (grp, rnk, pk, val), rnk 1..k per group."""
-    ver = latest_version(state_dir)
+    ver = latest_version(state_dir, backend=backend)
     if ver is None:
         return spark.createDataFrame(
             [], "grp long, rnk int, pk long, val double"
         )
-    with open(
-        os.path.join(_version_dir(state_dir, ver), _META), encoding="utf-8"
-    ) as f:
-        k = int(json.load(f)["k"])
+    vs = VersionedState(state_dir, backend)
+    k = int(vs.read_meta(ver)["k"])
     return (
         spark.read.schema(STATE_SCHEMA)
-        .parquet(_version_dir(state_dir, ver))
+        .parquet(vs.version_dir(ver))
         .filter(F.col("rnk") <= k)
         .select(
             "grp",

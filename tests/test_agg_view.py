@@ -216,7 +216,7 @@ def test_minmax_repairs_only_when_extremum_retracted(spark, tmp_path):
     )
     live[2] = 1780
     meta = json.load(
-        open(os.path.join(state_dir, "v000000000001", "_view_meta.json"))
+        open(os.path.join(state_dir, "meta", "v000000000001.json"))
     )
     assert meta["repairs"] == 0
     # delete the minimum: must repair, and repair must be correct
@@ -227,7 +227,7 @@ def test_minmax_repairs_only_when_extremum_retracted(spark, tmp_path):
         authoritative=lambda: _live_df(spark, live),
     )
     meta = json.load(
-        open(os.path.join(state_dir, "v000000000002", "_view_meta.json"))
+        open(os.path.join(state_dir, "meta", "v000000000002.json"))
     )
     assert meta["repairs"] == 1
     got = {r["grp"]: r for r in read_agg_view(spark, state_dir).collect()}

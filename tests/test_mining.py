@@ -288,7 +288,7 @@ class TestHeavyHittersStream:
             (r["item"], r["cnt"]) for r in spark.read.parquet(sd + "/v" + "1".zfill(12)).collect()
         )
         assert first == again
-        with open(sd + "/v" + "1".zfill(12) + "/_hh_meta.json") as f:
+        with open(sd + "/meta/v" + "1".zfill(12) + ".json") as f:
             import json as _j
 
             assert _j.load(f)["n_total"] == 1200  # not double-counted
