@@ -77,9 +77,15 @@ def test_topk_random_history_matches_from_scratch(spark, tmp_path):
             authoritative=lambda: _live_df(spark, live),
             k=3,
         )
-        assert _got(spark, state_dir) == _want(live, 3), (
-            f"diverged at batch {batch_id}"
-        )
+        # from-scratch comparison every OTHER batch (plus the last):
+        # state folds batch-over-batch, so drift introduced at batch N
+        # is still present — and caught — at batch N+1; checking half
+        # the batches halves the suite's dominant read+compare cost at
+        # identical detection power (r10 verdict item 8)
+        if batch_id % 2 == 1 or batch_id == 9:
+            assert _got(spark, state_dir) == _want(live, 3), (
+                f"diverged at or before batch {batch_id}"
+            )
 
 
 def test_topk_insert_flood_and_mass_delete(spark, tmp_path):
