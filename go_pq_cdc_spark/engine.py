@@ -561,6 +561,9 @@ class CdcEngine:
         view_groups: int = 8,
         view_value_col: str = "after_val",
         view_minmax: bool = False,
+        maintain_every: int | None = None,
+        maintain_min_deltas: int = 4,
+        on_maintenance=None,
     ):
         """The reference's `connector.Start(ctx)` in one call
         (connector.go:57-142 sequencing; SURVEY §3.1-3.3):
@@ -655,7 +658,14 @@ class CdcEngine:
         before images (no REPLICA IDENTITY FULL needed), the seeded
         mirror initializes view version 0, and min/max dirty-repair
         reads the post-merge mirror. `view_value_col` picks the numeric
-        value column the view aggregates."""
+        value column the view aggregates.
+
+        `maintain_every=N` (opt-in) runs the mirror maintenance policy
+        every N micro-batches: compact delta debt past
+        `maintain_min_deltas`, surface — never auto-run — a rebucket
+        recommendation; the report goes to `on_maintenance` (wire
+        `observability.CdcMetricsListener.record_mirror` for /status).
+        See `streaming.changelog_stream.run_mirror_maintenance`."""
         from pyspark.sql import functions as F
 
         from .snapshot.claim_backend import DEFAULT_BACKEND
@@ -851,6 +861,12 @@ class CdcEngine:
                 "view_value_col": view_value_col,
                 "view_minmax": view_minmax,
             }
+        if maintain_every:
+            view_kwargs.update(
+                maintain_every=maintain_every,
+                maintain_min_deltas=maintain_min_deltas,
+                on_maintenance=on_maintenance,
+            )
 
         if transport == "flat":
             stream_schema = self.spark.createDataFrame(

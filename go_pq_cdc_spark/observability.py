@@ -33,6 +33,10 @@ class CdcMetrics:
     confirmed_lsn: int | None = None
     latest_lsn: int | None = None  # transport frontier (slot.go CurrentLSN)
     slot_name: str | None = None
+    # latest mirror-maintenance policy report (changelog_stream.
+    # run_mirror_maintenance): sizes, per-bucket delta debt, and the
+    # rebucket recommendation the policy surfaces but never auto-runs
+    mirror: dict | None = None
 
 
 class CdcMetricsListener(StreamingQueryListener):
@@ -94,6 +98,14 @@ class CdcMetricsListener(StreamingQueryListener):
         with self._lock:
             self.metrics.confirmed_lsn = lsn
 
+    def record_mirror(self, stats: dict) -> None:
+        """Mirror maintenance report sink — pass this method as
+        `mirror_sink(on_maintenance=...)` / `CdcEngine.start(
+        on_maintenance=...)` and the latest policy pass (debt, sizes,
+        rebucket recommendation) shows in /status and the exposition."""
+        with self._lock:
+            self.metrics.mirror = dict(stats)
+
     def record_frontier(self, lsn: int, slot_name: str | None = None) -> None:
         """Latest transport LSN (the segment-log frontier the slot keeper
         tracks; `pq/slot/slot.go:127-148` CurrentLSN analogue)."""
@@ -107,13 +119,16 @@ class CdcMetricsListener(StreamingQueryListener):
     def get_status(self) -> dict:
         with self._lock:
             m = self.metrics
-            return {
+            status = {
                 "batches": m.batches,
                 "total_input_rows": m.total_input_rows,
                 "ops": dict(m.ops),
                 "last_batch_duration_ms": m.last_batch_duration_ms,
                 "confirmed_lsn": m.confirmed_lsn,
             }
+            if m.mirror is not None:
+                status["mirror"] = dict(m.mirror)
+            return status
 
     def get_slot(self) -> dict:
         """`/slot` payload (`internal/http/server.go:36-60` serves the slot
@@ -164,6 +179,19 @@ class CdcMetricsListener(StreamingQueryListener):
             lines.append(f'go_pq_cdc_spark_ops_total{{op="{op}"}} {n}')
         if s["confirmed_lsn"] is not None:
             lines.append(f"go_pq_cdc_spark_confirmed_lsn {s['confirmed_lsn']}")
+        mir = s.get("mirror")
+        if mir is not None:
+            lines.append("# TYPE go_pq_cdc_spark_mirror_delta_files gauge")
+            lines.append(
+                f"go_pq_cdc_spark_mirror_delta_files {mir['delta_files']}"
+            )
+            lines.append(
+                "# TYPE go_pq_cdc_spark_mirror_rebucket_recommended gauge"
+            )
+            lines.append(
+                "go_pq_cdc_spark_mirror_rebucket_recommended "
+                f"{int(bool(mir['rebucket_recommended']))}"
+            )
         slot = self.get_slot()
         if slot["current_lsn"] is not None:
             lines.append(f"go_pq_cdc_spark_current_lsn {slot['current_lsn']}")

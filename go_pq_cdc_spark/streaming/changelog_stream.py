@@ -1501,6 +1501,7 @@ def mirror_stats(
     spark: SparkSession,
     state_dir: str,
     backend: ClaimBackend = DEFAULT_BACKEND,
+    target_rewrite_bytes: int = 512 << 20,
 ) -> dict:
     """Operational sizing/debt report for a mirror — the input side of
     the sizing loop (`mirror_stats` -> `suggest_mirror_buckets` ->
@@ -1548,7 +1549,9 @@ def mirror_stats(
         "delta_bytes": delta_bytes,
         "delta_files": delta_files,
         "delta_debt": {b: len(rels) for b, rels in deltas.items()},
-        "suggested_buckets": suggest_mirror_buckets(base_bytes + delta_bytes),
+        "suggested_buckets": suggest_mirror_buckets(
+            base_bytes + delta_bytes, target_rewrite_bytes
+        ),
     }
 
 
@@ -1653,6 +1656,10 @@ def mirror_sink(
     view_groups: int = 8,
     view_value_col: str = "after_val",
     view_minmax: bool = False,
+    maintain_every: int | None = None,
+    maintain_min_deltas: int = 4,
+    maintain_target_rewrite_bytes: int = 512 << 20,
+    on_maintenance=None,
 ):
     """Attach the mirror-maintenance sink to a change stream. Returns the
     StreamingQuery; call processAllAvailable() to drain in tests.
@@ -1705,7 +1712,24 @@ def mirror_sink(
     enters the picture): a foreign merge landing between the before-read
     and this batch's merge would invalidate the staged deltas. The
     mirror's merge lock/CAS protects mirror INTEGRITY across processes,
-    not view delta freshness."""
+    not view delta freshness.
+
+    `maintain_every=N` (opt-in; r10 verdict item 6) runs the maintenance
+    POLICY every N micro-batches, after the merge: consult `mirror_stats`
+    (a manifest read + bucket-dir listing — no Spark job, no state scan);
+    if any bucket owes >= `maintain_min_deltas` pending delta files, run
+    `compact_mirror` at that threshold (driving lingering merge-on-read
+    debt back under budget even for buckets no batch touches anymore);
+    and when `suggest_mirror_buckets` (under
+    `maintain_target_rewrite_bytes`) exceeds the pinned bucket count,
+    SURFACE a rebucket recommendation — never auto-run it: a rebucket is
+    a full-state rewrite whose scheduling belongs to an operator
+    (`rebucket_mirror` is online but not free). The post-policy stats
+    dict — plus `rebucket_recommended` — goes to `on_maintenance` (wire
+    `observability.CdcMetricsListener.record_mirror` to see it in
+    /status)."""
+    batch_counter = {"n": 0}
+
     def apply(batch_df: DataFrame, _spark_epoch: int) -> None:
         if transform is not None:
             batch_df = transform(batch_df)
@@ -1769,6 +1793,16 @@ def mirror_sink(
                 authoritative=authoritative,
                 backend=backend,
             )
+        batch_counter["n"] += 1
+        if maintain_every and batch_counter["n"] % maintain_every == 0:
+            run_mirror_maintenance(
+                spark,
+                state_dir,
+                min_deltas=maintain_min_deltas,
+                target_rewrite_bytes=maintain_target_rewrite_bytes,
+                backend=backend,
+                on_maintenance=on_maintenance,
+            )
 
     return (
         stream_df.writeStream.outputMode("update")
@@ -1776,6 +1810,36 @@ def mirror_sink(
         .foreachBatch(apply)
         .start()
     )
+
+
+def run_mirror_maintenance(
+    spark: SparkSession,
+    state_dir: str,
+    min_deltas: int = 4,
+    target_rewrite_bytes: int = 512 << 20,
+    backend: ClaimBackend = DEFAULT_BACKEND,
+    on_maintenance=None,
+) -> dict:
+    """One maintenance-policy pass (see mirror_sink's `maintain_every`):
+    compact past the debt threshold, then report post-policy stats with a
+    `rebucket_recommended` flag (surfaced, never executed). Also callable
+    directly from a scheduled maintenance job against a quiescent or live
+    mirror — it takes the same merge lock as any merge."""
+    stats = mirror_stats(
+        spark, state_dir, backend, target_rewrite_bytes=target_rewrite_bytes
+    )
+    debt = stats["delta_debt"]
+    if debt and max(debt.values()) >= min_deltas:
+        compact_mirror(spark, state_dir, min_deltas=min_deltas, backend=backend)
+        stats = mirror_stats(
+            spark, state_dir, backend, target_rewrite_bytes=target_rewrite_bytes
+        )
+    stats["rebucket_recommended"] = (
+        stats["suggested_buckets"] > stats["n_buckets"]
+    )
+    if on_maintenance is not None:
+        on_maintenance(stats)
+    return stats
 
 
 def multi_mirror_sink(

@@ -439,3 +439,80 @@ def test_bucket_files_are_pk_sorted(spark, tmp_path):
             assert pks == sorted(pks), f"unsorted bucket file {rel}/{f}"
             checked += 1
     assert checked >= 4
+
+
+def test_auto_maintenance_policy_compacts_and_recommends(spark, tmp_path):
+    """r10 verdict item 6: the opt-in maintenance policy wired into
+    mirror_sink must drive lingering delta debt back under budget WITHOUT
+    any user maintenance call, and surface (never execute) a rebucket
+    recommendation through the observability listener."""
+    import shutil
+
+    from go_pq_cdc_spark.observability import CdcMetricsListener
+    from go_pq_cdc_spark.streaming.changelog_stream import (
+        changelog_stream,
+        mirror_sink,
+        mirror_stats,
+    )
+
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    # base state the deltas accumulate against
+    merge_mirror_batch(
+        _batch(spark, [_ev("I", pk, 1, pk, float(pk)) for pk in range(1, 33)]),
+        state,
+    )
+
+    listener = CdcMetricsListener()
+    reports: list[dict] = []
+
+    def on_maint(stats):
+        reports.append(stats)
+        listener.record_mirror(stats)
+
+    def write_file(rows, i):
+        df = _batch(spark, rows)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(in_dir, f"b{i}")
+        )
+
+    stream = changelog_stream(spark, in_dir + "/*")
+    q = mirror_sink(
+        stream,
+        state,
+        ckpt,
+        merge_mode="delta",
+        compact_deltas=100,  # inline budget never fires: debt LINGERS
+        maintain_every=2,
+        maintain_min_deltas=2,
+        maintain_target_rewrite_bytes=1,  # any real state -> recommend
+        on_maintenance=on_maint,
+    )
+    try:
+        # two micro-batches updating the same keys: debt reaches 2 per
+        # touched bucket, then the policy pass at batch 2 compacts it
+        write_file([_ev("U", 100 + pk, 2, pk, pk * 10.0) for pk in range(1, 9)], 0)
+        q.processAllAvailable()
+        write_file([_ev("U", 200 + pk, 3, pk, pk * 100.0) for pk in range(1, 9)], 1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert reports, "policy never ran"
+    stats = mirror_stats(spark, state)
+    assert not stats["delta_debt"], f"debt survived the policy: {stats['delta_debt']}"
+    # the policy compacted without changing the answer
+    got = {r["pk"]: r["after_val"] for r in read_mirror(spark, state).collect()}
+    want = {pk: float(pk) for pk in range(9, 33)}
+    want.update({pk: pk * 100.0 for pk in range(1, 9)})
+    assert got == want
+    # recommendation SURFACED (tiny target forces it), bucket count UNCHANGED
+    assert reports[-1]["rebucket_recommended"] is True
+    assert stats["n_buckets"] == 32
+    assert listener.get_status()["mirror"]["rebucket_recommended"] is True
+    assert "go_pq_cdc_spark_mirror_rebucket_recommended 1" in listener.prometheus_text()
+
+    shutil.rmtree(ckpt, ignore_errors=True)
