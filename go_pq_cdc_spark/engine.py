@@ -725,6 +725,9 @@ class CdcEngine:
                     merge_mode=merge_mode, compact_deltas=compact_deltas,
                     view_state_dir=view_state_dir, view_groups=view_groups,
                     view_value_col=view_value_col, view_minmax=view_minmax,
+                    maintain_every=maintain_every,
+                    maintain_min_deltas=maintain_min_deltas,
+                    on_maintenance=on_maintenance,
                 )
             if snapshot_reader is None:
                 raise ValueError(
@@ -798,6 +801,9 @@ class CdcEngine:
             compact_deltas=compact_deltas,
             view_state_dir=view_state_dir, view_groups=view_groups,
             view_value_col=view_value_col, view_minmax=view_minmax,
+            maintain_every=maintain_every,
+            maintain_min_deltas=maintain_min_deltas,
+            on_maintenance=on_maintenance,
         )
 
     def _start_stream(
@@ -820,6 +826,9 @@ class CdcEngine:
         view_groups=8,
         view_value_col="after_val",
         view_minmax=False,
+        maintain_every=None,
+        maintain_min_deltas=4,
+        on_maintenance=None,
     ):
         """Post-seed data plane: the changelog stream from `wal_dir`,
         filtered to post-handoff events, merging into the mirror."""

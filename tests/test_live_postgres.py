@@ -2358,3 +2358,169 @@ def test_live_engine_alter_type_and_drop_column(spark, tmp_path):
         q(f"DROP PUBLICATION IF EXISTS {PUB9}")
         q(f"DROP TABLE IF EXISTS {T9}")
         sql.close()
+
+
+def test_live_engine_incremental_view(spark, tmp_path):
+    """Live IVM end to end (r10 verdict item 7): CdcEngine.start with
+    view_state_dir= against the real walsender. The snapshot seeds view
+    version 0 from the mirror; post-handoff I/U/D — including a
+    TOAST-preserving update and a group-key migration — flow through the
+    socket transport, the mirror supplies before images
+    (bucket-pruned, no REPLICA IDENTITY FULL), and min/max dirty-repair
+    reads the post-merge mirror. At quiesce the incrementally-folded
+    view must equal a from-scratch group-fold of the LIVE table — the
+    reference's integration suite is the model
+    (/root/reference/integration_test/basic_functionality_test.go)."""
+    from decimal import Decimal
+
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.config import EngineConfig, TableConfig
+    from go_pq_cdc_spark.engine import CdcEngine
+    from go_pq_cdc_spark.sources.replication_client import ReplicationConnection
+    from go_pq_cdc_spark.sources.slot_keeper import pump_frames
+    from go_pq_cdc_spark.streaming import read_mirror
+    from go_pq_cdc_spark.streaming.agg_view_stream import read_agg_view
+
+    TV, SLOTV, PUBV = "eng_ivm_t", "eng_ivm_slot", "eng_ivm_pub"
+    sql = _sql_conn()
+    q = sql.simple_query
+    q(f"DROP PUBLICATION IF EXISTS {PUBV}")
+    _drop_slot_with_retry(q, slot=SLOTV)
+    q(f"DROP TABLE IF EXISTS {TV}")
+    q(f"CREATE TABLE {TV} (pk bigint PRIMARY KEY, val double precision, big text)")
+    # 12 seeded rows val = pk; pk1 additionally carries a TOASTed column
+    q(f"INSERT INTO {TV} SELECT g, g::double precision, "
+      f"CASE WHEN g = 1 THEN (SELECT string_agg(md5(i::text), '') "
+      f"FROM generate_series(1, 300) i) END "
+      f"FROM generate_series(1, 12) g")
+
+    cfg = EngineConfig(
+        publication_name=PUBV,
+        slot_name=SLOTV,
+        tables=[TableConfig(name=TV)],
+        heartbeat_enabled=False,
+    )
+    eng = CdcEngine(cfg, spark)
+
+    def snapshot_reader(tcfg):
+        rows = q(f"SELECT pk, val, big FROM {TV}")
+        return spark.createDataFrame(
+            [Row(pk=int(r[0]), val=float(r[1]), big=r[2]) for r in rows],
+            "pk bigint, val double, big string",
+        )
+
+    wal_dir = str(tmp_path / "wal")
+    os.makedirs(wal_dir, exist_ok=True)
+    state_dir = str(tmp_path / "state")
+    view_dir = str(tmp_path / "view")
+    stream_q = conn = pump_t = None
+    try:
+        snapshot_lsn, stream_q = eng.start(
+            lambda stmt: q(stmt),
+            wal_dir,
+            state_dir,
+            str(tmp_path / "ckpt"),
+            snapshot_reader=snapshot_reader,
+            value_schema="val double, big string",
+            transport="envelope",
+            table=f"public.{TV}",
+            keep_epochs=8,
+            view_state_dir=view_dir,
+            view_groups=8,
+            view_value_col="val",
+            view_minmax=True,
+        )
+        assert snapshot_lsn > 0
+        # the seed initialized view version 0 from the snapshot mirror
+        seed = {
+            r["grp"]: (r["n_keys"], r["sum_val"])
+            for r in read_agg_view(spark, view_dir).collect()
+        }
+        assert sum(n for n, _ in seed.values()) == 12
+
+        conn = ReplicationConnection.connect(**_conn_args(), replication=True)
+        conn.sock.settimeout(None)
+        conn.start_replication(SLOTV, 0, [PUBV])
+
+        def pump():
+            try:
+                pump_frames(
+                    conn.frames(), wal_dir, conn.send_standby_status,
+                    batch_rows=1, start_lsn=0,
+                )
+            except Exception:
+                pass
+
+        pump_t = threading.Thread(target=pump, daemon=True)
+        pump_t.start()
+
+        # concurrent DML: TOAST-preserving update (big untouched, val
+        # moves grp 1 -> 5), group-key migration (3.0 -> 12.0, grp 3 ->
+        # 4), plain insert, delete, and deletion of the global MAX
+        # (12.0 in grp 4) forcing the min/max dirty-repair path
+        q(f"UPDATE {TV} SET val = 101 WHERE pk = 1")
+        q(f"UPDATE {TV} SET val = 12 WHERE pk = 3")
+        q(f"INSERT INTO {TV} (pk, val) VALUES (21, 21)")
+        q(f"DELETE FROM {TV} WHERE pk = 2")
+        q(f"DELETE FROM {TV} WHERE pk = 12")
+
+        deadline = time.time() + WAIT_S
+        state = {}
+        while time.time() < deadline:
+            stream_q.processAllAvailable()
+            try:
+                state = {
+                    r["pk"]: r["val"]
+                    for r in read_mirror(spark, state_dir).collect()
+                }
+            except Exception:
+                continue  # raced an epoch swap mid-collect — re-read
+            if (
+                2 not in state and 12 not in state and 21 in state
+                and state.get(1) == 101.0 and state.get(3) == 12.0
+            ):
+                break
+            time.sleep(0.3)
+
+        live_rows = {int(r[0]): float(r[1]) for r in q(f"SELECT pk, val FROM {TV}")}
+        assert state == live_rows  # mirror == live table
+
+        # from-scratch spec over the LIVE table, computed exactly the
+        # way read_agg_view leaves state (int cents -> the same IEEE
+        # sequence), groups by floor(val) % 8
+        spec: dict = {}
+        for v in live_rows.values():
+            cents = int(Decimal(str(v)).scaleb(2))
+            spec.setdefault(int(v) % 8, []).append(cents)
+        want = {}
+        for g, cs in sorted(spec.items()):
+            n = len(cs)
+            sum_d = float(Decimal(sum(cs)) / 100)
+            ssq_d = float(sum(c * c for c in cs)) / 10000.0
+            want[g] = (
+                n,
+                sum_d,
+                (ssq_d - sum_d * sum_d / n) / n,
+                float(Decimal(min(cs)) / 100),
+                float(Decimal(max(cs)) / 100),
+            )
+        got = {
+            r["grp"]: (
+                r["n_keys"], r["sum_val"], r["var_val"],
+                r["min_val"], r["max_val"],
+            )
+            for r in read_agg_view(spark, view_dir).collect()
+        }
+        assert got == want  # incrementally-folded view == live groupBy
+    finally:
+        if stream_q is not None:
+            stream_q.stop()
+        if conn is not None:
+            conn.close()
+        if pump_t is not None:
+            pump_t.join(timeout=5)
+        _drop_slot_with_retry(q, slot=SLOTV)
+        q(f"DROP PUBLICATION IF EXISTS {PUBV}")
+        q(f"DROP TABLE IF EXISTS {TV}")
+        sql.close()
