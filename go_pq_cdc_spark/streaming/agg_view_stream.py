@@ -285,25 +285,10 @@ def _summary_rows(cents: DataFrame) -> list:
 def _check_not_shadowed(
     state_dir: str, batch_id: int, backend: ClaimBackend = DEFAULT_BACKEND
 ) -> None:
-    """View versions are keyed by Spark's foreachBatch id, whose lifetime
-    is the STREAMING CHECKPOINT's: deleting the checkpoint while keeping
-    the view state dir restarts batch ids at 0, and because readers pick
-    the highest committed version, the restarted stream's folds would be
-    silently shadowed by the stale higher versions (r10 advisor). A
-    committed version STRICTLY above this batch_id can never occur in a
-    healthy stream (streaming replays only the last uncommitted batch, so
-    a replay sees at most its OWN version committed) — fail the fold
-    instead of writing an invisible one. Recovery: rebuild the view (or
+    """Checkpoint/view-state lifecycle guard (r10 advisor) — see
+    `VersionedState.check_not_shadowed`. Recovery: rebuild the view (or
     move/delete the view state dir with the checkpoint)."""
-    top = latest_version(state_dir, backend=backend)
-    if top is not None and top > batch_id:
-        raise RuntimeError(
-            f"view state at {state_dir} already holds committed version "
-            f"{top} > incoming batch_id {batch_id}: the streaming "
-            "checkpoint restarted while the view state dir survived — "
-            "readers would shadow this fold with the stale version; "
-            "rebuild the view state or restore the matching checkpoint"
-        )
+    VersionedState(state_dir, backend).check_not_shadowed(batch_id, "view state")
 
 
 def _gc_delta_dirs(spark: SparkSession, state_dir: str, below: int) -> None:

@@ -95,6 +95,13 @@ def update_heavy_hitter_state(
     state. Distributed summary pass over the batch, bounded driver-side
     merge, idempotent versioned write."""
     spark = batch_df.sparkSession
+    # same checkpoint/state lifecycle guard as the views: a committed
+    # version above this batch_id means a restarted checkpoint against
+    # surviving state — without the guard the restarted folds would be
+    # both shadowed by and GC'd under the stale versions (r11 review)
+    VersionedState(state_dir, backend).check_not_shadowed(
+        batch_id, "heavy-hitter state"
+    )
     items = batch_df.select(value_col)
     summaries = mg_partition_summaries(items, value_col, capacity).collect()
     n_batch = items.count()

@@ -62,7 +62,13 @@ class VersionedState:
     def latest_version(self, below: int | None = None) -> int | None:
         """Highest committed version, optionally restricted to versions
         < `below` (a retry must ignore its own torn previous write of the
-        same version). Committed = meta object exists."""
+        same version). Committed = meta object exists.
+
+        Refuses to read a PRE-r11 state dir (metas inside the version
+        dirs as `_view_meta.json`/`_hh_meta.json`): treating the old
+        layout as "no committed versions" would silently fold the next
+        batch into an EMPTY state — counts reset instead of accumulating
+        — so the legacy layout raises with a migration hint instead."""
         best = None
         for name in self.backend.list_names(self._meta_dir()):
             if not (name.startswith("v") and name.endswith(".json")):
@@ -75,7 +81,43 @@ class VersionedState:
                 continue
             if best is None or ver > best:
                 best = ver
+        if best is None:
+            for name in self.backend.list_names(self.state_dir):
+                if not (name.startswith("v") and name[1:].isdigit()):
+                    continue
+                for legacy in ("_view_meta.json", "_hh_meta.json"):
+                    if self.backend.exists(
+                        os.path.join(self.state_dir, name, legacy)
+                    ):
+                        raise RuntimeError(
+                            f"{self.state_dir} holds a pre-r11 versioned-"
+                            f"state layout ({name}/{legacy}); migrate by "
+                            "moving each version's meta to meta/"
+                            "v{N:012d}.json, or rebuild the state"
+                        )
         return best
+
+    def check_not_shadowed(self, batch_id: int, what: str = "state") -> None:
+        """Version numbers come from Spark's foreachBatch id, whose
+        lifetime is the STREAMING CHECKPOINT's: deleting the checkpoint
+        while keeping the state dir restarts batch ids at 0, and because
+        readers pick the highest committed version, the restarted
+        stream's folds would be silently shadowed by stale higher
+        versions — and then GC'd, since the version GC keeps the newest.
+        A committed version STRICTLY above this batch_id can never occur
+        in a healthy stream (streaming replays only the last uncommitted
+        batch, so a replay sees at most its OWN version committed) —
+        fail the fold instead of writing an invisible one."""
+        top = self.latest_version()
+        if top is not None and top > batch_id:
+            raise RuntimeError(
+                f"{what} at {self.state_dir} already holds committed "
+                f"version {top} > incoming batch_id {batch_id}: the "
+                "streaming checkpoint restarted while the state dir "
+                "survived — readers would shadow this fold with the "
+                "stale version; rebuild the state or restore the "
+                "matching checkpoint"
+            )
 
     def read_meta(self, version: int) -> dict:
         doc, _etag = self.backend.read(self._meta_path(version))
@@ -119,10 +161,10 @@ class VersionedState:
             if ver < cutoff:
                 self.backend.delete(self._meta_path(ver))
                 _fs_delete(spark, self.version_dir(ver))
-        # orphans: torn writes / crashed GCs left data dirs with no meta
-        committed = {v for v in versions if v >= cutoff}
+        # orphans: torn writes / crashed GCs left data dirs below the
+        # cutoff with no meta (their meta was deleted first, or never
+        # written) — sweep them too
         for name in _fs_list_names(spark, self.state_dir):
             if name.startswith("v") and name[1:].isdigit():
-                ver = int(name[1:])
-                if ver < cutoff and ver not in committed:
-                    _fs_delete(spark, self.version_dir(ver))
+                if int(name[1:]) < cutoff:
+                    _fs_delete(spark, self.version_dir(int(name[1:])))

@@ -44,6 +44,29 @@ def _got(spark, state_dir):
     }
 
 
+def _got_arrow(state_dir):
+    """read_topk_view's result computed without a Spark job (pyarrow over
+    the committed version) — cheap enough to assert after EVERY batch of
+    the random-history proof. Spark-job-per-batch reads were the r10
+    suite's cost; dropping to every-other-batch checks was the first cut,
+    but the dirty-REPAIR path can overwrite a corrupted group from the
+    authoritative source between checks and mask the corruption (r11
+    review) — so the per-batch eye is back, just off the JVM."""
+    import pyarrow.parquet as pq
+
+    from go_pq_cdc_spark.streaming.versioned_state import VersionedState
+
+    vs = VersionedState(state_dir)
+    ver = vs.latest_version()
+    k = int(vs.read_meta(ver)["k"])
+    t = pq.read_table(vs.version_dir(ver)).to_pylist()
+    return {
+        (r["grp"], r["rnk"]): (r["pk"], r["v_cents"] / 100)
+        for r in t
+        if r["rnk"] <= k
+    }
+
+
 def test_topk_random_history_matches_from_scratch(spark, tmp_path):
     rng = random.Random(7)
     state_dir = str(tmp_path / "topk")
@@ -77,15 +100,15 @@ def test_topk_random_history_matches_from_scratch(spark, tmp_path):
             authoritative=lambda: _live_df(spark, live),
             k=3,
         )
-        # from-scratch comparison every OTHER batch (plus the last):
-        # state folds batch-over-batch, so drift introduced at batch N
-        # is still present — and caught — at batch N+1; checking half
-        # the batches halves the suite's dominant read+compare cost at
-        # identical detection power (r10 verdict item 8)
-        if batch_id % 2 == 1 or batch_id == 9:
-            assert _got(spark, state_dir) == _want(live, 3), (
-                f"diverged at or before batch {batch_id}"
-            )
+        # per-batch from-scratch comparison, off-JVM (pyarrow) so it
+        # costs ~ms instead of a Spark job — full detection power (the
+        # repair path can heal drift between sparser checks) without the
+        # read cost that made this the suite's slowest test
+        assert _got_arrow(state_dir) == _want(live, 3), (
+            f"diverged at batch {batch_id}"
+        )
+    # the Spark read path (cents->double cast chain) once, at the end
+    assert _got(spark, state_dir) == _want(live, 3)
 
 
 def test_topk_insert_flood_and_mass_delete(spark, tmp_path):

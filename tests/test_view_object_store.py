@@ -161,3 +161,34 @@ def test_heavy_hitters_over_object_store(spark, tmp_path, store, be):
     _no_local_meta(state)
     metas = [k for k in store.objects if "meta/v" in k]
     assert len(metas) == 2  # both versions kept (keep=2)
+
+
+def test_heavy_hitter_shadow_guard(spark, tmp_path):
+    """r11 review: the heavy-hitter state got version GC but (unlike the
+    views) not the checkpoint-restart guard — a restarted stream's folds
+    would be both shadowed by and GC'd under the stale versions."""
+    state = str(tmp_path / "hh_guard")
+    df = spark.createDataFrame([("a",)] * 10, "item string")
+    update_heavy_hitter_state(df, 7, state, capacity=4)
+    update_heavy_hitter_state(df, 7, state, capacity=4)  # retry: fine
+    with pytest.raises(RuntimeError, match="stale"):
+        update_heavy_hitter_state(df, 1, state, capacity=4)
+
+
+def test_legacy_layout_refused_not_silently_reset(spark, tmp_path):
+    """r11 review: a pre-r11 state dir (in-dir _view_meta.json) must
+    raise with a migration hint — reading it as 'no committed versions'
+    would silently fold the next batch into an empty state."""
+    import json
+
+    from go_pq_cdc_spark.streaming.versioned_state import VersionedState
+
+    state = str(tmp_path / "legacy")
+    vdir = os.path.join(state, "v000000000003")
+    os.makedirs(vdir)
+    with open(os.path.join(vdir, "_view_meta.json"), "w") as f:
+        json.dump({"n_groups": 8, "batch_id": 3}, f)
+    with pytest.raises(RuntimeError, match="pre-r11"):
+        VersionedState(state).latest_version()
+    # fresh and new-layout dirs are unaffected
+    assert VersionedState(str(tmp_path / "fresh")).latest_version() is None
