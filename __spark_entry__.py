@@ -77,7 +77,6 @@ _GATE_HEAD = [
     "dedup_ngram_jaccard",
     "emb_near_dup",
     "q_top_orders_per_segment",
-    "q_order_priority_count",
     "q_parts_not_shipped_1995",
     "q_rollup_cube",
     "q_pivot_event_counts",
@@ -87,10 +86,11 @@ _GATE_HEAD = [
     "text_substring_dedup",
     "emb_centroid_outliers",
 ]
-# Queries ADDED in round 11 — never driver-checked: 49 head rows + these
+# Queries ADDED in round 11 — never driver-checked: 48 head rows + these
 # = 50 exactly.
 _GATE_NEW = [
     "cdc_topk_view",
+    "cdc_agg_view_minmax",
 ]
 # Deferred to position 51+: r9-green rows displaced by this round's new
 # queries + the structural 3-row carry — at r11 judging they are exactly
@@ -102,6 +102,7 @@ _GATE_DEFERRED = [
     "q_json_extract",
     "q_distinct_custs",
     "q_scalar_gauntlet",
+    "q_order_priority_count",
 ]
 _GATE_TAIL = [
     # driver-green in CORRECTNESS_r10 (50/50 MATCH) — freshest signal

@@ -296,6 +296,40 @@ def cdc_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.fold_agg_deltas(deltas)
 
 
+def _replica_identity_events(df: DataFrame) -> DataFrame:
+    """REPLICA IDENTITY FULL reconstruction of the raw changelog for the
+    stateful view machines: (lsn, pk, op, before_val, after_val) with
+    TOAST-filled values, log-derived presence (an 'I' landing on a live
+    key becomes 'U' — same stance as operators.cdc.log_view_deltas), and
+    each event's before = the key's state after the previous event."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("pk").orderBy("lsn")
+    filled = (
+        ops.toast_fill(df)
+        .withColumn("_prev_op", F.lag("op").over(w))
+        .withColumn("_prev_val", F.lag("filled_val").over(w))
+    )
+    present_old = F.col("_prev_op").isNotNull() & (F.col("_prev_op") != "D")
+    return filled.filter(
+        # a DELETE of a key that is not live is a no-op the synthetic log
+        # contains (consecutive 'error' events) but a real walsender
+        # never emits — `agg_view_deltas` trusts op='D' to mean "the key
+        # WAS present" (replica identity ships the old row), so a dead-key
+        # D would retract from the NULL group and corrupt its live count
+        (F.col("op") != "D") | present_old
+    ).select(
+        "lsn",
+        "pk",
+        F.when(F.col("op") == "D", "D")
+        .when(present_old, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.when(present_old, F.col("_prev_val")).alias("before_val"),
+        F.col("filled_val").alias("after_val"),
+    )
+
+
 @register(
     "cdc_topk_view",
     oracle=f"""
@@ -343,8 +377,6 @@ def cdc_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql.window import Window
-
     from ..streaming.topk_view_stream import (
         read_topk_view,
         update_topk_view_state,
@@ -352,26 +384,7 @@ def cdc_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k, n_groups = 3, 8
     df = ops.filter_heartbeat(committed_changelog(spark, sf_dir))
-    w = Window.partitionBy("pk").orderBy("lsn")
-    filled = (
-        ops.toast_fill(df)
-        .withColumn("_prev_op", F.lag("op").over(w))
-        .withColumn("_prev_val", F.lag("filled_val").over(w))
-    )
-    present_old = F.col("_prev_op").isNotNull() & (F.col("_prev_op") != "D")
-    events = filled.select(
-        "lsn",
-        "pk",
-        # effective op from log-derived presence, not the raw tag: an 'I'
-        # landing on a live key must retract the old image (same stance
-        # as operators.cdc.log_view_deltas)
-        F.when(F.col("op") == "D", "D")
-        .when(present_old, "U")
-        .otherwise("I")
-        .alias("op"),
-        F.when(present_old, F.col("_prev_val")).alias("before_val"),
-        F.col("filled_val").alias("after_val"),
-    )
+    events = _replica_identity_events(df)
 
     frontier = changelog_frontier(sf_dir)
     state_dir = tempfile.mkdtemp(prefix="cdc_topk_view_")
@@ -397,6 +410,87 @@ def cdc_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lo = hi
     out = read_topk_view(spark, state_dir).localCheckpoint(eager=True)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    return out
+
+
+@register(
+    "cdc_agg_view_minmax",
+    oracle=f"""
+    {_BASE},
+    base AS (SELECT * FROM committed WHERE tbl <> 'cdc_heartbeat'),
+    {_FILL_SQL},
+    ranked AS (
+        SELECT pk, filled_val, op,
+               ROW_NUMBER() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+        FROM filled
+    ),
+    live AS (
+        SELECT pk, CAST(filled_val AS DECIMAL(18,2)) AS v
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    ),
+    folded AS (
+        SELECT ((CAST(FLOOR(v) AS BIGINT) % 8) + 8) % 8 AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(CAST(COALESCE(SUM(v), CAST('0' AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_val,
+               CAST(CAST(COALESCE(SUM(CAST(v * 100 AS HUGEINT) * CAST(v * 100 AS HUGEINT)), 0) AS VARCHAR) AS DOUBLE) AS ssq_c2,
+               CAST(CAST(MIN(v) AS VARCHAR) AS DOUBLE) AS min_val,
+               CAST(CAST(MAX(v) AS VARCHAR) AS DOUBLE) AS max_val
+        FROM live
+        GROUP BY 1
+    )
+    SELECT grp, n_keys, sum_val,
+           (ssq_c2 / 10000.0 - sum_val * sum_val / n_keys) / n_keys AS var_val,
+           min_val, max_val
+    FROM folded
+    """,
+    tags=("cdc", "ivm", "view", "minmax"),
+)
+def cdc_agg_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The agg view's STREAMING state machine under the driver's eye —
+    min/max included, the non-self-maintainable pair whose monotone-
+    insert + dirty-repair protocol (`agg_view_stream.update_agg_view_
+    state`) only pytest saw until now. Three LSN-ordered batches fold
+    through the real persisted-state path with repairs reading the
+    as-of-frontier latest state (the mirror, in engine wiring); the
+    oracle is the SPEC — a from-scratch group-fold over latest state,
+    with the variance leaving through the exact same IEEE sequence the
+    view reader uses (exact cents^2 second moment -> double -> /1e4 ->
+    (ssq - sum*sum/n)/n). Complements `cdc_incremental_agg_view` (the
+    stateless batch delta fold) and `cdc_topk_view` (the bounded-synopsis
+    machine)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.agg_view_stream import (
+        read_agg_view,
+        update_agg_view_state,
+    )
+
+    n_groups = 8
+    df = ops.filter_heartbeat(committed_changelog(spark, sf_dir))
+    events = _replica_identity_events(df)
+
+    frontier = changelog_frontier(sf_dir)
+    state_dir = tempfile.mkdtemp(prefix="cdc_agg_view_minmax_")
+    lo = -1
+    for i, hi in enumerate((frontier // 3, frontier * 2 // 3, frontier)):
+        batch = events.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+        prefix = df.filter(F.col("lsn") <= hi)
+
+        def authoritative(prefix=prefix):
+            dec = F.col("last_val").cast("decimal(18,2)")
+            return ops.latest_state(prefix).select(
+                ops.value_group(n_groups)(dec).alias("grp"),
+                (dec * 100).cast("long").alias("v_cents"),
+            )
+
+        update_agg_view_state(
+            batch, i + 1, state_dir, n_groups=n_groups,
+            authoritative=authoritative,
+        )
+        lo = hi
+    out = read_agg_view(spark, state_dir).localCheckpoint(eager=True)
     shutil.rmtree(state_dir, ignore_errors=True)
     return out
 
