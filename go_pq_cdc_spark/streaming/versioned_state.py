@@ -142,7 +142,15 @@ class VersionedState:
         a retried batch recomputes v{N} FROM v{N-1}). Meta goes first —
         uncommitting the version — then the data dir; a crash in between
         leaves an invisible orphan dir that the next call sweeps (any
-        un-meta'd data dir below the oldest kept version)."""
+        un-meta'd data dir below the oldest kept version).
+
+        Reader caveat (same class as the mirror's keep_epochs/VACUUM
+        note): a reader holds the version it resolved via
+        `latest_version` only as long as that version stays within the
+        newest `keep`; a reader stalled across `keep` subsequent folds
+        can lose its files mid-read. State here is kilobytes and folds
+        are batch-cadence, so keep=2 leaves a full batch interval —
+        raise `keep` if readers may lag further."""
         if keep < 2:
             raise ValueError(f"keep must be >= 2 (retries read N-1), got {keep}")
         from .changelog_stream import _fs_delete, _fs_list_names

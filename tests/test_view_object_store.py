@@ -192,3 +192,37 @@ def test_legacy_layout_refused_not_silently_reset(spark, tmp_path):
         VersionedState(state).latest_version()
     # fresh and new-layout dirs are unaffected
     assert VersionedState(str(tmp_path / "fresh")).latest_version() is None
+
+
+def test_torn_write_invisible_until_meta_commit(spark, tmp_path):
+    """Commit protocol: the meta marker IS the commit — a version whose
+    parquet landed but whose meta write crashed must stay invisible to
+    readers and be recomputed (not trusted) by the retry."""
+    from go_pq_cdc_spark.streaming.versioned_state import VersionedState
+
+    state = str(tmp_path / "torn")
+    update_agg_view_state(
+        spark.createDataFrame([(1, "I", None, 5.0)], _BATCH_SCHEMA), 1, state
+    )
+    vs = VersionedState(state)
+    # simulate the crash: v2 parquet written (even _SUCCESS-marked by
+    # Spark), meta never committed
+    spark.createDataFrame(
+        [(0, 99, 999, None, None, None)],
+        "grp long, n_keys long, sum_cents long, ssq_cents2 decimal(38,0),"
+        " min_cents long, max_cents long",
+    ).coalesce(1).write.mode("overwrite").parquet(vs.version_dir(2))
+    assert os.path.exists(os.path.join(vs.version_dir(2), "_SUCCESS"))
+    assert vs.latest_version() == 1  # torn v2 invisible
+    got = {
+        r["grp"]: r["n_keys"] for r in read_agg_view(spark, state).collect()
+    }
+    assert got == {5: 1}  # reader served v1, never the torn garbage
+    # the retry recomputes v2 from v1 and overwrites the torn dir
+    update_agg_view_state(
+        spark.createDataFrame([(2, "I", None, 6.0)], _BATCH_SCHEMA), 2, state
+    )
+    got = {
+        r["grp"]: r["n_keys"] for r in read_agg_view(spark, state).collect()
+    }
+    assert got == {5: 1, 6: 1}
