@@ -22,11 +22,16 @@ bucket scan, which scales with the CANDIDATE mass, not |I|.
 
 Failure semantics: pairs are written with dynamic partition overwrite to
 `pairs_dir/batch_id=N` (a retried batch rewrites its own partition —
-idempotent); the index append is guarded by a per-batch marker file under
+idempotent); the index append is guarded by a per-batch marker under
 `<index>/_batches/` (a retried batch skips the append instead of
-double-inserting band rows). Candidate generation additionally
-`dropDuplicates` on the pair key, so even a marker lost to a torn failure
-degrades to extra storage, never wrong pairs.
+double-inserting band rows). The marker is a COORDINATION object and
+rides the pluggable `ClaimBackend` (r11 — same medium split as the
+mirror and the view state: markers on conditional requests when the
+index lives on an object store, data via Spark's Hadoop FS); the index
+existence probe goes through the Hadoop FS for the same reason.
+Candidate generation additionally `dropDuplicates` on the pair key, so
+even a marker lost to a torn failure degrades to extra storage, never
+wrong pairs.
 """
 
 from __future__ import annotations
@@ -37,16 +42,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..snapshot.claim_backend import DEFAULT_BACKEND, ClaimBackend
 
 PAIR_SCHEMA = "doc_a bigint, doc_b bigint, jaccard double"
 
 
-def _index_exists(index_path: str) -> bool:
-    # local-FS existence probe; at scale swap for the FileSystem API — a
-    # single driver-side namenode call either way
-    return os.path.isdir(index_path) and any(
-        e.startswith("bucket=") for e in os.listdir(index_path)
-    )
+def _index_exists(spark, index_path: str, prefix: str = "bucket=") -> bool:
+    # existence probe through Spark's Hadoop FS (file://, s3a://, gs://)
+    # — a single driver-side namenode/list call either way
+    from .changelog_stream import _fs_list_names
+
+    return any(e.startswith(prefix) for e in _fs_list_names(spark, index_path))
 
 
 def dedup_batch_against_index(
@@ -61,6 +67,7 @@ def dedup_batch_against_index(
     portable: bool = True,
     n_buckets: int = D.MINHASH_INDEX_BUCKETS,
     within_batch: bool = True,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ) -> None:
     """One micro-batch: look up near-dups against the index (plus, by
     default, within the batch itself — new duplicates often arrive
@@ -87,7 +94,7 @@ def dedup_batch_against_index(
         batch_df, id_col, text_col, portable=portable, n_buckets=n_buckets
     ).cache()
     try:
-        if _index_exists(index_path):
+        if _index_exists(spark, index_path):
             pairs = D.dedup_incremental_from_bands(
                 spark,
                 nb,
@@ -108,13 +115,12 @@ def dedup_batch_against_index(
             .parquet(pairs_dir)
         )
         marker_dir = os.path.join(index_path, "_batches")
-        marker = os.path.join(marker_dir, str(int(batch_id)))
-        if os.path.exists(marker):
+        marker = os.path.join(marker_dir, f"{int(batch_id)}.json")
+        if backend.exists(marker):
             return  # retried batch: pairs rewritten above, index already has us
         nb.write.mode("append").partitionBy("bucket").parquet(index_path)
-        os.makedirs(marker_dir, exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("done")
+        backend.ensure_dir(marker_dir)
+        backend.put(marker, {"batch_id": int(batch_id)})
     finally:
         nb.unpersist()
 
@@ -131,6 +137,7 @@ def incremental_dedup_sink(
     portable: bool = True,
     n_buckets: int = D.MINHASH_INDEX_BUCKETS,
     within_batch: bool = True,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ):
     """Attach streaming incremental dedup to a document stream. Returns
     the StreamingQuery; processAllAvailable() drains in tests. The index
@@ -151,6 +158,7 @@ def incremental_dedup_sink(
                 portable=portable,
                 n_buckets=n_buckets,
                 within_batch=within_batch,
+                backend=backend,
             )
         )
         .start()

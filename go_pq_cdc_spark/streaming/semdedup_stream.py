@@ -19,7 +19,9 @@ cell scan, which scales with the CELL mass the batch touches, not |I|.
 Failure semantics (same discipline as dedup_stream): pairs land in
 `pairs_dir/batch_id=N` with dynamic partition overwrite (a retried batch
 rewrites its own partition); the index append is guarded by a per-batch
-marker under `<index>/_batches/`. Retried lookups stay idempotent
+marker under `<index>/_batches/` riding the pluggable `ClaimBackend`
+(r11 — markers are coordination objects; the existence probe goes
+through Spark's Hadoop FS). Retried lookups stay idempotent
 because index rows matching the batch on (id AND vector) — the retried
 batch's own already-landed append, or an unchanged re-ingest — are
 anti-joined out of candidate generation (within-batch pairing covers
@@ -36,13 +38,18 @@ from pyspark.sql import functions as F
 
 from ..functions import portable as P
 from ..operators.similarity import IVF_INDEX_SCHEMA, ivf_assign
+from ..snapshot.claim_backend import DEFAULT_BACKEND, ClaimBackend
 
 SEM_PAIR_SCHEMA = "vec_id bigint, dup_of bigint, cos_sim double"
 
 
-def _index_exists(index_path: str) -> bool:
-    return os.path.isdir(index_path) and any(
-        e.startswith("cent_id=") for e in os.listdir(index_path)
+def _index_exists(spark, index_path: str) -> bool:
+    # existence probe through Spark's Hadoop FS (any scheme) — see
+    # dedup_stream._index_exists
+    from .changelog_stream import _fs_list_names
+
+    return any(
+        e.startswith("cent_id=") for e in _fs_list_names(spark, index_path)
     )
 
 
@@ -56,6 +63,7 @@ def semdedup_batch_against_index(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     within_batch: bool = True,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ) -> None:
     """One micro-batch: assign to cells, find cos >= threshold pairs
     against the pruned index cells (plus, by default, within the batch —
@@ -82,7 +90,7 @@ def semdedup_batch_against_index(
             F.col("nrm").alias("q_nrm"),
             F.col("cent_id").alias("q_cent"),
         )
-        if _index_exists(index_path):
+        if _index_exists(spark, index_path):
             cells = [r["q_cent"] for r in qside.select("q_cent").distinct().collect()]
             idx = (
                 spark.read.schema(IVF_INDEX_SCHEMA)  # declared: no footer storm
@@ -150,8 +158,8 @@ def semdedup_batch_against_index(
             .parquet(pairs_dir)
         )
         marker_dir = os.path.join(index_path, "_batches")
-        marker = os.path.join(marker_dir, str(int(batch_id)))
-        if os.path.exists(marker):
+        marker = os.path.join(marker_dir, f"{int(batch_id)}.json")
+        if backend.exists(marker):
             return  # retried batch: pairs rewritten above, index has us
         (
             nb.select(
@@ -164,9 +172,8 @@ def semdedup_batch_against_index(
             .partitionBy("cent_id")
             .parquet(index_path)
         )
-        os.makedirs(marker_dir, exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("done")
+        backend.ensure_dir(marker_dir)
+        backend.put(marker, {"batch_id": int(batch_id)})
     finally:
         nb.unpersist()
 
@@ -181,6 +188,7 @@ def incremental_semdedup_sink(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     within_batch: bool = True,
+    backend: ClaimBackend = DEFAULT_BACKEND,
 ):
     """Attach streaming semantic dedup to a vector stream. Returns the
     StreamingQuery; processAllAvailable() drains in tests. The index may
@@ -200,6 +208,7 @@ def incremental_semdedup_sink(
                 vec_col,
                 threshold,
                 within_batch=within_batch,
+                backend=backend,
             )
         )
         .start()

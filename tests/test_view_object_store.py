@@ -226,3 +226,29 @@ def test_torn_write_invisible_until_meta_commit(spark, tmp_path):
         r["grp"]: r["n_keys"] for r in read_agg_view(spark, state).collect()
     }
     assert got == {5: 1, 6: 1}
+
+
+def test_dedup_index_marker_rides_backend(spark, tmp_path, store, be):
+    """r11: the incremental-dedup index's per-batch idempotence marker is
+    a coordination object — with an object-store backend it must live in
+    the store (no local _batches/ file) and still guard the retry."""
+    from go_pq_cdc_spark.operators import dedup as D
+    from go_pq_cdc_spark.streaming.dedup_stream import (
+        dedup_batch_against_index,
+    )
+
+    index_path = str(tmp_path / "mh_index")
+    pairs_dir = str(tmp_path / "pairs")
+    text = " ".join(f"tok{i}" for i in range(40))
+    batch = spark.createDataFrame(
+        [(1, text), (2, text + " tail")], "doc_id long, text string"
+    )
+    dedup_batch_against_index(batch, 0, index_path, pairs_dir, backend=be)
+    n = spark.read.schema(D.MINHASH_INDEX_SCHEMA).parquet(index_path).count()
+    dedup_batch_against_index(batch, 0, index_path, pairs_dir, backend=be)
+    assert (
+        spark.read.schema(D.MINHASH_INDEX_SCHEMA).parquet(index_path).count()
+        == n
+    )
+    assert not os.path.exists(os.path.join(index_path, "_batches"))
+    assert any("_batches/0.json" in k for k in store.objects)
