@@ -1795,14 +1795,27 @@ def mirror_sink(
             )
         batch_counter["n"] += 1
         if maintain_every and batch_counter["n"] % maintain_every == 0:
-            run_mirror_maintenance(
-                spark,
-                state_dir,
-                min_deltas=maintain_min_deltas,
-                target_rewrite_bytes=maintain_target_rewrite_bytes,
-                backend=backend,
-                on_maintenance=on_maintenance,
-            )
+            # best-effort: the batch's MERGE already committed — failing
+            # the foreachBatch here would force a (harmless but wasted)
+            # idempotent replay just because maintenance lost a lock
+            # race or a stats listing hiccuped; debt compaction retries
+            # naturally at the next policy tick
+            try:
+                run_mirror_maintenance(
+                    spark,
+                    state_dir,
+                    min_deltas=maintain_min_deltas,
+                    target_rewrite_bytes=maintain_target_rewrite_bytes,
+                    backend=backend,
+                    on_maintenance=on_maintenance,
+                )
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "mirror maintenance pass failed (will retry in "
+                    "%d batches)", maintain_every, exc_info=True,
+                )
 
     return (
         stream_df.writeStream.outputMode("update")

@@ -516,3 +516,44 @@ def test_auto_maintenance_policy_compacts_and_recommends(spark, tmp_path):
     assert "go_pq_cdc_spark_mirror_rebucket_recommended 1" in listener.prometheus_text()
 
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_maintenance_failure_does_not_fail_the_batch(spark, tmp_path):
+    """The merge commits BEFORE the policy pass runs; a maintenance
+    failure (lock race, stats hiccup) must log and let the batch commit
+    rather than forcing an idempotent replay of work already done."""
+    from go_pq_cdc_spark.streaming.changelog_stream import (
+        changelog_stream,
+        mirror_sink,
+    )
+
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    os.makedirs(in_dir)
+
+    boom = []
+
+    def exploding(stats):
+        boom.append(stats)
+        raise RuntimeError("listener exploded")
+
+    def write_file(rows, i):
+        _batch(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(in_dir, f"b{i}")
+        )
+
+    q = mirror_sink(
+        changelog_stream(spark, in_dir + "/*"),
+        state,
+        str(tmp_path / "ckpt"),
+        maintain_every=1,
+        on_maintenance=exploding,
+    )
+    try:
+        write_file([_ev("I", 1, 1, 1, 1.0), _ev("I", 2, 1, 2, 2.0)], 0)
+        q.processAllAvailable()  # would raise if maintenance failed the batch
+        assert boom, "policy never ran"
+        got = {r["pk"]: r["after_val"] for r in read_mirror(spark, state).collect()}
+        assert got == {1: 1.0, 2: 2.0}
+    finally:
+        q.stop()
