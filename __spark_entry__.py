@@ -26,13 +26,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # Gate scheduling: the correctness runner caps at 50 of the registry's
 # entries per round, so rows that NEED a fresh driver-green signal run
 # FIRST. Rotation invariant: every registry row's latest driver green is
-# <= 2 rounds old, PLUS a bounded carry — with 104 registry rows and a
-# 50-row cap (104 > 2*50), each round defers (carry + new-query count)
+# <= 2 rounds old, PLUS a bounded carry — with 106 registry rows and a
+# 50-row cap (106 > 2*50), each round defers (carry + new-query count)
 # of the cheapest/most robust rows to position 51+, and those lead the
 # NEXT round's head. Round 11 rotation (r10 verdict item 3): the 3
-# exactly-2-rounds-old r10 deferrals lead, then the 46 r9-green rows;
-# queries ADDED this round land in the middle (first driver check fits
-# the cap); the 50 r10-green rows are the freshest signal and trail.
+# exactly-2-rounds-old r10 deferrals lead, then 44 r9-green rows; the 3
+# queries ADDED this round close the cap at 50 exactly; 6 r9-green rows
+# defer to 51-56; the 50 r10-green rows are the freshest signal and
+# trail.
 _GATE_HEAD = [
     # r8-green rows deferred past r10's cap — stalest signal, run first
     "q_histogram",
@@ -78,7 +79,6 @@ _GATE_HEAD = [
     "emb_near_dup",
     "q_top_orders_per_segment",
     "q_parts_not_shipped_1995",
-    "q_rollup_cube",
     "q_pivot_event_counts",
     "q_percentiles",
     "q_grouping_sets",
@@ -86,11 +86,12 @@ _GATE_HEAD = [
     "text_substring_dedup",
     "emb_centroid_outliers",
 ]
-# Queries ADDED in round 11 — never driver-checked: 48 head rows + these
+# Queries ADDED in round 11 — never driver-checked: 47 head rows + these
 # = 50 exactly.
 _GATE_NEW = [
     "cdc_topk_view",
     "cdc_agg_view_minmax",
+    "sample_token_budget",
 ]
 # Deferred to position 51+: r9-green rows displaced by this round's new
 # queries + the structural 3-row carry — at r11 judging they are exactly
@@ -103,6 +104,7 @@ _GATE_DEFERRED = [
     "q_distinct_custs",
     "q_scalar_gauntlet",
     "q_order_priority_count",
+    "q_rollup_cube",
 ]
 _GATE_TAIL = [
     # driver-green in CORRECTNESS_r10 (50/50 MATCH) — freshest signal

@@ -450,3 +450,97 @@ def split_assign(
     return df.withColumn(
         out_col, F.expr(split_fragments(id_col, ratios)["spark"])
     )
+
+
+def sample_token_budget(
+    df: DataFrame,
+    budget: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_cuts: int = 32,
+) -> DataFrame:
+    """Per-stratum take-until-token-budget — the Dolma/RedPajama mixing
+    primitive: within each stratum (language/source), keep documents in
+    priority order (here: n_tok DESC, id ASC — longest-first; swap the
+    key for a quality score without changing the machinery) until the
+    stratum's cumulative token count reaches `budget`. A doc is kept iff
+    its EXCLUSIVE prefix is still under budget, so every stratum gets at
+    least its first doc and the budget is crossed at most once.
+
+    100 TB shape — the naive formulation is a scale-killer: strata are
+    LOW-cardinality (tens of languages) and huge, so
+    `SUM() OVER (PARTITION BY lang ORDER BY ...)` funnels each stratum's
+    billions of rows through ONE reducer. This is the per-stratum
+    analogue of `with_prefix_offsets`' two-level scan:
+
+      1. per-stratum priority-range buckets from DETERMINISTIC LITERAL
+         cuts (one plan-time `groupBy(stratum).percentile_approx` pass,
+         strata x n_cuts driver-size literals — same class as the chunk
+         planner's MIN/MAX; literal cuts keep the two consumers of the
+         exchange bit-identical, the r6 repartitionByRange lesson);
+      2. within-(stratum, bucket) exclusive cumsum — the window shuffle
+         key is (stratum, bucket): wide, never one-task-per-stratum;
+      3. per-(stratum, bucket) subtotals (a strata x buckets frame) get
+         the serial exclusive cumsum — driver-size by construction —
+         and broadcast back as offsets.
+
+    Ties are whole-bucket-stable: bucket id counts cuts STRICTLY above
+    n_tok, so equal-priority rows always share a bucket and the within-
+    bucket (n_tok DESC, id) window totally orders them. Output:
+    (id, stratum, n_tok, cum_before) for kept docs."""
+    ntok = F.expr(P.n_tokens(text_col)["spark"]).cast("long")
+    base = df.select(
+        F.col(id_col), F.col(stratum_col), ntok.alias("n_tok")
+    )
+    # plan-time per-stratum cuts (driver-size: strata x n_cuts)
+    probs = [i / n_cuts for i in range(1, n_cuts)]
+    cut_rows = (
+        base.groupBy(stratum_col)
+        .agg(
+            F.percentile_approx(
+                F.col("n_tok").cast("double"), probs, 10_000
+            ).alias("c")
+        )
+        .collect()
+    )
+    cuts = {
+        r[stratum_col]: sorted({float(x) for x in (r["c"] or []) if x is not None})
+        for r in cut_rows
+    }
+    # bucket id = count of this stratum's cuts strictly ABOVE n_tok
+    # (bucket 0 holds the largest docs); inlined as a literal CASE chain
+    bucket = F.lit(0)
+    for s, cs in cuts.items():
+        if cs:
+            arr = F.array(*[F.lit(c) for c in cs])
+            b = F.size(F.filter(arr, lambda c: c > F.col("n_tok").cast("double")))
+            bucket = F.when(F.col(stratum_col) == s, b).otherwise(bucket)
+    parted = base.withColumn("_qb", bucket.cast("int")).repartition(
+        F.col(stratum_col), F.col("_qb")
+    )
+    w_in = (
+        Window.partitionBy(stratum_col, "_qb")
+        .orderBy(F.desc("n_tok"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = parted.withColumn(
+        "_cum_in", F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)).cast("long")
+    )
+    subtot = within.groupBy(stratum_col, "_qb").agg(
+        F.max(F.col("_cum_in") + F.col("n_tok")).alias("_bt")
+    )
+    w_b = (
+        Window.partitionBy(stratum_col)
+        .orderBy("_qb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = subtot.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(w_b), F.lit(0)).cast("long")
+    ).select(stratum_col, "_qb", "_off")
+    return (
+        within.join(F.broadcast(offsets), [stratum_col, "_qb"])
+        .withColumn("cum_before", (F.col("_cum_in") + F.col("_off")).cast("long"))
+        .filter(F.col("cum_before") < int(budget))
+        .select(id_col, stratum_col, "n_tok", "cum_before")
+    )

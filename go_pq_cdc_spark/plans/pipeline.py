@@ -1446,6 +1446,45 @@ def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget=2048)
 
 
+_TB_BUDGET = 4000
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, CAST({_NTOK['duck']} AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    sel AS (
+        SELECT doc_id, lang, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY n_tok DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM toks
+    )
+    SELECT doc_id, lang, n_tok, cum_before
+    FROM sel WHERE cum_before < {_TB_BUDGET}
+    """,
+    tags=("training", "sampling", "mixing"),
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum take-until-token-budget (the Dolma/RedPajama mixing
+    primitive): each language keeps its highest-priority docs
+    (longest-first, id tiebreak) until the stratum's cumulative token
+    count crosses the budget. The oracle states the one-level
+    per-stratum window; the Spark side is the scale-safe TWO-LEVEL scan
+    (per-stratum literal priority cuts -> within-(stratum, bucket)
+    window -> driver-size subtotal offsets broadcast back) — a plain
+    PARTITION BY lang window would funnel each multi-billion-row
+    language through one reducer at 100 TB."""
+    from ..operators.training import sample_token_budget as op
+
+    docs = load_table(spark, sf_dir, "documents")
+    return op(docs, budget=_TB_BUDGET)
+
+
 def _stratified_oracle() -> str:
     from ..operators.training import sample_fragments
 

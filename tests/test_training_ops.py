@@ -292,3 +292,50 @@ def test_weighted_sample_key_resolution(spark):
         ).collect()
     ]
     assert len(set(keys)) == 500
+
+
+def test_sample_token_budget_matches_one_level_window(spark):
+    """The two-level per-stratum scan must equal the naive one-level
+    PARTITION BY window (the oracle formulation), including whole-bucket
+    ties and the crossed-budget boundary doc."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from go_pq_cdc_spark.operators.training import sample_token_budget
+
+    rows = []
+    did = 0
+    for lang, sizes in (
+        ("en", [50, 40, 40, 40, 30, 5, 5]),   # ties at 40 span buckets
+        ("de", [100]),                         # single doc over budget
+        ("fr", [10, 10, 10, 10]),
+    ):
+        for n in sizes:
+            did += 1
+            rows.append((did, lang, " ".join(["w"] * n)))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    budget = 100
+    got = {
+        (r["doc_id"]): (r["lang"], r["n_tok"], r["cum_before"])
+        for r in sample_token_budget(df, budget, n_cuts=3).collect()
+    }
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_tok"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r["doc_id"]: (r["lang"], r["n_tok"], r["cum_before"])
+        for r in df.select("doc_id", "lang", ntok.alias("n_tok"))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+        )
+        .filter(F.col("cum_before") < budget)
+        .collect()
+    }
+    assert got == want
+    # every stratum keeps at least its first doc, even one over budget
+    assert {lang for lang, _n, _c in got.values()} == {"en", "de", "fr"}
+    # the budget is exclusive-prefix: de's single 100-token doc is kept
+    assert got[8] == ("de", 100, 0)
