@@ -488,10 +488,27 @@ def sample_token_budget(
     Ties are whole-bucket-stable: bucket id counts cuts STRICTLY above
     n_tok, so equal-priority rows always share a bucket and the within-
     bucket (n_tok DESC, id) window totally orders them. Output:
-    (id, stratum, n_tok, cum_before) for kept docs."""
+    (id, stratum, n_tok, cum_before) for kept docs.
+
+    NULLs: a NULL stratum is a REAL group (the oracle's PARTITION BY
+    keeps one NULL partition — null-safe handling throughout, r11
+    review); a NULL/negative token count is a contract violation
+    enforced in-pass (NULL text tokenizes to size()=-1 on Spark but NULL
+    on other engines — ambiguity this op refuses to paper over; clean
+    text upstream), same stance as with_prefix_offsets' weight guard."""
     ntok = F.expr(P.n_tokens(text_col)["spark"]).cast("long")
+    # guard fused into the column so Catalyst cannot prune it away
+    guard = F.assert_true(
+        ntok.isNotNull() & (ntok >= 0),
+        F.lit(
+            "sample_token_budget: token count must be non-null and "
+            "non-negative (NULL text?) — clean text upstream"
+        ),
+    )
     base = df.select(
-        F.col(id_col), F.col(stratum_col), ntok.alias("n_tok")
+        F.col(id_col),
+        F.col(stratum_col),
+        F.when(guard.isNull(), ntok).alias("n_tok"),
     )
     # plan-time per-stratum cuts (driver-size: strata x n_cuts)
     probs = [i / n_cuts for i in range(1, n_cuts)]
@@ -510,12 +527,19 @@ def sample_token_budget(
     }
     # bucket id = count of this stratum's cuts strictly ABOVE n_tok
     # (bucket 0 holds the largest docs); inlined as a literal CASE chain
+    # with an explicit IS NULL branch — `col == lit(None)` never matches,
+    # so without it every NULL-stratum row would silently take bucket 0
     bucket = F.lit(0)
     for s, cs in cuts.items():
         if cs:
             arr = F.array(*[F.lit(c) for c in cs])
             b = F.size(F.filter(arr, lambda c: c > F.col("n_tok").cast("double")))
-            bucket = F.when(F.col(stratum_col) == s, b).otherwise(bucket)
+            cond = (
+                F.col(stratum_col).isNull()
+                if s is None
+                else (F.col(stratum_col) == s)
+            )
+            bucket = F.when(cond, b).otherwise(bucket)
     parted = base.withColumn("_qb", bucket.cast("int")).repartition(
         F.col(stratum_col), F.col("_qb")
     )
@@ -538,8 +562,17 @@ def sample_token_budget(
     offsets = subtot.withColumn(
         "_off", F.coalesce(F.sum("_bt").over(w_b), F.lit(0)).cast("long")
     ).select(stratum_col, "_qb", "_off")
+    # null-SAFE stratum equality: a plain equi-join drops the NULL
+    # stratum's rows (NULL != NULL) that every other stage kept
+    off = offsets.withColumnRenamed(stratum_col, "_s").withColumnRenamed(
+        "_qb", "_ob"
+    )
     return (
-        within.join(F.broadcast(offsets), [stratum_col, "_qb"])
+        within.join(
+            F.broadcast(off),
+            F.col(stratum_col).eqNullSafe(F.col("_s"))
+            & (F.col("_qb") == F.col("_ob")),
+        )
         .withColumn("cum_before", (F.col("_cum_in") + F.col("_off")).cast("long"))
         .filter(F.col("cum_before") < int(budget))
         .select(id_col, stratum_col, "n_tok", "cum_before")

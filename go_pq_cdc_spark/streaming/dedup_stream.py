@@ -116,7 +116,12 @@ def dedup_batch_against_index(
         )
         marker_dir = os.path.join(index_path, "_batches")
         marker = os.path.join(marker_dir, f"{int(batch_id)}.json")
-        if backend.exists(marker):
+        # the bare-name probe covers pre-r11 markers (POSIX-only era), so
+        # an in-place upgrade's replayed batch still skips its landed
+        # append instead of double-inserting band rows (r11 review)
+        if backend.exists(marker) or os.path.exists(
+            os.path.join(marker_dir, str(int(batch_id)))
+        ):
             return  # retried batch: pairs rewritten above, index already has us
         nb.write.mode("append").partitionBy("bucket").parquet(index_path)
         backend.ensure_dir(marker_dir)

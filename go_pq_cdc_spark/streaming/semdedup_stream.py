@@ -44,13 +44,9 @@ SEM_PAIR_SCHEMA = "vec_id bigint, dup_of bigint, cos_sim double"
 
 
 def _index_exists(spark, index_path: str) -> bool:
-    # existence probe through Spark's Hadoop FS (any scheme) — see
-    # dedup_stream._index_exists
-    from .changelog_stream import _fs_list_names
+    from .dedup_stream import _index_exists as probe
 
-    return any(
-        e.startswith("cent_id=") for e in _fs_list_names(spark, index_path)
-    )
+    return probe(spark, index_path, prefix="cent_id=")
 
 
 def semdedup_batch_against_index(
@@ -159,7 +155,11 @@ def semdedup_batch_against_index(
         )
         marker_dir = os.path.join(index_path, "_batches")
         marker = os.path.join(marker_dir, f"{int(batch_id)}.json")
-        if backend.exists(marker):
+        # bare-name probe covers pre-r11 POSIX-era markers (r11 review —
+        # see dedup_stream)
+        if backend.exists(marker) or os.path.exists(
+            os.path.join(marker_dir, str(int(batch_id)))
+        ):
             return  # retried batch: pairs rewritten above, index has us
         (
             nb.select(

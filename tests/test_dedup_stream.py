@@ -169,3 +169,29 @@ def test_same_id_reingest_with_changed_content_still_pairs(spark):
         assert all({a, b} == {5, 9} for a, b in pairs)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_pre_r11_bare_marker_still_guards_retry(spark):
+    """In-place upgrade: a marker written by the pre-r11 POSIX-only code
+    (bare batch id, no .json) must still stop a replayed batch from
+    double-inserting its band rows."""
+    base = tempfile.mkdtemp(prefix="gpcs_legacy_marker_")
+    index_path = os.path.join(base, "mh_index")
+    pairs_dir = os.path.join(base, "pairs")
+    try:
+        docs = _shingleable_docs(spark, 2)
+        batch = spark.createDataFrame(
+            [(d["doc_id"], d["text"]) for d in docs], DOC_SCHEMA
+        )
+        dedup_batch_against_index(batch, 3, index_path, pairs_dir)
+        # downgrade the marker to the pre-r11 name
+        mdir = os.path.join(index_path, "_batches")
+        os.replace(os.path.join(mdir, "3.json"), os.path.join(mdir, "3"))
+        n = spark.read.schema(D.MINHASH_INDEX_SCHEMA).parquet(index_path).count()
+        dedup_batch_against_index(batch, 3, index_path, pairs_dir)  # replay
+        assert (
+            spark.read.schema(D.MINHASH_INDEX_SCHEMA).parquet(index_path).count()
+            == n
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

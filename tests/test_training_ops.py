@@ -4,6 +4,7 @@ sampling (retry-stability, stratified rates)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from go_pq_cdc_spark.operators.training import (
@@ -339,3 +340,33 @@ def test_sample_token_budget_matches_one_level_window(spark):
     assert {lang for lang, _n, _c in got.values()} == {"en", "de", "fr"}
     # the budget is exclusive-prefix: de's single 100-token doc is kept
     assert got[8] == ("de", 100, 0)
+
+
+def test_sample_token_budget_null_stratum_and_null_text(spark):
+    """r11 review: a NULL stratum is a real group (null-safe join + an
+    explicit CASE branch — a plain equi-join silently dropped it); NULL
+    text is a loud contract violation, never a silent misordering."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from go_pq_cdc_spark.operators.training import sample_token_budget
+
+    rows = [
+        (1, "en", " ".join(["w"] * 50)),
+        (2, None, " ".join(["w"] * 30)),
+        (3, None, " ".join(["w"] * 80)),
+        (4, None, " ".join(["w"] * 80)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: (r["lang"], r["cum_before"])
+        for r in sample_token_budget(df, 100, n_cuts=2).collect()
+    }
+    # NULL stratum ordered (n_tok desc, id): 3(80) kept at 0, 4(80)
+    # crosses at 80 (<100, kept), 2(30) at 160 dropped
+    assert got == {1: ("en", 0), 3: (None, 0), 4: (None, 80)}
+
+    bad = spark.createDataFrame(
+        [(1, "en", None)], "doc_id long, lang string, text string"
+    )
+    with pytest.raises(Exception, match="sample_token_budget"):
+        sample_token_budget(bad, 100, n_cuts=2).collect()
