@@ -26,20 +26,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # Gate scheduling: the correctness runner caps at 50 of the registry's
 # entries per round, so rows that NEED a fresh driver-green signal run
 # FIRST. Rotation invariant: every registry row's latest driver green is
-# <= 2 rounds old, PLUS a bounded carry — with 106 registry rows and a
-# 50-row cap (106 > 2*50), each round defers (carry + new-query count)
+# <= 2 rounds old, PLUS a bounded carry — with 107 registry rows and a
+# 50-row cap (107 > 2*50), each round defers (carry + new-query count)
 # of the cheapest/most robust rows to position 51+, and those lead the
 # NEXT round's head. Round 11 rotation (r10 verdict item 3): the 3
-# exactly-2-rounds-old r10 deferrals lead, then 44 r9-green rows; the 3
-# queries ADDED this round close the cap at 50 exactly; 6 r9-green rows
-# defer to 51-56; the 50 r10-green rows are the freshest signal and
+# exactly-2-rounds-old r10 deferrals lead, then 43 r9-green rows; the 4
+# queries ADDED this round close the cap at 50 exactly; 7 r9-green rows
+# defer to 51-57; the 50 r10-green rows are the freshest signal and
 # trail.
 _GATE_HEAD = [
     # r8-green rows deferred past r10's cap — stalest signal, run first
     "q_histogram",
     "text_bag_dedup",
     "text_line_dedup",
-    # driver-green in CORRECTNESS_r09 (50/50 MATCH), minus the 4
+    # driver-green in CORRECTNESS_r09 (50/50 MATCH), minus the 7
     # deferred below — stalest-but-one
     "q12_late_shipment_priority",
     "emb_quantize",
@@ -79,19 +79,19 @@ _GATE_HEAD = [
     "emb_near_dup",
     "q_top_orders_per_segment",
     "q_parts_not_shipped_1995",
-    "q_pivot_event_counts",
     "q_percentiles",
     "q_grouping_sets",
     "q17_small_quantity_revenue",
     "text_substring_dedup",
     "emb_centroid_outliers",
 ]
-# Queries ADDED in round 11 — never driver-checked: 47 head rows + these
+# Queries ADDED in round 11 — never driver-checked: 46 head rows + these
 # = 50 exactly.
 _GATE_NEW = [
     "cdc_topk_view",
     "cdc_agg_view_minmax",
     "sample_token_budget",
+    "sample_upsample_epochs",
 ]
 # Deferred to position 51+: r9-green rows displaced by this round's new
 # queries + the structural 3-row carry — at r11 judging they are exactly
@@ -105,6 +105,7 @@ _GATE_DEFERRED = [
     "q_scalar_gauntlet",
     "q_order_priority_count",
     "q_rollup_cube",
+    "q_pivot_event_counts",
 ]
 _GATE_TAIL = [
     # driver-green in CORRECTNESS_r10 (50/50 MATCH) — freshest signal

@@ -496,6 +496,23 @@ def sample_token_budget(
     enforced in-pass (NULL text tokenizes to size()=-1 on Spark but NULL
     on other engines — ambiguity this op refuses to paper over; clean
     text upstream), same stance as with_prefix_offsets' weight guard."""
+    within = _stratum_token_prefix(df, stratum_col, id_col, text_col, n_cuts)
+    return within.filter(F.col("cum_before") < int(budget)).select(
+        id_col, stratum_col, "n_tok", "cum_before"
+    )
+
+
+def _stratum_token_prefix(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    text_col: str,
+    n_cuts: int,
+) -> DataFrame:
+    """(id, stratum, n_tok, cum_before) for EVERY row — the shared
+    two-level per-stratum exclusive prefix sum in (n_tok DESC, id ASC)
+    priority order (see sample_token_budget's docstring for the scale
+    rationale and NULL semantics)."""
     ntok = F.expr(P.n_tokens(text_col)["spark"]).cast("long")
     # guard fused into the column so Catalyst cannot prune it away
     guard = F.assert_true(
@@ -574,6 +591,63 @@ def sample_token_budget(
             & (F.col("_qb") == F.col("_ob")),
         )
         .withColumn("cum_before", (F.col("_cum_in") + F.col("_off")).cast("long"))
-        .filter(F.col("cum_before") < int(budget))
         .select(id_col, stratum_col, "n_tok", "cum_before")
+    )
+
+
+def upsample_token_budget(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_cuts: int = 32,
+) -> DataFrame:
+    """Epoch-repetition mixing — the complement of `sample_token_budget`
+    for UNDER-budget strata (the LLaMA/Dolma "repeat small high-quality
+    sources up to k epochs" recipe rule): each stratum's documents cycle
+    in priority order (n_tok DESC, id ASC), epoch after epoch, until the
+    stratum's cumulative token count crosses `budget` or `max_epochs`
+    full cycles have been emitted. A (doc, epoch) copy is kept iff its
+    exclusive GLOBAL prefix (epoch-1)*stratum_total + cum_before is
+    under budget — so the budget is crossed at most once per stratum
+    and a stratum bigger than the budget degenerates to exactly
+    `sample_token_budget`'s single partial epoch.
+
+    Everything derives from two bounded inputs: the shared two-level
+    per-stratum prefix sum (`_stratum_token_prefix` — no one-reducer-
+    per-stratum window) and a per-stratum totals frame (strata rows,
+    broadcast back null-safely). The epoch fan-out is a per-row
+    `sequence(1, e_max)` explode where e_max <= max_epochs — pure
+    narrow compute, no shuffle beyond the prefix scan's own.
+
+    Output: (id, stratum, epoch, n_tok, cum_global) — cum_global is the
+    copy's exclusive token prefix within its stratum's emitted stream."""
+    pre = _stratum_token_prefix(df, stratum_col, id_col, text_col, n_cuts)
+    totals = pre.groupBy(stratum_col).agg(F.sum("n_tok").alias("_tot"))
+    tot = totals.withColumnRenamed(stratum_col, "_s")
+    joined = pre.join(
+        F.broadcast(tot), F.col(stratum_col).eqNullSafe(F.col("_s"))
+    ).drop("_s")
+    b = F.lit(int(budget)).cast("long")
+    # highest epoch whose copy still starts under budget — INTEGRAL
+    # division (`div`), not `/`: at real budgets (10^12+ tokens) the
+    # double-precision ratio rounds near epoch boundaries. A stratum of
+    # only 0-token docs (T=0) clamps to one epoch.
+    e_row = F.when(
+        F.col("_tot") > 0,
+        F.expr(f"({int(budget)}L - 1L - cum_before) div _tot") + 1,
+    ).otherwise(F.lit(1))
+    e_max = F.least(F.lit(int(max_epochs)).cast("long"), e_row.cast("long"))
+    return (
+        joined.filter(F.col("cum_before") < b)  # epoch 1 must fit
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1).cast("long"), e_max)))
+        .withColumn(
+            "cum_global",
+            ((F.col("epoch") - 1) * F.col("_tot") + F.col("cum_before")).cast(
+                "long"
+            ),
+        )
+        .select(id_col, stratum_col, "epoch", "n_tok", "cum_global")
     )

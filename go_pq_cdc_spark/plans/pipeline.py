@@ -1485,6 +1485,59 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(docs, budget=_TB_BUDGET)
 
 
+_UP_BUDGET = 60_000
+_UP_MAX_EPOCHS = 3
+
+
+@register(
+    "sample_upsample_epochs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, CAST({_NTOK['duck']} AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    pre AS (
+        SELECT doc_id, lang, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY n_tok DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM toks
+    ),
+    tot AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS t FROM toks GROUP BY lang),
+    fan AS (
+        SELECT p.doc_id, p.lang, p.n_tok, p.cum_before, t.t,
+               LEAST({_UP_MAX_EPOCHS},
+                     ({_UP_BUDGET} - 1 - p.cum_before) // t.t + 1) AS e_max
+        FROM pre p JOIN tot t ON p.lang IS NOT DISTINCT FROM t.lang
+        WHERE p.cum_before < {_UP_BUDGET}
+    )
+    SELECT doc_id, lang, CAST(g.epoch AS BIGINT) AS epoch, n_tok,
+           CAST((g.epoch - 1) * t + cum_before AS BIGINT) AS cum_global
+    FROM fan CROSS JOIN generate_series(1, {_UP_MAX_EPOCHS}) AS g(epoch)
+    WHERE g.epoch <= fan.e_max
+    """,
+    tags=("training", "sampling", "mixing", "upsampling"),
+)
+def sample_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-repetition mixing (the LLaMA/Dolma "repeat small sources up
+    to k epochs" rule): each language's docs cycle in priority order
+    until the token budget is crossed or max_epochs full cycles emit —
+    the complement of sample_token_budget for UNDER-budget strata. The
+    Spark side derives everything from the shared two-level per-stratum
+    prefix scan plus a broadcast per-stratum totals frame (the epoch
+    fan-out is a narrow per-row sequence explode); the oracle states the
+    one-level window + lateral generate_series. Integral `div` on both
+    sides — a double-precision epoch boundary would round at real
+    (10^12-token) budgets."""
+    from ..operators.training import upsample_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    return upsample_token_budget(
+        docs, budget=_UP_BUDGET, max_epochs=_UP_MAX_EPOCHS
+    )
+
+
 def _stratified_oracle() -> str:
     from ..operators.training import sample_fragments
 

@@ -370,3 +370,35 @@ def test_sample_token_budget_null_stratum_and_null_text(spark):
     )
     with pytest.raises(Exception, match="sample_token_budget"):
         sample_token_budget(bad, 100, n_cuts=2).collect()
+
+
+def test_upsample_token_budget_epochs_and_caps(spark):
+    """Epoch repetition: under-budget strata cycle whole epochs until the
+    budget is crossed (partial last epoch), max_epochs caps repetition,
+    and an over-budget stratum degenerates to a single partial epoch."""
+    from go_pq_cdc_spark.operators.training import upsample_token_budget
+
+    rows = [
+        # 'small': 30 tokens/epoch -> epochs at budget 100: e1(0), e2(30),
+        # e3(60), e4 would start at 90 (<100) but max_epochs=3 caps it
+        (1, "small", " ".join(["w"] * 20)),
+        (2, "small", " ".join(["w"] * 10)),
+        # 'big': 120 tokens -> doc 3 (70, cum 0) kept, doc 4 (50, cum 70)
+        # kept, no second epoch (starts at 120 >= 100)
+        (3, "big", " ".join(["w"] * 70)),
+        (4, "big", " ".join(["w"] * 50)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = sorted(
+        (r["lang"], r["doc_id"], r["epoch"], r["cum_global"])
+        for r in upsample_token_budget(df, 100, max_epochs=3, n_cuts=2).collect()
+    )
+    want = sorted(
+        [
+            ("small", 1, 1, 0), ("small", 2, 1, 20),
+            ("small", 1, 2, 30), ("small", 2, 2, 50),
+            ("small", 1, 3, 60), ("small", 2, 3, 80),
+            ("big", 3, 1, 0), ("big", 4, 1, 70),
+        ]
+    )
+    assert got == want
