@@ -181,17 +181,23 @@ class CdcMetricsListener(StreamingQueryListener):
             lines.append(f"go_pq_cdc_spark_confirmed_lsn {s['confirmed_lsn']}")
         mir = s.get("mirror")
         if mir is not None:
-            lines.append("# TYPE go_pq_cdc_spark_mirror_delta_files gauge")
-            lines.append(
-                f"go_pq_cdc_spark_mirror_delta_files {mir['delta_files']}"
-            )
-            lines.append(
-                "# TYPE go_pq_cdc_spark_mirror_rebucket_recommended gauge"
-            )
-            lines.append(
-                "go_pq_cdc_spark_mirror_rebucket_recommended "
-                f"{int(bool(mir['rebucket_recommended']))}"
-            )
+            # record_mirror accepts ANY report dict (raw mirror_stats()
+            # output lacks rebucket_recommended) — emit each gauge only
+            # when its key is present so exposition never raises (r11
+            # advisor)
+            if "delta_files" in mir:
+                lines.append("# TYPE go_pq_cdc_spark_mirror_delta_files gauge")
+                lines.append(
+                    f"go_pq_cdc_spark_mirror_delta_files {mir['delta_files']}"
+                )
+            if "rebucket_recommended" in mir:
+                lines.append(
+                    "# TYPE go_pq_cdc_spark_mirror_rebucket_recommended gauge"
+                )
+                lines.append(
+                    "go_pq_cdc_spark_mirror_rebucket_recommended "
+                    f"{int(bool(mir['rebucket_recommended']))}"
+                )
         slot = self.get_slot()
         if slot["current_lsn"] is not None:
             lines.append(f"go_pq_cdc_spark_current_lsn {slot['current_lsn']}")

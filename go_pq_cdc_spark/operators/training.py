@@ -625,6 +625,22 @@ def upsample_token_budget(
     Output: (id, stratum, epoch, n_tok, cum_global) — cum_global is the
     copy's exclusive token prefix within its stratum's emitted stream."""
     pre = _stratum_token_prefix(df, stratum_col, id_col, text_col, n_cuts)
+    return _epoch_fanout(pre, budget, max_epochs, stratum_col, id_col)
+
+
+def _epoch_fanout(
+    pre: DataFrame,
+    budget: int,
+    max_epochs: int,
+    stratum_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Epoch fan-out over a prepared per-stratum prefix frame (id,
+    stratum, n_tok, cum_before) — split from `upsample_token_budget` so
+    the zero-total-stratum clamp is unit-testable: whitespace
+    tokenization counts every doc >= 1 token, so the degenerate stratum
+    is unreachable through the text path but must still behave (r11
+    verdict item 5)."""
     totals = pre.groupBy(stratum_col).agg(F.sum("n_tok").alias("_tot"))
     tot = totals.withColumnRenamed(stratum_col, "_s")
     joined = pre.join(

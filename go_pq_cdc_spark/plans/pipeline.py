@@ -1507,8 +1507,15 @@ _UP_MAX_EPOCHS = 3
     tot AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS t FROM toks GROUP BY lang),
     fan AS (
         SELECT p.doc_id, p.lang, p.n_tok, p.cum_before, t.t,
+               -- zero-total strata (every doc tokenizes to 0) clamp to
+               -- one epoch exactly like the Spark side (training.py
+               -- upsample_token_budget's _tot > 0 CASE); a bare // t.t
+               -- would NULL the row out and silently drop the stratum
+               -- (r11 advisor)
                LEAST({_UP_MAX_EPOCHS},
-                     ({_UP_BUDGET} - 1 - p.cum_before) // t.t + 1) AS e_max
+                     CASE WHEN t.t > 0
+                          THEN ({_UP_BUDGET} - 1 - p.cum_before) // t.t + 1
+                          ELSE 1 END) AS e_max
         FROM pre p JOIN tot t ON p.lang IS NOT DISTINCT FROM t.lang
         WHERE p.cum_before < {_UP_BUDGET}
     )

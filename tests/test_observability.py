@@ -58,6 +58,23 @@ def test_metrics_listener_and_op_counters(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_prometheus_mirror_tolerates_partial_report():
+    """record_mirror accepts any report dict — wiring it to raw
+    mirror_stats() output (which has no rebucket_recommended; only
+    run_mirror_maintenance adds that) must not make /metrics raise
+    (r11 advisor). Each mirror gauge renders iff its key is present."""
+    listener = CdcMetricsListener()
+    listener.record_mirror({"delta_files": 3})
+    text = listener.prometheus_text()
+    assert "go_pq_cdc_spark_mirror_delta_files 3" in text
+    assert "rebucket_recommended" not in text
+
+    listener.record_mirror({"delta_files": 1, "rebucket_recommended": True})
+    text = listener.prometheus_text()
+    assert "go_pq_cdc_spark_mirror_delta_files 1" in text
+    assert "go_pq_cdc_spark_mirror_rebucket_recommended 1" in text
+
+
 def test_grafana_dashboard_matches_exposition():
     """grafana/dashboard.json (the reference's dashboard analogue) must
     reference only metric names the /metrics exposition actually emits —

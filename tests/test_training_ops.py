@@ -402,3 +402,74 @@ def test_upsample_token_budget_epochs_and_caps(spark):
         ]
     )
     assert got == want
+
+
+def test_upsample_token_budget_zero_total_stratum(spark):
+    """Degenerate stratum whose docs ALL tokenize to zero (r11 verdict
+    item 5): the epoch divisor is the stratum total, so the fan-out must
+    clamp to exactly one epoch instead of dividing by zero — each doc
+    emits once at epoch 1 with cum_global 0, and mixed strata are
+    unaffected. Whitespace tokenization counts every doc >= 1 token, so
+    the case is driven through `_epoch_fanout` on a handcrafted prefix
+    frame; the registry oracle mirrors the clamp with an explicit CASE
+    (plans/pipeline.py sample_upsample_epochs)."""
+    from go_pq_cdc_spark.operators.training import _epoch_fanout
+
+    rows = [
+        # (doc_id, lang, n_tok, cum_before) — 'empty' totals 0 tokens
+        (1, "empty", 0, 0),
+        (2, "empty", 0, 0),
+        # live stratum: 30 tokens/epoch
+        (3, "live", 20, 0),
+        (4, "live", 10, 20),
+    ]
+    pre = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tok long, cum_before long"
+    )
+    got = sorted(
+        (r["lang"], r["doc_id"], r["epoch"], r["n_tok"], r["cum_global"])
+        for r in _epoch_fanout(pre, 100, 3, "lang", "doc_id").collect()
+    )
+    want = sorted(
+        [
+            # zero-total stratum: one epoch, no repetition, prefix stays 0
+            ("empty", 1, 1, 0, 0),
+            ("empty", 2, 1, 0, 0),
+            # live stratum cycles normally (30/epoch, budget 100, cap 3)
+            ("live", 3, 1, 20, 0), ("live", 4, 1, 10, 20),
+            ("live", 3, 2, 20, 30), ("live", 4, 2, 10, 50),
+            ("live", 3, 3, 20, 60), ("live", 4, 3, 10, 80),
+        ]
+    )
+    assert got == want
+
+    # the aligned DuckDB-oracle fragment agrees on the same frame: a bare
+    # `// t` would NULL the zero-total stratum out of the result entirely
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pre (doc_id BIGINT, lang VARCHAR, n_tok BIGINT, "
+        "cum_before BIGINT)"
+    )
+    con.executemany("INSERT INTO pre VALUES (?, ?, ?, ?)", rows)
+    oracle_rows = con.execute(
+        """
+        WITH tot AS (
+            SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS t FROM pre GROUP BY lang
+        ),
+        fan AS (
+            SELECT p.doc_id, p.lang, p.n_tok, p.cum_before, t.t,
+                   LEAST(3, CASE WHEN t.t > 0
+                                 THEN (100 - 1 - p.cum_before) // t.t + 1
+                                 ELSE 1 END) AS e_max
+            FROM pre p JOIN tot t ON p.lang IS NOT DISTINCT FROM t.lang
+            WHERE p.cum_before < 100
+        )
+        SELECT lang, doc_id, CAST(g.epoch AS BIGINT) AS epoch, n_tok,
+               CAST((g.epoch - 1) * t + cum_before AS BIGINT) AS cum_global
+        FROM fan CROSS JOIN generate_series(1, 3) AS g(epoch)
+        WHERE g.epoch <= fan.e_max
+        """
+    ).fetchall()
+    assert sorted(oracle_rows) == want
