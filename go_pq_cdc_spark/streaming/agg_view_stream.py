@@ -51,6 +51,26 @@ STATE_SCHEMA = (
 _DELTA_SCHEMA = "grp long, dk int, dv_cents long"
 
 
+def _check_group_ceiling(
+    n: int, max_groups: int, state_dir: str, what: str
+) -> None:
+    """Tracked-group ceiling (r11 verdict item 4): the view state
+    machines collect group-bounded state to the driver — the design for
+    leaderboard/dashboard-cardinality group keys, a silent driver-memory
+    cliff for anything else. Refuse loudly instead of collecting."""
+    if n > max_groups:
+        raise ValueError(
+            f"view {what} at {state_dir} tracks {n} groups "
+            f"(> max_groups={max_groups}): incremental views collect "
+            "group-bounded state to the driver and are meant for "
+            "low-cardinality group keys — for high-cardinality keys "
+            "compute the aggregate/top-k in batch over the mirror "
+            "instead (a groupBy over cdc latest-state, or "
+            "operators.scale.salted_topk), or raise max_groups "
+            "deliberately"
+        )
+
+
 def latest_version(
     state_dir: str,
     below: int | None = None,
@@ -96,11 +116,20 @@ def update_agg_view_state(
     after_col: str = "after_val",
     authoritative=None,
     backend: ClaimBackend = DEFAULT_BACKEND,
+    max_groups: int = 100_000,
 ) -> None:
     """foreachBatch body: fold this micro-batch's signed deltas into the
     persisted view. The batch must carry op + before/after images
     (REPLICA IDENTITY FULL); the distributed part is a pure map + bounded
     aggregate, the driver-side fold is view-sized.
+
+    CARDINALITY CONTRACT (r11 verdict item 4): "view-sized" means
+    low-cardinality group keys — state is one tuple per group, collected
+    to the driver. `max_groups` turns the high-cardinality memory cliff
+    into a refusal: a batch touching more than `max_groups` groups, or a
+    folded state tracking more, raises with a pointer at the batch path
+    (a plain groupBy over the mirror / cdc latest-state). The batch
+    aggregate is LIMIT-bounded before any row reaches the driver.
 
     count and sum are SELF-MAINTAINABLE — deltas alone suffice. min/max
     are the textbook non-self-maintainable pair (a delete of the current
@@ -128,12 +157,13 @@ def update_agg_view_state(
     )
     _fold_into_state(
         batch_df.sparkSession,
-        _summary_rows(_to_cents(deltas)),
+        _summary_rows(_to_cents(deltas), max_groups),
         batch_id,
         state_dir,
         n_groups,
         authoritative,
         backend,
+        max_groups,
     )
 
 
@@ -146,6 +176,7 @@ def update_agg_view_from_log(
     value_col: str = "after_val",
     authoritative=None,
     backend: ClaimBackend = DEFAULT_BACKEND,
+    max_groups: int = 100_000,
 ) -> None:
     """foreachBatch IVM WITHOUT shipped before images — the production
     arm for streams that lack REPLICA IDENTITY FULL: `before_df` carries
@@ -175,7 +206,7 @@ def update_agg_view_from_log(
     )
     fold_staged_view_deltas(
         batch_df.sparkSession, batch_id, state_dir, n_groups, authoritative,
-        backend,
+        backend, max_groups,
     )
 
 
@@ -235,13 +266,17 @@ def fold_staged_view_deltas(
     n_groups: int = 8,
     authoritative=None,
     backend: ClaimBackend = DEFAULT_BACKEND,
+    max_groups: int = 100_000,
 ) -> None:
     """Fold the staged delta dir for `batch_id` into the persisted view
     state (versioned, idempotent) and GC stale delta dirs."""
     ddir = os.path.join(state_dir, "deltas", f"d{batch_id:012d}")
-    rows = _summary_rows(spark.read.schema(_DELTA_SCHEMA).parquet(ddir))
+    rows = _summary_rows(
+        spark.read.schema(_DELTA_SCHEMA).parquet(ddir), max_groups
+    )
     _fold_into_state(
-        spark, rows, batch_id, state_dir, n_groups, authoritative, backend
+        spark, rows, batch_id, state_dir, n_groups, authoritative, backend,
+        max_groups,
     )
     _gc_delta_dirs(spark, state_dir, below=batch_id - 1)
 
@@ -254,12 +289,17 @@ def _to_cents(deltas: DataFrame) -> DataFrame:
     )
 
 
-def _summary_rows(cents: DataFrame) -> list:
+def _summary_rows(cents: DataFrame, max_groups: int = 100_000) -> list:
     """Bounded per-group fold inputs (<= 1 row per group): count/sum/
     second-moment deltas plus the insert/retract extremes min/max
     maintenance reads. The value being moved is dk * dv_cents; the
     signed SQUARE folds like the sum (variance is self-maintainable),
-    computed in DECIMAL so cents-squared never overflows int64."""
+    computed in DECIMAL so cents-squared never overflows int64.
+
+    The LIMIT bounds the collect BEFORE rows reach the driver — a batch
+    touching more than max_groups groups returns max_groups+1 rows and
+    trips `_check_group_ceiling` in the fold instead of exhausting
+    driver memory."""
     v = F.col("dv_cents") * F.col("dk")
     sq = F.col("dv_cents").cast("decimal(19,0)") * F.col("dv_cents").cast(
         "decimal(19,0)"
@@ -278,6 +318,7 @@ def _summary_rows(cents: DataFrame) -> list:
             F.min(ret).alias("ret_min"),
             F.max(ret).alias("ret_max"),
         )
+        .limit(max_groups + 1)
         .collect()
     )
 
@@ -357,11 +398,26 @@ def _fold_into_state(
     n_groups: int,
     authoritative,
     backend: ClaimBackend = DEFAULT_BACKEND,
+    max_groups: int = 100_000,
 ) -> None:
+    _check_group_ceiling(len(batch_rows), max_groups, state_dir, "batch")
     _check_not_shadowed(state_dir, batch_id, backend)
     prev = latest_version(state_dir, below=batch_id, backend=backend)
     repairs = 0
     if prev is not None:
+        # refuse BEFORE the state collect when the persisted meta already
+        # proves the ceiling is blown (state written under a larger
+        # max_groups, re-opened under a smaller one)
+        _check_group_ceiling(
+            int(
+                VersionedState(state_dir, backend)
+                .read_meta(prev)
+                .get("groups", 0)
+            ),
+            max_groups,
+            state_dir,
+            "state",
+        )
         state, meta = _read_state(spark, state_dir, prev, backend)
         if meta["n_groups"] != n_groups:
             raise ValueError(
@@ -405,6 +461,7 @@ def _fold_into_state(
     # the from-scratch fold
     state = {g: v for g, v in state.items() if v[0] != 0}
     dirty &= set(state)
+    _check_group_ceiling(len(state), max_groups, state_dir, "state")
 
     if dirty:
         repairs += 1
@@ -459,6 +516,7 @@ def _write_state(
             "batch_id": version,
             "repairs": repairs,
             "track_minmax": track,
+            "groups": len(state),
         },
     )
     vs.gc_versions(spark, keep=2)

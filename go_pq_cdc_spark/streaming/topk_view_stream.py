@@ -45,7 +45,7 @@ from pyspark.sql.window import Window
 
 from ..operators.cdc import agg_view_deltas, value_group
 from ..snapshot.claim_backend import DEFAULT_BACKEND, ClaimBackend
-from .agg_view_stream import latest_version
+from .agg_view_stream import _check_group_ceiling, latest_version
 from .versioned_state import VersionedState
 
 STATE_SCHEMA = "grp long, rnk int, pk long, v_cents long, n_keys long"
@@ -81,11 +81,24 @@ def update_topk_view_state(
     before_col: str = "before_val",
     after_col: str = "after_val",
     backend: ClaimBackend = DEFAULT_BACKEND,
+    max_groups: int = 50_000,
 ) -> None:
     """foreachBatch body. `authoritative` is REQUIRED (unlike the sum
     view, deletes routinely hit the tracked set): a zero-arg callable
     returning live (grp, pk, v_cents) rows, read AFTER this batch is
-    applied to the source of truth."""
+    applied to the source of truth.
+
+    CARDINALITY CONTRACT (r11 verdict item 4): this view collects
+    groups x capacity state to the driver — correct for leaderboard-
+    cardinality group keys, a silent driver-memory cliff for
+    high-cardinality ones. `max_groups` makes the cliff a refusal: the
+    batch capture collects at most 2*max_groups+1 summary rows (the
+    aggregate is LIMIT-bounded before it reaches the driver) and the
+    folded state may track at most `max_groups` groups; exceeding either
+    raises with a pointer at the batch path. For high-cardinality keys
+    use the batch operators over the mirror instead
+    (`operators.scale.salted_topk` over `cdc_latest_state`'s
+    projection) — they shuffle, this view must not."""
     spark = batch_df.sparkSession
     capacity = 2 * k
     deltas = agg_view_deltas(
@@ -108,6 +121,9 @@ def update_topk_view_state(
     # the groupBy, so the rank and the count+capped-top-list aggregate
     # share a single scan and a single shuffle
     ranked = d.withColumn("rn", F.row_number().over(w))
+    # LIMIT bounds the collect BEFORE rows reach the driver: <= 2 rows
+    # per touched group, so a batch touching more than max_groups groups
+    # cannot overrun driver memory — it trips the guard below instead
     summary = (
         ranked.groupBy("grp", "dk")
         .agg(
@@ -119,7 +135,11 @@ def update_topk_view_state(
                 asc=False,
             ).alias("top"),
         )
+        .limit(2 * max_groups + 1)
         .collect()
+    )
+    _check_group_ceiling(
+        len({r["grp"] for r in summary}), max_groups, state_dir, "batch"
     )
     counts = {(r["grp"], r["dk"]): r["c"] for r in summary}
     # RAW captured pairs per (grp, dk), descending — the overflow proofs
@@ -140,6 +160,15 @@ def update_topk_view_state(
     prev = latest_version(state_dir, below=batch_id, backend=backend)
     repairs = 0
     if prev is not None:
+        # refuse BEFORE the state collect when the persisted meta already
+        # proves the ceiling is blown (a state written under a larger
+        # max_groups, re-opened under a smaller one)
+        _check_group_ceiling(
+            int(VersionedState(state_dir, backend).read_meta(prev).get("groups", 0)),
+            max_groups,
+            state_dir,
+            "state",
+        )
         state, meta = _read_state(spark, state_dir, prev, backend)
         if meta["k"] != k or meta["n_groups"] != n_groups:
             raise ValueError(
@@ -257,6 +286,7 @@ def update_topk_view_state(
                 )
             state[g] = (sorted(fixed[g], reverse=True), n_keys)
 
+    _check_group_ceiling(len(state), max_groups, state_dir, "state")
     vs = VersionedState(state_dir, backend)
     out = [
         (g, i + 1, pk, v, n_keys)
@@ -268,7 +298,13 @@ def update_topk_view_state(
     ).parquet(vs.version_dir(batch_id))
     vs.commit(
         batch_id,
-        {"k": k, "n_groups": n_groups, "batch_id": batch_id, "repairs": repairs},
+        {
+            "k": k,
+            "n_groups": n_groups,
+            "batch_id": batch_id,
+            "repairs": repairs,
+            "groups": len(state),
+        },
     )
     vs.gc_versions(spark, keep=2)
 

@@ -39,6 +39,11 @@ from pyspark.sql import SparkSession
 
 from ..snapshot.claim_backend import DEFAULT_BACKEND, ClaimBackend
 
+# pre-r11 in-dir meta sidecars (one per state machine family) — their
+# presence marks a legacy layout; `tools/migrate_versioned_state.py`
+# moves them to meta/v{N:012d}.json
+LEGACY_META_NAMES = ("_view_meta.json", "_hh_meta.json")
+
 
 class VersionedState:
     """Versioned state rooted at `state_dir`, coordinated via `backend`."""
@@ -85,15 +90,17 @@ class VersionedState:
             for name in self.backend.list_names(self.state_dir):
                 if not (name.startswith("v") and name[1:].isdigit()):
                     continue
-                for legacy in ("_view_meta.json", "_hh_meta.json"):
+                for legacy in LEGACY_META_NAMES:
                     if self.backend.exists(
                         os.path.join(self.state_dir, name, legacy)
                     ):
                         raise RuntimeError(
                             f"{self.state_dir} holds a pre-r11 versioned-"
-                            f"state layout ({name}/{legacy}); migrate by "
-                            "moving each version's meta to meta/"
-                            "v{N:012d}.json, or rebuild the state"
+                            f"state layout ({name}/{legacy}); run "
+                            "`python tools/migrate_versioned_state.py "
+                            f"{self.state_dir}` to move each committed "
+                            "version's meta to meta/v{N:012d}.json in "
+                            "place, or rebuild the state"
                         )
         return best
 

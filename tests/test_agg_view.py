@@ -244,6 +244,42 @@ def test_minmax_tracking_flip_rejected(spark, tmp_path):
         )
 
 
+def test_agg_view_group_ceiling_refusal(spark, tmp_path):
+    """r11 verdict item 4: the agg view's per-group state collects to the
+    driver — a high-cardinality group key must refuse, both within one
+    batch and as tracked state grows across batches."""
+    state_dir = str(tmp_path / "agg_state")
+    # n_groups=1000: each integer value is its own group
+    rows = [(pk, "I", None, float(pk)) for pk in range(1, 9)]  # 8 groups
+    with pytest.raises(ValueError, match="max_groups"):
+        update_agg_view_state(
+            spark.createDataFrame(rows, _BATCH_SCHEMA), 0,
+            str(tmp_path / "a"), n_groups=1000, max_groups=4,
+        )
+    b0 = [(pk, "I", None, float(pk)) for pk in range(1, 4)]
+    update_agg_view_state(
+        spark.createDataFrame(b0, _BATCH_SCHEMA), 0, state_dir,
+        n_groups=1000, max_groups=4,
+    )
+    b1 = [(pk, "I", None, float(pk)) for pk in range(4, 7)]
+    with pytest.raises(ValueError, match="max_groups"):
+        update_agg_view_state(
+            spark.createDataFrame(b1, _BATCH_SCHEMA), 1, state_dir,
+            n_groups=1000, max_groups=4,
+        )
+    # meta-recorded group count refuses a smaller ceiling pre-collect
+    ok = [(4, "I", None, 4.0)]
+    update_agg_view_state(
+        spark.createDataFrame(ok, _BATCH_SCHEMA), 1, state_dir,
+        n_groups=1000, max_groups=4,
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        update_agg_view_state(
+            spark.createDataFrame(ok, _BATCH_SCHEMA), 2, state_dir,
+            n_groups=1000, max_groups=2,
+        )
+
+
 def _flat_ev(op, lsn, pk, val):
     import datetime
 

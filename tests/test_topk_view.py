@@ -186,6 +186,49 @@ def test_topk_cancellation_must_not_erase_overflow_proofs(spark, tmp_path):
         assert _got(spark, state_dir) == _want(live, 1), arm
 
 
+def test_topk_group_ceiling_refusal(spark, tmp_path):
+    """r11 verdict item 4: a view keyed on a high-cardinality column must
+    REFUSE instead of silently collecting unbounded groups x capacity
+    state to the driver — in the same batch, and as state grows across
+    batches."""
+    state_dir = str(tmp_path / "topk")
+    # n_groups=1000 makes each integer value its own group
+    live = {pk: pk * 100 for pk in range(1, 9)}  # 8 distinct groups
+    auth = lambda: _live_df(spark, live)  # noqa: E731
+    rows = [(pk, "I", None, float(pk)) for pk in range(1, 9)]
+    with pytest.raises(ValueError, match="max_groups"):
+        update_topk_view_state(
+            spark.createDataFrame(rows, _BATCH_SCHEMA), 0, str(tmp_path / "a"),
+            authoritative=auth, k=1, n_groups=1000, max_groups=4,
+        )
+    # under the ceiling per batch, but cumulative growth still refuses
+    b0 = [(pk, "I", None, float(pk)) for pk in range(1, 4)]  # 3 groups
+    update_topk_view_state(
+        spark.createDataFrame(b0, _BATCH_SCHEMA), 0, state_dir,
+        authoritative=lambda: _live_df(spark, {pk: pk * 100 for pk in range(1, 4)}),
+        k=1, n_groups=1000, max_groups=4,
+    )
+    b1 = [(pk, "I", None, float(pk)) for pk in range(4, 7)]  # 3 more
+    with pytest.raises(ValueError, match="max_groups"):
+        update_topk_view_state(
+            spark.createDataFrame(b1, _BATCH_SCHEMA), 1, state_dir,
+            authoritative=auth, k=1, n_groups=1000, max_groups=4,
+        )
+    # the committed meta records the tracked-group count, so re-opening
+    # oversized state under a smaller ceiling refuses BEFORE the collect
+    ok = [(pk, "I", None, float(pk)) for pk in range(4, 5)]
+    update_topk_view_state(
+        spark.createDataFrame(ok, _BATCH_SCHEMA), 1, state_dir,
+        authoritative=lambda: _live_df(spark, {pk: pk * 100 for pk in range(1, 5)}),
+        k=1, n_groups=1000, max_groups=4,
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        update_topk_view_state(
+            spark.createDataFrame(ok, _BATCH_SCHEMA), 2, state_dir,
+            authoritative=auth, k=1, n_groups=1000, max_groups=2,
+        )
+
+
 def test_topk_rejects_k_change(spark, tmp_path):
     state_dir = str(tmp_path / "topk")
     df = spark.createDataFrame([(1, "I", None, 5.0)], _BATCH_SCHEMA)

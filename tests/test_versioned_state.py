@@ -96,3 +96,90 @@ def test_versioned_state_protocol_model(spark, kind, steps):
                     assert int(e[1:]) >= cutoff, f"unswept dir {e}"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_migrate_pre_r11_layout_preserves_counts(spark, tmp_path):
+    """r11 verdict item 3: the migration tool the legacy-layout refusal
+    points at. Build a REAL pre-r11 agg-view state (current machine's
+    parquet devolved to in-dir `_view_meta.json` sidecars), assert the
+    refusal names the tool, migrate in place, and fold the next batch —
+    counts must accumulate across the migration, not reset."""
+    import json
+    import sys
+
+    from go_pq_cdc_spark.streaming.agg_view_stream import (
+        read_agg_view,
+        update_agg_view_state,
+    )
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from migrate_versioned_state import migrate_state_dir
+
+    schema = "pk long, op string, before_val double, after_val double"
+    state_dir = str(tmp_path / "agg")
+    b0 = [(pk, "I", None, 5.0 + pk) for pk in range(1, 6)]
+    update_agg_view_state(spark.createDataFrame(b0, schema), 0, state_dir)
+    vs = VersionedState(state_dir)
+
+    # devolve v0 to the pre-r11 layout: meta sidecar inside the version
+    # dir, no meta/ marker
+    meta = vs.read_meta(0)
+    with open(os.path.join(vs.version_dir(0), "_view_meta.json"), "w") as f:
+        json.dump(meta, f)
+    assert vs.backend.delete(vs._meta_path(0))
+    # torn pre-r11 version: sidecar without _SUCCESS — invisible then,
+    # must stay invisible after migration
+    os.makedirs(vs.version_dir(7))
+    with open(os.path.join(vs.version_dir(7), "_view_meta.json"), "w") as f:
+        json.dump({"batch_id": 7}, f)
+
+    with pytest.raises(RuntimeError, match="migrate_versioned_state"):
+        vs.latest_version()
+
+    report = migrate_state_dir(state_dir)
+    assert report == {"migrated": [0], "torn_dropped": [7], "already": []}
+    assert vs.latest_version() == 0
+    # idempotent: nothing legacy left, second run is a no-op
+    assert migrate_state_dir(state_dir) == {
+        "migrated": [], "torn_dropped": [], "already": [],
+    }
+
+    # the next fold accumulates on the migrated state instead of
+    # resetting: 5 keys from b0 + 2 new keys from b1
+    b1 = [(pk, "I", None, 5.0 + pk) for pk in range(6, 8)]
+    update_agg_view_state(spark.createDataFrame(b1, schema), 1, state_dir)
+    total = sum(
+        r["n_keys"] for r in read_agg_view(spark, state_dir).collect()
+    )
+    assert total == 7
+
+
+def test_migrate_crash_between_put_and_sidecar_delete(spark, tmp_path):
+    """Crash-safety arm: the new meta marker lands BEFORE the sidecar is
+    deleted, so a crash in between leaves both — the re-run reports the
+    version as `already` migrated and finishes the sidecar delete."""
+    import json
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from migrate_versioned_state import migrate_state_dir
+
+    state_dir = str(tmp_path / "hh")
+    vs = VersionedState(state_dir)
+    vdir = vs.version_dir(3)
+    os.makedirs(vdir)
+    open(os.path.join(vdir, "_SUCCESS"), "w").close()
+    meta = {"n_total": 42, "capacity": 8, "batch_id": 3}
+    with open(os.path.join(vdir, "_hh_meta.json"), "w") as f:
+        json.dump(meta, f)
+    # simulate the crash state: new meta already put, sidecar not deleted
+    vs.commit(3, meta)
+    report = migrate_state_dir(state_dir)
+    assert report == {"migrated": [], "torn_dropped": [], "already": [3]}
+    assert not os.path.exists(os.path.join(vdir, "_hh_meta.json"))
+    assert vs.latest_version() == 3
+    assert vs.read_meta(3)["n_total"] == 42
