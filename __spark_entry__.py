@@ -26,21 +26,93 @@ def entry(spark: SparkSession) -> DataFrame:
 # Gate scheduling: the correctness runner caps at 50 of the registry's
 # entries per round, so rows that NEED a fresh driver-green signal run
 # FIRST. Rotation invariant: every registry row's latest driver green is
-# <= 2 rounds old, PLUS a bounded carry — with 107 registry rows and a
-# 50-row cap (107 > 2*50), each round defers (carry + new-query count)
+# <= 2 rounds old, PLUS a bounded carry — with 108 registry rows and a
+# 50-row cap (108 > 2*50), each round defers (carry + new-query count)
 # of the cheapest/most robust rows to position 51+, and those lead the
-# NEXT round's head. Round 11 rotation (r10 verdict item 3): the 3
-# exactly-2-rounds-old r10 deferrals lead, then 43 r9-green rows; the 4
-# queries ADDED this round close the cap at 50 exactly; 7 r9-green rows
-# defer to 51-57; the 50 r10-green rows are the freshest signal and
-# trail.
+# NEXT round's head. Round 12 rotation (r11 verdict item 1): the 7
+# exactly-2-rounds-old r9-green deferrals lead, then 42 r10-green rows;
+# the queries ADDED this round close the cap at 50 exactly; 8 r10-green
+# rows defer to 51-58 (they lead the r13 head); the 50 r11-green rows
+# are the freshest signal and trail.
 _GATE_HEAD = [
-    # r8-green rows deferred past r10's cap — stalest signal, run first
+    # r9-green rows deferred past r11's cap — stalest signal, run first
+    "q_set_ops",
+    "q_json_extract",
+    "q_distinct_custs",
+    "q_scalar_gauntlet",
+    "q_order_priority_count",
+    "q_rollup_cube",
+    "q_pivot_event_counts",
+    # driver-green in CORRECTNESS_r10 (50/50 MATCH), minus the 8
+    # deferred below — stalest-but-one
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_bracketed_revenue",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "cdc_op_route_counts",
+    "cdc_toast_fill",
+    "cdc_latest_state",
+    "cdc_commit_order",
+    "cdc_snapshot_handoff",
+    "snapshot_chunk_stats",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "dedup_cluster_assign",
+    "dedup_decontaminate",
+    "dedup_simhash_pairs",
+    "curation_pipeline",
+    "emb_near_dup_lsh",
+    "sim_lsh_buckets",
+    "pack_token_sequences",
+    "sample_stratified_mix",
+    "sample_cluster_balanced",
+    "train_epoch_order",
+    "text_chunk_windows",
+    "sample_stratum_topk",
+    "emb_dim_stats",
+    "cdc_changes_between",
+    "text_substring_dedup_apply",
+    "text_heavy_hitters",
+    "text_bm25_topk",
+    "dedup_semantic",
+    "cdc_incremental_agg_view",
+    "text_gopher_quality",
+]
+# Queries ADDED in round 12 — never driver-checked: 49 head rows + these
+# = 50 exactly.
+_GATE_NEW = [
+    "cdc_heavy_hitters_view",
+]
+# Deferred to position 51+: r10-green rows displaced by this round's new
+# queries + the structural carry — at r12 judging they are exactly 2
+# rounds old (the invariant's declared carry) and they lead the r13
+# head. Chosen cheapest/most robust first (pure-expression plans
+# untouched for rounds).
+_GATE_DEFERRED = [
+    "q_window_gauntlet",
+    "q_funnel_steps",
+    "q_cohort_retention",
+    "q_kmv_distinct",
+    "q_kmv_merge",
+    "text_pii_scrub",
+    "text_cleanup",
+    "text_url_dedup",
+]
+_GATE_TAIL = [
+    # driver-green in CORRECTNESS_r11 (50/50 MATCH) — freshest signal
     "q_histogram",
     "text_bag_dedup",
     "text_line_dedup",
-    # driver-green in CORRECTNESS_r09 (50/50 MATCH), minus the 7
-    # deferred below — stalest-but-one
     "q12_late_shipment_priority",
     "emb_quantize",
     "q_time_bucket_gapfill",
@@ -84,81 +156,10 @@ _GATE_HEAD = [
     "q17_small_quantity_revenue",
     "text_substring_dedup",
     "emb_centroid_outliers",
-]
-# Queries ADDED in round 11 — never driver-checked: 46 head rows + these
-# = 50 exactly.
-_GATE_NEW = [
     "cdc_topk_view",
     "cdc_agg_view_minmax",
     "sample_token_budget",
     "sample_upsample_epochs",
-]
-# Deferred to position 51+: r9-green rows displaced by this round's new
-# queries + the structural 3-row carry — at r11 judging they are exactly
-# 2 rounds old (the invariant's declared carry) and they lead the r12
-# head. Chosen cheapest/most robust first (pure-expression plans
-# untouched for rounds).
-_GATE_DEFERRED = [
-    "q_set_ops",
-    "q_json_extract",
-    "q_distinct_custs",
-    "q_scalar_gauntlet",
-    "q_order_priority_count",
-    "q_rollup_cube",
-    "q_pivot_event_counts",
-]
-_GATE_TAIL = [
-    # driver-green in CORRECTNESS_r10 (50/50 MATCH) — freshest signal
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q19_bracketed_revenue",
-    "q15_top_supplier",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "cdc_op_route_counts",
-    "cdc_toast_fill",
-    "cdc_latest_state",
-    "cdc_commit_order",
-    "cdc_snapshot_handoff",
-    "snapshot_chunk_stats",
-    "q_window_gauntlet",
-    "q_funnel_steps",
-    "q_cohort_retention",
-    "q_kmv_distinct",
-    "q_kmv_merge",
-    "text_pii_scrub",
-    "text_cleanup",
-    "text_url_dedup",
-    "dedup_minhash_lsh",
-    "dedup_incremental",
-    "dedup_cluster_assign",
-    "dedup_decontaminate",
-    "dedup_simhash_pairs",
-    "curation_pipeline",
-    "emb_near_dup_lsh",
-    "sim_lsh_buckets",
-    "pack_token_sequences",
-    "sample_stratified_mix",
-    "sample_cluster_balanced",
-    "train_epoch_order",
-    "text_chunk_windows",
-    "sample_stratum_topk",
-    "emb_dim_stats",
-    "cdc_changes_between",
-    "text_substring_dedup_apply",
-    "text_heavy_hitters",
-    "text_bm25_topk",
-    "dedup_semantic",
-    "cdc_incremental_agg_view",
-    "text_gopher_quality",
 ]
 
 

@@ -495,6 +495,127 @@ def cdc_agg_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_HH_CAPACITY = 4
+
+
+@register(
+    "cdc_heavy_hitters_view",
+    oracle=f"""
+    {_BASE},
+    base AS (
+        SELECT CAST(CAST(LOG2((pk + 1) & (-(pk + 1))) AS BIGINT) AS VARCHAR)
+                   AS item
+        FROM committed WHERE tbl <> 'cdc_heartbeat'
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM base)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM base, tot
+    GROUP BY item, tot.n
+    HAVING COUNT(*) * {_HH_CAPACITY + 1} > tot.n
+    """,
+    tags=("cdc", "ivm", "view", "heavy-hitters"),
+)
+def cdc_heavy_hitters_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heavy-hitters STREAMING state machine under the driver's eye
+    (r11 verdict item 2) — the last of the three view machines to get the
+    `cdc_topk_view` treatment. The changelog folds through the REAL
+    `update_heavy_hitter_state` foreachBatch body in three LSN-ordered
+    batches (distributed Misra-Gries partition summaries, persisted
+    VersionedState, keep-2 GC), then the batch VERIFY pass the module
+    docstring prescribes turns the approximate state into an EXACT,
+    SQL-expressible answer: candidates come from the state, exact counts
+    come from one corpus aggregate over candidate items only, and the
+    phi-filter keeps items with true frequency > n/(capacity+1). MG's
+    completeness guarantee (no true heavy hitter missing from the state)
+    is exactly what makes this equal the oracle's from-scratch
+    HAVING-count query; the count-error guarantee (stored cnt in
+    [true - n/(cap+1), true]) is fused into the plan as an assert_true
+    that fails the query on violation.
+
+    The item stream is trailing_zeros(pk + 1) — a scale-INVARIANT
+    zipf-ish distribution (item k carries ~2^-k of the stream at every
+    SF), so items 0 and 1 clear the 1/(capacity+1) = 20% bar at sf0.001
+    through sf1 while the ~log2(max_pk) distinct items exceed the
+    capacity and force real MG decrements."""
+    import shutil
+    import tempfile
+
+    from ..streaming.heavy_hitters_stream import (
+        heavy_hitter_candidates,
+        latest_version,
+        update_heavy_hitter_state,
+    )
+    from ..streaming.versioned_state import VersionedState
+
+    cap = _HH_CAPACITY
+    df = ops.filter_heartbeat(committed_changelog(spark, sf_dir))
+    items = df.select(
+        "lsn",
+        F.expr(
+            "CAST(CAST(log2((pk + 1) & (-(pk + 1))) AS BIGINT) AS STRING)"
+        ).alias("item"),
+    )
+
+    frontier = changelog_frontier(sf_dir)
+    state_dir = tempfile.mkdtemp(prefix="cdc_hh_view_")
+    try:
+        lo = -1
+        for i, hi in enumerate((frontier // 3, frontier * 2 // 3, frontier)):
+            batch = items.filter(
+                (F.col("lsn") > lo) & (F.col("lsn") <= hi)
+            ).select("item")
+            update_heavy_hitter_state(
+                batch, i + 1, state_dir, value_col="item", capacity=cap
+            )
+            lo = hi
+
+        n = items.count()
+        meta = VersionedState(state_dir).read_meta(latest_version(state_dir))
+        if int(meta["n_total"]) != n:
+            raise RuntimeError(
+                f"heavy-hitter state counted {meta['n_total']} stream rows, "
+                f"corpus holds {n} — the fold lost or duplicated a batch"
+            )
+        cand = {
+            r["item"]: r["cnt_lower"]
+            for r in heavy_hitter_candidates(
+                spark, state_dir, 1.0 / (cap + 1)
+            ).collect()  # <= capacity rows by construction
+        }
+        err = n // (cap + 1)
+        from itertools import chain
+
+        lower = F.create_map(
+            *chain.from_iterable(
+                (F.lit(k), F.lit(v)) for k, v in sorted(cand.items())
+            )
+        )[F.col("item")]
+        # MG count-error guarantee as an in-plan contract: the stored
+        # count never exceeds the true count and undercounts by at most
+        # n/(capacity+1); fused via the when(guard.isNull(), ...) idiom
+        # so Catalyst cannot prune the assertion away
+        guard = F.assert_true(
+            (lower <= F.col("_n")) & ((F.col("_n") - lower) <= F.lit(err)),
+            F.lit(
+                "cdc_heavy_hitters_view: Misra-Gries count bound violated"
+            ),
+        )
+        out = (
+            items.filter(F.col("item").isin(list(cand)))
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+            .select(
+                "item",
+                F.when(guard.isNull(), F.col("_n")).alias("n_events"),
+            )
+            .filter(F.col("n_events") * (cap + 1) > F.lit(n))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return out
+
+
 @register(
     "snapshot_chunk_stats",
     oracle="""
