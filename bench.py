@@ -57,6 +57,16 @@ ANCHOR_EVERY = 4
 # comfortably inside it even with a few stray log lines appended after.
 FINAL_LINE_BUDGET = 1500
 
+# Sub-second queries get extra in-pass repeats (r11 verdict item 6): at
+# <1s the host's same-run agreement is 1.3-1.7x — fixed-cost jitter the
+# size of the measurement — so one timing per pass (best-of-2 overall)
+# made 4 untouched queries look >1.3x regressed in r11. Best-of-3 per
+# pass (best-of-6 overall) costs <1s per extra rep and brings per-query
+# agreement under the ~1.2 adjudication bar on a quiet box. Queries at
+# >=1s keep single-timing-per-pass: their runtime dwarfs the jitter.
+SUBSEC_THRESHOLD = 1.0
+SUBSEC_REPS = 3
+
 
 def build_final_line(summary: dict) -> str:
     """Compact single-line JSON for the driver's tail capture. Raises if
@@ -135,6 +145,12 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.spark_fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
+            reps = 1
+            while dt < SUBSEC_THRESHOLD and reps < SUBSEC_REPS:
+                t0 = time.perf_counter()
+                spec.spark_fn(spark, sf_dir).count()
+                dt = min(dt, time.perf_counter() - t0)
+                reps += 1
             f = cal / CAL_REF_SEC
             raw[spec.name] = round(dt, 3)
             factors[spec.name] = round(f, 3)
