@@ -563,6 +563,7 @@ class CdcEngine:
         view_minmax: bool = False,
         maintain_every: int | None = None,
         maintain_min_deltas: int = 4,
+        maintain_auto_rebucket: bool = False,
         on_maintenance=None,
     ):
         """The reference's `connector.Start(ctx)` in one call
@@ -662,7 +663,8 @@ class CdcEngine:
 
         `maintain_every=N` (opt-in) runs the mirror maintenance policy
         every N micro-batches: compact delta debt past
-        `maintain_min_deltas`, surface — never auto-run — a rebucket
+        `maintain_min_deltas`, surface (or with
+        `maintain_auto_rebucket=True`, execute) a rebucket
         recommendation; the report goes to `on_maintenance` (wire
         `observability.CdcMetricsListener.record_mirror` for /status).
         See `streaming.changelog_stream.run_mirror_maintenance`."""
@@ -727,6 +729,7 @@ class CdcEngine:
                     view_value_col=view_value_col, view_minmax=view_minmax,
                     maintain_every=maintain_every,
                     maintain_min_deltas=maintain_min_deltas,
+                    maintain_auto_rebucket=maintain_auto_rebucket,
                     on_maintenance=on_maintenance,
                 )
             if snapshot_reader is None:
@@ -803,6 +806,7 @@ class CdcEngine:
             view_value_col=view_value_col, view_minmax=view_minmax,
             maintain_every=maintain_every,
             maintain_min_deltas=maintain_min_deltas,
+            maintain_auto_rebucket=maintain_auto_rebucket,
             on_maintenance=on_maintenance,
         )
 
@@ -828,6 +832,7 @@ class CdcEngine:
         view_minmax=False,
         maintain_every=None,
         maintain_min_deltas=4,
+        maintain_auto_rebucket=False,
         on_maintenance=None,
     ):
         """Post-seed data plane: the changelog stream from `wal_dir`,
@@ -874,6 +879,7 @@ class CdcEngine:
             view_kwargs.update(
                 maintain_every=maintain_every,
                 maintain_min_deltas=maintain_min_deltas,
+                maintain_auto_rebucket=maintain_auto_rebucket,
                 on_maintenance=on_maintenance,
             )
 

@@ -1659,6 +1659,7 @@ def mirror_sink(
     maintain_every: int | None = None,
     maintain_min_deltas: int = 4,
     maintain_target_rewrite_bytes: int = 512 << 20,
+    maintain_auto_rebucket: bool = False,
     on_maintenance=None,
 ):
     """Attach the mirror-maintenance sink to a change stream. Returns the
@@ -1722,11 +1723,13 @@ def mirror_sink(
     debt back under budget even for buckets no batch touches anymore);
     and when `suggest_mirror_buckets` (under
     `maintain_target_rewrite_bytes`) exceeds the pinned bucket count,
-    SURFACE a rebucket recommendation — never auto-run it: a rebucket is
-    a full-state rewrite whose scheduling belongs to an operator
-    (`rebucket_mirror` is online but not free). The post-policy stats
-    dict — plus `rebucket_recommended` — goes to `on_maintenance` (wire
-    `observability.CdcMetricsListener.record_mirror` to see it in
+    SURFACE a rebucket recommendation — by default never auto-run it: a
+    rebucket is a full-state rewrite whose scheduling belongs to an
+    operator (`rebucket_mirror` is online but not free).
+    `maintain_auto_rebucket=True` opts in to running the rebucket inside
+    the policy tick (see `run_mirror_maintenance`). The post-policy
+    stats dict — plus `rebucket_recommended` — goes to `on_maintenance`
+    (wire `observability.CdcMetricsListener.record_mirror` to see it in
     /status)."""
     batch_counter = {"n": 0}
 
@@ -1808,6 +1811,7 @@ def mirror_sink(
                     target_rewrite_bytes=maintain_target_rewrite_bytes,
                     backend=backend,
                     on_maintenance=on_maintenance,
+                    auto_rebucket=maintain_auto_rebucket,
                 )
             except Exception:
                 import logging
@@ -1832,12 +1836,24 @@ def run_mirror_maintenance(
     target_rewrite_bytes: int = 512 << 20,
     backend: ClaimBackend = DEFAULT_BACKEND,
     on_maintenance=None,
+    auto_rebucket: bool = False,
 ) -> dict:
     """One maintenance-policy pass (see mirror_sink's `maintain_every`):
     compact past the debt threshold, then report post-policy stats with a
-    `rebucket_recommended` flag (surfaced, never executed). Also callable
-    directly from a scheduled maintenance job against a quiescent or live
-    mirror — it takes the same merge lock as any merge."""
+    `rebucket_recommended` flag. Also callable directly from a scheduled
+    maintenance job against a quiescent or live mirror — it takes the
+    same merge lock as any merge.
+
+    `auto_rebucket` (OFF by default — r11 verdict item 8): when the
+    recommendation fires, run `rebucket_mirror` right here with the
+    smallest power-of-two factor that reaches `suggested_buckets`. The
+    rebucket serializes on the merge lock and swaps epochs atomically
+    like any merge, so readers and concurrent merges stay consistent —
+    but it IS a full-state rewrite, which is why the default only
+    surfaces the recommendation and leaves scheduling to an operator.
+    Opt in when the mirror is small enough that an unscheduled rewrite
+    inside a maintenance tick is acceptable. The report then carries
+    `rebucket_performed` (the new bucket count) and re-read stats."""
     stats = mirror_stats(
         spark, state_dir, backend, target_rewrite_bytes=target_rewrite_bytes
     )
@@ -1850,6 +1866,20 @@ def run_mirror_maintenance(
     stats["rebucket_recommended"] = (
         stats["suggested_buckets"] > stats["n_buckets"]
     )
+    if auto_rebucket and stats["rebucket_recommended"]:
+        factor = 2
+        while stats["n_buckets"] * factor < stats["suggested_buckets"]:
+            factor *= 2
+        new_n = rebucket_mirror(
+            spark, state_dir, factor=factor, backend=backend
+        )
+        stats = mirror_stats(
+            spark, state_dir, backend, target_rewrite_bytes=target_rewrite_bytes
+        )
+        stats["rebucket_recommended"] = (
+            stats["suggested_buckets"] > stats["n_buckets"]
+        )
+        stats["rebucket_performed"] = new_n
     if on_maintenance is not None:
         on_maintenance(stats)
     return stats

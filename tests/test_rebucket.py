@@ -197,3 +197,52 @@ def test_mirror_stats_reports_debt_and_sizing(spark, tmp_path):
     st2 = mirror_stats(spark, d)
     assert st2["delta_debt"] == {} and st2["delta_bytes"] == 0
     assert st2["n_buckets"] == 64
+
+
+def test_maintenance_auto_rebucket_opt_in(spark, tmp_path):
+    """r11 verdict item 8: run_mirror_maintenance(auto_rebucket=True)
+    executes the recommended rebucket inside the policy pass (under the
+    merge lock rebucket_mirror takes) with the smallest power-of-two
+    factor reaching suggested_buckets; the default arm still only
+    surfaces the recommendation. Answers must be identical across the
+    auto-rebucket."""
+    from go_pq_cdc_spark.streaming.changelog_stream import (
+        run_mirror_maintenance,
+    )
+
+    d = str(tmp_path / "m")
+    merge_mirror_batch(
+        _batch(spark, [_ev("I", i, 1, i, float(i)) for i in range(1, 60)]), d
+    )
+    merge_mirror_batch(
+        _batch(spark, [_ev("U", 100, 2, 5, 50.0), _ev("D", 101, 2, 9, None)]),
+        d, merge_mode="delta",
+    )
+    before = _state(spark, d)
+
+    # default arm: recommendation surfaced, bucket count untouched
+    st = run_mirror_maintenance(spark, d, target_rewrite_bytes=1024)
+    assert st["rebucket_recommended"] is True
+    assert "rebucket_performed" not in st
+    assert st["n_buckets"] == 32
+    suggested = st["suggested_buckets"]
+    assert suggested > 32
+
+    # opt-in arm: the rebucket runs, reaches the suggestion in ONE
+    # rewrite, reports itself, and preserves every answer
+    reports = []
+    st2 = run_mirror_maintenance(
+        spark, d, target_rewrite_bytes=1024, auto_rebucket=True,
+        on_maintenance=reports.append,
+    )
+    assert st2["rebucket_performed"] == st2["n_buckets"]
+    assert st2["n_buckets"] >= suggested
+    assert reports and reports[-1]["rebucket_performed"] == st2["n_buckets"]
+    assert _state(spark, d) == before
+    assert _read_manifest(d)["n_buckets"] == st2["n_buckets"]
+
+    # next tick under a sane target: no recommendation, no rewrite
+    st3 = run_mirror_maintenance(spark, d, auto_rebucket=True)
+    assert "rebucket_performed" not in st3
+    assert st3["rebucket_recommended"] is False
+    assert _state(spark, d) == before
