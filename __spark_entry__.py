@@ -26,14 +26,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # Gate scheduling: the correctness runner caps at 50 of the registry's
 # entries per round, so rows that NEED a fresh driver-green signal run
 # FIRST. Rotation invariant: every registry row's latest driver green is
-# <= 2 rounds old, PLUS a bounded carry — with 108 registry rows and a
-# 50-row cap (108 > 2*50), each round defers (carry + new-query count)
+# <= 2 rounds old, PLUS a bounded carry — with 111 registry rows and a
+# 50-row cap (111 > 2*50), each round defers (carry + new-query count)
 # of the cheapest/most robust rows to position 51+, and those lead the
 # NEXT round's head. Round 12 rotation (r11 verdict item 1): the 7
-# exactly-2-rounds-old r9-green deferrals lead, then 42 r10-green rows;
-# the queries ADDED this round close the cap at 50 exactly; 8 r10-green
-# rows defer to 51-58 (they lead the r13 head); the 50 r11-green rows
-# are the freshest signal and trail.
+# exactly-2-rounds-old r9-green deferrals lead, then 39 r10-green rows;
+# the 4 queries ADDED this round close the cap at 50 exactly; 11
+# r10-green rows defer to 51-61 (they lead the r13 head); the 50
+# r11-green rows are the freshest signal and trail.
 _GATE_HEAD = [
     # r9-green rows deferred past r11's cap — stalest signal, run first
     "q_set_ops",
@@ -84,14 +84,14 @@ _GATE_HEAD = [
     "text_substring_dedup_apply",
     "text_heavy_hitters",
     "text_bm25_topk",
-    "dedup_semantic",
-    "cdc_incremental_agg_view",
-    "text_gopher_quality",
 ]
-# Queries ADDED in round 12 — never driver-checked: 49 head rows + these
+# Queries ADDED in round 12 — never driver-checked: 46 head rows + these
 # = 50 exactly.
 _GATE_NEW = [
     "cdc_heavy_hitters_view",
+    "cdc_enrich_dimension",
+    "sample_temperature_mix",
+    "text_ngram_novelty",
 ]
 # Deferred to position 51+: r10-green rows displaced by this round's new
 # queries + the structural carry — at r12 judging they are exactly 2
@@ -107,6 +107,9 @@ _GATE_DEFERRED = [
     "text_pii_scrub",
     "text_cleanup",
     "text_url_dedup",
+    "dedup_semantic",
+    "cdc_incremental_agg_view",
+    "text_gopher_quality",
 ]
 _GATE_TAIL = [
     # driver-green in CORRECTNESS_r11 (50/50 MATCH) — freshest signal

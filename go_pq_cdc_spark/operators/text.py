@@ -146,6 +146,47 @@ def with_repetition_ratio(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty — the curation signal dedup misses:
+    what share of a doc's DISTINCT n-token shingles appears nowhere
+    earlier in the corpus (id order)? 1.0 = entirely fresh content,
+    ~0.0 = restatement of earlier documents (template spam, syndicated
+    copies that are not near-dups of any ONE doc). Docs shorter than n
+    tokens carry no shingles and are absent from the output.
+
+    Scale shape: explode distinct shingle hashes (the MinHash input set,
+    `P.shingle_hashes`), first-occurrence via MIN(id) OVER (PARTITION BY
+    shingle) — one shingle-hash-keyed shuffle shared by the window, then
+    the per-doc rollup's id shuffle. No joins, no all-pairs anything;
+    both shuffles key on high-cardinality hashes, so the plan is skew-
+    and scale-safe at corpus size.
+
+    Output: (id, n_shingles, n_novel, novelty)."""
+    sh = P.shingle_hashes(text_col, n)
+    exploded = df.select(
+        F.col(id_col), F.explode(F.expr(sh["spark"])).alias("sh")
+    )
+    w = Window.partitionBy("sh")
+    novel = F.when(F.min(id_col).over(w) == F.col(id_col), 1).otherwise(0)
+    return (
+        exploded.withColumn("_novel", novel)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("_novel").cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_shingles"),
+        )
+    )
+
+
 def token_hashes_fragments(text_col: str = "text") -> dict[str, str]:
     """md5-derived hash per whitespace token — shared by SimHash and tests."""
     tok = P.tokens(text_col)

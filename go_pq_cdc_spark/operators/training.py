@@ -48,6 +48,63 @@ def sample_fragments(id_col: str, rate_expr: str) -> dict[str, str]:
     }
 
 
+def sample_temperature(
+    df: DataFrame,
+    alpha: float = 0.5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled stratum sampling — the mT5/multilingual
+    alpha-sampling rule (p_i ∝ n_i^alpha): downsample each stratum at
+    rate (n_min/n_i)^(1-alpha), anchored at the SMALLEST stratum (kept
+    whole), which flattens the kept-count distribution to exactly
+    ∝ n_i^alpha without upsampling. alpha=1 keeps everything
+    (proportional), alpha→0 approaches uniform strata.
+
+    Scale shape: the per-stratum counts collect is strata-size (the same
+    class as the percentile-cut collects); the rates are inlined as an
+    engine-evaluated CASE over literal counts, so the keep predicate is
+    ONE narrow filter — no join, no shuffle, retry-stable hash
+    thresholding (`sample_fragments`).
+
+    Cross-engine exactness: for alpha=0.5 the rate is
+    sqrt(n_min / n_i) — division and sqrt are IEEE correctly-rounded on
+    both engines, so an oracle deriving the same rate in SQL lands on
+    bit-identical thresholds. Other alphas go through pow(), whose
+    rounding is libm-specific — fine within one engine, pin alpha=0.5
+    for cross-engine oracles."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df
+    n_min = min(counts.values())
+
+    def rate_sql(n: int) -> str:
+        frac = f"CAST({n_min} AS DOUBLE) / {n}"
+        if alpha == 0.5:
+            return f"sqrt({frac})"
+        return f"power({frac}, CAST({1.0 - alpha!r} AS DOUBLE))"
+
+    branches = " ".join(
+        (
+            f"WHEN {stratum_col} IS NULL THEN {rate_sql(n)}"
+            if s is None
+            else f"WHEN {stratum_col} = '{s}' THEN {rate_sql(n)}"
+        )
+        for s, n in sorted(
+            counts.items(), key=lambda kv: (kv[0] is None, kv[0])
+        )
+    )
+    rate = f"CASE {branches} ELSE CAST(0.0 AS DOUBLE) END"
+    return df.filter(F.expr(sample_fragments(id_col, rate)["spark"]))
+
+
 def sample_deterministic(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     """Uniform deterministic sample: a pure narrow filter (no shuffle, no
     RNG, stable across runs/retries — a recomputed task keeps the same

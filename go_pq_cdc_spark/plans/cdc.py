@@ -495,6 +495,58 @@ def cdc_agg_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "cdc_enrich_dimension",
+    oracle=f"""
+    {_BASE},
+    base AS (SELECT * FROM committed WHERE tbl <> 'cdc_heartbeat'),
+    {_FILL_SQL},
+    ranked AS (
+        SELECT pk, filled_val, op,
+               ROW_NUMBER() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+        FROM filled
+    ),
+    live AS (
+        SELECT pk, CAST(filled_val AS DECIMAL(18,2)) AS v
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS sum_val
+    FROM live LEFT JOIN orders o ON live.pk = o.o_orderkey
+    GROUP BY 1
+    """,
+    tags=("cdc", "enrichment", "join", "broadcast"),
+)
+def cdc_enrich_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — the classic 'decorate the
+    change feed' pattern reference users hand-roll in the sink callback
+    (stream.go:33-38): the CDC latest-state joined to a dimension table
+    and rolled up per dimension attribute. LEFT join on purpose: keys
+    with no dimension row land in the NULL group instead of silently
+    vanishing (the recurring NULL-stratum bug class). The dimension side
+    is broadcast — at 100 TB the change stream is the big side and the
+    dimension rides to every executor, so the plan has no shuffle on the
+    stream side beyond latest_state's own (pk, lsn) window."""
+    state = ops.latest_state(
+        ops.filter_heartbeat(committed_changelog(spark, sf_dir))
+    )
+    dim = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    v = F.col("last_val").cast("decimal(18,2)")
+    return (
+        state.join(
+            F.broadcast(dim), state["pk"] == dim["o_orderkey"], "left"
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(v).cast("double").alias("sum_val"),
+        )
+    )
+
+
 _HH_CAPACITY = 4
 
 

@@ -1586,6 +1586,84 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def _novelty_oracle(n: int = 3) -> str:
+    sh = P.shingle_hashes("text", n)["duck"]
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({sh}) AS sh FROM documents
+    ),
+    firsts AS (
+        SELECT doc_id, sh,
+               MIN(doc_id) OVER (PARTITION BY sh) AS first_doc
+        FROM sh
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty
+    FROM firsts
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=_novelty_oracle(),
+    tags=("text", "quality", "novelty", "dedup"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (share of the doc's distinct 3-gram
+    shingles first seen in this doc, id order) — the diversity/freshness
+    curation signal near-dup detection misses: syndication and template
+    spam score near 0 without being a near-dup of any single doc. One
+    shingle-hash window + one per-doc rollup; no joins (see
+    `operators.text.ngram_novelty`)."""
+    from ..operators.text import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs)
+
+
+def _temperature_oracle() -> str:
+    from ..operators.training import sample_fragments
+
+    keep = sample_fragments("d.doc_id", "r.rate")["duck"]
+    return f"""
+    WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    mn AS (SELECT MIN(n) AS n_min FROM cnt),
+    rated AS (
+        SELECT cnt.lang AS rl, sqrt(CAST(mn.n_min AS DOUBLE) / cnt.n) AS rate
+        FROM cnt, mn
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rated r ON d.lang IS NOT DISTINCT FROM r.rl
+    WHERE {keep}
+    """
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=_temperature_oracle(),
+    tags=("training", "sampling", "mixing", "temperature"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature/alpha sampling (the mT5 multilingual mixing rule,
+    alpha=0.5): each language keeps rate (n_min/n_lang)^(1-alpha), so
+    kept counts flatten to ∝ n_lang^alpha with the smallest language
+    kept whole — the data-DERIVED-rates complement of
+    `sample_stratified_mix`'s user-given rates. The Spark side inlines
+    engine-evaluated sqrt-of-literal-counts rates into one narrow hash-
+    threshold filter (no join, no shuffle); the oracle derives the same
+    rates in SQL — division and sqrt are IEEE correctly-rounded on both
+    engines, so the thresholds agree bit-exactly."""
+    from ..operators.training import sample_temperature
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_temperature(docs, alpha=0.5).select("doc_id", "lang")
+
+
 def _weighted_oracle() -> str:
     from ..operators.training import weighted_sample_key
 

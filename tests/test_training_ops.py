@@ -473,3 +473,58 @@ def test_upsample_token_budget_zero_total_stratum(spark):
         """
     ).fetchall()
     assert sorted(oracle_rows) == want
+
+
+def test_sample_temperature_flattens_to_alpha(spark):
+    """Temperature sampling: the smallest stratum is kept whole, larger
+    strata downsample at (n_min/n_i)^(1-alpha) so kept counts flatten to
+    ~n_i^alpha; alpha=1 keeps everything; NULL strata are a stratum."""
+    from go_pq_cdc_spark.operators.training import sample_temperature
+
+    rows = (
+        [(i, "big") for i in range(4000)]
+        + [(10_000 + i, "small") for i in range(250)]
+        + [(20_000 + i, None) for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = {
+        r["lang"]: r["n"]
+        for r in sample_temperature(df, alpha=0.5)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert kept["small"] == 250  # anchor stratum kept whole
+    # big: rate sqrt(250/4000) = 0.25 -> ~1000 of 4000
+    assert 800 < kept["big"] < 1200
+    # NULL stratum: rate sqrt(250/1000) = 0.5 -> ~500 of 1000
+    assert 380 < kept[None] < 620
+    # alpha=1 is proportional: everything kept
+    assert sample_temperature(df, alpha=1.0).count() == len(rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        sample_temperature(df, alpha=0.0)
+
+
+def test_ngram_novelty_first_occurrence_semantics(spark):
+    """A doc repeating an earlier doc's shingles scores 0 novelty; the
+    first doc scores 1.0; partial overlap lands in between; docs shorter
+    than n tokens are absent."""
+    from go_pq_cdc_spark.operators.text import ngram_novelty
+
+    rows = [
+        (1, "a b c d"),            # shingles {a b c, b c d} -> novelty 1.0
+        (2, "a b c d"),            # exact restatement -> 0.0
+        (3, "a b c x y z"),        # {a b c, b c x, c x y, x y z}: 3 of 4 new
+        (4, "t u"),                # too short: absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(df).collect()
+    }
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (4, 3, 0.75)
+    assert 4 not in got
