@@ -43,7 +43,7 @@ _GATE_HEAD = [
     "q_order_priority_count",
     "q_rollup_cube",
     "q_pivot_event_counts",
-    # driver-green in CORRECTNESS_r10 (50/50 MATCH), minus the 8
+    # driver-green in CORRECTNESS_r10 (50/50 MATCH), minus the 11
     # deferred below — stalest-but-one
     "q1_pricing_summary",
     "q3_shipping_priority",

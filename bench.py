@@ -62,9 +62,14 @@ FINAL_LINE_BUDGET = 1500
 # size of the measurement — so one timing per pass (best-of-2 overall)
 # made 4 untouched queries look >1.3x regressed in r11. Best-of-3 per
 # pass (best-of-6 overall) costs <1s per extra rep and brings per-query
-# agreement under the ~1.2 adjudication bar on a quiet box. Queries at
-# >=1s keep single-timing-per-pass: their runtime dwarfs the jitter.
+# agreement under the ~1.2 adjudication bar on a quiet box. The repeat
+# gate carries 2x HEADROOM (review): the decision input is itself the
+# noisy first timing, so a truly-0.8s query jittered to 1.2s would
+# otherwise get zero extra reps — exactly the artifact being fixed.
+# Queries whose first timing clears 2s keep single-timing-per-pass:
+# their runtime dwarfs the jitter.
 SUBSEC_THRESHOLD = 1.0
+SUBSEC_GATE_HEADROOM = 2.0
 SUBSEC_REPS = 3
 
 
@@ -146,7 +151,7 @@ def main() -> None:
             spec.spark_fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
             reps = 1
-            while dt < SUBSEC_THRESHOLD and reps < SUBSEC_REPS:
+            while dt < SUBSEC_THRESHOLD * SUBSEC_GATE_HEADROOM and reps < SUBSEC_REPS:
                 t0 = time.perf_counter()
                 spec.spark_fn(spark, sf_dir).count()
                 dt = min(dt, time.perf_counter() - t0)

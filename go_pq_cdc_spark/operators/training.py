@@ -95,7 +95,7 @@ def sample_temperature(
         (
             f"WHEN {stratum_col} IS NULL THEN {rate_sql(n)}"
             if s is None
-            else f"WHEN {stratum_col} = '{s}' THEN {rate_sql(n)}"
+            else f"WHEN {stratum_col} = {_sql_str(s)} THEN {rate_sql(n)}"
         )
         for s, n in sorted(
             counts.items(), key=lambda kv: (kv[0] is None, kv[0])
@@ -103,6 +103,13 @@ def sample_temperature(
     )
     rate = f"CASE {branches} ELSE CAST(0.0 AS DOUBLE) END"
     return df.filter(F.expr(sample_fragments(id_col, rate)["spark"]))
+
+
+def _sql_str(s) -> str:
+    """A DATA-derived string as a SQL literal — single quotes doubled, so
+    a stratum value like "it's" can't break (or inject into) the inlined
+    CASE expression (r12 review)."""
+    return "'" + str(s).replace("'", "''") + "'"
 
 
 def sample_deterministic(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
@@ -128,7 +135,7 @@ def sample_stratified(
     corpus — no join, no shuffle, and the parquet scan still prunes on any
     upstream predicates."""
     branches = " ".join(
-        f"WHEN {strata_col} = '{k}' THEN CAST({float(v)!r} AS DOUBLE)"
+        f"WHEN {strata_col} = {_sql_str(k)} THEN CAST({float(v)!r} AS DOUBLE)"
         for k, v in sorted(strata.items())
     )
     rate = f"CASE {branches} ELSE CAST({float(default_fraction)!r} AS DOUBLE) END"

@@ -296,6 +296,31 @@ def cdc_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.fold_agg_deltas(deltas)
 
 
+def _fold_lsn_batches(spark, sf_dir: str, events: DataFrame, update, read_final):
+    """Shared scaffold for driving a streaming view state machine under
+    the driver's oracle (r12 review: third copy extracted): the event
+    stream splits into three LSN-ordered batches folded through the REAL
+    foreachBatch body via `update(batch_df, batch_id, state_dir,
+    frontier_lsn)`; `read_final(spark, state_dir)` builds the result,
+    which is MATERIALIZED (localCheckpoint) before the throwaway state
+    dir is removed — in a finally, so a failing fold can't leak the
+    tempdir."""
+    import shutil
+    import tempfile
+
+    frontier = changelog_frontier(sf_dir)
+    state_dir = tempfile.mkdtemp(prefix="cdc_view_gate_")
+    try:
+        lo = -1
+        for i, hi in enumerate((frontier // 3, frontier * 2 // 3, frontier)):
+            batch = events.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+            update(batch, i + 1, state_dir, hi)
+            lo = hi
+        return read_final(spark, state_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 def _replica_identity_events(df: DataFrame) -> DataFrame:
     """REPLICA IDENTITY FULL reconstruction of the raw changelog for the
     stateful view machines: (lsn, pk, op, before_val, after_val) with
@@ -372,11 +397,7 @@ def cdc_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     family uses (REPLICA IDENTITY FULL analogue); TOAST-unchanged images
     inherit through the fill. The oracle states the SPEC: row_number over
     a from-scratch latest-state recompute. State lives in a throwaway
-    temp dir; the result is materialized (localCheckpoint) so the dir can
-    be removed before returning."""
-    import shutil
-    import tempfile
-
+    temp dir (`_fold_lsn_batches` scaffold)."""
     from ..streaming.topk_view_stream import (
         read_topk_view,
         update_topk_view_state,
@@ -386,11 +407,7 @@ def cdc_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = ops.filter_heartbeat(committed_changelog(spark, sf_dir))
     events = _replica_identity_events(df)
 
-    frontier = changelog_frontier(sf_dir)
-    state_dir = tempfile.mkdtemp(prefix="cdc_topk_view_")
-    lo = -1
-    for i, hi in enumerate((frontier // 3, frontier * 2 // 3, frontier)):
-        batch = events.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+    def update(batch, batch_id, state_dir, hi):
         prefix = df.filter(F.col("lsn") <= hi)
 
         def authoritative(prefix=prefix):
@@ -406,12 +423,10 @@ def cdc_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         update_topk_view_state(
-            batch, i + 1, state_dir, authoritative, k=k, n_groups=n_groups
+            batch, batch_id, state_dir, authoritative, k=k, n_groups=n_groups
         )
-        lo = hi
-    out = read_topk_view(spark, state_dir).localCheckpoint(eager=True)
-    shutil.rmtree(state_dir, ignore_errors=True)
-    return out
+
+    return _fold_lsn_batches(spark, sf_dir, events, update, read_topk_view)
 
 
 @register(
@@ -459,9 +474,6 @@ def cdc_agg_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ssq - sum*sum/n)/n). Complements `cdc_incremental_agg_view` (the
     stateless batch delta fold) and `cdc_topk_view` (the bounded-synopsis
     machine)."""
-    import shutil
-    import tempfile
-
     from ..streaming.agg_view_stream import (
         read_agg_view,
         update_agg_view_state,
@@ -471,11 +483,7 @@ def cdc_agg_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = ops.filter_heartbeat(committed_changelog(spark, sf_dir))
     events = _replica_identity_events(df)
 
-    frontier = changelog_frontier(sf_dir)
-    state_dir = tempfile.mkdtemp(prefix="cdc_agg_view_minmax_")
-    lo = -1
-    for i, hi in enumerate((frontier // 3, frontier * 2 // 3, frontier)):
-        batch = events.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+    def update(batch, batch_id, state_dir, hi):
         prefix = df.filter(F.col("lsn") <= hi)
 
         def authoritative(prefix=prefix):
@@ -486,13 +494,11 @@ def cdc_agg_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         update_agg_view_state(
-            batch, i + 1, state_dir, n_groups=n_groups,
+            batch, batch_id, state_dir, n_groups=n_groups,
             authoritative=authoritative,
         )
-        lo = hi
-    out = read_agg_view(spark, state_dir).localCheckpoint(eager=True)
-    shutil.rmtree(state_dir, ignore_errors=True)
-    return out
+
+    return _fold_lsn_batches(spark, sf_dir, events, update, read_agg_view)
 
 
 @register(
@@ -589,9 +595,6 @@ def cdc_heavy_hitters_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     SF), so items 0 and 1 clear the 1/(capacity+1) = 20% bar at sf0.001
     through sf1 while the ~log2(max_pk) distinct items exceed the
     capacity and force real MG decrements."""
-    import shutil
-    import tempfile
-
     from ..streaming.heavy_hitters_stream import (
         heavy_hitter_candidates,
         latest_version,
@@ -608,19 +611,13 @@ def cdc_heavy_hitters_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("item"),
     )
 
-    frontier = changelog_frontier(sf_dir)
-    state_dir = tempfile.mkdtemp(prefix="cdc_hh_view_")
-    try:
-        lo = -1
-        for i, hi in enumerate((frontier // 3, frontier * 2 // 3, frontier)):
-            batch = items.filter(
-                (F.col("lsn") > lo) & (F.col("lsn") <= hi)
-            ).select("item")
-            update_heavy_hitter_state(
-                batch, i + 1, state_dir, value_col="item", capacity=cap
-            )
-            lo = hi
+    def update(batch, batch_id, state_dir, _hi):
+        update_heavy_hitter_state(
+            batch.select("item"), batch_id, state_dir,
+            value_col="item", capacity=cap,
+        )
 
+    def verify_pass(spark, state_dir):
         n = items.count()
         meta = VersionedState(state_dir).read_meta(latest_version(state_dir))
         if int(meta["n_total"]) != n:
@@ -652,7 +649,7 @@ def cdc_heavy_hitters_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cdc_heavy_hitters_view: Misra-Gries count bound violated"
             ),
         )
-        out = (
+        return (
             items.filter(F.col("item").isin(list(cand)))
             .groupBy("item")
             .agg(F.count(F.lit(1)).cast("long").alias("_n"))
@@ -661,11 +658,9 @@ def cdc_heavy_hitters_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(guard.isNull(), F.col("_n")).alias("n_events"),
             )
             .filter(F.col("n_events") * (cap + 1) > F.lit(n))
-            .localCheckpoint(eager=True)
         )
-    finally:
-        shutil.rmtree(state_dir, ignore_errors=True)
-    return out
+
+    return _fold_lsn_batches(spark, sf_dir, items, update, verify_pass)
 
 
 @register(

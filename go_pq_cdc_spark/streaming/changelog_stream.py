@@ -1854,18 +1854,19 @@ def run_mirror_maintenance(
     Opt in when the mirror is small enough that an unscheduled rewrite
     inside a maintenance tick is acceptable. The report then carries
     `rebucket_performed` (the new bucket count) and re-read stats."""
-    stats = mirror_stats(
-        spark, state_dir, backend, target_rewrite_bytes=target_rewrite_bytes
-    )
+    def read_stats() -> dict:
+        s = mirror_stats(
+            spark, state_dir, backend,
+            target_rewrite_bytes=target_rewrite_bytes,
+        )
+        s["rebucket_recommended"] = s["suggested_buckets"] > s["n_buckets"]
+        return s
+
+    stats = read_stats()
     debt = stats["delta_debt"]
     if debt and max(debt.values()) >= min_deltas:
         compact_mirror(spark, state_dir, min_deltas=min_deltas, backend=backend)
-        stats = mirror_stats(
-            spark, state_dir, backend, target_rewrite_bytes=target_rewrite_bytes
-        )
-    stats["rebucket_recommended"] = (
-        stats["suggested_buckets"] > stats["n_buckets"]
-    )
+        stats = read_stats()
     if auto_rebucket and stats["rebucket_recommended"]:
         factor = 2
         while stats["n_buckets"] * factor < stats["suggested_buckets"]:
@@ -1873,12 +1874,7 @@ def run_mirror_maintenance(
         new_n = rebucket_mirror(
             spark, state_dir, factor=factor, backend=backend
         )
-        stats = mirror_stats(
-            spark, state_dir, backend, target_rewrite_bytes=target_rewrite_bytes
-        )
-        stats["rebucket_recommended"] = (
-            stats["suggested_buckets"] > stats["n_buckets"]
-        )
+        stats = read_stats()
         stats["rebucket_performed"] = new_n
     if on_maintenance is not None:
         on_maintenance(stats)

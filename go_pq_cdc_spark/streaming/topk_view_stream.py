@@ -56,10 +56,14 @@ def _read_state(
     state_dir: str,
     version: int,
     backend: ClaimBackend = DEFAULT_BACKEND,
+    meta: dict | None = None,
 ):
+    """Pass a pre-read `meta` to avoid a second backend GET per fold —
+    the ceiling pre-check already read it (r12 review)."""
     vs = VersionedState(state_dir, backend)
     rows = spark.read.schema(STATE_SCHEMA).parquet(vs.version_dir(version)).collect()
-    meta = vs.read_meta(version)
+    if meta is None:
+        meta = vs.read_meta(version)
     state: dict = {}
     for r in rows:
         pairs, _ = state.setdefault(r["grp"], ([], r["n_keys"]))
@@ -162,14 +166,13 @@ def update_topk_view_state(
     if prev is not None:
         # refuse BEFORE the state collect when the persisted meta already
         # proves the ceiling is blown (a state written under a larger
-        # max_groups, re-opened under a smaller one)
+        # max_groups, re-opened under a smaller one); the meta read here
+        # is reused by _read_state — one GET per fold
+        meta = VersionedState(state_dir, backend).read_meta(prev)
         _check_group_ceiling(
-            int(VersionedState(state_dir, backend).read_meta(prev).get("groups", 0)),
-            max_groups,
-            state_dir,
-            "state",
+            int(meta.get("groups", 0)), max_groups, state_dir, "state"
         )
-        state, meta = _read_state(spark, state_dir, prev, backend)
+        state, meta = _read_state(spark, state_dir, prev, backend, meta=meta)
         if meta["k"] != k or meta["n_groups"] != n_groups:
             raise ValueError(
                 f"state at {state_dir} was built with k={meta['k']} "

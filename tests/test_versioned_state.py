@@ -183,3 +183,44 @@ def test_migrate_crash_between_put_and_sidecar_delete(spark, tmp_path):
     assert not os.path.exists(os.path.join(vdir, "_hh_meta.json"))
     assert vs.latest_version() == 3
     assert vs.read_meta(3)["n_total"] == 42
+
+
+def test_migrate_descending_crash_window_fails_safe(spark, tmp_path):
+    """The tool migrates versions DESCENDING, so a crash mid-run leaves
+    the TRUE latest migrated and only LOWER versions legacy (review):
+    latest_version() then returns the correct top — never a stale lower
+    version — and a retry needing the unmigrated prev (below=top) still
+    hits the legacy refusal instead of silently folding onto empty
+    state."""
+    import json
+
+    state_dir = str(tmp_path / "agg")
+    vs = VersionedState(state_dir)
+    for ver in (0, 1, 2):
+        vdir = vs.version_dir(ver)
+        os.makedirs(vdir)
+        open(os.path.join(vdir, "_SUCCESS"), "w").close()
+        with open(os.path.join(vdir, "_view_meta.json"), "w") as f:
+            json.dump({"batch_id": ver, "n_groups": 8}, f)
+    # simulate the crash state a DESCENDING run leaves: v2 migrated
+    # (meta/ marker up, sidecar gone), v0-v1 still legacy
+    with open(os.path.join(vs.version_dir(2), "_view_meta.json")) as f:
+        vs.commit(2, json.load(f))
+    os.remove(os.path.join(vs.version_dir(2), "_view_meta.json"))
+
+    assert vs.latest_version() == 2  # the true top, not a stale low one
+    with pytest.raises(RuntimeError, match="migrate_versioned_state"):
+        vs.latest_version(below=2)  # unmigrated prev still refuses
+    # re-running the tool finishes the job
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from migrate_versioned_state import migrate_state_dir
+
+    report = migrate_state_dir(state_dir)
+    # v2 has no sidecar left (its delete completed pre-crash), so the
+    # re-run has nothing legacy to report for it
+    assert report == {"migrated": [0, 1], "torn_dropped": [], "already": []}
+    assert vs.latest_version(below=2) == 1

@@ -63,7 +63,16 @@ def migrate_state_dir(
     report: dict = {"migrated": [], "torn_dropped": [], "already": []}
     if not os.path.isdir(state_dir):
         return report
-    for name in sorted(os.listdir(state_dir)):
+    # DESCENDING version order — the crash-safety linchpin (review): the
+    # TRUE latest version migrates first, so a crash mid-run leaves
+    # latest_version() either returning that correct top (low versions
+    # still legacy are below it and never read as `prev` without
+    # latest_version(below=N) hitting the legacy refusal) or, if the
+    # crash hit before the first commit, still raising the refusal.
+    # Ascending order would fail OPEN: a migrated low version satisfies
+    # latest_version() and the next fold silently resets onto stale
+    # state — the exact class the refusal exists to prevent.
+    for name in sorted(os.listdir(state_dir), reverse=True):
         if not (name.startswith("v") and name[1:].isdigit()):
             continue
         ver = int(name[1:])
@@ -92,6 +101,8 @@ def migrate_state_dir(
             report["torn_dropped"].append(ver)
         for p in sidecars:
             os.remove(p)
+    for k in report:
+        report[k].sort()
     return report
 
 
