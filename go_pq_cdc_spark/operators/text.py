@@ -187,6 +187,49 @@ def ngram_novelty(
     )
 
 
+def token_rarity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc token-rarity score — the log-free stand-in for unigram-LM
+    perplexity quality scoring (rare-token-heavy docs score high; listy
+    stopword-free spam scores low is NOT true here — this is a RARITY
+    signal, combine with `with_gopher_quality` for quality gating):
+    each token contributes the INTEGER ratio N div cnt(token) (corpus
+    token total over the token's corpus count), summed per doc; the mean
+    divides once at the end. Everything before that division is int64
+    arithmetic — order-independent, engine-exact — the same reason BM25
+    here is log-free (libm log is not correctly rounded and diverges
+    across engines by ulps).
+
+    Scale shape: one corpus-total agg (scalar to the driver), token
+    explode, cnt via COUNT() OVER (PARTITION BY token) — one token-keyed
+    shuffle, no vocab join — then the per-doc rollup. Same class as
+    `ngram_novelty`.
+
+    Output: (id, n_tok, rarity_sum, mean_rarity)."""
+    tok = P.tokens(text_col)
+    exploded = df.select(
+        F.col(id_col), F.explode(F.expr(tok["spark"])).alias("token")
+    )
+    n_total = exploded.count()
+    w = Window.partitionBy("token")
+    return (
+        exploded.withColumn("_cnt", F.count(F.lit(1)).over(w))
+        .withColumn("_r", F.expr(f"{n_total}L div _cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("_r").cast("long").alias("rarity_sum"),
+        )
+        .withColumn(
+            "mean_rarity",
+            F.col("rarity_sum").cast("double") / F.col("n_tok"),
+        )
+    )
+
+
 def token_hashes_fragments(text_col: str = "text") -> dict[str, str]:
     """md5-derived hash per whitespace token — shared by SimHash and tests."""
     tok = P.tokens(text_col)

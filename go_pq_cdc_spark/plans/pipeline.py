@@ -1586,6 +1586,40 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+@register(
+    "text_rarity_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOK['duck']}) AS token FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    cnts AS (
+        SELECT doc_id,
+               CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS cnt
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(tot.n // cnt) AS BIGINT) AS rarity_sum,
+           CAST(SUM(tot.n // cnt) AS DOUBLE) / COUNT(*) AS mean_rarity
+    FROM cnts, tot
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "rarity"),
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token rarity (log-free unigram-perplexity proxy): each
+    token contributes the INTEGER ratio corpus_total div token_count —
+    int64 all the way, one double division at the end, so the score is
+    order-independent and engine-exact where a log-based perplexity
+    diverges by libm ulps (the BM25 stance). One token-keyed window +
+    per-doc rollup (see `operators.text.token_rarity`)."""
+    from ..operators.text import token_rarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_rarity(docs)
+
+
 def _novelty_oracle(n: int = 3) -> str:
     sh = P.shingle_hashes("text", n)["duck"]
     return f"""

@@ -528,3 +528,23 @@ def test_ngram_novelty_first_occurrence_semantics(spark):
     assert got[2] == (2, 0, 0.0)
     assert got[3] == (4, 3, 0.75)
     assert 4 not in got
+
+
+def test_token_rarity_integer_exactness(spark):
+    """Rarity is exact integer arithmetic until the final division: a
+    token appearing c times out of N total contributes N div c to every
+    doc containing it (per occurrence)."""
+    from go_pq_cdc_spark.operators.text import token_rarity
+
+    rows = [
+        (1, "common common rare"),   # N=6: common cnt 4 -> 1 each; rare cnt 1 -> 6
+        (2, "common common other"),  # other cnt 1 -> 6
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["rarity_sum"], r["mean_rarity"])
+        for r in token_rarity(df).collect()
+    }
+    # doc 1: 1 + 1 + 6 = 8 over 3 tokens
+    assert got[1] == (3, 8, 8.0 / 3)
+    assert got[2] == (3, 8, 8.0 / 3)
