@@ -1646,6 +1646,7 @@ def _novelty_oracle(n: int = 3) -> str:
     "text_ngram_novelty",
     oracle=_novelty_oracle(),
     tags=("text", "quality", "novelty", "dedup"),
+    bench=True,  # new plan family (shingle-keyed window, no join) — track
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram novelty (share of the doc's distinct 3-gram
