@@ -167,8 +167,14 @@ def ngram_novelty(
     and scale-safe at corpus size.
 
     Output: (id, n_shingles, n_novel, novelty)."""
+    from .scale import spread_small_input
+
     sh = P.shingle_hashes(text_col, n)
-    exploded = df.select(
+    # the per-shingle md5 is the expensive part — spread a narrow local
+    # input across cores before it runs (structural no-op at scale,
+    # where the scan already has thousands of splits); without this a
+    # one-file table evaluates ~tokens-per-corpus md5 calls in ONE task
+    exploded = spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(F.expr(sh["spark"])).alias("sh")
     )
     w = Window.partitionBy("sh")
@@ -209,8 +215,12 @@ def token_rarity(
     `ngram_novelty`.
 
     Output: (id, n_tok, rarity_sum, mean_rarity)."""
+    from .scale import spread_small_input
+
     tok = P.tokens(text_col)
-    exploded = df.select(
+    # spread a narrow local input before the tokenize+explode (see
+    # ngram_novelty; structural no-op on a wide at-scale scan)
+    exploded = spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(F.expr(tok["spark"])).alias("token")
     )
     n_total = exploded.count()
