@@ -141,3 +141,81 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
     return D.semantic_dedup(emb, cents, threshold=_SEM_TAU)
+
+
+@register(
+    "emb_semdedup_stream_pairs",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    nrm AS (
+        SELECT vec_id, embedding, {_NRM_DUCK} AS n2 FROM embeddings
+    ),
+    assign_raw AS (
+        SELECT n.vec_id AS id, n.embedding AS v, n.n2, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {_CDOT_DUCK} DESC, c.cent_id) AS crn
+        FROM nrm n, cents c
+    ),
+    cells AS (SELECT id, v, n2, cent_id FROM assign_raw WHERE crn = 1)
+    SELECT b.id AS vec_id, a.id AS dup_of,
+           CAST({_PDOT_DUCK} AS DOUBLE)
+               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+               AS cos_sim
+    FROM cells a JOIN cells b ON a.cent_id = b.cent_id AND a.id < b.id
+    WHERE CAST({_PDOT_DUCK} AS DOUBLE)
+              / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+          >= {_SEM_TAU}
+    """,
+    tags=("dedup", "embedding", "semantic", "streaming"),
+)
+def emb_semdedup_stream_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING SemDeDup machine under the driver's eye — the
+    `dedup_stream_pairs` treatment applied to
+    `streaming/semdedup_stream.py` (previously pytest-only): the
+    embeddings arrive as three id-ordered micro-batches through the REAL
+    `semdedup_batch_against_index` foreachBatch body (broadcast-centroid
+    cell assignment computed once; partition-pruned index-cell lookup;
+    within-batch pairing; marker-guarded cell-partitioned append). The
+    union over any batching is exactly the batch SemDeDup within-cell
+    pair set, so the oracle is `dedup_semantic`'s from-scratch cell
+    assignment with the pair join emitted directly; orientation is
+    normalized to (vec_id=greater, dup_of=lesser). The fixed-point dot,
+    the sqrt norms, and the one division are correctly-rounded IEEE on
+    both engines, so cos_sim hashes bit-exactly."""
+    import shutil
+    import tempfile
+
+    from ..streaming.semdedup_stream import semdedup_batch_against_index
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < 8)
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+    span = int(hi) - int(lo) + 1
+    root = tempfile.mkdtemp(prefix="semdedup_stream_gate_")
+    try:
+        prev = int(lo) - 1
+        for i, cut in enumerate(
+            (int(lo) + span // 3, int(lo) + span * 2 // 3, int(hi))
+        ):
+            batch = emb.filter(
+                (F.col("vec_id") > prev) & (F.col("vec_id") <= cut)
+            )
+            semdedup_batch_against_index(
+                batch, i, f"{root}/index", f"{root}/pairs", cents,
+                threshold=_SEM_TAU,
+            )
+            prev = cut
+        out = (
+            spark.read.parquet(f"{root}/pairs")
+            .select(
+                F.greatest("vec_id", "dup_of").alias("vec_id"),
+                F.least("vec_id", "dup_of").alias("dup_of"),
+                "cos_sim",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -374,6 +374,58 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, "doc_id")
 
 
+@register(
+    "dedup_stream_pairs",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "minhash", "streaming", "incremental"),
+)
+def dedup_stream_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING incremental-dedup machine under the driver's eye —
+    the `cdc_topk_view` treatment applied to `streaming/dedup_stream.py`
+    (previously pytest-only): the corpus arrives as three id-ordered
+    micro-batches through the REAL `dedup_batch_against_index`
+    foreachBatch body (batch band rows computed once; partition-pruned
+    index lookup; within-batch pairing; marker-guarded index append),
+    pairs accumulate per batch partition. The union of cross-batch and
+    within-batch pairs over any batching is exactly the batch LSH pair
+    set, so the oracle is `dedup_minhash_lsh`'s from-scratch SQL;
+    orientation is normalized (least, greatest) since the stream emits
+    (index_doc, batch_doc)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.dedup_stream import dedup_batch_against_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    span = int(hi) - int(lo) + 1
+    root = tempfile.mkdtemp(prefix="dedup_stream_gate_")
+    index_path = f"{root}/index"
+    pairs_dir = f"{root}/pairs"
+    try:
+        prev = int(lo) - 1
+        for i, cut in enumerate(
+            (int(lo) + span // 3, int(lo) + span * 2 // 3, int(hi))
+        ):
+            batch = docs.filter(
+                (F.col("doc_id") > prev) & (F.col("doc_id") <= cut)
+            )
+            dedup_batch_against_index(batch, i, index_path, pairs_dir)
+            prev = cut
+        out = (
+            spark.read.parquet(pairs_dir)
+            .select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+                "jaccard",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _incremental_oracle(threshold: float = 0.5) -> str:
     """Cross-batch MinHash oracle: OLD side = 80% of documents (the
     persisted index), NEW side = the other 20% plus exact copies of every

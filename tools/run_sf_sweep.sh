@@ -10,13 +10,15 @@
 # AQE input-sized coalescing of output-explosive joins). The sweep is
 # the net for what the static plan lint cannot express.
 #
-# Three queries are excluded for their DUCKDB ORACLES (not their Spark
+# Four queries are excluded for their DUCKDB ORACLES (not their Spark
 # plans): dedup_ngram_jaccard's blocked all-pairs SQL Jaccard is hours
 # of DuckDB at sf1, dedup_cluster_assign's recursive-CTE closure takes
 # ~40 min (it DID match at sf1 in a one-off run, r8), and
 # dedup_semantic's within-cell pair SQL is the same quadratic class
-# (~20M 64-dim list-dot pairs per cell at sf1). All Spark sides run
-# fine at sf1; all three oracles hash-MATCH at sf0.01.
+# (~20M 64-dim list-dot pairs per cell at sf1) — as is
+# emb_semdedup_stream_pairs (r12), which shares that oracle's pair join.
+# All Spark sides run fine at sf1; all four oracles hash-MATCH at
+# sf0.01.
 set -e
 cd "$(dirname "$0")/.."
 SF1_DIR="${1:-/tmp/sf1}"
@@ -28,7 +30,12 @@ NAMES=$(python - <<'EOF'
 import sys
 sys.path.insert(0, ".")
 from go_pq_cdc_spark import plans
-skip = {"dedup_ngram_jaccard", "dedup_cluster_assign", "dedup_semantic"}
+skip = {
+    "dedup_ngram_jaccard",
+    "dedup_cluster_assign",
+    "dedup_semantic",
+    "emb_semdedup_stream_pairs",
+}
 print(" ".join(n for n in sorted(plans.REGISTRY) if n not in skip))
 EOF
 )
