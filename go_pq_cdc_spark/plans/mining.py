@@ -183,39 +183,36 @@ def emb_semdedup_stream_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment with the pair join emitted directly; orientation is
     normalized to (vec_id=greater, dup_of=lesser). The fixed-point dot,
     the sqrt norms, and the one division are correctly-rounded IEEE on
-    both engines, so cos_sim hashes bit-exactly."""
-    import shutil
-    import tempfile
-
-    from ..streaming.semdedup_stream import semdedup_batch_against_index
+    both engines, so cos_sim hashes bit-exactly. Rides the shared
+    `fold_id_batches` scaffold (declared-schema pairs read — a corpus
+    with no within-cell pair over tau is an empty MATCH, not a
+    schema-inference crash)."""
+    from ..streaming.semdedup_stream import (
+        SEM_PAIR_SCHEMA,
+        semdedup_batch_against_index,
+    )
+    from .registry import fold_id_batches
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = emb.filter(F.col("vec_id") < 8)
-    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
-    span = int(hi) - int(lo) + 1
-    root = tempfile.mkdtemp(prefix="semdedup_stream_gate_")
-    try:
-        prev = int(lo) - 1
-        for i, cut in enumerate(
-            (int(lo) + span // 3, int(lo) + span * 2 // 3, int(hi))
-        ):
-            batch = emb.filter(
-                (F.col("vec_id") > prev) & (F.col("vec_id") <= cut)
-            )
-            semdedup_batch_against_index(
-                batch, i, f"{root}/index", f"{root}/pairs", cents,
-                threshold=_SEM_TAU,
-            )
-            prev = cut
-        out = (
-            spark.read.parquet(f"{root}/pairs")
+
+    def update(batch, batch_id, root):
+        semdedup_batch_against_index(
+            batch, batch_id, f"{root}/index", f"{root}/pairs", cents,
+            threshold=_SEM_TAU,
+        )
+
+    def read_final(spark, root):
+        return (
+            spark.read.schema(SEM_PAIR_SCHEMA + ", batch_id int")
+            .parquet(f"{root}/pairs")
             .select(
                 F.greatest("vec_id", "dup_of").alias("vec_id"),
                 F.least("vec_id", "dup_of").alias("dup_of"),
                 "cos_sim",
             )
-            .localCheckpoint(eager=True)
         )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out
+
+    return fold_id_batches(
+        emb, "vec_id", update, read_final, prefix="semdedup_stream_gate_"
+    )

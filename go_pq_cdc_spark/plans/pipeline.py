@@ -390,40 +390,33 @@ def dedup_stream_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-batch pairs over any batching is exactly the batch LSH pair
     set, so the oracle is `dedup_minhash_lsh`'s from-scratch SQL;
     orientation is normalized (least, greatest) since the stream emits
-    (index_doc, batch_doc)."""
-    import shutil
-    import tempfile
-
-    from ..streaming.dedup_stream import dedup_batch_against_index
+    (index_doc, batch_doc). Rides the shared `fold_id_batches` scaffold
+    (declared-schema pairs read — a zero-pair corpus is an empty MATCH,
+    not a schema-inference crash)."""
+    from ..streaming.dedup_stream import PAIR_SCHEMA, dedup_batch_against_index
+    from .registry import fold_id_batches
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
-    span = int(hi) - int(lo) + 1
-    root = tempfile.mkdtemp(prefix="dedup_stream_gate_")
-    index_path = f"{root}/index"
-    pairs_dir = f"{root}/pairs"
-    try:
-        prev = int(lo) - 1
-        for i, cut in enumerate(
-            (int(lo) + span // 3, int(lo) + span * 2 // 3, int(hi))
-        ):
-            batch = docs.filter(
-                (F.col("doc_id") > prev) & (F.col("doc_id") <= cut)
-            )
-            dedup_batch_against_index(batch, i, index_path, pairs_dir)
-            prev = cut
-        out = (
-            spark.read.parquet(pairs_dir)
+
+    def update(batch, batch_id, root):
+        dedup_batch_against_index(
+            batch, batch_id, f"{root}/index", f"{root}/pairs"
+        )
+
+    def read_final(spark, root):
+        return (
+            spark.read.schema(PAIR_SCHEMA + ", batch_id int")
+            .parquet(f"{root}/pairs")
             .select(
                 F.least("doc_a", "doc_b").alias("doc_a"),
                 F.greatest("doc_a", "doc_b").alias("doc_b"),
                 "jaccard",
             )
-            .localCheckpoint(eager=True)
         )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out
+
+    return fold_id_batches(
+        docs, "doc_id", update, read_final, prefix="dedup_stream_gate_"
+    )
 
 
 def _incremental_oracle(threshold: float = 0.5) -> str:

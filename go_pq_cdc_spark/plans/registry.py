@@ -84,3 +84,45 @@ def all_queries() -> dict[str, SparkFn]:
 
 def all_oracles() -> dict[str, str]:
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+def fold_id_batches(
+    df: DataFrame,
+    id_col: str,
+    update,
+    read_final,
+    prefix: str = "stream_gate_",
+) -> DataFrame:
+    """Shared scaffold for driving a streaming foreachBatch machine under
+    the driver's oracle over a BATCH corpus (r12 review: the id-keyed
+    sibling of plans/cdc._fold_lsn_batches, extracted from its 4th/5th
+    copies): the corpus splits into three id-ordered micro-batches by
+    span tertiles, each fed to `update(batch_df, batch_id, root)` where
+    `root` is a throwaway temp dir the machine keeps its index/pairs
+    under; `read_final(spark, root)` builds the result, MATERIALIZED
+    (localCheckpoint) before the finally removes the dir — a failing
+    fold can't leak it. read_final must read with DECLARED schemas: a
+    zero-pair corpus leaves dirs with no parquet files, and schema
+    inference would crash a legitimately-empty result."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    lo, hi = df.agg(F.min(id_col), F.max(id_col)).collect()[0]
+    span = int(hi) - int(lo) + 1
+    root = tempfile.mkdtemp(prefix=prefix)
+    try:
+        prev = int(lo) - 1
+        for i, cut in enumerate(
+            (int(lo) + span // 3, int(lo) + span * 2 // 3, int(hi))
+        ):
+            batch = df.filter(
+                (F.col(id_col) > prev) & (F.col(id_col) <= cut)
+            )
+            update(batch, i, root)
+            prev = cut
+        return read_final(spark, root).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -195,3 +195,35 @@ def test_pre_r11_bare_marker_still_guards_retry(spark):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_gate_zero_pairs_is_empty_not_crash(spark, tmp_path):
+    """r12 review: the gate queries read the pairs dir with a DECLARED
+    schema — a corpus producing zero pairs leaves partition dirs with no
+    parquet files, and schema inference would crash what is legitimately
+    an empty result."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.streaming.dedup_stream import (
+        PAIR_SCHEMA,
+        dedup_batch_against_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path)
+    dedup_batch_against_index(
+        docs, 0, f"{root}/index", f"{root}/pairs", threshold=0.5
+    )
+    out = (
+        spark.read.schema(PAIR_SCHEMA + ", batch_id int")
+        .parquet(f"{root}/pairs")
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    assert out.count() == 0
