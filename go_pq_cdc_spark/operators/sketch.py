@@ -282,3 +282,129 @@ def heavy_hitters_exact(
             (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("freq"),
         )
     )
+
+
+def _cms_bucket_exprs(d: int, w: int) -> list[dict[str, str]]:
+    """Engine-portable bucket expressions over a column named `hv` (the
+    md5-m31 hash of the value): row j's bucket is the j-th MinHash
+    permutation of hv reduced mod w — the same public 2-universal family
+    the MinHash fragments inline, so both engines compute identical
+    cells from literals."""
+    out = []
+    for j in range(d):
+        a, b = P.minhash_coeffs(j)
+        frag = f"((({a} * hv + {b}) % {P.MERSENNE31}) % {w})"
+        out.append({"spark": frag, "duck": frag})
+    return out
+
+
+def cms_counters(
+    df: DataFrame, value_col: str, d: int = 4, w: int = 512
+) -> DataFrame:
+    """Count-Min sketch counters — the MERGEABLE frequency-estimate state
+    that completes the sketch family (KMV: distinct counts; Misra-Gries:
+    heavy hitters; CMS: point frequency estimates for EVERY item, not
+    just frequent ones). Output (j, bucket, cnt), at most d x w rows:
+    merging two sketches (same d, w) is counter ADDITION, so the 100 TB
+    pattern is sketch-per-partition/day once, merge later — never rescan.
+
+    Guarantee: est(x) = min_j cnt[j][bucket_j(x)] NEVER undercounts
+    (every occurrence of x lands in x's cells), and overcounts only by
+    hash collisions — E[overcount] <= N/w per row, min over d
+    independent rows drives the tail down.
+
+    One narrow map (d cells per input row, plan-time literal hash
+    coefficients) + one bounded groupBy — no joins, no per-item state."""
+    h = P.md5_hash_m31(f"CAST({value_col} AS STRING)")["spark"]
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                F.expr(e["spark"]).cast("long").alias("bucket"),
+            )
+            for j, e in enumerate(_cms_bucket_exprs(d, w))
+        ]
+    )
+    return (
+        df.select(F.expr(h).alias("hv"))
+        .select(F.explode(cells).alias("c"))
+        .select("c.j", "c.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    counters: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Point frequency estimates for `probes[value_col]` against CMS
+    `counters`: est = min over rows j of the probe's cell counter
+    (0 when the cell is empty — an absent item estimates 0 unless it
+    collides). The probe side is tiny by definition — broadcast; the
+    counters side is <= d x w rows. Output (value_col, est_cnt)."""
+    h = P.md5_hash_m31(f"CAST({value_col} AS STRING)")["spark"]
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                F.expr(e["spark"]).cast("long").alias("bucket"),
+            )
+            for j, e in enumerate(_cms_bucket_exprs(d, w))
+        ]
+    )
+    pcells = (
+        probes.select(F.col(value_col), F.expr(h).alias("hv"))
+        .select(value_col, F.explode(cells).alias("c"))
+        .select(value_col, "c.j", "c.bucket")
+    )
+    return (
+        pcells.join(F.broadcast(counters), ["j", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt"))
+    )
+
+
+def cms_oracle_sql(
+    source_tokens_sql: str, probes: tuple[str, ...], d: int = 4, w: int = 512
+) -> str:
+    """DuckDB twin of cms_counters + cms_point_estimates over a token
+    relation `{source_tokens_sql}` (one column `token`): identical
+    literal hash coefficients, identical integer arithmetic."""
+    h = P.md5_hash_m31("CAST(token AS VARCHAR)")["duck"]
+    rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {e['duck']} AS bucket, hv FROM h"
+        for j, e in enumerate(_cms_bucket_exprs(d, w))
+    )
+    probe_vals = ", ".join(f"('{p}')" for p in probes)
+    prows = " UNION ALL ".join(
+        f"SELECT token, {j} AS j, {e['duck']} AS bucket FROM ph"
+        for j, e in enumerate(_cms_bucket_exprs(d, w))
+    )
+    return f"""
+    WITH tok AS ({source_tokens_sql}),
+    h AS (SELECT {h} AS hv FROM tok),
+    cells AS ({rows}),
+    counters AS (
+        SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY j, bucket
+    ),
+    probes(token) AS (VALUES {probe_vals}),
+    ph AS (SELECT token, {h} AS hv FROM probes),
+    pcells AS ({prows}),
+    exact AS (
+        SELECT p.token, CAST(COUNT(t.token) AS BIGINT) AS exact_cnt
+        FROM probes p LEFT JOIN tok t ON t.token = p.token
+        GROUP BY p.token
+    )
+    SELECT pc.token,
+           CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_cnt,
+           MIN(e.exact_cnt) AS exact_cnt
+    FROM pcells pc
+    LEFT JOIN counters c ON pc.j = c.j AND pc.bucket = c.bucket
+    JOIN exact e ON e.token = pc.token
+    GROUP BY pc.token
+    """

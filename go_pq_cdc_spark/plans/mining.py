@@ -73,6 +73,73 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(toks, "token", phi=_HH_PHI, capacity=_HH_CAP)
 
 
+_CMS_PROBES = ("merge", "vector", "window", "stream", "zzz_never_a_token")
+_CMS_D, _CMS_W = 4, 512
+
+
+def _cms_oracle() -> str:
+    from ..operators.sketch import cms_oracle_sql
+
+    return cms_oracle_sql(
+        f"SELECT unnest({_TOKS_DUCK}) AS token FROM documents",
+        _CMS_PROBES,
+        d=_CMS_D,
+        w=_CMS_W,
+    )
+
+
+@register(
+    "q_cms_frequencies",
+    oracle=_cms_oracle(),
+    tags=("sketch", "frequency", "cms", "mergeable"),
+)
+def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates — the third mergeable
+    sketch family (KMV distinct / MG heavy hitters / CMS frequencies):
+    counters built over the corpus token stream with plan-time literal
+    hash coefficients (one narrow map + one d x w-bounded groupBy), then
+    point estimates for a fixed probe list including an absent token.
+    The CMS no-undercount guarantee (est >= exact, always) is fused into
+    the plan as an assert_true; the oracle rebuilds the identical
+    counters and estimates in SQL — pure integer arithmetic, exact on
+    both engines."""
+    from ..operators.sketch import cms_counters, cms_point_estimates
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr(P.tokens("text")["spark"])).alias("token")
+    )
+    counters = cms_counters(toks, "token", d=_CMS_D, w=_CMS_W)
+    probes = spark.createDataFrame(
+        [(p,) for p in _CMS_PROBES], "token string"
+    )
+    est = cms_point_estimates(
+        counters, probes, "token", d=_CMS_D, w=_CMS_W
+    )
+    exact = (
+        probes.join(
+            toks.groupBy("token").agg(
+                F.count(F.lit(1)).cast("long").alias("_n")
+            ),
+            "token",
+            "left",
+        )
+        .select("token", F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("exact_cnt"))
+    )
+    guard = F.assert_true(
+        F.col("est_cnt") >= F.col("exact_cnt"),
+        F.lit("q_cms_frequencies: CMS undercounted — impossible by construction"),
+    )
+    return (
+        est.join(F.broadcast(exact), "token")
+        .select(
+            "token",
+            F.when(guard.isNull(), F.col("est_cnt")).alias("est_cnt"),
+            "exact_cnt",
+        )
+    )
+
+
 @register(
     "text_bm25_topk",
     oracle=S.bm25_oracle_sql("documents", _BM25_TERMS),

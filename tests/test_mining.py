@@ -325,3 +325,41 @@ def test_corpus_report_shape(spark):
     for hh in rep["heavy_hitters"]:
         assert hh["cnt"] > 0.02 * rep["total_tokens"]
     assert rep["embeddings"] == {"n_vecs": 500, "dims": 64, "null_vecs": 0}
+
+
+def test_cms_counters_merge_and_never_undercount(spark):
+    """CMS is mergeable (counters over the whole corpus == the SUM of the
+    two halves' counters cell-by-cell) and never undercounts a probe —
+    including an absent one, which estimates 0 unless it collides."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.operators.sketch import (
+        cms_counters,
+        cms_point_estimates,
+    )
+
+    rows = [(i, f"tok{i % 37}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "i long, token string")
+    whole = cms_counters(df, "token", d=3, w=64)
+    halves = cms_counters(df.filter("i % 2 = 0"), "token", d=3, w=64).unionByName(
+        cms_counters(df.filter("i % 2 = 1"), "token", d=3, w=64)
+    )
+    merged = halves.groupBy("j", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    a = {(r["j"], r["bucket"]): r["cnt"] for r in whole.collect()}
+    b = {(r["j"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert a == b
+
+    probes = spark.createDataFrame(
+        [("tok0",), ("tok36",), ("absent",)], "token string"
+    )
+    est = {
+        r["token"]: r["est_cnt"]
+        for r in cms_point_estimates(whole, probes, "token", d=3, w=64).collect()
+    }
+    exact = {"tok0": sum(1 for _, t in rows if t == "tok0"),
+             "tok36": sum(1 for _, t in rows if t == "tok36"),
+             "absent": 0}
+    for k, v in exact.items():
+        assert est[k] >= v, (k, est[k], v)

@@ -548,3 +548,25 @@ def test_token_rarity_integer_exactness(spark):
     # doc 1: 1 + 1 + 6 = 8 over 3 tokens
     assert got[1] == (3, 8, 8.0 / 3)
     assert got[2] == (3, 8, 8.0 / 3)
+
+
+def test_sample_temperature_general_alpha_pow_branch(spark):
+    """alpha != 0.5 goes through pow() instead of sqrt: rate
+    (n_min/n_i)^(1-alpha) still anchors the smallest stratum at 1.0 and
+    keeps ~n_i^alpha of larger ones (alpha=0.75: rate (250/4000)^0.25
+    ~= 0.5)."""
+    from go_pq_cdc_spark.operators.training import sample_temperature
+
+    rows = [(i, "big") for i in range(4000)] + [
+        (10_000 + i, "small") for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = {
+        r["lang"]: r["n"]
+        for r in sample_temperature(df, alpha=0.75)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert kept["small"] == 250
+    assert 1700 < kept["big"] < 2300  # ~0.5 * 4000
