@@ -26,13 +26,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Gate scheduling: the correctness runner caps at 50 of the registry's
 # entries per round, so rows that NEED a fresh driver-green signal run
 # FIRST. Rotation invariant: every registry row's latest driver green is
-# <= 2 rounds old, PLUS a bounded carry — with 115 registry rows and a
-# 50-row cap (115 > 2*50), each round defers (carry + new-query count)
+# <= 2 rounds old, PLUS a bounded carry — with 116 registry rows and a
+# 50-row cap (116 > 2*50), each round defers (carry + new-query count)
 # of the cheapest/most robust rows to position 51+, and those lead the
 # NEXT round's head. Round 12 rotation (r11 verdict item 1): the 7
-# exactly-2-rounds-old r9-green deferrals lead, then 35 r10-green rows;
-# the 8 queries ADDED this round close the cap at 50 exactly; 15
-# r10-green rows defer to 51-65 (they lead the r13 head); the 50
+# exactly-2-rounds-old r9-green deferrals lead, then 34 r10-green rows;
+# the 9 queries ADDED this round close the cap at 50 exactly; 16
+# r10-green rows defer to 51-66 (they lead the r13 head); the 50
 # r11-green rows are the freshest signal and trail.
 _GATE_HEAD = [
     # r9-green rows deferred past r11's cap — stalest signal, run first
@@ -43,7 +43,7 @@ _GATE_HEAD = [
     "q_order_priority_count",
     "q_rollup_cube",
     "q_pivot_event_counts",
-    # driver-green in CORRECTNESS_r10 (50/50 MATCH), minus the 15
+    # driver-green in CORRECTNESS_r10 (50/50 MATCH), minus the 16
     # deferred below — stalest-but-one
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -79,9 +79,8 @@ _GATE_HEAD = [
     "train_epoch_order",
     "text_chunk_windows",
     "sample_stratum_topk",
-    "emb_dim_stats",
 ]
-# Queries ADDED in round 12 — never driver-checked: 42 head rows + these
+# Queries ADDED in round 12 — never driver-checked: 41 head rows + these
 # = 50 exactly.
 _GATE_NEW = [
     "cdc_heavy_hitters_view",
@@ -92,6 +91,7 @@ _GATE_NEW = [
     "dedup_stream_pairs",
     "emb_semdedup_stream_pairs",
     "q_cms_frequencies",
+    "q_cms_merge",
 ]
 # Deferred to position 51+: r10-green rows displaced by this round's new
 # queries + the structural carry — at r12 judging they are exactly 2
@@ -114,6 +114,7 @@ _GATE_DEFERRED = [
     "text_substring_dedup_apply",
     "text_heavy_hitters",
     "cdc_changes_between",
+    "emb_dim_stats",
 ]
 _GATE_TAIL = [
     # driver-green in CORRECTNESS_r11 (50/50 MATCH) — freshest signal

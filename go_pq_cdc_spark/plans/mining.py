@@ -141,6 +141,63 @@ def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cms_merge",
+    oracle=_cms_oracle(),
+    tags=("sketch", "frequency", "cms", "mergeable", "merge"),
+)
+def q_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS merge associativity under the oracle — the `q_kmv_merge`
+    design applied to frequencies: Spark builds one sketch PER LANGUAGE
+    (the sketch-at-fine-granularity-once pattern), merges them by
+    counter addition, and estimates from the MERGED sketch; DuckDB
+    sketches the whole corpus directly. Bit-identical estimates prove
+    the merge is exact cross-engine — the property that lets a 100 TB
+    corpus keep per-partition/day sketches and answer global frequency
+    questions without rescanning."""
+    from ..operators.sketch import cms_point_estimates
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.expr(P.tokens("text")["spark"])).alias("token")
+    )
+    h = P.md5_hash_m31("CAST(token AS STRING)")["spark"]
+    from ..operators.sketch import _cms_bucket_exprs
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                F.expr(e["spark"]).cast("long").alias("bucket"),
+            )
+            for j, e in enumerate(_cms_bucket_exprs(_CMS_D, _CMS_W))
+        ]
+    )
+    per_lang = (
+        toks.select("lang", F.expr(h).alias("hv"))
+        .select("lang", F.explode(cells).alias("c"))
+        .groupBy("lang", "c.j", "c.bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    merged = per_lang.groupBy("j", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    probes = spark.createDataFrame(
+        [(p,) for p in _CMS_PROBES], "token string"
+    )
+    est = cms_point_estimates(merged, probes, "token", d=_CMS_D, w=_CMS_W)
+    exact = probes.join(
+        toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("_n")),
+        "token",
+        "left",
+    ).select(
+        "token", F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("exact_cnt")
+    )
+    return est.join(F.broadcast(exact), "token").select(
+        "token", "est_cnt", "exact_cnt"
+    )
+
+
+@register(
     "text_bm25_topk",
     oracle=S.bm25_oracle_sql("documents", _BM25_TERMS),
     tags=("text", "search", "bm25"),
