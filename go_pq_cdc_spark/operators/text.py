@@ -160,11 +160,15 @@ def ngram_novelty(
     tokens carry no shingles and are absent from the output.
 
     Scale shape: explode distinct shingle hashes (the MinHash input set,
-    `P.shingle_hashes`), first-occurrence via MIN(id) OVER (PARTITION BY
-    shingle) — one shingle-hash-keyed shuffle shared by the window, then
-    the per-doc rollup's id shuffle. No joins, no all-pairs anything;
-    both shuffles key on high-cardinality hashes, so the plan is skew-
-    and scale-safe at corpus size.
+    `P.shingle_hashes`), first-occurrence via a PARTIAL-AGGREGABLE
+    `groupBy(sh).agg(min(id))` joined back to the (id, sh) pair stream —
+    never `MIN(id) OVER (PARTITION BY sh)`. Shingle frequency follows the
+    corpus: a boilerplate shingle present in a large fraction of a crawl
+    would funnel its entire partition through ONE WindowExec task that
+    AQE cannot split, whereas map-side combine collapses each task's hot
+    shingle to one row before the shuffle and AQE skew-split handles the
+    probe side of the join-back. tests/test_plan_lint.py bans the
+    raw-key window shape registry-wide.
 
     Output: (id, n_shingles, n_novel, novelty)."""
     from .scale import spread_small_input
@@ -173,14 +177,17 @@ def ngram_novelty(
     # the per-shingle md5 is the expensive part — spread a narrow local
     # input across cores before it runs (structural no-op at scale,
     # where the scan already has thousands of splits); without this a
-    # one-file table evaluates ~tokens-per-corpus md5 calls in ONE task
+    # one-file table evaluates ~tokens-per-corpus md5 calls in ONE task.
+    # shingle_hashes is array_distinct per doc, so (id, sh) pairs are
+    # already distinct — no pre-collapse needed before the join.
     exploded = spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(F.expr(sh["spark"])).alias("sh")
     )
-    w = Window.partitionBy("sh")
-    novel = F.when(F.min(id_col).over(w) == F.col(id_col), 1).otherwise(0)
+    firsts = exploded.groupBy("sh").agg(F.min(id_col).alias("_first_id"))
+    novel = F.when(F.col(id_col) == F.col("_first_id"), 1).otherwise(0)
     return (
-        exploded.withColumn("_novel", novel)
+        exploded.join(firsts, "sh")
+        .withColumn("_novel", novel)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
@@ -209,10 +216,17 @@ def token_rarity(
     here is log-free (libm log is not correctly rounded and diverges
     across engines by ulps).
 
-    Scale shape: one corpus-total agg (scalar to the driver), token
-    explode, cnt via COUNT() OVER (PARTITION BY token) — one token-keyed
-    shuffle, no vocab join — then the per-doc rollup. Same class as
-    `ngram_novelty`.
+    Scale shape: one narrow SUM(size(tokens)) agg for the corpus total
+    (scalar to the driver, no explode), then a per-(doc, token)
+    partial-aggregated collapse of the occurrence stream, vocab counts
+    derived FROM that collapse (second partial agg), and a token-keyed
+    join-back — never `COUNT() OVER (PARTITION BY token)`. Token
+    frequency is Zipfian: at web scale one stopword is percents of the
+    whole occurrence stream, and a raw-token WindowExec funnels all of
+    it through ONE task AQE cannot split. Map-side combine collapses
+    each task's hot token before both shuffles here, and the join-back
+    probe side is (doc, token)-distinct rows — AQE skew-split territory.
+    tests/test_plan_lint.py bans the raw-key window shape registry-wide.
 
     Output: (id, n_tok, rarity_sum, mean_rarity)."""
     from .scale import spread_small_input
@@ -220,17 +234,27 @@ def token_rarity(
     tok = P.tokens(text_col)
     # spread a narrow local input before the tokenize+explode (see
     # ngram_novelty; structural no-op on a wide at-scale scan)
-    exploded = spread_small_input(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(F.expr(tok["spark"])).alias("token")
+    base = spread_small_input(df.select(id_col, text_col)).withColumn(
+        "_toks", F.expr(tok["spark"])
     )
-    n_total = exploded.count()
-    w = Window.partitionBy("token")
+    # corpus token total in ONE narrow agg — size() per row, no explode
+    # (the previous exploded.count() re-tokenized the corpus a 2nd time)
+    n_total = (
+        base.select(F.sum(F.size("_toks")).cast("long").alias("n")).collect()[0]["n"]
+        or 0
+    )
+    doc_tok = (
+        base.select(F.col(id_col), F.explode("_toks").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("_occ"))
+    )
+    vocab = doc_tok.groupBy("token").agg(F.sum("_occ").alias("_cnt"))
     return (
-        exploded.withColumn("_cnt", F.count(F.lit(1)).over(w))
-        .withColumn("_r", F.expr(f"{n_total}L div _cnt"))
+        doc_tok.join(vocab, "token")
+        .withColumn("_r", F.expr(f"({n_total}L div _cnt) * _occ"))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("_occ").cast("long").alias("n_tok"),
             F.sum("_r").cast("long").alias("rarity_sum"),
         )
         .withColumn(

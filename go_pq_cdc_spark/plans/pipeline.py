@@ -1657,8 +1657,10 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     token contributes the INTEGER ratio corpus_total div token_count —
     int64 all the way, one double division at the end, so the score is
     order-independent and engine-exact where a log-based perplexity
-    diverges by libm ulps (the BM25 stance). One token-keyed window +
-    per-doc rollup (see `operators.text.token_rarity`)."""
+    diverges by libm ulps (the BM25 stance). Partial-aggregated
+    (doc, token) collapse + vocab-count join-back — NOT a raw-token
+    window, which Zipfian token frequency turns into a one-task funnel
+    at crawl scale (see `operators.text.token_rarity`)."""
     from ..operators.text import token_rarity
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1691,15 +1693,16 @@ def _novelty_oracle(n: int = 3) -> str:
     "text_ngram_novelty",
     oracle=_novelty_oracle(),
     tags=("text", "quality", "novelty", "dedup"),
-    bench=True,  # new plan family (shingle-keyed window, no join) — track
+    bench=True,  # partial-agg + join-back de-Zipf rewrite (r13) — track
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram novelty (share of the doc's distinct 3-gram
     shingles first seen in this doc, id order) — the diversity/freshness
     curation signal near-dup detection misses: syndication and template
-    spam score near 0 without being a near-dup of any single doc. One
-    shingle-hash window + one per-doc rollup; no joins (see
-    `operators.text.ngram_novelty`)."""
+    spam score near 0 without being a near-dup of any single doc.
+    Partial-aggregated MIN(id)-per-shingle + join-back, NOT a raw-shingle
+    window — a crawl-wide boilerplate shingle would funnel one WindowExec
+    task (see `operators.text.ngram_novelty`)."""
     from ..operators.text import ngram_novelty
 
     docs = load_table(spark, sf_dir, "documents")

@@ -14,6 +14,18 @@ scale-killer shapes:
     a 1-row broadcast scalar (threshold crossJoin) or a small broadcast
     side under a non-equi predicate (ANN query sets).
 
+  * `Window` PARTITIONED BY a raw text-derived key (token / shingle /
+    gram column) — token and shingle frequency is Zipfian; at crawl
+    scale one stopword or boilerplate shingle is percents of the whole
+    stream, and WindowExec sends every row of a partition through ONE
+    task that AQE cannot split (unlike a skewed join). The fix is always
+    the same: partial-aggregable `groupBy(key).agg(...)` (map-side
+    combine collapses each task's hot key to one row) joined back to
+    the stream (AQE skew-split handles the probe side) — the r12
+    `token_rarity`/`ngram_novelty` rewrite. ORDER keys are exempt
+    (a top-k tie-break on `token` orders within an already-bounded
+    partition).
+
 The allowlist below names every query that legitimately carries one of
 these shapes and WHY. A new registry entry that introduces either shape
 fails this test until it is either reshaped or added here with a
@@ -21,6 +33,8 @@ justification — silent single-reducer funnels are how 100 TB jobs die.
 """
 
 from __future__ import annotations
+
+import re
 
 from go_pq_cdc_spark import plans
 
@@ -61,8 +75,41 @@ ALLOWED = {
     "dedup_semantic": "centroid fold to one broadcast row (ivf_assign)",
 }
 
+# Window PARTITION keys that are Zipfian raw text-derived values — a
+# window partitioned on one funnels the hot key through a single task.
+# Matched against the base column name (case-insensitive, trailing
+# Catalyst #id stripped).
+BANNED_WINDOW_KEYS = {"token", "sh", "shingle", "gram", "g", "word"}
 
-def _lint_one(spark, spec) -> str | None:
+# query -> justification for a window partitioned on a banned-name key
+ALLOWED_WINDOW_KEYS = {
+    # `g` here is a gram-group key whose partitions are capped at 2..20
+    # docs BY CONSTRUCTION upstream (operators/text.py substring dedup
+    # keeps only gram groups of 2..20 docs before the window) — bounded
+    # fan-in, not a Zipfian funnel. (text_substring_dedup itself rolls
+    # up without a window; only the _apply arm windows on `g`.)
+    "text_substring_dedup_apply": "gram groups capped at 2..20 docs upstream",
+}
+
+
+def _window_partition_keys(plan: str) -> set[str]:
+    """Base column names of every Window PARTITION BY key in a physical
+    plan string. windowspecdefinition args are: partition cols, then
+    order cols (carrying ASC/DESC), then the frame spec — partition keys
+    are the leading args with no sort direction."""
+    keys: set[str] = set()
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        for arg in m.group(1).split(","):
+            arg = arg.strip()
+            if " ASC" in arg or " DESC" in arg or "windowframe" in arg:
+                break
+            col = re.match(r"(\w+)#\d+", arg)
+            if col:
+                keys.add(col.group(1).lower())
+    return keys
+
+
+def _lint_one(spark, spec) -> tuple[str | None, frozenset[str]]:
     df = spec.spark_fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     marks = []
@@ -72,7 +119,8 @@ def _lint_one(spark, spec) -> str | None:
         marks.append("CartesianProduct")
     if "BroadcastNestedLoopJoin" in plan:
         marks.append("BroadcastNestedLoopJoin")
-    return ", ".join(marks) if marks else None
+    banned = frozenset(_window_partition_keys(plan) & BANNED_WINDOW_KEYS)
+    return (", ".join(marks) if marks else None), banned
 
 
 def test_no_unjustified_scale_funnels(spark):
@@ -96,7 +144,7 @@ def test_no_unjustified_scale_funnels(spark):
         results = list(
             ex.map(lambda kv: (kv[0], _lint_one(spark.newSession(), kv[1])), items)
         )
-    flagged = {name: marks for name, marks in results if marks}
+    flagged = {name: marks for name, (marks, _) in results if marks}
     unjustified = {n: m for n, m in flagged.items() if n not in ALLOWED}
     assert not unjustified, (
         "queries with UNJUSTIFIED single-reducer funnels or nested-loop "
@@ -105,3 +153,19 @@ def test_no_unjustified_scale_funnels(spark):
     # the allowlist must not rot: every entry still exhibits its shape
     stale = sorted(set(ALLOWED) - set(flagged))
     assert not stale, f"allowlist entries no longer flagged (remove): {stale}"
+
+    # Zipfian raw-key windows: WindowExec partitioned on a raw token /
+    # shingle / gram column — rewrite as groupBy + join-back (see module
+    # docstring), or allowlist with a bounded-fan-in justification.
+    win_flagged = {name: sorted(keys) for name, (_, keys) in results if keys}
+    win_unjustified = {
+        n: k for n, k in win_flagged.items() if n not in ALLOWED_WINDOW_KEYS
+    }
+    assert not win_unjustified, (
+        "queries with a Window PARTITIONED on a raw Zipfian text key "
+        f"(rewrite as partial-agg + join-back): {win_unjustified}"
+    )
+    win_stale = sorted(set(ALLOWED_WINDOW_KEYS) - set(win_flagged))
+    assert not win_stale, (
+        f"window-key allowlist entries no longer flagged (remove): {win_stale}"
+    )
