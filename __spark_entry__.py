@@ -25,17 +25,104 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Gate scheduling: the correctness runner caps at 50 of the registry's
 # entries per round, so rows that NEED a fresh driver-green signal run
-# FIRST. Rotation invariant: every registry row's latest driver green is
-# <= 2 rounds old, PLUS a bounded carry — with 116 registry rows and a
-# 50-row cap (116 > 2*50), each round defers (carry + new-query count)
-# of the cheapest/most robust rows to position 51+, and those lead the
-# NEXT round's head. Round 12 rotation (r11 verdict item 1): the 7
-# exactly-2-rounds-old r9-green deferrals lead, then 34 r10-green rows;
-# the 9 queries ADDED this round close the cap at 50 exactly; 16
-# r10-green rows defer to 51-66 (they lead the r13 head); the 50
-# r11-green rows are the freshest signal and trail.
+# FIRST. Rotation invariant (amended round 13, r12 verdict item 3):
+# every registry row's latest driver green is <= 3 rounds old. The
+# previous <= 2 wording became arithmetically impossible once the
+# registry crossed 2*50 rows (116 at r12 close); with fair rotation the
+# worst-case staleness is ceil(registry_size / 50), so <= 3 holds for
+# any registry up to 150 rows — `_gate_order` asserts that bound so
+# growth past it fails loudly instead of silently rotting a row.
+#
+# Round 13 rotation: the 16 r10-green rows deferred past r12's cap lead
+# (3 rounds stale — the invariant's worst case), then the queries ADDED
+# this round (never driver-checked), then the 50 r11-green rows in
+# robustness order — whichever of them fall past position 50 defer
+# automatically and MUST lead the r14 head; the 50 r12-green rows are
+# the freshest signal and trail.
 _GATE_HEAD = [
-    # r9-green rows deferred past r11's cap — stalest signal, run first
+    # r10-green rows deferred past r12's cap — stalest signal, run first
+    "q_window_gauntlet",
+    "q_funnel_steps",
+    "q_cohort_retention",
+    "q_kmv_distinct",
+    "q_kmv_merge",
+    "text_pii_scrub",
+    "text_cleanup",
+    "text_url_dedup",
+    "dedup_semantic",
+    "cdc_incremental_agg_view",
+    "text_gopher_quality",
+    "text_bm25_topk",
+    "text_substring_dedup_apply",
+    "text_heavy_hitters",
+    "cdc_changes_between",
+    "emb_dim_stats",
+]
+# Queries ADDED in round 13 — never driver-checked; appended as they
+# land. Each one pushes one more r11-green row past the cap (the
+# automatic-deferral arm below).
+_GATE_NEW: list[str] = []
+# r11-green rows (driver-green in CORRECTNESS_r11, 50/50 MATCH) — two
+# rounds stale at r13 judging. The first (50 - 16 - len(_GATE_NEW)) fit
+# under the cap; the remainder defer to 51+ and lead the r14 head.
+# Ordered most-plan-touched first so deferral lands on the cheapest /
+# most robust rows (pure-expression plans untouched for rounds).
+_GATE_R11 = [
+    "cdc_topk_view",
+    "cdc_agg_view_minmax",
+    "cdc_before_image",
+    "cdc_truncate_state",
+    "cdc_scd2_intervals",
+    "cdc_ack_watermark",
+    "cdc_hypertable_mapping",
+    "sim_cosine_topk",
+    "sim_pq_adc_topk",
+    "sim_ann_lsh_topk",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "sample_token_budget",
+    "sample_upsample_epochs",
+    "sample_weighted_docs",
+    "split_train_val_test",
+    "emb_quantize",
+    "emb_near_dup",
+    "emb_centroid_outliers",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "text_substring_dedup",
+    "text_bag_dedup",
+    "text_line_dedup",
+    "text_profile",
+    "text_repetition",
+    "text_top_tokens",
+    "text_token_stats",
+    "multimodal_features",
+    "q_time_bucket_gapfill",
+    "q_gapfill_interpolate",
+    "q_counter_increase",
+    "q_asof_last_click",
+    "q_range_join_bursts",
+    "q_sessionize",
+    "q_salted_event_counts",
+    "q_full_outer_activity",
+    "q_histogram",
+    "q_top_orders_per_segment",
+    "q_parts_not_shipped_1995",
+    "q_percentiles",
+    "q_grouping_sets",
+    # pure-expression / stock-Catalyst TPC-H rows: most deferral-robust,
+    # so they sit deepest past the cap
+    "q12_late_shipment_priority",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    "q17_small_quantity_revenue",
+]
+_GATE_TAIL = [
+    # driver-green in CORRECTNESS_r12 (50/50 MATCH) — freshest signal
     "q_set_ops",
     "q_json_extract",
     "q_distinct_custs",
@@ -43,8 +130,6 @@ _GATE_HEAD = [
     "q_order_priority_count",
     "q_rollup_cube",
     "q_pivot_event_counts",
-    # driver-green in CORRECTNESS_r10 (50/50 MATCH), minus the 16
-    # deferred below — stalest-but-one
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -79,10 +164,6 @@ _GATE_HEAD = [
     "train_epoch_order",
     "text_chunk_windows",
     "sample_stratum_topk",
-]
-# Queries ADDED in round 12 — never driver-checked: 41 head rows + these
-# = 50 exactly.
-_GATE_NEW = [
     "cdc_heavy_hitters_view",
     "cdc_enrich_dimension",
     "sample_temperature_mix",
@@ -93,91 +174,25 @@ _GATE_NEW = [
     "q_cms_frequencies",
     "q_cms_merge",
 ]
-# Deferred to position 51+: r10-green rows displaced by this round's new
-# queries + the structural carry — at r12 judging they are exactly 2
-# rounds old (the invariant's declared carry) and they lead the r13
-# head. Chosen cheapest/most robust first (pure-expression plans
-# untouched for rounds).
-_GATE_DEFERRED = [
-    "q_window_gauntlet",
-    "q_funnel_steps",
-    "q_cohort_retention",
-    "q_kmv_distinct",
-    "q_kmv_merge",
-    "text_pii_scrub",
-    "text_cleanup",
-    "text_url_dedup",
-    "dedup_semantic",
-    "cdc_incremental_agg_view",
-    "text_gopher_quality",
-    "text_bm25_topk",
-    "text_substring_dedup_apply",
-    "text_heavy_hitters",
-    "cdc_changes_between",
-    "emb_dim_stats",
-]
-_GATE_TAIL = [
-    # driver-green in CORRECTNESS_r11 (50/50 MATCH) — freshest signal
-    "q_histogram",
-    "text_bag_dedup",
-    "text_line_dedup",
-    "q12_late_shipment_priority",
-    "emb_quantize",
-    "q_time_bucket_gapfill",
-    "q_gapfill_interpolate",
-    "q_counter_increase",
-    "sample_weighted_docs",
-    "split_train_val_test",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_dominant_suppliers",
-    "sim_cosine_topk",
-    "sim_pq_adc_topk",
-    "sim_ann_lsh_topk",
-    "sim_ivf_topk",
-    "sim_ivfpq_topk",
-    "cdc_before_image",
-    "cdc_truncate_state",
-    "cdc_scd2_intervals",
-    "cdc_ack_watermark",
-    "cdc_hypertable_mapping",
-    "q_asof_last_click",
-    "q_range_join_bursts",
-    "q_sessionize",
-    "q_salted_event_counts",
-    "q_full_outer_activity",
-    "multimodal_features",
-    "text_profile",
-    "text_repetition",
-    "text_top_tokens",
-    "text_token_stats",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "emb_near_dup",
-    "q_top_orders_per_segment",
-    "q_parts_not_shipped_1995",
-    "q_percentiles",
-    "q_grouping_sets",
-    "q17_small_quantity_revenue",
-    "text_substring_dedup",
-    "emb_centroid_outliers",
-    "cdc_topk_view",
-    "cdc_agg_view_minmax",
-    "sample_token_budget",
-    "sample_upsample_epochs",
-]
+
+# correctness-runner cap and the staleness bound it implies
+_GATE_CAP = 50
+_MAX_STALE_ROUNDS = 3
 
 
 def _gate_order() -> list[str]:
     names = list(plans.REGISTRY)
-    placed = set(_GATE_HEAD) | set(_GATE_NEW) | set(_GATE_DEFERRED) | set(_GATE_TAIL)
+    assert len(names) <= _GATE_CAP * _MAX_STALE_ROUNDS, (
+        f"registry has {len(names)} rows; fair rotation under the "
+        f"{_GATE_CAP}-row cap cannot keep every row's driver green "
+        f"<= {_MAX_STALE_ROUNDS} rounds old past {_GATE_CAP * _MAX_STALE_ROUNDS} "
+        "rows — fold redundant gate rows or renegotiate the invariant"
+    )
+    placed = set(_GATE_HEAD) | set(_GATE_NEW) | set(_GATE_R11) | set(_GATE_TAIL)
     missing = placed - set(names)
     assert not missing, f"gate order references unknown queries: {sorted(missing)}"
     middle = [n for n in names if n not in placed]
-    return _GATE_HEAD + _GATE_NEW + _GATE_DEFERRED + middle + _GATE_TAIL
+    return _GATE_HEAD + _GATE_NEW + middle + _GATE_R11 + _GATE_TAIL
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
