@@ -27,6 +27,28 @@ from ..functions import portable as P
 
 SAMPLE_BASIS = 10_000  # hash-sampling resolution: fractions quantize to 1e-4
 
+# Strata-cardinality ceiling for the CASE-inlining samplers. Their whole
+# design premise is that the stratum column is LOW-cardinality (languages,
+# sources): per-stratum rates/cuts are collected to the driver and inlined
+# as literals. A user keying on a high-cardinality column (url, doc_id)
+# would hit a driver-memory + plan-size cliff — so, mirroring the view
+# state machines' max_groups guard (r12), the collects are LIMIT-bounded
+# BEFORE any row reaches the driver and refuse past the ceiling.
+MAX_STRATA = 10_000
+
+
+def _strata_refusal(op: str, stratum_col: str, max_strata: int) -> ValueError:
+    return ValueError(
+        f"{op}: stratum column {stratum_col!r} has more than "
+        f"{max_strata} distinct values — this operator inlines one CASE "
+        "branch per stratum and is designed for low-cardinality strata "
+        "(languages/sources). For high-cardinality keys, derive a bounded "
+        "stratum first (e.g. a hash bucket: pmod(hash(col), k)) or use the "
+        "uniform `sample_deterministic` / the distributed two-level "
+        "prefix-scan ops directly; raise max_strata= only if the driver "
+        "and plan size can genuinely absorb it"
+    )
+
 
 def _id_hash(id_col: str) -> dict[str, str]:
     """Portable md5 hash fragments of the id rendered as text — the ONE
@@ -53,6 +75,7 @@ def sample_temperature(
     alpha: float = 0.5,
     stratum_col: str = "lang",
     id_col: str = "doc_id",
+    max_strata: int = MAX_STRATA,
 ) -> DataFrame:
     """Temperature-scaled stratum sampling — the mT5/multilingual
     alpha-sampling rule (p_i ∝ n_i^alpha): downsample each stratum at
@@ -75,12 +98,17 @@ def sample_temperature(
     for cross-engine oracles."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    counts = {
-        r[stratum_col]: r["n"]
-        for r in df.groupBy(stratum_col)
+    # LIMIT-bounded strata collect: at most max_strata+1 rows ever reach
+    # the driver, and one extra row proves the ceiling is breached
+    rows = (
+        df.groupBy(stratum_col)
         .agg(F.count(F.lit(1)).alias("n"))
+        .limit(max_strata + 1)
         .collect()
-    }
+    )
+    if len(rows) > max_strata:
+        raise _strata_refusal("sample_temperature", stratum_col, max_strata)
+    counts = {r[stratum_col]: r["n"] for r in rows}
     if not counts:
         return df
     n_min = min(counts.values())
@@ -133,7 +161,11 @@ def sample_stratified(
     The strata->rate map is driver-size by definition; it is inlined as a
     CASE expression so the plan stays a single narrow filter over the
     corpus — no join, no shuffle, and the parquet scan still prunes on any
-    upstream predicates."""
+    upstream predicates. The map is user-given, but a programmatically
+    built one can still smuggle in a high-cardinality key — same plan-size
+    ceiling as the data-derived samplers."""
+    if len(strata) > MAX_STRATA:
+        raise _strata_refusal("sample_stratified", strata_col, MAX_STRATA)
     branches = " ".join(
         f"WHEN {strata_col} = {_sql_str(k)} THEN CAST({float(v)!r} AS DOUBLE)"
         for k, v in sorted(strata.items())
@@ -523,6 +555,7 @@ def sample_token_budget(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_cuts: int = 32,
+    max_strata: int | None = None,
 ) -> DataFrame:
     """Per-stratum take-until-token-budget — the Dolma/RedPajama mixing
     primitive: within each stratum (language/source), keep documents in
@@ -559,8 +592,15 @@ def sample_token_budget(
     review); a NULL/negative token count is a contract violation
     enforced in-pass (NULL text tokenizes to size()=-1 on Spark but NULL
     on other engines — ambiguity this op refuses to paper over; clean
-    text upstream), same stance as with_prefix_offsets' weight guard."""
-    within = _stratum_token_prefix(df, stratum_col, id_col, text_col, n_cuts)
+    text upstream), same stance as with_prefix_offsets' weight guard.
+
+    `max_strata` (default 32_000 // n_cuts — the plan inlines
+    strata x n_cuts cut literals, so the ceiling scales inversely with
+    n_cuts) refuses high-cardinality stratum columns before the cuts
+    collect reaches the driver (see MAX_STRATA)."""
+    within = _stratum_token_prefix(
+        df, stratum_col, id_col, text_col, n_cuts, max_strata
+    )
     return within.filter(F.col("cum_before") < int(budget)).select(
         id_col, stratum_col, "n_tok", "cum_before"
     )
@@ -572,6 +612,7 @@ def _stratum_token_prefix(
     id_col: str,
     text_col: str,
     n_cuts: int,
+    max_strata: int | None = None,
 ) -> DataFrame:
     """(id, stratum, n_tok, cum_before) for EVERY row — the shared
     two-level per-stratum exclusive prefix sum in (n_tok DESC, id ASC)
@@ -591,7 +632,12 @@ def _stratum_token_prefix(
         F.col(stratum_col),
         F.when(guard.isNull(), ntok).alias("n_tok"),
     )
-    # plan-time per-stratum cuts (driver-size: strata x n_cuts)
+    # plan-time per-stratum cuts (driver-size: strata x n_cuts). The
+    # collect is LIMIT-bounded and refuses past the ceiling — the CASE
+    # chain below inlines n_cuts literals PER STRATUM, so the default
+    # ceiling scales inversely with n_cuts (32k total literal budget).
+    if max_strata is None:
+        max_strata = max(1, 32_000 // max(n_cuts, 1))
     probs = [i / n_cuts for i in range(1, n_cuts)]
     cut_rows = (
         base.groupBy(stratum_col)
@@ -600,8 +646,11 @@ def _stratum_token_prefix(
                 F.col("n_tok").cast("double"), probs, 10_000
             ).alias("c")
         )
+        .limit(max_strata + 1)
         .collect()
     )
+    if len(cut_rows) > max_strata:
+        raise _strata_refusal("sample_token_budget", stratum_col, max_strata)
     cuts = {
         r[stratum_col]: sorted({float(x) for x in (r["c"] or []) if x is not None})
         for r in cut_rows
@@ -667,6 +716,7 @@ def upsample_token_budget(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_cuts: int = 32,
+    max_strata: int | None = None,
 ) -> DataFrame:
     """Epoch-repetition mixing — the complement of `sample_token_budget`
     for UNDER-budget strata (the LLaMA/Dolma "repeat small high-quality
@@ -688,7 +738,9 @@ def upsample_token_budget(
 
     Output: (id, stratum, epoch, n_tok, cum_global) — cum_global is the
     copy's exclusive token prefix within its stratum's emitted stream."""
-    pre = _stratum_token_prefix(df, stratum_col, id_col, text_col, n_cuts)
+    pre = _stratum_token_prefix(
+        df, stratum_col, id_col, text_col, n_cuts, max_strata
+    )
     return _epoch_fanout(pre, budget, max_epochs, stratum_col, id_col)
 
 

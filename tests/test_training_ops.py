@@ -570,3 +570,42 @@ def test_sample_temperature_general_alpha_pow_branch(spark):
     }
     assert kept["small"] == 250
     assert 1700 < kept["big"] < 2300  # ~0.5 * 4000
+
+
+def test_samplers_refuse_high_cardinality_strata(spark):
+    """The CASE-inlining samplers are designed for low-cardinality strata
+    (languages/sources); a high-cardinality stratum column must REFUSE
+    before a strata-sized collect reaches the driver or a mega-CASE
+    reaches the plan (r12 verdict item 4 — the max_groups pattern). The
+    collects are LIMIT-bounded, so the probe cost is max_strata+1 rows."""
+    import pytest
+
+    from go_pq_cdc_spark.operators.training import (
+        sample_stratified,
+        sample_temperature,
+        sample_token_budget,
+        upsample_token_budget,
+    )
+
+    # 25 distinct strata against a ceiling of 8 — refusal must name the
+    # column and point at the bounded-stratum escape hatch
+    df = spark.createDataFrame(
+        [(i, f"s{i % 25}", "alpha beta gamma") for i in range(200)],
+        "doc_id long, lang string, text string",
+    )
+    with pytest.raises(ValueError, match="lang.*more than 8|more than 8"):
+        sample_temperature(df, alpha=0.5, max_strata=8)
+    with pytest.raises(ValueError, match="hash bucket"):
+        sample_token_budget(df, budget=100, n_cuts=4, max_strata=8)
+    with pytest.raises(ValueError, match="hash bucket"):
+        upsample_token_budget(df, budget=100, n_cuts=4, max_strata=8)
+    # the user-given map gets the same plan-size ceiling
+    from go_pq_cdc_spark.operators import training as tr
+
+    big_map = {f"s{i}": 0.5 for i in range(tr.MAX_STRATA + 1)}
+    with pytest.raises(ValueError, match="sample_stratified"):
+        sample_stratified(df, big_map, strata_col="lang", id_col="doc_id")
+    # under the ceiling everything still works (incl. the derived
+    # token-budget default of 32_000 // n_cuts)
+    assert sample_temperature(df, alpha=0.5, max_strata=25).count() > 0
+    assert sample_token_budget(df, budget=10**9, n_cuts=4).count() == 200
