@@ -344,8 +344,11 @@ def cms_point_estimates(
     """Point frequency estimates for `probes[value_col]` against CMS
     `counters`: est = min over rows j of the probe's cell counter
     (0 when the cell is empty — an absent item estimates 0 unless it
-    collides). The probe side is tiny by definition — broadcast; the
-    counters side is <= d x w rows. Output (value_col, est_cnt)."""
+    collides). Both sides are bounded: the probe set is tiny by
+    definition and the counters side is <= d x w rows — the COUNTERS
+    side is the one broadcast (it has the hard d*w bound; a caller may
+    legitimately probe more values than that). Output
+    (value_col, est_cnt)."""
     h = P.md5_hash_m31(f"CAST({value_col} AS STRING)")["spark"]
     cells = F.array(
         *[
@@ -379,7 +382,10 @@ def cms_oracle_sql(
         f"SELECT {j} AS j, {e['duck']} AS bucket, hv FROM h"
         for j, e in enumerate(_cms_bucket_exprs(d, w))
     )
-    probe_vals = ", ".join(f"('{p}')" for p in probes)
+    # data-derived strings inlined into SQL: double the quotes so a
+    # probe like "it's" can't break the VALUES parse (the training._sql_str
+    # injection class — r12 advisor)
+    probe_vals = ", ".join("('" + str(p).replace("'", "''") + "')" for p in probes)
     prows = " UNION ALL ".join(
         f"SELECT token, {j} AS j, {e['duck']} AS bucket FROM ph"
         for j, e in enumerate(_cms_bucket_exprs(d, w))

@@ -111,6 +111,15 @@ def fold_id_batches(
 
     spark = df.sparkSession
     lo, hi = df.agg(F.min(id_col), F.max(id_col)).collect()[0]
+    if lo is None:
+        # empty corpus: min/max aggregate to NULL (a bare int(None) here
+        # was a confusing TypeError — r12 advisor). Zero batches to fold;
+        # the machine's final read over an empty root IS the answer.
+        root = tempfile.mkdtemp(prefix=prefix)
+        try:
+            return read_final(spark, root).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
     span = int(hi) - int(lo) + 1
     root = tempfile.mkdtemp(prefix=prefix)
     try:

@@ -227,3 +227,25 @@ def test_stream_gate_zero_pairs_is_empty_not_crash(spark, tmp_path):
         )
     )
     assert out.count() == 0
+
+
+def test_fold_id_batches_empty_corpus(spark, tmp_path):
+    """r12 advisor: an EMPTY input DataFrame made fold_id_batches crash
+    with a bare int(None) TypeError (min/max aggregate to NULL). The
+    scaffold now folds zero batches and returns the machine's final read
+    over an empty root — an empty, correctly-schemed result."""
+    from go_pq_cdc_spark.plans.registry import fold_id_batches
+
+    seen = []
+
+    def update(batch, i, root):
+        seen.append(i)
+
+    def read_final(sp, root):
+        return sp.createDataFrame([], "doc_a long, doc_b long")
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = fold_id_batches(empty, "doc_id", update, read_final)
+    assert out.count() == 0
+    assert out.columns == ["doc_a", "doc_b"]
+    assert seen == []  # no batches were folded
