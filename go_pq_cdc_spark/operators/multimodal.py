@@ -4,13 +4,15 @@ pipelines.
 Media payloads are opaque `binary` columns + typed metadata struct; all
 transforms run as Arrow-batched `mapInPandas` so each task processes
 columnar batches without JVM<->Python per-row cost. Codec status:
-UNCOMPRESSED formats decode for real with numpy alone — PPM P6 + 24-bit
-BMP images (pixel-stat features, nearest-neighbor resize) and PCM-16 WAV
-audio (duration/RMS/ZCR features). COMPRESSED image codecs (JPEG/PNG/...)
-decode through an IMPORT-GUARDED Pillow arm (`_try_pil_decode`) where
-that library is installed; it is NOT in this container, so there feature
-extraction falls back to a deterministic digest fake (tagged in the
-vector) and resize raises. Audio/video compressed codecs (MP3/H.264)
+formats with library-free decoders decode for REAL — PPM P6 + 24-bit
+BMP + 8-bit non-interlaced PNG images (stdlib zlib inflate + numpy
+per-scanline unfilter — pixel-stat features, nearest-neighbor resize)
+and PCM-16 WAV audio (duration/RMS/ZCR features, frame-window slicing).
+Remaining COMPRESSED image codecs (JPEG/WebP/... and exotic PNG
+variants) decode through an IMPORT-GUARDED Pillow arm (`_try_pil_decode`)
+where that library is installed; it is NOT in this container, so there
+feature extraction falls back to a deterministic digest fake (tagged in
+the vector) and resize raises. Video compressed codecs (MP3/H.264)
 would need ffmpeg and remain stubbed. Resized images re-encode as PPM P6
 regardless of the decode arm, so outputs never depend on an encoder
 library's version. The Spark-side plumbing (schema, batching,
@@ -110,16 +112,150 @@ def _try_pil_decode(payload: bytes):
         return None
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
+    """Reconstruct PNG scanlines (filter types 0-4, bit depth 8) from the
+    inflated IDAT stream — pure numpy. Sub is a per-lane prefix sum mod
+    256; Up is a vectorized row add; Average/Paeth carry a true left
+    dependency, so those rows walk pixels with the channel lane
+    vectorized. Returns (h, w, ch) uint8, or None on a short stream."""
+    import numpy as np
+
+    stride = w * ch
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    if buf.size < h * (stride + 1):
+        return None
+    rows = buf[: h * (stride + 1)].reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int32)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            cur = np.cumsum(line.reshape(w, ch), axis=0, dtype=np.int64).reshape(
+                stride
+            ) % 256
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft == 3:  # Average
+            cur = np.empty(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                left = (line[s] + ((left + prev[s]) >> 1)) % 256
+                cur[s] = left
+        elif ft == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                up = prev[s]
+                p = left + up - upleft
+                pa, pb, pc = (
+                    np.abs(p - left),
+                    np.abs(p - up),
+                    np.abs(p - upleft),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                left = (line[s] + pred) % 256
+                cur[s] = left
+                upleft = up
+        else:
+            return None  # invalid filter byte: malformed stream
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def _decode_png(payload: bytes):
+    """Stdlib-only PNG decode (zlib inflate + numpy unfilter): 8-bit
+    greyscale (0), RGB (2) and RGBA (6, alpha dropped), non-interlaced —
+    returns (h, w, 3) uint8. Recognized-but-unsupported PNG variants
+    (interlaced, 16-bit, palette, grey+alpha) RAISE NotImplementedError —
+    the honest-boundary stance: never silently digest-fake a payload the
+    caller believes decodes. Malformed streams (bad chunk walk, zlib
+    error, short data) return None like the other codec arms."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos = len(_PNG_SIG)
+    ihdr, idat = None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            return None
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, ctype_v, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if w <= 0 or h <= 0 or comp != 0 or filt != 0:
+        return None
+    if interlace != 0 or depth != 8 or ctype_v not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG variant not supported by the stdlib decoder (bit depth "
+            f"{depth}, color type {ctype_v}, interlace {interlace}): only "
+            "8-bit greyscale/RGB/RGBA non-interlaced decode natively; "
+            "palette/16-bit/interlaced need the import-guarded Pillow arm"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype_v]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    arr = _png_unfilter(raw, h, w, ch)
+    if arr is None:
+        return None
+    if ch == 1:
+        return np.repeat(arr, 3, axis=2)
+    if ch == 4:
+        return arr[:, :, :3].copy()
+    return arr
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to an (h, w, 3) uint8 array. PPM P6
-    (maxval 255) and 24-bit uncompressed BMP decode with numpy alone;
-    compressed codecs (JPEG/PNG/...) decode through the import-guarded
+    (maxval 255), 24-bit uncompressed BMP, and 8-bit non-interlaced PNG
+    (greyscale/RGB/RGBA — stdlib zlib + numpy unfilter, deterministic
+    across environments) decode with no external library; exotic PNG
+    variants raise NotImplementedError (see `_decode_png`); other
+    compressed codecs (JPEG/WebP/...) decode through the import-guarded
     Pillow arm where that library exists. Returns None for anything
     else."""
     import numpy as np
 
     if not payload:
         return None
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        try:
+            arr = _decode_png(payload)
+        except NotImplementedError:
+            # an identifiable PNG in a variant the stdlib decoder refuses:
+            # Pillow (where installed) handles palette/16-bit/interlaced;
+            # without it, the refusal propagates — honest boundary
+            arr = _try_pil_decode(payload)
+            if arr is None:
+                raise
+            return arr
+        if arr is not None:
+            return arr
+        return _try_pil_decode(payload)  # malformed walk: let Pillow try
     if payload[:2] == b"P6":
         # header: "P6" <ws> width <ws> height <ws> maxval <single ws> data
         parts, pos, token = [], 2, b""
@@ -200,14 +336,16 @@ def decode_audio(payload: bytes):
 
 
 def _decode_kernel(payload: bytes, kind: str) -> list[float]:
-    """Feature extraction: REAL for numpy-decodable payloads — images
-    (PPM/BMP): [w, h, aspect, mean R/G/B, luminance std, 1.0] (channel
-    stats scaled to [0,1]); audio (PCM WAV): [duration_s, rms,
-    zero-crossing rate, mean, peak, sample_rate/48k, 0, 2.0]. Compressed
-    codecs (JPEG/PNG/MP3/H.264 — need PIL/ffmpeg, not in this container)
-    fall back to the deterministic sha256-digest fake so pipelines remain
-    testable end to end; the trailing tag float (1.0 real-image / 2.0
-    real-audio / digest bytes otherwise) makes the path visible."""
+    """Feature extraction: REAL for library-free-decodable payloads —
+    images (PPM/BMP/PNG-8): [w, h, aspect, mean R/G/B, luminance std,
+    1.0] (channel stats scaled to [0,1]); audio (PCM WAV): [duration_s,
+    rms, zero-crossing rate, mean, peak, sample_rate/48k, 0, 2.0].
+    Remaining compressed codecs (JPEG/MP3/H.264 — need PIL/ffmpeg, not
+    in this container) fall back to the deterministic sha256-digest fake
+    so pipelines remain testable end to end; the trailing tag float (1.0
+    real-image / 2.0 real-audio / digest bytes otherwise) makes the path
+    visible. Identifiable-but-unsupported PNG variants RAISE from
+    `_decode_png` rather than silently digest-faking."""
     import numpy as np
 
     img = decode_image(payload or b"") if kind == "image" else None
@@ -311,10 +449,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 arr = decode_image(payload or b"")
                 if arr is None:
                     raise NotImplementedError(
-                        "image payload not decodable: PPM/BMP resize natively; "
-                        "compressed codecs (JPEG/PNG) resize only where the "
-                        "import-guarded Pillow arm is installed (it is not in "
-                        "this container)"
+                        "image payload not decodable: PPM/BMP/PNG-8 resize "
+                        "natively; other compressed codecs (JPEG/WebP) resize "
+                        "only where the import-guarded Pillow arm is installed "
+                        "(it is not in this container)"
                     )
                 out = _resize_kernel(arr, width, height)
                 payloads.append(encode_ppm(out))
@@ -346,27 +484,49 @@ FRAME_SCHEMA = T.StructType(
 
 
 def _frame_kernel(payload: bytes, ts_ms: int, duration_ms: int) -> bytes:
-    """STUB: the real kernel seeks to `ts_ms` and decodes one frame
-    (ffmpeg/pyav — not in this container). The deterministic fake slices a
-    64-byte window whose offset is proportional to ts/duration, so outputs
-    are stable, distinct per timestamp, and pipeline-testable."""
+    """STUB (video codecs): the real kernel seeks to `ts_ms` and decodes
+    one frame (ffmpeg/pyav — not in this container). The deterministic
+    fake slices a 64-byte window whose offset is proportional to
+    ts/duration, so outputs are stable, distinct per timestamp, and
+    pipeline-testable. PCM-WAV audio does NOT take this path — see
+    `_wav_window`, which slices real samples."""
     if not payload:
         return b""
     off = int((ts_ms / max(1, duration_ms)) * max(0, len(payload) - 64))
     return payload[off : off + 64]
 
 
-def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Uniform temporal frame sampling for video rows: one output row per
-    (video, frame), timestamps at the midpoints of `n_frames` equal spans
-    (ts_i = (i + 0.5)/n * duration — the standard uniform clip-sampling
-    policy). The sampling policy, video filter, per-frame fan-out, Arrow
-    batching, and output schema are real; only the decode-at-timestamp
-    kernel is stubbed (`_frame_kernel`). Swapping in a real codec does not
-    change the Spark plan.
+def _wav_window(x, sr: int, ts_ms: int, window_ms: int) -> bytes:
+    """REAL decode-at-timestamp kernel for PCM audio: slice the
+    `window_ms` sample window starting at `ts_ms` from the decoded mono
+    stream and re-quantize to PCM16-LE bytes (int16 -> float /32768 ->
+    *32768 round-trips exactly, so a mono window is byte-identical to
+    the source samples). Clamped at stream end; empty past it."""
+    import numpy as np
 
-    Scale: output is n_frames× the video row count but each frame row is
-    small; a NARROW input is widened by media_id so one video's frames stay
+    start = min(len(x), max(0, int(ts_ms * sr / 1000)))
+    end = min(len(x), start + max(1, int(window_ms * sr / 1000)))
+    win = np.clip(np.round(np.asarray(x[start:end]) * 32768.0), -32768, 32767)
+    return win.astype("<i2").tobytes()
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, window_ms: int = 25
+) -> DataFrame:
+    """Uniform temporal frame sampling for timed media (video + audio
+    rows): one output row per (media, frame), timestamps at the midpoints
+    of `n_frames` equal spans (ts_i = (i + 0.5)/n * duration — the
+    standard uniform clip-sampling policy). The sampling policy, kind
+    filter, per-frame fan-out, Arrow batching, and output schema are
+    real; the decode-at-timestamp kernel is REAL for PCM-WAV audio
+    (`_wav_window`: the payload decodes ONCE per row, each frame is the
+    true `window_ms` sample window at its timestamp, re-encoded PCM16-LE;
+    a missing meta duration derives from the stream itself) and stubbed
+    for video codecs (`_frame_kernel` — ffmpeg/pyav not in this
+    container). Swapping in a video codec does not change the Spark plan.
+
+    Scale: output is n_frames× the media row count but each frame row is
+    small; a NARROW input is widened by media_id so one clip's frames stay
     in one task — wide inputs are untouched (payload bytes never shuffle
     for nothing; see scale.spread_small_input)."""
 
@@ -379,10 +539,18 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                dur = int(dur) if dur is not None and dur > 0 else 1
+                aud = decode_audio(bytes(payload) if payload is not None else b"")
+                if aud is not None and (dur is None or dur <= 0):
+                    x, sr = aud
+                    dur = max(1, int(len(x) * 1000 / sr)) if sr else 1
+                else:
+                    dur = int(dur) if dur is not None and dur > 0 else 1
                 for i in range(n_frames):
                     ts = int((i + 0.5) * dur / n_frames)
-                    frame = _frame_kernel(payload, ts, dur)
+                    if aud is not None:
+                        frame = _wav_window(aud[0], aud[1], ts, window_ms)
+                    else:
+                        frame = _frame_kernel(payload, ts, dur)
                     out["media_id"].append(mid)
                     out["frame_idx"].append(i)
                     out["ts_ms"].append(ts)
@@ -394,7 +562,7 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
 
     return (
         spread_small_input(
-            df.filter(F.col("kind") == "video").select(
+            df.filter(F.col("kind").isin("video", "audio")).select(
                 "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
             ),
             F.col("media_id"),

@@ -534,3 +534,156 @@ def test_real_pillow_roundtrip():
     assert arr is not None and (arr == rgb).all()
     feats = M._decode_kernel(buf.getvalue(), "image")
     assert feats[7] == 1.0 and feats[0] == 6.0 and feats[1] == 4.0
+
+
+def _make_png(arr, filters=None, color_type=2, bit_depth=8, interlace=0):
+    """Hand-rolled PNG writer (test-side only): encodes `arr` with a
+    CHOSEN filter type per scanline, so the decoder's unfilter kernels
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth) are each exercised against
+    ground-truth pixels. Filtering is the exact RFC 2083 forward pass."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    filters = filters or [0] * h
+    out = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        ft = filters[y]
+        cur = flat[y]
+        left = np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        upleft = np.zeros_like(prev)
+        upleft[ch:] = prev[:-ch]
+        if ft == 0:
+            line = cur
+        elif ft == 1:
+            line = (cur - left) % 256
+        elif ft == 2:
+            line = (cur - prev) % 256
+        elif ft == 3:
+            line = (cur - ((left + prev) >> 1)) % 256
+        else:  # paeth
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            import numpy as _np
+
+            pred = _np.where(
+                (pa <= pb) & (pa <= pc), left, _np.where(pb <= pc, prev, upleft)
+            )
+            line = (cur - pred) % 256
+        out.append(ft)
+        out.extend(line.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_roundtrip():
+    """The stdlib PNG decoder (r12 verdict item 5): every scanline filter
+    type (None/Sub/Up/Average/Paeth) reconstructs the ground-truth pixels;
+    greyscale replicates to 3 channels; RGBA drops alpha; the digest-fake
+    boundary for PNG shrinks to exotic variants, which RAISE."""
+    import numpy as np
+    import pytest as _pytest
+
+    from go_pq_cdc_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    for filters in ([0] * 5, [1] * 5, [0, 2, 2, 2, 2], [3] * 5, [4] * 5,
+                    [0, 1, 2, 3, 4]):
+        out = M.decode_image(_make_png(rgb, filters=filters))
+        assert out is not None and (out == rgb).all(), filters
+    # greyscale (color type 0) -> replicated RGB
+    grey = rng.integers(0, 256, size=(3, 6), dtype=np.uint8)
+    g = M.decode_image(_make_png(grey, filters=[4, 3, 1], color_type=0))
+    assert (g == np.repeat(grey[:, :, None], 3, axis=2)).all()
+    # RGBA (color type 6) -> alpha dropped
+    rgba = rng.integers(0, 256, size=(2, 3, 4), dtype=np.uint8)
+    a = M.decode_image(_make_png(rgba, filters=[2, 4], color_type=6))
+    assert (a == rgba[:, :, :3]).all()
+    # the feature kernel takes the REAL image path for a PNG now
+    feats = M._decode_kernel(_make_png(rgb, filters=[4] * 5), "image")
+    assert feats[7] == 1.0 and feats[0] == 4.0 and feats[1] == 5.0
+    # resize consumes the same arm
+    import pandas as _pd  # noqa: F401  (parity with sibling tests)
+
+    resized = M._resize_kernel(M.decode_image(_make_png(rgb)), 2, 2)
+    assert resized.shape == (2, 2, 3)
+    # identifiable-but-unsupported variants RAISE (honest boundary):
+    for kwargs in (
+        {"bit_depth": 16},
+        {"color_type": 3},
+        {"interlace": 1},
+    ):
+        with _pytest.raises(NotImplementedError):
+            M.decode_image(_make_png(rgb, **kwargs))
+    # malformed streams stay None (digest path), like the PPM/BMP arms
+    truncated = _make_png(rgb)[:40]
+    assert M.decode_image(truncated) is None
+    sig_only = b"\x89PNG\r\n\x1a\n" + b"fakebody"
+    assert M.decode_image(sig_only) is None
+
+
+def test_sample_frames_real_wav_windows(spark):
+    """r12 verdict item 9: the decode-at-timestamp kernel is REAL for
+    PCM-WAV — each frame is the byte-exact int16 sample window at its
+    midpoint timestamp, the stream derives a missing meta duration, and
+    video rows keep the documented stub path."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+    sr, n = 8000, 8000  # exactly 1 s
+    wav = _make_wav(sr=sr, n=n)
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(wav)) as wf:
+        src = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+    rows = [
+        Row(media_id=1, kind="audio", payload=wav,
+            meta=Row(mime="audio/wav", width=None, height=None,
+                     duration_ms=1000)),
+        Row(media_id=2, kind="audio", payload=wav,  # duration from stream
+            meta=Row(mime="audio/wav", width=None, height=None,
+                     duration_ms=None)),
+        Row(media_id=3, kind="video", payload=bytes(range(256)) * 4,
+            meta=Row(mime="video/mp4", width=0, height=0,
+                     duration_ms=8000)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_frames(df, n_frames=4, window_ms=25).collect()
+    frames = {(r["media_id"], r["frame_idx"]): r for r in out}
+    assert {mid for mid, _ in frames} == {1, 2, 3}
+    win = int(25 * sr / 1000)  # 200 samples
+    for i in range(4):
+        ts = int((i + 0.5) * 1000 / 4)
+        start = int(ts * sr / 1000)
+        expect = src[start : start + win].tobytes()
+        # byte-exact real samples, for explicit AND stream-derived duration
+        assert bytes(frames[(1, i)]["frame"]) == expect
+        assert bytes(frames[(2, i)]["frame"]) == expect
+        assert frames[(1, i)]["ts_ms"] == ts
+    # video keeps the 64-byte stub slices
+    assert all(len(frames[(3, i)]["frame"]) == 64 for i in range(4))
