@@ -61,7 +61,9 @@ _GATE_HEAD = [
 # Queries ADDED in round 13 — never driver-checked; appended as they
 # land. Each one pushes one more r11-green row past the cap (the
 # automatic-deferral arm below).
-_GATE_NEW: list[str] = []
+_GATE_NEW: list[str] = [
+    "text_rarity_skew",
+]
 # r11-green rows (driver-green in CORRECTNESS_r11, 50/50 MATCH) — two
 # rounds stale at r13 judging. The first (50 - 16 - len(_GATE_NEW)) fit
 # under the cap; the remainder defer to 51+ and lead the r14 head.

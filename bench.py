@@ -57,20 +57,22 @@ ANCHOR_EVERY = 4
 # comfortably inside it even with a few stray log lines appended after.
 FINAL_LINE_BUDGET = 1500
 
-# Sub-second queries get extra in-pass repeats (r11 verdict item 6): at
-# <1s the host's same-run agreement is 1.3-1.7x — fixed-cost jitter the
-# size of the measurement — so one timing per pass (best-of-2 overall)
-# made 4 untouched queries look >1.3x regressed in r11. Best-of-3 per
-# pass (best-of-6 overall) costs <1s per extra rep and brings per-query
-# agreement under the ~1.2 adjudication bar on a quiet box. The repeat
-# gate carries 2x HEADROOM (review): the decision input is itself the
-# noisy first timing, so a truly-0.8s query jittered to 1.2s would
-# otherwise get zero extra reps — exactly the artifact being fixed.
-# Queries whose first timing clears 2s keep single-timing-per-pass:
-# their runtime dwarfs the jitter.
-SUBSEC_THRESHOLD = 1.0
-SUBSEC_GATE_HEADROOM = 2.0
-SUBSEC_REPS = 3
+# Short queries get extra in-pass repeats (r11 verdict item 6; widened
+# to ~2.5s by r12 verdict item 7): below a few seconds the host's
+# same-run agreement is 1.3-1.7x — fixed-cost jitter the size of the
+# measurement — so one timing per pass (best-of-2 overall) made
+# untouched queries look >1.3x regressed in r11, and in r12 the shipped
+# q2_min_cost_supplier (~1.1s, jittered past the old 1s*2 gate) still
+# showed agreement 1.767. Best-of-3 per pass (best-of-6 overall) brings
+# per-query agreement under the ~1.2-1.3 adjudication bar on a quiet
+# box. The repeat gate carries 2x HEADROOM (review): the decision input
+# is itself the noisy first timing, so a truly-2s query jittered to 4s
+# would otherwise get zero extra reps — exactly the artifact being
+# fixed. Queries whose first timing clears 5s keep single-timing-per-
+# pass: their runtime dwarfs the jitter.
+REPEAT_THRESHOLD = 2.5
+REPEAT_GATE_HEADROOM = 2.0
+REPEAT_REPS = 3
 
 
 def build_final_line(summary: dict) -> str:
@@ -151,7 +153,7 @@ def main() -> None:
             spec.spark_fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
             reps = 1
-            while dt < SUBSEC_THRESHOLD * SUBSEC_GATE_HEADROOM and reps < SUBSEC_REPS:
+            while dt < REPEAT_THRESHOLD * REPEAT_GATE_HEADROOM and reps < REPEAT_REPS:
                 t0 = time.perf_counter()
                 spec.spark_fn(spark, sf_dir).count()
                 dt = min(dt, time.perf_counter() - t0)

@@ -161,14 +161,16 @@ def ngram_novelty(
 
     Scale shape: explode distinct shingle hashes (the MinHash input set,
     `P.shingle_hashes`), first-occurrence via a PARTIAL-AGGREGABLE
-    `groupBy(sh).agg(min(id))` joined back to the (id, sh) pair stream —
-    never `MIN(id) OVER (PARTITION BY sh)`. Shingle frequency follows the
-    corpus: a boilerplate shingle present in a large fraction of a crawl
-    would funnel its entire partition through ONE WindowExec task that
-    AQE cannot split, whereas map-side combine collapses each task's hot
-    shingle to one row before the shuffle and AQE skew-split handles the
-    probe side of the join-back. tests/test_plan_lint.py bans the
-    raw-key window shape registry-wide.
+    `groupBy(sh).agg(min(id))` — never `MIN(id) OVER (PARTITION BY sh)`.
+    Shingle frequency follows the corpus: a boilerplate shingle present
+    in a large fraction of a crawl would funnel its entire partition
+    through ONE WindowExec task that AQE cannot split, whereas map-side
+    combine collapses each task's hot shingle to one row before the
+    shuffle. No row-level join-back either: a doc's novel count is just
+    how many shingles list it as their MIN — `firsts.groupBy(id)` — so
+    the only join is between two DOC-sized aggregates (n_shingles LEFT
+    n_novel, absent docs = 0), never against the exploded pair stream.
+    tests/test_plan_lint.py bans the raw-key window shape registry-wide.
 
     Output: (id, n_shingles, n_novel, novelty)."""
     from .scale import spread_small_input
@@ -179,20 +181,22 @@ def ngram_novelty(
     # where the scan already has thousands of splits); without this a
     # one-file table evaluates ~tokens-per-corpus md5 calls in ONE task.
     # shingle_hashes is array_distinct per doc, so (id, sh) pairs are
-    # already distinct — no pre-collapse needed before the join.
+    # already distinct — counting them per doc counts distinct shingles.
     exploded = spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(F.expr(sh["spark"])).alias("sh")
     )
-    firsts = exploded.groupBy("sh").agg(F.min(id_col).alias("_first_id"))
-    novel = F.when(F.col(id_col) == F.col("_first_id"), 1).otherwise(0)
-    return (
-        exploded.join(firsts, "sh")
-        .withColumn("_novel", novel)
+    per_doc = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    novel = (
+        exploded.groupBy("sh")
+        .agg(F.min(id_col).alias(id_col))
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum("_novel").cast("long").alias("n_novel"),
-        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return (
+        per_doc.join(novel, id_col, "left")
+        .withColumn("n_novel", F.coalesce(F.col("n_novel"), F.lit(0)).cast("long"))
         .withColumn(
             "novelty",
             F.col("n_novel").cast("double") / F.col("n_shingles"),

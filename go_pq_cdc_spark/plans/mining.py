@@ -213,10 +213,28 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NRM_DUCK = P.scaled_dot("embedding", "embedding", "embedding")["duck"]
 _CDOT_DUCK = P.scaled_dot("n.embedding", "c.cv", "n.embedding")["duck"]
 _PDOT_DUCK = P.scaled_dot("a.v", "b.v", "a.v")["duck"]
+# pre-scaled fixed-point form of a vector (ONE round/cast pass per
+# vector instead of one per pair side) + the int-only pair dot over it —
+# exactly scaled_dot's integers, factored for the quadratic pair stage
+_VQ_DUCK = (
+    "[CAST(round(CAST(v[i] AS DOUBLE) * 1000000) AS BIGINT)"
+    " FOR i IN range(1, len(v) + 1)]"
+)
+_QDOT_INT_DUCK = (
+    "CAST(list_sum([a.vq[i] * b.vq[i] FOR i IN range(1, len(a.vq) + 1)])"
+    " AS BIGINT)"
+)
 
 
 @register(
     "dedup_semantic",
+    # Within-cell pair cost at sf1 (r12 verdict item 6): each vector is
+    # pre-scaled to its fixed-point int form ONCE in `cells` (the
+    # all-pairs spelling re-rounded both 64-dim vectors per pair), the
+    # pair dot is evaluated once (the WHERE + SELECT double-evaluation
+    # halved), and `cells` is MATERIALIZED so the assignment window isn't
+    # inlined into the self-join sides. Same integers, same division —
+    # identical result to the direct scaled_dot spelling.
     oracle=f"""
     WITH RECURSIVE cents AS (
         SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8
@@ -230,12 +248,18 @@ _PDOT_DUCK = P.scaled_dot("a.v", "b.v", "a.v")["duck"]
                                   ORDER BY {_CDOT_DUCK} DESC, c.cent_id) AS crn
         FROM nrm n, cents c
     ),
-    cells AS (SELECT id, v, n2, cent_id FROM assign_raw WHERE crn = 1),
-    pairs AS (
-        SELECT a.id AS src, b.id AS dst
+    cells AS MATERIALIZED (
+        SELECT id, {_VQ_DUCK} AS vq, n2, cent_id FROM assign_raw WHERE crn = 1
+    ),
+    pdots AS (
+        SELECT a.id AS src, b.id AS dst, a.n2 AS na, b.n2 AS nb,
+               {_QDOT_INT_DUCK} AS dot
         FROM cells a JOIN cells b ON a.cent_id = b.cent_id AND a.id < b.id
-        WHERE CAST({_PDOT_DUCK} AS DOUBLE)
-                  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+    ),
+    pairs AS (
+        SELECT src, dst FROM pdots
+        WHERE CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
               >= {_SEM_TAU}
     ),
     edges AS (
@@ -282,14 +306,21 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY {_CDOT_DUCK} DESC, c.cent_id) AS crn
         FROM nrm n, cents c
     ),
-    cells AS (SELECT id, v, n2, cent_id FROM assign_raw WHERE crn = 1)
-    SELECT b.id AS vec_id, a.id AS dup_of,
-           CAST({_PDOT_DUCK} AS DOUBLE)
-               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+    cells AS MATERIALIZED (
+        SELECT id, {_VQ_DUCK} AS vq, n2, cent_id FROM assign_raw WHERE crn = 1
+    ),
+    pdots AS (
+        SELECT b.id AS vec_id, a.id AS dup_of, a.n2 AS na, b.n2 AS nb,
+               {_QDOT_INT_DUCK} AS dot
+        FROM cells a JOIN cells b ON a.cent_id = b.cent_id AND a.id < b.id
+    )
+    SELECT vec_id, dup_of,
+           CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
                AS cos_sim
-    FROM cells a JOIN cells b ON a.cent_id = b.cent_id AND a.id < b.id
-    WHERE CAST({_PDOT_DUCK} AS DOUBLE)
-              / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+    FROM pdots
+    WHERE CAST(dot AS DOUBLE)
+              / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
           >= {_SEM_TAU}
     """,
     tags=("dedup", "embedding", "semantic", "streaming"),

@@ -502,9 +502,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_assign",
+    # pairs/edges are MATERIALIZED (r12 verdict item 6): DuckDB inlines
+    # plain CTEs, so the full LSH pair SQL re-evaluated under the
+    # recursive closure made this oracle ~40 min at sf1 — materializing
+    # both reduces the closure to iteration over the (small) edge list
     oracle=f"""
-    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_oracle()}),
+    edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION
         SELECT doc_b AS src, doc_a AS dst FROM pairs
@@ -529,18 +533,33 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_oracle(threshold: float = 0.5) -> str:
+    """Inverted-index formulation (r12 verdict item 6 — this oracle was
+    sf1-sweep-excluded as within-block ALL-PAIRS list_intersect, hours of
+    DuckDB at sf1): unnest the per-doc DISTINCT shingle set and
+    equi-join on the shingle hash, so n_inter = COUNT(*) of shared
+    shingles per (a, b) — only pairs sharing >= 1 shingle are ever
+    enumerated, and a zero-intersection pair has jaccard 0 < threshold,
+    so the result set is IDENTICAL to the all-pairs spelling. Same
+    double formula, same BIGINT arithmetic -> same value hash."""
     sh = P.shingle_hashes("text")["duck"]
     return f"""
     WITH docs AS (
         SELECT doc_id AS id, lang AS blk, {sh} AS sh
         FROM documents WHERE {_NTOK['duck']} >= 3
+    ),
+    ex AS (SELECT id, blk, len(sh) AS n, unnest(sh) AS h FROM docs),
+    inter AS (
+        SELECT a.id AS doc_a, b.id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter,
+               ANY_VALUE(a.n) AS la, ANY_VALUE(b.n) AS lb
+        FROM ex a JOIN ex b
+          ON a.h = b.h AND a.blk = b.blk AND a.id < b.id
+        GROUP BY a.id, b.id
     )
-    SELECT a.id AS doc_a, b.id AS doc_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-    FROM docs a JOIN docs b ON a.blk = b.blk AND a.id < b.id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {threshold}
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (la + lb - n_inter) AS jaccard
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / (la + lb - n_inter) >= {threshold}
     """
 
 
@@ -1631,11 +1650,14 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
-@register(
-    "text_rarity_score",
-    oracle=f"""
-    WITH tok AS (
-        SELECT doc_id, unnest({_TOK['duck']}) AS token FROM documents
+def _rarity_oracle(source_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """Token-rarity oracle over an arbitrary (doc_id, text) relation —
+    shared by the natural-corpus gate and the Zipf-injected skew bench
+    row (r12 verdict item 8)."""
+    return f"""
+    WITH src AS ({source_sql}),
+    tok AS (
+        SELECT doc_id, unnest({_TOK['duck']}) AS token FROM src
     ),
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
     cnts AS (
@@ -1649,7 +1671,12 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(tot.n // cnt) AS DOUBLE) / COUNT(*) AS mean_rarity
     FROM cnts, tot
     GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "text_rarity_score",
+    oracle=_rarity_oracle(),
     tags=("text", "quality", "rarity"),
 )
 def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1665,6 +1692,46 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return token_rarity(docs)
+
+
+# the injected hot token and its share of the skewed stream: each doc
+# appends n_tokens copies of 'zipfhot', so the hot token is EXACTLY 50%
+# of the corpus token stream — a skew factor far past anything a natural
+# sf0.1 corpus carries (documented for BENCH adjudication, r12 item 8)
+_SKEW_HOT_TOKEN = "zipfhot"
+_SKEW_SRC_DUCK = (
+    "SELECT doc_id, text || repeat(' " + _SKEW_HOT_TOKEN + "', "
+    f"{_NTOK['duck']}) AS text FROM documents"
+)
+
+
+@register(
+    "text_rarity_skew",
+    oracle=_rarity_oracle(_SKEW_SRC_DUCK),
+    tags=("text", "rarity", "skew", "bench-canary"),
+    bench=True,  # the skew canary MUST stay a bench row
+)
+def text_rarity_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key canary (r12 verdict item 8): token rarity over a corpus
+    with an INJECTED Zipf head — every doc appends n_tokens copies of
+    one token, so that token is exactly 50% of the whole occurrence
+    stream. With `token_rarity`'s partial-agg + join-back plan the hot
+    token collapses map-side and this row times like the natural-corpus
+    rarity query; a reintroduced raw-token-keyed WindowExec (the r12
+    scale-killer class) would funnel HALF the corpus token stream
+    through one task and show up as a loud bench regression, not just a
+    plan-review find. Oracle = the shared rarity SQL over the same
+    skewed relation."""
+    from ..operators.text import token_rarity
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    skewed = docs.withColumn(
+        "text",
+        F.expr(
+            f"concat(text, repeat(' {_SKEW_HOT_TOKEN}', {P.n_tokens('text')['spark']}))"
+        ),
+    )
+    return token_rarity(skewed)
 
 
 def _novelty_oracle(n: int = 3) -> str:
