@@ -63,6 +63,8 @@ _GATE_HEAD = [
 # automatic-deferral arm below).
 _GATE_NEW: list[str] = [
     "text_rarity_skew",
+    "q_hll_distinct",
+    "q_hll_merge",
 ]
 # r11-green rows (driver-green in CORRECTNESS_r11, 50/50 MATCH) — two
 # rounds stale at r13 judging. The first (50 - 16 - len(_GATE_NEW)) fit

@@ -414,3 +414,139 @@ def cms_oracle_sql(
     JOIN exact e ON e.token = pc.token
     GROUP BY pc.token
     """
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al., 2007) — the FOURTH mergeable sketch family
+# (KMV distinct / MG heavy hitters / CMS point frequencies / HLL distinct):
+# fixed m=64 registers per group, register j = max over the group's items
+# of rho(hash suffix) for items hashing to bucket j. Unlike KMV, the state
+# is FIXED-SIZE and the update is a pure partial-aggregable MAX — the
+# classic one-narrow-pass cardinality sketch. Built, like the others, on
+# the portable md5 hash so the ESTIMATE ITSELF is verifiable bit-for-bit
+# against DuckDB (engine-internal approx_count_distinct never is).
+#
+# Exactness construction: the indicator Z = sum_j 2^(-M_j) is summed in
+# double by the textbook — but 2^-55 terms next to ~64.0 terms need a
+# 61-bit mantissa, so cross-partition summation ORDER could flip an ulp.
+# Here Z is scaled by 2^55 into INT64 (sum_j 2^(55 - M_j), empty buckets
+# contribute 2^55; max 64 * 2^55 = 2^61 < int64), summed exactly in any
+# order, and the estimate is ONE double division of two exact values:
+# est = (alpha_64 * m^2 * 2^55) / Z' — the numerator folded to a single
+# Python-evaluated literal both engines parse identically. No libm: the
+# standard small-range linear-counting correction needs ln(), so this is
+# the RAW HLL estimator (documented; fine at vocab-scale cardinalities,
+# and cross-engine equality — the property under test — is unconditional).
+
+HLL_M = 64  # registers (b = 6 bucket bits)
+_HLL_W = 54  # suffix width: md5_hash is 60 bits, minus 6 bucket bits
+# alpha_64 * m^2 * 2^55 — folded in Python so each engine parses ONE
+# literal (0.709 is the standard alpha_m approximation for m = 64)
+_HLL_NUM = 0.709 * HLL_M * HLL_M * float(1 << (_HLL_W + 1))
+
+
+def _hll_rho_fragments(value_sql: dict[str, str]) -> dict[str, dict[str, str]]:
+    """(bucket, rho) fragments for a string value: bucket = low 6 bits of
+    the 60-bit md5 hash, rho = 1 + leading zeros of the remaining 54-bit
+    suffix (suffix 0 -> rho = 55). Leading zeros via integer bit length
+    (length(bin(w)) — minimal binary string on BOTH engines), no libm."""
+    h = P.md5_hash(value_sql)
+    out = {}
+    for eng, div in (("spark", "div"), ("duck", "//")):
+        hx = h[eng]
+        w = f"({hx} {div} {HLL_M})"
+        out[eng] = {
+            "bucket": f"({hx} % {HLL_M})",
+            "rho": (
+                f"CASE WHEN {w} = 0 THEN {_HLL_W + 1} "
+                f"ELSE {_HLL_W + 1} - length(bin({w})) END"
+            ),
+        }
+    return out
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Materialize HLL register state per group: (*group_cols, bucket,
+    m) with m = MAX(rho) — at most HLL_M rows per group. The aggregate
+    is partial-aggregable (map-side combine collapses each task's
+    repeats of a hot value to one row — Zipf-safe, unlike any
+    raw-value-keyed window), and the state MERGES by the same MAX."""
+    fr = _hll_rho_fragments(
+        {
+            "spark": f"CAST({value_col} AS STRING)",
+            "duck": f"CAST({value_col} AS VARCHAR)",
+        }
+    )["spark"]
+    return (
+        df.select(
+            *[F.col(c) for c in group_cols],
+            F.expr(fr["bucket"]).cast("int").alias("bucket"),
+            F.expr(fr["rho"]).cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_merge_registers(
+    registers: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge register states to a coarser grouping: per-bucket MAX —
+    associative/commutative/idempotent, so any merge tree yields the
+    register set of sketching the coarser group directly (the property
+    the q_hll_merge oracle pins cross-engine)."""
+    return registers.groupBy(*group_cols, "bucket").agg(
+        F.max("m").alias("m")
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Raw HLL estimate from register state: Z' = sum_j 2^(55 - M_j)
+    (empty buckets contribute 2^55) summed EXACTLY in int64, then one
+    double division. Returns (*group_cols, est_distinct double,
+    n_buckets bigint)."""
+    z = registers.groupBy(*group_cols).agg(
+        (
+            F.sum(F.expr(f"shiftleft(1L, {_HLL_W + 1} - m)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << (_HLL_W + 1)).cast("long")
+        ).alias("z"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    return z.select(
+        *group_cols,
+        (F.lit(_HLL_NUM) / F.col("z").cast("double")).alias("est_distinct"),
+        "n_buckets",
+    )
+
+
+def hll_oracle_sql(source: str, group_col: str, value_expr: str) -> str:
+    """DuckDB twin of hll_registers + hll_estimate over
+    `SELECT {group_col}, {value_expr} AS v FROM {source}` — identical
+    hash, identical integer register arithmetic, identical single
+    division (used by the registry oracles)."""
+    fr = _hll_rho_fragments({"spark": "v", "duck": "v"})["duck"]
+    return f"""
+    WITH vals AS (
+        SELECT {group_col} AS grp, CAST({value_expr} AS VARCHAR) AS v
+        FROM {source}
+    ),
+    regs AS (
+        SELECT grp, {fr['bucket']} AS bucket, MAX({fr['rho']}) AS m
+        FROM vals GROUP BY grp, bucket
+    ),
+    z AS (
+        SELECT grp,
+               CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_W + 1} - m)) AS BIGINT)
+               + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_HLL_W + 1})
+                   AS zsum,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM regs GROUP BY grp
+    )
+    SELECT grp AS {group_col},
+           {_HLL_NUM!r} / CAST(zsum AS DOUBLE) AS est_distinct,
+           n_buckets
+    FROM z
+    """

@@ -609,6 +609,79 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.join(ex, "o_orderpriority")
 
 
+def _hll_oracle() -> str:
+    from ..operators.sketch import hll_oracle_sql
+
+    return f"""
+    WITH sk AS ({hll_oracle_sql("orders", "o_orderpriority", "o_custkey")}),
+    ex AS (
+        SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT sk.o_orderpriority, est_distinct, n_buckets, n_exact
+    FROM sk JOIN ex USING (o_orderpriority)
+    """
+
+
+@register(
+    "q_hll_distinct",
+    oracle=_hll_oracle(),
+    tags=("sketch", "distinct", "hll"),
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority via a HyperLogLog sketch —
+    the FOURTH mergeable sketch family, and q_kmv_distinct's direct
+    sibling so the two classic cardinality sketches are comparable on
+    the same question. Unlike KMV's distinct-shuffle + bottom-k, HLL is
+    ONE partial-aggregable pass to 64 fixed registers per group
+    (Zipf-safe by construction: a hot value collapses map-side to one
+    (group, bucket, rho) row). The indicator sum is scaled into int64 so
+    the raw estimate is a single division of two exactly-summed values —
+    bit-identical in DuckDB (engine-internal approx_count_distinct never
+    is). Exact counts ride along for context."""
+    from ..operators.sketch import hll_estimate, hll_registers
+
+    orders = load_table(spark, sf_dir, "orders")
+    regs = hll_registers(orders, ["o_orderpriority"], "o_custkey")
+    est = hll_estimate(regs, ["o_orderpriority"])
+    ex = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
+    )
+    return est.join(ex, "o_orderpriority")
+
+
+def _hll_merge_oracle() -> str:
+    from ..operators.sketch import hll_oracle_sql
+
+    return hll_oracle_sql("documents", "lang", "text")
+
+
+@register(
+    "q_hll_merge",
+    oracle=_hll_merge_oracle(),
+    tags=("sketch", "distinct", "hll", "merge"),
+)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register MERGEABILITY, proven cross-engine (the q_kmv_merge /
+    q_cms_merge design): Spark sketches distinct texts at the FINE
+    (lang, source) granularity and merges register states up to lang by
+    per-bucket MAX — associative, commutative, idempotent, so ANY merge
+    tree equals sketching lang directly, which is what the DuckDB oracle
+    computes from the raw rows. Bit-identical estimates == a 100 TB
+    corpus can keep 64-register states per partition/day and answer
+    global distinct questions by folding registers, never rescanning."""
+    from ..operators.sketch import (
+        hll_estimate,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fine = hll_registers(docs, ["lang", "source"], "text")
+    merged = hll_merge_registers(fine, ["lang"])
+    return hll_estimate(merged, ["lang"])
+
+
 from ..operators.sketch import kmv_oracle_sql as _kmv_oracle_sql  # noqa: E402
 
 

@@ -201,3 +201,39 @@ def test_range_clustered_layout_skips_files(spark, tmp_path):
         f"scattered baseline unexpectedly clustered ({n_scattered} files) — "
         "test data too small to witness skipping"
     )
+
+
+def test_hll_registers_accuracy_and_merge(spark):
+    """HLL (4th sketch family): raw estimate within the ~1.04/sqrt(64)
+    error regime on a 5k-distinct group, registers are bounded at 64 rows
+    per group, merging fine-grain register states by per-bucket MAX equals
+    sketching the coarse group directly (bit-identical estimates), and a
+    Zipf-hot value collapses map-side (one register row regardless of its
+    count)."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    # group 'a': 5000 distinct values; group 'b': ONE value repeated 50k
+    # times (the Zipf-hot case — the sketch state must not grow with it)
+    rows = [("a", f"v{i}") for i in range(5000)] + [("b", "hot")] * 50_000
+    df = spark.createDataFrame(rows, "g string, v string")
+    regs = hll_registers(df, ["g"], "v")
+    per_group = {r["g"]: r["n"] for r in regs.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per_group["a"] <= HLL_M and per_group["b"] == 1
+    est = {r["g"]: r["est_distinct"] for r in hll_estimate(regs, ["g"]).collect()}
+    assert abs(est["a"] - 5000) / 5000 < 0.4  # raw estimator, 64 registers
+    # merge == direct: split group 'a' into 4 shards, merge registers
+    sharded = df.filter(F.col("g") == "a").withColumn(
+        "shard", F.pmod(F.length("v"), F.lit(4))
+    )
+    fine = hll_registers(sharded, ["g", "shard"], "v")
+    merged = hll_merge_registers(fine, ["g"])
+    est_m = hll_estimate(merged, ["g"]).collect()[0]["est_distinct"]
+    assert est_m == est["a"]  # bit-identical, not approximately equal
