@@ -65,6 +65,7 @@ _GATE_NEW: list[str] = [
     "text_rarity_skew",
     "q_hll_distinct",
     "q_hll_merge",
+    "dedup_prefix_jaccard",
 ]
 # r11-green rows (driver-green in CORRECTNESS_r11, 50/50 MATCH) — two
 # rounds stale at r13 judging. The first (50 - 16 - len(_GATE_NEW)) fit

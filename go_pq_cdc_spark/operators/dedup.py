@@ -770,6 +770,85 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-corpus Jaccard similarity join via PREFIX FILTERING
+    (Chaudhuri et al. SSJoin / Bayardo et al. All-Pairs) — the third leg
+    of the similarity-join triangle here: `ngram_jaccard_pairs` is exact
+    but needs a bounded block key; `minhash_lsh_pairs` is unblocked but
+    probabilistic (band-split pairs are false negatives); this is exact
+    AND unblocked. No reference counterpart (LLM-pipeline surface).
+
+    The theorem (both directions proven from J >= t => i >= t*max(na,nb),
+    i = |a∩b|): order each doc's distinct shingle set globally
+    (array_sort of the hashes) and call its first n - ceil(t*n) + 1
+    elements the PREFIX; if J(a, b) >= t then b's FULL set intersects
+    a's prefix — a pair sharing nothing in the smaller-id side's prefix
+    cannot clear the threshold. So candidates = equi-join of exploded
+    PREFIX elements (smaller id) against exploded FULL sets (larger id),
+    plus the length filter t*nb <= na <= nb/t (also necessary, proven
+    above); each survivor is verified with the exact intersect. At
+    t = 0.5 the prefix is ~half of each set, the candidate join keys on
+    high-cardinality shingle hashes (AQE-skew-splittable, never a block
+    funnel), and there are NO false negatives to tune away.
+
+    Output: (doc_a, doc_b, jaccard) — doc_a < doc_b, jaccard >= t."""
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    docs = (
+        shingle_doc(df, id_col, text_col)
+        .withColumn("sh", F.array_sort("sh"))
+        .withColumn("n", F.size("sh").cast("long"))
+    )
+    prefix = F.expr(
+        f"slice(sh, 1, size(sh) - CAST(ceil({t!r} * size(sh)) AS INT) + 1)"
+    )
+    pre_ex = docs.select(
+        F.col("id").alias("ida"),
+        F.col("n").alias("na"),
+        F.explode(prefix).alias("h"),
+    )
+    full_ex = docs.select(
+        F.col("id").alias("idb"),
+        F.col("n").alias("nb"),
+        F.explode("sh").alias("h"),
+    )
+    cand = (
+        pre_ex.join(
+            full_ex,
+            (pre_ex["h"] == full_ex["h"])
+            & (F.col("ida") < F.col("idb"))
+            # length filter: J >= t forces t*nb <= na and t*na <= nb
+            & (F.col("na") >= t * F.col("nb"))
+            & (F.col("nb") >= t * F.col("na")),
+        )
+        .select("ida", "idb")
+        .distinct()
+    )
+    a = docs.select(F.col("id").alias("ida"), F.col("sh").alias("sha"))
+    b = docs.select(F.col("id").alias("idb"), F.col("sh").alias("shb"))
+    return (
+        cand.join(a, "ida")
+        .join(b, "idb")
+        .withColumn(
+            "n_inter", F.expr("size(array_intersect(sha, shb))").cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.expr("CAST(n_inter AS DOUBLE) / (size(sha) + size(shb) - n_inter)"),
+        )
+        .filter(F.col("jaccard") >= t)
+        .select(
+            F.col("ida").alias("doc_a"), F.col("idb").alias("doc_b"), "jaccard"
+        )
+    )
+
+
 def embedding_near_dup_lsh(
     df: DataFrame,
     id_col: str = "vec_id",

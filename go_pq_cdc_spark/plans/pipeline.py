@@ -575,6 +575,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "doc_id", block_col="lang")
 
 
+def _prefix_jaccard_oracle(threshold: float = 0.5) -> str:
+    """Global (unblocked) exact-Jaccard oracle in the inverted-index
+    formulation (see `_jaccard_oracle` — same trick, no block key)."""
+    sh = P.shingle_hashes("text")["duck"]
+    return f"""
+    WITH docs AS (
+        SELECT doc_id AS id, {sh} AS sh
+        FROM documents WHERE {_NTOK['duck']} >= 3
+    ),
+    ex AS (SELECT id, len(sh) AS n, unnest(sh) AS h FROM docs),
+    inter AS (
+        SELECT a.id AS doc_a, b.id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter,
+               ANY_VALUE(a.n) AS la, ANY_VALUE(b.n) AS lb
+        FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (la + lb - n_inter) AS jaccard
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / (la + lb - n_inter) >= {threshold}
+    """
+
+
+@register(
+    "dedup_prefix_jaccard",
+    oracle=_prefix_jaccard_oracle(),
+    tags=("dedup", "jaccard", "prefix-filter", "exact"),
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide Jaccard similarity join with NO block key and NO
+    LSH false negatives — prefix filtering (All-Pairs/SSJoin): a pair at
+    J >= 0.5 must share an element of the smaller-id doc's sorted-hash
+    prefix, so candidates come from a high-cardinality shingle-hash
+    equi-join (AQE-skew-splittable) + length filter, then exact-verify.
+    Completes the similarity-join triangle: blocked-exact
+    (dedup_ngram_jaccard), probabilistic-unblocked (dedup_minhash_lsh),
+    exact-unblocked (this). Oracle: the unblocked inverted-index SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.prefix_jaccard_pairs(docs, "doc_id")
+
+
 _NRM = P.scaled_dot("embedding", "embedding", "embedding")
 _QDOT_DUCK = P.scaled_dot("qv", "v", "qv")["duck"]
 

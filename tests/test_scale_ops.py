@@ -237,3 +237,38 @@ def test_hll_registers_accuracy_and_merge(spark):
     merged = hll_merge_registers(fine, ["g"])
     est_m = hll_estimate(merged, ["g"]).collect()[0]["est_distinct"]
     assert est_m == est["a"]  # bit-identical, not approximately equal
+
+
+def test_prefix_jaccard_equals_all_pairs(spark):
+    """Prefix filtering is EXACT: on a corpus with planted near-dups and
+    adversarial length spreads, prefix_jaccard_pairs returns precisely
+    the unblocked all-pairs >= t set (no false negatives, no extras),
+    at t = 0.5 and a high t = 0.9 (prefix shrinks to one element)."""
+    from go_pq_cdc_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra tail tokens here"),  # high-but-<1 overlap
+        (4, "alpha beta gamma"),  # single shingle, subset of 1's set
+        (5, "one two three four five six seven"),  # disjoint
+        (6, "one two three four five six seven"),  # dup of 5
+        (7, "too short"),  # < 3 tokens: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.9):
+        got = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+            for r in prefix_jaccard_pairs(df, "doc_id", threshold=t).collect()
+        }
+        want = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", block_col=None, threshold=t
+            ).collect()
+        }
+        assert got == want and (1, 2, 1.0) in got
