@@ -540,11 +540,15 @@ def sample_frames(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
                 aud = decode_audio(bytes(payload) if payload is not None else b"")
-                if aud is not None and (dur is None or dur <= 0):
-                    x, sr = aud
-                    dur = max(1, int(len(x) * 1000 / sr)) if sr else 1
+                # pd.isna first: Arrow nullable ints can land in pandas as
+                # NaN (or NA), which dodges both `is None` and `<= 0`
+                if pd.isna(dur) or int(dur) <= 0:
+                    if aud is not None and aud[1]:
+                        dur = max(1, int(len(aud[0]) * 1000 / aud[1]))
+                    else:
+                        dur = 1
                 else:
-                    dur = int(dur) if dur is not None and dur > 0 else 1
+                    dur = int(dur)
                 for i in range(n_frames):
                     ts = int((i + 0.5) * dur / n_frames)
                     if aud is not None:

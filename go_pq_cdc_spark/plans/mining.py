@@ -224,6 +224,21 @@ _QDOT_INT_DUCK = (
     "CAST(list_sum([a.vq[i] * b.vq[i] FOR i IN range(1, len(a.vq) + 1)])"
     " AS BIGINT)"
 )
+# Conservative NATIVE-dot prefilter for the quadratic pair stage: DuckDB's
+# interpreted list comprehension is the sf1 bottleneck (~25M within-cell
+# pairs x 64 dims), while list_dot_product is a vectorized C++ kernel.
+# cos from raw doubles differs from the fixed-point cos by < ~1e-4 on
+# unit-scale vectors (per-component rounding to 1e-6; |v_i| <= 1, norms
+# ~1 in the embeddings table), so pairs failing tau - 0.01 on the float
+# cos CANNOT clear tau on the exact cos — the exact fixed-point dot runs
+# only on survivors and the result set is IDENTICAL. Margin is 100x the
+# bound; the EXACT filter still decides every emitted row.
+_SEM_PREFILTER_MARGIN = 0.01
+_PREDOT_DUCK = (
+    "list_dot_product(a.v, b.v) >= "
+    f"({_SEM_TAU} - {_SEM_PREFILTER_MARGIN}) * a.fn * b.fn"
+)
+_FN_DUCK = "sqrt(list_dot_product(v, v))"
 
 
 @register(
@@ -249,12 +264,15 @@ _QDOT_INT_DUCK = (
         FROM nrm n, cents c
     ),
     cells AS MATERIALIZED (
-        SELECT id, {_VQ_DUCK} AS vq, n2, cent_id FROM assign_raw WHERE crn = 1
+        SELECT id, v, {_VQ_DUCK} AS vq, {_FN_DUCK} AS fn, n2, cent_id
+        FROM assign_raw WHERE crn = 1
     ),
     pdots AS (
         SELECT a.id AS src, b.id AS dst, a.n2 AS na, b.n2 AS nb,
                {_QDOT_INT_DUCK} AS dot
-        FROM cells a JOIN cells b ON a.cent_id = b.cent_id AND a.id < b.id
+        FROM cells a JOIN cells b
+          ON a.cent_id = b.cent_id AND a.id < b.id
+        WHERE {_PREDOT_DUCK}
     ),
     pairs AS (
         SELECT src, dst FROM pdots
@@ -307,12 +325,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nrm n, cents c
     ),
     cells AS MATERIALIZED (
-        SELECT id, {_VQ_DUCK} AS vq, n2, cent_id FROM assign_raw WHERE crn = 1
+        SELECT id, v, {_VQ_DUCK} AS vq, {_FN_DUCK} AS fn, n2, cent_id
+        FROM assign_raw WHERE crn = 1
     ),
     pdots AS (
         SELECT b.id AS vec_id, a.id AS dup_of, a.n2 AS na, b.n2 AS nb,
                {_QDOT_INT_DUCK} AS dot
-        FROM cells a JOIN cells b ON a.cent_id = b.cent_id AND a.id < b.id
+        FROM cells a JOIN cells b
+          ON a.cent_id = b.cent_id AND a.id < b.id
+        WHERE {_PREDOT_DUCK}
     )
     SELECT vec_id, dup_of,
            CAST(dot AS DOUBLE)
