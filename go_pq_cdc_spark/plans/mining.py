@@ -274,13 +274,13 @@ _FN_DUCK = "sqrt(list_dot_product(v, v))"
           ON a.cent_id = b.cent_id AND a.id < b.id
         WHERE {_PREDOT_DUCK}
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT src, dst FROM pdots
         WHERE CAST(dot AS DOUBLE)
                   / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
               >= {_SEM_TAU}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT src, dst FROM pairs
         UNION
         SELECT dst AS src, src AS dst FROM pairs
