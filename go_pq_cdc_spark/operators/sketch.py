@@ -550,3 +550,190 @@ def hll_oracle_sql(source: str, group_col: str, value_expr: str) -> str:
            n_buckets
     FROM z
     """
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (Bloom, 1970) — the FIFTH mergeable sketch family (KMV
+# distinct / MG heavy hitters / CMS frequencies / HLL distinct / Bloom
+# MEMBERSHIP): fixed m-bit state per group answering "was value x ever
+# seen in this group?" with NO false negatives and a bounded
+# false-positive rate. The state is int64 word-lanes aggregated by
+# bit_or — associative, commutative, IDEMPOTENT (like HLL's MAX, unlike
+# CMS's addition, re-delivery cannot corrupt it), so merging any tree of
+# partial states equals building the coarse state directly.
+#
+# Portability: positions come from the same public 2-universal family the
+# CMS buckets use (MinHash permutations of the md5-m31 hash — plan-time
+# literal coefficients, pure int64 arithmetic). Lanes are 32 BITS wide so
+# every mask is a small positive int64 on both engines — no sign-bit /
+# shift-overflow portability edge at bit 63. All state ops (bit_or,
+# bit_count, &) are exact integer ops both engines share: the whole
+# family is verifiable bit-for-bit against DuckDB, like the other four.
+#
+# Scale: building is one narrow map (k cells per input row) + one
+# groupBy bounded at BLOOM_WORDS rows per group — map-side combine
+# collapses a hot value to one row per task (the Zipf-safety property
+# every sketch in this module is built around). A 100 TB corpus keeps a
+# 4 KiB filter per partition/day and answers "have we ingested this id /
+# url / content-hash?" by OR-folding states, never rescanning.
+
+BLOOM_BITS = 1024  # m: filter width in bits
+BLOOM_LANE = 32  # bits per int64 word-lane (masks stay positive)
+BLOOM_WORDS = BLOOM_BITS // BLOOM_LANE
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_pos_exprs(k: int, bits: int) -> list[dict[str, str]]:
+    """Engine-portable bit-position expressions over a column named `hv`
+    (the md5-m31 hash of the value): position j is the j-th MinHash
+    permutation of hv reduced mod `bits` — the same literal-coefficient
+    family the CMS buckets inline."""
+    out = []
+    for j in range(k):
+        a, b = P.minhash_coeffs(j)
+        frag = f"((({a} * hv + {b}) % {P.MERSENNE31}) % {bits})"
+        out.append({"spark": frag, "duck": frag})
+    return out
+
+
+def _bloom_cell_cols(engine_div: str, lane: int) -> dict[str, str]:
+    """(word, mask) fragments over a column named `pos` for one engine
+    (`engine_div` is 'div' for Spark, '//' for DuckDB)."""
+    return {
+        "word": f"CAST(pos {engine_div} {lane} AS INT)",
+        "mask": (
+            f"shiftleft(1L, CAST(pos % {lane} AS INT))"
+            if engine_div == "div"
+            else f"(CAST(1 AS BIGINT) << CAST(pos % {lane} AS INT))"
+        ),
+    }
+
+
+def bloom_cells(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = BLOOM_K,
+    bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Materialize Bloom filter state per group: (*group_cols, word,
+    bits) with bits = bit_or of the masks landing in that 32-bit lane —
+    at most BLOOM_WORDS rows per group. One narrow map (k positions per
+    input row from plan-time literal coefficients) + one bounded
+    groupBy; partial bit_or collapses hot values map-side."""
+    h = P.md5_hash_m31(
+        {
+            "spark": f"CAST({value_col} AS STRING)",
+            "duck": f"CAST({value_col} AS VARCHAR)",
+        }
+    )["spark"]
+    cell = _bloom_cell_cols("div", BLOOM_LANE)
+    poss = F.array(
+        *[F.expr(e["spark"]).cast("long") for e in _bloom_pos_exprs(k, bits)]
+    )
+    return (
+        df.select(*[F.col(c) for c in group_cols], F.expr(h).alias("hv"))
+        .select(*group_cols, F.explode(poss).alias("pos"))
+        .select(
+            *group_cols,
+            F.expr(cell["word"]).alias("word"),
+            F.expr(cell["mask"]).alias("mask"),
+        )
+        .groupBy(*group_cols, "word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_merge_cells(cells: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge Bloom states to a coarser grouping: per-word bit_or —
+    associative, commutative, idempotent, so any merge tree equals
+    building the coarse filter directly (the property q_bloom_merge pins
+    cross-engine)."""
+    return cells.groupBy(*group_cols, "word").agg(
+        F.expr("bit_or(bits)").alias("bits")
+    )
+
+
+def bloom_probe_cells(
+    probes: DataFrame,
+    value_col: str,
+    k: int = BLOOM_K,
+    bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Required-bit cells for a probe set: (value_col, word, req) — a
+    probe is a member iff EVERY one of its cells is fully present in the
+    filter state. Two positions sharing a lane collapse here (bit_or), so
+    the membership test is per-(probe, word) exact."""
+    h = P.md5_hash_m31(
+        {
+            "spark": f"CAST({value_col} AS STRING)",
+            "duck": f"CAST({value_col} AS VARCHAR)",
+        }
+    )["spark"]
+    cell = _bloom_cell_cols("div", BLOOM_LANE)
+    poss = F.array(
+        *[F.expr(e["spark"]).cast("long") for e in _bloom_pos_exprs(k, bits)]
+    )
+    return (
+        probes.select(F.col(value_col), F.expr(h).alias("hv"))
+        .select(value_col, F.explode(poss).alias("pos"))
+        .select(
+            value_col,
+            F.expr(cell["word"]).alias("word"),
+            F.expr(cell["mask"]).alias("mask"),
+        )
+        .groupBy(value_col, "word")
+        .agg(F.expr("bit_or(mask)").alias("req"))
+    )
+
+
+def bloom_members(
+    cells: DataFrame, group_cols: list[str], probe_cells: DataFrame, value_col: str
+) -> DataFrame:
+    """(group, probe) pairs the Bloom state claims as members: broadcast
+    the bounded probe cells against the state cells on the word lane
+    (equi-join — never a cross join), keep rows whose required bits are
+    all set, and demand every probe word satisfied. A probe word missing
+    from the group's state simply produces no row — correctly
+    non-member; no false negatives by construction."""
+    nw = probe_cells.groupBy(value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words")
+    )
+    ok = (
+        F.broadcast(probe_cells)
+        .join(cells, "word")
+        .filter(F.col("bits").bitwiseAND(F.col("req")) == F.col("req"))
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("ok"))
+    )
+    return (
+        ok.join(F.broadcast(nw), value_col)
+        .filter(F.col("ok") == F.col("n_words"))
+        .select(*group_cols, value_col)
+    )
+
+
+def bloom_oracle_ctes(
+    source: str,
+    group_col: str,
+    value_expr: str,
+    k: int = BLOOM_K,
+    bits: int = BLOOM_BITS,
+) -> str:
+    """DuckDB CTE fragment building the identical Bloom state over
+    `SELECT {group_col}, {value_expr} FROM {source}`: exposes `cells`
+    (grp, word, bits). Callers append their own probe / report SQL."""
+    h = P.md5_hash_m31("v")["duck"]
+    cell = _bloom_cell_cols("//", BLOOM_LANE)
+    pos_list = ", ".join(e["duck"] for e in _bloom_pos_exprs(k, bits))
+    return f"""
+    vals AS (
+        SELECT {group_col} AS grp, CAST({value_expr} AS VARCHAR) AS v
+        FROM {source}
+    ),
+    hv AS (SELECT grp, {h} AS hv FROM vals),
+    pos AS (SELECT grp, unnest([{pos_list}]) AS pos FROM hv),
+    cells AS (
+        SELECT grp, {cell['word']} AS word, bit_or({cell['mask']}) AS bits
+        FROM pos GROUP BY grp, word
+    )"""

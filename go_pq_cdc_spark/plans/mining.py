@@ -197,6 +197,180 @@ def q_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_PROBE_MOD = 100  # probe set: every 100th custkey (some never ordered)
+
+
+def _bloom_membership_oracle() -> str:
+    from ..operators.sketch import (
+        BLOOM_BITS,
+        BLOOM_K,
+        BLOOM_LANE,
+        _bloom_cell_cols,
+        _bloom_pos_exprs,
+        bloom_oracle_ctes,
+    )
+
+    h = P.md5_hash_m31("CAST(probe AS VARCHAR)")["duck"]
+    cell = _bloom_cell_cols("//", BLOOM_LANE)
+    pos_list = ", ".join(
+        e["duck"] for e in _bloom_pos_exprs(BLOOM_K, BLOOM_BITS)
+    )
+    return f"""
+    WITH {bloom_oracle_ctes("orders", "o_orderpriority", "o_custkey")},
+    probes AS (
+        SELECT c_custkey AS probe FROM customer
+        WHERE c_custkey % {_BLOOM_PROBE_MOD} = 0
+    ),
+    phv AS (SELECT probe, {h} AS hv FROM probes),
+    ppos AS (SELECT probe, unnest([{pos_list}]) AS pos FROM phv),
+    pcells AS (
+        SELECT probe, {cell['word']} AS word, bit_or({cell['mask']}) AS req
+        FROM ppos GROUP BY probe, word
+    ),
+    nw AS (SELECT probe, CAST(COUNT(*) AS BIGINT) AS n_words
+           FROM pcells GROUP BY probe),
+    okj AS (
+        SELECT c.grp, p.probe, CAST(COUNT(*) AS BIGINT) AS ok
+        FROM pcells p
+        JOIN cells c ON p.word = c.word AND (c.bits & p.req) = p.req
+        GROUP BY c.grp, p.probe
+    ),
+    members AS (
+        SELECT o.grp, o.probe FROM okj o JOIN nw USING (probe)
+        WHERE o.ok = nw.n_words
+    ),
+    exact AS (
+        SELECT DISTINCT o.o_orderpriority AS grp, p.probe
+        FROM orders o JOIN probes p ON o.o_custkey = p.probe
+    ),
+    grps AS (SELECT DISTINCT grp FROM cells),
+    nb AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_bloom
+           FROM members GROUP BY grp),
+    ne AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_exact
+           FROM exact GROUP BY grp)
+    SELECT g.grp AS o_orderpriority,
+           COALESCE(nb.n_bloom, 0) AS n_bloom,
+           COALESCE(ne.n_exact, 0) AS n_exact,
+           COALESCE(nb.n_bloom, 0) - COALESCE(ne.n_exact, 0) AS n_false_pos
+    FROM grps g
+    LEFT JOIN nb ON g.grp = nb.grp
+    LEFT JOIN ne ON g.grp = ne.grp
+    """
+
+
+@register(
+    "q_bloom_membership",
+    oracle=_bloom_membership_oracle(),
+    tags=("sketch", "bloom", "mergeable", "membership"),
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter membership — the FIFTH mergeable sketch family
+    (KMV / MG / CMS / HLL / Bloom), answering the question none of the
+    others do: "was this exact value ever seen in this group?". A
+    1024-bit filter of customer keys is built PER ORDER PRIORITY from
+    orders (one narrow map + a 32-row-per-group bit_or groupBy —
+    Zipf-safe like every sketch here), then a fixed probe set (every
+    100th custkey, some of which never ordered) is tested via a
+    broadcast equi-join on the word lane. Reported per priority:
+    bloom-positive count, exact member count (ground truth rides along,
+    CMS-style), and the false-positive overshoot. The no-false-negative
+    theorem (every true member's bits are necessarily set) is fused into
+    the plan as assert_true; the oracle rebuilds the identical state and
+    probe arithmetic in SQL — pure int64 ops both engines share, so the
+    match is bit-exact, false positives included."""
+    from ..operators.sketch import (
+        bloom_cells,
+        bloom_members,
+        bloom_probe_cells,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cells = bloom_cells(orders, ["o_orderpriority"], "o_custkey")
+    probes = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % _BLOOM_PROBE_MOD == 0)
+        .select(F.col("c_custkey").alias("probe"))
+    )
+    pcells = bloom_probe_cells(probes, "probe")
+    members = bloom_members(cells, ["o_orderpriority"], pcells, "probe")
+    exact = (
+        orders.join(F.broadcast(probes), orders["o_custkey"] == probes["probe"])
+        .select("o_orderpriority", "probe")
+        .distinct()
+    )
+    grps = cells.select("o_orderpriority").distinct()
+    nb = members.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bloom")
+    )
+    ne = exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    out = (
+        grps.join(nb, "o_orderpriority", "left")
+        .join(ne, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            F.coalesce("n_bloom", F.lit(0)).cast("long").alias("n_bloom"),
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+        )
+    )
+    guard = F.assert_true(
+        F.col("n_bloom") >= F.col("n_exact"),
+        F.lit(
+            "q_bloom_membership: bloom false negative — impossible by construction"
+        ),
+    )
+    return out.select(
+        "o_orderpriority",
+        F.when(guard.isNull(), F.col("n_bloom")).alias("n_bloom"),
+        "n_exact",
+        (F.col("n_bloom") - F.col("n_exact")).cast("long").alias("n_false_pos"),
+    )
+
+
+def _bloom_merge_oracle() -> str:
+    from ..operators.sketch import bloom_oracle_ctes
+
+    return f"""
+    WITH {bloom_oracle_ctes("documents", "lang", "text")}
+    SELECT grp AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(bit_count(bits)) AS BIGINT) AS bits_set,
+           CAST(SUM(bits) AS BIGINT) AS state_sum
+    FROM cells GROUP BY grp
+    """
+
+
+@register(
+    "q_bloom_merge",
+    oracle=_bloom_merge_oracle(),
+    tags=("sketch", "bloom", "mergeable", "merge"),
+)
+def q_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom state MERGEABILITY, proven cross-engine (the q_kmv_merge /
+    q_cms_merge / q_hll_merge design): Spark builds filters of distinct
+    texts at the FINE (lang, source) granularity and OR-folds the word
+    lanes up to lang; DuckDB builds lang directly from the raw rows. The
+    reported state fingerprint (word count, total set bits via
+    bit_count, exact int64 sum of the lanes) is bit-identical iff every
+    lane merged exactly — bit_or is associative, commutative AND
+    idempotent, so unlike CMS addition the fold also survives
+    re-delivery (exactly the at-least-once property a CDC ingest's
+    "seen this key?" filter needs). A 100 TB corpus keeps a 4 KiB state
+    per partition/day and answers membership by folding lanes, never
+    rescanning."""
+    from ..operators.sketch import bloom_cells, bloom_merge_cells
+
+    docs = load_table(spark, sf_dir, "documents")
+    fine = bloom_cells(docs, ["lang", "source"], "text")
+    merged = bloom_merge_cells(fine, ["lang"])
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.expr("bit_count(bits)")).cast("long").alias("bits_set"),
+        F.sum("bits").cast("long").alias("state_sum"),
+    )
+
+
 @register(
     "text_bm25_topk",
     oracle=S.bm25_oracle_sql("documents", _BM25_TERMS),

@@ -363,3 +363,82 @@ def test_cms_counters_merge_and_never_undercount(spark):
              "absent": 0}
     for k, v in exact.items():
         assert est[k] >= v, (k, est[k], v)
+
+
+def test_bloom_matches_python_reference_and_merges(spark):
+    """Bloom state equals an independent Python re-implementation of the
+    same literal hash family (so the SQL fragments compute what the
+    docstrings claim), the claimed member set is EXACTLY the reference
+    simulation's (false positives included), merge is the per-word OR,
+    and merging a state with itself is a no-op (idempotence — the
+    at-least-once property)."""
+    import hashlib as _hl
+
+    from go_pq_cdc_spark.operators.sketch import (
+        BLOOM_LANE,
+        bloom_cells,
+        bloom_members,
+        bloom_merge_cells,
+        bloom_probe_cells,
+    )
+
+    M, KN = 2_147_483_647, 2_654_435_761
+    K, BITS = 4, 1024
+
+    def positions(v):
+        hv = int(_hl.md5(str(v).encode()).hexdigest()[:15], 16) % M
+        return [
+            ((((j * KN + 1) % M) * hv + ((j * 40503 + 7) % M)) % M) % BITS
+            for j in range(K)
+        ]
+
+    groups = {"A": [f"val{i}" for i in range(50)],
+              "B": [f"val{i}" for i in range(25, 75)]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows * 3, "g string, v string")  # dup rows
+
+    cells = bloom_cells(df, ["g"], "v")
+    got = {(r["g"], r["word"]): r["bits"] for r in cells.collect()}
+    want: dict[tuple[str, int], int] = {}
+    for g, vs in groups.items():
+        for v in vs:
+            for p in positions(v):
+                key = (g, p // BLOOM_LANE)
+                want[key] = want.get(key, 0) | (1 << (p % BLOOM_LANE))
+    assert got == want
+
+    probes = [f"val{i}" for i in range(100)] + [f"nope{i}" for i in range(50)]
+    pdf = spark.createDataFrame([(p,) for p in probes], "v string")
+    claimed = {
+        (r["g"], r["v"])
+        for r in bloom_members(
+            cells, ["g"], bloom_probe_cells(pdf, "v"), "v"
+        ).collect()
+    }
+    expected = set()
+    for g in groups:
+        for p in probes:
+            if all(
+                want.get((g, q // BLOOM_LANE), 0) >> (q % BLOOM_LANE) & 1
+                for q in positions(p)
+            ):
+                expected.add((g, p))
+    assert claimed == expected
+    # no false negatives, by construction
+    assert {(g, v) for g, vs in groups.items() for v in vs} <= claimed
+
+    # merge: fine (g, half) states OR-fold to exactly the direct state
+    fine = bloom_cells(
+        df.withColumn("half", F.expr("pmod(abs(hash(v)), 2)")), ["g", "half"], "v"
+    )
+    merged = {
+        (r["g"], r["word"]): r["bits"]
+        for r in bloom_merge_cells(fine, ["g"]).collect()
+    }
+    assert merged == want
+    # idempotence: re-merging the state with itself changes nothing
+    twice = {
+        (r["g"], r["word"]): r["bits"]
+        for r in bloom_merge_cells(cells.unionByName(cells), ["g"]).collect()
+    }
+    assert twice == want
