@@ -273,6 +273,59 @@ def token_rarity(
     )
 
 
+def token_diversity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc lexical diversity via the Simpson/Gini index — the
+    probability that two tokens drawn (with replacement) from the doc
+    DIFFER: simpson = (n^2 - sum_t cnt_t^2) / n^2. Keyword-stuffed and
+    single-phrase-repetition spam scores near 0; natural prose sits
+    high. The type-token ratio (n_distinct / n) rides along as the
+    classic cheap companion signal.
+
+    Exactness: everything before the division is int64 (sum cnt^2 <=
+    n^2, and n^2 stays far inside 2^53 for any real document, so the
+    final cast to double is itself exact); each score is then ONE
+    correctly-rounded division — order-independent and engine-exact,
+    where an entropy-based diversity (the Shannon spelling) would hang
+    on libm log ulps (the BM25/rarity stance).
+
+    Scale shape: stronger than rarity's Zipf-safety — there is no
+    corpus-global key AT ALL. Both groupBys carry the doc id ((doc,
+    token), then (doc)), so a corpus-hot stopword cannot concentrate on
+    any task: its occurrences are spread across the doc-keyed
+    partitions exactly like the docs themselves, and map-side combine
+    collapses within-doc repeats before the only shuffle.
+
+    Output: (id, n_tok, n_distinct, simpson, ttr)."""
+    from .scale import spread_small_input
+
+    tok = P.tokens(text_col)
+    doc_tok = (
+        spread_small_input(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(F.expr(tok["spark"])).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("_occ"))
+    )
+    per_doc = doc_tok.groupBy(id_col).agg(
+        F.sum("_occ").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.expr("_occ * _occ")).cast("long").alias("_s2"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tok",
+        "n_distinct",
+        (
+            (F.col("n_tok") * F.col("n_tok") - F.col("_s2")).cast("double")
+            / (F.col("n_tok") * F.col("n_tok")).cast("double")
+        ).alias("simpson"),
+        (F.col("n_distinct").cast("double") / F.col("n_tok")).alias("ttr"),
+    )
+
+
 def token_hashes_fragments(text_col: str = "text") -> dict[str, str]:
     """md5-derived hash per whitespace token — shared by SimHash and tests."""
     tok = P.tokens(text_col)

@@ -1818,6 +1818,42 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(docs)
 
 
+@register(
+    "text_token_diversity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOK['duck']}) AS token FROM documents
+    ),
+    dt AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS occ
+        FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(occ) AS BIGINT) AS n_tok,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(occ) * SUM(occ) - SUM(occ * occ) AS DOUBLE)
+               / CAST(SUM(occ) * SUM(occ) AS DOUBLE) AS simpson,
+           CAST(COUNT(*) AS DOUBLE) / SUM(occ) AS ttr
+    FROM dt GROUP BY doc_id
+    """,
+    tags=("text", "quality", "diversity"),
+)
+def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Simpson/Gini lexical diversity + type-token ratio — the
+    third leg of the quality-scoring family (gopher = thresholds,
+    rarity = corpus-relative informativeness, diversity = within-doc
+    distributional health; repetition spam scores near 0 here even when
+    its shingles are corpus-unique and novelty misses it). Exact int64
+    arithmetic up to ONE double division per score, so engine-exact
+    without the varchar bridge; no corpus-global key anywhere in the
+    plan — both aggregations are doc-keyed, the strongest Zipf-safety
+    shape in the family (see `operators.text.token_diversity`)."""
+    from ..operators.text import token_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_diversity(docs)
+
+
 def _temperature_oracle() -> str:
     from ..operators.training import sample_fragments
 

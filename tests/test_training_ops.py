@@ -609,3 +609,25 @@ def test_samplers_refuse_high_cardinality_strata(spark):
     # token-budget default of 32_000 // n_cuts)
     assert sample_temperature(df, alpha=0.5, max_strata=25).count() > 0
     assert sample_token_budget(df, budget=10**9, n_cuts=4).count() == 200
+
+
+def test_token_diversity_simpson_and_ttr(spark):
+    """Simpson diversity is exact integer arithmetic until the final
+    division: a doc of n tokens with per-token counts c_t scores
+    (n^2 - sum c_t^2) / n^2. Repetition spam scores 0; all-distinct
+    prose scores 1 - 1/n."""
+    from go_pq_cdc_spark.operators.text import token_diversity
+
+    rows = [
+        (1, "spam spam spam spam"),       # n=4, s2=16 -> simpson 0
+        (2, "alpha beta gamma delta"),    # n=4, all distinct -> 12/16
+        (3, "a a b c"),                   # n=4, s2=4+1+1=6 -> 10/16
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_distinct"], r["simpson"], r["ttr"])
+        for r in token_diversity(df).collect()
+    }
+    assert got[1] == (4, 1, 0.0, 0.25)
+    assert got[2] == (4, 4, 12.0 / 16, 1.0)
+    assert got[3] == (4, 3, 10.0 / 16, 0.75)
