@@ -66,6 +66,9 @@ _GATE_NEW: list[str] = [
     "q_hll_distinct",
     "q_hll_merge",
     "dedup_prefix_jaccard",
+    "q_bloom_membership",
+    "q_bloom_merge",
+    "text_token_diversity",
 ]
 # r11-green rows (driver-green in CORRECTNESS_r11, 50/50 MATCH) — two
 # rounds stale at r13 judging. The first (50 - 16 - len(_GATE_NEW)) fit

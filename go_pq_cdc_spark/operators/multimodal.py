@@ -7,12 +7,14 @@ columnar batches without JVM<->Python per-row cost. Codec status:
 formats with library-free decoders decode for REAL — PPM P6 + 24-bit
 BMP + 8-bit non-interlaced PNG images (stdlib zlib inflate + numpy
 per-scanline unfilter — pixel-stat features, nearest-neighbor resize)
-and PCM-16 WAV audio (duration/RMS/ZCR features, frame-window slicing).
-Remaining COMPRESSED image codecs (JPEG/WebP/... and exotic PNG
-variants) decode through an IMPORT-GUARDED Pillow arm (`_try_pil_decode`)
-where that library is installed; it is NOT in this container, so there
-feature extraction falls back to a deterministic digest fake (tagged in
-the vector) and resize raises. Video compressed codecs (MP3/H.264)
+PCM-16 WAV audio (duration/RMS/ZCR features, frame-window slicing), and
+uncompressed YUV4MPEG2 (.y4m) video (BT.601 YUV->RGB frame decode at
+sampled timestamps, middle-frame pixel-stat features). Remaining
+COMPRESSED image codecs (JPEG/WebP/... and exotic PNG variants) decode
+through an IMPORT-GUARDED Pillow arm (`_try_pil_decode`) where that
+library is installed; it is NOT in this container, so there feature
+extraction falls back to a deterministic digest fake (tagged in the
+vector) and resize raises. Compressed audio/video codecs (MP3/H.264)
 would need ffmpeg and remain stubbed. Resized images re-encode as PPM P6
 regardless of the decode arm, so outputs never depend on an encoder
 library's version. The Spark-side plumbing (schema, batching,
@@ -340,14 +342,35 @@ def _decode_kernel(payload: bytes, kind: str) -> list[float]:
     images (PPM/BMP/PNG-8): [w, h, aspect, mean R/G/B, luminance std,
     1.0] (channel stats scaled to [0,1]); audio (PCM WAV): [duration_s,
     rms, zero-crossing rate, mean, peak, sample_rate/48k, 0, 2.0].
-    Remaining compressed codecs (JPEG/MP3/H.264 — need PIL/ffmpeg, not
-    in this container) fall back to the deterministic sha256-digest fake
-    so pipelines remain testable end to end; the trailing tag float (1.0
-    real-image / 2.0 real-audio / digest bytes otherwise) makes the path
-    visible. Identifiable-but-unsupported PNG variants RAISE from
-    `_decode_png` rather than silently digest-faking."""
+    video (uncompressed Y4M): image-style stats over the MIDDLE frame
+    plus [w, h, aspect, mean R/G/B, lum std, 3.0]. Remaining compressed
+    codecs (JPEG/MP3/H.264 — need PIL/ffmpeg, not in this container)
+    fall back to the deterministic sha256-digest fake so pipelines
+    remain testable end to end; the trailing tag float (1.0 real-image /
+    2.0 real-audio / 3.0 real-video / digest bytes otherwise) makes the
+    path visible. Identifiable-but-unsupported PNG/Y4M variants RAISE
+    from `_decode_png`/`_y4m_parse` rather than silently
+    digest-faking."""
     import numpy as np
 
+    if kind == "video":
+        vid = _y4m_parse(payload or b"")
+        if vid is not None:
+            mid = _y4m_frame_rgb(
+                payload, vid, len(vid["offsets"]) // 2
+            )
+            fl = mid.astype(np.float64) / 255.0
+            lum = fl.mean(axis=2)
+            return [
+                float(vid["w"]),
+                float(vid["h"]),
+                float(vid["w"]) / float(vid["h"]),
+                float(fl[:, :, 0].mean()),
+                float(fl[:, :, 1].mean()),
+                float(fl[:, :, 2].mean()),
+                float(lum.std()),
+                3.0,
+            ]
     img = decode_image(payload or b"") if kind == "image" else None
     if img is not None:
         h, w = img.shape[0], img.shape[1]
@@ -483,13 +506,129 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _y4m_parse(payload: bytes):
+    """Parse an uncompressed YUV4MPEG2 (.y4m) stream header + frame
+    index — the public, library-free raw-video interchange format
+    (what `ffmpeg ... -f yuv4mpeg2 -` pipes). Returns a dict (w, h,
+    fps num/den, chroma mode, frame byte size, per-frame data offsets)
+    or None for non-Y4M / malformed / truncated payloads (the
+    decode_audio convention). Identifiable-but-unsupported variants
+    (exotic chroma samplings, odd dimensions under subsampling) RAISE
+    NotImplementedError — the honest-boundary convention `_decode_png`
+    set; C420*/C422/C444/Cmono all decode."""
+    if not payload or not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = 0
+    fn, fd = 25, 1  # Y4M default frame rate
+    cs = "420jpeg"  # Y4M default chroma sampling
+    try:
+        for tok in payload[9:nl].split():
+            t = tok.decode("ascii")
+            if t[:1] == "W":
+                w = int(t[1:])
+            elif t[:1] == "H":
+                h = int(t[1:])
+            elif t[:1] == "F":
+                a, b = t[1:].split(":")
+                fn, fd = int(a), int(b)
+            elif t[:1] == "C":
+                cs = t[1:]
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if w <= 0 or h <= 0 or fn <= 0 or fd <= 0:
+        return None
+    if cs.startswith("420"):
+        if w % 2 or h % 2:
+            raise NotImplementedError(
+                f"y4m C420 requires even dimensions, got {w}x{h}"
+            )
+        mode, fsz = "420", w * h * 3 // 2
+    elif cs.startswith("422"):
+        if w % 2:
+            raise NotImplementedError(
+                f"y4m C422 requires even width, got {w}"
+            )
+        mode, fsz = "422", w * h * 2
+    elif cs == "444":
+        mode, fsz = "444", w * h * 3
+    elif cs == "mono":
+        mode, fsz = "mono", w * h
+    else:
+        raise NotImplementedError(
+            f"y4m chroma sampling C{cs} not supported (C420*/C422/C444/"
+            "Cmono decode natively; alpha/C411-class need a real library)"
+        )
+    offsets = []
+    p = nl + 1
+    while p < len(payload):
+        if payload[p : p + 5] != b"FRAME":
+            return None
+        e = payload.find(b"\n", p)
+        if e < 0 or e + 1 + fsz > len(payload):
+            return None
+        offsets.append(e + 1)
+        p = e + 1 + fsz
+    if not offsets:
+        return None
+    return {
+        "w": w, "h": h, "fn": fn, "fd": fd,
+        "mode": mode, "fsz": fsz, "offsets": offsets,
+    }
+
+
+def _y4m_frame_rgb(payload: bytes, meta: dict, idx: int):
+    """Decode frame `idx` of a parsed Y4M stream to an (h, w, 3) uint8
+    RGB array: planar Y/U/V split, nearest-neighbor chroma upsample for
+    the subsampled modes, BT.601 full-range matrix (the JPEG/C420jpeg
+    convention), round + clip. Pure numpy — deterministic across
+    platforms (no libm: the matrix is fixed-literal multiply/add and
+    np.round is exact on these magnitudes)."""
+    import numpy as np
+
+    w, h = meta["w"], meta["h"]
+    off = meta["offsets"][idx]
+    buf = np.frombuffer(payload[off : off + meta["fsz"]], dtype=np.uint8)
+    ysz = w * h
+    y = buf[:ysz].reshape(h, w).astype(np.float64)
+    mode = meta["mode"]
+    if mode == "mono":
+        g8 = np.clip(np.round(y), 0, 255).astype(np.uint8)
+        return np.repeat(g8[:, :, None], 3, axis=2)
+    if mode == "420":
+        cw, ch = w // 2, h // 2
+        u = buf[ysz : ysz + cw * ch].reshape(ch, cw)
+        v = buf[ysz + cw * ch : ysz + 2 * cw * ch].reshape(ch, cw)
+        u = u.repeat(2, axis=0).repeat(2, axis=1)
+        v = v.repeat(2, axis=0).repeat(2, axis=1)
+    elif mode == "422":
+        cw = w // 2
+        u = buf[ysz : ysz + cw * h].reshape(h, cw).repeat(2, axis=1)
+        v = buf[ysz + cw * h : ysz + 2 * cw * h].reshape(h, cw).repeat(2, axis=1)
+    else:  # 444
+        u = buf[ysz : 2 * ysz].reshape(h, w)
+        v = buf[2 * ysz : 3 * ysz].reshape(h, w)
+    u = u.astype(np.float64) - 128.0
+    v = v.astype(np.float64) - 128.0
+    rgb = np.stack(
+        [y + 1.402 * v, y - 0.344136 * u - 0.714136 * v, y + 1.772 * u],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def _frame_kernel(payload: bytes, ts_ms: int, duration_ms: int) -> bytes:
-    """STUB (video codecs): the real kernel seeks to `ts_ms` and decodes
-    one frame (ffmpeg/pyav — not in this container). The deterministic
-    fake slices a 64-byte window whose offset is proportional to
-    ts/duration, so outputs are stable, distinct per timestamp, and
-    pipeline-testable. PCM-WAV audio does NOT take this path — see
-    `_wav_window`, which slices real samples."""
+    """STUB (compressed video codecs): the real kernel seeks to `ts_ms`
+    and decodes one frame (ffmpeg/pyav — not in this container). The
+    deterministic fake slices a 64-byte window whose offset is
+    proportional to ts/duration, so outputs are stable, distinct per
+    timestamp, and pipeline-testable. Uncompressed Y4M video does NOT
+    take this path (`_y4m_frame_rgb` decodes true frames), nor does
+    PCM-WAV audio (`_wav_window` slices real samples) — only
+    container/codec formats that genuinely need a decoder library
+    (H.264/VP9/AV1-class) land here."""
     if not payload:
         return b""
     off = int((ts_ms / max(1, duration_ms)) * max(0, len(payload) - 64))
@@ -520,10 +659,16 @@ def sample_frames(
     filter, per-frame fan-out, Arrow batching, and output schema are
     real; the decode-at-timestamp kernel is REAL for PCM-WAV audio
     (`_wav_window`: the payload decodes ONCE per row, each frame is the
-    true `window_ms` sample window at its timestamp, re-encoded PCM16-LE;
-    a missing meta duration derives from the stream itself) and stubbed
-    for video codecs (`_frame_kernel` — ffmpeg/pyav not in this
-    container). Swapping in a video codec does not change the Spark plan.
+    true `window_ms` sample window at its timestamp, re-encoded PCM16-LE)
+    AND for uncompressed Y4M video (`_y4m_frame_rgb`: the frame whose
+    presentation interval covers the timestamp — index floor(ts*fps) —
+    decoded to RGB and re-encoded PPM P6; the stream parses ONCE per
+    row, only sampled frames decode). A missing meta duration derives
+    from the stream itself on both real arms (sample count / frame
+    count x frame rate). Compressed video codecs (H.264-class —
+    ffmpeg/pyav not in this container) keep the documented
+    `_frame_kernel` stub; swapping one in does not change the Spark
+    plan.
 
     Scale: output is n_frames× the media row count but each frame row is
     small; a NARROW input is widened by media_id so one clip's frames stay
@@ -539,12 +684,19 @@ def sample_frames(
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                aud = decode_audio(bytes(payload) if payload is not None else b"")
+                pb = bytes(payload) if payload is not None else b""
+                aud = decode_audio(pb)
+                vid = None if aud is not None else _y4m_parse(pb)
                 # pd.isna first: Arrow nullable ints can land in pandas as
                 # NaN (or NA), which dodges both `is None` and `<= 0`
                 if pd.isna(dur) or int(dur) <= 0:
                     if aud is not None and aud[1]:
                         dur = max(1, int(len(aud[0]) * 1000 / aud[1]))
+                    elif vid is not None:
+                        dur = max(
+                            1,
+                            len(vid["offsets"]) * 1000 * vid["fd"] // vid["fn"],
+                        )
                     else:
                         dur = 1
                 else:
@@ -553,6 +705,10 @@ def sample_frames(
                     ts = int((i + 0.5) * dur / n_frames)
                     if aud is not None:
                         frame = _wav_window(aud[0], aud[1], ts, window_ms)
+                    elif vid is not None:
+                        nf = len(vid["offsets"])
+                        fi = min(nf - 1, ts * vid["fn"] // (1000 * vid["fd"]))
+                        frame = encode_ppm(_y4m_frame_rgb(pb, vid, fi))
                     else:
                         frame = _frame_kernel(payload, ts, dur)
                     out["media_id"].append(mid)

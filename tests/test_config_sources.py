@@ -687,3 +687,110 @@ def test_sample_frames_real_wav_windows(spark):
         assert frames[(1, i)]["ts_ms"] == ts
     # video keeps the 64-byte stub slices
     assert all(len(frames[(3, i)]["frame"]) == 64 for i in range(4))
+
+
+def _make_y4m(levels, w=4, h=4, cs="420jpeg", fps=(2, 1)):
+    """Hand-rolled YUV4MPEG2 stream (test-side only): one solid frame
+    per gray level, neutral chroma (U=V=128), so BT.601 maps every pixel
+    to exactly (lv, lv, lv)."""
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{cs}\n".encode()
+    body = b""
+    for lv in levels:
+        y = bytes([lv]) * (w * h)
+        if cs.startswith("420"):
+            c = bytes([128]) * (w // 2 * (h // 2))
+            body += b"FRAME\n" + y + c + c
+        elif cs == "422":
+            c = bytes([128]) * (w // 2 * h)
+            body += b"FRAME\n" + y + c + c
+        elif cs == "444":
+            c = bytes([128]) * (w * h)
+            body += b"FRAME\n" + y + c + c
+        else:  # mono
+            body += b"FRAME\n" + y
+    return hdr + body
+
+
+def test_y4m_parse_and_frame_decode():
+    """Y4M parses header + frame index for every supported chroma mode,
+    decodes exact pixels (neutral-chroma frames are pure gray under
+    BT.601), raises on identifiable-but-unsupported variants, and
+    returns None on malformed/truncated streams."""
+    import numpy as np
+    import pytest as _pt
+
+    from go_pq_cdc_spark.operators import multimodal as M
+
+    for cs in ("420jpeg", "420", "422", "444", "mono"):
+        pay = _make_y4m([0, 96, 255], cs=cs)
+        meta = M._y4m_parse(pay)
+        assert meta is not None and len(meta["offsets"]) == 3, cs
+        assert (meta["w"], meta["h"], meta["fn"], meta["fd"]) == (4, 4, 2, 1)
+        for idx, lv in enumerate([0, 96, 255]):
+            arr = M._y4m_frame_rgb(pay, meta, idx)
+            assert arr.shape == (4, 4, 3)
+            assert (arr == lv).all(), (cs, idx, lv, np.unique(arr))
+    # non-neutral chroma: one BT.601 spot check (Y=128, U=228, V=28:
+    # R = 128 + 1.402*(-100) = -12.2 -> 0 clipped,
+    # G = 128 - 0.344136*100 - 0.714136*(-100) = 165.0,
+    # B = 128 + 1.772*100 = 305.2 -> 255 clipped)
+    hdr = b"YUV4MPEG2 W2 H2 F1:1 C444\n"
+    pay = hdr + b"FRAME\n" + bytes([128]) * 4 + bytes([228]) * 4 + bytes([28]) * 4
+    meta = M._y4m_parse(pay)
+    arr = M._y4m_frame_rgb(pay, meta, 0)
+    assert (arr == np.array([0, 165, 255], dtype=np.uint8)).all()
+    # honest boundary: identifiable-but-unsupported RAISES
+    with _pt.raises(NotImplementedError):
+        M._y4m_parse(b"YUV4MPEG2 W4 H4 F2:1 C411\n" + b"FRAME\n" + b"x" * 24)
+    with _pt.raises(NotImplementedError):
+        M._y4m_parse(b"YUV4MPEG2 W3 H4 F2:1 C420\n" + b"FRAME\n")
+    # malformed stays None (stub path), like the other codec arms
+    assert M._y4m_parse(b"RIFFnope") is None
+    assert M._y4m_parse(_make_y4m([1, 2])[:-5]) is None  # truncated frame
+    assert M._y4m_parse(b"YUV4MPEG2 W4 H4 F2:1 C420\n") is None  # no frames
+    # features: middle frame of [0, 96, 255] is the 96-gray one, tag 3.0
+    feats = M._decode_kernel(_make_y4m([0, 96, 255]), "video")
+    assert feats[7] == 3.0
+    assert feats[:3] == [4.0, 4.0, 1.0]
+    assert abs(feats[3] - 96 / 255) < 1e-12 and feats[6] == 0.0
+
+
+def test_sample_frames_real_y4m_frames(spark):
+    """The video arm of the decode-at-timestamp kernel is REAL for
+    uncompressed Y4M: each sampled frame is the true frame at its
+    midpoint timestamp (index floor(ts*fps)), re-encoded PPM P6; a
+    missing meta duration derives from frame count x frame rate; and
+    non-Y4M video payloads keep the documented stub."""
+    from pyspark.sql import Row
+
+    from go_pq_cdc_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        sample_frames,
+    )
+
+    # 4 frames at 2 fps -> 2000 ms stream; n_frames=4 midpoints at
+    # 250/750/1250/1750 ms -> frame indices 0..3
+    levels = [10, 60, 110, 160]
+    y4m = _make_y4m(levels, fps=(2, 1))
+    rows = [
+        Row(media_id=1, kind="video", payload=y4m,
+            meta=Row(mime="video/x-yuv4mpeg", width=4, height=4,
+                     duration_ms=None)),
+        Row(media_id=2, kind="video", payload=bytes(range(256)),
+            meta=Row(mime="video/mp4", width=0, height=0,
+                     duration_ms=2000)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {(r["media_id"], r["frame_idx"]): r
+           for r in sample_frames(df, n_frames=4).collect()}
+    for i, lv in enumerate(levels):
+        r = out[(1, i)]
+        assert r["ts_ms"] == int((i + 0.5) * 2000 / 4)
+        arr = decode_image(bytes(r["frame"]))  # PPM round-trip
+        assert arr is not None and arr.shape == (4, 4, 3)
+        assert (arr == lv).all()
+    # distinct frames -> distinct hashes
+    assert len({out[(1, i)]["frame_hash"] for i in range(4)}) == 4
+    # non-Y4M video payload keeps the 64-byte stub slice
+    assert all(len(out[(2, i)]["frame"]) <= 64 for i in range(4))
