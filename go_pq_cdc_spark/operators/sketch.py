@@ -583,15 +583,18 @@ BLOOM_WORDS = BLOOM_BITS // BLOOM_LANE
 BLOOM_K = 4  # hash functions
 
 
-def _bloom_pos_exprs(k: int, bits: int) -> list[dict[str, str]]:
-    """Engine-portable bit-position expressions over a column named `hv`
-    (the md5-m31 hash of the value): position j is the j-th MinHash
-    permutation of hv reduced mod `bits` — the same literal-coefficient
-    family the CMS buckets inline."""
+def _bloom_pos_exprs(
+    k: int, bits: int, hv: str = "hv"
+) -> list[dict[str, str]]:
+    """Engine-portable bit-position expressions over the hash expression
+    `hv` (default: a column named hv holding the md5-m31 hash of the
+    value): position j is the j-th MinHash permutation of hv reduced mod
+    `bits` — the same literal-coefficient family the CMS buckets
+    inline."""
     out = []
     for j in range(k):
         a, b = P.minhash_coeffs(j)
-        frag = f"((({a} * hv + {b}) % {P.MERSENNE31}) % {bits})"
+        frag = f"((({a} * {hv} + {b}) % {P.MERSENNE31}) % {bits})"
         out.append({"spark": frag, "duck": frag})
     return out
 
@@ -737,3 +740,140 @@ def bloom_oracle_ctes(
         SELECT grp, {cell['word']} AS word, bit_or({cell['mask']}) AS bits
         FROM pos GROUP BY grp, word
     )"""
+
+
+def bloom_prune_predicate(
+    cells_rows: list[tuple[int, int]],
+    value_sql: str,
+    k: int = BLOOM_K,
+    bits: int = BLOOM_BITS,
+):
+    """Literal-Bloom membership predicate — the runtime-filter / join-
+    pruning pattern: the filter state (a BOUNDED <= BLOOM_WORDS-row
+    collect of (word, bits) — 32 int64s, the same plan-time-literal
+    class as the salted-top-k MIN/MAX probes) is inlined as an array
+    literal, so testing a fact row is a PURE EXPRESSION: k position
+    computations + element_at + bitwise AND, inside whole-stage codegen.
+    ZERO joins, zero shuffles, zero bytes of the fact table moved — the
+    100 TB semi-join shape: prune the scan with 4 KiB of state, then
+    let the exact (broadcast) join kill the residual false positives.
+    No false negatives, so prune + exact join == exact join, which is
+    what lets the oracle stay the plain semi-join SQL."""
+    arr = [0] * (bits // BLOOM_LANE)
+    for w, b in cells_rows:
+        arr[int(w)] = int(b)
+    lit = "array(" + ", ".join(f"{v}L" for v in arr) + ")"
+    hv = P.md5_hash_m31(f"CAST({value_sql} AS STRING)")["spark"]
+    conds = []
+    for e in _bloom_pos_exprs(k, bits, hv=f"({hv})"):
+        pos = f"({e['spark']})"
+        word = f"CAST({pos} div {BLOOM_LANE} AS INT)"
+        mask = f"shiftleft(1L, CAST({pos} % {BLOOM_LANE} AS INT))"
+        conds.append(f"(element_at({lit}, {word} + 1) & {mask}) = {mask}")
+    return F.expr("(" + ") AND (".join(conds) + ")")
+
+
+# --------------------------------------------------------------------------
+# KMV set algebra (Beyer et al., SIGMOD 2007): the k-min-values sketches
+# kmv_sketch materializes don't just merge for UNION cardinality — the
+# union's bottom-k is an unbiased coordinated sample of the union, so the
+# fraction of it present in BOTH input sketches estimates the Jaccard
+# similarity, and jaccard x union estimates the INTERSECTION cardinality.
+# Everything up to the two final divisions is integer compare/count, so
+# the estimates are bit-identical cross-engine like the rest of the family.
+
+
+def kmv_intersect(
+    sk_a: DataFrame,
+    sk_b: DataFrame,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Intersection / Jaccard estimates from two per-group KMV sketches
+    (`kmv_sketch` outputs joined on *group_cols): union the arrays,
+    keep the k smallest (the union's own KMV sketch — valid because any
+    global bottom-k hash is in its source's bottom-k), count how many of
+    those appear in BOTH inputs, then
+
+        est_jaccard      = |bottom-k(U) ∩ A ∩ B| / n_kept
+        est_union        = (k-1) * M / kth   (exact n_kept when < k)
+        est_intersection = est_jaccard * est_union
+
+    Pure array expressions per group row — the sketches are the only
+    input, so a 100 TB corpus answers "how many ids do partitions X and
+    Y share?" from two k-int64 states without touching data. When the
+    union carries fewer than k distinct hashes the sketch IS the union
+    and both estimates are exact. Output: (*group_cols, est_jaccard,
+    est_intersection, n_kept)."""
+    a = sk_a.select(*group_cols, F.col("sketch").alias("_ska"))
+    b = sk_b.select(*group_cols, F.col("sketch").alias("_skb"))
+    j = a.join(b, list(group_cols))
+    union_k = F.expr(
+        f"slice(array_sort(array_distinct(concat(_ska, _skb))), 1, {k})"
+    )
+    j = j.withColumn("_u", union_k).select(
+        *group_cols,
+        F.size("_u").cast("long").alias("n_kept"),
+        F.expr("element_at(_u, size(_u))").alias("_kth"),
+        F.expr("size(array_intersect(array_intersect(_u, _ska), _skb))")
+        .cast("long")
+        .alias("_kint"),
+    )
+    est_union = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(P.MERSENNE31)) / F.col("_kth").cast("double")
+    )
+    jac = F.col("_kint").cast("double") / F.col("n_kept").cast("double")
+    return j.select(
+        *group_cols,
+        jac.alias("est_jaccard"),
+        (jac * est_union).alias("est_intersection"),
+        "n_kept",
+    )
+
+
+def kmv_intersect_oracle_sql(
+    source_a: str,
+    source_b: str,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> str:
+    """DuckDB twin of kmv_sketch x2 + kmv_intersect over two relations
+    `SELECT {group_col}, {value_col} FROM {source_a|b}` — same hash,
+    same bottom-k windows (one-level is fine in the oracle), same
+    integer counts, same two divisions."""
+    h = P.md5_hash_m31(f"CAST({value_col} AS VARCHAR)")["duck"]
+    bott = (
+        "SELECT grp, h FROM ("
+        "SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn"
+        " FROM {src}) WHERE rn <= " + str(k)
+    )
+    return f"""
+    WITH pa AS (SELECT DISTINCT {group_col} AS grp, {h} AS h FROM ({source_a})),
+    pb AS (SELECT DISTINCT {group_col} AS grp, {h} AS h FROM ({source_b})),
+    ka AS ({bott.format(src='pa')}),
+    kb AS ({bott.format(src='pb')}),
+    u AS (SELECT grp, h FROM ka UNION SELECT grp, h FROM kb),
+    ru AS ({bott.format(src='u')}),
+    usk AS (
+        SELECT grp, MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM ru GROUP BY grp
+    ),
+    ki AS (
+        SELECT ru.grp, CAST(COUNT(*) AS BIGINT) AS kint
+        FROM ru
+        JOIN ka ON ka.grp = ru.grp AND ka.h = ru.h
+        JOIN kb ON kb.grp = ru.grp AND kb.h = ru.h
+        GROUP BY ru.grp
+    )
+    SELECT usk.grp AS {group_col},
+           CAST(COALESCE(ki.kint, 0) AS DOUBLE) / n_kept AS est_jaccard,
+           (CAST(COALESCE(ki.kint, 0) AS DOUBLE) / n_kept)
+           * (CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                   ELSE CAST({k - 1} AS DOUBLE) * {float(P.MERSENNE31)}
+                        / CAST(kth AS DOUBLE) END) AS est_intersection,
+           n_kept
+    FROM usk LEFT JOIN ki ON ki.grp = usk.grp
+    """

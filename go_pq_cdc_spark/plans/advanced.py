@@ -705,6 +705,83 @@ def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_merge_estimate(fine, ["lang"])
 
 
+_KMV_ERA_SPLIT = "1998-01-01"  # orders span 1995..2001 in the testdata
+
+
+def _kmv_intersect_oracle() -> str:
+    from ..operators.sketch import kmv_intersect_oracle_sql
+
+    a = (
+        "SELECT o_orderpriority, o_custkey FROM orders "
+        f"WHERE o_orderdate < TIMESTAMP '{_KMV_ERA_SPLIT}'"
+    )
+    b = (
+        "SELECT o_orderpriority, o_custkey FROM orders "
+        f"WHERE o_orderdate >= TIMESTAMP '{_KMV_ERA_SPLIT}'"
+    )
+    return f"""
+    WITH sk AS ({kmv_intersect_oracle_sql(a, b, "o_orderpriority", "o_custkey")}),
+    e AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM (
+            SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '{_KMV_ERA_SPLIT}'
+            INTERSECT
+            SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{_KMV_ERA_SPLIT}'
+        ) GROUP BY o_orderpriority
+    )
+    SELECT sk.o_orderpriority, est_jaccard, est_intersection, n_kept,
+           COALESCE(e.n_exact, 0) AS n_exact
+    FROM sk LEFT JOIN e ON e.o_orderpriority = sk.o_orderpriority
+    """
+
+
+@register(
+    "q_kmv_intersect",
+    oracle=_kmv_intersect_oracle(),
+    tags=("sketch", "distinct", "intersection", "jaccard"),
+)
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SET ALGEBRA (Beyer et al., SIGMOD'07) — the sketches don't
+    just merge for union cardinality: the union's bottom-k is a
+    coordinated sample, so the fraction present in BOTH input sketches
+    estimates Jaccard, and jaccard x union estimates the INTERSECTION.
+    Here: how many customers kept ordering across the 1995 era split,
+    per order priority — answered from two 64-int64 states per group,
+    no rescan (the cross-partition overlap question a 100 TB ingest
+    ledger asks constantly). Estimates are integer compare/count up to
+    two final divisions — bit-identical in DuckDB; the exact
+    intersection rides along for context."""
+    from ..operators.sketch import kmv_intersect, kmv_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit(_KMV_ERA_SPLIT).cast("timestamp")
+    early = orders.filter(F.col("o_orderdate") < split)
+    late = orders.filter(F.col("o_orderdate") >= split)
+    est = kmv_intersect(
+        kmv_sketch(early, ["o_orderpriority"], "o_custkey"),
+        kmv_sketch(late, ["o_orderpriority"], "o_custkey"),
+        ["o_orderpriority"],
+    )
+    exact = (
+        early.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .join(
+            late.select("o_orderpriority", "o_custkey").distinct(),
+            ["o_orderpriority", "o_custkey"],
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return (
+        est.join(exact, "o_orderpriority", "left")
+        .withColumn(
+            "n_exact", F.coalesce(F.col("n_exact"), F.lit(0)).cast("long")
+        )
+    )
+
+
 @register(
     "q_funnel_steps",
     oracle="""

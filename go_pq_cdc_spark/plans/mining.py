@@ -372,6 +372,64 @@ def q_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bloom_join_prune",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    """,
+    tags=("sketch", "bloom", "join", "runtime-filter"),
+)
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join — the runtime-filter pattern Spark's own
+    DPP/bloom-join applies to partition keys, spelled explicitly so it
+    works for ANY key: revenue of lineitems belonging to urgent orders,
+    where the fact scan is pre-filtered by a PURE-EXPRESSION literal
+    Bloom of the dim keys (`sketch.bloom_prune_predicate` — a bounded
+    <= 32-row state collect inlined as an array literal; zero joins,
+    zero shuffles, whole-stage codegen) and the residual false
+    positives die in the exact broadcast join. No false negatives, so
+    prune + exact join == exact join — the oracle IS the plain
+    semi-join SQL, which is the point: at 100 TB the 4 KiB filter
+    drops ~all non-matching fact bytes before any join machinery runs,
+    and correctness never depends on the filter. The prune-really-
+    prunes property is pinned by unit test (tests/test_mining.py)."""
+    from ..operators.sketch import bloom_cells, bloom_prune_predicate
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    state = [
+        (r["word"], r["bits"])
+        for r in bloom_cells(dim, [], "o_orderkey").collect()
+    ]
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        bloom_prune_predicate(state, "l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(dim), li["l_orderkey"] == dim["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(25,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
     "text_bm25_topk",
     oracle=S.bm25_oracle_sql("documents", _BM25_TERMS),
     tags=("text", "search", "bm25"),

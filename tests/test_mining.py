@@ -442,3 +442,61 @@ def test_bloom_matches_python_reference_and_merges(spark):
         for r in bloom_merge_cells(cells.unionByName(cells), ["g"]).collect()
     }
     assert twice == want
+
+
+def test_kmv_intersect_exact_when_under_k(spark):
+    """When the union carries fewer than k distinct hashes the union
+    sketch IS the union, so both KMV set-algebra estimates are exact:
+    jaccard = |A∩B|/|A∪B| and est_intersection = |A∩B|."""
+    from go_pq_cdc_spark.operators.sketch import kmv_intersect, kmv_sketch
+
+    a_vals = [f"v{i}" for i in range(30)]          # A = v0..v29
+    b_vals = [f"v{i}" for i in range(20, 50)]      # B = v20..v49, overlap 10
+    dfa = spark.createDataFrame([("g", v) for v in a_vals] * 2, "g string, v string")
+    dfb = spark.createDataFrame([("g", v) for v in b_vals], "g string, v string")
+    est = kmv_intersect(
+        kmv_sketch(dfa, ["g"], "v"), kmv_sketch(dfb, ["g"], "v"), ["g"]
+    ).collect()
+    (r,) = est
+    assert r["n_kept"] == 50
+    assert r["est_jaccard"] == 10 / 50
+    assert r["est_intersection"] == (10 / 50) * 50.0
+    # disjoint sets estimate zero intersection
+    dfc = spark.createDataFrame([("g", f"w{i}") for i in range(40)], "g string, v string")
+    (rz,) = kmv_intersect(
+        kmv_sketch(dfa, ["g"], "v"), kmv_sketch(dfc, ["g"], "v"), ["g"]
+    ).collect()
+    assert rz["est_jaccard"] == 0.0 and rz["est_intersection"] == 0.0
+
+
+def test_bloom_prune_predicate_prunes_without_false_negatives(spark):
+    """The literal-Bloom fact-scan predicate keeps EVERY true dim key
+    (no false negatives — prune + exact join == exact join) while
+    dropping the bulk of non-matching keys, as a pure expression
+    (no join in the pruned scan's plan)."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.operators.sketch import (
+        bloom_cells,
+        bloom_prune_predicate,
+    )
+
+    dim = spark.range(100).selectExpr("id AS k")  # keys 0..99
+    fact = spark.range(4000).selectExpr("id AS k")
+    state = [
+        (r["word"], r["bits"]) for r in bloom_cells(dim, [], "k").collect()
+    ]
+    pred = bloom_prune_predicate(state, "k")
+    kept = [r["k"] for r in fact.filter(pred).collect()]
+    assert set(range(100)) <= set(kept)  # every true key survives
+    assert len(kept) < 4000 * 0.25  # and the scan actually pruned
+    # end-to-end: pruned exact join == plain semi join
+    pruned = (
+        fact.filter(pred)
+        .join(F.broadcast(dim), "k", "left_semi")
+        .count()
+    )
+    assert pruned == fact.join(F.broadcast(dim), "k", "left_semi").count() == 100
+    # predicate is expression-only: no join/exchange in the filter plan
+    plan = fact.filter(pred)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
