@@ -326,6 +326,58 @@ def token_diversity(
     )
 
 
+def doc_keywords(
+    df: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc keyword extraction: top-k tokens by the LOG-FREE tf-idf
+    score occ x (n_docs div df) — term frequency times the integer
+    rarity weight (total docs over the token's document frequency), the
+    same rational-instead-of-log stance as BM25/rarity so every score
+    is int64-exact and engine-identical. Corpus-wide stopwords weigh 1
+    (n_docs div df = 1) and only surface in pathological docs; rare
+    terms dominate — the standard keyword/tag-extraction signal.
+
+    Scale shape: document frequency via the partial-aggregable
+    `groupBy(token)` over (doc, token)-DISTINCT rows (map-side combine
+    collapses hot tokens; the join-back probe side is AQE-skew-split
+    territory — token_rarity's exact shape). The final top-k window
+    partitions by DOC ID, never a raw token: partition size = the
+    doc's distinct-token count, bounded by document length — not by
+    corpus Zipf. n_docs is a plan-time scalar probe (bounded collect,
+    the MIN/MAX-probe class). Ties break on token order so the result
+    is total-deterministic.
+
+    Output: (id, rk, token, score) — top_k rows per doc."""
+    from .scale import spread_small_input
+
+    tok = P.tokens(text_col)
+    doc_tok = (
+        spread_small_input(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(F.expr(tok["spark"])).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("_occ"))
+    )
+    n_docs = df.count()
+    dfreq = doc_tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    scored = doc_tok.join(dfreq, "token").withColumn(
+        "score", F.expr(f"_occ * ({n_docs}L div _df)")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(id_col, F.col("rk").cast("long").alias("rk"), "token",
+                F.col("score").cast("long").alias("score"))
+    )
+
+
 def token_hashes_fragments(text_col: str = "text") -> dict[str, str]:
     """md5-derived hash per whitespace token — shared by SimHash and tests."""
     tok = P.tokens(text_col)

@@ -372,6 +372,45 @@ def q_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bloom_stream_state",
+    oracle=_bloom_merge_oracle(),
+    tags=("sketch", "bloom", "streaming", "merge"),
+)
+def q_bloom_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING Bloom seen-keys machine under the driver's eye
+    (the `dedup_stream_pairs` treatment applied to
+    `streaming/bloom_stream.py`): documents arrive as three id-ordered
+    micro-batches through the REAL `update_bloom_state` foreachBatch
+    body — per-batch cells OR-folded into the versioned per-lang state —
+    and the final state's exact-int64 fingerprint must equal the DuckDB
+    oracle's DIRECT build from all rows at once. That equality is the
+    idempotent-merge theorem made a gate row: bit_or folding over ANY
+    batching (including replays) reaches the same state as one pass.
+    Rides the shared `fold_id_batches` scaffold."""
+    from ..streaming.bloom_stream import (
+        bloom_state_fingerprint,
+        update_bloom_state,
+    )
+    from .registry import fold_id_batches
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+
+    def update(batch, batch_id, root):
+        update_bloom_state(batch, batch_id, f"{root}/state", "lang", "text")
+
+    def read_final(spark, root):
+        return bloom_state_fingerprint(spark, f"{root}/state").select(
+            F.col("grp").alias("lang"), "n_words", "bits_set", "state_sum"
+        )
+
+    return fold_id_batches(
+        docs, "doc_id", update, read_final, prefix="bloom_stream_gate_"
+    )
+
+
+@register(
     "q_bloom_join_prune",
     oracle="""
     SELECT l_returnflag,

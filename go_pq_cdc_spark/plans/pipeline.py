@@ -1854,6 +1854,52 @@ def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_diversity(docs)
 
 
+@register(
+    "text_keywords",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOK['duck']}) AS token FROM documents
+    ),
+    dt AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS occ
+        FROM tok GROUP BY doc_id, token
+    ),
+    dfr AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS dfreq
+        FROM dt GROUP BY token
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT dt.doc_id, dt.token, dt.occ * (nd.n_docs // dfr.dfreq) AS score
+        FROM dt JOIN dfr USING (token) CROSS JOIN nd
+    ),
+    ranked AS (
+        SELECT doc_id, token, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, token
+               ) AS rk
+        FROM scored
+    )
+    SELECT doc_id, CAST(rk AS BIGINT) AS rk, token,
+           CAST(score AS BIGINT) AS score
+    FROM ranked WHERE rk <= 3
+    """,
+    tags=("text", "keywords", "tfidf", "topk"),
+)
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by log-free tf-idf (occ x
+    (n_docs div df)) — the tag/keyword-extraction step of a curation
+    pipeline, int64-exact cross-engine like BM25/rarity. Document
+    frequency is a partial-aggregable groupBy over (doc, token)-distinct
+    rows; the only window partitions by DOC ID (partition size bounded
+    by document length, not corpus Zipf — the plan-lint-approved key
+    class). Deterministic tie-break on token order."""
+    from ..operators.text import doc_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_keywords(docs)
+
+
 def _temperature_oracle() -> str:
     from ..operators.training import sample_fragments
 

@@ -500,3 +500,66 @@ def test_bloom_prune_predicate_prunes_without_false_negatives(spark):
     # predicate is expression-only: no join/exchange in the filter plan
     plan = fact.filter(pred)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan
+
+
+class TestBloomStream:
+    def _docs(self, spark, lo, hi):
+        rows = [(i, f"g{i % 3}", f"key{i}") for i in range(lo, hi)]
+        return spark.createDataFrame(rows, "doc_id long, grp string, v string")
+
+    def test_fold_equals_direct_and_replay_is_noop(self, spark, tmp_path):
+        """Three-batch fold through the REAL foreachBatch body reaches the
+        state of a one-pass direct build, and replaying a batch (the
+        at-least-once case) leaves the state bit-identical — idempotence
+        by algebra, no markers involved."""
+        from go_pq_cdc_spark.operators.sketch import bloom_cells
+        from go_pq_cdc_spark.streaming.bloom_stream import (
+            bloom_state_fingerprint,
+            update_bloom_state,
+        )
+
+        sd = str(tmp_path / "state")
+        for b, (lo, hi) in enumerate([(0, 40), (40, 80), (80, 120)]):
+            update_bloom_state(self._docs(spark, lo, hi), b, sd, "grp", "v")
+        direct = {
+            (r["grp"], r["word"]): r["bits"]
+            for r in bloom_cells(
+                self._docs(spark, 0, 120), ["grp"], "v"
+            ).collect()
+        }
+        fp_before = sorted(
+            tuple(r) for r in bloom_state_fingerprint(spark, sd).collect()
+        )
+        # replay batch 1's data as a later epoch: state must not change
+        update_bloom_state(self._docs(spark, 40, 80), 3, sd, "grp", "v")
+        fp_after = sorted(
+            tuple(r) for r in bloom_state_fingerprint(spark, sd).collect()
+        )
+        assert fp_before == fp_after
+        # and the folded state IS the direct build
+        want = {}
+        for (g, w), bits in direct.items():
+            n, s, c = want.get(g, (0, 0, 0))
+            want[g] = (n + 1, s + bin(bits).count("1"), c + bits)
+        got = {r[0]: (r[1], r[2], r[3]) for r in fp_after}
+        assert got == want
+
+    def test_geometry_mismatch_raises(self, spark, tmp_path):
+        import pytest as _pt
+
+        from go_pq_cdc_spark.streaming.bloom_stream import update_bloom_state
+
+        sd = str(tmp_path / "state")
+        update_bloom_state(self._docs(spark, 0, 10), 0, sd, "grp", "v")
+        with _pt.raises(ValueError, match="geometries never merge"):
+            update_bloom_state(
+                self._docs(spark, 10, 20), 1, sd, "grp", "v", k=2, bits=512
+            )
+
+    def test_empty_state_fingerprint_is_empty(self, spark, tmp_path):
+        from go_pq_cdc_spark.streaming.bloom_stream import (
+            bloom_state_fingerprint,
+        )
+
+        out = bloom_state_fingerprint(spark, str(tmp_path / "none")).collect()
+        assert out == []

@@ -631,3 +631,26 @@ def test_token_diversity_simpson_and_ttr(spark):
     assert got[1] == (4, 1, 0.0, 0.25)
     assert got[2] == (4, 4, 12.0 / 16, 1.0)
     assert got[3] == (4, 3, 10.0 / 16, 0.75)
+
+
+def test_doc_keywords_rational_tfidf_and_ties(spark):
+    """Keyword scores are exact integer tf x (n_docs div df) and the
+    top-k tie-break is token order."""
+    from go_pq_cdc_spark.operators.text import doc_keywords
+
+    rows = [
+        (1, "apple apple banana common"),
+        (2, "banana cherry common common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rk"]): (r["token"], r["score"])
+        for r in doc_keywords(df, top_k=3).collect()
+    }
+    # df: apple 1, banana 2, cherry 1, common 2; weights 2/1/2/1
+    assert got[(1, 1)] == ("apple", 4)
+    assert got[(1, 2)] == ("banana", 1)  # tie with common -> token order
+    assert got[(1, 3)] == ("common", 1)
+    assert got[(2, 1)] == ("cherry", 2)  # tie with common (2) -> order
+    assert got[(2, 2)] == ("common", 2)
+    assert got[(2, 3)] == ("banana", 1)
