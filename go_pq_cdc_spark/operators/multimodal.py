@@ -540,13 +540,17 @@ def _y4m_parse(payload: bytes):
         return None
     if w <= 0 or h <= 0 or fn <= 0 or fd <= 0:
         return None
-    if cs.startswith("420"):
+    # exact 8-bit variant whitelist: a prefix match would route
+    # high-bit-depth streams (C420p10/C422p10/...) into the 8-bit frame
+    # walk, desync on the FRAME markers, and silently digest-fake —
+    # exactly what the honest boundary promises never happens
+    if cs in ("420", "420jpeg", "420mpeg2", "420paldv"):
         if w % 2 or h % 2:
             raise NotImplementedError(
                 f"y4m C420 requires even dimensions, got {w}x{h}"
             )
         mode, fsz = "420", w * h * 3 // 2
-    elif cs.startswith("422"):
+    elif cs == "422":
         if w % 2:
             raise NotImplementedError(
                 f"y4m C422 requires even width, got {w}"
@@ -558,8 +562,9 @@ def _y4m_parse(payload: bytes):
         mode, fsz = "mono", w * h
     else:
         raise NotImplementedError(
-            f"y4m chroma sampling C{cs} not supported (C420*/C422/C444/"
-            "Cmono decode natively; alpha/C411-class need a real library)"
+            f"y4m chroma sampling C{cs} not supported (8-bit C420 "
+            "variants/C422/C444/Cmono decode natively; high-bit-depth, "
+            "alpha, and C411-class need a real library)"
         )
     offsets = []
     p = nl + 1

@@ -52,6 +52,21 @@ def _bottom_k(pairs: DataFrame, group_cols: list[str], k: int) -> DataFrame:
     )
 
 
+def _kmv_estimate(n_kept_col: str, kth_col: str, k: int) -> F.Column:
+    """The shared KMV estimator: exact n_kept when the sketch saw fewer
+    than k distinct hashes, else (k-1) * M / kth. ONE definition for
+    kmv_distinct / kmv_merge_estimate / kmv_intersect so a future bias
+    correction cannot be applied to one spelling and not the others
+    (review find)."""
+    return F.when(
+        F.col(n_kept_col) < k, F.col(n_kept_col).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(float(P.MERSENNE31))
+        / F.col(kth_col).cast("double")
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_col: str,
@@ -79,14 +94,9 @@ def kmv_distinct(
         .groupBy("grp")
         .agg(F.max("h").alias("kth"), F.count(F.lit(1)).cast("long").alias("n_kept"))
     )
-    est = F.when(
-        F.col("n_kept") < k, F.col("n_kept").cast("double")
-    ).otherwise(
-        F.lit(float(k - 1)) * F.lit(float(P.MERSENNE31)) / F.col("kth").cast("double")
-    )
     return kept.select(
         F.col("grp").alias(group_col),
-        est.alias("est_distinct"),
+        _kmv_estimate("n_kept", "kth", k).alias("est_distinct"),
         "n_kept",
     )
 
@@ -164,12 +174,11 @@ def kmv_merge_estimate(
         F.size("sk").cast("long").alias("n_kept"),
         F.expr("element_at(sk, size(sk))").alias("kth"),
     )
-    est = F.when(
-        F.col("n_kept") < k, F.col("n_kept").cast("double")
-    ).otherwise(
-        F.lit(float(k - 1)) * F.lit(float(P.MERSENNE31)) / F.col("kth").cast("double")
+    return merged.select(
+        *group_cols,
+        _kmv_estimate("n_kept", "kth", k).alias("est_distinct"),
+        "n_kept",
     )
-    return merged.select(*group_cols, est.alias("est_distinct"), "n_kept")
 
 
 def mg_partition_summaries(
@@ -666,28 +675,13 @@ def bloom_probe_cells(
     """Required-bit cells for a probe set: (value_col, word, req) — a
     probe is a member iff EVERY one of its cells is fully present in the
     filter state. Two positions sharing a lane collapse here (bit_or), so
-    the membership test is per-(probe, word) exact."""
-    h = P.md5_hash_m31(
-        {
-            "spark": f"CAST({value_col} AS STRING)",
-            "duck": f"CAST({value_col} AS VARCHAR)",
-        }
-    )["spark"]
-    cell = _bloom_cell_cols("div", BLOOM_LANE)
-    poss = F.array(
-        *[F.expr(e["spark"]).cast("long") for e in _bloom_pos_exprs(k, bits)]
-    )
-    return (
-        probes.select(F.col(value_col), F.expr(h).alias("hv"))
-        .select(value_col, F.explode(poss).alias("pos"))
-        .select(
-            value_col,
-            F.expr(cell["word"]).alias("word"),
-            F.expr(cell["mask"]).alias("mask"),
-        )
-        .groupBy(value_col, "word")
-        .agg(F.expr("bit_or(mask)").alias("req"))
-    )
+    the membership test is per-(probe, word) exact. Delegates to
+    `bloom_cells` with the probe value as its own group, so build and
+    probe can never drift apart on the position/cell derivation (a
+    drift would silently void the no-false-negative guarantee)."""
+    return bloom_cells(
+        probes.select(value_col), [value_col], value_col, k=k, bits=bits
+    ).withColumnRenamed("bits", "req")
 
 
 def bloom_members(
@@ -758,19 +752,27 @@ def bloom_prune_predicate(
     100 TB semi-join shape: prune the scan with 4 KiB of state, then
     let the exact (broadcast) join kill the residual false positives.
     No false negatives, so prune + exact join == exact join, which is
-    what lets the oracle stay the plain semi-join SQL."""
+    what lets the oracle stay the plain semi-join SQL.
+
+    The row's md5 hash is bound ONCE through a higher-order-function
+    lambda (`forall(array(hash), hv -> ...)`): FilterExec codegen does
+    not subexpression-eliminate across split conjuncts, so inlining the
+    hash into each of the k x 2 fragments would evaluate md5 8x per
+    fact row — 8x the dominant per-row cost of the prune."""
     arr = [0] * (bits // BLOOM_LANE)
     for w, b in cells_rows:
         arr[int(w)] = int(b)
     lit = "array(" + ", ".join(f"{v}L" for v in arr) + ")"
     hv = P.md5_hash_m31(f"CAST({value_sql} AS STRING)")["spark"]
     conds = []
-    for e in _bloom_pos_exprs(k, bits, hv=f"({hv})"):
+    for e in _bloom_pos_exprs(k, bits):  # fragments reference `hv`
         pos = f"({e['spark']})"
         word = f"CAST({pos} div {BLOOM_LANE} AS INT)"
         mask = f"shiftleft(1L, CAST({pos} % {BLOOM_LANE} AS INT))"
-        conds.append(f"(element_at({lit}, {word} + 1) & {mask}) = {mask}")
-    return F.expr("(" + ") AND (".join(conds) + ")")
+        conds.append(f"((element_at({lit}, {word} + 1) & {mask}) = {mask})")
+    return F.expr(
+        f"forall(array({hv}), hv -> " + " AND ".join(conds) + ")"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -803,11 +805,20 @@ def kmv_intersect(
     input, so a 100 TB corpus answers "how many ids do partitions X and
     Y share?" from two k-int64 states without touching data. When the
     union carries fewer than k distinct hashes the sketch IS the union
-    and both estimates are exact. Output: (*group_cols, est_jaccard,
+    and both estimates are exact. Groups present in only ONE input join
+    FULL OUTER with an empty-array stand-in and estimate jaccard 0 —
+    the same rows the oracle's `ka UNION kb` path emits (review find:
+    an inner join here silently dropped one-sided groups while the
+    oracle reported them). Output: (*group_cols, est_jaccard,
     est_intersection, n_kept)."""
+    empty = "CAST(array() AS ARRAY<BIGINT>)"
     a = sk_a.select(*group_cols, F.col("sketch").alias("_ska"))
     b = sk_b.select(*group_cols, F.col("sketch").alias("_skb"))
-    j = a.join(b, list(group_cols))
+    j = (
+        a.join(b, list(group_cols), "full_outer")
+        .withColumn("_ska", F.coalesce(F.col("_ska"), F.expr(empty)))
+        .withColumn("_skb", F.coalesce(F.col("_skb"), F.expr(empty)))
+    )
     union_k = F.expr(
         f"slice(array_sort(array_distinct(concat(_ska, _skb))), 1, {k})"
     )
@@ -819,16 +830,11 @@ def kmv_intersect(
         .cast("long")
         .alias("_kint"),
     )
-    est_union = F.when(
-        F.col("n_kept") < k, F.col("n_kept").cast("double")
-    ).otherwise(
-        F.lit(float(k - 1)) * F.lit(float(P.MERSENNE31)) / F.col("_kth").cast("double")
-    )
     jac = F.col("_kint").cast("double") / F.col("n_kept").cast("double")
     return j.select(
         *group_cols,
         jac.alias("est_jaccard"),
-        (jac * est_union).alias("est_intersection"),
+        (jac * _kmv_estimate("n_kept", "_kth", k)).alias("est_intersection"),
         "n_kept",
     )
 

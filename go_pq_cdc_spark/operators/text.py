@@ -273,6 +273,28 @@ def token_rarity(
     )
 
 
+def _doc_token_counts(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared per-(doc, token) occurrence collapse for the quality
+    scorers (diversity, keywords; rarity keeps its own variant because
+    it also needs the pre-explode token arrays for the corpus total):
+    spread a narrow local input, tokenize + explode, partial-aggregated
+    count — keys carry the doc id, so a corpus-hot token spreads like
+    the docs themselves. One definition so a tokenizer or Zipf-safety
+    change cannot fork the signals (review find).
+    Output: (id, token, _occ long)."""
+    from .scale import spread_small_input
+
+    tok = P.tokens(text_col)
+    return (
+        spread_small_input(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(F.expr(tok["spark"])).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("_occ"))
+    )
+
+
 def token_diversity(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -300,15 +322,7 @@ def token_diversity(
     collapses within-doc repeats before the only shuffle.
 
     Output: (id, n_tok, n_distinct, simpson, ttr)."""
-    from .scale import spread_small_input
-
-    tok = P.tokens(text_col)
-    doc_tok = (
-        spread_small_input(df.select(id_col, text_col))
-        .select(F.col(id_col), F.explode(F.expr(tok["spark"])).alias("token"))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("_occ"))
-    )
+    doc_tok = _doc_token_counts(df, id_col, text_col)
     per_doc = doc_tok.groupBy(id_col).agg(
         F.sum("_occ").cast("long").alias("n_tok"),
         F.count(F.lit(1)).cast("long").alias("n_distinct"),
@@ -351,15 +365,7 @@ def doc_keywords(
     is total-deterministic.
 
     Output: (id, rk, token, score) — top_k rows per doc."""
-    from .scale import spread_small_input
-
-    tok = P.tokens(text_col)
-    doc_tok = (
-        spread_small_input(df.select(id_col, text_col))
-        .select(F.col(id_col), F.explode(F.expr(tok["spark"])).alias("token"))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("_occ"))
-    )
+    doc_tok = _doc_token_counts(df, id_col, text_col)
     n_docs = df.count()
     dfreq = doc_tok.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("_df")

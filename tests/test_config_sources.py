@@ -744,6 +744,13 @@ def test_y4m_parse_and_frame_decode():
         M._y4m_parse(b"YUV4MPEG2 W4 H4 F2:1 C411\n" + b"FRAME\n" + b"x" * 24)
     with _pt.raises(NotImplementedError):
         M._y4m_parse(b"YUV4MPEG2 W3 H4 F2:1 C420\n" + b"FRAME\n")
+    # high-bit-depth variants raise too — a prefix match would walk the
+    # 8-bit frame size, desync, and silently digest-fake (review find)
+    for hbd in (b"C420p10", b"C422p10", b"C420p16"):
+        with _pt.raises(NotImplementedError):
+            M._y4m_parse(
+                b"YUV4MPEG2 W4 H4 F2:1 " + hbd + b"\n" + b"FRAME\n" + b"x" * 48
+            )
     # malformed stays None (stub path), like the other codec arms
     assert M._y4m_parse(b"RIFFnope") is None
     assert M._y4m_parse(_make_y4m([1, 2])[:-5]) is None  # truncated frame

@@ -467,6 +467,20 @@ def test_kmv_intersect_exact_when_under_k(spark):
         kmv_sketch(dfa, ["g"], "v"), kmv_sketch(dfc, ["g"], "v"), ["g"]
     ).collect()
     assert rz["est_jaccard"] == 0.0 and rz["est_intersection"] == 0.0
+    # one-sided groups survive (full-outer + empty stand-in — the rows
+    # the oracle's `ka UNION kb` path emits; an inner join dropped them)
+    dfd = spark.createDataFrame(
+        [("g", "v0"), ("only_a", "x1"), ("only_a", "x2")], "g string, v string"
+    )
+    got = {
+        r["g"]: r
+        for r in kmv_intersect(
+            kmv_sketch(dfd, ["g"], "v"), kmv_sketch(dfb, ["g"], "v"), ["g"]
+        ).collect()
+    }
+    assert got["only_a"]["est_jaccard"] == 0.0
+    assert got["only_a"]["est_intersection"] == 0.0
+    assert got["only_a"]["n_kept"] == 2
 
 
 def test_bloom_prune_predicate_prunes_without_false_negatives(spark):
