@@ -73,6 +73,7 @@ _GATE_NEW: list[str] = [
     "q_bloom_join_prune",
     "text_keywords",
     "q_bloom_stream_state",
+    "cdc_distinct_view",
 ]
 # r11-green rows (driver-green in CORRECTNESS_r11, 50/50 MATCH) — two
 # rounds stale at r13 judging. The first (50 - 16 - len(_GATE_NEW)) fit

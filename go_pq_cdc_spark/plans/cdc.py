@@ -429,6 +429,69 @@ def cdc_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fold_lsn_batches(spark, sf_dir, events, update, read_topk_view)
 
 
+def _distinct_view_oracle() -> str:
+    from ..operators.sketch import hll_oracle_sql
+
+    return f"""
+    {_BASE},
+    base AS (SELECT * FROM committed WHERE tbl <> 'cdc_heartbeat'),
+    {_FILL_SQL},
+    ins AS (
+        SELECT ((pk % 8) + 8) % 8 AS grp, CAST(filled_val AS VARCHAR) AS v
+        FROM filled WHERE op <> 'D' AND filled_val IS NOT NULL
+    ),
+    sk AS ({hll_oracle_sql("ins", "grp", "v")})
+    SELECT grp, est_distinct, n_buckets FROM sk
+    """
+
+
+@register(
+    "cdc_distinct_view",
+    oracle=_distinct_view_oracle(),
+    tags=("cdc", "ivm", "view", "sketch", "hll", "streaming"),
+)
+def cdc_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DISTINCT-COUNT view over the CDC stream — the
+    aggregate the delta-fold views (count/sum/avg/var, min/max, top-k)
+    cannot maintain: COUNT DISTINCT is not delta-invertible, so an
+    exact incremental spelling would need per-group value multisets
+    (state ∝ data). The moment an estimate is acceptable the view
+    becomes O(64 registers per group): per-batch HLL registers folded
+    by per-bucket MAX through the REAL `update_hll_view_state`
+    foreachBatch body (`streaming/sketch_stream.py` — the same
+    versioned fold core as the Bloom seen-keys state; MAX-merge is
+    idempotent, so replays are state no-ops by algebra). Semantics are
+    DISTINCT VALUES EVER WRITTEN per group (I/U after-images,
+    TOAST-filled; deletes never retract — HLL is non-invertible by
+    design, and the docstring says so rather than faking retraction).
+    Gated exactly like the other view machines: three LSN-ordered
+    batches through the real body must estimate bit-identically to the
+    DuckDB oracle's one-pass register build over the full log."""
+    from ..streaming.sketch_stream import (
+        read_hll_view,
+        update_hll_view_state,
+    )
+
+    df = ops.filter_heartbeat(committed_changelog(spark, sf_dir))
+    ins = (
+        ops.toast_fill(df)
+        .filter((F.col("op") != "D") & F.col("filled_val").isNotNull())
+        .select(
+            "lsn",
+            F.pmod(F.col("pk"), F.lit(8)).cast("long").alias("grp"),
+            "filled_val",
+        )
+    )
+
+    def update(batch, batch_id, state_dir, frontier):
+        update_hll_view_state(batch, batch_id, state_dir, "grp", "filled_val")
+
+    def read_final(spark, state_dir):
+        return read_hll_view(spark, state_dir)
+
+    return _fold_lsn_batches(spark, sf_dir, ins, update, read_final)
+
+
 @register(
     "cdc_agg_view_minmax",
     oracle=f"""

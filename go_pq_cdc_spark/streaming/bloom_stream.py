@@ -12,7 +12,9 @@ bookkeeping. The `versioned_state.VersionedState` discipline is still
 used, but only for what idempotence cannot give: ATOMIC VISIBILITY (a
 reader never sees a half-written parquet state; a crash between data and
 meta leaves the version invisible and the retried batch overwrites it)
-and the shadowed-checkpoint guard the other machines carry.
+and the shadowed-checkpoint guard the other machines carry. The fold
+cycle itself (read-prev / merge / commit / GC) lives in
+`sketch_stream.update_sketch_state`, shared with the HLL distinct view.
 
 Scale shape per batch (B = batch rows, G = groups seen in the batch):
 one narrow map over B (k literal-coefficient positions per row),
@@ -60,9 +62,8 @@ def update_bloom_state(
     persisted per-group state. Raises when the committed state was
     built with different (k, bits) — filters of different geometry
     never merge."""
-    spark = batch_df.sparkSession
-    vs = VersionedState(state_dir, backend)
-    vs.check_not_shadowed(batch_id, "bloom state")
+    from .sketch_stream import update_sketch_state
+
     cells = bloom_cells(
         batch_df.select(
             F.col(group_col).cast("string").alias("grp"), value_col
@@ -72,23 +73,26 @@ def update_bloom_state(
         k=k,
         bits=bits,
     )
-    prev = vs.latest_version(below=batch_id)
-    if prev is not None:
-        meta = vs.read_meta(prev)
-        if (meta.get("k"), meta.get("bits")) != (k, bits):
+
+    def check(prev_meta: dict) -> None:
+        if (prev_meta.get("k"), prev_meta.get("bits")) != (k, bits):
             raise ValueError(
                 f"bloom state at {state_dir} was built with k/bits "
-                f"{meta.get('k')}/{meta.get('bits')}, got {k}/{bits}; "
-                "filter geometries never merge — rebuild"
+                f"{prev_meta.get('k')}/{prev_meta.get('bits')}, got "
+                f"{k}/{bits}; filter geometries never merge — rebuild"
             )
-        old = spark.read.schema(STATE_SCHEMA).parquet(vs.version_dir(prev))
-        cells = old.unionByName(cells)
-    merged = bloom_merge_cells(cells, ["grp"])
-    merged.coalesce(1).write.mode("overwrite").parquet(
-        vs.version_dir(batch_id)
+
+    update_sketch_state(
+        cells,
+        batch_id,
+        state_dir,
+        lambda c: bloom_merge_cells(c, ["grp"]),
+        STATE_SCHEMA,
+        {"k": k, "bits": bits, "batch_id": batch_id},
+        check,
+        what="bloom state",
+        backend=backend,
     )
-    vs.commit(batch_id, {"k": k, "bits": bits, "batch_id": batch_id})
-    vs.gc_versions(spark, keep=2)
 
 
 def bloom_state_fingerprint(

@@ -577,3 +577,65 @@ class TestBloomStream:
 
         out = bloom_state_fingerprint(spark, str(tmp_path / "none")).collect()
         assert out == []
+
+
+class TestHllViewStream:
+    def _rows(self, spark, lo, hi):
+        rows = [(i, i % 4, f"val{i % 23}") for i in range(lo, hi)]
+        return spark.createDataFrame(rows, "lsn long, grp long, v string")
+
+    def test_fold_equals_direct_and_replay_is_noop(self, spark, tmp_path):
+        from go_pq_cdc_spark.operators.sketch import hll_registers
+        from go_pq_cdc_spark.streaming.sketch_stream import (
+            read_hll_view,
+            update_hll_view_state,
+        )
+
+        sd = str(tmp_path / "state")
+        for b, (lo, hi) in enumerate([(0, 30), (30, 60), (60, 90)]):
+            update_hll_view_state(self._rows(spark, lo, hi), b, sd, "grp", "v")
+        direct = {
+            (r["grp"], r["bucket"]): r["m"]
+            for r in hll_registers(
+                self._rows(spark, 0, 90), ["grp"], "v"
+            ).collect()
+        }
+        view1 = sorted(tuple(r) for r in read_hll_view(spark, sd).collect())
+        # replay a middle batch as a later epoch: MAX-merge is idempotent
+        update_hll_view_state(self._rows(spark, 30, 60), 3, sd, "grp", "v")
+        view2 = sorted(tuple(r) for r in read_hll_view(spark, sd).collect())
+        assert view1 == view2
+        # the folded registers ARE the direct build's
+        from go_pq_cdc_spark.streaming.sketch_stream import (
+            HLL_STATE_SCHEMA,
+            read_sketch_state,
+        )
+
+        st = {
+            (r["grp"], r["bucket"]): r["m"]
+            for r in read_sketch_state(
+                spark, sd, HLL_STATE_SCHEMA
+            ).collect()
+        }
+        assert st == direct
+
+    def test_empty_view_and_geometry_guard(self, spark, tmp_path):
+        import json
+        import pytest as _pt
+
+        from go_pq_cdc_spark.streaming.sketch_stream import (
+            read_hll_view,
+            update_hll_view_state,
+        )
+        from go_pq_cdc_spark.streaming.versioned_state import VersionedState
+
+        assert read_hll_view(spark, str(tmp_path / "none")).collect() == []
+        sd = str(tmp_path / "state")
+        update_hll_view_state(self._rows(spark, 0, 10), 0, sd, "grp", "v")
+        # corrupt the committed geometry marker to simulate an old build
+        vs = VersionedState(sd)
+        meta = vs.read_meta(0)
+        meta["hll_m"] = 16
+        vs.commit(0, meta)  # overwrite the marker with the old geometry
+        with _pt.raises(ValueError, match="geometries never merge"):
+            update_hll_view_state(self._rows(spark, 10, 20), 1, sd, "grp", "v")
