@@ -424,6 +424,7 @@ def q_bloom_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     """,
     tags=("sketch", "bloom", "join", "runtime-filter"),
+    bench=True,  # the runtime-filter shape: pure-expression fact prune
 )
 def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned semi-join — the runtime-filter pattern Spark's own
