@@ -282,3 +282,32 @@ def test_gopher_quality_rules(spark):
     assert out[6]["ellipsis_ratio"] >= 0.3
     assert out[7]["stop_hits"] < 2
     assert out[8]["alpha_ratio"] <= 0.8
+
+
+def test_bloom_positions_and_hll_fragments_identical(engines):
+    """The r13 sketch fragments compute bit-identical values on both
+    engines over the shared corpus: Bloom bit positions (all k
+    permutations mod 1024) and the HLL (bucket, rho) register inputs.
+    These are the values every Bloom/HLL gate row's exactness rests on."""
+    from go_pq_cdc_spark.operators.sketch import (
+        BLOOM_BITS,
+        BLOOM_K,
+        _bloom_pos_exprs,
+        _hll_rho_fragments,
+    )
+
+    hv = P.md5_hash_m31({"spark": "text", "duck": "text"})
+    for e in _bloom_pos_exprs(BLOOM_K, BLOOM_BITS):
+        frag = {
+            "spark": e["spark"].replace("hv", f"({hv['spark']})"),
+            "duck": e["duck"].replace("hv", f"({hv['duck']})"),
+        }
+        s, d = _both(engines, frag)
+        assert s == d, "bloom position fragment diverges"
+    rho = _hll_rho_fragments({"spark": "text", "duck": "text"})
+    for part in ("bucket", "rho"):
+        s, d = _both(
+            engines,
+            {"spark": rho["spark"][part], "duck": rho["duck"][part]},
+        )
+        assert s == d, f"hll {part} fragment diverges"
