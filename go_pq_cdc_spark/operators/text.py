@@ -384,6 +384,77 @@ def doc_keywords(
     )
 
 
+def typo_pairs(
+    df: DataFrame,
+    min_len: int = 4,
+    max_dist: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary typo/spelling-variant pairs at edit distance <=
+    `max_dist` (1 or 2) via the SymSpell deletion-neighborhood join
+    (Garbe's public algorithm) — the corpus-normalization signal (map
+    the rare variant onto the frequent canonical spelling) found
+    WITHOUT an all-pairs scan.
+
+    Theorem (the SymSpell blocking guarantee): if lev(a, b) <= d, an
+    optimal alignment deletes <= d chars from each side down to a
+    common string, so del<=d(a) ∪ {a} and del<=d(b) ∪ {b} intersect.
+    Candidates therefore come from an EQUI-JOIN on the
+    (token-or-deletion-variant) key, and the exact `levenshtein`
+    verify — an integer function both engines evaluate bit-for-bit —
+    kills the false candidates the block admits (e.g. two deletions at
+    unrelated positions). No false negatives by the theorem; no false
+    positives by the verify.
+
+    Scale shape: the vocabulary is (token)-DISTINCT first (map-side
+    combine collapses the Zipf head before anything else — a stopword
+    is ONE vocab row no matter how hot), the key relation is
+    vocab x O(len²/2) narrow DISTINCT rows, the self-join is an
+    equi-join on the key (AQE skew-split territory; `min_len` is what
+    keeps short-key deletion buckets from degenerating — production
+    SymSpell additionally truncates to a key prefix, same knob), and
+    corpus counts join back token-keyed. Output:
+    (tok_a, tok_b, dist, cnt_a, cnt_b) with tok_a < tok_b."""
+    if max_dist not in (1, 2):
+        raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
+    doc_tok = _doc_token_counts(df, id_col, text_col)
+    cnt = doc_tok.groupBy("token").agg(F.sum("_occ").cast("long").alias("cnt"))
+    vocab = cnt.filter(F.length("token") >= min_len)
+    del_at = (
+        "concat(substring({s}, 1, i - 1), "
+        "substring({s}, i + 1, length({s})))"
+    )
+    d1 = vocab.select(
+        "token",
+        F.explode(F.expr("sequence(1, length(token))")).alias("i"),
+    ).select("token", F.expr(del_at.format(s="token")).alias("key"))
+    keys = vocab.select("token", F.col("token").alias("key")).unionByName(d1)
+    if max_dist == 2:
+        d2 = d1.filter(F.length("key") >= 1).select(
+            "token",
+            F.col("key").alias("base"),
+            F.explode(F.expr("sequence(1, greatest(length(key), 1))")).alias("i"),
+        ).select("token", F.expr(del_at.format(s="base")).alias("key"))
+        keys = keys.unionByName(d2)
+    keys = keys.distinct()
+    a = keys.select(F.col("token").alias("tok_a"), "key")
+    b = keys.select(F.col("token").alias("tok_b"), "key")
+    cand = (
+        a.join(b, "key")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+        .withColumn("dist", F.expr("levenshtein(tok_a, tok_b)").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    return (
+        cand.join(cnt.select(F.col("token").alias("tok_a"), F.col("cnt").alias("cnt_a")), "tok_a")
+        .join(cnt.select(F.col("token").alias("tok_b"), F.col("cnt").alias("cnt_b")), "tok_b")
+        .select("tok_a", "tok_b", "dist", "cnt_a", "cnt_b")
+    )
+
+
 def token_hashes_fragments(text_col: str = "text") -> dict[str, str]:
     """md5-derived hash per whitespace token — shared by SimHash and tests."""
     tok = P.tokens(text_col)

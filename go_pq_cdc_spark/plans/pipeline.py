@@ -1900,6 +1900,68 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_keywords(docs)
 
 
+@register(
+    "text_typo_pairs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOK['duck']}) AS token FROM documents
+    ),
+    cnt AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ),
+    vocab AS (SELECT token, cnt FROM cnt WHERE length(token) >= 4),
+    d1 AS (
+        SELECT token,
+               substr(token, 1, i - 1) || substr(token, i + 1) AS key
+        FROM (SELECT token,
+                     unnest(generate_series(1, length(token))) AS i
+              FROM vocab)
+    ),
+    d2 AS (
+        SELECT token,
+               substr(key, 1, i - 1) || substr(key, i + 1) AS key
+        FROM (SELECT token, key,
+                     unnest(generate_series(1, greatest(length(key), 1))) AS i
+              FROM d1 WHERE length(key) >= 1)
+    ),
+    keys AS (
+        SELECT DISTINCT token, key FROM (
+            SELECT token, token AS key FROM vocab
+            UNION ALL SELECT token, key FROM d1
+            UNION ALL SELECT token, key FROM d2
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT a.token AS tok_a, b.token AS tok_b
+        FROM keys a JOIN keys b ON a.key = b.key AND a.token < b.token
+    ),
+    hits AS (
+        SELECT tok_a, tok_b,
+               CAST(levenshtein(tok_a, tok_b) AS BIGINT) AS dist
+        FROM cand WHERE levenshtein(tok_a, tok_b) <= 2
+    )
+    SELECT h.tok_a, h.tok_b, h.dist, ca.cnt AS cnt_a, cb.cnt AS cnt_b
+    FROM hits h
+    JOIN vocab ca ON ca.token = h.tok_a
+    JOIN vocab cb ON cb.token = h.tok_b
+    """,
+    tags=("text", "dedup", "fuzzy-join", "typo"),
+)
+def text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling-variant / typo pairs across the corpus vocabulary at
+    edit distance <= 2 — the SymSpell deletion-neighborhood equi-join
+    (never all-pairs), exact by blocking theorem + integer levenshtein
+    verify on both engines. The missing fuzzy-JOIN leg of the
+    similarity family (prefix-Jaccard = set fuzzy join, this = string
+    fuzzy join); corpus counts ride along so the rare->frequent
+    normalization direction is readable. See `operators.text.typo_pairs`
+    for the scale argument."""
+    from ..operators.text import typo_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return typo_pairs(docs)
+
+
 def _temperature_oracle() -> str:
     from ..operators.training import sample_fragments
 

@@ -654,3 +654,53 @@ def test_doc_keywords_rational_tfidf_and_ties(spark):
     assert got[(2, 1)] == ("cherry", 2)  # tie with common (2) -> order
     assert got[(2, 2)] == ("common", 2)
     assert got[(2, 3)] == ("banana", 1)
+
+
+def test_typo_pairs_matches_brute_force(spark):
+    """SymSpell deletion-neighborhood blocking finds EXACTLY the
+    brute-force lev<=d pair set (no false negatives by the alignment
+    theorem, no false positives by the verify), at d=1 and d=2, and
+    counts ride along."""
+    from go_pq_cdc_spark.operators.text import typo_pairs
+
+    words = [
+        "spark", "spork", "sprak", "shark", "sharp", "apache", "apacha",
+        "apched", "table", "tables", "tabel", "zzzzq", "stream",
+    ]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    for d in (1, 2):
+        got = {
+            (r["tok_a"], r["tok_b"], r["dist"])
+            for r in typo_pairs(df, max_dist=d).collect()
+        }
+        want = {
+            (a, b, lev(a, b))
+            for a in words
+            for b in words
+            if a < b and len(a) >= 4 and len(b) >= 4 and lev(a, b) <= d
+        }
+        assert got == want, (d, got ^ want)
+    assert want  # d=2 set is non-trivial on this fixture
+    # counts join back
+    (r,) = [
+        r for r in typo_pairs(df).collect()
+        if (r["tok_a"], r["tok_b"]) == ("table", "tables")
+    ]
+    assert (r["cnt_a"], r["cnt_b"]) == (1, 1)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_dist"):
+        typo_pairs(df, max_dist=3)
