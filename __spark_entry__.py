@@ -75,6 +75,7 @@ _GATE_NEW: list[str] = [
     "q_bloom_stream_state",
     "cdc_distinct_view",
     "text_typo_pairs",
+    "emb_mad_outliers",
 ]
 # r11-green rows (driver-green in CORRECTNESS_r11, 50/50 MATCH) — two
 # rounds stale at r13 judging. The first (50 - 16 - len(_GATE_NEW)) fit

@@ -185,6 +185,77 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_mad_outliers",
+    oracle="""
+    WITH ex AS (
+        SELECT unnest(generate_series(1, len(embedding))) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ),
+    med AS (SELECT dim, quantile_cont(q, 0.5) AS med FROM ex GROUP BY dim),
+    dev AS (
+        SELECT e.dim, m.med, abs(CAST(e.q AS DOUBLE) - m.med) AS dev
+        FROM ex e JOIN med m USING (dim)
+    ),
+    mad AS (SELECT dim, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY dim)
+    SELECT CAST(d.dim AS BIGINT) AS dim,
+           MIN(d.med) / 1000000 AS med_e,
+           MIN(m.mad) / 1000000 AS mad_e,
+           CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (dim)
+    GROUP BY d.dim
+    """,
+    tags=("embedding", "stats", "robust", "outliers"),
+)
+def emb_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension ROBUST outlier stats: median + MAD (median absolute
+    deviation) and the count of values beyond the classic 3-MAD fence —
+    the robust sibling of `emb_dim_stats`' min/max/mean (one corrupted
+    ingest batch drags a mean arbitrarily; the median barely moves, so
+    this is the signal that actually flags it). Exactness: values land
+    on the repo's fixed-point grid first (round(e * 1e6) int64), where
+    EVERY interpolated median is exactly representable (ints and their
+    midpoints/quarters stay far inside 2^53), so Spark's `percentile`
+    and DuckDB's `quantile_cont` agree bit-for-bit regardless of
+    formula spelling — the same grid trick the cosine family uses. The
+    3-MAD comparison is exact-double; only the final /1e6 rescales.
+    Scale: posexplode then TWO dim-keyed aggs + broadcast joins of
+    64-row stats — each task ships D rows per agg no matter how many
+    vectors it scanned; no window anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "e")).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.expr(
+            "CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)"
+        ).alias("q"),
+    )
+    med = ex.groupBy("dim").agg(F.expr("percentile(q, 0.5D)").alias("med"))
+    dev = ex.join(F.broadcast(med), "dim").select(
+        "dim",
+        "med",
+        F.expr("abs(CAST(q AS DOUBLE) - med)").alias("dev"),
+    )
+    mad = dev.groupBy("dim").agg(
+        F.expr("percentile(dev, 0.5D)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "dim")
+        .groupBy("dim")
+        .agg(
+            (F.min("med") / F.lit(1000000.0)).alias("med_e"),
+            (F.min("mad") / F.lit(1000000.0)).alias("mad_e"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
 # Long-n-gram length for substring-level dedup: 8 whitespace tokens — the
 # test-scale analogue of the 50-token threshold in suffix-array training
 # dedup (Lee et al. 2021); long enough that sharing one is never chance.

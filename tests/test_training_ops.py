@@ -704,3 +704,30 @@ def test_typo_pairs_matches_brute_force(spark):
 
     with _pt.raises(ValueError, match="max_dist"):
         typo_pairs(df, max_dist=3)
+
+
+def test_emb_mad_outliers_robust_semantics(spark):
+    """Median/MAD are exact on the fixed-point grid and the 3-MAD fence
+    counts exactly the planted outliers — while a mean-based fence on
+    the same data would move with the corruption."""
+    import statistics
+
+    from go_pq_cdc_spark.plans.corpus import emb_mad_outliers
+
+    # dim 1: tight cluster + two wild outliers; dim 2: uniform, none
+    vals1 = [0.10, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 9.0, -9.0]
+    vals2 = [float(i) / 10 for i in range(9)]
+    rows = [(i, [a, b]) for i, (a, b) in enumerate(zip(vals1, vals2))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/embeddings.parquet")
+        out = {r["dim"]: r for r in emb_mad_outliers(spark, d).collect()}
+    q1 = sorted(round(v * 1e6) for v in vals1)
+    med1 = statistics.median(q1)
+    mad1 = statistics.median(sorted(abs(q - med1) for q in q1))
+    assert out[1]["med_e"] == med1 / 1e6
+    assert out[1]["mad_e"] == mad1 / 1e6
+    assert out[1]["n_outliers"] == 2  # exactly the planted wild pair
+    assert out[2]["n_outliers"] == 0  # uniform dim: nothing past 3 MAD
