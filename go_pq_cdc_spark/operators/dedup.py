@@ -414,12 +414,19 @@ def decontaminate(
     corpus NEVER self-joins and never shuffles on shingles."""
     c = shingle_doc(corpus, id_col, text_col, n=n)
     b = shingle_doc(benchmark, id_col, text_col, n=n)
-    bench_hashes = b.select(F.explode("sh").alias("h")).distinct()
+    # explode_outer (optimization r13): shingle_doc guarantees sh is
+    # non-null and non-empty (docs with < n tokens are filtered), and a
+    # plain explode's inferred `size(sh)>0 AND isnotnull(sh)` filter is
+    # pushed through the projection and re-evaluates the WHOLE
+    # shingle+md5 chain (inlined, O(tokens^2)) twice more per corpus row
+    # at the scan — measured as the dominant per-row cost. Outer explode
+    # infers nothing; row set identical.
+    bench_hashes = b.select(F.explode_outer("sh").alias("h")).distinct()
     return (
         c.select(
             "id",
             F.size("sh").cast("long").alias("n_shingles"),
-            F.explode("sh").alias("h"),
+            F.explode_outer("sh").alias("h"),
         )
         .join(F.broadcast(bench_hashes), "h")
         # sh is array_distinct per doc, so (id, h) rows are unique — a plain
@@ -808,15 +815,19 @@ def prefix_jaccard_pairs(
     prefix = F.expr(
         f"slice(sh, 1, size(sh) - CAST(ceil({t!r} * size(sh)) AS INT) + 1)"
     )
+    # explode_outer on both sides (optimization r13): sh (and hence the
+    # prefix slice) is non-null/non-empty by shingle_doc's token filter,
+    # and the plain explode's inferred filter re-evaluates the inlined
+    # shingle+md5 chain at the scan (see decontaminate).
     pre_ex = docs.select(
         F.col("id").alias("ida"),
         F.col("n").alias("na"),
-        F.explode(prefix).alias("h"),
+        F.explode_outer(prefix).alias("h"),
     )
     full_ex = docs.select(
         F.col("id").alias("idb"),
         F.col("n").alias("nb"),
-        F.explode("sh").alias("h"),
+        F.explode_outer("sh").alias("h"),
     )
     cand = (
         pre_ex.join(
@@ -873,8 +884,12 @@ def embedding_near_dup_lsh(
     from .scale import grid_self_join_sides
     from .similarity import with_lsh_bucket
 
-    dot = P.scaled_dot("a.v", "b.v", "a.v")["spark"]
-    norm = P.scaled_dot("v", "v", "v")["spark"]
+    # Per-task work (optimization r13): the bucket, the norm and every
+    # pair dot use the unrolled whole-stage-codegen fast path
+    # (`P.scaled_dot_fast` / `_lsh_bucket_fast_expr`) — bit-identical
+    # values, interpreted-HOF fallback for uncommon widths.
+    dot = P.scaled_dot_fast("a.v", "b.v")
+    norm = P.scaled_dot_fast("v", "v")
     # nrm is coalesced non-nullable: the cos_sim threshold filter would
     # otherwise infer isnotnull(nrm) and push it to both join sides, and HOF
     # aggregates are CodegenFallback (no CSE) — the null-check would
@@ -921,8 +936,9 @@ def embedding_near_dup(
     set into one task — same funnel, same fix as ngram_jaccard_pairs."""
     from .scale import grid_self_join_sides
 
-    dot = P.scaled_dot("a.v", "b.v", "a.v")["spark"]
-    norm = P.scaled_dot("v", "v", "v")["spark"]
+    # unrolled codegen norms/pair dots (see the LSH sibling)
+    dot = P.scaled_dot_fast("a.v", "b.v")
+    norm = P.scaled_dot_fast("v", "v")
     # coalesce: see embedding_near_dup_lsh — keeps the inferred null-check
     # from re-evaluating the norm aggregate on both join sides
     vecs = df.select(
@@ -994,8 +1010,9 @@ def semantic_dedup(
     from .similarity import ivf_assign
 
     assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col).cache()
-    norm = P.scaled_dot("v", "v", "v")["spark"]
-    dot = P.scaled_dot("a.v", "b.v", "a.v")["spark"]
+    # unrolled codegen norms/pair dots (optimization r13, values identical)
+    norm = P.scaled_dot_fast("v", "v")
+    dot = P.scaled_dot_fast("a.v", "b.v")
     vecs = assigned.withColumn(
         "nrm", F.coalesce(F.expr(norm), F.lit(0).cast("long"))
     )

@@ -59,7 +59,13 @@ def cosine_topk(
     """Exact top-k neighbors per query by cosine. Query side is broadcast;
     ranking is a per-query window (shuffle on query id only). The corpus is
     widened only when the input is narrower than the session parallelism
-    (see `spread_small_input`) — at scale there is no injected shuffle."""
+    (see `spread_small_input`) — at scale there is no injected shuffle.
+
+    (Optimization r13 note: an unrolled-codegen dot spelling
+    (`P.scaled_dot_fast`) was tried here and reverted — per-row it is
+    ~1.6x cheaper, but the ~400-node expression tree costs more in
+    per-execution planning/codegen than it saves at bench row counts;
+    see OPTIMIZATION_r13.md.)"""
     norm = P.scaled_dot("v", "v", "v")["spark"]
     corpus = spread_small_input(
         df.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("v")),
@@ -107,6 +113,16 @@ def lsh_bucket_fragments(vec: str, planes: int = LSH_PLANES) -> dict[str, str]:
         f"FOR k IN range(0, {planes})]) AS BIGINT)"
     )
     return {"spark": sp, "duck": du}
+
+
+# NOTE (optimization r13): an unrolled literal-coefficient fast path for
+# the bucket (planes x dims = 512 flat terms + the generic fallback) was
+# tried and REVERTED — the ~3000-node expression tree pushed the task
+# binary past 1 MiB and Catalyst's per-query planning walks made the
+# query 4x SLOWER end-to-end than the interpreted HOF it replaced. The
+# unroll trick only pays below ~a few hundred expression nodes
+# (P.scaled_dot_fast's 64-term dot); the bucket keeps the generic
+# fragments.
 
 
 def with_lsh_bucket(
@@ -202,7 +218,6 @@ def ann_topk_lsh(
                 )
             ),
         )
-    dot = P.scaled_dot("qv", "v", "qv")["spark"]
     pairs = corpus.join(
         F.broadcast(qset),
         (F.col("bucket") == F.col("q_bucket")) & (F.col("q_id") != F.col("c_id")),
@@ -210,6 +225,7 @@ def ann_topk_lsh(
     if n_probes > 1:
         # a candidate can surface through several probe buckets
         pairs = pairs.dropDuplicates(["q_id", "c_id"])
+    dot = P.scaled_dot("qv", "v", "qv")["spark"]
     pairs = pairs.withColumn("dot", F.expr(dot)).withColumn(
         "cos_sim",
         F.expr(
@@ -251,17 +267,27 @@ def ivf_assign(
     QUERY side as the nprobe knob (corpus stays single-assigned so the
     index size is unchanged; queries search their nprobe nearest cells).
 
+    Per-task work (optimization r13, guide §1.2-2): the row vector is
+    cast to fixed-point int64 ONCE (`P.fx_vec`) and the centroid fold
+    carries PRE-CAST codewords (`cvi`), so the k-per-row argmin dots run
+    on integers (`P.int_dot` — identical values/fold order to
+    `scaled_dot`) instead of re-rounding the vector once per centroid.
+    (Inside the cents lambda everything is interpreted either way, so
+    the pre-cast — not unrolling — is the win here; TOP-LEVEL dots use
+    `P.scaled_dot_fast` instead.)
+
     Centroids are a supplied DataFrame (cent_id, cv): at scale they come
     from offline k-means; tests use a deterministic subset of the corpus.
     A NULL dot (NULL vector or centroid) sorts last — same as the old
     window's DESC NULLS LAST — via a max-int64 coalesce."""
-    dot = P.scaled_dot("v", "c.cv", "v")["spark"]
+    dot = P.int_dot("_vi", "c.cvi")
     vecs = spread_small_input(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), F.col("id")
-    )
+    ).withColumn("_vi", F.expr(P.fx_vec("v")))
     cent_row = centroids.select(
         F.struct(
-            F.col(id_col).cast("long").alias("cent_id"), F.col(vec_col).alias("cv")
+            F.col(id_col).cast("long").alias("cent_id"),
+            F.expr(P.fx_vec(vec_col)).alias("cvi"),
         ).alias("c")
     ).agg(F.collect_list("c").alias("cents"))
     ranked = (
@@ -432,12 +458,11 @@ def ivf_topk_index(
         .parquet(path)
         .filter(F.col("cent_id").isin(cells))
     )
-    dot = P.scaled_dot("qv", "v", "qv")["spark"]
     pairs = corpus.join(
         F.broadcast(qset),
         (F.col("cent_id") == F.col("q_cent")) & (F.col("q_id") != F.col("c_id")),
     )
-    pairs = pairs.withColumn("dot", F.expr(dot)).withColumn(
+    pairs = pairs.withColumn("dot", F.expr(P.scaled_dot_fast("qv", "v"))).withColumn(
         "cos_sim",
         F.expr(
             "CAST(dot AS DOUBLE) / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c_nrm AS DOUBLE)))"
@@ -506,6 +531,28 @@ def _sub_norm(a_vec: str, j: str, dsub: int) -> dict[str, str]:
             f"CAST(list_sum([{ax_du} * {ax_du} FOR i IN range(1, {dsub + 1})]) AS BIGINT)"
         ),
     }
+
+
+def _sub_dot_fx(vi: str, j: str, cwi: str, dsub: int) -> str:
+    """Spark-side exact sub-dot of subspace `j` of PRE-CAST full vector
+    `vi` (`P.fx_vec`) with a pre-cast dsub-dim codeword `cwi` — identical
+    values and fold order as `_sub_dot(...)["spark"]`, with the
+    per-element round/cast hoisted out of the lambda (optimization r13)."""
+    return (
+        f"aggregate(transform(sequence(1, {dsub}), i -> "
+        f"element_at({vi}, {j} * {dsub} + i) * element_at({cwi}, i)), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+
+
+def _sub_norm_fx(vi: str, j: str, dsub: int) -> str:
+    """Spark-side exact squared norm of subspace `j` of pre-cast `vi` —
+    value-identical to `_sub_norm(...)["spark"]`."""
+    return (
+        f"aggregate(transform(sequence(1, {dsub}), i -> "
+        f"element_at({vi}, {j} * {dsub} + i) * element_at({vi}, {j} * {dsub} + i)), "
+        f"0L, (acc, x) -> acc + x)"
+    )
 
 
 def _codebook_dsub(codebook) -> int:
@@ -590,16 +637,21 @@ def pq_train(
 
 def _fold_pq_codebook(codebook: DataFrame) -> DataFrame:
     """Fold (j, c, cw) codebook rows into ONE row
-    `cbs: array<struct<j, words: array<struct<c, cw, cwn2>>>>` (sorted by j,
-    words sorted by c) carrying precomputed fixed-point codeword norms —
-    the broadcast build side for the zero-shuffle encode, same pattern as
-    `ivf_assign`'s centroid fold."""
-    cwn2 = P.scaled_dot("cw", "cw", "cw")["spark"]
+    `cbs: array<struct<j, words: array<struct<c, cw, cwi, cwn2>>>>`
+    (sorted by j, words sorted by c) carrying the PRE-CAST fixed-point
+    codeword (`cwi`, optimization r13 — so per-row sub-dots run on
+    integers) and its precomputed norm — the broadcast build side for the
+    zero-shuffle encode, same pattern as `ivf_assign`'s centroid fold.
+    `cw` stays in the struct for float-side consumers; the fold is
+    m*ksub rows, so the duplication is bytes-trivial."""
     per_j = (
-        codebook.withColumn("cwn2", F.expr(cwn2))
+        codebook.withColumn("cwi", F.expr(P.fx_vec("cw")))
+        .withColumn("cwn2", F.expr(P.int_dot("cwi", "cwi")))
         .groupBy("j")
         .agg(
-            F.array_sort(F.collect_list(F.struct("c", "cw", "cwn2"))).alias("words")
+            F.array_sort(
+                F.collect_list(F.struct("c", "cw", "cwi", "cwn2"))
+            ).alias("words")
         )
     )
     return per_j.agg(
@@ -607,12 +659,14 @@ def _fold_pq_codebook(codebook: DataFrame) -> DataFrame:
     )
 
 
-def _pq_codes_expr(m: int, dsub: int, vec: str = "v") -> str:
+def _pq_codes_expr(m: int, dsub: int, fx: str = "_vi") -> str:
     """Per-subspace argmin codes over the broadcast `cbs` fold — THE one
     definition of PQ encoding; pq_encode and ivf_pq_topk share it (and
     the oracles mirror it), so a tie-break/arithmetic fix lands
-    everywhere at once (r6 review)."""
-    dot = _sub_dot(vec, "j", "w.cw", dsub)["spark"]
+    everywhere at once (r6 review). Operates on the PRE-CAST `fx`
+    vector column and the fold's `cwi` (optimization r13 — identical
+    values to the float spelling, see `_sub_dot_fx`)."""
+    dot = _sub_dot_fx(fx, "j", "w.cwi", dsub)
     return (
         f"transform(sequence(0, {m - 1}), j -> "
         f"element_at(array_sort(transform(element_at(cbs, j + 1).words, "
@@ -620,11 +674,12 @@ def _pq_codes_expr(m: int, dsub: int, vec: str = "v") -> str:
     )
 
 
-def _pq_lut_expr(m: int, dsub: int, vec: str = "qv") -> str:
+def _pq_lut_expr(m: int, dsub: int, fx: str = "_qvi") -> str:
     """Per-query exact-distance lookup table over the broadcast fold —
-    LUT[j][c] = ||q_j||^2 + ||cw||^2 - 2*dot(q_j, cw)."""
-    qdot = _sub_dot(vec, "j", "w.cw", dsub)["spark"]
-    qn2 = _sub_norm(vec, "j", dsub)["spark"]
+    LUT[j][c] = ||q_j||^2 + ||cw||^2 - 2*dot(q_j, cw), on pre-cast
+    integers (value-identical, see `_sub_dot_fx`)."""
+    qdot = _sub_dot_fx(fx, "j", "w.cwi", dsub)
+    qn2 = _sub_norm_fx(fx, "j", dsub)
     return (
         f"transform(sequence(0, {m - 1}), j -> "
         f"transform(element_at(cbs, j + 1).words, "
@@ -666,7 +721,7 @@ def pq_encode(
             F.col("v").isNotNull()
         ),
         F.col("id"),
-    )
+    ).withColumn("_vi", F.expr(P.fx_vec("v")))
     cb_row = _fold_pq_codebook(codebook)
     return (
         vecs.crossJoin(F.broadcast(cb_row))
@@ -701,6 +756,7 @@ def pq_adc_topk(
     qset = (
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
         .filter(F.col("qv").isNotNull())
+        .withColumn("_qvi", F.expr(P.fx_vec("qv")))
         .crossJoin(F.broadcast(cb_row))
         .withColumn("qlut", F.expr(lut))
         .select("q_id", "qlut")
@@ -747,11 +803,12 @@ def ivf_pq_topk(
     cb_row = _fold_pq_codebook(codebook)
     cent_row = centroids.select(
         F.struct(
-            F.col(id_col).cast("long").alias("cent_id"), F.col(vec_col).alias("cv")
+            F.col(id_col).cast("long").alias("cent_id"),
+            F.expr(P.fx_vec(vec_col)).alias("cvi"),
         ).alias("c")
     ).agg(F.collect_list("c").alias("cents"))
 
-    cdot = P.scaled_dot("v", "c.cv", "v")["spark"]
+    cdot = P.int_dot("_vi", "c.cvi")
     cent_expr = (
         f"element_at(array_sort(transform(cents, c -> struct("
         f"coalesce(-({cdot}), 9223372036854775807L) AS nd, c.cent_id AS cent_id))), 1).cent_id"
@@ -764,6 +821,7 @@ def ivf_pq_topk(
             ),
             F.col("id"),
         )
+        .withColumn("_vi", F.expr(P.fx_vec("v")))
         .crossJoin(F.broadcast(cent_row))
         .crossJoin(F.broadcast(cb_row))
         .select(
@@ -776,12 +834,13 @@ def ivf_pq_topk(
     lut_expr = _pq_lut_expr(m, dsub)
     probe_expr = (
         f"slice(array_sort(transform(cents, c -> struct("
-        f"coalesce(-({P.scaled_dot('qv', 'c.cv', 'qv')['spark']}), "
+        f"coalesce(-({P.int_dot('_qvi', 'c.cvi')}), "
         f"9223372036854775807L) AS nd, c.cent_id AS cent_id))), 1, {int(nprobe)})"
     )
     qset = (
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
         .filter(F.col("qv").isNotNull())
+        .withColumn("_qvi", F.expr(P.fx_vec("qv")))
         .crossJoin(F.broadcast(cent_row))
         .crossJoin(F.broadcast(cb_row))
         .withColumn("qlut", F.expr(lut_expr))
@@ -824,13 +883,13 @@ def ivf_topk(
         .withColumnRenamed("v", "qv")
         .withColumn("q_nrm", F.expr(P.scaled_dot("qv", "qv", "qv")["spark"]))
     )
-    dot = P.scaled_dot("qv", "v", "qv")["spark"]
     pairs = corpus.join(
         F.broadcast(qset.withColumnRenamed("cent_id", "q_cent")),
         (F.col("cent_id") == F.col("q_cent")) & (F.col("q_id") != F.col("c_id")),
     )
     # corpus vectors are single-assigned, so (q_id, c_id) pairs are unique
     # even with nprobe > 1 — no dedupe needed (unlike multi-probe LSH)
+    dot = P.scaled_dot("qv", "v", "qv")["spark"]
     pairs = pairs.withColumn("dot", F.expr(dot)).withColumn(
         "cos_sim",
         F.expr(

@@ -627,18 +627,33 @@ def bloom_cells(
     value_col: str,
     k: int = BLOOM_K,
     bits: int = BLOOM_BITS,
+    *,
+    portable: bool = True,
 ) -> DataFrame:
     """Materialize Bloom filter state per group: (*group_cols, word,
     bits) with bits = bit_or of the masks landing in that 32-bit lane —
     at most BLOOM_WORDS rows per group. One narrow map (k positions per
     input row from plan-time literal coefficients) + one bounded
-    groupBy; partial bit_or collapses hot values map-side."""
-    h = P.md5_hash_m31(
-        {
-            "spark": f"CAST({value_col} AS STRING)",
-            "duck": f"CAST({value_col} AS VARCHAR)",
-        }
-    )["spark"]
+    groupBy; partial bit_or collapses hot values map-side.
+
+    portable=False is the PRODUCTION/runtime-filter arm (optimization
+    r13, same stance as `minhash_lsh_pairs(portable=)`): the value hash
+    switches from the cross-engine md5 chain to the xxhash64 intrinsic
+    folded into the same [0, 2^31) domain — whole-stage codegen, ~the
+    per-value hashing cost removed. Use it whenever the STATE itself is
+    never compared against a DuckDB oracle — e.g. a join-prune filter
+    whose false positives die in an exact join, where any consistent
+    build/probe family yields IDENTICAL query results. The oracle-pinned
+    membership/merge/stream rows keep portable=True."""
+    if portable:
+        h = P.md5_hash_m31(
+            {
+                "spark": f"CAST({value_col} AS STRING)",
+                "duck": f"CAST({value_col} AS VARCHAR)",
+            }
+        )["spark"]
+    else:
+        h = f"pmod(xxhash64(CAST({value_col} AS STRING)), {P.MERSENNE31})"
     cell = _bloom_cell_cols("div", BLOOM_LANE)
     poss = F.array(
         *[F.expr(e["spark"]).cast("long") for e in _bloom_pos_exprs(k, bits)]
@@ -741,6 +756,8 @@ def bloom_prune_predicate(
     value_sql: str,
     k: int = BLOOM_K,
     bits: int = BLOOM_BITS,
+    *,
+    portable: bool = True,
 ):
     """Literal-Bloom membership predicate — the runtime-filter / join-
     pruning pattern: the filter state (a BOUNDED <= BLOOM_WORDS-row
@@ -758,21 +775,35 @@ def bloom_prune_predicate(
     lambda (`forall(array(hash), hv -> ...)`): FilterExec codegen does
     not subexpression-eliminate across split conjuncts, so inlining the
     hash into each of the k x 2 fragments would evaluate md5 8x per
-    fact row — 8x the dominant per-row cost of the prune."""
+    fact row — 8x the dominant per-row cost of the prune.
+
+    portable=False (optimization r13) is the arm join-prune callers
+    should use: the probe hash is the xxhash64 intrinsic (must match a
+    `bloom_cells(..., portable=False)` build — the no-false-negative
+    property only needs build/probe consistency), and because the hash
+    is cheap it is INLINED per conjunct instead of lambda-bound, so the
+    whole predicate stays inside whole-stage codegen (the forall lambda
+    is itself a CodegenFallback HOF that forced the md5 arm's filter
+    into interpreted evaluation; measured ~2s of the sf0.1 bench row)."""
     arr = [0] * (bits // BLOOM_LANE)
     for w, b in cells_rows:
         arr[int(w)] = int(b)
     lit = "array(" + ", ".join(f"{v}L" for v in arr) + ")"
-    hv = P.md5_hash_m31(f"CAST({value_sql} AS STRING)")["spark"]
+    if portable:
+        hv = P.md5_hash_m31(f"CAST({value_sql} AS STRING)")["spark"]
+    else:
+        hv = f"pmod(xxhash64(CAST({value_sql} AS STRING)), {P.MERSENNE31})"
     conds = []
     for e in _bloom_pos_exprs(k, bits):  # fragments reference `hv`
-        pos = f"({e['spark']})"
+        pos = f"({e['spark']})" if portable else f"({e['spark'].replace('hv', hv)})"
         word = f"CAST({pos} div {BLOOM_LANE} AS INT)"
         mask = f"shiftleft(1L, CAST({pos} % {BLOOM_LANE} AS INT))"
         conds.append(f"((element_at({lit}, {word} + 1) & {mask}) = {mask})")
-    return F.expr(
-        f"forall(array({hv}), hv -> " + " AND ".join(conds) + ")"
-    )
+    if portable:
+        return F.expr(
+            f"forall(array({hv}), hv -> " + " AND ".join(conds) + ")"
+        )
+    return F.expr(" AND ".join(conds))
 
 
 # --------------------------------------------------------------------------

@@ -180,15 +180,37 @@ def ngram_novelty(
     Output: (id, n_shingles, n_novel, novelty)."""
     from .scale import spread_small_input
 
-    sh = P.shingle_hashes(text_col, n)
+    # Per-task work (optimization r13, guide §4.1/§1.2-2): the inline
+    # `P.shingle_hashes(text)` fragment re-evaluates split() inside the
+    # shingle lambda — O(tokens²) regex splits per document in Spark's
+    # interpreted HOF evaluation (the exact trap token_shingles_col's
+    # docstring names) — and explode() additionally makes
+    # InferFiltersFromGenerate evaluate the WHOLE shingle+md5 chain two
+    # more times per doc inside the inferred `size(..)>0 AND
+    # isnotnull(..)` filter. Materialize tokens once, shingle over the
+    # array, and pre-filter on the CHEAP equivalent predicate
+    # (text IS NOT NULL AND size(tokens) >= n — exactly the docs whose
+    # shingle set is empty, by token_shingles_col's CASE) so
+    # explode_outer never sees an empty/null array and infers nothing.
+    # Values, row set, and the DuckDB oracle are unchanged.
+    tok = P.tokens(text_col)["spark"]
+    shc = P.token_shingles_col("_toks", n)["spark"]
+    h = P.md5_hash_m31("sh")["spark"]
     # the per-shingle md5 is the expensive part — spread a narrow local
     # input across cores before it runs (structural no-op at scale,
     # where the scan already has thousands of splits); without this a
     # one-file table evaluates ~tokens-per-corpus md5 calls in ONE task.
-    # shingle_hashes is array_distinct per doc, so (id, sh) pairs are
+    # shingle hashes are array_distinct per doc, so (id, sh) pairs are
     # already distinct — counting them per doc counts distinct shingles.
-    exploded = spread_small_input(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(F.expr(sh["spark"])).alias("sh")
+    exploded = (
+        spread_small_input(df.select(id_col, text_col))
+        .filter(F.col(text_col).isNotNull())
+        .withColumn("_toks", F.expr(tok))
+        .filter(F.expr(f"size(_toks) >= {int(n)}"))
+        .withColumn(
+            "_sh", F.expr(f"array_distinct(transform({shc}, sh -> {h}))")
+        )
+        .select(F.col(id_col), F.explode_outer("_sh").alias("sh"))
     )
     per_doc = exploded.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles")
@@ -242,25 +264,40 @@ def token_rarity(
 
     tok = P.tokens(text_col)
     # spread a narrow local input before the tokenize+explode (see
-    # ngram_novelty; structural no-op on a wide at-scale scan)
-    base = spread_small_input(df.select(id_col, text_col)).withColumn(
-        "_toks", F.expr(tok["spark"])
-    )
-    # corpus token total in ONE narrow agg — size() per row, no explode
-    # (the previous exploded.count() re-tokenized the corpus a 2nd time)
-    n_total = (
-        base.select(F.sum(F.size("_toks")).cast("long").alias("n")).collect()[0]["n"]
-        or 0
+    # ngram_novelty; structural no-op on a wide at-scale scan).
+    #
+    # Optimization r13 (guide §1.2-1, §4.4-class): two per-task-work and
+    # one job-count fix, all value-identical —
+    #  * text IS NOT NULL pre-filter + explode_outer: the plain explode
+    #    made InferFiltersFromGenerate evaluate the tokenizer two extra
+    #    times per row inside the inferred `size(split(..))>0 AND
+    #    isnotnull(split(..))` scan filter (on the skew canary that
+    #    filter also rebuilt the concat/repeat hot-token string twice).
+    #    split() of a non-null text is never null and never empty
+    #    (split("", '\\s+') = ['']), so the cheap null test keeps the
+    #    row set identical and the outer explode infers no filter.
+    #  * the corpus token total no longer runs as its OWN collect() job
+    #    (a second full scan+tokenize per invocation): it is the sum of
+    #    the vocab counts, folded into the SAME plan as a one-row
+    #    aggregate broadcast-crossJoined back; AQE exchange reuse
+    #    evaluates the shared doc_tok/vocab subtrees once.
+    base = (
+        spread_small_input(df.select(id_col, text_col))
+        .filter(F.col(text_col).isNotNull())
+        .withColumn("_toks", F.expr(tok["spark"]))
     )
     doc_tok = (
-        base.select(F.col(id_col), F.explode("_toks").alias("token"))
+        base.select(F.col(id_col), F.explode_outer("_toks").alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).cast("long").alias("_occ"))
     )
     vocab = doc_tok.groupBy("token").agg(F.sum("_occ").alias("_cnt"))
+    # n_total = sum over vocab counts == sum of size(tokens) over docs
+    total = vocab.agg(F.sum("_cnt").cast("long").alias("_nt"))
     return (
         doc_tok.join(vocab, "token")
-        .withColumn("_r", F.expr(f"({n_total}L div _cnt) * _occ"))
+        .crossJoin(F.broadcast(total))
+        .withColumn("_r", F.expr("(_nt div _cnt) * _occ"))
         .groupBy(id_col)
         .agg(
             F.sum("_occ").cast("long").alias("n_tok"),
@@ -283,13 +320,20 @@ def _doc_token_counts(
     count — keys carry the doc id, so a corpus-hot token spreads like
     the docs themselves. One definition so a tokenizer or Zipf-safety
     change cannot fork the signals (review find).
+
+    Null-text docs are dropped by a CHEAP pushed-down filter and the
+    explode is the outer variant (optimization r13, see token_rarity):
+    a plain explode makes InferFiltersFromGenerate re-evaluate the
+    tokenizer twice more per row in its inferred filter; split() of a
+    non-null string is never null/empty, so the row set is identical.
     Output: (id, token, _occ long)."""
     from .scale import spread_small_input
 
     tok = P.tokens(text_col)
     return (
         spread_small_input(df.select(id_col, text_col))
-        .select(F.col(id_col), F.explode(F.expr(tok["spark"])).alias("token"))
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode_outer(F.expr(tok["spark"])).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).cast("long").alias("_occ"))
     )

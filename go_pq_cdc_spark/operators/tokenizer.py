@@ -64,8 +64,14 @@ def word_frequencies(
     domain with map-side partials. `min_count` drops sub-threshold words
     INSIDE the aggregate (a post-agg filter on the shuffled partials —
     nothing below threshold survives the exchange's output)."""
+    # isNotNull + explode_outer (optimization r13, see text.token_rarity):
+    # a plain explode makes InferFiltersFromGenerate re-evaluate the
+    # tokenizer twice more per row in its inferred scan filter; split()
+    # of a non-null text is never null/empty, and the existing
+    # word != "" filter drops an outer-explode NULL anyway.
     wf = (
-        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -227,9 +233,10 @@ def bpe_token_counts(
     (id, n_words, n_bpe_tokens). The corpus-sized side is one narrow
     explode + one join against the broadcast word->n_pieces table; the
     Python kernel only ever sees distinct words."""
-    toks = df.select(
+    # isNotNull + explode_outer: see word_frequencies (optimization r13)
+    toks = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+        F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
     vocab = encode_words(toks.select("word").distinct(), merges).select(
         "word", "n_pieces"

@@ -446,12 +446,21 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         "o_orderkey"
     )
+    # portable=False (optimization r13): the filter STATE is internal to
+    # this query — only which fact rows reach the exact join depends on
+    # it, and false positives die there — so the build/probe hash is the
+    # xxhash64 intrinsic and the probe predicate stays inside
+    # whole-stage codegen (the md5 arm's forall-lambda forced the fact
+    # filter into interpreted evaluation: ~2s of this bench row at
+    # sf0.1). Results are identical for ANY consistent hash family; the
+    # oracle-pinned Bloom rows (q_bloom_membership/merge/stream) keep
+    # the portable family.
     state = [
         (r["word"], r["bits"])
-        for r in bloom_cells(dim, [], "o_orderkey").collect()
+        for r in bloom_cells(dim, [], "o_orderkey", portable=False).collect()
     ]
     li = load_table(spark, sf_dir, "lineitem").filter(
-        bloom_prune_predicate(state, "l_orderkey")
+        bloom_prune_predicate(state, "l_orderkey", portable=False)
     )
     return (
         li.join(F.broadcast(dim), li["l_orderkey"] == dim["o_orderkey"])

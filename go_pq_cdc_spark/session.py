@@ -44,6 +44,17 @@ def get_spark(app_name: str = "go-pq-cdc-spark", *, cpus: int | None = None) -> 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Optimization r13 (guide §3.1/§9): let the planner pick a
+        # shuffled hash join when its size conditions are met instead of
+        # always sort-merge, and let AQE rewrite SMJ->SHJ when every
+        # post-shuffle partition fits the local-map threshold. Scale
+        # story: per-partition hash build skips both sorts; AQE
+        # skew-split still applies to SHJ, and oversized builds fall
+        # back to SMJ by the planner's own size gate. Values are
+        # runtime-settable (non-local deployments inherit the same
+        # defaults via apply_session_defaults).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
@@ -71,6 +82,8 @@ def apply_session_defaults(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.join.preferSortMergeJoin", "false"),
+        ("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB"),
     ]
     if _spark_major_version() < 4:
         confs.append(("spark.sql.legacy.parquet.nanosAsLong", "true"))

@@ -69,13 +69,15 @@ def semdedup_batch_against_index(
     The batch's (id, v, nrm, cent_id) rows are computed ONCE and reused
     by lookup, within-batch pairing, and the append."""
     spark = batch_df.sparkSession
+    # unrolled codegen norms/pair dots (optimization r13 — bit-identical
+    # values, see P.scaled_dot_fast)
     nb = (
         ivf_assign(batch_df, centroids, id_col=id_col, vec_col=vec_col)
-        .withColumn("nrm", F.expr(P.scaled_dot("v", "v", "v")["spark"]))
+        .withColumn("nrm", F.expr(P.scaled_dot_fast("v", "v")))
         .cache()
     )
     try:
-        dot = P.scaled_dot("qv", "v", "qv")["spark"]
+        dot = P.scaled_dot_fast("qv", "v")
         cos = (
             "CAST(dot AS DOUBLE) / "
             "(sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c_nrm AS DOUBLE)))"

@@ -72,6 +72,13 @@ ALLOWED = {
     # single-row build side); final top-k merge bounded by salts*k
     "text_heavy_hitters": "total-count scalar fold; 1-row threshold crossJoin",
     "text_bm25_topk": "corpus-stats scalar fold; 1-row crossJoin; salted top-k merge",
+    # optimization r13: the corpus token total moved from a separate
+    # collect() job into the SAME plan as a 1-row global aggregate
+    # broadcast-crossJoined back (the text_heavy_hitters shape) — the
+    # SinglePartition fold's fan-in is the map-partition count and the
+    # BNLJ build side is exactly one row
+    "text_rarity_score": "corpus-total scalar fold; 1-row crossJoin",
+    "text_rarity_skew": "corpus-total scalar fold; 1-row crossJoin",
     "dedup_semantic": "centroid fold to one broadcast row (ivf_assign)",
 }
 
