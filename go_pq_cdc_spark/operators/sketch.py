@@ -653,7 +653,13 @@ def bloom_cells(
             }
         )["spark"]
     else:
-        h = f"pmod(xxhash64(CAST({value_col} AS STRING)), {P.MERSENNE31})"
+        # no string cast (optimization r13 second pass): xxhash64 hashes
+        # any input type natively, and CAST(numeric AS STRING) allocated
+        # a UTF8String per evaluation — measured ~half the per-row cost
+        # of the join-prune fact filter. Build and probe share this
+        # spelling (bloom_prune_predicate), which is all the
+        # no-false-negative property needs.
+        h = f"pmod(xxhash64({value_col}), {P.MERSENNE31})"
     cell = _bloom_cell_cols("div", BLOOM_LANE)
     poss = F.array(
         *[F.expr(e["spark"]).cast("long") for e in _bloom_pos_exprs(k, bits)]
@@ -778,32 +784,46 @@ def bloom_prune_predicate(
     fact row — 8x the dominant per-row cost of the prune.
 
     portable=False (optimization r13) is the arm join-prune callers
-    should use: the probe hash is the xxhash64 intrinsic (must match a
+    should use: the probe hash is the xxhash64 intrinsic over the RAW
+    value — no string cast; must match a
     `bloom_cells(..., portable=False)` build — the no-false-negative
-    property only needs build/probe consistency), and because the hash
+    property only needs build/probe consistency — and because the hash
     is cheap it is INLINED per conjunct instead of lambda-bound, so the
     whole predicate stays inside whole-stage codegen (the forall lambda
     is itself a CodegenFallback HOF that forced the md5 arm's filter
-    into interpreted evaluation; measured ~2s of the sf0.1 bench row)."""
+    into interpreted evaluation; measured ~2s of the sf0.1 bench row,
+    and the per-conjunct CAST-to-STRING another ~0.4s of it).
+
+    The state array is a SINGLE typed literal (`F.lit(list)`), not an
+    `array(...)` SQL string: with scale-adaptive `bits` the state can be
+    thousands of words, and interpolating it as text per conjunct made
+    plan parsing itself the cost (optimization r13 second pass)."""
     arr = [0] * (bits // BLOOM_LANE)
     for w, b in cells_rows:
         arr[int(w)] = int(b)
-    lit = "array(" + ", ".join(f"{v}L" for v in arr) + ")"
     if portable:
+        # bind hv once through the lambda (md5 is the dominant cost)
+        lit_sql = "array(" + ", ".join(f"{v}L" for v in arr) + ")"
         hv = P.md5_hash_m31(f"CAST({value_sql} AS STRING)")["spark"]
-    else:
-        hv = f"pmod(xxhash64(CAST({value_sql} AS STRING)), {P.MERSENNE31})"
-    conds = []
-    for e in _bloom_pos_exprs(k, bits):  # fragments reference `hv`
-        pos = f"({e['spark']})" if portable else f"({e['spark'].replace('hv', hv)})"
-        word = f"CAST({pos} div {BLOOM_LANE} AS INT)"
-        mask = f"shiftleft(1L, CAST({pos} % {BLOOM_LANE} AS INT))"
-        conds.append(f"((element_at({lit}, {word} + 1) & {mask}) = {mask})")
-    if portable:
+        conds = []
+        for e in _bloom_pos_exprs(k, bits):  # fragments reference `hv`
+            pos = f"({e['spark']})"
+            word = f"CAST({pos} div {BLOOM_LANE} AS INT)"
+            mask = f"shiftleft(1L, CAST({pos} % {BLOOM_LANE} AS INT))"
+            conds.append(f"((element_at({lit_sql}, {word} + 1) & {mask}) = {mask})")
         return F.expr(
             f"forall(array({hv}), hv -> " + " AND ".join(conds) + ")"
         )
-    return F.expr(" AND ".join(conds))
+    lit = F.lit(arr)
+    hv = f"pmod(xxhash64({value_sql}), {P.MERSENNE31})"
+    out = None
+    for e in _bloom_pos_exprs(k, bits):  # fragments reference `hv`
+        pos = f"({e['spark'].replace('hv', hv)})"
+        word = F.expr(f"CAST({pos} div {BLOOM_LANE} AS INT)")
+        mask = F.expr(f"shiftleft(1L, CAST({pos} % {BLOOM_LANE} AS INT))")
+        cond = F.element_at(lit, word + F.lit(1)).bitwiseAND(mask) == mask
+        out = cond if out is None else out & cond
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -202,15 +202,25 @@ def ngram_novelty(
     # one-file table evaluates ~tokens-per-corpus md5 calls in ONE task.
     # shingle hashes are array_distinct per doc, so (id, sh) pairs are
     # already distinct — counting them per doc counts distinct shingles.
+    # Optimization r13 (second pass): the former text-null + size(_toks)
+    # pre-filters were pushed to the scan, where each re-evaluated
+    # split() per row (and any derived text expression in full). Both
+    # are replaced by ONE cheap post-explode `sh IS NOT NULL` filter:
+    # a null text propagates to a null _sh, and a (< n)-token doc's
+    # shingle CASE yields an empty array — explode_outer turns both
+    # into exactly one (id, NULL) row, and real shingle hashes are
+    # never null, so the kept row set is identical (the md5 chain still
+    # runs only on docs that shingle — empty/null arrays transform to
+    # nothing). A generated column can't sink below its Generate, so no
+    # scan-side re-evaluation remains.
     exploded = (
         spread_small_input(df.select(id_col, text_col))
-        .filter(F.col(text_col).isNotNull())
         .withColumn("_toks", F.expr(tok))
-        .filter(F.expr(f"size(_toks) >= {int(n)}"))
         .withColumn(
             "_sh", F.expr(f"array_distinct(transform({shc}, sh -> {h}))")
         )
         .select(F.col(id_col), F.explode_outer("_sh").alias("sh"))
+        .filter(F.col("sh").isNotNull())
     )
     per_doc = exploded.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles")
@@ -283,11 +293,25 @@ def token_rarity(
     #    evaluates the shared doc_tok/vocab subtrees once.
     base = (
         spread_small_input(df.select(id_col, text_col))
-        .filter(F.col(text_col).isNotNull())
         .withColumn("_toks", F.expr(tok["spark"]))
     )
+    # Null-text docs are dropped AFTER the explode by a cheap
+    # `token IS NOT NULL` filter on the generated column (optimization
+    # r13, second pass): the former `text IS NOT NULL` pre-filter was
+    # pushed to the scan as isnotnull(<the full text expression>) — on a
+    # derived text column (the skew canary's concat/repeat injection)
+    # that re-built the ENTIRE derived string once in the Filter and
+    # again in the Project, doubling the dominant per-row cost. A null
+    # text tokenizes to a null array, explode_outer emits exactly one
+    # (id, NULL) row for it, and split() never yields null elements for
+    # non-null text — so this filter keeps the row set identical while
+    # costing one null-check per row. It must stay explicit: without it
+    # the NULL token would form a vocab group and shift the corpus
+    # total. (A generated column can't be pushed below its Generate, so
+    # the scan filter is gone for good.)
     doc_tok = (
         base.select(F.col(id_col), F.explode_outer("_toks").alias("token"))
+        .filter(F.col("token").isNotNull())
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).cast("long").alias("_occ"))
     )
@@ -321,19 +345,26 @@ def _doc_token_counts(
     the docs themselves. One definition so a tokenizer or Zipf-safety
     change cannot fork the signals (review find).
 
-    Null-text docs are dropped by a CHEAP pushed-down filter and the
-    explode is the outer variant (optimization r13, see token_rarity):
-    a plain explode makes InferFiltersFromGenerate re-evaluate the
-    tokenizer twice more per row in its inferred filter; split() of a
-    non-null string is never null/empty, so the row set is identical.
+    Null-text docs are dropped by a cheap POST-EXPLODE `token IS NOT
+    NULL` filter and the explode is the outer variant (optimization
+    r13, see token_rarity): a plain explode makes
+    InferFiltersFromGenerate re-evaluate the tokenizer twice more per
+    row in its inferred filter, and a text-side pre-filter is pushed to
+    the scan where it re-evaluates any DERIVED text expression; split()
+    of a non-null string never yields null elements and a null text
+    explodes to one (id, NULL) row, so the row set is identical.
     Output: (id, token, _occ long)."""
     from .scale import spread_small_input
 
     tok = P.tokens(text_col)
     return (
         spread_small_input(df.select(id_col, text_col))
-        .filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.explode_outer(F.expr(tok["spark"])).alias("token"))
+        # cheap post-explode null filter instead of a text pre-filter —
+        # see token_rarity: the pre-filter re-evaluated derived text
+        # expressions at the scan; a null text explodes to exactly one
+        # (id, NULL) row, so the row set is identical
+        .filter(F.col("token").isNotNull())
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).cast("long").alias("_occ"))
     )
@@ -889,6 +920,30 @@ def with_gopher_quality(
     return df.withColumn(f"{p}keep", F.expr(keep)).drop("_gtoks", "_glines")
 
 
+def _gram_expr(n: int, hashed: bool):
+    """The {n}-token gram key over a token-array column `t` at start
+    position column `i` — ONE definition shared by the find and apply
+    halves of substring dedup so the two can never disagree on what a
+    gram is.
+
+    hashed=False: the space-joined gram STRING (tokens carry no
+    whitespace, so the join is injective) — the cross-engine-comparable
+    spelling the DuckDB oracles mirror.
+
+    hashed=True (the at-scale arm): the n token strings are hashed
+    DIRECTLY with multi-argument xxhash64 — no slice() array and no
+    concat_ws string are ever allocated (optimization r13, guide
+    §1.2-2/§2.3: measured faster than xxhash64-of-the-concat, which in
+    turn beats carrying ~n*wordlen strings through the distinct/keep/
+    join shuffles). Multi-arg xxhash64 seed-chains length-delimited
+    args, so distinct token sequences keep distinct hashes up to the
+    same 2^-64 collision class as hashing the joined string; every
+    consumer treats `g` as an opaque equality key."""
+    if hashed:
+        return F.xxhash64(*[F.expr(f"element_at(t, i + {j})") for j in range(n)])
+    return F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), F.lit(n)))
+
+
 def substring_dedup_apply(
     df: DataFrame,
     id_col: str,
@@ -939,10 +994,17 @@ def substring_dedup_apply(
     g0 = toks.filter(F.size("t") >= n).withColumn(
         "i", F.explode(F.sequence(F.lit(1), F.size("t") - (n - 1)))
     )
-    gram = F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), F.lit(n)))
-    if hashed:
-        gram = F.xxhash64(gram)
-    occ = g0.select("doc_id", "i", gram.alias("g"))
+    # one gram-keyed exchange for the whole g-keyed phase (optimization
+    # r13 — the substring_dup_pairs treatment): the (doc_id, g)
+    # distinct, the keep aggregate, the keep semi-join and the
+    # first-occurrence rank window all cluster on g, so a single
+    # AQE-exempt repartition feeds them all via exchange reuse; the
+    # shuffle_hash hint keeps AQE from trading the reuse for a
+    # per-execution broadcast build
+    par = df.sparkSession.sparkContext.defaultParallelism * 2
+    occ = g0.select("doc_id", "i", _gram_expr(n, hashed).alias("g")).repartition(
+        par, "g"
+    )
     keep = (
         occ.select("doc_id", "g")
         .distinct()
@@ -951,7 +1013,7 @@ def substring_dedup_apply(
         .filter((F.col("_n") >= 2) & (F.col("_n") <= max_docs))
         .select("g")
     )
-    hits = occ.join(keep, "g", "left_semi")
+    hits = occ.join(keep.hint("shuffle_hash"), "g", "left_semi")
     w_first = Window.partitionBy("g").orderBy("doc_id", "i")
     rm = (
         hits.withColumn("rn", F.row_number().over(w_first))
@@ -1030,23 +1092,41 @@ def substring_dup_pairs(
     g0 = toks.withColumn(
         "i", F.explode(F.sequence(F.lit(1), F.size("t") - (n - 1)))
     )
-    gram = F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), F.lit(n)))
-    if hashed:
-        gram = F.xxhash64(gram)
-    grams = g0.select("doc_id", gram.alias("g")).distinct()
+    # ONE gram-keyed exchange feeds the whole pipeline (optimization
+    # r13, guide §2.4): hash-partitioning by `g` satisfies the
+    # clustering every downstream operator needs — the (doc_id, g)
+    # distinct (same-g rows colocate, a superset key clusters), the
+    # keep aggregate, the keep semi-join and the pair self-join all
+    # reuse this single exchange instead of each shuffling again
+    # (measured 1.8s -> ~1.0s at sf0.1: 4 ReusedExchange in the final
+    # plan). The user-numbered repartition stays AQE-exempt, so the r8
+    # funnel guard (adaptive coalescing sizing the explosive self-join
+    # by its byte-tiny input) moves UP the pipeline rather than away.
+    # Skew note: keying the pre-distinct stream by g alone concentrates
+    # a boilerplate gram's occurrences where (doc_id, g) spread them —
+    # bounded in practice because n >= 8-token gram frequency is orders
+    # flatter than token Zipf (the reason long grams are the dedup key
+    # at all), and the map-side partial aggregate still collapses
+    # within-partition repeats. The shuffle_hash hints keep AQE from
+    # rewriting the co-partitioned joins into broadcasts, which would
+    # discard the exchange reuse (a per-execution driver collect +
+    # broadcast build locally, and never the join you'd run at scale).
+    par = df.sparkSession.sparkContext.defaultParallelism * 2
+    occ = g0.select("doc_id", _gram_expr(n, hashed).alias("g")).repartition(
+        par, "g"
+    )
+    grams = occ.distinct()
     keep = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter((F.col("_n") >= 2) & (F.col("_n") <= max_docs))
         .select("g")
     )
-    kept = grams.join(keep, "g", "left_semi")
-    par = df.sparkSession.sparkContext.defaultParallelism * 2
-    kept = kept.repartition(par, "g")  # AQE-exempt: output-explosive join
+    kept = grams.join(keep.hint("shuffle_hash"), "g", "left_semi")
     return (
         kept.alias("a")
         .join(
-            kept.alias("b"),
+            kept.alias("b").hint("shuffle_hash"),
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

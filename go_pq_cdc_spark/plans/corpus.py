@@ -312,15 +312,26 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair fan-out at {_SUBNGRAM_MAX_DOCS}^2/2, so no bucket explodes. The
     AQE-exempt keyed repartition applies the r8 lesson: adaptive
     coalescing sizes by the join's byte-tiny input and would otherwise
-    re-funnel its pair output. In production hash the gram
-    (xxhash64) instead of carrying the string through the shuffle — the
-    string form here keeps the oracle join exact."""
+    re-funnel its pair output. Grams are hashed (multi-arg xxhash64,
+    optimization r13) before any shuffle: the hash is an internal
+    equality key that never reaches the output, so the result is
+    identical to the string form up to 2^-64 collisions and the oracle
+    keeps the exact string join."""
     from ..operators.text import substring_dup_pairs
 
     doc = load_table(spark, sf_dir, "documents")
     return substring_dup_pairs(
         doc, "doc_id", "text", n=_SUBNGRAM, max_docs=_SUBNGRAM_MAX_DOCS,
-        hashed=False,  # string grams keep the DuckDB oracle join exact
+        # hashed (optimization r13): the gram is an INTERNAL equality key
+        # only — no hash value reaches the output, so the multi-arg
+        # xxhash64 arm is output-identical to the string arm up to the
+        # 2^-64 collision class (re-MATCHed vs the unchanged string-SQL
+        # oracle at sf0.01 and sf1) while the distinct/keep/self-join
+        # shuffles carry 8-byte keys instead of ~8-token strings and no
+        # gram string is ever allocated. Measured 1.72s -> ~1.4s on the
+        # sf0.1 bench row; at 100 TB the shuffle-byte ratio is the point
+        # (guide §2.3).
+        hashed=True,
     )
 
 

@@ -449,18 +449,34 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable=False (optimization r13): the filter STATE is internal to
     # this query — only which fact rows reach the exact join depends on
     # it, and false positives die there — so the build/probe hash is the
-    # xxhash64 intrinsic and the probe predicate stays inside
-    # whole-stage codegen (the md5 arm's forall-lambda forced the fact
-    # filter into interpreted evaluation: ~2s of this bench row at
-    # sf0.1). Results are identical for ANY consistent hash family; the
-    # oracle-pinned Bloom rows (q_bloom_membership/merge/stream) keep
-    # the portable family.
+    # xxhash64 intrinsic over the RAW key (no per-row string cast) and
+    # the probe predicate stays inside whole-stage codegen (the md5
+    # arm's forall-lambda forced the fact filter into interpreted
+    # evaluation: ~2s of this bench row at sf0.1; the string cast
+    # another ~0.4s). Results are identical for ANY consistent hash
+    # family; the oracle-pinned Bloom rows (q_bloom_membership/merge/
+    # stream) keep the portable family.
+    #
+    # Scale-adaptive sizing (optimization r13, guide §3.2): the default
+    # 1024-bit state is saturated by this dim's ~30k keys (every bit
+    # set — the filter passed every fact row and was pure overhead).
+    # Size bits to ~8 per key (k=4 -> FP ~ (1-e^-1/2)^4 ~ 2.4%) from a
+    # bounded dim count — the same plan-time-job class as the state
+    # collect itself — so the filter keeps pruning at ANY scale instead
+    # of at one tuned size. The state stays driver-size: bits/32 int64s,
+    # capped at 2^22 bits (16 KiB..1 MiB literal).
+    n_dim = dim.count()
+    bloom_bits = 1 << max(10, min(22, (8 * max(n_dim, 1) - 1).bit_length()))
     state = [
         (r["word"], r["bits"])
-        for r in bloom_cells(dim, [], "o_orderkey", portable=False).collect()
+        for r in bloom_cells(
+            dim, [], "o_orderkey", portable=False, bits=bloom_bits
+        ).collect()
     ]
     li = load_table(spark, sf_dir, "lineitem").filter(
-        bloom_prune_predicate(state, "l_orderkey", portable=False)
+        bloom_prune_predicate(
+            state, "l_orderkey", portable=False, bits=bloom_bits
+        )
     )
     return (
         li.join(F.broadcast(dim), li["l_orderkey"] == dim["o_orderkey"])
