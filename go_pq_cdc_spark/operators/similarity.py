@@ -690,21 +690,17 @@ def _pq_lut_expr(m: int, dsub: int, fx: str = "_qvi") -> str:
 def _pq_adc_sum_expr(m: int) -> str:
     """ADC distance: m integer LUT lookups summed.
 
-    For the usual small m the sum is UNROLLED to a flat chain of
-    element_at lookups (optimization r13, guide §1.2-2): the generic
-    `aggregate(sequence(...))` spelling is a CodegenFallback HOF, so
-    every one of the m lookups on every (corpus row x query) pair ran
-    interpreted — measured 1.20s -> 0.74s on the sf0.1 ADC bench row.
-    The flat chain adds left-to-right exactly like the fold
-    (((0+t0)+t1)+...), so distances are bit-identical; m > 8 keeps the
-    generic spelling (the expression-tree-size lesson of the reverted
-    bucket unroll above)."""
-    if m <= 8:
-        terms = " + ".join(
-            f"element_at(element_at(qlut, {j + 1}), element_at(codes, {j + 1}) + 1)"
-            for j in range(m)
-        )
-        return f"({terms})"
+    Kept as the generic `aggregate(sequence(...))` HOF after a
+    measured revert (optimization r13): unrolling the sum to a flat
+    `element_at + element_at + ...` chain looked like a win in an
+    isolated subplan A/B (the HOF is CodegenFallback, so the lookups
+    evaluate interpreted), but at the FULL-QUERY level the unroll lost
+    every one of 8 interleaved A/B pairs (~+0.1 s median on the sf0.1
+    bench row): the codegen'd chain gets inlined into downstream
+    operators (top-k sort key, projections) and re-evaluated, while the
+    CodegenFallback expression acts as its own materialization point.
+    Guide §1.1's warning in action — the "ideal" spelling lost to a
+    gotcha, so the empirical loop decided."""
     return (
         f"aggregate(sequence(0, {m - 1}), 0L, (acc, j) -> "
         f"acc + element_at(element_at(qlut, j + 1), element_at(codes, j + 1) + 1))"

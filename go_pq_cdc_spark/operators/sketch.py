@@ -794,10 +794,18 @@ def bloom_prune_predicate(
     into interpreted evaluation; measured ~2s of the sf0.1 bench row,
     and the per-conjunct CAST-to-STRING another ~0.4s of it).
 
-    The state array is a SINGLE typed literal (`F.lit(list)`), not an
-    `array(...)` SQL string: with scale-adaptive `bits` the state can be
-    thousands of words, and interpolating it as text per conjunct made
-    plan parsing itself the cost (optimization r13 second pass)."""
+    The state array is inlined as ONE `from_json('[...]',
+    'array<bigint>')` string literal that constant-folds to a single
+    array Literal (optimization r13 second pass). The two rejected
+    spellings, both measured: an `array(v0, ..., vN)` SQL string per
+    conjunct costs plan PARSING (N expression nodes per conjunct), and
+    `F.lit(list)` costs plan CONSTRUCTION (PySpark lowers it to
+    CreateArray via one py4j call per element — at the scale-adaptive
+    4096-word state that alone regressed the sf0.1 bench row 0.68s ->
+    2.7s). from_json is one string token per conjunct, parsed in O(1)
+    expression nodes and folded once; A/B at 2^17 bits: 0.61s — at par
+    with the saturated fixed-1024 state while actually pruning
+    (70k/600k fact rows pass vs 600k/600k)."""
     arr = [0] * (bits // BLOOM_LANE)
     for w, b in cells_rows:
         arr[int(w)] = int(b)
@@ -814,16 +822,20 @@ def bloom_prune_predicate(
         return F.expr(
             f"forall(array({hv}), hv -> " + " AND ".join(conds) + ")"
         )
-    lit = F.lit(arr)
+    import json
+
+    lit = (
+        f"from_json('{json.dumps(arr, separators=(',', ':'))}', "
+        f"'array<bigint>')"
+    )
     hv = f"pmod(xxhash64({value_sql}), {P.MERSENNE31})"
-    out = None
+    conds = []
     for e in _bloom_pos_exprs(k, bits):  # fragments reference `hv`
         pos = f"({e['spark'].replace('hv', hv)})"
-        word = F.expr(f"CAST({pos} div {BLOOM_LANE} AS INT)")
-        mask = F.expr(f"shiftleft(1L, CAST({pos} % {BLOOM_LANE} AS INT))")
-        cond = F.element_at(lit, word + F.lit(1)).bitwiseAND(mask) == mask
-        out = cond if out is None else out & cond
-    return out
+        word = f"CAST({pos} div {BLOOM_LANE} AS INT)"
+        mask = f"shiftleft(1L, CAST({pos} % {BLOOM_LANE} AS INT))"
+        conds.append(f"((element_at({lit}, {word} + 1) & {mask}) = {mask})")
+    return F.expr(" AND ".join(conds))
 
 
 # --------------------------------------------------------------------------
