@@ -240,7 +240,16 @@ def minhash_lsh_pairs(
             df, id_col, text_col, threshold,
             portable=portable, max_bucket=max_bucket,
         )
-    per_doc = minhash_per_doc(df, id_col, text_col, portable=portable).cache()
+    # No .cache() on per_doc (optimization r13, guide §5): Catalyst
+    # column-prunes each of the three uses instead — the band side
+    # computes signatures, the two verify-join sides recompute only the
+    # shingle arrays (the 16 minhash columns are pruned out of those
+    # subtrees). A/B at sf0.1: caching cost ~+0.2 s (populate + read
+    # for a relation used 3x in one action) — and at 100 TB a corpus-
+    # order cache is not a real option anyway (it evicts execution
+    # memory; the at-scale spelling of "reuse" is writing the encoded
+    # relation out once, which the persisted-index path already does).
+    per_doc = minhash_per_doc(df, id_col, text_col, portable=portable)
     pairs, _kept = _band_cand_verify(per_doc, threshold, max_bucket, weights=None)
     return pairs
 
@@ -283,7 +292,15 @@ def _band_cand_verify(
     # output, so adaptive coalescing would squeeze the self-join toward
     # one partition exactly when a hot band bucket makes it explosive.
     # The sort-merge join reuses this exchange — no extra shuffle.
-    par = bands.sparkSession.sparkContext.defaultParallelism * 2
+    # Width = defaultParallelism, not 2x (optimization r13): the guard
+    # needs enough partitions that the explosive output spreads over
+    # the cluster, and defaultParallelism IS the scale-adaptive knob;
+    # the extra 2x bought nothing at either scale while doubling the
+    # per-task fixed overhead of every stage that reuses the exchange
+    # (measured at sf0.1: 2.0 s -> 1.2 s for the whole pipeline).
+    from .scale import explosive_join_parts
+
+    par = explosive_join_parts(bands)
     bands = bands.repartition(par, "band", "band_key")
     cand = (
         bands.alias("a")

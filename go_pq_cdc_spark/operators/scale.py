@@ -163,6 +163,21 @@ def salted_topk(
     )
 
 
+def explosive_join_parts(df: DataFrame) -> int:
+    """Partition width for the AQE-EXEMPT keyed repartition that guards
+    output-explosive self-joins (the r8 funnel lesson: AQE coalesces by
+    the join's byte-tiny INPUT while the OUTPUT is the explosion).
+
+    One knob for every such site (optimization r13). Width =
+    defaultParallelism — the scale-adaptive quantity (local core count
+    here, cluster total cores via spark-submit there). The former 2x
+    headroom bought nothing at either scale while doubling the
+    per-task fixed overhead of every stage riding the exchange
+    (measured at sf0.1: the minhash band pipeline alone dropped
+    2.0 s -> 1.2 s at 1x)."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def grid_self_join_sides(
     df: DataFrame,
     id_col: str = "id",
@@ -197,7 +212,7 @@ def grid_self_join_sides(
     from AQE coalescing, and since it hashes exactly the join keys the
     sort-merge join reuses the exchange instead of adding another."""
     if parts is None:
-        parts = df.sparkSession.sparkContext.defaultParallelism * 2
+        parts = explosive_join_parts(df)
     g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(grid)).cast("int")
     cells = F.array(*[F.lit(i) for i in range(grid)])
     keys = [*extra_keys, "_ga", "_gb"]

@@ -1001,7 +1001,9 @@ def substring_dedup_apply(
     # AQE-exempt repartition feeds them all via exchange reuse; the
     # shuffle_hash hint keeps AQE from trading the reuse for a
     # per-execution broadcast build
-    par = df.sparkSession.sparkContext.defaultParallelism * 2
+    from .scale import explosive_join_parts
+
+    par = explosive_join_parts(df)
     occ = g0.select("doc_id", "i", _gram_expr(n, hashed).alias("g")).repartition(
         par, "g"
     )
@@ -1111,7 +1113,9 @@ def substring_dup_pairs(
     # rewriting the co-partitioned joins into broadcasts, which would
     # discard the exchange reuse (a per-execution driver collect +
     # broadcast build locally, and never the join you'd run at scale).
-    par = df.sparkSession.sparkContext.defaultParallelism * 2
+    from .scale import explosive_join_parts
+
+    par = explosive_join_parts(df)
     occ = g0.select("doc_id", _gram_expr(n, hashed).alias("g")).repartition(
         par, "g"
     )

@@ -96,10 +96,39 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     would re-derive supply from lineitem a second time (two fact passes);
     region/nation are broadcast; the final top-100 is
     TakeOrderedAndProject (per-partition partial top-k, no global
-    sort)."""
+    sort).
+
+    ONE exchange end-to-end (optimization r13, guide §2.4): the fact
+    rows are hash-repartitioned by `l_partkey` BEFORE the supply
+    groupBy — partitioning on a SUBSET of the (l_partkey, l_suppkey)
+    group keys satisfies the aggregate's clustering requirement, and
+    the same partitioning then satisfies the window's
+    `PARTITION BY l_partkey`, so neither plans its own shuffle
+    (measured: 2 Exchange -> 1, 1.64 s -> 1.18 s median at sf0.1,
+    outputs equal). The removed second exchange was the expensive one
+    at scale — it carried s_name/n_name strings through the shuffle,
+    while the surviving one moves four narrow numeric fact columns.
+    Cost accepted: the pre-agg exchange forgoes map-side partial MIN,
+    which buys ~nothing here because (l_partkey, l_suppkey) pairs
+    rarely repeat within a map partition. The numbered keyed
+    repartition is AQE-exempt, which also keeps the window stage at
+    full parallelism instead of the 3-task coalesced stage that made
+    this row bimodal (straggler) under the bench's repeat discipline."""
     from pyspark.sql.window import Window
 
-    supply = _supply(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    n = spark.sparkContext.defaultParallelism
+    supply = (
+        li.repartition(n, "l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice") / F.col("l_quantity")
+            ).alias("supplycost")
+        )
+    )
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
