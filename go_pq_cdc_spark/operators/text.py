@@ -214,7 +214,7 @@ def ngram_novelty(
     # nothing). A generated column can't sink below its Generate, so no
     # scan-side re-evaluation remains.
     exploded = (
-        spread_small_input(df.select(id_col, text_col))
+        spread_small_input(df.select(id_col, text_col), F.col(id_col))
         .withColumn("_toks", F.expr(tok))
         .withColumn(
             "_sh", F.expr(f"array_distinct(transform({shc}, sh -> {h}))")
@@ -274,7 +274,14 @@ def token_rarity(
 
     tok = P.tokens(text_col)
     # spread a narrow local input before the tokenize+explode (see
-    # ngram_novelty; structural no-op on a wide at-scale scan).
+    # ngram_novelty; structural no-op on a wide at-scale scan). The
+    # spread is KEYED by the doc id (optimization r13, guide §2.4): a
+    # hash partitioning on `id` satisfies the clustering every
+    # downstream id-subset aggregation needs (groupBy(id, token),
+    # groupBy(id)), so those reuse this exchange instead of planning
+    # their own — measured 11 -> 8 jobs / ~-0.4 s on the sf0.1 rarity
+    # rows, identical results (id is high-cardinality, so the keyed
+    # spread is as even as round-robin).
     #
     # Optimization r13 (guide §1.2-1, §4.4-class): two per-task-work and
     # one job-count fix, all value-identical —
@@ -292,7 +299,7 @@ def token_rarity(
     #    aggregate broadcast-crossJoined back; AQE exchange reuse
     #    evaluates the shared doc_tok/vocab subtrees once.
     base = (
-        spread_small_input(df.select(id_col, text_col))
+        spread_small_input(df.select(id_col, text_col), F.col(id_col))
         .withColumn("_toks", F.expr(tok["spark"]))
     )
     # Null-text docs are dropped AFTER the explode by a cheap
@@ -358,7 +365,7 @@ def _doc_token_counts(
 
     tok = P.tokens(text_col)
     return (
-        spread_small_input(df.select(id_col, text_col))
+        spread_small_input(df.select(id_col, text_col), F.col(id_col))
         .select(F.col(id_col), F.explode_outer(F.expr(tok["spark"])).alias("token"))
         # cheap post-explode null filter instead of a text pre-filter —
         # see token_rarity: the pre-filter re-evaluated derived text
