@@ -1133,8 +1133,13 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(
         (F.col("vec_id") >= S.PQ_KSUB) & (F.col("vec_id") < S.PQ_KSUB + 8)
     )
-    codes = S.pq_encode(emb, cb)
-    return S.pq_adc_topk(codes, queries, cb, k=5)
+    # dsub probed ONCE and passed to both halves (optimization r13):
+    # encode and ADC each defaulted to their own `_codebook_dsub`
+    # first() — two plan-time jobs executing the codebook subquery for
+    # the same scalar.
+    dsub = S._codebook_dsub(cb)
+    codes = S.pq_encode(emb, cb, dsub=dsub)
+    return S.pq_adc_topk(codes, queries, cb, k=5, dsub=dsub)
 
 
 def _cluster_balanced_oracle() -> str:
