@@ -35,10 +35,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Schema cache: every bare `spark.read.parquet(path)` runs a footer-read
+# schema-INFERENCE job before the query can even plan (measured: 1 job /
+# ~0.15 s per call on this box — a 6-table TPC-H build paid 6 jobs at
+# every plan build). A real catalog serves schemas as metadata; mirror
+# that by inferring once per (path, mtime) and declaring the schema on
+# every later read (`.schema(s).parquet(path)` skips the inference job
+# entirely). This caches plan-time METADATA only — table contents are
+# re-read by every query execution, and an mtime change invalidates.
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
+def _read_with_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    df = _read_with_cached_schema(spark, table_path(sf_dir, name))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS). How it loads depends on the
         # Spark major version, so branch on the observed dtype rather than a

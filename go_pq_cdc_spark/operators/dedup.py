@@ -216,6 +216,17 @@ def minhash_lsh_pairs(
         # zero Spark jobs
         collapse_exact = dup_ratio >= 0.05
     if collapse_exact == "auto":
+        # Two-stage probe (optimization r13, guide §1.2-1): the dispatch
+        # carries an ABSOLUTE duplicate-mass floor of 25k (see below), so
+        # when the corpus has fewer rows than the floor the decision is
+        # predetermined — direct path — and the text-scan + HLL aggregate
+        # below would be a wasted full pass over the text column. Gate it
+        # behind a zero-column row count first (reads no data pages; at
+        # scale its cost is epsilon next to the probe scan it can save,
+        # and when the count clears the floor the probe runs as before).
+        if df.count() < 25_000:
+            collapse_exact = False
+    if collapse_exact == "auto":
         stats = df.agg(
             F.count(F.lit(1)).alias("n"),
             # xxhash64, not md5: the probe is internal (never compared

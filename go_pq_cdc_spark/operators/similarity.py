@@ -237,12 +237,33 @@ def ann_topk_lsh(
     ).select("q_id", F.col("c_id").alias("neighbor_id"), "rank", "cos_sim")
 
 
+def _fold_centroids(
+    centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Fold the (driver-size) centroid table into ONE broadcastable row of
+    pre-cast fixed-point codewords. Callers that assign several relations
+    against the same centroids (ivf_topk's corpus + query sides) build
+    this once and pass it to each `ivf_assign` — the planner does NOT
+    reliably dedupe two structurally-identical fold subtrees into a
+    ReusedExchange (measured r13: both sides rebuilt scan→agg→broadcast),
+    so sharing the DataFrame is the portable spelling."""
+    return centroids.select(
+        F.struct(
+            F.col(id_col).cast("long").alias("cent_id"),
+            F.expr(P.fx_vec(vec_col)).alias("cvi"),
+        ).alias("c")
+    ).agg(F.collect_list("c").alias("cents"))
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_assign: int = 1,
+    *,
+    spread: bool = True,
+    cent_row: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest `n_assign`
     centroids by (exact fixed-point) inner product — ZERO-SHUFFLE.
@@ -281,15 +302,16 @@ def ivf_assign(
     A NULL dot (NULL vector or centroid) sorts last — same as the old
     window's DESC NULLS LAST — via a max-int64 coalesce."""
     dot = P.int_dot("_vi", "c.cvi")
-    vecs = spread_small_input(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), F.col("id")
-    ).withColumn("_vi", F.expr(P.fx_vec("v")))
-    cent_row = centroids.select(
-        F.struct(
-            F.col(id_col).cast("long").alias("cent_id"),
-            F.expr(P.fx_vec(vec_col)).alias("cvi"),
-        ).alias("c")
-    ).agg(F.collect_list("c").alias("cents"))
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # `spread=False` for query-sized inputs (optimization r13): spreading
+    # an 8-row query set to session parallelism injects an Exchange + a
+    # task wave for nothing — the spread exists to parallelize the heavy
+    # interpreted argmin over a NARROW CORPUS input, not over queries.
+    vecs = (spread_small_input(base, F.col("id")) if spread else base).withColumn(
+        "_vi", F.expr(P.fx_vec("v"))
+    )
+    if cent_row is None:
+        cent_row = _fold_centroids(centroids, id_col, vec_col)
     ranked = (
         f"slice(array_sort(transform(cents, c -> struct("
         f"coalesce(-({dot}), 9223372036854775807L) AS nd, c.cent_id AS cent_id))), "
@@ -442,7 +464,8 @@ def ivf_topk_index(
     on cent_id, no full-index scan). Same output shape and ranking as
     `ivf_topk`."""
     qset = (
-        ivf_assign(queries, centroids, id_col, vec_col, n_assign=nprobe)
+        # queries are tiny by definition here — no corpus-width spread
+        ivf_assign(queries, centroids, id_col, vec_col, n_assign=nprobe, spread=False)
         .withColumnRenamed("id", "q_id")
         .withColumnRenamed("v", "qv")
         .withColumnRenamed("cent_id", "q_cent")
@@ -887,10 +910,20 @@ def ivf_topk(
     centroid cells. Same output shape as cosine_topk; recall is monotone in
     nprobe (candidates are a superset) while cost stays O(nprobe * cell).
     The corpus index is unchanged — only the broadcast query side fans out."""
-    corpus = ivf_assign(df, centroids, id_col, vec_col).withColumnRenamed("id", "c_id")
+    # ONE centroid fold shared by both assignment sides (optimization
+    # r13): two independent folds each rebuilt scan -> agg -> broadcast
+    # per execution (no ReusedExchange fired); the query side skips the
+    # corpus-width spread (8 queries do not need 32 tasks).
+    cent_row = _fold_centroids(centroids, id_col, vec_col)
+    corpus = ivf_assign(
+        df, centroids, id_col, vec_col, cent_row=cent_row
+    ).withColumnRenamed("id", "c_id")
     corpus = corpus.withColumn("c_nrm", F.expr(P.scaled_dot("v", "v", "v")["spark"]))
     qset = (
-        ivf_assign(queries, centroids, id_col, vec_col, n_assign=nprobe)
+        ivf_assign(
+            queries, centroids, id_col, vec_col, n_assign=nprobe,
+            spread=False, cent_row=cent_row,
+        )
         .withColumnRenamed("id", "q_id")
         .withColumnRenamed("v", "qv")
         .withColumn("q_nrm", F.expr(P.scaled_dot("qv", "qv", "qv")["spark"]))
