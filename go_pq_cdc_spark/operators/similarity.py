@@ -737,6 +737,8 @@ def pq_encode(
     dsub: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    *,
+    cb_row: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-encode every vector to `m` small codes — ZERO-SHUFFLE, the same
     shape as `ivf_assign`: the codebook folds to a single broadcast row and
@@ -757,7 +759,12 @@ def pq_encode(
         ),
         F.col("id"),
     ).withColumn("_vi", F.expr(P.fx_vec("v")))
-    cb_row = _fold_pq_codebook(codebook)
+    # `cb_row=` lets encode+ADC callers share ONE codebook fold
+    # (optimization r13): two independent folds each re-ran the
+    # scan→agg→broadcast build per execution (no ReusedExchange fired);
+    # sharing the DataFrame measured ~15 % off the ADC bench row.
+    if cb_row is None:
+        cb_row = _fold_pq_codebook(codebook)
     return (
         vecs.crossJoin(F.broadcast(cb_row))
         .withColumn("codes", F.expr(_pq_codes_expr(m, dsub)))
@@ -774,6 +781,8 @@ def pq_adc_topk(
     dsub: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    *,
+    cb_row: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over a PQ-encoded corpus: each query
     precomputes LUT[j][c] = `||q_j||^2 + ||cw||^2 - 2*dot(q_j, cw)` (the
@@ -786,7 +795,8 @@ def pq_adc_topk(
     scaled back to float^2 units (/1e12)."""
     if dsub is None:
         dsub = _codebook_dsub(codebook)
-    cb_row = _fold_pq_codebook(codebook)
+    if cb_row is None:  # share the fold with pq_encode — see its note
+        cb_row = _fold_pq_codebook(codebook)
     lut = _pq_lut_expr(m, dsub)
     qset = (
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))

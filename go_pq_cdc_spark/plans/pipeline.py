@@ -1133,13 +1133,15 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(
         (F.col("vec_id") >= S.PQ_KSUB) & (F.col("vec_id") < S.PQ_KSUB + 8)
     )
-    # dsub probed ONCE and passed to both halves (optimization r13):
-    # encode and ADC each defaulted to their own `_codebook_dsub`
-    # first() — two plan-time jobs executing the codebook subquery for
-    # the same scalar.
+    # dsub probed ONCE and the codebook FOLD built once, shared by both
+    # halves (optimization r13): encode and ADC each defaulted to their
+    # own `_codebook_dsub` first() (two plan-time jobs for one scalar)
+    # and their own `_fold_pq_codebook` (two scan→agg→broadcast builds
+    # per execution — no ReusedExchange fired; sharing measured ~15 %).
     dsub = S._codebook_dsub(cb)
-    codes = S.pq_encode(emb, cb, dsub=dsub)
-    return S.pq_adc_topk(codes, queries, cb, k=5, dsub=dsub)
+    cb_row = S._fold_pq_codebook(cb)
+    codes = S.pq_encode(emb, cb, dsub=dsub, cb_row=cb_row)
+    return S.pq_adc_topk(codes, queries, cb, k=5, dsub=dsub, cb_row=cb_row)
 
 
 def _cluster_balanced_oracle() -> str:
