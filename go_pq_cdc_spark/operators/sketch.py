@@ -182,7 +182,11 @@ def kmv_merge_estimate(
 
 
 def mg_partition_summaries(
-    df: DataFrame, value_col: str = "item", capacity: int = 128
+    df: DataFrame,
+    value_col: str = "item",
+    capacity: int = 128,
+    *,
+    emit_task_rows: bool = False,
 ) -> DataFrame:
     """Per-partition Misra-Gries frequency summary (Misra & Gries 1982;
     mergeable-summaries form of Agarwal et al., PODS'12): each task folds
@@ -198,23 +202,37 @@ def mg_partition_summaries(
     pre-aggregation done by vectorized `value_counts`, never per-row
     Python. Output: at most `capacity` (item, cnt) rows PER TASK —
     O(tasks * capacity) total regardless of input size or key cardinality.
-    """
+
+    `emit_task_rows=True` (optimization r13, guide §1.2-1) additionally
+    yields ONE sentinel row per task — (NULL item, rows-seen) — so a
+    caller that also needs the exact batch row count (the streaming MG
+    fold's `n_total` bookkeeping) reads it from the SAME pass instead of
+    running a second full scan of the batch. Unambiguous: NULL items
+    never appear as counter rows (`value_counts` drops them) but ARE
+    included in the sentinel count, exactly matching `df.count()`."""
     col = value_col
 
     def summarize(it):
         import pandas as pd
 
         counts: dict = {}
+        n_rows = 0
         for pdf in it:
+            n_rows += len(pdf)
             for item, c in pdf[col].value_counts().items():
                 counts[item] = counts.get(item, 0) + int(c)
             if len(counts) > capacity:
                 vals = sorted(counts.values(), reverse=True)
                 d = vals[capacity]  # (capacity+1)-th largest
                 counts = {i: c - d for i, c in counts.items() if c > d}
-        yield pd.DataFrame(
-            {col: list(counts.keys()), "cnt": list(counts.values())}
-        ).astype({"cnt": "int64"})
+        items_out = list(counts.keys())
+        cnts_out = list(counts.values())
+        if emit_task_rows:
+            items_out.append(None)
+            cnts_out.append(n_rows)
+        yield pd.DataFrame({col: items_out, "cnt": cnts_out}).astype(
+            {"cnt": "int64"}
+        )
 
     return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
         summarize, schema=f"{col} string, cnt long"

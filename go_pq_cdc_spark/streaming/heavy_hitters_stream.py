@@ -103,8 +103,15 @@ def update_heavy_hitter_state(
         batch_id, "heavy-hitter state"
     )
     items = batch_df.select(value_col)
-    summaries = mg_partition_summaries(items, value_col, capacity).collect()
-    n_batch = items.count()
+    # ONE pass per micro-batch (optimization r13): the exact row count
+    # rides the summary pass as per-task NULL-item sentinel rows — the
+    # former separate `items.count()` was a second full scan of every
+    # batch. Sentinels are unambiguous (NULL never appears as a counter).
+    rows = mg_partition_summaries(
+        items, value_col, capacity, emit_task_rows=True
+    ).collect()
+    summaries = [r for r in rows if r["item"] is not None]
+    n_batch = sum(r["cnt"] for r in rows if r["item"] is None)
 
     prev = latest_version(state_dir, below=batch_id, backend=backend)
     if prev is not None:
