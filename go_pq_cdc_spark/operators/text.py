@@ -442,18 +442,23 @@ def doc_keywords(
     territory — token_rarity's exact shape). The final top-k window
     partitions by DOC ID, never a raw token: partition size = the
     doc's distinct-token count, bounded by document length — not by
-    corpus Zipf. n_docs is a plan-time scalar probe (bounded collect,
-    the MIN/MAX-probe class). Ties break on token order so the result
-    is total-deterministic.
+    corpus Zipf. n_docs rides the plan as a broadcast one-row aggregate
+    (optimization r13: the former plan-time `df.count()` was a separate
+    full-scan JOB per invocation — token_rarity's corpus-total treatment
+    applied here; value and oracle unchanged). Ties break on token order
+    so the result is total-deterministic.
 
     Output: (id, rk, token, score) — top_k rows per doc."""
     doc_tok = _doc_token_counts(df, id_col, text_col)
-    n_docs = df.count()
+    nd = df.agg(F.count(F.lit(1)).cast("long").alias("_ndocs"))
     dfreq = doc_tok.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("_df")
     )
-    scored = doc_tok.join(dfreq, "token").withColumn(
-        "score", F.expr(f"_occ * ({n_docs}L div _df)")
+    scored = (
+        doc_tok.join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("score", F.expr("_occ * (_ndocs div _df)"))
+        .drop("_ndocs")
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("token")

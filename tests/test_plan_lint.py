@@ -79,6 +79,9 @@ ALLOWED = {
     # BNLJ build side is exactly one row
     "text_rarity_score": "corpus-total scalar fold; 1-row crossJoin",
     "text_rarity_skew": "corpus-total scalar fold; 1-row crossJoin",
+    # optimization r13 change 12: n_docs moved from a plan-time count()
+    # JOB into the same 1-row scalar-fold + crossJoin shape as above
+    "text_keywords": "n_docs scalar fold; 1-row crossJoin",
     "dedup_semantic": "centroid fold to one broadcast row (ivf_assign)",
 }
 
