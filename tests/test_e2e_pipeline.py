@@ -171,6 +171,40 @@ def test_dedup_clusters_connected_components(spark):
     assert kept == [1, 10, 20, 99]  # one survivor per cluster + untouched doc
 
 
+def test_dedup_clusters_plan_is_truncated(spark):
+    """Optimization r13: the label-propagation loop truncates lineage with
+    eager localCheckpoint each round, so the RETURNED plan is a leaf RDD
+    scan — not the full iterated join tree over the candidate-generation
+    pipeline (whose analysis cost grew exponentially with rounds and was
+    re-paid by every downstream consumer). Pin both properties: the plan
+    bottoms out at an ExistingRDD leaf and never references the input
+    pairs' lineage (the source table scan must be gone)."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.catalog import load_table
+    from go_pq_cdc_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(20)
+    dup = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    both = docs.unionByName(dup)
+    pairs = both.alias("a").join(
+        both.alias("b"),
+        (F.xxhash64("a.text") == F.xxhash64("b.text"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    clusters = dedup_clusters(pairs)
+    plan = clusters._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan, f"expected truncated leaf plan, got:\n{plan}"
+    assert "parquet" not in plan.lower(), (
+        f"returned plan still drags the pair-generation lineage:\n{plan}"
+    )
+    # and it still computes the right thing through that truncated plan
+    got = {r["id"]: r["cluster_id"] for r in clusters.collect()}
+    for doc_id, cluster in got.items():
+        if doc_id >= 1000000:
+            assert cluster == doc_id - 1000000
+
+
 def test_dedup_clusters_over_minhash_pairs(spark):
     """End-to-end: minhash pairs over the real corpus (with injected exact
     dups) cluster so every injected copy collapses onto its original."""
