@@ -230,6 +230,30 @@ def int_dot(a: str, b: str) -> str:
     return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
 
 
+def int_dot_fast(a: str, b: str, dims: int = FAST_DIMS) -> str:
+    """`int_dot` with the same whole-stage-codegen fast path as
+    `scaled_dot_fast`: for the common fixed width the product sum is
+    emitted as an unrolled flat chain (pure codegen int64 arithmetic —
+    no HOF, no per-pair rounding), any other width falls back to the
+    generic `int_dot` HOF. Left-to-right chain == the HOF's left fold,
+    products identical — values are bit-identical in every case. The
+    intended use is the QUADRATIC pair stage of the embedding dedup
+    family: cast each row to fixed-point ONCE per join side (`fx_vec`,
+    after the grid exchange so the cast integers never cross the wire)
+    and pay only the multiply-adds per candidate pair, instead of
+    re-rounding both 64-dim vectors on every pair (optimization r13;
+    the DuckDB oracles got the same one-cast-per-row factoring in the
+    r12 round — `_VQ_DUCK` in plans/mining.py)."""
+    terms = " + ".join(
+        f"(element_at({a}, {i}) * element_at({b}, {i}))"
+        for i in range(1, dims + 1)
+    )
+    return (
+        f"CASE WHEN size({a}) = {dims} AND size({b}) = {dims} "
+        f"THEN ({terms}) ELSE ({int_dot(a, b)}) END"
+    )
+
+
 def scaled_dot(a: str, b: str, dim_of: str, scale: int = 1_000_000) -> dict[str, str]:
     """Exact integer dot product of two float vectors: each component is
     rounded to `scale` fixed-point (deterministic: both engines round

@@ -937,8 +937,13 @@ def embedding_near_dup_lsh(
     # Per-task work (optimization r13): the bucket, the norm and every
     # pair dot use the unrolled whole-stage-codegen fast path
     # (`P.scaled_dot_fast` / `_lsh_bucket_fast_expr`) — bit-identical
-    # values, interpreted-HOF fallback for uncommon widths.
-    dot = P.scaled_dot_fast("a.v", "b.v")
+    # values, interpreted-HOF fallback for uncommon widths. The pair dot
+    # runs over PER-SIDE pre-cast fixed-point arrays (`fx_vec` computed
+    # above the grid exchange, so floats — not the wider int64s — cross
+    # the wire): each row is rounded once per side instead of once per
+    # candidate pair, which at sf1 is a ~B/grid-fold reduction in
+    # round/cast work for the quadratic stage.
+    dot = P.int_dot_fast("a.vq", "b.vq")
     norm = P.scaled_dot_fast("v", "v")
     # nrm is coalesced non-nullable: the cos_sim threshold filter would
     # otherwise infer isnotnull(nrm) and push it to both join sides, and HOF
@@ -948,6 +953,8 @@ def embedding_near_dup_lsh(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", planes
     ).withColumn("nrm", F.coalesce(F.expr(norm), F.lit(0).cast("long")))
     a, b, grid_conds = grid_self_join_sides(vecs, grid=grid, extra_keys=("bucket",))
+    a = a.withColumn("vq", F.expr(P.fx_vec("v")))
+    b = b.withColumn("vq", F.expr(P.fx_vec("v")))
     return (
         a.alias("a")
         .join(
@@ -986,8 +993,9 @@ def embedding_near_dup(
     set into one task — same funnel, same fix as ngram_jaccard_pairs."""
     from .scale import grid_self_join_sides
 
-    # unrolled codegen norms/pair dots (see the LSH sibling)
-    dot = P.scaled_dot_fast("a.v", "b.v")
+    # unrolled codegen norms + once-per-side-row pre-cast pair dots (see
+    # the LSH sibling for the full rationale)
+    dot = P.int_dot_fast("a.vq", "b.vq")
     norm = P.scaled_dot_fast("v", "v")
     # coalesce: see embedding_near_dup_lsh — keeps the inferred null-check
     # from re-evaluating the norm aggregate on both join sides
@@ -995,6 +1003,8 @@ def embedding_near_dup(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(block_col).alias("blk")
     ).withColumn("nrm", F.coalesce(F.expr(norm), F.lit(0).cast("long")))
     a, b, grid_conds = grid_self_join_sides(vecs, grid=grid, extra_keys=("blk",))
+    a = a.withColumn("vq", F.expr(P.fx_vec("v")))
+    b = b.withColumn("vq", F.expr(P.fx_vec("v")))
     return (
         a.alias("a")
         .join(
@@ -1060,9 +1070,13 @@ def semantic_dedup(
     from .similarity import ivf_assign
 
     assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col).cache()
-    # unrolled codegen norms/pair dots (optimization r13, values identical)
+    # unrolled codegen norms (optimization r13, values identical); the
+    # pair dot runs over per-side-row pre-cast fixed-point arrays — see
+    # embedding_near_dup_lsh for the once-per-side vs once-per-pair
+    # rounding argument (the quadratic within-cell stage is this
+    # operator's whole cost at scale)
     norm = P.scaled_dot_fast("v", "v")
-    dot = P.scaled_dot_fast("a.v", "b.v")
+    dot = P.int_dot_fast("a.vq", "b.vq")
     vecs = assigned.withColumn(
         "nrm", F.coalesce(F.expr(norm), F.lit(0).cast("long"))
     )
@@ -1075,6 +1089,8 @@ def semantic_dedup(
         )
         vecs = vecs.join(F.broadcast(ok), "cent_id")
     a, b, grid_conds = grid_self_join_sides(vecs, grid=grid, extra_keys=("cent_id",))
+    a = a.withColumn("vq", F.expr(P.fx_vec("v")))
+    b = b.withColumn("vq", F.expr(P.fx_vec("v")))
     pairs = (
         a.alias("a")
         .join(

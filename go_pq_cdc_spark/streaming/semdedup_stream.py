@@ -77,7 +77,11 @@ def semdedup_batch_against_index(
         .cache()
     )
     try:
-        dot = P.scaled_dot_fast("qv", "v")
+        # pair dot over per-side pre-cast fixed-point arrays — one
+        # round/cast pass per row per side instead of one per candidate
+        # pair (optimization r13; same factoring as the batch family and
+        # the oracle's _VQ_DUCK)
+        dot = P.int_dot_fast("qvi", "vi")
         cos = (
             "CAST(dot AS DOUBLE) / "
             "(sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c_nrm AS DOUBLE)))"
@@ -87,7 +91,7 @@ def semdedup_batch_against_index(
             F.col("v").alias("qv"),
             F.col("nrm").alias("q_nrm"),
             F.col("cent_id").alias("q_cent"),
-        )
+        ).withColumn("qvi", F.expr(P.fx_vec("qv")))
         if _index_exists(spark, index_path):
             cells = [r["q_cent"] for r in qside.select("q_cent").distinct().collect()]
             idx = (
@@ -107,7 +111,8 @@ def semdedup_batch_against_index(
                 "left_anti",
             )
             pairs = (
-                idx.join(F.broadcast(qside), F.col("cent_id") == F.col("q_cent"))
+                idx.withColumn("vi", F.expr(P.fx_vec("v")))
+                .join(F.broadcast(qside), F.col("cent_id") == F.col("q_cent"))
                 .withColumn("dot", F.expr(dot))
                 .withColumn("cos_sim", F.expr(cos))
                 .filter(F.col("cos_sim") >= threshold)
@@ -125,13 +130,13 @@ def semdedup_batch_against_index(
                 F.col("v").alias("qv"),
                 F.col("nrm").alias("q_nrm"),
                 F.col("cent_id").alias("q_cent"),
-            )
+            ).withColumn("qvi", F.expr(P.fx_vec("qv")))
             b = nb.select(
                 F.col("id").alias("c_id"),
                 F.col("v").alias("v"),
                 F.col("nrm").alias("c_nrm"),
                 F.col("cent_id").alias("cent_id"),
-            )
+            ).withColumn("vi", F.expr(P.fx_vec("v")))
             wb = (
                 a.join(
                     b,

@@ -311,3 +311,41 @@ def test_bloom_positions_and_hll_fragments_identical(engines):
             {"spark": rho["spark"][part], "duck": rho["duck"][part]},
         )
         assert s == d, f"hll {part} fragment diverges"
+
+
+def test_int_dot_fast_matches_scaled_dot_spellings(spark):
+    """The three Spark spellings of the exact fixed-point dot must agree
+    on every width class: the generic HOF (`scaled_dot`), the unrolled
+    per-pair-rounding fast path (`scaled_dot_fast`), and the r13
+    pre-cast factoring (`fx_vec` once per side + `int_dot_fast`). The
+    pair operators swap between them purely for speed, so divergence on
+    ANY input silently changes dedup results. Covers the unrolled
+    64-dim path, the generic fallback (odd width), and NULL vectors."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, [float(i % 7) / 7 - 0.5 for i in range(64)],
+            [float((i * 3) % 11) / 11 - 0.5 for i in range(64)]),   # 64-dim
+        (2, [0.25, -0.5, 1.0 / 3.0], [0.125, 0.75, -0.2]),          # odd width
+        (3, None, [0.1, 0.2, 0.3]),                                  # NULL side
+        (4, [1e-7, -1e-7, 5e-7], [1.0, -1.0, 1.0]),                  # sub-scale
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, va array<double>, vb array<double>"
+    ).select(
+        "id",
+        F.expr("transform(va, x -> CAST(x AS FLOAT))").alias("va"),
+        F.expr("transform(vb, x -> CAST(x AS FLOAT))").alias("vb"),
+    )
+    out = df.select(
+        "id",
+        F.expr(P.scaled_dot("va", "vb", "va")["spark"]).alias("gen"),
+        F.expr(P.scaled_dot_fast("va", "vb")).alias("fast"),
+        F.expr(
+            P.int_dot_fast("vqa", "vqb")
+            .replace("vqa", f"({P.fx_vec('va')})")
+            .replace("vqb", f"({P.fx_vec('vb')})")
+        ).alias("precast"),
+    ).collect()
+    for r in out:
+        assert r["gen"] == r["fast"] == r["precast"], dict(r.asDict())
