@@ -18,6 +18,11 @@ from go_pq_cdc_spark.streaming.agg_view_stream import (
 
 from .conftest import SF_DIR
 
+# slow tier (r13 verdict item 1): excluded from the default pytest run
+# so the driver's gate finishes inside its window; run with
+# `pytest -m "slow or not slow"` (full) or `-m slow` (this tier only).
+pytestmark = pytest.mark.slow
+
 _BATCH_SCHEMA = "pk long, op string, before_val double, after_val double"
 
 

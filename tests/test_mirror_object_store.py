@@ -25,8 +25,7 @@ from go_pq_cdc_spark.snapshot.claim_backend import (
     FakeObjectStore,
     ObjectStoreBackend,
 )
-from go_pq_cdc_spark.streaming.changelog_stream import (
-    FLAT_CHANGE_SCHEMA,
+from go_pq_cdc_spark.streaming.changelog_stream import (    FLAT_CHANGE_SCHEMA,
     MirrorLockLost,
     _MergeLock,
     _read_manifest_versioned,
@@ -35,6 +34,13 @@ from go_pq_cdc_spark.streaming.changelog_stream import (
     read_mirror,
     read_mirror_as_of,
 )
+
+
+# slow tier (r13 verdict item 1): excluded from the default pytest run
+# so the driver's gate finishes inside its window; run with
+# `pytest -m "slow or not slow"` (full) or `-m slow` (this tier only).
+pytestmark = pytest.mark.slow
+
 
 
 @pytest.fixture()

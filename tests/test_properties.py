@@ -117,6 +117,11 @@ def test_latest_state_matches_model(spark_session_holder, data):
 # scoped fixtures that would re-run per example)
 import pytest  # noqa: E402
 
+# slow tier (r13 verdict item 1): excluded from the default pytest run
+# so the driver's gate finishes inside its window; run with
+# `pytest -m "slow or not slow"` (full) or `-m slow` (this tier only).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="session")
 def spark_session_holder(spark):

@@ -10,6 +10,13 @@ from pyspark.sql import functions as F
 
 from go_pq_cdc_spark.envelope import CHANGE_EVENT_SCHEMA, table_struct, typed_projection
 
+import pytest
+
+# slow tier (r13 verdict item 1): excluded from the default pytest run
+# so the driver's gate finishes inside its window; run with
+# `pytest -m "slow or not slow"` (full) or `-m slow` (this tier only).
+pytestmark = pytest.mark.slow
+
 
 def test_new_column_mid_stream(spark):
     rows = [

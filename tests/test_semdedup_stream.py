@@ -12,6 +12,14 @@ from go_pq_cdc_spark.streaming.semdedup_stream import (
     semdedup_batch_against_index,
 )
 
+import pytest
+
+# slow tier (r13 verdict item 1): excluded from the default pytest run
+# so the driver's gate finishes inside its window; run with
+# `pytest -m "slow or not slow"` (full) or `-m slow` (this tier only).
+pytestmark = pytest.mark.slow
+
+
 
 def _df(spark, rows):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")

@@ -24,6 +24,11 @@ from go_pq_cdc_spark.streaming.changelog_stream import FLAT_CHANGE_SCHEMA
 
 import datetime
 
+# slow tier (r13 verdict item 1): excluded from the default pytest run
+# so the driver's gate finishes inside its window; run with
+# `pytest -m "slow or not slow"` (full) or `-m slow` (this tier only).
+pytestmark = pytest.mark.slow
+
 
 def _ev(op, lsn, xid, pk, val):
     return Row(

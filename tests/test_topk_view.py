@@ -9,10 +9,16 @@ import random
 import pytest
 from pyspark.sql import functions as F  # noqa: F401
 
-from go_pq_cdc_spark.streaming.topk_view_stream import (
-    read_topk_view,
+from go_pq_cdc_spark.streaming.topk_view_stream import (    read_topk_view,
     update_topk_view_state,
 )
+
+
+# slow tier (r13 verdict item 1): excluded from the default pytest run
+# so the driver's gate finishes inside its window; run with
+# `pytest -m "slow or not slow"` (full) or `-m slow` (this tier only).
+pytestmark = pytest.mark.slow
+
 
 _BATCH_SCHEMA = "pk long, op string, before_val double, after_val double"
 

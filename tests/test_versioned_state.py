@@ -30,6 +30,11 @@ from go_pq_cdc_spark.snapshot.claim_backend import (
 )
 from go_pq_cdc_spark.streaming.versioned_state import VersionedState
 
+# slow tier (r13 verdict item 1): excluded from the default pytest run
+# so the driver's gate finishes inside its window; run with
+# `pytest -m "slow or not slow"` (full) or `-m slow` (this tier only).
+pytestmark = pytest.mark.slow
+
 # a streaming history: each step advances the batch id by 0 (retry) or 1,
 # then performs one action
 _STEP = st.tuples(

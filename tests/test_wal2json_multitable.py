@@ -16,6 +16,11 @@ from go_pq_cdc_spark.sources.postgres import capture_slot
 from go_pq_cdc_spark.sources.wal2json import decode_wal2json, route_tables
 from go_pq_cdc_spark.streaming.changelog_stream import multi_mirror_sink, read_mirror
 
+# slow tier (r13 verdict item 1): excluded from the default pytest run
+# so the driver's gate finishes inside its window; run with
+# `pytest -m "slow or not slow"` (full) or `-m slow` (this tier only).
+pytestmark = pytest.mark.slow
+
 
 def test_decode_wal2json(spark):
     raw = spark.createDataFrame(
