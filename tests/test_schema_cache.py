@@ -19,10 +19,7 @@ from .conftest import SF_DIR
 def test_second_load_serves_schema_from_cache(spark):
     _SCHEMA_CACHE.clear()
     df1 = load_table(spark, SF_DIR, "lineitem")
-    key = (
-        table_path(SF_DIR, "lineitem"),
-        os.path.getmtime(table_path(SF_DIR, "lineitem")),
-    )
+    key = catalog._schema_cache_key(table_path(SF_DIR, "lineitem"))
     assert key in _SCHEMA_CACHE
     df2 = load_table(spark, SF_DIR, "lineitem")
     # identical declared schema, identical contents
@@ -53,3 +50,35 @@ def test_mtime_change_invalidates(spark, tmp_path):
     df2 = catalog._read_with_cached_schema(spark, dst)
     assert df2.schema == df.schema
     assert len(_SCHEMA_CACHE) == n_keys + 1
+
+
+def test_in_place_part_file_rewrite_invalidates(spark, tmp_path):
+    """ADVICE r13: a part file overwritten IN PLACE (same filename, same
+    directory mtime restored) must still invalidate — the key folds the
+    child listing (count, max mtime, bytes) in, so a size or timestamp
+    change on any part file re-infers instead of serving a stale schema
+    as silent NULLs."""
+    src = table_path(SF_DIR, "region")
+    dst = str(tmp_path / "t.parquet")
+    copy = shutil.copytree if os.path.isdir(src) else shutil.copyfile
+    copy(src, dst)
+    _SCHEMA_CACHE.clear()
+    before = catalog._read_with_cached_schema(spark, dst).schema
+    assert len(_SCHEMA_CACHE) == 1
+    # overwrite IN PLACE with a table of a DIFFERENT schema (same path;
+    # for a directory table the part filenames change too, which the
+    # child listing in the key also covers), pinning the parent mtime
+    # back so only child metadata differs
+    other = table_path(SF_DIR, "nation")
+    if os.path.isdir(dst):
+        dir_times = (os.path.getatime(dst), os.path.getmtime(dst))
+        shutil.rmtree(dst)
+        copy(other, dst)
+        os.utime(dst, dir_times)
+    else:
+        times = (os.path.getatime(dst), os.path.getmtime(dst))
+        shutil.copyfile(other, dst)
+        os.utime(dst, times)  # same path mtime; size/listing differ
+    after = catalog._read_with_cached_schema(spark, dst).schema
+    assert len(_SCHEMA_CACHE) == 2  # fresh key -> fresh inference entry
+    assert after != before  # and the NEW schema is served, not the stale one
