@@ -856,6 +856,114 @@ def bloom_prune_predicate(
     return F.expr(" AND ".join(conds))
 
 
+def bloom_state_array(
+    df: DataFrame,
+    value_col: str,
+    k: int = BLOOM_K,
+    bits: int = BLOOM_BITS,
+    *,
+    portable: bool = True,
+    state_col: str = "bloom_state",
+) -> DataFrame:
+    """ONE-ROW dense Bloom state (`state_col: array<bigint>`, word i at
+    position i+1) built entirely IN-PLAN — the runtime-filter build shape
+    (optimization r14, guide §3.2): no driver `collect()` and no
+    plan-time job; the state rides the query as a
+    `crossJoin(broadcast(...))` scalar exactly like Spark's own injected
+    `bloom_filter_agg` scalar subquery, so every execution (re)builds it
+    distributed and the driver never touches filter bytes.
+
+    Construction: the per-key cells are zero-filled with a
+    `range(words)` union BEFORE the single bit_or groupBy (so every word
+    index is present exactly once and the zero-fill rides the same
+    exchange — one shuffle, not two), then one global aggregate sorts
+    the (word, bits) structs and projects the bits — a dense array whose
+    position IS the word index, so the probe is one O(1) `element_at`
+    per hash function. Build cost is O(keys·k + words) rows through two
+    bounded aggregates; the broadcast is words×8 bytes (≤ 1 MiB at the
+    2^22-bit cap). Cell derivation is inlined from `bloom_cells`'
+    fragments (same `_bloom_pos_exprs`/`_bloom_cell_cols`, so build and
+    probe can never drift) rather than calling it, because its groupBy
+    output would force a second exchange under the union."""
+    if portable:
+        h = P.md5_hash_m31(
+            {
+                "spark": f"CAST({value_col} AS STRING)",
+                "duck": f"CAST({value_col} AS VARCHAR)",
+            }
+        )["spark"]
+    else:
+        h = f"pmod(xxhash64({value_col}), {P.MERSENNE31})"
+    cell = _bloom_cell_cols("div", BLOOM_LANE)
+    poss = F.array(
+        *[F.expr(e["spark"]).cast("long") for e in _bloom_pos_exprs(k, bits)]
+    )
+    cells = (
+        df.select(F.expr(h).alias("hv"))
+        .select(F.explode(poss).alias("pos"))
+        .select(
+            F.expr(cell["word"]).alias("word"),
+            F.expr(cell["mask"]).alias("bits"),
+        )
+    )
+    words = bits // BLOOM_LANE
+    zeros = df.sparkSession.range(words).select(
+        F.col("id").cast("int").alias("word"),
+        F.lit(0).cast("long").alias("bits"),
+    )
+    dense = (
+        cells.unionByName(zeros)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word", "bits"))),
+            lambda s: s["bits"],
+        ).alias(state_col)
+    )
+
+
+def bloom_state_probe_predicate(
+    value_sql: str,
+    k: int = BLOOM_K,
+    bits: int = BLOOM_BITS,
+    *,
+    portable: bool = True,
+    state_col: str = "bloom_state",
+):
+    """Membership predicate against a `bloom_state_array` column attached
+    to the probed side (via `crossJoin(broadcast(state))`): identical
+    position/cell derivation to `bloom_prune_predicate`, but the state is
+    a COLUMN reference instead of a plan literal — still k positions +
+    O(1) `element_at` + bitwise AND per row inside whole-stage codegen,
+    with nothing state-sized in the plan text. Same build/probe
+    consistency contract: `portable` and `bits` must match the build."""
+    if portable:
+        hv = P.md5_hash_m31(f"CAST({value_sql} AS STRING)")["spark"]
+        conds = []
+        for e in _bloom_pos_exprs(k, bits):  # fragments reference `hv`
+            pos = f"({e['spark']})"
+            word = f"CAST({pos} div {BLOOM_LANE} AS INT)"
+            mask = f"shiftleft(1L, CAST({pos} % {BLOOM_LANE} AS INT))"
+            conds.append(
+                f"((element_at({state_col}, {word} + 1) & {mask}) = {mask})"
+            )
+        return F.expr(
+            f"forall(array({hv}), hv -> " + " AND ".join(conds) + ")"
+        )
+    hv = f"pmod(xxhash64({value_sql}), {P.MERSENNE31})"
+    conds = []
+    for e in _bloom_pos_exprs(k, bits):  # fragments reference `hv`
+        pos = f"({e['spark'].replace('hv', hv)})"
+        word = f"CAST({pos} div {BLOOM_LANE} AS INT)"
+        mask = f"shiftleft(1L, CAST({pos} % {BLOOM_LANE} AS INT))"
+        conds.append(
+            f"((element_at({state_col}, {word} + 1) & {mask}) = {mask})"
+        )
+    return F.expr(" AND ".join(conds))
+
+
 # --------------------------------------------------------------------------
 # KMV set algebra (Beyer et al., SIGMOD 2007): the k-min-values sketches
 # kmv_sketch materializes don't just merge for UNION cardinality — the

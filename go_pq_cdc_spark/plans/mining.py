@@ -440,7 +440,11 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops ~all non-matching fact bytes before any join machinery runs,
     and correctness never depends on the filter. The prune-really-
     prunes property is pinned by unit test (tests/test_mining.py)."""
-    from ..operators.sketch import bloom_cells, bloom_prune_predicate
+    from ..catalog import table_row_bound
+    from ..operators.sketch import (
+        bloom_state_array,
+        bloom_state_probe_predicate,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     dim = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
@@ -457,26 +461,38 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # family; the oracle-pinned Bloom rows (q_bloom_membership/merge/
     # stream) keep the portable family.
     #
-    # Scale-adaptive sizing (optimization r13, guide §3.2): the default
-    # 1024-bit state is saturated by this dim's ~30k keys (every bit
-    # set — the filter passed every fact row and was pure overhead).
-    # Size bits to ~8 per key (k=4 -> FP ~ (1-e^-1/2)^4 ~ 2.4%) from a
-    # bounded dim count — the same plan-time-job class as the state
-    # collect itself — so the filter keeps pruning at ANY scale instead
-    # of at one tuned size. The state stays driver-size: bits/32 int64s,
-    # capped at 2^22 bits (16 KiB..1 MiB literal).
-    n_dim = dim.count()
-    bloom_bits = 1 << max(10, min(22, (8 * max(n_dim, 1) - 1).bit_length()))
-    state = [
-        (r["word"], r["bits"])
-        for r in bloom_cells(
-            dim, [], "o_orderkey", portable=False, bits=bloom_bits
-        ).collect()
-    ]
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        bloom_prune_predicate(
-            state, "l_orderkey", portable=False, bits=bloom_bits
+    # ZERO plan-time jobs (optimization r14, guide §3.2 / §1.2-1 — the
+    # r13 leftover): the state is built IN-PLAN (`bloom_state_array`: a
+    # one-row dense array crossJoin-broadcast onto the fact scan, the
+    # same shape as Spark's own injected bloom_filter_agg scalar
+    # subquery) instead of a plan-time `dim.count()` + 8k-row state
+    # `collect()` — two driver jobs per plan build on the r13 spelling,
+    # ~0.3-0.5 s each on this box. Sizing now comes from the parquet
+    # FOOTER row count of orders (metadata read, no job) — an upper
+    # bound on the filtered dim, so bits land at ~8 per BOUND key
+    # (>= 8 per real key; FP only drops). The r13-rejected footer-bound
+    # variant oversized a plan LITERAL (65k-word from_json string —
+    # 2.3x slower); with the state in-plan the oversize costs only a
+    # bounded build aggregate and a <= 1 MiB broadcast, never plan text.
+    # Native injection (spark.sql.optimizer.runtime.bloomFilter.*) is
+    # deliberately not forced: its applicationSideScanSizeThreshold
+    # (10 GB) is the right production gate, and lowering it session-wide
+    # so it fires at local SFs would re-plan every other join in the
+    # bench to a shape production would not use.
+    n_bound = table_row_bound(sf_dir, "orders")
+    bloom_bits = 1 << max(10, min(22, (8 * max(n_bound, 1) - 1).bit_length()))
+    state = bloom_state_array(
+        dim, "o_orderkey", portable=False, bits=bloom_bits
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .crossJoin(F.broadcast(state))
+        .filter(
+            bloom_state_probe_predicate(
+                "l_orderkey", portable=False, bits=bloom_bits
+            )
         )
+        .drop("bloom_state")
     )
     return (
         li.join(F.broadcast(dim), li["l_orderkey"] == dim["o_orderkey"])

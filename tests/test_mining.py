@@ -516,6 +516,55 @@ def test_bloom_prune_predicate_prunes_without_false_negatives(spark):
     assert "Join" not in plan and "Exchange" not in plan
 
 
+def test_bloom_state_array_probe_matches_literal_arm(spark):
+    """The IN-PLAN Bloom state (`bloom_state_array` crossJoin-broadcast +
+    `bloom_state_probe_predicate` column probe — the r14 runtime-filter
+    shape behind q_bloom_join_prune) admits EXACTLY the fact rows the
+    literal-collect arm admits at the same (k, bits, portable) — the two
+    spellings share `bloom_cells`, so build/probe can never drift — and
+    building the pruned DataFrame runs ZERO Spark jobs (the contract
+    that replaced the r13 spelling's two plan-time driver jobs)."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_spark.operators.sketch import (
+        bloom_cells,
+        bloom_prune_predicate,
+        bloom_state_array,
+        bloom_state_probe_predicate,
+    )
+
+    dim = spark.range(100).selectExpr("id AS k")
+    fact = spark.range(4000).selectExpr("id AS k")
+    bits = 4096
+    sc = spark.sparkContext
+    sc.setJobGroup("bloom_inplan_build_audit", "plan build must be job-free")
+    try:
+        state = bloom_state_array(dim, "k", bits=bits, portable=False)
+        pruned = fact.crossJoin(F.broadcast(state)).filter(
+            bloom_state_probe_predicate("k", bits=bits, portable=False)
+        )
+        built_jobs = sc.statusTracker().getJobIdsForGroup(
+            "bloom_inplan_build_audit"
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(built_jobs) == [], f"plan build ran jobs: {built_jobs}"
+    kept_inplan = sorted(r["k"] for r in pruned.select("k").collect())
+    lit_state = [
+        (r["word"], r["bits"])
+        for r in bloom_cells(dim, [], "k", bits=bits, portable=False).collect()
+    ]
+    kept_literal = sorted(
+        r["k"]
+        for r in fact.filter(
+            bloom_prune_predicate(lit_state, "k", bits=bits, portable=False)
+        ).collect()
+    )
+    assert kept_inplan == kept_literal
+    assert set(range(100)) <= set(kept_inplan)  # no false negatives
+    assert len(kept_inplan) < 4000 * 0.25  # and the filter actually prunes
+
+
 class TestBloomStream:
     def _docs(self, spark, lo, hi):
         rows = [(i, f"g{i % 3}", f"key{i}") for i in range(lo, hi)]

@@ -83,6 +83,12 @@ ALLOWED = {
     # JOB into the same 1-row scalar-fold + crossJoin shape as above
     "text_keywords": "n_docs scalar fold; 1-row crossJoin",
     "dedup_semantic": "centroid fold to one broadcast row (ivf_assign)",
+    # optimization r14: the Bloom build moved from two plan-time driver
+    # jobs (dim count + state collect) INTO the plan — the dense-state
+    # fold is a 1-row aggregate whose input is bounded by words + dim
+    # cells (never fact-proportional), crossJoin-broadcast onto the fact
+    # scan exactly like the text_heavy_hitters scalar folds
+    "q_bloom_join_prune": "bloom-state fold to one broadcast row; 1-row crossJoin",
 }
 
 # Window PARTITION keys that are Zipfian raw text-derived values — a
