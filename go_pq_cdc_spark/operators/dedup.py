@@ -313,10 +313,29 @@ def _band_cand_verify(
 
     par = explosive_join_parts(bands)
     bands = bands.repartition(par, "band", "band_key")
+    # shuffle_hash hint (optimization r14 — the substring_dedup
+    # treatment, guide §2.4): without it the planner broadcasts side b,
+    # which re-executes the ENTIRE band subtree (scan -> shingle ->
+    # minhash -> explode -> both exchanges) a second time just to build
+    # the broadcast — and the verify joins then ALSO re-scan instead of
+    # reusing (final plan: 4 parquet scans / 2 full shingle+minhash
+    # passes). With the hint, side b is a ReusedExchange and the verify
+    # sides reuse the doc-spread stage + each other's broadcast: ONE
+    # scan, one shingle+minhash pass (executed-plan evidence in
+    # plans/r14). Broadcasting a corpus x LSH_BANDS-row relation is a
+    # local-SF artifact anyway (the 8 GB / 512M-row broadcast cap kills
+    # it at scale). Local wall-time is flat (interleaved A/B: sf0.1
+    # +1.6%, sf1 -8%..+16% across runs — every stage is fixed-overhead-
+    # bound here); the win is the removed duplicate compute at scale.
+    # Memory contract of the forced SHJ: the per-partition build side is
+    # corpus x LSH_BANDS / explosive_join_parts() skinny rows — the same
+    # per-task order as every stage riding this exchange; if a
+    # deployment's partitions outgrow executor memory, widen the
+    # explosive-join width rather than dropping the hint to SMJ.
     cand = (
         bands.alias("a")
         .join(
-            bands.alias("b"),
+            bands.alias("b").hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.id") < F.col("b.id")),
