@@ -723,7 +723,23 @@ def _pq_adc_sum_expr(m: int) -> str:
     operators (top-k sort key, projections) and re-evaluated, while the
     CodegenFallback expression acts as its own materialization point.
     Guide §1.1's warning in action — the "ideal" spelling lost to a
-    gotcha, so the empirical loop decided."""
+    gotcha, so the empirical loop decided.
+
+    Optimization r14 retried the unroll behind an `explode(array(...))`
+    single-evaluation generator boundary (the re-inlining fix the r13
+    verdict suggested) and it was STILL a wash at both scales —
+    interleaved A/B: sf0.1 min -8.4% / 3-of-6 pairs, sf1 min -4.1% /
+    2-of-3 — because m = PQ_M = 4 lookups per pair is too cheap to
+    dominate and the pair count is query-bounded (8 queries x corpus),
+    so the generator overhead + bigger plan eat the interpreted-HOF
+    saving. Measured, reverted; do not retry below m ~ 16 or without a
+    corpus-x-corpus pair stage. The same A/B verdict applies to the
+    once-per-side `fx_vec` + `int_dot_fast` factoring tried across
+    cosine_topk / ann_topk_lsh / ivf_topk this round (sf0.1 -17%/-35%/
+    +5%, sf1 -7%/-11%/—): the r13 change-14 win needed ~25M dedup pairs;
+    the similarity family's broadcast-query fan-out never produces
+    enough pairs to amortize the ~400-node chains' per-execution
+    planning/codegen cost."""
     return (
         f"aggregate(sequence(0, {m - 1}), 0L, (acc, j) -> "
         f"acc + element_at(element_at(qlut, j + 1), element_at(codes, j + 1) + 1))"
