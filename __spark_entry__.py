@@ -26,83 +26,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # Gate scheduling: the correctness runner caps at 50 of the registry's
 # entries per round, so rows that NEED a fresh driver-green signal run
 # FIRST. Rotation invariant (amended round 13, r12 verdict item 3):
-# every registry row's latest driver green is <= 3 rounds old. The
-# previous <= 2 wording became arithmetically impossible once the
-# registry crossed 2*50 rows (116 at r12 close); with fair rotation the
-# worst-case staleness is ceil(registry_size / 50), so <= 3 holds for
-# any registry up to 150 rows — `_gate_order` asserts that bound so
-# growth past it fails loudly instead of silently rotting a row.
+# every registry row's latest driver green is <= 3 rounds old. With fair
+# rotation the worst-case staleness is ceil(registry_size / 50), so <= 3
+# holds for any registry up to 150 rows — `_gate_order` asserts that
+# bound so growth past it fails loudly instead of silently rotting a row.
 #
-# Round 13 rotation: the 16 r10-green rows deferred past r12's cap lead
-# (3 rounds stale — the invariant's worst case), then the queries ADDED
-# this round (never driver-checked), then the 50 r11-green rows in
-# robustness order — whichever of them fall past position 50 defer
-# automatically and MUST lead the r14 head; the 50 r12-green rows are
-# the freshest signal and trail.
+# Round 14 rotation (optimization round — no new queries): the 30
+# r11-green rows deferred past r13's cap lead (3 rounds stale — the
+# invariant's worst case), then every row whose PLAN this round's
+# optimizations changed (bloom in-plan build, minhash exchange reuse —
+# the similarity-family and prefix-sum-percentile attempts were measured
+# and REVERTED, so those rows keep their r13 plans and stay in their
+# rotation slots), then r12-green rows. Whichever r12-green rows fall past
+# position 50 defer automatically and MUST lead the r15 head; the 50
+# r13-green rows are the freshest signal and trail.
 _GATE_HEAD = [
-    # r10-green rows deferred past r12's cap — stalest signal, run first
-    "q_window_gauntlet",
-    "q_funnel_steps",
-    "q_cohort_retention",
-    "q_kmv_distinct",
-    "q_kmv_merge",
-    "text_pii_scrub",
-    "text_cleanup",
-    "text_url_dedup",
-    "dedup_semantic",
-    "cdc_incremental_agg_view",
-    "text_gopher_quality",
-    "text_bm25_topk",
-    "text_substring_dedup_apply",
-    "text_heavy_hitters",
-    "cdc_changes_between",
-    "emb_dim_stats",
-]
-# Queries ADDED in round 13 — never driver-checked; appended as they
-# land. Each one pushes one more r11-green row past the cap (the
-# automatic-deferral arm below).
-_GATE_NEW: list[str] = [
-    "text_rarity_skew",
-    "q_hll_distinct",
-    "q_hll_merge",
-    "dedup_prefix_jaccard",
-    "q_bloom_membership",
-    "q_bloom_merge",
-    "text_token_diversity",
-    "q_kmv_intersect",
-    "q_bloom_join_prune",
-    "text_keywords",
-    "q_bloom_stream_state",
-    "cdc_distinct_view",
-    "text_typo_pairs",
-    "emb_mad_outliers",
-]
-# r11-green rows (driver-green in CORRECTNESS_r11, 50/50 MATCH) — two
-# rounds stale at r13 judging. The first (50 - 16 - len(_GATE_NEW)) fit
-# under the cap; the remainder defer to 51+ and lead the r14 head.
-# Ordered most-plan-touched first so deferral lands on the cheapest /
-# most robust rows (pure-expression plans untouched for rounds).
-_GATE_R11 = [
-    "cdc_topk_view",
-    "cdc_agg_view_minmax",
-    "cdc_before_image",
-    "cdc_truncate_state",
-    "cdc_scd2_intervals",
-    "cdc_ack_watermark",
-    "cdc_hypertable_mapping",
-    "sim_cosine_topk",
-    "sim_pq_adc_topk",
-    "sim_ann_lsh_topk",
-    "sim_ivf_topk",
-    "sim_ivfpq_topk",
-    "sample_token_budget",
-    "sample_upsample_epochs",
-    "sample_weighted_docs",
-    "split_train_val_test",
-    "emb_quantize",
-    "emb_near_dup",
-    "emb_centroid_outliers",
-    "dedup_exact",
+    # r11-green rows deferred past r13's cap — stalest signal, run first
     "dedup_ngram_jaccard",
     "text_substring_dedup",
     "text_bag_dedup",
@@ -125,8 +64,6 @@ _GATE_R11 = [
     "q_parts_not_shipped_1995",
     "q_percentiles",
     "q_grouping_sets",
-    # pure-expression / stock-Catalyst TPC-H rows: most deferral-robust,
-    # so they sit deepest past the cap
     "q12_late_shipment_priority",
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -136,8 +73,49 @@ _GATE_R11 = [
     "q20_dominant_suppliers",
     "q17_small_quantity_revenue",
 ]
-_GATE_TAIL = [
-    # driver-green in CORRECTNESS_r12 (50/50 MATCH) — freshest signal
+# Rows whose physical plans the r14 optimizations changed — they need a
+# fresh driver green regardless of rotation age. (text_substring_dedup
+# and q2_min_cost_supplier were also touched; they already lead in
+# _GATE_HEAD.)
+_GATE_TOUCHED = [
+    "q_bloom_join_prune",
+    "dedup_minhash_lsh",
+    "dedup_cluster_assign",
+    "curation_pipeline",
+]
+# r12-green rows (driver-green in CORRECTNESS_r12, 50/50 MATCH) — two
+# rounds stale at r14 judging. The first (50 - 30 - len(_GATE_TOUCHED))
+# fit under the cap; the remainder defer to 51+ and MUST lead the r15
+# head. Ordered most-plan-touched / least-robust first so deferral lands
+# on the stock-Catalyst rows untouched for rounds.
+_GATE_R12 = [
+    "dedup_stream_pairs",
+    "emb_semdedup_stream_pairs",
+    "emb_near_dup_lsh",
+    "cdc_heavy_hitters_view",
+    "sim_lsh_buckets",
+    "dedup_incremental",
+    "text_ngram_novelty",
+    "text_rarity_score",
+    "sample_temperature_mix",
+    "sample_stratum_topk",
+    "sample_stratified_mix",
+    "sample_cluster_balanced",
+    "train_epoch_order",
+    "text_chunk_windows",
+    "dedup_decontaminate",
+    "pack_token_sequences",
+    # --- deferral boundary at r14 (rows below land past the cap) ---
+    "dedup_simhash_pairs",
+    "snapshot_chunk_stats",
+    "cdc_op_route_counts",
+    "cdc_toast_fill",
+    "cdc_latest_state",
+    "cdc_commit_order",
+    "cdc_snapshot_handoff",
+    "cdc_enrich_dimension",
+    "q_cms_frequencies",
+    "q_cms_merge",
     "q_set_ops",
     "q_json_extract",
     "q_distinct_custs",
@@ -159,35 +137,59 @@ _GATE_TAIL = [
     "q15_top_supplier",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
-    "cdc_op_route_counts",
-    "cdc_toast_fill",
-    "cdc_latest_state",
-    "cdc_commit_order",
-    "cdc_snapshot_handoff",
-    "snapshot_chunk_stats",
-    "dedup_minhash_lsh",
-    "dedup_incremental",
-    "dedup_cluster_assign",
-    "dedup_decontaminate",
-    "dedup_simhash_pairs",
-    "curation_pipeline",
-    "emb_near_dup_lsh",
-    "sim_lsh_buckets",
-    "pack_token_sequences",
-    "sample_stratified_mix",
-    "sample_cluster_balanced",
-    "train_epoch_order",
-    "text_chunk_windows",
-    "sample_stratum_topk",
-    "cdc_heavy_hitters_view",
-    "cdc_enrich_dimension",
-    "sample_temperature_mix",
-    "text_ngram_novelty",
-    "text_rarity_score",
-    "dedup_stream_pairs",
-    "emb_semdedup_stream_pairs",
-    "q_cms_frequencies",
-    "q_cms_merge",
+]
+_GATE_TAIL = [
+    # driver-green in CORRECTNESS_r13 (50/50 MATCH) — freshest signal —
+    # minus the rows promoted into _GATE_TOUCHED above
+    "q_window_gauntlet",
+    "q_funnel_steps",
+    "q_cohort_retention",
+    "q_kmv_distinct",
+    "q_kmv_merge",
+    "text_pii_scrub",
+    "text_cleanup",
+    "text_url_dedup",
+    "dedup_semantic",
+    "cdc_incremental_agg_view",
+    "text_gopher_quality",
+    "text_bm25_topk",
+    "text_substring_dedup_apply",
+    "text_heavy_hitters",
+    "cdc_changes_between",
+    "emb_dim_stats",
+    "text_rarity_skew",
+    "q_hll_distinct",
+    "q_hll_merge",
+    "dedup_prefix_jaccard",
+    "q_bloom_membership",
+    "q_bloom_merge",
+    "text_token_diversity",
+    "q_kmv_intersect",
+    "text_keywords",
+    "q_bloom_stream_state",
+    "cdc_distinct_view",
+    "text_typo_pairs",
+    "emb_mad_outliers",
+    "cdc_topk_view",
+    "cdc_agg_view_minmax",
+    "cdc_before_image",
+    "cdc_truncate_state",
+    "cdc_scd2_intervals",
+    "cdc_ack_watermark",
+    "cdc_hypertable_mapping",
+    "sim_cosine_topk",
+    "sim_pq_adc_topk",
+    "sim_ann_lsh_topk",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "sample_token_budget",
+    "sample_upsample_epochs",
+    "sample_weighted_docs",
+    "split_train_val_test",
+    "emb_quantize",
+    "emb_near_dup",
+    "emb_centroid_outliers",
+    "dedup_exact",
 ]
 
 # correctness-runner cap and the staleness bound it implies
@@ -203,11 +205,13 @@ def _gate_order() -> list[str]:
         f"<= {_MAX_STALE_ROUNDS} rounds old past {_GATE_CAP * _MAX_STALE_ROUNDS} "
         "rows — fold redundant gate rows or renegotiate the invariant"
     )
-    placed = set(_GATE_HEAD) | set(_GATE_NEW) | set(_GATE_R11) | set(_GATE_TAIL)
+    placed = (
+        set(_GATE_HEAD) | set(_GATE_TOUCHED) | set(_GATE_R12) | set(_GATE_TAIL)
+    )
     missing = placed - set(names)
     assert not missing, f"gate order references unknown queries: {sorted(missing)}"
     middle = [n for n in names if n not in placed]
-    return _GATE_HEAD + _GATE_NEW + middle + _GATE_R11 + _GATE_TAIL
+    return _GATE_HEAD + _GATE_TOUCHED + middle + _GATE_R12 + _GATE_TAIL
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
