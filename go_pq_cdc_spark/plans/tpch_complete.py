@@ -113,7 +113,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rarely repeat within a map partition. The numbered keyed
     repartition is AQE-exempt, which also keeps the window stage at
     full parallelism instead of the 3-task coalesced stage that made
-    this row bimodal (straggler) under the bench's repeat discipline."""
+    this row bimodal (straggler) under the bench's repeat discipline.
+
+    KNOWN-FLAT-KEY caveat (r13 verdict): AQE-exempt also means AQE's
+    skew-split cannot rescue a hot l_partkey. That is safe HERE because
+    TPC-H part keys are uniform by construction; do not copy this
+    pattern onto a key that can be Zipfian — the explosive-join guards
+    (`explosive_join_parts` call sites) carry the same caveat."""
     from pyspark.sql.window import Window
 
     li = load_table(spark, sf_dir, "lineitem").select(

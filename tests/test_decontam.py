@@ -303,6 +303,33 @@ def test_substring_dup_pairs_hashed_identity(spark):
     assert len(plain) > 0  # span-sharers found each other
 
 
+def test_substring_dup_pairs_hashed_identity_real_corpus(spark):
+    """ADVICE r13: the hashed-vs-string identity pinned on the REAL
+    documents corpus (the bench row `text_substring_dedup` ships
+    hashed=True while its DuckDB oracle stays exact-string SQL — this is
+    the deterministic canary that catches a gram-expression edit
+    breaking injectivity-up-to-hashing before the probabilistic oracle
+    gate ever could)."""
+    from tests.conftest import SF_DIR
+
+    from go_pq_cdc_spark.catalog import load_table
+    from go_pq_cdc_spark.operators.text import substring_dup_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def pairs(hashed):
+        return {
+            (r["doc_a"], r["doc_b"], r["shared_ngrams"])
+            for r in substring_dup_pairs(
+                docs, "doc_id", n=8, max_docs=20, hashed=hashed
+            ).collect()
+        }
+
+    plain, fast = pairs(False), pairs(True)
+    assert plain == fast
+    assert len(plain) > 0  # the corpus has real span-level duplication
+
+
 def test_substring_dedup_apply_semantics(spark):
     """Span REMOVAL semantics pinned by hand: keep-first-occurrence
     (global (doc_id, position) order), within-doc repeats removed,
