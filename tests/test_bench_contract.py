@@ -88,3 +88,42 @@ def test_final_line_overflow_raises_instead_of_truncating():
     bench = _load_bench()
     with pytest.raises(ValueError, match="BENCH_DETAIL"):
         bench.build_final_line({"pad": "x" * (bench.FINAL_LINE_BUDGET + 1)})
+
+
+def test_extra_sf_summary_matches_driver_schema_and_stays_off_final_line():
+    """r13 verdict item 8: the opt-in $SPARK_GRAFT_BENCH_SF sweep must be
+    strictly additive — same summary schema as the final line's driver
+    fields, but written to a sidecar/early line, never the final line."""
+    bench = _load_bench()
+    times = {"q1": 1.234, "q2": 5.678}
+    norm = {"q1": 1.0, "q2": 5.0}
+    agreement = {"q1": 1.05, "q2": 1.1}
+    s = bench.build_extra_sf_summary(times, norm, agreement, 1.0, 42)
+    # driver-contract core fields, identical names/semantics
+    assert s["metric"] == "headline_queries_total_runtime"
+    assert s["unit"] == "sec"
+    assert s["queries"] == times
+    assert s["value"] == pytest.approx(6.912)
+    assert s["sf"] == 1.0
+    assert s["value_normalized"] == pytest.approx(6.0)
+    assert s["ordering_agreement_max"] == 1.1
+    assert s["steal_jiffies_delta"] == 42
+    # no keys outside the final-line vocabulary (additions-only contract)
+    final_keys = {
+        "metric", "value", "unit", "queries", "throughput_rows_per_sec",
+        "sf", "value_normalized", "ordering_agreement_max",
+        "steal_jiffies_delta", "detail",
+    }
+    assert set(s) <= final_keys
+
+
+def test_extra_sf_sweep_is_env_gated_and_before_final_line():
+    """The extra sweep must be opt-in (env-gated) and emit before the
+    final build_final_line print so the driver's tail capture still ends
+    with the sf0.1 contract line."""
+    with open(_BENCH, encoding="utf-8") as f:
+        src = f.read()
+    assert 'os.environ.get("SPARK_GRAFT_BENCH_SF")' in src
+    gate = src.index('os.environ.get("SPARK_GRAFT_BENCH_SF")')
+    final = src.rindex("build_final_line")
+    assert gate < final, "extra-SF sweep must run before the final line"
