@@ -28,6 +28,15 @@ from ..catalog import load_table
 from .registry import register
 
 
+def _supplycost_min():
+    """The ONE Spark-side spelling of the supply-cost derivation —
+    minimum observed unit price per (l_partkey, l_suppkey) group. Shared
+    by ``_supply()`` and q2's inlined repartitioned arm so the formula
+    cannot drift between them; ``_SUPPLY_SQL`` mirrors it for the
+    cross-engine oracle and is pinned to both by the oracle gate."""
+    return F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+
+
 def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived part-supplier supply relation: one row per observed
     (l_partkey, l_suppkey) pair with the minimum observed unit price as
@@ -40,9 +49,7 @@ def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
-    return li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
-    )
+    return li.groupBy("l_partkey", "l_suppkey").agg(_supplycost_min())
 
 
 _SUPPLY_SQL = """
@@ -129,11 +136,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply = (
         li.repartition(n, "l_partkey")
         .groupBy("l_partkey", "l_suppkey")
-        .agg(
-            F.min(
-                F.col("l_extendedprice") / F.col("l_quantity")
-            ).alias("supplycost")
-        )
+        .agg(_supplycost_min())
     )
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
