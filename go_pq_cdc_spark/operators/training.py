@@ -18,7 +18,7 @@ exactly what this module exists to avoid at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
@@ -180,6 +180,7 @@ def with_prefix_offsets(
     weight_col: str,
     out_col: str = "cum_before",
     bounds: list | None = None,
+    pid: Column | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum of `weight_col` in `id_col` order — DISTRIBUTED
     and DETERMINISTIC.
@@ -266,7 +267,20 @@ def with_prefix_offsets(
             )
             step = max(1, len(samp) // n_buckets)
             bounds = sorted(set(samp[step::step]))
-    if bounds:
+    if pid is not None:
+        # Caller-supplied bucket id — MUST equal the count of `bounds`
+        # entries strictly below the key for every row (the caller owns
+        # that proof; `epoch_order`'s equal-width bounds reduce it to one
+        # integer division where the generic spelling below scans the
+        # whole boundary array per row — O(#bounds) interpreted HOF work
+        # that matters at the 1024-bucket cluster cap).
+        if bounds is None:
+            raise ValueError(
+                "with_prefix_offsets: pid= requires explicit bounds= "
+                "(the bucket count and the offsets join key derive from it)"
+            )
+        pid = pid.cast("int")
+    elif bounds:
         # Column-API bucket id (no SQL-string interpolation: arbitrary
         # column names and string boundaries are safe): the count of
         # boundary literals strictly below the key.
@@ -274,7 +288,8 @@ def with_prefix_offsets(
         pid = F.size(F.filter(barr, lambda b: b < F.col(id_col))).cast("int")
     else:
         pid = F.lit(0).cast("int")
-    parted = df.withColumn("_pid", pid).repartition(
+    tagged = df.withColumn("_pid", pid)
+    parted = tagged.repartition(
         max(len(bounds) + 1 if bounds else 1, 1), F.col("_pid")
     )
     w_in = (
@@ -285,8 +300,17 @@ def with_prefix_offsets(
     within = parted.withColumn(
         "_cum_in", F.coalesce(F.sum(weight_col).over(w_in), F.lit(0)).cast("long")
     )
-    subtot = within.groupBy("_pid").agg(
-        F.max(F.col("_cum_in") + F.col(weight_col).cast("long")).alias("_pt")
+    # Per-bucket subtotal = SUM(weight) — NOT max(_cum_in + weight) over
+    # the windowed frame (equal for the contract's non-negative weights:
+    # the inclusive running sum is nondecreasing, so its max is the
+    # bucket total). The window spelling forced the offsets branch to
+    # re-execute the per-bucket Sort+Window under the broadcast build;
+    # the plain sum needs no sort. Aggregating the PRE-repartition frame
+    # (`tagged`, not `parted`) lets Catalyst place the partial aggregate
+    # below the exchange, so the offsets branch shuffles ~n_buckets rows
+    # per map task instead of the whole corpus (r14, guide §1.2-1/§2.3).
+    subtot = tagged.groupBy("_pid").agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_pt")
     )
     w_p = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = subtot.withColumn(
@@ -441,9 +465,25 @@ def epoch_order(
     nb = max(1, min(par, 1024))
     width = (1 << 60) // nb
     bounds = [i * width for i in range(1, nb)]
+    # Bucket id in O(1) arithmetic instead of the generic O(nb) boundary-
+    # array filter (r14): with equal-width bounds b_i = i*width, the count
+    # of bounds strictly below ek is min(nb-1, (ek-1) DIV width) — exact
+    # for ek >= 0 incl. the ek=0 edge (Spark DIV truncates toward zero,
+    # so -1 DIV width = 0). Pinned against the generic spelling by
+    # test_epoch_order_arithmetic_pid_matches_boundary_count.
+    pid = (
+        F.least(F.lit(nb - 1), F.expr(f"(_ek - 1) DIV {width}"))
+        if bounds
+        else None
+    )
     return (
         with_prefix_offsets(
-            keyed, id_col="_ek", weight_col="_one", out_col=out_col, bounds=bounds
+            keyed,
+            id_col="_ek",
+            weight_col="_one",
+            out_col=out_col,
+            bounds=bounds,
+            pid=pid,
         ).drop("_ek", "_one")
     )
 

@@ -156,6 +156,33 @@ def test_epoch_order_is_a_seeded_permutation(spark):
     assert s2 != s1
 
 
+def test_epoch_order_arithmetic_pid_matches_boundary_count(spark):
+    """r14: epoch_order derives the bucket id as min(nb-1, (ek-1) DIV
+    width) instead of the generic O(nb) boundary-array filter. Pin the
+    two spellings equal at the adversarial edges — ek=0, exact bucket
+    boundaries, boundary±1, and the key-space max — for the real
+    (nb, width) the operator computes on this session."""
+    from go_pq_cdc_spark.operators.training import epoch_order  # noqa: F401
+
+    par = spark.sparkContext.defaultParallelism
+    nb = max(1, min(par, 1024))
+    if nb < 2:
+        pytest.skip("single-bucket session: no boundaries to compare")
+    width = (1 << 60) // nb
+    bounds = [i * width for i in range(1, nb)]
+    eks = {0, 1, width - 1, width, width + 1, (1 << 60) - 1}
+    for i in (1, 2, nb // 2, nb - 1):
+        eks |= {i * width - 1, i * width, i * width + 1}
+    df = spark.createDataFrame([(e,) for e in sorted(eks)], "_ek long")
+    barr = F.array(*[F.lit(b) for b in bounds])
+    generic = F.size(F.filter(barr, lambda b: b < F.col("_ek"))).cast("int")
+    arith = F.least(F.lit(nb - 1), F.expr(f"(_ek - 1) DIV {width}")).cast("int")
+    bad = df.select("_ek", generic.alias("g"), arith.alias("a")).filter(
+        F.col("g") != F.col("a")
+    )
+    assert bad.count() == 0, bad.collect()
+
+
 def test_prefix_offsets_rejects_bad_weights(spark):
     """The non-negative-integer weight contract must actually ENFORCE: the
     r5 guard lived in a withColumn(...).drop(...) column that Catalyst
