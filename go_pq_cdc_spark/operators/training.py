@@ -305,12 +305,26 @@ def with_prefix_offsets(
     # the inclusive running sum is nondecreasing, so its max is the
     # bucket total). The window spelling forced the offsets branch to
     # re-execute the per-bucket Sort+Window under the broadcast build;
-    # the plain sum needs no sort. Aggregating the PRE-repartition frame
-    # (`tagged`, not `parted`) lets Catalyst place the partial aggregate
-    # below the exchange, so the offsets branch shuffles ~n_buckets rows
-    # per map task instead of the whole corpus (r14, guide §1.2-1/§2.3).
-    subtot = tagged.groupBy("_pid").agg(
-        F.sum(F.col(weight_col).cast("long")).alias("_pt")
+    # the plain sum needs no sort.
+    #
+    # The `pmod(xxhash64(*all columns), 1)` term is identically ZERO
+    # (xxhash64 is never NULL — absent args hash to the seed — and
+    # pmod(x, 1) = 0 for every x, negatives included), so the summed
+    # value is exactly `weight`. Its job is plan-shape only: it keeps
+    # every input column referenced in this branch so column pruning
+    # cannot shrink the projection under `parted`'s exchange, which
+    # makes the two exchange subtrees canonically EQUAL and AQE serves
+    # the offsets branch from a ReusedExchange — the corpus (and an
+    # expensive weight expression like a tokenize) is scanned ONCE for
+    # the whole operator. A bare sum(weight) prunes the id/payload
+    # columns here, the exchanges stop matching, and this branch
+    # re-scans the source; `w + xxhash64(id)*0` is folded away by the
+    # optimizer (r14, measured). If a future Spark folds pmod-by-one
+    # too, the cost is a lost reuse (this branch re-scans), never a
+    # wrong value. (r14, guide §1.2-1/§2.4.)
+    anchor = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1))
+    subtot = parted.groupBy("_pid").agg(
+        F.sum(F.col(weight_col).cast("long") + anchor).alias("_pt")
     )
     w_p = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = subtot.withColumn(
