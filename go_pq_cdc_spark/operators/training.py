@@ -735,8 +735,20 @@ def _stratum_token_prefix(
     within = parted.withColumn(
         "_cum_in", F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)).cast("long")
     )
-    subtot = within.groupBy(stratum_col, "_qb").agg(
-        F.max(F.col("_cum_in") + F.col("n_tok")).alias("_bt")
+    # Per-(stratum, bucket) subtotal = SUM(n_tok), not max(_cum_in+n_tok)
+    # over the windowed frame (equal: n_tok is guarded non-negative, so
+    # the inclusive running sum's max is the group total) — the window
+    # spelling re-executed the priority Sort+Window under the broadcast
+    # build. The pmod(xxhash64(...), 1) anchor is identically zero and
+    # exists only to keep every column referenced so this branch's
+    # exchange projection matches the main one and AQE serves it from a
+    # ReusedExchange — one scan / one tokenize for the whole operator
+    # (see with_prefix_offsets for the full argument; r14, §1.2-1/§2.4).
+    anchor = F.pmod(
+        F.xxhash64(F.col(id_col), F.col(stratum_col), F.col("n_tok")), F.lit(1)
+    )
+    subtot = parted.groupBy(stratum_col, "_qb").agg(
+        F.sum(F.col("n_tok") + anchor).alias("_bt")
     )
     w_b = (
         Window.partitionBy(stratum_col)
