@@ -1019,15 +1019,39 @@ def substring_dedup_apply(
     occ = g0.select("doc_id", "i", _gram_expr(n, hashed).alias("g")).repartition(
         par, "g"
     )
+    # The `_z` column is identically ZERO (pmod(x, 1) = 0 for every x,
+    # xxhash64 never NULL), so the distinct is value-identical to
+    # distinct(doc_id, g). Its job is plan-shape only: it keeps `i`
+    # referenced in this branch, so column pruning cannot shrink the
+    # projection under the shared g-keyed exchange — without it the keep
+    # branch projects (doc_id, g) while the hits branch projects
+    # (doc_id, i, g), the exchanges stop matching canonically, and AQE
+    # re-runs the whole scan+tokenize+gram pipeline to build `keep`
+    # instead of serving it from a ReusedExchange (r14; same anchor
+    # argument as training.with_prefix_offsets, guide §1.2-1/§2.4).
     keep = (
-        occ.select("doc_id", "g")
+        occ.select(
+            "doc_id", "g", F.pmod(F.xxhash64("i"), F.lit(1)).alias("_z")
+        )
         .distinct()
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter((F.col("_n") >= 2) & (F.col("_n") <= max_docs))
         .select("g")
     )
-    hits = occ.join(keep.hint("shuffle_hash"), "g", "left_semi")
+    # The probe-side projection is value-identical (pmod(x,1)=0) and
+    # exists so the user g-repartition is not the DIRECT child of the
+    # semi-join: EnsureRequirements swaps a direct-child REPARTITION_BY_NUM
+    # exchange for its own ENSURE_REQUIREMENTS one (to let AQE coalesce),
+    # which breaks canonical equality with the keep branch's exchange and
+    # forfeits the ReusedExchange — i.e. the whole scan+tokenize+gram
+    # pipeline ran twice (r14; observed on the executed plan).
+    probe = occ.select(
+        "doc_id",
+        (F.col("i") + F.pmod(F.xxhash64("g"), F.lit(1))).cast("int").alias("i"),
+        "g",
+    )
+    hits = probe.join(keep.hint("shuffle_hash"), "g", "left_semi")
     w_first = Window.partitionBy("g").orderBy("doc_id", "i")
     rm = (
         hits.withColumn("rn", F.row_number().over(w_first))
@@ -1037,39 +1061,46 @@ def substring_dedup_apply(
         # same doc only once (one gram per (doc, i)), so (doc_id, j) is
         # already unique — no distinct needed
     )
+    # posexplode_OUTER keeps a (doc_id, NULL, NULL) row for NULL-text
+    # docs so the one doc_id-keyed aggregate below emits every input doc
+    # — the coverage filter and the token total are folded INTO that
+    # aggregate (survivors via `when`, collect_list/array_join skip the
+    # NULL entries), which drops the old shape's fourth corpus scan and
+    # its doc-keyed join-back (r14, guide §1.2-1: one corpus pass and
+    # one exchange fewer; value-identical incl. size(NULL)=NULL giving
+    # n_tokens_removed NULL for NULL text, pinned by the NULL/empty-text
+    # unit test).
     tok = toks.select(
-        "doc_id", F.posexplode("t").alias("p", "tok")
+        "doc_id", F.posexplode_outer("t").alias("p", "tok")
     ).withColumn("j", (F.col("p") + 1).cast("int")).drop("p")
     w_cov = (
         Window.partitionBy("doc_id")
         .orderBy("j")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    surv = (
+    alive = F.col("cov_end").isNull() | (F.col("cov_end") < F.col("j"))
+    covered = (
         tok.join(rm, ["doc_id", "j"], "left")
         .withColumn("cov_end", F.max("hit_end").over(w_cov))
-        .filter(F.col("cov_end").isNull() | (F.col("cov_end") < F.col("j")))
     )
-    rebuilt = surv.groupBy("doc_id").agg(
+    return covered.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                F.array_sort(
+                    F.collect_list(F.when(alive, F.struct("j", "tok")))
+                ),
                 lambda x: x["tok"],
             ),
             " ",
         ).alias("dedup_text"),
-        F.count(F.lit(1)).alias("_kept"),
-    )
-    return (
-        toks.select("doc_id", F.size("t").alias("_n_tokens"))
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
-            (F.col("_n_tokens") - F.coalesce("_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_tokens_removed"),
+        (
+            F.sum(F.when(F.col("tok").isNotNull(), 1))
+            - F.coalesce(
+                F.sum(F.when(alive & F.col("tok").isNotNull(), 1)), F.lit(0)
+            )
         )
+        .cast("long")
+        .alias("n_tokens_removed"),
     )
 
 

@@ -362,6 +362,36 @@ def test_substring_dedup_apply_semantics(spark):
     assert out[7] == ("f1 f2", 9)
 
 
+def test_substring_dedup_apply_null_and_empty_text(spark):
+    """r14: the rebuild aggregate folded the coverage filter and the
+    token total into one doc-keyed pass (dropping the fourth corpus scan
+    and the join-back). Pin the edge rows that shape must reproduce
+    exactly: NULL text -> ("", NULL n_tokens_removed) like the old
+    size(NULL)=NULL join-back; empty text -> ("", 0); whitespace-only
+    and short docs pass through untouched."""
+    from go_pq_cdc_spark.operators.text import substring_dedup_apply
+
+    S = " ".join(f"s{i}" for i in range(1, 9))
+    rows = [
+        (1, None),               # NULL text
+        (2, ""),                 # empty text: one '' token, no grams
+        (3, "x1 x2"),            # short doc, no grams
+        (4, f"k0 {S}"),          # owner
+        (5, f"{S} k1"),          # later occurrence: cut
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["dedup_text"], r["n_tokens_removed"])
+        for r in substring_dedup_apply(df, "doc_id", n=8).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}, "every input doc must appear"
+    assert out[1] == ("", None)
+    assert out[2] == ("", 0)
+    assert out[3] == ("x1 x2", 0)
+    assert out[4] == (f"k0 {S}", 0)
+    assert out[5] == ("k1", 8)
+
+
 def _span_corpus(seed: int, n_docs: int = 20):
     """Docs with per-doc DISJOINT vocab plus at most ONE shared span
     each: any gram crossing a removal junction contains a doc-unique
